@@ -1,0 +1,76 @@
+package graft.icelite
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** IceLite table metadata: the snapshot-versioned table descriptor our
+  * engine commits as `metadata/vN.json` (the role PyIceberg's metadata JSON
+  * plays in the reference — see SURVEY.md §1.1/§7.2 step 2; we implement the
+  * format natively because no Iceberg runtime jar ships in this image).
+  *
+  * - `fields` carry 1-based field ids + required flags
+  *   (`bot_iceberg_loader.py:206,232-239` semantics) for schema evolution.
+  * - `schemaJson` is the Spark StructType serialization — the engine-native
+  *   schema used to re-plan scans with exact types.
+  * - each snapshot lists the parquet files valid at that version; appends
+  *   add files, replaces reset them. Time travel = re-plan from an older
+  *   snapshot's file list.
+  */
+final case class FieldInfo(id: Int, name: String, `type`: String, required: Boolean)
+
+final case class Snapshot(
+    snapshot_id: Long,
+    timestamp_ms: Long,
+    operation: String, // "append" | "replace"
+    files: List[String] // relative to table location
+)
+
+final case class TableMetadata(
+    format_version: Int,
+    table_uuid: String,
+    name: String,
+    namespace: String,
+    location: String,
+    schemaJson: String,
+    fields: List[FieldInfo],
+    current_snapshot_id: Long,
+    snapshots: List[Snapshot]
+) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshot_id == current_snapshot_id)
+
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshot_id == id)
+
+  def toJson: String = {
+    implicit val fmts: Formats = TableMetadata.formats
+    Serialization.writePretty(this)
+  }
+}
+
+object TableMetadata {
+  private[icelite] implicit val formats: Formats = DefaultFormats
+
+  def fromJson(s: String): TableMetadata =
+    JsonMethods.parse(s).extract[TableMetadata]
+
+  def fieldsOf(schema: StructType): List[FieldInfo] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      FieldInfo(i + 1, f.name, f.dataType.catalogString, required = !f.nullable)
+    }.toList
+
+  def create(name: String, namespace: String, location: String, schema: StructType): TableMetadata =
+    TableMetadata(
+      format_version = 1,
+      table_uuid = java.util.UUID.randomUUID().toString,
+      name = name,
+      namespace = namespace,
+      location = location,
+      schemaJson = schema.json,
+      fields = fieldsOf(schema),
+      current_snapshot_id = 0L,
+      snapshots = Nil
+    )
+}

@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.{Hashing, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`.
+  *
+  * Four families, scale-ordered:
+  *  - exact: hash-groupBy on content — one shuffle on the content key.
+  *  - n-gram Jaccard: shingle equi-join — the scalable exact-similarity
+  *    path (no O(n^2) cross join; work is proportional to shared-shingle
+  *    pairs). Hot shingles are the skew risk at 100 TB → AQE skew join /
+  *    salting; the shingle explode is map-side only.
+  *  - MinHash + LSH: signature → band → bucket equi-join. The candidate set
+  *    is found by joining on (band_id, band_signature) — at 100 TB this is
+  *    the canonical near-dup design (cost ~ #docs * #hashes, plus tiny
+  *    bucket joins). Candidates are then verified with exact Jaccard.
+  *  - SimHash: 32-bit signature + pairwise hamming (quadratic verify kept
+  *    for oracle parity; the scale path would bucket on signature bytes).
+  *
+  * All hashing is the shared integer arithmetic in [[graft.Hashing]],
+  * replicated verbatim in the DuckDB oracle SQL — LSH candidate sets match
+  * bit-for-bit, so the oracle checks the *algorithm*, not just recall.
+  */
+object Dedup {
+
+  private val P = Hashing.P
+
+  /** doc_id + distinct word-3-gram shingle strings. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+        )).as("shs"))
+
+  private val duckShingles =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shs
+        FROM w WHERE len(ws) >= 3)"""
+
+  // ------------------------------------------------------------------ exact
+
+  private def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------- n-gram jaccard
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val e  = sh.select(col("doc_id"), explode(col("shs")).as("sg"))
+    val sz = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+    val inter = e.as("a")
+      .join(e.as("b"), col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("c")).cast("double")
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardOracle =
+    s"""WITH $duckShingles,
+      e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      sz AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz FROM sh),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 4) AS jaccard
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5
+      ORDER BY doc_a, doc_b"""
+
+  // ------------------------------------------------------------ minhash lsh
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // distinct integer shingle-hash sets per doc
+    val hs = shingles(s, d).select(
+      col("doc_id"),
+      array_distinct(transform(col("shs"), sg => Hashing.rollHash(sg, P))).as("hset"))
+    val eh = hs.select(col("doc_id"), explode(col("hset")).as("h"))
+    val params = broadcast(Hashing.minhashParams.toDF("j", "pa", "pb"))
+    // 16-row minhash signature, then 4-row band signatures
+    val sig = eh.crossJoin(params)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min((col("pa") * col("h") + col("pb")) % P).as("m"))
+    val band = sig
+      .select(col("doc_id"), expr(s"j div ${Hashing.bandRows}").as("band_id"), col("j"), col("m"))
+      .groupBy("doc_id", "band_id")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("j"), col("m")))),
+          x => x.getField("m").cast("string"))).as("bsig"))
+    val cand = band.as("x")
+      .join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact jaccard over the hashed shingle sets
+    val inter = cand
+      .join(eh.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(eh.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    val sz = hs.select(col("doc_id"), size(col("hset")).cast("long").as("sz"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashLshOracle = {
+    val shHash = Hashing.duckRollHash("sg", P, "c0")
+    s"""WITH $duckShingles,
+      hs AS (
+        SELECT doc_id, list_distinct(list_transform(shs, sg -> $shHash)) AS hset FROM sh),
+      eh AS (SELECT doc_id, unnest(hset) AS h FROM hs),
+      params(j, pa, pb) AS (VALUES ${Hashing.duckMinhashParams}),
+      sig AS (
+        SELECT doc_id, j, MIN((pa * h + pb) % $P) AS m
+        FROM eh CROSS JOIN params GROUP BY doc_id, j),
+      band AS (
+        SELECT doc_id, j // ${Hashing.bandRows} AS band_id,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bsig
+        FROM sig GROUP BY doc_id, j // ${Hashing.bandRows}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM band x JOIN band y
+          ON x.band_id = y.band_id AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+        FROM cand c
+        JOIN eh ea ON c.doc_a = ea.doc_id
+        JOIN eh eb ON c.doc_b = eb.doc_id AND ea.h = eb.h
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS sz FROM hs)
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - COALESCE(i.c, 0) AS DOUBLE), 4) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sz sa ON c.doc_a = sa.doc_id
+      JOIN sz sb ON c.doc_b = sb.doc_id
+      ORDER BY 1, 2"""
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bits = broadcast((0 until 32).map(i => (i, 1L << i)).toDF("i", "pw"))
+    val wh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .select(col("doc_id"), Hashing.rollHash(col("wd"), Hashing.M32).as("h"))
+    val sig = wh.crossJoin(bits)
+      .groupBy("doc_id", "i", "pw")
+      .agg(sum(when(expr("(h div pw) % 2") === 1, 1).otherwise(-1)).as("sb"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sb") > 0, col("pw")).otherwise(0L)).as("sig"))
+    sig.as("a")
+      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashOracle = {
+    val wordHash = Hashing.duckRollHash("wd", Hashing.M32, "c0")
+    val bitsValues = (0 until 32).map(i => s"($i, ${1L << i})").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+      wh AS (SELECT doc_id, $wordHash AS h FROM w),
+      bits(i, pw) AS (VALUES $bitsValues),
+      bs AS (
+        SELECT doc_id, i, pw, SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS sb
+        FROM wh CROSS JOIN bits GROUP BY doc_id, i, pw),
+      sig AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN sb > 0 THEN pw ELSE 0 END) AS BIGINT) AS sig
+        FROM bs GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 6
+      ORDER BY doc_a, doc_b"""
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("dd01_exact",
+      exact,
+      Some("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id")),
+    Q("dd02_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    Q("dd03_minhash_lsh", minhashLsh, Some(minhashLshOracle)),
+    Q("dd04_simhash", simhash, Some(simhashOracle))
+  )
+}

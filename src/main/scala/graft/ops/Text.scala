@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.{Hashing, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID (token-list heuristic), quality scoring, token counting and
+  * document fingerprinting (rolling hash + min-gram winnowing).
+  *
+  * All scoring is exact integer / exact-decimal arithmetic shared verbatim
+  * with the DuckDB oracle, so results hash-match bit-for-bit. Everything is
+  * per-row `functions._` expression work — embarrassingly parallel, no
+  * shuffle except the final presentation sort; at 100 TB these run as a
+  * single map stage over the document scan.
+  */
+object Text {
+
+  /** Fixed per-language marker-token lists (disjoint subsets of the testdata
+    * vocabulary; the heuristic is the operator under test, not linguistics). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "hash", "row", "batch", "scan", "customer"),
+    "en" -> Seq("the", "a", "fast", "query", "sort", "big"),
+    "es" -> Seq("column", "filter", "small", "slow", "merge", "order"),
+    "fr" -> Seq("vector", "line", "table", "data", "agg", "value"),
+    "zh" -> Seq("key", "stream", "window", "spark", "group", "part")
+  )
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  private def words(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+
+  // ---------------------------------------------------------------- lang id
+
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val langs = broadcast(langMarkers.toDF("lang", "wlist"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    words(Tables.documents(s, d))
+      .crossJoin(langs)
+      .select(
+        col("doc_id"), col("lang"),
+        size(filter(col("ws"), w => array_contains(col("wlist"), w))).cast("long").as("score"))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdOracle: String = {
+    val values = langMarkers
+      .map { case (l, ws) => s"('$l', [${sqlList(ws)}])" }
+      .mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      langs(lang, wlist) AS (VALUES $values),
+      scores AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(ws, x -> list_contains(wlist, x))) AS BIGINT) AS score
+        FROM w CROSS JOIN langs),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM scores)
+      SELECT doc_id, lang AS lang_pred, score FROM r WHERE rn = 1 ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stops = typedLit(stopwords)
+    words(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(filter(col("ws"), w => array_contains(stops, w))).cast("long").as("stop_cnt"))
+      .select(
+        col("doc_id"), col("len_chars"), col("n_words"),
+        round((col("len_chars") - (col("n_words") - 1)).cast("double") / col("n_words"), 4).as("avg_word_len"),
+        round(col("stop_cnt").cast("double") / col("n_words"), 4).as("stop_ratio"),
+        round(
+          least(col("n_words").cast("double") / 50.0, lit(1.0)) * 0.5 +
+            (col("stop_cnt").cast("double") / col("n_words")) * 0.5, 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityOracle: String =
+    s"""WITH w AS (
+        SELECT doc_id, length(text) AS lc, string_split(text, ' ') AS ws FROM documents),
+      x AS (
+        SELECT doc_id, CAST(lc AS BIGINT) AS len_chars, CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_filter(ws, t -> t IN (${sqlList(stopwords)}))) AS BIGINT) AS stop_cnt
+        FROM w)
+      SELECT doc_id, len_chars, n_words,
+        ROUND(CAST(len_chars - (n_words - 1) AS DOUBLE) / n_words, 4) AS avg_word_len,
+        ROUND(CAST(stop_cnt AS DOUBLE) / n_words, 4) AS stop_ratio,
+        ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.5
+              + (CAST(stop_cnt AS DOUBLE) / n_words) * 0.5, 4) AS quality_score
+      FROM x ORDER BY doc_id"""
+
+  // ----------------------------------------------------------- token counts
+
+  private def tokenCount(s: SparkSession, d: String): DataFrame =
+    words(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens_ws"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) div 4)").as("n_tokens_sub"),
+        round(length(col("text")).cast("double") / size(col("ws")), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  private val tokenCountOracle: String =
+    """WITH w AS (SELECT doc_id, length(text) AS lc, string_split(text, ' ') AS ws FROM documents)
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_tokens_ws,
+        CAST(list_sum(list_transform(ws, t -> (len(t) + 3) // 4)) AS BIGINT) AS n_tokens_sub,
+        ROUND(CAST(lc AS DOUBLE) / len(ws), 4) AS chars_per_token
+      FROM w ORDER BY doc_id"""
+
+  // ----------------------------------------------------------- fingerprints
+
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val gram5Hashes = transform(
+      sequence(lit(1), length(col("text")) - 4),
+      i => Hashing.rollHash(col("text").substr(i, lit(5)), Hashing.P))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        Hashing.rollHash(col("text"), Hashing.P).as("full_hash"),
+        when(length(col("text")) >= 5, array_min(gram5Hashes)).as("min_gram_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintOracle: String = {
+    val full  = Hashing.duckRollHash("text", Hashing.P, "c0")
+    val gram5 = Hashing.duckRollHash("substr(text, g, 5)", Hashing.P, "c1")
+    s"""SELECT doc_id,
+        $full AS full_hash,
+        CASE WHEN length(text) >= 5
+             THEN CAST(list_aggregate(list_transform(range(1, length(text) - 3), g -> $gram5), 'min') AS BIGINT)
+             ELSE NULL END AS min_gram_hash
+      FROM documents ORDER BY doc_id"""
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("tx01_lang_id", langId, Some(langIdOracle)),
+    Q("tx02_quality", quality, Some(qualityOracle)),
+    Q("tx03_token_count", tokenCount, Some(tokenCountOracle)),
+    Q("tx04_fingerprint", fingerprint, Some(fingerprintOracle))
+  )
+}

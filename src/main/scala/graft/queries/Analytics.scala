@@ -1,0 +1,251 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics operator coverage beyond the reference's own queries: multi-way
+  * joins, windowed ranking, distinct aggregation, HAVING, conditional
+  * aggregation, date bucketing, semi/anti joins, event-time windowing and
+  * sessionization — the SQL surface Spark exposes for free once the scan
+  * layer exists (SURVEY.md §2.3-2.7 "free in Spark" notes made concrete).
+  *
+  * Cross-engine exactness discipline: money aggregates are computed in
+  * DECIMAL (exact, order-independent) and only converted to DOUBLE at the
+  * end, so Spark and the DuckDB oracle agree bit-for-bit regardless of
+  * partial-aggregation order. Doubles that pass through untouched (e.g.
+  * o_totalprice) compare exactly by construction.
+  *
+  * Scale notes: the join queries keep dimension tables (region, nation,
+  * supplier) broadcast-able; fact-fact joins (orders x lineitem) shuffle on
+  * the join key, which is the partitioning a 1000-executor cluster wants.
+  * AQE handles skew/coalescing at runtime.
+  */
+object Analytics {
+
+  /** Exact decimal view of a 2-dp double money column. */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** SUM of money rounded to 2dp, exported as DOUBLE (exact both engines). */
+  private def sumMoney(c: Column): Column =
+    round(sum(dec(c)), 2).cast("double")
+
+  /** Per-row discounted price in exact decimal: extprice * (1 - discount). */
+  private val discPrice: Column =
+    dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast("decimal(4,2)")
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+
+  private def ntz(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  def all: Seq[Q] = Seq(
+
+    // ---- TPC-H Q1 shape: wide multi-aggregate scan (partial+final hash agg)
+    Q("an01_pricing_summary",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= ntz("2000-12-01"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+            round(sum(discPrice * (lit(1) + col("l_tax")).cast("decimal(4,2)")), 2).cast("double").as("sum_charge"),
+            round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(ROUND(SUM($discPriceSql * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- TPC-H Q3 shape: 3-way join + grouped revenue + top-k
+    Q("an02_shipping_priority",
+      (s, d) =>
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < ntz("1998-06-01"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > ntz("1998-06-01"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10),
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on keys
+    Q("an03_local_revenue",
+      (s, d) => {
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name").isin("ASIA", "EUROPE"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(discPrice), 2).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ---- window function: top-3 orders per customer
+    Q("an04_window_topn",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---- distinct aggregation
+    Q("an05_distinct_agg",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- HAVING (post-aggregation filter)
+    Q("an06_having",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 15)
+          .orderBy(desc("n"), asc("o_custkey")),
+      Some("""SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        HAVING COUNT(*) >= 15 ORDER BY n DESC, o_custkey""")),
+
+    // ---- conditional aggregation (single-pass CASE WHEN, no re-scan)
+    Q("an07_case_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("l_discount") > 0.05, dec(col("l_quantity"))).otherwise(lit(0).cast("decimal(12,2)")))
+              .cast("double").as("hi_disc_qty"),
+            sum(when(col("l_discount") <= 0.05, dec(col("l_quantity"))).otherwise(lit(0).cast("decimal(12,2)")))
+              .cast("double").as("lo_disc_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS hi_disc_qty,
+        CAST(SUM(CASE WHEN l_discount <= 0.05 THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS lo_disc_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- date bucketing
+    Q("an08_monthly_revenue",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(
+            year(col("o_orderdate")).cast("int").as("yr"),
+            month(col("o_orderdate")).cast("int").as("mo"))
+          .agg(sumMoney(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+          .orderBy("yr", "mo"),
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- left-semi join (EXISTS)
+    Q("an09_semi_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(
+            Tables.orders(s, d).filter(col("o_totalprice") > 300000.0),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        ORDER BY c_custkey""")),
+
+    // ---- left-anti join (NOT EXISTS)
+    Q("an10_anti_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- event-time windowing (batch twin of the streaming path)
+    Q("an11_events_hourly",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+          .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hour_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- sessionization (gaps-and-islands; 30-minute inactivity gap)
+    Q("an12_sessionize",
+      (s, d) => {
+        val byUser  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+          .withColumn("prev_ms", lag("ms", 1).over(byUser))
+          .withColumn("nw",
+            when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+          .withColumn("session_id", sum("nw").over(running))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH x AS (
+          SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+                 lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+          FROM events),
+        y AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS nw
+          FROM x),
+        z AS (
+          SELECT user_id, ts,
+                 CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM y)
+        SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+  )
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.icelite._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end lifecycle operators for the IceLite table format + catalog
+  * (SURVEY.md §2.1 S5-S11, S13-S14), expressed as oracle-checked queries:
+  * each one runs a real create/append/ingest/export against a scratch
+  * warehouse and returns data that must hash-match DuckDB reading the
+  * original parquet. This gates the *format layer* — commit protocol,
+  * snapshot planning, time travel, CSV inference+normalization — not just
+  * the relational operators.
+  */
+object IceQueries {
+
+  private val scratchRoot = "/root/repo/target/scratch"
+
+  private def freshDir(s: SparkSession, name: String): String = {
+    val p  = new Path(s"$scratchRoot/$name")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    p.toString
+  }
+
+  private val nationOracle = "SELECT * FROM nation ORDER BY n_nationkey"
+
+  /** S5/S6/S10: create-or-replace + append + snapshot scan round trip. */
+  private def roundtrip(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "rt")
+    val cat = new FsCatalog(s, wh)
+    val t   = cat.createOrReplaceTable("graft", "nations_rt", Tables.nation(s, d))
+    t.scan().orderBy("n_nationkey")
+  }
+
+  /** Snapshot time travel: two appends, read back snapshot 1. */
+  private def timetravel(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "tt")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t      = cat.createOrReplaceTable("graft", "nations_tt", nation) // snapshot 1
+    t.append(nation)                                                     // snapshot 2
+    t.scanSnapshot(1).orderBy("n_nationkey")
+  }
+
+  /** Current snapshot after append sees both commits. */
+  private def appendCurrent(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "ac")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t      = cat.createOrReplaceTable("graft", "nations_ac", nation)
+    t.append(nation)
+    t.scan().orderBy("n_nationkey", "n_name")
+  }
+
+  /** S1/S4 + type normalization: parquet -> CSV -> inferred ingest -> scan. */
+  private def ingestCsv(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "ing")
+    val csvDir = freshDir(s, "ing_csv")
+    Tables.nation(s, d).coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    val fs = new Path(csvDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val csvFile = fs.listStatus(new Path(csvDir)).map(_.getPath)
+      .find(_.getName.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException("no csv written"))
+    val cat = new FsCatalog(s, wh)
+    val job = new IngestJob(s, cat, freshDir(s, "ing_tmp"))
+    val res = job.run(IngestConfig(
+      source = csvFile.toString, namespace = "graft", explicitTableName = Some("nation_csv")))
+    require(res.nonEmpty, "ingest produced no tables")
+    new Engine(s, cat).table("graft.nation_csv").orderBy("n_nationkey")
+  }
+
+  /** S8/M3: catalog listing after two creates (names only — locations are
+    * UUID-suffixed by design). */
+  private def listing(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "ls")
+    val cat = new FsCatalog(s, wh)
+    cat.createOrReplaceTable("ns_a", "regions_a", Tables.region(s, d))
+    cat.createOrReplaceTable("ns_b", "nations_b", Tables.nation(s, d))
+    new Engine(s, cat).listing()
+      .select("table_namespace", "table_name")
+      .orderBy("table_namespace", "table_name")
+  }
+
+  private val listingOracle =
+    """SELECT * FROM (VALUES ('ns_a', 'regions_a'), ('ns_b', 'nations_b'))
+       t(table_namespace, table_name) ORDER BY table_namespace, table_name"""
+
+  /** S13: COPY-to-CSV export round trip (header CSV, re-read + re-typed). */
+  private def exportCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = freshDir(s, "exp_csv")
+    val eng = new Engine(s, new FsCatalog(s, freshDir(s, "exp_wh")))
+    eng.exportCsv(
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_nationkey"),
+      out)
+    s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .select(
+        col("c_custkey").cast("long"),
+        col("c_name"),
+        col("c_nationkey").cast("int"))
+      .orderBy("c_custkey")
+  }
+
+  private val exportCsvOracle =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+       WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey"""
+
+  /** S14: COPY-to-parquet export round trip (exact types preserved). */
+  private def exportParquetRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = freshDir(s, "exp_pq")
+    val eng = new Engine(s, new FsCatalog(s, freshDir(s, "exp_pq_wh")))
+    eng.exportParquet(
+      Tables.orders(s, d).filter(col("o_totalprice") > 200000.0), out)
+    s.read.parquet(out).orderBy("o_orderkey")
+  }
+
+  private val exportParquetOracle =
+    "SELECT * FROM orders WHERE o_totalprice > 200000.0 ORDER BY o_orderkey"
+
+  def all: Seq[Q] = Seq(
+    Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
+    Q("ic02_timetravel", timetravel, Some(nationOracle)),
+    Q("ic03_append_current", appendCurrent,
+      Some("""SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+              ORDER BY n_nationkey, n_name""")),
+    Q("ic04_ingest_csv", ingestCsv, Some(nationOracle)),
+    Q("ic05_listing", listing, Some(listingOracle)),
+    Q("ic06_export_csv", exportCsvRoundtrip, Some(exportCsvOracle)),
+    Q("ic07_export_parquet", exportParquetRoundtrip, Some(exportParquetOracle))
+  )
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` shape: the streaming twins
+  * of the batch queries an11 (hourly windowed aggregation) and an12
+  * (sessionization), built on watermarks + `window()` and
+  * `flatMapGroupsWithState` respectively.
+  *
+  * The reference is batch-only (SURVEY.md §2.9); this is the extension a
+  * 100 TB training-data pipeline needs for incremental ingest. Both
+  * transforms are input-agnostic: tests drive them with MemoryStream, a
+  * deployment points `spark.readStream` at a file/kafka source and
+  * `writeStream` at the sink. State is keyed (user_id / window), so it
+  * shards across executors; the watermark bounds state size.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+  private final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Watermarked 1-hour tumbling-window counts per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Custom stateful sessionization: 30-min inactivity gap, emitted on
+    * processing-time timeout — the `flatMapGroupsWithState` pattern. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(st => Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last <= gapMs =>
+                  cur = Some(st.copy(last = t, n = st.n + 1))
+                case Some(st) =>
+                  closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration("30 minutes")
+            closed.result().iterator
+          }
+      }
+  }
+}
