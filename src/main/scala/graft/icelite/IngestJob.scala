@@ -20,7 +20,8 @@ final case class IngestConfig(
     namespace: String = "default",
     explicitTableName: Option[String] = None, // honored only for single-file loads
     mergeGlob: Boolean = false,        // reference S16 flag — implemented properly here
-    pluralizeNames: Boolean = true,
+    pluralizeNames: Boolean = false,   // reference ICE_PLURALIZE_TABLE default
+
     multiLine: Boolean = true
 )
 

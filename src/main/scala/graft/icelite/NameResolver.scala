@@ -36,8 +36,9 @@ object NameResolver {
 
   private def isVowel(c: Char): Boolean = "aeiou".indexOf(c.toLower) >= 0
 
-  /** Filename -> table name: strip extension, slugify, pluralize. */
-  def tableNameFor(fileName: String, pluralizeNames: Boolean = true): String = {
+  /** Filename -> table name: strip extension, slugify, optionally pluralize
+    * (the reference's `ICE_PLURALIZE_TABLE` defaults to false). */
+  def tableNameFor(fileName: String, pluralizeNames: Boolean = false): String = {
     val base = fileName.split('/').last
     val noExt = base.lastIndexOf('.') match {
       case i if i > 0 => base.substring(0, i)

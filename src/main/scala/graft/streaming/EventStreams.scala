@@ -21,7 +21,8 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
-  private final case class SessionState(start: Long, last: Long, n: Long)
+  // public: the state encoder's generated code needs constructor access
+  final case class SessionState(start: Long, last: Long, n: Long)
 
   /** Watermarked 1-hour tumbling-window counts per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =

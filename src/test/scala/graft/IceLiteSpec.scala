@@ -1,0 +1,182 @@
+package graft
+
+import graft.icelite._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lifecycle tests for the IceLite table format + catalog + ingest + engine
+  * (SURVEY.md §5 test strategy item 4): create → append → re-scan → counts;
+  * drop/replace; time travel; catalog listing; metadata addressing; CSV
+  * ingest with inference + normalization; exports.
+  */
+class IceLiteSpec extends SparkSpec {
+
+  private def nation = Tables.nation(spark, sfDir)
+
+  test("create/append/scan roundtrip preserves rows and schema") {
+    val cat = new FsCatalog(spark, scratch("rt"))
+    val t   = cat.createOrReplaceTable("ns", "nations", nation)
+    assert(t.scan().count() == 25)
+    assert(t.scan().schema == nation.schema)
+    assert(t.snapshots().map(_.operation) == Seq("append"))
+  }
+
+  test("append creates snapshots; time travel reads older versions") {
+    val cat = new FsCatalog(spark, scratch("tt"))
+    val t   = cat.createOrReplaceTable("ns", "nations", nation)
+    t.append(nation)
+    t.append(nation)
+    assert(t.snapshots().map(_.snapshot_id) == Seq(1L, 2L, 3L))
+    assert(t.scanSnapshot(1).count() == 25)
+    assert(t.scanSnapshot(2).count() == 50)
+    assert(t.scan().count() == 75)
+  }
+
+  test("replace resets contents; create-or-replace drops the old location") {
+    val cat = new FsCatalog(spark, scratch("rp"))
+    val t1  = cat.createOrReplaceTable("ns", "nations", nation)
+    t1.append(nation)
+    val loc1 = t1.location.toString
+    val t2 = cat.createOrReplaceTable("ns", "nations", nation.limit(5))
+    assert(t2.scan().count() == 5)
+    assert(t2.location.toString != loc1)
+    assert(cat.listTables("ns") == Seq("nations"))
+    // in-place replace keeps history but plans only the new files
+    t2.replace(nation.limit(3))
+    assert(t2.scan().count() == 3)
+    assert(t2.snapshots().map(_.operation) == Seq("append", "replace"))
+  }
+
+  test("catalog: idempotent namespaces, listing, metadata location, drop") {
+    val cat = new FsCatalog(spark, scratch("cat"))
+    cat.createNamespace("a")
+    cat.createNamespace("a")
+    cat.createOrReplaceTable("a", "regions", Tables.region(spark, sfDir))
+    cat.createOrReplaceTable("b", "nations", nation)
+    assert(cat.listNamespaces() == Seq("a", "b"))
+    assert(cat.listTables("a") == Seq("regions"))
+    val ml = cat.metadataLocation("a", "regions")
+    assert(ml.contains("metadata/v2.json")) // v1 create + v2 first append
+    assert(cat.dropTable("a", "regions"))
+    assert(!cat.tableExists("a", "regions"))
+    assert(!cat.dropTable("a", "regions"))
+  }
+
+  test("scanMetadata addresses a table straight from its metadata file") {
+    val cat = new FsCatalog(spark, scratch("meta"))
+    cat.createOrReplaceTable("ns", "nations", nation)
+    val eng = new Engine(spark, cat)
+    val df  = eng.scanMetadata(cat.metadataLocation("ns", "nations"))
+    assert(df.count() == 25)
+  }
+
+  test("engine sql substitutes {table} and runs Spark SQL") {
+    val cat = new FsCatalog(spark, scratch("sql"))
+    cat.createOrReplaceTable("ns", "nations", nation)
+    val eng = new Engine(spark, cat)
+    val out = eng.sql("ns.nations",
+      "SELECT n_regionkey, COUNT(*) AS c FROM {table} GROUP BY n_regionkey ORDER BY n_regionkey")
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("n_regionkey", "c"))
+  }
+
+  test("engine describe reports normalized type names") {
+    val cat = new FsCatalog(spark, scratch("desc"))
+    cat.createOrReplaceTable("ns", "nations", nation)
+    val eng  = new Engine(spark, cat)
+    val desc = eng.describe("ns.nations").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("n_nationkey") == "INTEGER")
+    assert(desc("n_name") == "VARCHAR")
+  }
+
+  test("warehouse cleanup lists then deletes everything") {
+    val cat = new FsCatalog(spark, scratch("clean"))
+    cat.createOrReplaceTable("ns", "nations", nation)
+    val preview = cat.cleanupWarehouse(dryRun = true)
+    assert(preview.exists(_.contains("v2.json")))
+    assert(cat.listNamespaces().nonEmpty)
+    cat.cleanupWarehouse()
+    assert(cat.listNamespaces().isEmpty)
+  }
+
+  test("ingest: explicit name honored for single file; glob makes one table per file") {
+    val csvDir = java.nio.file.Paths.get(scratch("ing_csv"))
+    java.nio.file.Files.createDirectories(csvDir)
+    java.nio.file.Files.writeString(csvDir.resolve("user record.csv"), "id,name\n1,ann\n2,bo\n")
+    java.nio.file.Files.writeString(csvDir.resolve("city.csv"), "id,city\n1,oslo\n")
+    val cat = new FsCatalog(spark, scratch("ing_wh"))
+    val job = new IngestJob(spark, cat, scratch("ing_tmp"))
+
+    val single = job.run(IngestConfig(
+      source = csvDir.resolve("city.csv").toString, namespace = "db",
+      explicitTableName = Some("mycities")))
+    assert(single.map(r => (r.table, r.rows)) == Seq(("mycities", 1L)))
+
+    val multi = job.run(IngestConfig(
+      source = csvDir.toString, globPattern = Some("*.csv"), namespace = "db",
+      pluralizeNames = true))
+    assert(multi.map(_.table).sorted == Seq("cities", "user_records"))
+    assert(cat.listTables("db").sorted == Seq("cities", "mycities", "user_records"))
+  }
+
+  test("ingest glob-merge loads all files into one table (reference S16, implemented)") {
+    val csvDir = java.nio.file.Paths.get(scratch("mrg_csv"))
+    java.nio.file.Files.createDirectories(csvDir)
+    java.nio.file.Files.writeString(csvDir.resolve("a.csv"), "id,v\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(csvDir.resolve("b.csv"), "id,v\n3,z\n")
+    val cat = new FsCatalog(spark, scratch("mrg_wh"))
+    val job = new IngestJob(spark, cat, scratch("mrg_tmp"))
+    val res = job.run(IngestConfig(
+      source = csvDir.toString, globPattern = Some("*.csv"), namespace = "db",
+      explicitTableName = Some("merged"), mergeGlob = true))
+    assert(res.map(r => (r.table, r.rows)) == Seq(("merged", 3L)))
+  }
+
+  test("ingest from a file:// url goes through the download path") {
+    val src = java.nio.file.Files.createTempFile("graft_remote", ".csv")
+    java.nio.file.Files.writeString(src, "id,val\n1,10\n2,20\n")
+    val cat = new FsCatalog(spark, scratch("dl_wh"))
+    val job = new IngestJob(spark, cat, scratch("dl_tmp"))
+    val res = job.run(IngestConfig(source = src.toUri.toString, namespace = "db"))
+    assert(res.map(_.rows) == Seq(2L))
+  }
+
+  test("type normalizer maps inferred types onto the 8-type system") {
+    assert(TypeNormalizer.normalizeType(ByteType) == IntegerType)
+    assert(TypeNormalizer.normalizeType(ShortType) == IntegerType)
+    assert(TypeNormalizer.normalizeType(LongType) == LongType)
+    assert(TypeNormalizer.normalizeType(DecimalType(10, 2)) == StringType) // fallback
+    assert(TypeNormalizer.normalizeType(ArrayType(LongType)) == StringType) // fallback
+    val df = spark.range(3).select(
+      col("id").cast("byte").as("b"), col("id").cast("decimal(10,2)").as("d"))
+    val norm = TypeNormalizer.normalize(df)
+    assert(norm.schema("b").dataType == IntegerType)
+    assert(norm.schema("d").dataType == StringType)
+  }
+
+  test("metadata json roundtrips with field ids and snapshots") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    val md = TableMetadata.create("t", "ns", "/tmp/x", schema)
+    val back = TableMetadata.fromJson(md.toJson)
+    assert(back.schema == schema)
+    assert(back.fields == List(
+      FieldInfo(1, "id", "bigint", required = true),
+      FieldInfo(2, "name", "string", required = false)))
+    assert(back.current_snapshot_id == 0 && back.snapshots.isEmpty)
+  }
+
+  test("exports: single-header csv and parquet") {
+    val eng = new Engine(spark, new FsCatalog(spark, scratch("exp_wh")))
+    val out = scratch("exp_out")
+    eng.exportCsv(nation.select("n_nationkey", "n_name"), s"$out/csv")
+    val files = new java.io.File(s"$out/csv").listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val lines = java.nio.file.Files.readAllLines(files.head.toPath)
+    assert(lines.get(0) == "n_nationkey,n_name")
+    assert(lines.size == 26)
+    eng.exportParquet(nation, s"$out/pq")
+    assert(spark.read.parquet(s"$out/pq").count() == 25)
+  }
+}

