@@ -27,16 +27,12 @@ object Dedup {
 
   private val P = Hashing.P
 
-  /** doc_id + distinct word-3-gram shingle strings. */
+  /** doc_id + distinct word-3-gram shingle strings (codegen'd single pass;
+    * empty array ⟺ fewer than 3 words, i.e. the oracle's len(ws)>=3 gate). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(
-        col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
-        )).as("shs"))
+      .select(col("doc_id"), graft.functions.hashfns.wordShingles(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) >= 1)
 
   private val duckShingles =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -58,8 +54,11 @@ object Dedup {
   // --------------------------------------------------------- n-gram jaccard
 
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // exploded postings are read twice by the self-join (and the size side
+    // once more) — persist so shingle construction runs a single pass.
+    // At cluster scale this is the same call, backed by executor memory/disk.
     val sh = shingles(s, d)
-    val e  = sh.select(col("doc_id"), explode(col("shs")).as("sg"))
+    val e  = sh.select(col("doc_id"), explode(col("shs")).as("sg")).persist()
     val sz = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
     val inter = e.as("a")
       .join(e.as("b"), col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
@@ -93,23 +92,23 @@ object Dedup {
   // ------------------------------------------------------------ minhash lsh
 
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // distinct integer shingle-hash sets per doc
+    import graft.functions.hashfns
+    // distinct integer shingle-hash sets per doc (codegen'd rolling hash)
     val hs = shingles(s, d).select(
       col("doc_id"),
-      array_distinct(transform(col("shs"), sg => Hashing.rollHash(sg, P))).as("hset"))
+      array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
+      .persist() // feeds the signature path, the verify join (twice), and sizes
     val eh = hs.select(col("doc_id"), explode(col("hset")).as("h"))
-    val params = broadcast(Hashing.minhashParams.toDF("j", "pa", "pb"))
-    // 16-row minhash signature, then 4-row band signatures
-    val sig = eh.crossJoin(params)
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min((col("pa") * col("h") + col("pb")) % P).as("m"))
-    val band = sig
-      .select(col("doc_id"), expr(s"j div ${Hashing.bandRows}").as("band_id"), col("j"), col("m"))
-      .groupBy("doc_id", "band_id")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("j"), col("m")))),
-          x => x.getField("m").cast("string"))).as("bsig"))
+    // whole 16-value signature in one map-side pass (no explode/crossJoin/
+    // shuffled min-agg), then band signatures by slicing the array
+    val band = hs
+      .select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
+          s"b -> array_join(transform(slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}), " +
+          "x -> cast(x as string)), ','))")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bsig")
     val cand = band.as("x")
       .join(band.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
@@ -173,21 +172,35 @@ object Dedup {
 
   private def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bits = broadcast((0 until 32).map(i => (i, 1L << i)).toDF("i", "pw"))
-    val wh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
-      .select(col("doc_id"), Hashing.rollHash(col("wd"), Hashing.M32).as("h"))
-    val sig = wh.crossJoin(bits)
-      .groupBy("doc_id", "i", "pw")
-      .agg(sum(when(expr("(h div pw) % 2") === 1, 1).otherwise(-1)).as("sb"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sb") > 0, col("pw")).otherwise(0L)).as("sig"))
-    sig.as("a")
-      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= 6)
+    // whole 32-bit signature per row (codegen'd word loop) — no explode,
+    // no bit crossJoin, no shuffled aggregations. The all-pairs hamming
+    // scan broadcasts the signature vector (8 bytes/doc) and emits only
+    // matches, instead of materializing |docs|^2 joined rows; the true
+    // 100 TB path would bucket on signature bytes (pigeonhole) first.
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.hashfns.simhash32(split(col("text"), " ")).as("sig"))
+      .as[(Long, Long)]
+    val bc = s.sparkContext.broadcast(sig.collect().sortBy(_._1))
+    sig
+      .mapPartitions { it =>
+        val all  = bc.value
+        val ids  = all.map(_._1)
+        val sigs = all.map(_._2)
+        it.flatMap { case (vid, vsig) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var i   = 0
+          while (i < ids.length) {
+            if (ids(i) > vid) {
+              val h = java.lang.Long.bitCount(vsig ^ sigs(i))
+              if (h <= 6) out += ((vid, ids(i), h))
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -58,7 +58,8 @@ object Multimodal {
         col("doc_id"),
         col("media_type"),
         octet_length(col("content")).cast("long").as("n_bytes"),
-        lower(substring(hex(col("content")), 1, 16)).as("header_hex"),
+        // slice the binary *before* hex so only 8 bytes are stringified
+        lower(hex(substring(col("content"), 1, 8))).as("header_hex"),
         (octet_length(col("content")).cast("long") + 15).divide(16).cast("long").as("n_chunks"))
       .orderBy("doc_id")
 

@@ -23,15 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object Sim {
 
-  /** embedding as array<double> with L2 norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+  /** Primitive-array dot / norm kernels. Sequential left-to-right
+    * accumulation — the exact fold order the oracle-matched first
+    * implementation (`zip_with` + `aggregate`) used, so results are
+    * bit-identical; just ~100x cheaper than interpreted lambdas. */
+  private def dotv(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def normv(v: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Collect (id, vector, norm) rows sorted by id — the broadcast side of
+    * the brute-force kernels. Queries (sm01) are tiny by construction; the
+    * full corpus (sm02) is only broadcast-able at verification scale — the
+    * 100 TB path is sm03's bucketing, which bounds the pair space. */
+  private def collectMatrix(s: SparkSession, d: String, idBound: Long = Long.MaxValue): Array[(Long, Array[Double], Double)] = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < idBound)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        (id, v, normv(v))
+      }
+  }
 
   /** Oracle scaffold: per-(vec, dim) exploded doubles + norms. */
   private val duckVecs =
@@ -43,13 +67,25 @@ object Sim {
   // ------------------------------------------------- brute-force top-k ANN
 
   private def cosineTopK(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d)
-    val q   = broadcast(all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
-    val sim = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    import s.implicits._
+    // broadcast the 10 query vectors; the corpus streams map-side (no
+    // shuffle until the tiny top-k window over |corpus| x 10 rows)
+    val bc  = s.sparkContext.broadcast(collectMatrix(s, d, idBound = 10))
     val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    all.join(q, col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"), sim.as("sim"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, vf) =>
+          val v = vf.map(_.toDouble)
+          val n = normv(v)
+          qs.iterator.filter(_._1 != nid).map { case (qid, qv, qn) =>
+            (qid, nid, dotv(qv, v) / (qn * n))
+          }
+        }
+      }
+      .toDF("qid", "nid", "sim")
       .withColumn("rn", row_number().over(byQ).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
@@ -72,16 +108,36 @@ object Sim {
   // ------------------------------------------- all-pairs nearest neighbor
 
   private def nearestNeighbor(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d)
-    val b = broadcast(all.select(
-      col("vec_id").as("nid"), col("v").as("bv"), col("nrm").as("bn")))
-    val sim  = dot(col("v"), col("bv")) / (col("nrm") * col("bn"))
-    val byId = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("nid"))
-    all.join(b, col("vec_id") =!= col("nid"))
-      .select(col("vec_id"), col("nid"), sim.as("sim"))
-      .withColumn("rn", row_number().over(byId))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nid").as("nn_id"), round(col("sim"), 4).as("sim"))
+    import s.implicits._
+    // broadcast the corpus matrix; each row scans it in a primitive loop.
+    // Candidates iterate in ascending id, strict > keeps the smallest id on
+    // (measure-zero) ties — the same (sim DESC, nid ASC) selection the
+    // windowed implementation used.
+    val bc = s.sparkContext.broadcast(collectMatrix(s, d))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vid, vf) =>
+          val v = vf.map(_.toDouble)
+          val n = normv(v)
+          var bestSim = Double.NegativeInfinity
+          var bestId  = -1L
+          var i       = 0
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
+            if (cid != vid) {
+              val sim = dotv(v, cv) / (n * cn)
+              if (sim > bestSim) { bestSim = sim; bestId = cid }
+            }
+            i += 1
+          }
+          (vid, bestId, bestSim)
+        }
+      }
+      .toDF("vec_id", "nn_id", "sim")
+      .select(col("vec_id"), col("nn_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -106,17 +162,29 @@ object Sim {
 
   private def lshBuckets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val planes = broadcast(
-      (for { j <- 0 until 16; dim <- 0 until 64 }
-        yield (j, dim, planeWeight(j, dim), 1L << j)).toDF("j", "d", "w", "pw"))
-    val e = Tables.embeddings(s, d).select(
-      col("vec_id"), posexplode(transform(col("embedding"), x => x.cast("double"))))
-      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
-    e.join(planes, "d")
-      .groupBy("vec_id", "j", "pw")
-      .agg(sum(col("x") * col("w")).as("dp"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dp") > 0, col("pw")).otherwise(0L)).as("bucket"))
+    // 16x64 plane matrix is a program constant — compute the whole 16-bit
+    // signature per row in one map pass; the only shuffle is the tiny
+    // bucket histogram. (Dot products accumulate d=0..63 in order; the
+    // oracle's group-sum order may differ, but a sign flip would need
+    // |dot| at float-error scale — measure-zero for this data.)
+    val planes = Array.tabulate(16, 64)((j, dim) => planeWeight(j, dim))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (_, vf) =>
+        var bucket = 0L
+        var j      = 0
+        while (j < 16) {
+          val p   = planes(j)
+          var dot = 0.0
+          var i   = 0
+          while (i < vf.length) { dot += vf(i).toDouble * p(i); i += 1 }
+          if (dot > 0) bucket |= (1L << j)
+          j += 1
+        }
+        bucket
+      }
+      .toDF("bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("bucket")

@@ -121,17 +121,13 @@ object Text {
 
   // ----------------------------------------------------------- fingerprints
 
-  private def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val gram5Hashes = transform(
-      sequence(lit(1), length(col("text")) - 4),
-      i => Hashing.rollHash(col("text").substr(i, lit(5)), Hashing.P))
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        Hashing.rollHash(col("text"), Hashing.P).as("full_hash"),
-        when(length(col("text")) >= 5, array_min(gram5Hashes)).as("min_gram_hash"))
+        graft.functions.hashfns.rollHash(col("text")).as("full_hash"),
+        graft.functions.hashfns.minGramHash(col("text"), 5).as("min_gram_hash"))
       .orderBy("doc_id")
-  }
 
   private val fingerprintOracle: String = {
     val full  = Hashing.duckRollHash("text", Hashing.P, "c0")

@@ -48,17 +48,27 @@ object Ref {
   }
 
   /** ref05: the 10-way UNION ALL of filtered counts
-    * (preference-analysis shape, query_iceberg.ipynb:910-933). */
+    * (preference-analysis shape, query_iceberg.ipynb:910-933).
+    *
+    * Single-pass implementation: the 10 branches partition the rows by
+    * (event_type, value bucket), so one grouped scan + a left join against
+    * the branch universe (to emit 0-count branches, matching UNION ALL
+    * semantics) replaces 10 scans. At 100 TB that is the only sane plan. */
   private def unionAll(spark: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(spark, d).cache() // tiny; reused by 10 branches
-    val branches = for {
-      t          <- Seq("click", "error", "purchase", "signup", "view")
-      (lbl, cnd) <- Seq(("hi", col("value") >= 100.0), ("lo", col("value") < 100.0))
-    } yield e
-      .filter(col("event_type") === t && cnd)
+    import spark.implicits._
+    val universe = (for {
+      t   <- Seq("click", "error", "purchase", "signup", "view")
+      lbl <- Seq("hi", "lo")
+    } yield s"$t:$lbl").toDF("branch")
+    val counted = Tables.events(spark, d)
+      .select(concat(col("event_type"), lit(":"),
+        when(col("value") >= 100.0, "hi").otherwise("lo")).as("branch"))
+      .groupBy("branch")
       .agg(count(lit(1)).as("c"))
-      .select(lit(s"$t:$lbl").as("branch"), col("c"))
-    branches.reduce(_ unionAll _).orderBy(desc("c"), asc("branch"))
+    broadcast(universe)
+      .join(counted, Seq("branch"), "left")
+      .na.fill(0L, Seq("c"))
+      .orderBy(desc("c"), asc("branch"))
   }
 
   private val unionAllOracle: String = {
