@@ -246,6 +246,62 @@ object Analytics {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM y)
         SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
-        FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+        FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---- SQL front-end surface: the same statement through spark.sql over
+    //      a registered temp view (the engine's DuckDB-replacement path)
+    Q("an13_sql_surface",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+          FROM orders_v WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- ROLLUP (multi-level aggregation in one pass)
+    Q("an14_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- exact percentiles (sort-based; DuckDB quantile_cont is the twin)
+    Q("an15_percentiles",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+          ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- pivot (orderstatus columns per priority)
+    Q("an16_pivot",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
