@@ -92,7 +92,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   /** Replace table contents with `df` (drop-and-recreate semantics). */
   def replace(df: DataFrame): IceTable = appendInternal(df, replace = true)
 
-  private def appendInternal(df: DataFrame, replace: Boolean): IceTable = {
+  private def appendInternal(df: DataFrame, replace: Boolean, operation: String = ""): IceTable = {
     val md     = metadata
     val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
     val dataRel = s"data/snap-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -103,15 +103,84 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$dataRel/${st.getPath.getName}")
       .sorted
-    val base  = if (replace) Nil else md.currentSnapshot.map(_.files).getOrElse(Nil)
+    val base      = if (replace) Nil else md.currentSnapshot.map(_.files).getOrElse(Nil)
+    val baseStats = if (replace) Map.empty[String, Map[String, ColRange]]
+                    else md.currentSnapshot.flatMap(_.file_stats).getOrElse(Map.empty)
+    val newStats  = collectFileStats(md.schema, dataDir, dataRel)
     val snap = Snapshot(
       snapshot_id = snapId,
       timestamp_ms = System.currentTimeMillis(),
-      operation = if (replace) "replace" else "append",
-      files = base ++ files
+      operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
+      files = base ++ files,
+      file_stats = Some(baseStats ++ newStats)
     )
     commit(md.copy(current_snapshot_id = snapId, snapshots = md.snapshots :+ snap))
     this
+  }
+
+  /** Columns whose min/max ranges the planner can use for file skipping. */
+  private def rangeable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.StringType => true
+    case _                                    => false
+  }
+
+  /** One distributed pass over the just-written files: per-file min/max of
+    * every rangeable column (the manifest stats Iceberg keeps per data
+    * file). Cost is a map-side aggregate over data already in page cache. */
+  private def collectFileStats(
+      schema: org.apache.spark.sql.types.StructType,
+      dataDir: Path,
+      dataRel: String): Map[String, Map[String, ColRange]] = {
+    import org.apache.spark.sql.functions._
+    val cols = schema.fields.filter(f => rangeable(f.dataType)).map(_.name)
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
+    spark.read.schema(schema).parquet(dataDir.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .collect()
+      .map { row =>
+        val fileName = row.getString(0).split('/').last
+        val ranges = cols.map { c =>
+          c -> ColRange(
+            Option(row.getAs[String](s"min_$c")),
+            Option(row.getAs[String](s"max_$c")))
+        }.toMap
+        s"$dataRel/$fileName" -> ranges
+      }
+      .toMap
+  }
+
+  /** Bin-pack the current snapshot into `numFiles` files as a new
+    * "compact" snapshot (Iceberg rewrite-data-files maintenance). Readers
+    * of older snapshots are unaffected; time travel still works. */
+  def compact(numFiles: Int): IceTable =
+    appendInternal(scan().repartition(numFiles), replace = true, operation = "compact")
+
+  /** Append with schema evolution: new columns get fresh field ids, missing
+    * columns are null-filled; old data files stay valid (the scan reads
+    * them with the merged schema, absent columns as null). */
+  def evolveAppend(df: DataFrame): IceTable = {
+    import org.apache.spark.sql.functions._
+    val md     = metadata
+    val old    = md.schema
+    val newFs  = df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))
+    val merged = org.apache.spark.sql.types.StructType(old.fields ++ newFs)
+    val aligned = df.select(merged.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    if (newFs.nonEmpty) {
+      val nextId = md.fields.map(_.id).foldLeft(0)(math.max) + 1
+      val addedFields = newFs.zipWithIndex.map { case (f, i) =>
+        FieldInfo(nextId + i, f.name, f.dataType.catalogString, required = !f.nullable)
+      }
+      commit(md.copy(schemaJson = merged.json, fields = md.fields ++ addedFields))
+    }
+    appendInternal(aligned, replace = false)
   }
 
   // ------------------------------------------------------------------- reads
@@ -131,6 +200,44 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   }
 
   def snapshots(): Seq[Snapshot] = metadata.snapshots
+
+  // ------------------------------------------------- min/max file skipping
+
+  /** Files of the current snapshot whose [min,max] range for `colName` can
+    * intersect [lower, upper] (both optional). Files without recorded
+    * stats are conservatively kept. This is the manifest-level pruning a
+    * 100 TB scan needs *before* Spark ever lists a file. */
+  def planFiles(colName: String, lower: Option[String], upper: Option[String]): Seq[String] = {
+    val md   = metadata
+    val snap = md.currentSnapshot.getOrElse(return Seq.empty)
+    val stats = snap.file_stats.getOrElse(Map.empty)
+    val numeric = md.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) => true
+      case _                                                                            => false
+    }
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    snap.files.filter { f =>
+      stats.get(f).flatMap(_.get(colName)) match {
+        case Some(ColRange(Some(mn), Some(mx))) =>
+          lower.forall(lo => cmp(mx, lo) >= 0) && upper.forall(hi => cmp(mn, hi) <= 0)
+        case _ => true // no stats -> cannot skip
+      }
+    }
+  }
+
+  /** Range-pruned scan: reads only files that can contain rows with
+    * `colName` in [lower, upper]. The caller still applies the row-level
+    * predicate (pruning is file-granular, like Iceberg manifests +
+    * parquet row-group stats below it). */
+  def scanRange(colName: String, lower: Option[String], upper: Option[String]): DataFrame = {
+    val md    = metadata
+    val paths = planFiles(colName, lower, upper).map(f => new Path(location, f).toString)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
+    else spark.read.schema(md.schema).parquet(paths: _*)
+  }
 
   /** Delete all table data + metadata (reference drop_table). */
   def drop(): Unit = fs.delete(location, true)

@@ -20,11 +20,16 @@ import org.json4s.jackson.Serialization
   */
 final case class FieldInfo(id: Int, name: String, `type`: String, required: Boolean)
 
+/** Per-file, per-column value range (stringified; parsed per schema type).
+  * The planner skips files whose range can't satisfy a predicate. */
+final case class ColRange(min: Option[String], max: Option[String])
+
 final case class Snapshot(
     snapshot_id: Long,
     timestamp_ms: Long,
-    operation: String, // "append" | "replace"
-    files: List[String] // relative to table location
+    operation: String, // "append" | "replace" | "compact"
+    files: List[String], // relative to table location
+    file_stats: Option[Map[String, Map[String, ColRange]]] = None // file -> col -> range
 )
 
 final case class TableMetadata(

@@ -122,6 +122,34 @@ object IceQueries {
   private val exportParquetOracle =
     "SELECT * FROM orders WHERE o_totalprice > 200000.0 ORDER BY o_orderkey"
 
+  /** Min/max file skipping: two disjoint-keyrange files, a range-pruned
+    * scan must read one file yet return exactly the filtered rows. */
+  private def fileSkip(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "fs")
+    val cat    = new FsCatalog(s, wh)
+    val orders = Tables.orders(s, d)
+    val t = cat.createOrReplaceTable("graft", "orders_fs",
+      orders.filter(col("o_orderkey") < 5000).coalesce(1))
+    t.append(orders.filter(col("o_orderkey") >= 5000).coalesce(1))
+    val pruned = t.scanRange("o_orderkey", Some("0"), Some("999"))
+    require(pruned.inputFiles.length == 1, "file skipping failed to prune")
+    pruned
+      .filter(col("o_orderkey") <= 999)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Compaction: rows and values must be identical after rewrite. */
+  private def compactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "cp")
+    val cat = new FsCatalog(s, wh)
+    val t   = cat.createOrReplaceTable("graft", "nations_cp",
+      Tables.nation(s, d).repartition(6))
+    t.compact(1)
+    require(t.scan().inputFiles.length == 1, "compaction did not bin-pack")
+    t.scan().orderBy("n_nationkey")
+  }
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -131,6 +159,10 @@ object IceQueries {
     Q("ic04_ingest_csv", ingestCsv, Some(nationOracle)),
     Q("ic05_listing", listing, Some(listingOracle)),
     Q("ic06_export_csv", exportCsvRoundtrip, Some(exportCsvOracle)),
-    Q("ic07_export_parquet", exportParquetRoundtrip, Some(exportParquetOracle))
+    Q("ic07_export_parquet", exportParquetRoundtrip, Some(exportParquetOracle)),
+    Q("ic08_file_skip", fileSkip,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_orderkey <= 999 ORDER BY o_orderkey""")),
+    Q("ic09_compact", compactRoundtrip, Some(nationOracle))
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.icelite._
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance features: compaction, min/max file skipping, schema
+  * evolution — the Iceberg-style operations beyond the reference's surface
+  * that a 100 TB lakehouse needs. */
+class MaintenanceSpec extends SparkSpec {
+
+  private def orders = Tables.orders(spark, sfDir)
+
+  test("compact bin-packs the current snapshot and preserves rows + history") {
+    val cat = new FsCatalog(spark, scratch("cmp"))
+    val t   = cat.createOrReplaceTable("ns", "orders", orders.repartition(8))
+    assert(t.scan().inputFiles.length == 8)
+    t.append(orders.repartition(4))
+    assert(t.scan().inputFiles.length == 12)
+    val before = t.scan().count()
+    t.compact(2)
+    assert(t.scan().inputFiles.length == 2)
+    assert(t.scan().count() == before)
+    assert(t.snapshots().last.operation == "compact")
+    // time travel to the pre-compaction snapshot still sees the old files
+    assert(t.scanSnapshot(2).count() == before)
+  }
+
+  test("append records per-file min/max stats; planFiles skips files") {
+    val cat = new FsCatalog(spark, scratch("skip"))
+    val lo  = orders.filter(col("o_orderkey") < 500).coalesce(1)
+    val hi  = orders.filter(col("o_orderkey") >= 500).coalesce(1)
+    val t   = cat.createOrReplaceTable("ns", "orders_parts", lo)
+    t.append(hi)
+    assert(t.scan().inputFiles.length == 2)
+    val stats = t.snapshots().last.file_stats.get
+    assert(stats.size == 2)
+    assert(stats.values.forall(_.contains("o_orderkey")))
+
+    // a point lookup below 500 must plan exactly the low file
+    val planned = t.planFiles("o_orderkey", Some("100"), Some("100"))
+    assert(planned.size == 1)
+    val df = t.scanRange("o_orderkey", Some("100"), Some("100"))
+    assert(df.inputFiles.length == 1)
+    assert(df.filter(col("o_orderkey") === 100).count() ==
+      orders.filter(col("o_orderkey") === 100).count())
+
+    // an unbounded scan keeps both files
+    assert(t.planFiles("o_orderkey", None, None).size == 2)
+    // a range spanning the split point keeps both
+    assert(t.planFiles("o_orderkey", Some("400"), Some("600")).size == 2)
+    // a column without stats (timestamp) keeps everything
+    assert(t.planFiles("o_orderdate", Some("x"), None).size == 2)
+  }
+
+  test("string-column pruning compares lexically") {
+    val cat = new FsCatalog(spark, scratch("skips"))
+    val a   = orders.filter(col("o_orderstatus") === "F").coalesce(1)
+    val b   = orders.filter(col("o_orderstatus") === "O").coalesce(1)
+    val t   = cat.createOrReplaceTable("ns", "by_status", a)
+    t.append(b)
+    assert(t.planFiles("o_orderstatus", Some("O"), Some("O")).size == 1)
+  }
+
+  test("evolveAppend adds columns with fresh field ids; old rows read as null") {
+    val cat = new FsCatalog(spark, scratch("evo"))
+    val t   = cat.createOrReplaceTable("ns", "evolving", Tables.nation(spark, sfDir))
+    val extended = Tables.nation(spark, sfDir)
+      .withColumn("n_comment", concat(lit("c_"), col("n_name")))
+    t.evolveAppend(extended)
+
+    val md = t.metadata
+    assert(md.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey", "n_comment"))
+    assert(md.fields.map(f => (f.id, f.name)).toSet.contains((4, "n_comment")))
+
+    val out = t.scan()
+    assert(out.count() == 50)
+    assert(out.filter(col("n_comment").isNull).count() == 25)  // original rows
+    assert(out.filter(col("n_comment").startsWith("c_")).count() == 25)
+    // old snapshot still reads with the original three columns present
+    assert(t.scanSnapshot(1).count() == 25)
+  }
+
+  test("evolveAppend without new columns behaves like append") {
+    val cat = new FsCatalog(spark, scratch("evo2"))
+    val t   = cat.createOrReplaceTable("ns", "same", Tables.region(spark, sfDir))
+    t.evolveAppend(Tables.region(spark, sfDir))
+    assert(t.scan().count() == 10)
+    assert(t.metadata.fields.size == 2)
+  }
+}

@@ -61,6 +61,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "2024-01-01 00:05:00.0", "2024-01-01 00:10:00.0", 2L)))
   }
 
+  test("hourlyCounts over a parquet file source matches the batch result") {
+    // real readStream path: stream the events table out of a directory and
+    // compare the windowed aggregate with the batch computation
+    val dir = scratch("stream_src")
+    // watermarks require TIMESTAMP (with local tz); session tz is UTC so
+    // the cast from NTZ preserves instants
+    val events = Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(events.schema)
+      .parquet(dir)
+    val q = EventStreams.hourlyCounts(streamed)
+      .writeStream.format("memory").queryName("hourly_file_test").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("hourly_file_test")
+      .orderBy("hour_start", "event_type")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val want = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .orderBy("hour_start", "event_type")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("batch sessionization (an12) agrees with a hand-computed case") {
     import spark.implicits._
     val df = sample.toDF()
