@@ -289,6 +289,70 @@ object Analytics {
           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- as-of join: for each purchase, the latest prior-or-equal click
+    //      of the same user. Spark lacks ASOF JOIN; the scalable
+    //      composition is a single union + per-user running "last click"
+    //      window — one shuffle on user_id, no pairwise join at all.
+    //      (Oracle: DuckDB's native ASOF LEFT JOIN.)
+    Q("an17_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        // clicks sort before purchases at equal ts => inclusive c.ts <= p.ts
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("click_ts",
+            last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(byUser))
+          .withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(byUser))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "click_ts", "click_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        clicks AS (SELECT * FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.event_id AS click_id
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id""")),
+
+    // ---- range join: same-user events in the 10 minutes before each error.
+    //      Naive form is an inequality join (quadratic per user); the scale
+    //      path buckets time into window-sized bins so candidates join on
+    //      (user_id, bin) equality and only adjacent bins meet.
+    Q("an18_range_join",
+      (s, d) => {
+        val binUs = 600000000L // 10 min in microseconds (µs compare = oracle exact)
+        val ev = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+            col("us").as("err_us"), expr(s"us div $binUs").as("err_bin"))
+        // candidate side fans out to its own bin and the next: an error in
+        // bin b can only reach events in bins {b-1, b}
+        val candidates = ev
+          .select(col("user_id"), col("us"),
+            explode(array(expr(s"us div $binUs"), expr(s"us div $binUs") + 1)).as("jbin"))
+        val matched = errors
+          .join(candidates,
+            col("err_user") === col("user_id") && col("err_bin") === col("jbin") &&
+              col("us") < col("err_us") && col("us") >= col("err_us") - binUs)
+          .groupBy("err_id")
+          .agg(count(lit(1)).as("n_prior"))
+        errors.select(col("err_id"), col("err_user").as("user_id"))
+          .join(matched, Seq("err_id"), "left")
+          .na.fill(0L, Seq("n_prior"))
+          .orderBy("err_id")
+      },
+      Some("""SELECT e.event_id AS err_id, e.user_id, COUNT(x.event_id) AS n_prior
+        FROM events e LEFT JOIN events x
+          ON e.user_id = x.user_id AND x.ts < e.ts AND x.ts >= e.ts - INTERVAL 10 MINUTE
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id, e.user_id ORDER BY e.event_id""")),
+
     // ---- pivot (orderstatus columns per priority)
     Q("an16_pivot",
       (s, d) =>

@@ -15,4 +15,14 @@ object bridge {
   def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
 
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a temp function builder into an existing session's registry
+    * (the runtime counterpart of SparkSessionExtensions.injectFunction). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

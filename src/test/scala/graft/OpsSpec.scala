@@ -51,6 +51,23 @@ class OpsSpec extends SparkSpec {
     (0L until 10L).foreach { q => assert(top1(q) == nnMap(q)) }
   }
 
+  test("registered SQL functions match the column API and the shared math") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_roll_hash('abc') AS h, graft_roll_hash('abc', 97) AS hm,
+                graft_min_gram_hash('abcdef', 5) AS g,
+                graft_simhash32(array('abc', 'abc')) AS sh,
+                graft_word_shingles('a b c d') AS ws,
+                graft_minhash_sig(array(CAST(7 AS BIGINT))) AS ms""").collect()(0)
+    // ((0*31+97)*31+98)*31+99 = 96354
+    assert(r.getAs[Long]("h") == (('a' * 31 + 'b') * 31 + 'c').toLong)
+    assert(r.getAs[Long]("hm") == (((('a' % 97) * 31 + 'b') % 97 * 31 + 'c') % 97))
+    assert(r.getAs[Long]("g") > 0)
+    assert(r.getSeq[String](4) == Seq("a b c", "b c d"))
+    val sig = r.getSeq[Long](5)
+    assert(sig == graft.Hashing.minhashParams.map { case (_, a, b) => (a * 7 + b) % graft.Hashing.P })
+  }
+
   test("language id picks the max-scoring language deterministically") {
     val out = SparkEntry.registry.find(_.name == "tx01_lang_id").get.run(spark, sfDir)
     assert(out.count() == 500)
