@@ -50,6 +50,30 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_frames")
   }
 
+  /** Deterministic fake "resize": keep every (w/target)-th byte — the
+    * signature/batch shape a real image scaler would use. */
+  def resizeStub(content: Array[Byte], target: Int): Array[Byte] = {
+    if (content.isEmpty || target <= 0) return Array.emptyByteArray
+    val step = math.max(1, content.length / target)
+    content.indices.by(step).map(content(_)).toArray
+  }
+
+  /** Frame sampling: cut the payload into fixed-size frames and keep every
+    * `every`-th one. Emits (doc_id, frame_idx, frame) rows — the exploded
+    * shape a video pipeline feeds to per-frame models. Pure per-row fan-out:
+    * distributes with the scan, no shuffle. */
+  def frameSample(s: SparkSession, d: String, frameBytes: Int = 16, every: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaFrame(s, d)
+      .as[MediaRecord]
+      .flatMap { r =>
+        r.content.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % every == 0 => (r.doc_id, idx, frame)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame")
+  }
+
   /** Metadata extraction on the binary column (codegen'd expressions only;
     * oracle-checked): byte length, first-8-bytes hex header, frame count. */
   private def meta(s: SparkSession, d: String): DataFrame =
@@ -70,7 +94,21 @@ object Multimodal {
       CAST((octet_length(encode(text)) + 15) // 16 AS BIGINT) AS n_chunks
       FROM documents ORDER BY doc_id"""
 
+  /** Frame-sampling through the oracle: every 4th 16-byte frame, hex'd. */
+  private def frames(s: SparkSession, d: String): DataFrame =
+    frameSample(s, d, frameBytes = 16, every = 4)
+      .select(col("doc_id"), col("frame_idx"),
+        lower(hex(col("frame"))).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val framesOracle =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      idx AS (SELECT doc_id, hx, unnest(range(0, CAST(ceil(len(hx) / 32.0) AS INT))) AS i FROM h)
+      SELECT doc_id, CAST(i AS INT) AS frame_idx, lower(substr(hx, CAST(i * 32 + 1 AS INT), 32)) AS frame_hex
+      FROM idx WHERE i % 4 = 0 ORDER BY doc_id, frame_idx"""
+
   def all: Seq[Q] = Seq(
-    Q("mm01_meta", meta, Some(metaOracle))
+    Q("mm01_meta", meta, Some(metaOracle)),
+    Q("mm02_frame_sample", frames, Some(framesOracle))
   )
 }

@@ -206,9 +206,98 @@ object Sim {
         FROM dots GROUP BY vec_id)
       SELECT bucket, COUNT(*) AS n_vecs FROM sig GROUP BY bucket ORDER BY bucket"""
 
+  // ------------------------------------- multi-probe LSH search + rerank
+
+  /** The full approximate-search path: assign every vector a 16-bit
+    * hyperplane signature, probe buckets within hamming<=2 of the query's
+    * signature, exact-rerank the candidates by cosine, top-5. At 100 TB
+    * the candidate set is a tiny fraction of the corpus (the whole point);
+    * here the oracle replicates signature, probing and rerank exactly. */
+  private def lshSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planes = Array.tabulate(16, 64)((j, dim) => planeWeight(j, dim))
+    def bucketOf(vf: Array[Float]): Long = {
+      var b = 0L
+      var j = 0
+      while (j < 16) {
+        val p   = planes(j)
+        var dot = 0.0
+        var i   = 0
+        while (i < vf.length) { dot += vf(i).toDouble * p(i); i += 1 }
+        if (dot > 0) b |= (1L << j)
+        j += 1
+      }
+      b
+    }
+    val qs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        (id, v, normv(v), bucketOf(vf))
+      }
+    val bc  = s.sparkContext.broadcast(qs)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (nid, vf) =>
+          val nb  = bucketOf(vf)
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          queries.iterator
+            .filter { case (qid, _, _, qb) =>
+              qid != nid && java.lang.Long.bitCount(qb ^ nb) <= 2
+            }
+            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  private val lshSearchOracle =
+    s"""WITH planes AS (
+        SELECT j, d, ((j * 64 + d) * 2654435761 % 4294967296) / 2147483648.0 - 1.0 AS w,
+               CAST(1 AS BIGINT) << j AS pw
+        FROM range(16) a(j), range(64) b(d)),
+      e AS (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+        FROM embeddings, range(64) t(d)),
+      dots AS (
+        SELECT vec_id, j, pw, SUM(x * w) AS dp
+        FROM e JOIN planes USING (d) GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      cand AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid
+        FROM sig q JOIN sig c
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         AND bit_count(xor(q.bucket, c.bucket)) <= 2),
+      dq AS (
+        SELECT cand.qid, cand.nid, SUM(a.x * b.x) AS dot
+        FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid AND a.d = b.d
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dq JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
+      SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
-    Q("sm03_lsh_buckets", lshBuckets, Some(lshBucketsOracle))
+    Q("sm03_lsh_buckets", lshBuckets, Some(lshBucketsOracle)),
+    Q("sm04_lsh_search", lshSearch, Some(lshSearchOracle))
   )
 }

@@ -22,6 +22,22 @@ class OpsSpec extends SparkSpec {
     assert(r.getInt(3) == txt.getBytes("UTF-8").length / 16 + 1)
   }
 
+  test("resize stub subsamples deterministically; frame sampling covers the payload") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val small = Multimodal.resizeStub(bytes, 10)
+    assert(small.length == 10)
+    assert(small.toSeq == (0 until 100 by 10).map(_.toByte))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 10).isEmpty)
+
+    val fs = Multimodal.frameSample(spark, sfDir, frameBytes = 16, every = 4)
+    assert(fs.columns.toSeq == Seq("doc_id", "frame_idx", "frame"))
+    val r0 = fs.filter(col("doc_id") === 0).orderBy("frame_idx").collect()
+    assert(r0.map(_.getInt(1)).forall(_ % 4 == 0))
+    val txt = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    assert(r0(0).getAs[Array[Byte]](2).toSeq == txt.getBytes("UTF-8").take(16).toSeq)
+  }
+
   test("decode stub round-trips through the case class directly") {
     val (id, w, h, f) = Multimodal.decodeStub(MediaRecord(7, "text/plain", "AB".getBytes))
     assert((id, w, h, f) == (7L, 16 + 'A'.toInt, 16 + 'B'.toInt, 1))
