@@ -172,14 +172,16 @@ object Dedup {
 
   private def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // whole 32-bit signature per row (codegen'd word loop) — no explode,
-    // no bit crossJoin, no shuffled aggregations. The all-pairs hamming
-    // scan broadcasts the signature vector (8 bytes/doc) and emits only
-    // matches, instead of materializing |docs|^2 joined rows; the true
-    // 100 TB path would bucket on signature bytes (pigeonhole) first.
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.hashfns.simhash32(split(col("text"), " ")).as("sig"))
+    // whole 32-bit signature per row (codegen'd loop) — no explode, no bit
+    // crossJoin, no shuffled aggregations. Signatures hash the *shingle*
+    // set, not single words: the testdata's 31-word vocabulary makes
+    // word-frequency profiles collide en masse (word-level signatures put
+    // 2/3 of all pairs within hamming 6), while 3-gram shingles are
+    // high-entropy, centering random pairs at hamming 16. The all-pairs
+    // hamming scan broadcasts the signature vector (8 bytes/doc) and emits
+    // only matches; the true 100 TB path buckets on signature bytes first.
+    val sig = shingles(s, d)
+      .select(col("doc_id"), graft.functions.hashfns.simhash32(col("shs")).as("sig"))
       .as[(Long, Long)]
     val bc = s.sparkContext.broadcast(sig.collect().sortBy(_._1))
     sig
@@ -205,10 +207,11 @@ object Dedup {
   }
 
   private val simhashOracle = {
-    val wordHash = Hashing.duckRollHash("wd", Hashing.M32, "c0")
+    val shingleHash = Hashing.duckRollHash("sg", Hashing.M32, "c0")
     val bitsValues = (0 until 32).map(i => s"($i, ${1L << i})").mkString(", ")
-    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
-      wh AS (SELECT doc_id, $wordHash AS h FROM w),
+    s"""WITH $duckShingles,
+      sge AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      wh AS (SELECT doc_id, $shingleHash AS h FROM sge),
       bits(i, pw) AS (VALUES $bitsValues),
       bs AS (
         SELECT doc_id, i, pw, SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS sb
