@@ -22,12 +22,17 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with `ts` as TIMESTAMP_NTZ (µs, matching DuckDB's read). */
+  /** events with `ts` as TIMESTAMP_NTZ (µs, matching DuckDB's read).
+    * The driver testdata stores nanosecond INT64 timestamps (read as raw
+    * longs); re-exported copies may already carry a timestamp type. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => df
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")

@@ -226,12 +226,79 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
   }
 
+  // ------------------------------------------- embedding-cosine near-dups
+
+  /** All vector pairs with cosine >= 0.4 (the testdata's similarity tail;
+    * random pairs sit near 0.29 at p99). Same broadcast-matrix kernel as
+    * the similarity ops: corpus streams, candidates iterate ascending, only
+    * matches are emitted. The 100 TB path prefilters candidates with
+    * sm03/sm04's hyperplane buckets before the exact pass. */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(acc))
+      }
+    val bc = s.sparkContext.broadcast(all)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (vid, vf) =>
+          val v = vf.map(_.toDouble)
+          var nacc = 0.0; var k = 0
+          while (k < v.length) { nacc += v(k) * v(k); k += 1 }
+          val n   = math.sqrt(nacc)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i   = 0
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
+            if (cid > vid) {
+              var dot = 0.0; var j = 0
+              while (j < v.length) { dot += v(j) * cv(j); j += 1 }
+              val sim = dot / (n * cn)
+              if (sim >= 0.4) out += ((vid, cid, sim))
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b", "sim")
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val embedNearDupOracle =
+    """WITH e AS (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+        FROM embeddings, range(64) t(d)),
+      nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.d = b.d AND a.vec_id < b.vec_id
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id)
+      SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM sims WHERE sim >= 0.4
+      ORDER BY id_a, id_b"""
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
       Some("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id")),
     Q("dd02_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dd03_minhash_lsh", minhashLsh, Some(minhashLshOracle)),
-    Q("dd04_simhash", simhash, Some(simhashOracle))
+    Q("dd04_simhash", simhash, Some(simhashOracle)),
+    Q("dd05_embed_neardup", embedNearDup, Some(embedNearDupOracle))
   )
 }
