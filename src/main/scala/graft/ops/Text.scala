@@ -140,10 +140,56 @@ object Text {
       FROM documents ORDER BY doc_id"""
   }
 
+  // -------------------------------------------------------- bloom digest
+
+  /** 256-bit Bloom digest (8 x 32-bit words — shifts stay under DuckDB's
+    * checked 63-bit limit) of each language's document set, 4 hash probes
+    * per doc over the rolling content hash, built with bit_or — an
+    * order-independent sketch aggregation, so partial/final merge order
+    * can't change the digest and the oracle matches exactly. The same
+    * shape holds for any OR/max-mergeable sketch at 100 TB: per-row probe
+    * computation is map-side, the aggregate shuffles 32 bytes per group. */
+  private val bloomProbes: Seq[(Long, Long)] =
+    Seq((769L, 12289L), (3079L, 49157L), (1543L, 24593L), (6151L, 98317L))
+
+  private def bloom(s: SparkSession, d: String): DataFrame = {
+    val withPos = Tables.documents(s, d)
+      .select(col("lang"), graft.functions.hashfns.rollHash(col("text")).as("h"))
+      .select(col("lang") +: bloomProbes.zipWithIndex.map { case ((a, b), i) =>
+        ((col("h") * a + b) % 256).as(s"p$i")
+      }: _*)
+    def word(j: Int): Column =
+      bloomProbes.indices.map { i =>
+        when(expr(s"p$i div 32") === j,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$i % 32 AS INT))")).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+    withPos
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), (0 until 8).map(j => bit_or(word(j)).as(s"w$j")): _*)
+      .orderBy("lang")
+  }
+
+  private val bloomOracle: String = {
+    val h = Hashing.duckRollHash("text", Hashing.P, "c0")
+    val posDefs = bloomProbes.zipWithIndex
+      .map { case ((a, b), i) => s"(h * $a + $b) % 256 AS p$i" }
+      .mkString(", ")
+    def word(j: Int): String =
+      bloomProbes.indices.map { i =>
+        s"(CASE WHEN p$i // 32 = $j THEN (CAST(1 AS BIGINT) << CAST(p$i % 32 AS INT)) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" | ")
+    val wordCols = (0 until 8).map(j => s"CAST(bit_or(${word(j)}) AS BIGINT) AS w$j").mkString(", ")
+    s"""WITH hs AS (SELECT lang, $h AS h FROM documents),
+      p AS (SELECT lang, $posDefs FROM hs)
+      SELECT lang, COUNT(*) AS n_docs, $wordCols
+      FROM p GROUP BY lang ORDER BY lang"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
     Q("tx03_token_count", tokenCount, Some(tokenCountOracle)),
-    Q("tx04_fingerprint", fingerprint, Some(fingerprintOracle))
+    Q("tx04_fingerprint", fingerprint, Some(fingerprintOracle)),
+    Q("tx05_bloom_digest", bloom, Some(bloomOracle))
   )
 }
