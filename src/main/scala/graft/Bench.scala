@@ -27,6 +27,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      finally spark.catalog.clearCache() // release per-query persist()s deterministically
       (System.nanoTime() - t0) / 1e9
     }
 

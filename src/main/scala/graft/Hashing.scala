@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
-
 /** Deterministic integer hashing used by the dedup / fingerprint operators.
   *
   * Everything here is pure 64-bit integer arithmetic chosen so that the exact
@@ -35,15 +32,9 @@ object Hashing {
   /** Number of minhash rows per LSH band (16 hashes -> 4 bands of 4). */
   val bandRows = 4
 
-  // ---------------------------------------------------------------- Spark
-
-  /** Array of character codes of `s` (1-based substr; ASCII inputs). */
-  def charCodes(s: Column): Column =
-    transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))))
-
-  /** Left-fold rolling hash of the characters of `s`, mod `m`. */
-  def rollHash(s: Column, m: Long): Column =
-    aggregate(charCodes(s), lit(0L), (acc, c) => (acc * lit(31L) + c) % lit(m))
+  // Spark-side hashing lives in graft.functions.HashExpressions (codegen'd
+  // Catalyst expressions); the interpreted transform/aggregate variants that
+  // used to live here were superseded and removed.
 
   // --------------------------------------------------------------- DuckDB
 

@@ -191,6 +191,9 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   /** Time travel: lazy DataFrame over snapshot `id`'s file list. */
   def scanSnapshot(id: Long): DataFrame = {
     val md = metadata
+    if (md.snapshots.isEmpty && id == 0L)
+      // freshly-created table, no commits yet: empty relation, not an error
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
     val snap = md
       .snapshot(id)
       .getOrElse(throw new NoSuchElementException(s"snapshot $id of table ${md.name}"))

@@ -32,6 +32,35 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** One micro-batch of a user's events folded into the open session state.
+    * Events at-or-before the current session end (late arrivals across
+    * batches) merge into the open session without moving its end backwards.
+    * Exposed for direct unit testing. */
+  private[graft] def foldBatch(
+      userId: Long,
+      batch: Seq[Event],
+      initial: Option[SessionState],
+      gapMs: Long): (Seq[Session], Option[SessionState]) = {
+    val sorted = batch.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = Seq.newBuilder[Session]
+    var cur    = initial
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(st) if t <= st.last =>
+          cur = Some(st.copy(start = math.min(st.start, t), n = st.n + 1))
+        case Some(st) if t - st.last <= gapMs =>
+          cur = Some(st.copy(last = t, n = st.n + 1))
+        case Some(st) =>
+          closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (closed.result(), cur)
+  }
+
   /** Custom stateful sessionization: 30-min inactivity gap, emitted on
     * processing-time timeout — the `flatMapGroupsWithState` pattern. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
@@ -48,24 +77,10 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(st) if t - st.last <= gapMs =>
-                  cur = Some(st.copy(last = t, n = st.n + 1))
-                case Some(st) =>
-                  closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach(state.update)
+            val (closed, next) = foldBatch(userId, batch.toSeq, state.getOption, gapMs)
+            next.foreach(state.update)
             state.setTimeoutDuration("30 minutes")
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

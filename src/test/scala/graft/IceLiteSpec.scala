@@ -13,6 +13,12 @@ class IceLiteSpec extends SparkSpec {
 
   private def nation = Tables.nation(spark, sfDir)
 
+  test("scan of a freshly created table (no commits) is empty, not an error") {
+    val t = IceTable.create(spark, scratch("empty") + "/t", "t", "ns", nation.schema)
+    assert(t.scan().count() == 0)
+    assert(t.scan().schema == nation.schema)
+  }
+
   test("create/append/scan roundtrip preserves rows and schema") {
     val cat = new FsCatalog(spark, scratch("rt"))
     val t   = cat.createOrReplaceTable("ns", "nations", nation)

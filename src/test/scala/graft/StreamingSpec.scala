@@ -91,6 +91,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foldBatch merges late cross-batch events without moving the session end backwards") {
+    import graft.streaming.EventStreams.{Event => E, SessionState}
+    val gap = 30L * 60 * 1000
+    // open session ended at minute 60
+    val st0 = Some(SessionState(ts(40).getTime, ts(60).getTime, 2))
+    // late event at minute 50 (before current end), then one at 75 (within gap)
+    val (closed1, st1) = EventStreams.foldBatch(1, Seq(
+      E(10, ts(50), 1, "click", 1.0), E(11, ts(75), 1, "click", 1.0)), st0, gap)
+    assert(closed1.isEmpty)
+    assert(st1.get == SessionState(ts(40).getTime, ts(75).getTime, 4))
+    // a late event must NOT create a bogus new session via a negative gap
+    val (closed2, st2) = EventStreams.foldBatch(1, Seq(E(12, ts(95), 1, "click", 1.0)), st1, gap)
+    assert(closed2.isEmpty && st2.get.last == ts(95).getTime)
+    // beyond the gap closes the session with a consistent start <= end
+    val (closed3, st3) = EventStreams.foldBatch(1, Seq(E(13, ts(180), 1, "click", 1.0)), st2, gap)
+    assert(closed3 == Seq(EventStreams.Session(1, ts(40), ts(95), 5)))
+    assert(st3.get == SessionState(ts(180).getTime, ts(180).getTime, 1))
+  }
+
   test("batch sessionization (an12) agrees with a hand-computed case") {
     import spark.implicits._
     val df = sample.toDF()
