@@ -353,6 +353,52 @@ object Analytics {
         WHERE e.event_type = 'error'
         GROUP BY e.event_id, e.user_id ORDER BY e.event_id""")),
 
+    // ---- salted join: the hot-key mitigation pattern, verified to produce
+    //      exactly the plain join's result. The fact side salts its key
+    //      into SALT shards; the dimension side replicates per salt value —
+    //      a skewed key's rows spread over SALT reducers instead of one.
+    //      (AQE skew-join handles moderate skew automatically; explicit
+    //      salting is the tool when one key dominates a 100 TB shuffle.)
+    Q("an19_salted_join",
+      (s, d) => {
+        val SALT = 8
+        import s.implicits._
+        val salted = Tables.orders(s, d)
+          .withColumn("salt", pmod(col("o_orderkey"), lit(SALT)).cast("int"))
+        val dimReplicated = Tables.customer(s, d)
+          .crossJoin(broadcast((0 until SALT).toDF("salt")))
+        salted
+          .join(dimReplicated,
+            salted("o_custkey") === dimReplicated("c_custkey") &&
+              salted("salt") === dimReplicated("salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(dec(col("o_totalprice"))), 2).cast("double").as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- set operations (INTERSECT / EXCEPT; SURVEY §2.5 completion)
+    Q("an20_setops",
+      (s, d) => {
+        val buyers  = Tables.orders(s, d).filter(col("o_totalprice") > 250000.0)
+          .select(col("o_custkey").as("custkey"))
+        val urgent  = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey"))
+        val both    = buyers.intersect(urgent).withColumn("set_op", lit("intersect"))
+        val onlyBig = buyers.except(urgent).withColumn("set_op", lit("except"))
+        both.unionAll(onlyBig).select("set_op", "custkey").orderBy("set_op", "custkey")
+      },
+      Some("""WITH buyers AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0),
+        urgent AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT 'intersect' AS set_op, custkey FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM urgent)
+        UNION ALL
+        SELECT 'except' AS set_op, custkey FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM urgent)
+        ORDER BY set_op, custkey""")),
+
     // ---- pivot (orderstatus columns per priority)
     Q("an16_pivot",
       (s, d) =>
