@@ -128,9 +128,11 @@ object IceQueries {
     val wh     = freshDir(s, "fs")
     val cat    = new FsCatalog(s, wh)
     val orders = Tables.orders(s, d)
+    // split at 1000 so both files are non-empty at every testdata scale
+    // (sf0.001 has orderkeys 0..1499)
     val t = cat.createOrReplaceTable("graft", "orders_fs",
-      orders.filter(col("o_orderkey") < 5000).coalesce(1))
-    t.append(orders.filter(col("o_orderkey") >= 5000).coalesce(1))
+      orders.filter(col("o_orderkey") < 1000).coalesce(1))
+    t.append(orders.filter(col("o_orderkey") >= 1000).coalesce(1))
     val pruned = t.scanRange("o_orderkey", Some("0"), Some("999"))
     require(pruned.inputFiles.length == 1, "file skipping failed to prune")
     pruned
