@@ -185,11 +185,58 @@ object Text {
       FROM p GROUP BY lang ORDER BY lang"""
   }
 
+  // ------------------------------------------------------ bigram LM score
+
+  /** Perplexity-style quality signal: train bigram/unigram counts on the
+    * corpus itself, then score each document by its mean add-one-smoothed
+    * bigram log-probability. Corpus statistics are one grouped count (the
+    * classic count-then-broadcast-join LM shape); scoring is a join on the
+    * bigram key + one aggregate — all shuffles on natural keys. Log/exp
+    * arithmetic is identical in both engines; scores round to 4 decimals. */
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = words(Tables.documents(s, d))
+    val bigrams = docs
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")))
+      .select(col("doc_id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val uniCounts = docs
+      .select(col("doc_id"), explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val vocabSize = 31L // fixed testdata vocabulary (stable across scales)
+    bigrams
+      .join(broadcast(biCounts), Seq("w1", "w2"))
+      .join(broadcast(uniCounts), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c_bi") + 1).cast("double") / (col("c_uni") + vocabSize))), 4)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramLmOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+        FROM w),
+      bi AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bg GROUP BY w1, w2),
+      uni AS (
+        SELECT u.w1, COUNT(*) AS c_uni
+        FROM (SELECT unnest(ws) AS w1 FROM w) u GROUP BY u.w1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(AVG(ln(CAST(c_bi + 1 AS DOUBLE) / (c_uni + 31))), 4) AS avg_logp
+      FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
     Q("tx03_token_count", tokenCount, Some(tokenCountOracle)),
     Q("tx04_fingerprint", fingerprint, Some(fingerprintOracle)),
-    Q("tx05_bloom_digest", bloom, Some(bloomOracle))
+    Q("tx05_bloom_digest", bloom, Some(bloomOracle)),
+    Q("tx06_bigram_lm", bigramLm, Some(bigramLmOracle))
   )
 }
