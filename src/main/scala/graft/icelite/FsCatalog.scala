@@ -20,7 +20,8 @@ trait IceCatalog {
   def listNamespaces(): Seq[String]
   def listTables(ns: String): Seq[String]
   def tableExists(ns: String, table: String): Boolean
-  def createOrReplaceTable(ns: String, table: String, df: DataFrame): IceTable
+  def createOrReplaceTable(ns: String, table: String, df: DataFrame,
+      partitionColumns: Seq[String] = Nil): IceTable
   def loadTable(ns: String, table: String): IceTable
   def metadataLocation(ns: String, table: String): String
   def dropTable(ns: String, table: String): Boolean
@@ -67,11 +68,12 @@ final class FsCatalog(spark: SparkSession, val warehouse: String) extends IceCat
 
   /** Drop-if-exists then create at a fresh UUID-suffixed location, then
     * append (`bot_iceberg_loader.py:284-316` semantics). */
-  override def createOrReplaceTable(ns: String, table: String, df: DataFrame): IceTable = {
+  override def createOrReplaceTable(ns: String, table: String, df: DataFrame,
+      partitionColumns: Seq[String] = Nil): IceTable = {
     createNamespace(ns)
     dropTable(ns, table)
     val loc = new Path(nsPath(ns), s"${table}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val t   = IceTable.create(spark, loc.toString, table, ns, df.schema)
+    val t   = IceTable.create(spark, loc.toString, table, ns, df.schema, partitionColumns)
     t.append(df)
   }
 

@@ -97,12 +97,18 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
     val dataRel = s"data/snap-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(location, dataRel)
-    df.write.parquet(dataDir.toString)
-    val files = fs
-      .listStatus(dataDir).toIndexedSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$dataRel/${st.getPath.getName}")
-      .sorted
+    val parts   = md.partitionCols
+    if (parts.isEmpty) df.write.parquet(dataDir.toString)
+    else df.write.partitionBy(parts: _*).parquet(dataDir.toString)
+    val files = {
+      val it  = fs.listFiles(dataDir, true) // recursive: partition subdirs
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) buf += relativize(p.toString, dataRel)
+      }
+      buf.sorted.toIndexedSeq
+    }
     val base      = if (replace) Nil else md.currentSnapshot.map(_.files).getOrElse(Nil)
     val baseStats = if (replace) Map.empty[String, Map[String, ColRange]]
                     else md.currentSnapshot.flatMap(_.file_stats).getOrElse(Map.empty)
@@ -126,9 +132,20 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     case _                                    => false
   }
 
+  /** Path string -> path relative to the table location, anchored at the
+    * snapshot data dir (`dataRel`), robust to scheme prefixes and hive
+    * partition subdirectories. */
+  private def relativize(full: String, dataRel: String): String = {
+    val i = full.indexOf(dataRel)
+    require(i >= 0, s"path $full not under $dataRel")
+    full.substring(i)
+  }
+
   /** One distributed pass over the just-written files: per-file min/max of
     * every rangeable column (the manifest stats Iceberg keeps per data
-    * file). Cost is a map-side aggregate over data already in page cache. */
+    * file). Cost is a map-side aggregate over data already in page cache.
+    * For partitioned tables the partition column values come from the
+    * directory layout (partition discovery on the snapshot dir). */
   private def collectFileStats(
       schema: org.apache.spark.sql.types.StructType,
       dataDir: Path,
@@ -143,13 +160,12 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .collect()
       .map { row =>
-        val fileName = row.getString(0).split('/').last
         val ranges = cols.map { c =>
           c -> ColRange(
             Option(row.getAs[String](s"min_$c")),
             Option(row.getAs[String](s"max_$c")))
         }.toMap
-        s"$dataRel/$fileName" -> ranges
+        relativize(row.getString(0), dataRel) -> ranges
       }
       .toMap
   }
@@ -198,8 +214,24 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       .snapshot(id)
       .getOrElse(throw new NoSuchElementException(s"snapshot $id of table ${md.name}"))
     val paths = snap.files.map(f => new Path(location, f).toString)
-    if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
-    else spark.read.schema(md.schema).parquet(paths: _*)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
+    else if (md.partitionCols.nonEmpty) {
+      // partition values live in the k=v directory names under each
+      // snapshot dir. Discovery needs one basePath per snapshot dir
+      // (intermediate snap-N segments aren't k=v), so read per commit and
+      // union — compaction collapses commits when the union grows long.
+      snap.files
+        .groupBy(f => f.split('/').take(2).mkString("/")) // data/snap-N-x
+        .toSeq.sortBy(_._1)
+        .map { case (rel, fs) =>
+          spark.read
+            .schema(md.schema)
+            .option("basePath", new Path(location, rel).toString)
+            .parquet(fs.map(f => new Path(location, f).toString): _*)
+        }
+        .reduce(_ unionByName _)
+    } else spark.read.schema(md.schema).parquet(paths: _*)
   }
 
   def snapshots(): Seq[Snapshot] = metadata.snapshots
@@ -254,14 +286,17 @@ object IceTable {
       location: String,
       name: String,
       namespace: String,
-      schema: org.apache.spark.sql.types.StructType): IceTable = {
+      schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String] = Nil): IceTable = {
+    require(partitionColumns.forall(schema.fieldNames.contains),
+      s"partition columns $partitionColumns not all present in schema")
     val t  = new IceTable(spark, new Path(location))
     val fs = t.location.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(t.location)) throw new IllegalStateException(s"table location exists: $location")
     fs.mkdirs(new Path(t.location, "metadata"))
     t.writeFileAtomic(
       new Path(new Path(t.location, "metadata"), "v1.json"),
-      TableMetadata.create(name, namespace, location, schema).toJson)
+      TableMetadata.create(name, namespace, location, schema, partitionColumns).toJson)
     t.writeFileAtomic(new Path(new Path(t.location, "metadata"), "version-hint.text"), "1")
     t
   }

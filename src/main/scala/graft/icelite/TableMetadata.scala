@@ -41,8 +41,11 @@ final case class TableMetadata(
     schemaJson: String,
     fields: List[FieldInfo],
     current_snapshot_id: Long,
-    snapshots: List[Snapshot]
+    snapshots: List[Snapshot],
+    partition_columns: Option[List[String]] = None // hive-style layout when set
 ) {
+  def partitionCols: List[String] = partition_columns.getOrElse(Nil)
+
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshot_id == current_snapshot_id)
@@ -66,7 +69,12 @@ object TableMetadata {
       FieldInfo(i + 1, f.name, f.dataType.catalogString, required = !f.nullable)
     }.toList
 
-  def create(name: String, namespace: String, location: String, schema: StructType): TableMetadata =
+  def create(
+      name: String,
+      namespace: String,
+      location: String,
+      schema: StructType,
+      partitionColumns: Seq[String] = Nil): TableMetadata =
     TableMetadata(
       format_version = 1,
       table_uuid = java.util.UUID.randomUUID().toString,
@@ -76,6 +84,7 @@ object TableMetadata {
       schemaJson = schema.json,
       fields = fieldsOf(schema),
       current_snapshot_id = 0L,
-      snapshots = Nil
+      snapshots = Nil,
+      partition_columns = if (partitionColumns.isEmpty) None else Some(partitionColumns.toList)
     )
 }

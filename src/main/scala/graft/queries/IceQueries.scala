@@ -152,6 +152,22 @@ object IceQueries {
     t.scan().orderBy("n_nationkey")
   }
 
+  /** Hive-partitioned table: write partitioned by o_orderpriority, scan
+    * back with a partition-pruned filter; must equal the plain filter. */
+  private def partitioned(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "pt")
+    val cat = new FsCatalog(s, wh)
+    val t = cat.createOrReplaceTable("graft", "orders_pt",
+      Tables.orders(s, d), Seq("o_orderpriority"))
+    val pruned = t.scan().filter(col("o_orderpriority") === "1-URGENT")
+    val plan   = pruned.queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
+      "partition filter did not reach the scan: " + plan.take(400))
+    pruned
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -165,6 +181,9 @@ object IceQueries {
     Q("ic08_file_skip", fileSkip,
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               WHERE o_orderkey <= 999 ORDER BY o_orderkey""")),
-    Q("ic09_compact", compactRoundtrip, Some(nationOracle))
+    Q("ic09_compact", compactRoundtrip, Some(nationOracle)),
+    Q("ic10_partitioned", partitioned,
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders
+              WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey"""))
   )
 }

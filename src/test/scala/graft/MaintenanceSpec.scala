@@ -61,6 +61,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.planFiles("o_orderstatus", Some("O"), Some("O")).size == 1)
   }
 
+  test("partitioned table: hive layout, values restored on read, partition pruning") {
+    val cat = new FsCatalog(spark, scratch("part"))
+    val t = cat.createOrReplaceTable("ns", "orders_p", orders, Seq("o_orderpriority"))
+    // layout: snapshot dir contains k=v partition subdirectories
+    val files = t.snapshots().last.files
+    assert(files.nonEmpty && files.forall(_.contains("o_orderpriority=")))
+    // full scan restores the partition column in schema order
+    val back = t.scan()
+    assert(back.schema.fieldNames.toSeq == orders.schema.fieldNames.toSeq)
+    assert(back.count() == orders.count())
+    assert(back.filter(col("o_orderpriority") === "1-URGENT").count() ==
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+    // partition pruning: the filter lands in PartitionFilters (pruning is
+    // applied at scan planning; inputFiles reports the unpruned index)
+    val pruned = back.filter(col("o_orderpriority") === "1-URGENT")
+    val plan   = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.contains("o_orderpriority"), plan.take(500))
+    // append goes into the partitioned layout too; stats still recorded
+    t.append(orders.limit(100))
+    assert(t.scan().count() == orders.count() + 100)
+    assert(t.snapshots().last.file_stats.get.nonEmpty)
+  }
+
   test("evolveAppend adds columns with fresh field ids; old rows read as null") {
     val cat = new FsCatalog(spark, scratch("evo"))
     val t   = cat.createOrReplaceTable("ns", "evolving", Tables.nation(spark, sfDir))
