@@ -24,11 +24,18 @@ object Bench {
 
     def force(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
-      finally spark.catalog.clearCache() // release per-query persist()s deterministically
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
+        }
+      // outside the timed window: release per-query persist()s so caches
+      // don't accumulate, without billing teardown to the measured query
+      spark.catalog.clearCache()
+      elapsed
     }
 
     force("ref01_count") // warmup: session + codegen + FS init

@@ -28,9 +28,10 @@ final class Engine(val spark: SparkSession, val catalog: FsCatalog) {
     catalog.loadTable(ns, name).scanSnapshot(snapshotId)
   }
 
-  /** Scan straight from a metadata JSON path (reference `iceberg_scan`). */
+  /** Scan straight from a metadata JSON path (reference `iceberg_scan`) —
+    * pinned to that metadata version, like DuckDB's iceberg_scan. */
   def scanMetadata(metadataPath: String): DataFrame =
-    IceTable.fromMetadataFile(spark, metadataPath).scan()
+    IceTable.scanMetadataFile(spark, metadataPath)
 
   /** Register `ident` as a temp view (the `conn.register` of the bridge). */
   def registerView(ident: String, viewName: String): Unit =

@@ -209,19 +209,25 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val md = metadata
     if (md.snapshots.isEmpty && id == 0L)
       // freshly-created table, no commits yet: empty relation, not an error
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
+      return emptyFrame(md)
     val snap = md
       .snapshot(id)
       .getOrElse(throw new NoSuchElementException(s"snapshot $id of table ${md.name}"))
-    val paths = snap.files.map(f => new Path(location, f).toString)
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
+    readFiles(md, snap.files)
+  }
+
+  private def emptyFrame(md: TableMetadata): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
+
+  /** Plan a read over `files` (relative paths) with `md`'s schema; for
+    * partitioned tables the k=v directory values are restored via one
+    * basePath per snapshot dir (intermediate snap-N segments aren't k=v,
+    * ruling out a single table-root basePath) — commits union, and
+    * compaction collapses them when the union grows long. */
+  private[icelite] def readFiles(md: TableMetadata, files: Seq[String]): DataFrame =
+    if (files.isEmpty) emptyFrame(md)
     else if (md.partitionCols.nonEmpty) {
-      // partition values live in the k=v directory names under each
-      // snapshot dir. Discovery needs one basePath per snapshot dir
-      // (intermediate snap-N segments aren't k=v), so read per commit and
-      // union — compaction collapses commits when the union grows long.
-      snap.files
+      files
         .groupBy(f => f.split('/').take(2).mkString("/")) // data/snap-N-x
         .toSeq.sortBy(_._1)
         .map { case (rel, fs) =>
@@ -231,8 +237,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
             .parquet(fs.map(f => new Path(location, f).toString): _*)
         }
         .reduce(_ unionByName _)
-    } else spark.read.schema(md.schema).parquet(paths: _*)
-  }
+    } else spark.read.schema(md.schema).parquet(files.map(f => new Path(location, f).toString): _*)
 
   def snapshots(): Seq[Snapshot] = metadata.snapshots
 
@@ -265,14 +270,10 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   /** Range-pruned scan: reads only files that can contain rows with
     * `colName` in [lower, upper]. The caller still applies the row-level
     * predicate (pruning is file-granular, like Iceberg manifests +
-    * parquet row-group stats below it). */
-  def scanRange(colName: String, lower: Option[String], upper: Option[String]): DataFrame = {
-    val md    = metadata
-    val paths = planFiles(colName, lower, upper).map(f => new Path(location, f).toString)
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
-    else spark.read.schema(md.schema).parquet(paths: _*)
-  }
+    * parquet row-group stats below it). Partition columns are restored
+    * exactly as in a full scan. */
+  def scanRange(colName: String, lower: Option[String], upper: Option[String]): DataFrame =
+    readFiles(metadata, planFiles(colName, lower, upper))
 
   /** Delete all table data + metadata (reference drop_table). */
   def drop(): Unit = fs.delete(location, true)
@@ -305,10 +306,20 @@ object IceTable {
   def load(spark: SparkSession, location: String): IceTable =
     new IceTable(spark, new Path(location))
 
-  /** Load straight from a metadata file path (reference `iceberg_scan`
-    * entry, SURVEY.md §2.1 S11). */
-  def fromMetadataFile(spark: SparkSession, metadataPath: String): IceTable = {
+  /** Scan straight from a metadata file path (reference `iceberg_scan`
+    * entry, SURVEY.md §2.1 S11). The scan is pinned to the *given* metadata
+    * version — reading v2.json after later commits yields the v2 state,
+    * matching iceberg_scan's as-of-this-metadata contract. */
+  def scanMetadataFile(spark: SparkSession, metadataPath: String): org.apache.spark.sql.DataFrame = {
     val p = new Path(metadataPath)
-    new IceTable(spark, p.getParent.getParent)
+    val version = p.getName.stripPrefix("v").stripSuffix(".json")
+    require(p.getName.startsWith("v") && p.getName.endsWith(".json") && version.forall(_.isDigit),
+      s"not a metadata file path: $metadataPath")
+    val t  = new IceTable(spark, p.getParent.getParent)
+    val md = t.metadataAt(version.toInt)
+    md.currentSnapshot match {
+      case Some(snap) => t.readFiles(md, snap.files)
+      case None       => t.emptyFrame(md)
+    }
   }
 }

@@ -184,6 +184,7 @@ object Dedup {
     val sig = shingles(s, d)
       .select(col("doc_id"), graft.functions.hashfns.simhash32(col("shs")).as("sig"))
       .as[(Long, Long)]
+      .persist() // consumed twice: collect for the broadcast + the pair scan
     val bc = s.sparkContext.broadcast(sig.collect().sortBy(_._1))
     sig
       .mapPartitions { it =>
@@ -236,36 +237,23 @@ object Dedup {
     * sm03/sm04's hyperplane buckets before the exact pass. */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val all = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
-      .map { case (id, vf) =>
-        val v = vf.map(_.toDouble)
-        var acc = 0.0; var i = 0
-        while (i < v.length) { acc += v(i) * v(i); i += 1 }
-        (id, v, math.sqrt(acc))
-      }
-    val bc = s.sparkContext.broadcast(all)
+    // same broadcast-matrix kernel as graft.ops.Sim (shared dotv/normv/
+    // collectMatrix keep the fold-order exactness rules in one place)
+    val bc = s.sparkContext.broadcast(Sim.collectMatrix(s, d))
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (vid, vf) =>
-          val v = vf.map(_.toDouble)
-          var nacc = 0.0; var k = 0
-          while (k < v.length) { nacc += v(k) * v(k); k += 1 }
-          val n   = math.sqrt(nacc)
+          val v   = vf.map(_.toDouble)
+          val n   = Sim.normv(v)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           var i   = 0
           while (i < cs.length) {
             val (cid, cv, cn) = cs(i)
             if (cid > vid) {
-              var dot = 0.0; var j = 0
-              while (j < v.length) { dot += v(j) * cv(j); j += 1 }
-              val sim = dot / (n * cn)
+              val sim = Sim.dotv(v, cv) / (n * cn)
               if (sim >= 0.4) out += ((vid, cid, sim))
             }
             i += 1
@@ -279,10 +267,7 @@ object Dedup {
   }
 
   private val embedNearDupOracle =
-    """WITH e AS (
-        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
-        FROM embeddings, range(64) t(d)),
-      nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+    s"""WITH ${Sim.duckVecs},
       dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
         FROM e a JOIN e b ON a.d = b.d AND a.vec_id < b.vec_id

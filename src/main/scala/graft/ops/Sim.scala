@@ -27,13 +27,13 @@ object Sim {
     * accumulation — the exact fold order the oracle-matched first
     * implementation (`zip_with` + `aggregate`) used, so results are
     * bit-identical; just ~100x cheaper than interpreted lambdas. */
-  private def dotv(a: Array[Double], b: Array[Double]): Double = {
+  private[ops] def dotv(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
 
-  private def normv(v: Array[Double]): Double = {
+  private[ops] def normv(v: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < v.length) { acc += v(i) * v(i); i += 1 }
     math.sqrt(acc)
@@ -43,7 +43,7 @@ object Sim {
     * the brute-force kernels. Queries (sm01) are tiny by construction; the
     * full corpus (sm02) is only broadcast-able at verification scale — the
     * 100 TB path is sm03's bucketing, which bounds the pair space. */
-  private def collectMatrix(s: SparkSession, d: String, idBound: Long = Long.MaxValue): Array[(Long, Array[Double], Double)] = {
+  private[ops] def collectMatrix(s: SparkSession, d: String, idBound: Long = Long.MaxValue): Array[(Long, Array[Double], Double)] = {
     import s.implicits._
     Tables.embeddings(s, d)
       .filter(col("vec_id") < idBound)
@@ -58,7 +58,7 @@ object Sim {
   }
 
   /** Oracle scaffold: per-(vec, dim) exploded doubles + norms. */
-  private val duckVecs =
+  private[ops] val duckVecs =
     """e AS (
         SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
         FROM embeddings, range(64) t(d)),

@@ -194,7 +194,10 @@ object Text {
     * bigram key + one aggregate — all shuffles on natural keys. Log/exp
     * arithmetic is identical in both engines; scores round to 4 decimals. */
   private def bigramLm(s: SparkSession, d: String): DataFrame = {
-    val docs = words(Tables.documents(s, d))
+    // single-word docs have no bigrams: the oracle's range(1, len(ws)) is
+    // empty for them, but Spark's sequence(1, 0) DESCENDS to [1, 0] and
+    // element_at(ws, 0) throws — gate them out before the transform
+    val docs = words(Tables.documents(s, d)).filter(size(col("ws")) >= 2)
     val bigrams = docs
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")))

@@ -161,8 +161,11 @@ object IceQueries {
       Tables.orders(s, d), Seq("o_orderpriority"))
     val pruned = t.scan().filter(col("o_orderpriority") === "1-URGENT")
     val plan   = pruned.queryExecution.executedPlan.toString
-    require(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
-      "partition filter did not reach the scan: " + plan.take(400))
+    // the filter expression must appear INSIDE the PartitionFilters list
+    // ('PartitionFilters: [...]' exists on every file scan, even empty)
+    val prunedOk = raw"PartitionFilters: \[[^\]]*o_orderpriority[^\]]*=[^\]]*\]".r
+      .findFirstIn(plan).isDefined
+    require(prunedOk, "partition filter did not reach the scan: " + plan.take(400))
     pruned
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
       .orderBy("o_orderkey")

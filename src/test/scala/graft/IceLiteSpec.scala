@@ -68,12 +68,16 @@ class IceLiteSpec extends SparkSpec {
     assert(!cat.dropTable("a", "regions"))
   }
 
-  test("scanMetadata addresses a table straight from its metadata file") {
+  test("scanMetadata addresses a table straight from its metadata file, pinned to that version") {
     val cat = new FsCatalog(spark, scratch("meta"))
-    cat.createOrReplaceTable("ns", "nations", nation)
+    val t   = cat.createOrReplaceTable("ns", "nations", nation)
     val eng = new Engine(spark, cat)
-    val df  = eng.scanMetadata(cat.metadataLocation("ns", "nations"))
-    assert(df.count() == 25)
+    val v2  = cat.metadataLocation("ns", "nations") // v2 = first append
+    assert(eng.scanMetadata(v2).count() == 25)
+    // a later commit must NOT change what the v2 metadata file reads
+    t.append(nation)
+    assert(eng.scanMetadata(v2).count() == 25)
+    assert(eng.scanMetadata(cat.metadataLocation("ns", "nations")).count() == 50)
   }
 
   test("engine sql substitutes {table} and runs Spark SQL") {

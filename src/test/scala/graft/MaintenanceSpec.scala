@@ -73,12 +73,15 @@ class MaintenanceSpec extends SparkSpec {
     assert(back.count() == orders.count())
     assert(back.filter(col("o_orderpriority") === "1-URGENT").count() ==
       orders.filter(col("o_orderpriority") === "1-URGENT").count())
-    // partition pruning: the filter lands in PartitionFilters (pruning is
-    // applied at scan planning; inputFiles reports the unpruned index)
+    // partition pruning: the filter expression must land INSIDE the
+    // PartitionFilters list (the key itself exists on every file scan)
     val pruned = back.filter(col("o_orderpriority") === "1-URGENT")
     val plan   = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan.take(500))
-    assert(plan.contains("o_orderpriority"), plan.take(500))
+    assert(raw"PartitionFilters: \[[^\]]*o_orderpriority[^\]]*=[^\]]*\]".r
+      .findFirstIn(plan).isDefined, plan.take(600))
+    // and an unfiltered scan must NOT have a partition filter expression
+    val flat = back.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*=[^\]]*\]".r.findFirstIn(flat).isEmpty, flat.take(600))
     // append goes into the partitioned layout too; stats still recorded
     t.append(orders.limit(100))
     assert(t.scan().count() == orders.count() + 100)
