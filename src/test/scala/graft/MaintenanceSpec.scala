@@ -86,6 +86,12 @@ class MaintenanceSpec extends SparkSpec {
     t.append(orders.limit(100))
     assert(t.scan().count() == orders.count() + 100)
     assert(t.snapshots().last.file_stats.get.nonEmpty)
+
+    // regression: a range-pruned scan on a partitioned table must restore
+    // partition values (it once read leaf files without basePath -> nulls)
+    val ranged = t.scanRange("o_orderkey", Some("0"), Some("100"))
+    assert(ranged.filter(col("o_orderpriority").isNull).count() == 0)
+    assert(ranged.select("o_orderpriority").distinct().count() > 1)
   }
 
   test("evolveAppend adds columns with fresh field ids; old rows read as null") {
