@@ -277,6 +277,29 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
 
   /** Delete all table data + metadata (reference drop_table). */
   def drop(): Unit = fs.delete(location, true)
+
+  /** Iceberg-style expire-snapshots maintenance: keep the most recent
+    * `keepLast` snapshots, delete the metadata entries of older ones and
+    * any data file no kept snapshot references. Time travel remains valid
+    * for the kept window; storage for dropped history is reclaimed. */
+  def expireSnapshots(keepLast: Int): IceTable = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val md   = metadata
+    val keep = md.snapshots.sortBy(_.snapshot_id).takeRight(keepLast)
+    if (keep.size == md.snapshots.size) return this
+    require(keep.exists(_.snapshot_id == md.current_snapshot_id),
+      "cannot expire the current snapshot")
+    val referenced = keep.flatMap(_.files).toSet
+    val orphaned   = md.snapshots.flatMap(_.files).toSet -- referenced
+    commit(md.copy(snapshots = keep))
+    orphaned.foreach(f => fs.delete(new Path(location, f), false))
+    // drop snapshot data dirs left empty
+    orphaned.map(_.split('/').take(2).mkString("/")).toSet.foreach { (rel: String) =>
+      val dir = new Path(location, rel)
+      if (fs.exists(dir) && !fs.listFiles(dir, true).hasNext) fs.delete(dir, true)
+    }
+    this
+  }
 }
 
 object IceTable {

@@ -113,6 +113,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.scanSnapshot(1).count() == 25)
   }
 
+  test("expireSnapshots reclaims unreferenced files, keeps the recent window") {
+    val cat = new FsCatalog(spark, scratch("exp"))
+    val t   = cat.createOrReplaceTable("ns", "nations_x", Tables.nation(spark, sfDir))
+    t.replace(Tables.nation(spark, sfDir).limit(10)) // snapshot 2: own files
+    t.append(Tables.nation(spark, sfDir).limit(5))   // snapshot 3: adds files
+    assert(t.snapshots().map(_.snapshot_id) == Seq(1L, 2L, 3L))
+    val snap1Files = t.snapshots().head.files
+    t.expireSnapshots(keepLast = 2)
+    assert(t.snapshots().map(_.snapshot_id) == Seq(2L, 3L))
+    // current data intact; time travel within the window intact
+    assert(t.scan().count() == 15)
+    assert(t.scanSnapshot(2).count() == 10)
+    // snapshot 1's files (replaced, so referenced by nobody kept) are gone
+    val fs = new org.apache.hadoop.fs.Path(t.location, snap1Files.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(snap1Files.forall(f =>
+      !fs.exists(new org.apache.hadoop.fs.Path(t.location, f))))
+    // expiring the current snapshot is rejected
+    intercept[IllegalArgumentException](t.expireSnapshots(0))
+    // keepLast >= count is a no-op
+    t.expireSnapshots(10)
+    assert(t.snapshots().size == 2)
+  }
+
   test("evolveAppend without new columns behaves like append") {
     val cat = new FsCatalog(spark, scratch("evo2"))
     val t   = cat.createOrReplaceTable("ns", "same", Tables.region(spark, sfDir))
