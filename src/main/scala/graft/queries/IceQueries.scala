@@ -171,6 +171,37 @@ object IceQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot expiration mid-lifecycle: replaced history reclaimed, the
+    * surviving window still scans correctly. */
+  private def expire(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "xp")
+    val cat = new FsCatalog(s, wh)
+    val t = cat.createOrReplaceTable("graft", "nations_xp", Tables.nation(s, d))
+    t.replace(Tables.nation(s, d)) // snapshot 2: fresh files, v1's orphaned
+    t.append(Tables.nation(s, d))  // snapshot 3: nation x2
+    t.expireSnapshots(keepLast = 2)
+    require(t.snapshots().size == 2, "expiration did not trim the log")
+    t.scan().orderBy("n_nationkey", "n_name")
+  }
+
+  /** Schema evolution through the gate: original rows read null for the
+    * added column, evolved rows carry it. */
+  private def evolve(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "ev")
+    val cat = new FsCatalog(s, wh)
+    val t   = cat.createOrReplaceTable("graft", "nations_ev", Tables.nation(s, d))
+    t.evolveAppend(Tables.nation(s, d)
+      .withColumn("n_comment", concat(lit("c_"), col("n_name"))))
+    t.scan().orderBy("n_nationkey", "n_comment")
+  }
+
+  private val evolveOracle =
+    """SELECT * FROM (
+         SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_comment FROM nation
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey, 'c_' || n_name AS n_comment FROM nation)
+       ORDER BY n_nationkey, n_comment"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -187,6 +218,10 @@ object IceQueries {
     Q("ic09_compact", compactRoundtrip, Some(nationOracle)),
     Q("ic10_partitioned", partitioned,
       Some("""SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders
-              WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey"""))
+              WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""")),
+    Q("ic11_expire", expire,
+      Some("""SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+              ORDER BY n_nationkey, n_name""")),
+    Q("ic12_evolve", evolve, Some(evolveOracle))
   )
 }
