@@ -278,6 +278,25 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   /** Delete all table data + metadata (reference drop_table). */
   def drop(): Unit = fs.delete(location, true)
 
+  /** Row-level delete (copy-on-write): rewrite the table without rows
+    * matching `predicate`, as a new "delete" snapshot. Older snapshots
+    * still time-travel to the pre-delete state. At 100 TB the rewrite cost
+    * is bounded by file skipping: only files whose min/max ranges can
+    * contain matches actually need rewriting (Spark prunes the rest at
+    * scan; a finer implementation would union untouched files verbatim). */
+  def deleteWhere(predicate: org.apache.spark.sql.Column): IceTable =
+    appendInternal(scan().filter(!predicate), replace = true, operation = "delete")
+
+  /** Upsert (merge-by-key, copy-on-write): rows of `updates` replace
+    * current rows with equal `keyCols`; unmatched update rows insert. */
+  def upsert(updates: DataFrame, keyCols: Seq[String]): IceTable = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val md      = metadata
+    val aligned = updates.select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val kept    = scan().join(aligned, keyCols, "left_anti")
+    appendInternal(kept.unionByName(aligned), replace = true, operation = "upsert")
+  }
+
   /** Iceberg-style expire-snapshots maintenance: keep the most recent
     * `keepLast` snapshots, delete the metadata entries of older ones and
     * any data file no kept snapshot references. Time travel remains valid

@@ -202,6 +202,43 @@ object IceQueries {
          SELECT n_nationkey, n_name, n_regionkey, 'c_' || n_name AS n_comment FROM nation)
        ORDER BY n_nationkey, n_comment"""
 
+  /** Copy-on-write delete through the gate. */
+  private def deleteRows(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "del")
+    val cat = new FsCatalog(s, wh)
+    val t   = cat.createOrReplaceTable("graft", "nations_del", Tables.nation(s, d))
+    t.deleteWhere(col("n_regionkey") === 0)
+    require(t.snapshots().last.operation == "delete", "delete snapshot missing")
+    require(t.scanSnapshot(1).count() == 25, "pre-delete time travel broken")
+    t.scan().orderBy("n_nationkey")
+  }
+
+  /** Merge-by-key upsert through the gate: update 5 rows, insert 2 new. */
+  private def upsertRows(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "ups")
+    val cat = new FsCatalog(s, wh)
+    val t   = cat.createOrReplaceTable("graft", "nations_ups", Tables.nation(s, d))
+    val updates = Tables.nation(s, d)
+      .filter(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(lit("UPDATED_"), col("n_name")))
+      .unionByName(
+        Tables.nation(s, d).filter(col("n_nationkey") < 2)
+          .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+            concat(lit("NEW_"), col("n_name")).as("n_name"), col("n_regionkey")))
+    t.upsert(updates, Seq("n_nationkey"))
+    t.scan().orderBy("n_nationkey")
+  }
+
+  private val upsertOracle =
+    """SELECT * FROM (
+         SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 5
+         UNION ALL
+         SELECT n_nationkey, 'UPDATED_' || n_name AS n_name, n_regionkey FROM nation WHERE n_nationkey < 5
+         UNION ALL
+         SELECT CAST(n_nationkey + 100 AS INT) AS n_nationkey, 'NEW_' || n_name AS n_name, n_regionkey
+         FROM nation WHERE n_nationkey < 2)
+       ORDER BY n_nationkey"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -222,6 +259,9 @@ object IceQueries {
     Q("ic11_expire", expire,
       Some("""SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
               ORDER BY n_nationkey, n_name""")),
-    Q("ic12_evolve", evolve, Some(evolveOracle))
+    Q("ic12_evolve", evolve, Some(evolveOracle)),
+    Q("ic13_delete", deleteRows,
+      Some("SELECT * FROM nation WHERE n_regionkey <> 0 ORDER BY n_nationkey")),
+    Q("ic14_upsert", upsertRows, Some(upsertOracle))
   )
 }

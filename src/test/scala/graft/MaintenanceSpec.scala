@@ -113,6 +113,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.scanSnapshot(1).count() == 25)
   }
 
+  test("deleteWhere and upsert are copy-on-write with intact history") {
+    val cat = new FsCatalog(spark, scratch("cow"))
+    val t   = cat.createOrReplaceTable("ns", "orders_cow", orders)
+    val n0  = t.scan().count()
+    t.deleteWhere(col("o_orderstatus") === "F")
+    assert(t.scan().filter(col("o_orderstatus") === "F").count() == 0)
+    assert(t.scan().count() == orders.filter(col("o_orderstatus") =!= "F").count())
+    assert(t.scanSnapshot(1).count() == n0) // pre-delete state intact
+    assert(t.snapshots().last.operation == "delete")
+
+    val updates = orders.filter(col("o_orderkey") < 10)
+      .withColumn("o_totalprice", lit(1.0))
+    t.upsert(updates, Seq("o_orderkey"))
+    val got = t.scan().filter(col("o_orderkey") < 10)
+    assert(got.count() == 10) // all ten keys present (re-inserted if deleted)
+    assert(got.filter(col("o_totalprice") === 1.0).count() == 10)
+    assert(t.snapshots().last.operation == "upsert")
+  }
+
   test("expireSnapshots reclaims unreferenced files, keeps the recent window") {
     val cat = new FsCatalog(spark, scratch("exp"))
     val t   = cat.createOrReplaceTable("ns", "nations_x", Tables.nation(spark, sfDir))
