@@ -92,7 +92,16 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   /** Replace table contents with `df` (drop-and-recreate semantics). */
   def replace(df: DataFrame): IceTable = appendInternal(df, replace = true)
 
-  private def appendInternal(df: DataFrame, replace: Boolean, operation: String = ""): IceTable = {
+  /** Write `df` as new data files and commit a snapshot.
+    * `replace=false` carries the whole current snapshot forward;
+    * `replace=true` starts from `carryFiles` only (empty = full replace) —
+    * which is how file-granular rewrites keep untouched files by
+    * reference instead of copying them. */
+  private def appendInternal(
+      df: DataFrame,
+      replace: Boolean,
+      operation: String = "",
+      carryFiles: Seq[String] = Nil): IceTable = {
     val md     = metadata
     val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
     val dataRel = s"data/snap-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -109,20 +118,23 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       }
       buf.sorted.toIndexedSeq
     }
-    val base      = if (replace) Nil else md.currentSnapshot.map(_.files).getOrElse(Nil)
-    val baseStats = if (replace) Map.empty[String, Map[String, ColRange]]
-                    else md.currentSnapshot.flatMap(_.file_stats).getOrElse(Map.empty)
+    val base      = if (replace) carryFiles else md.currentSnapshot.map(_.files).getOrElse(Nil)
+    val curStats  = md.currentSnapshot.flatMap(_.file_stats).getOrElse(Map.empty)
+    val baseStats = if (replace) curStats.view.filterKeys(carryFiles.toSet).toMap else curStats
     val newStats  = collectFileStats(md.schema, dataDir, dataRel)
     val snap = Snapshot(
       snapshot_id = snapId,
       timestamp_ms = System.currentTimeMillis(),
       operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
-      files = base ++ files,
+      files = (base ++ files).toList,
       file_stats = Some(baseStats ++ newStats)
     )
     commit(md.copy(current_snapshot_id = snapId, snapshots = md.snapshots :+ snap))
     this
   }
+
+  /** `data/snap-N-x` prefix of a snapshot-relative file path. */
+  private def snapDirOf(relPath: String): String = relPath.split('/').take(2).mkString("/")
 
   /** Columns whose min/max ranges the planner can use for file skipping. */
   private def rangeable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -228,7 +240,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     if (files.isEmpty) emptyFrame(md)
     else if (md.partitionCols.nonEmpty) {
       files
-        .groupBy(f => f.split('/').take(2).mkString("/")) // data/snap-N-x
+        .groupBy(snapDirOf)
         .toSeq.sortBy(_._1)
         .map { case (rel, fs) =>
           spark.read
@@ -279,21 +291,48 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   def drop(): Unit = fs.delete(location, true)
 
   /** Row-level delete (copy-on-write): rewrite the table without rows
-    * matching `predicate`, as a new "delete" snapshot. Older snapshots
-    * still time-travel to the pre-delete state. At 100 TB the rewrite cost
-    * is bounded by file skipping: only files whose min/max ranges can
-    * contain matches actually need rewriting (Spark prunes the rest at
-    * scan; a finer implementation would union untouched files verbatim). */
-  def deleteWhere(predicate: org.apache.spark.sql.Column): IceTable =
-    appendInternal(scan().filter(!predicate), replace = true, operation = "delete")
+    * *matching* `predicate` (SQL DELETE semantics — NULL-evaluating rows
+    * are kept), as a new "delete" snapshot. Older snapshots still
+    * time-travel to the pre-delete state. This arbitrary-predicate form
+    * rewrites every file; use [[deleteRange]] when the predicate is a
+    * range on a stats-tracked column to rewrite only affected files. */
+  def deleteWhere(predicate: org.apache.spark.sql.Column): IceTable = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    appendInternal(
+      scan().filter(not(coalesce(predicate, lit(false)))),
+      replace = true, operation = "delete")
+  }
+
+  /** File-granular delete of rows with `colName` in [lower, upper]: files
+    * whose min/max range cannot contain matches carry over by reference
+    * (zero IO); only affected files rewrite. The 100 TB delete path. */
+  def deleteRange(colName: String, lower: String, upper: String): IceTable = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val md       = metadata
+    val all      = md.currentSnapshot.map(_.files).getOrElse(Nil)
+    val affected = planFiles(colName, Some(lower), Some(upper))
+    val carried  = all.filterNot(affected.toSet)
+    val colType  = md.schema(colName).dataType
+    val hit      = col(colName) >= lit(lower).cast(colType) && col(colName) <= lit(upper).cast(colType)
+    val survivors = readFiles(md, affected).filter(not(coalesce(hit, lit(false))))
+    appendInternal(survivors, replace = true, operation = "delete", carryFiles = carried)
+  }
 
   /** Upsert (merge-by-key, copy-on-write): rows of `updates` replace
-    * current rows with equal `keyCols`; unmatched update rows insert. */
+    * current rows with equal `keyCols`; unmatched update rows insert.
+    * Updates are cast onto the frozen table schema (a widened column would
+    * otherwise commit files the schema'd scan can no longer read) and must
+    * be unique per key — Iceberg MERGE likewise rejects multiple matches. */
   def upsert(updates: DataFrame, keyCols: Seq[String]): IceTable = {
+    import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    val md      = metadata
-    val aligned = updates.select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    val kept    = scan().join(aligned, keyCols, "left_anti")
+    val md = metadata
+    val aligned = updates.select(
+      md.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val dupKeys = aligned.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0, s"upsert updates contain duplicate keys on $keyCols")
+    val kept = scan().join(aligned, keyCols, "left_anti")
     appendInternal(kept.unionByName(aligned), replace = true, operation = "upsert")
   }
 
@@ -311,11 +350,15 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val referenced = keep.flatMap(_.files).toSet
     val orphaned   = md.snapshots.flatMap(_.files).toSet -- referenced
     commit(md.copy(snapshots = keep))
-    orphaned.foreach(f => fs.delete(new Path(location, f), false))
-    // drop snapshot data dirs left empty
-    orphaned.map(_.split('/').take(2).mkString("/")).toSet.foreach { (rel: String) =>
+    // snapshot dirs with no referenced file left are removed recursively
+    // (also sweeps non-data markers like _SUCCESS); partially-referenced
+    // dirs only lose their orphaned parquet files
+    val liveDirs = referenced.map(snapDirOf)
+    val (deadDirFiles, looseFiles) = orphaned.partition(f => !liveDirs.contains(snapDirOf(f)))
+    looseFiles.foreach(f => fs.delete(new Path(location, f), false))
+    deadDirFiles.map(snapDirOf).foreach { rel =>
       val dir = new Path(location, rel)
-      if (fs.exists(dir) && !fs.listFiles(dir, true).hasNext) fs.delete(dir, true)
+      if (fs.exists(dir)) fs.delete(dir, true)
     }
     this
   }

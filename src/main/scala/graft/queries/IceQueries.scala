@@ -192,7 +192,8 @@ object IceQueries {
     val t   = cat.createOrReplaceTable("graft", "nations_ev", Tables.nation(s, d))
     t.evolveAppend(Tables.nation(s, d)
       .withColumn("n_comment", concat(lit("c_"), col("n_name"))))
-    t.scan().orderBy("n_nationkey", "n_comment")
+    // NULLS LAST explicitly: Spark defaults ASC NULLS FIRST, DuckDB LAST
+    t.scan().orderBy(asc("n_nationkey"), asc_nulls_last("n_comment"))
   }
 
   private val evolveOracle =
@@ -200,7 +201,7 @@ object IceQueries {
          SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_comment FROM nation
          UNION ALL
          SELECT n_nationkey, n_name, n_regionkey, 'c_' || n_name AS n_comment FROM nation)
-       ORDER BY n_nationkey, n_comment"""
+       ORDER BY n_nationkey, n_comment NULLS LAST"""
 
   /** Copy-on-write delete through the gate. */
   private def deleteRows(s: SparkSession, d: String): DataFrame = {

@@ -130,6 +130,44 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.count() == 10) // all ten keys present (re-inserted if deleted)
     assert(got.filter(col("o_totalprice") === 1.0).count() == 10)
     assert(t.snapshots().last.operation == "upsert")
+
+    // duplicate update keys are rejected (Iceberg MERGE semantics)
+    intercept[IllegalArgumentException](
+      t.upsert(updates.unionByName(updates), Seq("o_orderkey")))
+    // updates with widened types are cast back onto the frozen schema
+    val before = t.scan().count()
+    t.upsert(updates.withColumn("o_orderkey", col("o_orderkey").cast("string")),
+      Seq("o_orderkey"))
+    assert(t.scan().schema("o_orderkey").dataType.typeName == "long")
+    assert(t.scan().count() == before) // same keys replaced; still readable
+  }
+
+  test("deleteWhere keeps NULL-evaluating rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    val cat = new FsCatalog(spark, scratch("nulls"))
+    val df  = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "v")
+    val t = cat.createOrReplaceTable("ns", "withnulls", df)
+    t.deleteWhere(col("v") === 10L)
+    // only the TRUE match (id=1) goes; the NULL row (id=2) stays
+    assert(t.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("deleteRange rewrites only affected files; others carry by reference") {
+    val cat = new FsCatalog(spark, scratch("delrange"))
+    val lo  = orders.filter(col("o_orderkey") < 1000).coalesce(1)
+    val hi  = orders.filter(col("o_orderkey") >= 1000).coalesce(1)
+    val t   = cat.createOrReplaceTable("ns", "orders_dr", lo)
+    t.append(hi)
+    val hiFileBefore = t.snapshots().last.files.find(f =>
+      t.snapshots().last.file_stats.get(f)("o_orderkey").min.get.toLong >= 1000).get
+    t.deleteRange("o_orderkey", "0", "499")
+    // rows gone...
+    assert(t.scan().filter(col("o_orderkey") <= 499).count() == 0)
+    assert(t.scan().count() == orders.filter(col("o_orderkey") > 499).count())
+    // ...but the untouched high file is carried over verbatim
+    assert(t.snapshots().last.files.contains(hiFileBefore))
+    assert(t.snapshots().last.operation == "delete")
   }
 
   test("expireSnapshots reclaims unreferenced files, keeps the recent window") {
