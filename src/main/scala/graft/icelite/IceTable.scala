@@ -188,6 +188,20 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   def compact(numFiles: Int): IceTable =
     appendInternal(scan().repartition(numFiles), replace = true, operation = "compact")
 
+  /** Sort-clustered compaction: range-partition + sort the table by
+    * `clusterCols` while bin-packing (Iceberg's rewrite with sort order).
+    * Files end up with disjoint key ranges, so the per-file min/max stats
+    * become maximally selective — `scanRange`/`planFiles` then prune to
+    * ~one file per point lookup. The data-layout half of file skipping. */
+  def compactSorted(numFiles: Int, clusterCols: Seq[String]): IceTable = {
+    import org.apache.spark.sql.functions.col
+    require(clusterCols.nonEmpty, "need at least one clustering column")
+    val cols = clusterCols.map(col)
+    appendInternal(
+      scan().repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
+      replace = true, operation = "compact")
+  }
+
   /** Append with schema evolution: new columns get fresh field ids, missing
     * columns are null-filled; old data files stay valid (the scan reads
     * them with the merged schema, absent columns as null). */

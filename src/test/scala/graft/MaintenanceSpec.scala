@@ -25,6 +25,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.scanSnapshot(2).count() == before)
   }
 
+  test("compactSorted clusters ranges so point lookups prune to one file") {
+    val cat = new FsCatalog(spark, scratch("csort"))
+    // 8 hash-partitioned files: every file spans the whole key range, so a
+    // point lookup can prune nothing
+    val t = cat.createOrReplaceTable("ns", "orders_cs", orders.repartition(8))
+    assert(t.planFiles("o_orderkey", Some("42"), Some("42")).size == 8)
+    t.compactSorted(8, Seq("o_orderkey"))
+    assert(t.scan().inputFiles.length == 8)
+    assert(t.scan().count() == orders.count())
+    // ranges are now disjoint: the same lookup reads exactly one file
+    assert(t.planFiles("o_orderkey", Some("42"), Some("42")).size == 1)
+    // and a window spanning two adjacent ranges reads at most two
+    assert(t.planFiles("o_orderkey", Some("0"), Some("300")).size <= 2)
+  }
+
   test("append records per-file min/max stats; planFiles skips files") {
     val cat = new FsCatalog(spark, scratch("skip"))
     val lo  = orders.filter(col("o_orderkey") < 500).coalesce(1)
