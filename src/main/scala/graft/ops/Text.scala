@@ -234,12 +234,37 @@ object Text {
       FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------- deterministic data split
+
+  /** Reproducible train/val/test assignment by content hash — the
+    * training-pipeline split that survives reshuffling, re-partitioning
+    * and re-runs because it depends only on the row's content (80/10/10
+    * on rollHash mod 100). Pure map-side; the output is the assignment. */
+  private def detSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.hashfns.rollHash(col("text")) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
+  private val detSplitOracle: String = {
+    val h = Hashing.duckRollHash("text", Hashing.P, "c0")
+    s"""WITH b AS (SELECT doc_id, ($h) % 100 AS bucket FROM documents)
+      SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             COUNT(*) AS n_docs
+      FROM b GROUP BY 1 ORDER BY 1"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
     Q("tx03_token_count", tokenCount, Some(tokenCountOracle)),
     Q("tx04_fingerprint", fingerprint, Some(fingerprintOracle)),
     Q("tx05_bloom_digest", bloom, Some(bloomOracle)),
-    Q("tx06_bigram_lm", bigramLm, Some(bigramLmOracle))
+    Q("tx06_bigram_lm", bigramLm, Some(bigramLmOracle)),
+    Q("tx07_det_split", detSplit, Some(detSplitOracle))
   )
 }
