@@ -43,17 +43,24 @@ object Bench {
     // min of two runs: the first pays Janino/JIT compilation per query and
     // local machine noise was observed at ±40%; the minimum is the stable
     // measure of the plan itself.
-    val results = SparkEntry.registry.map { q =>
+    // optional comma-separated name filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val a = force(q.name)
       val b = force(q.name)
       val best = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
       q.name -> best
     }
+    // failed queries surface as null entries + a failed count, so a
+    // regression can't masquerade as a faster total
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "null" else f"$v%.3f") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total  = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

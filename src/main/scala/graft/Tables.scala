@@ -35,6 +35,16 @@ object Tables {
     }
   }
 
+  /** Fan a scan out to all cores before CPU-heavy per-row work (shingling,
+    * vector kernels). The testdata files are one parquet row group each, so
+    * a scan is one task no matter how `maxPartitionBytes` is set; spreading
+    * costs one tiny shuffle of the raw rows and buys full parallelism on
+    * the expensive compute stage. At production scale inputs arrive in many
+    * splits and the same call just rebalances the compute stage's input —
+    * it never gates the IO path. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -38,12 +38,16 @@ final class Engine(val spark: SparkSession, val catalog: FsCatalog) {
     table(ident).createOrReplaceTempView(viewName)
 
   /** Parameterized SQL with `{table}` placeholder substitution
-    * (`query_iceberg_minio.ipynb:1119-1180` semantics). */
+    * (`query_iceberg_minio.ipynb:1119-1180` semantics). The temp view is
+    * deterministic per table identity, so repeated parameterized queries
+    * reuse one catalog entry instead of growing it without bound. */
   def sql(ident: String, query: String): DataFrame = {
-    val viewName = "tbl_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val viewName = "tbl_" + ident.replaceAll("[^A-Za-z0-9_]", "_")
     registerView(ident, viewName)
+    // spark.sql analyzes eagerly, inlining the view into the returned plan,
+    // so the view can be dropped immediately without invalidating the result
     try spark.sql(query.replace("{table}", viewName))
-    finally () // view stays for the session; harmless + inspectable
+    finally spark.catalog.dropTempView(viewName)
   }
 
   /** DESCRIBE: (column_name, column_type) with DuckDB-style type names

@@ -21,11 +21,16 @@ object SourceResolver {
   def localize(path: String): String =
     if (path.startsWith("file:")) Paths.get(URI.create(path)).toString else path
 
-  /** Classify: non-empty glob pattern wins; then URL scheme; then existing
-    * local file; else unknown. */
+  private def hasWildcard(p: String): Boolean =
+    p.exists(c => c == '*' || c == '?' || c == '[')
+
+  /** Classify, in the reference's order: URL scheme first, then an explicit
+    * glob pattern, then a wildcard-bearing source path (treated as
+    * dir+pattern), then an existing local file; else unknown. */
   def detect(path: String, globPattern: Option[String]): SourceType =
-    if (globPattern.exists(_.nonEmpty)) Glob
-    else if (path.startsWith("http://") || path.startsWith("https://")) Remote
+    if (path.startsWith("http://") || path.startsWith("https://")) Remote
+    else if (globPattern.exists(_.nonEmpty)) Glob
+    else if (hasWildcard(path)) Glob
     else if (new File(localize(path)).isFile) Local
     else Unknown
 
@@ -74,12 +79,22 @@ object SourceResolver {
     (dest.toString, fileName)
   }
 
-  /** Resolve the concrete list of files to ingest: (localPath, fileName). */
+  /** Resolve the concrete list of files to ingest: (localPath, fileName).
+    * A wildcard-bearing `path` with no explicit pattern splits into
+    * (parent dir, filename pattern). Unknown sources raise rather than
+    * silently ingesting nothing. */
   def filesToProcess(path: String, globPattern: Option[String], tmpDir: String): Seq[(String, String)] =
     detect(path, globPattern) match {
-      case Remote  => Seq(download(path, tmpDir))
-      case Glob    => expandGlob(localize(path), globPattern.get).map(p => (p, new File(p).getName))
+      case Remote => Seq(download(path, tmpDir))
+      case Glob =>
+        val (dir, pat) = globPattern.filter(_.nonEmpty) match {
+          case Some(p) => (localize(path), p)
+          case None =>
+            val f = new File(localize(path))
+            (Option(f.getParent).getOrElse("."), f.getName)
+        }
+        expandGlob(dir, pat).map(p => (p, new File(p).getName))
       case Local   => val p = localize(path); Seq((p, new File(p).getName))
-      case Unknown => Seq.empty
+      case Unknown => throw new IllegalArgumentException(s"cannot resolve ingest source: $path")
     }
 }

@@ -30,7 +30,7 @@ object Dedup {
   /** doc_id + distinct word-3-gram shingle strings (codegen'd single pass;
     * empty array ⟺ fewer than 3 words, i.e. the oracle's len(ws)>=3 gate). */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.functions.hashfns.wordShingles(col("text"), 3).as("shs"))
       .filter(size(col("shs")) >= 1)
 
@@ -240,8 +240,7 @@ object Dedup {
     // same broadcast-matrix kernel as graft.ops.Sim (shared dotv/normv/
     // collectMatrix keep the fold-order exactness rules in one place)
     val bc = s.sparkContext.broadcast(Sim.collectMatrix(s, d))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value

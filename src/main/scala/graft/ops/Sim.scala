@@ -72,8 +72,7 @@ object Sim {
     // shuffle until the tiny top-k window over |corpus| x 10 rows)
     val bc  = s.sparkContext.broadcast(collectMatrix(s, d, idBound = 10))
     val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value
@@ -114,8 +113,7 @@ object Sim {
     // (measure-zero) ties — the same (sim DESC, nid ASC) selection the
     // windowed implementation used.
     val bc = s.sparkContext.broadcast(collectMatrix(s, d))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -168,8 +166,7 @@ object Sim {
     // oracle's group-sum order may differ, but a sign flip would need
     // |dot| at float-error scale — measure-zero for this data.)
     val planes = Array.tabulate(16, 64)((j, dim) => planeWeight(j, dim))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .map { case (_, vf) =>
         var bucket = 0L
@@ -241,8 +238,7 @@ object Sim {
       }
     val bc  = s.sparkContext.broadcast(qs)
     val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bc.value

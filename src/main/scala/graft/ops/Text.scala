@@ -32,7 +32,8 @@ object Text {
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
   private def words(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+    graft.Tables.spread(df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
 
   // ---------------------------------------------------------------- lang id
 
@@ -197,14 +198,19 @@ object Text {
     // single-word docs have no bigrams: the oracle's range(1, len(ws)) is
     // empty for them, but Spark's sequence(1, 0) DESCENDS to [1, 0] and
     // element_at(ws, 0) throws — gate them out before the transform
-    val docs = words(Tables.documents(s, d)).filter(size(col("ws")) >= 2)
+    // feeds both the bigram path and the full-corpus unigram counts —
+    // persist so the split+spread runs once (harness clears caches per query)
+    val allDocs = words(Tables.documents(s, d)).persist()
+    val docs = allDocs.filter(size(col("ws")) >= 2)
     val bigrams = docs
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")))
       .select(col("doc_id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
     val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
-    val uniCounts = docs
-      .select(col("doc_id"), explode(col("ws")).as("w1"))
+    // unigram stats come from the FULL corpus (single-word docs included),
+    // matching the oracle's uni CTE, which counts over all documents
+    val uniCounts = allDocs
+      .select(explode(col("ws")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_uni"))
     val vocabSize = 31L // fixed testdata vocabulary (stable across scales)
     bigrams

@@ -296,14 +296,21 @@ object Analytics {
     //      (Oracle: DuckDB's native ASOF LEFT JOIN.)
     Q("an17_asof_join",
       (s, d) => {
+        // pre-dedup clicks to max(event_id) per (user_id, ts) on BOTH sides:
+        // ASOF tie-breaking among equal-ts clicks is engine-unspecified, so
+        // the tie rule is pinned in the data rather than the join
         val ev = Tables.events(s, d)
-          .filter(col("event_type").isin("click", "purchase"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as("event_id"))
+          .select(col("event_id"), col("user_id"), col("ts"), lit("click").as("event_type"))
+        val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
         // clicks sort before purchases at equal ts => inclusive c.ts <= p.ts
         val byUser = Window.partitionBy("user_id")
           .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev
+        purchases.unionByName(clicks)
           .withColumn("click_ts",
             last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(byUser))
           .withColumn("click_id",
@@ -313,7 +320,9 @@ object Analytics {
           .orderBy("event_id")
       },
       Some("""WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        clicks AS (SELECT * FROM events WHERE event_type = 'click')
+        clicks AS (
+          SELECT user_id, ts, MAX(event_id) AS event_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
         SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.event_id AS click_id
         FROM purchases p ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts

@@ -65,8 +65,10 @@ object Ref {
         when(col("value") >= 100.0, "hi").otherwise("lo")).as("branch"))
       .groupBy("branch")
       .agg(count(lit(1)).as("c"))
-    broadcast(universe)
-      .join(counted, Seq("branch"), "left")
+    // broadcast the build (right) side — hinting the preserved side of a
+    // left outer join is unsupported and falls back with a warning
+    universe
+      .join(broadcast(counted), Seq("branch"), "left")
       .na.fill(0L, Seq("c"))
       .orderBy(desc("c"), asc("branch"))
   }

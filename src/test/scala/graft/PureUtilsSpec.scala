@@ -77,11 +77,28 @@ class PureUtilsSpec extends AnyFunSuite {
     assert(detect("https://x.test/a.csv", None) == Remote)
     assert(detect("http://x.test/a.csv", None) == Remote)
     assert(detect("/anything", Some("*.csv")) == Glob)
+    // remote wins over an explicit glob pattern (reference order)
+    assert(detect("https://x.test/a.csv", Some("*.csv")) == Remote)
+    // a wildcard-bearing source path is itself a glob
+    assert(detect("/data/in/*.csv", None) == Glob)
     val tmp = java.nio.file.Files.createTempFile("graft", ".csv")
     assert(detect(tmp.toString, None) == Local)
     assert(detect("file:" + tmp.toString, None) == Local)
     assert(detect("/does/not/exist.csv", None) == Unknown)
     java.nio.file.Files.delete(tmp)
+  }
+
+  test("filesToProcess expands a wildcard source path and raises on unknown") {
+    val dir = java.nio.file.Files.createTempDirectory("graftwild")
+    for (n <- Seq("x.csv", "y.csv", "z.txt"))
+      java.nio.file.Files.createFile(dir.resolve(n))
+    val got = SourceResolver
+      .filesToProcess(dir.toString + "/*.csv", None, dir.toString)
+      .map(_._2)
+    assert(got == Seq("x.csv", "y.csv"))
+    intercept[IllegalArgumentException] {
+      SourceResolver.filesToProcess("/does/not/exist.csv", None, dir.toString)
+    }
   }
 
   test("expandGlob returns sorted matches only") {
