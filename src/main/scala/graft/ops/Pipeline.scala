@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.{Hashing, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation pipeline — the composite shape a real
+  * training-data run executes, expressed as ONE declarative Spark plan so
+  * Catalyst sees the whole thing:
+  *
+  *   exact dedup (canonical copy per text)
+  *     -> quality gate (tx02's score >= 0.5)
+  *     -> language ID (tx01's marker-list argmax)
+  *     -> deterministic split assignment (tx07's content-hash buckets)
+  *     -> per (lang, split) corpus stats (docs, tokens, mean quality)
+  *
+  * Scale shape: one shuffle for the text-key dedup and one for the final
+  * grouped stats — everything else (quality score, language argmax, split
+  * hash) is per-row map-side expression work between them. At 100 TB this
+  * is exactly the plan you want: no operator materializes an intermediate
+  * corpus, and the quality gate prunes before any downstream work.
+  *
+  * Each stage reuses the formula of its standalone operator (tx01/tx02/
+  * tx07/dd01), and the oracle replays the same CTE chain, so the composite
+  * is oracle-checked end to end, not just stage by stage.
+  */
+object Pipeline {
+
+  private val qualityMin = 0.5
+
+  private def curation(s: SparkSession, d: String): DataFrame = {
+    // stage 1: exact dedup — one canonical doc_id per distinct text
+    val canon = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"))
+    // stage 2: quality gate (tx02's score formula, verbatim)
+    val scored = canon
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"), col("text"), col("ws"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(filter(col("ws"), w => array_contains(typedLit(Text.stopwords), w)))
+          .cast("long").as("stop_cnt"))
+      .select(
+        col("doc_id"), col("text"), col("ws"), col("n_tokens"),
+        round(
+          least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
+            (col("stop_cnt").cast("double") / col("n_tokens")) * 0.5, 4).as("quality_score"))
+      .filter(col("quality_score") >= qualityMin)
+    // stage 3: language ID (tx01's map-side marker argmax — no shuffle)
+    val (langCol, _) = Text.langPred(col("ws"))
+    // stage 4: deterministic split (tx07's content-hash buckets)
+    val bucket = graft.functions.hashfns.rollHash(col("text")) % 100
+    scored
+      .select(
+        col("doc_id"), col("n_tokens"), col("quality_score"),
+        langCol.as("lang_pred"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      // stage 5: corpus stats per (lang, split)
+      .groupBy("lang_pred", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("quality_score")), 4).as("avg_quality"))
+      .orderBy("lang_pred", "split")
+  }
+
+  private val curationOracle: String = {
+    val stops = Text.stopwords.map(w => s"'$w'").mkString(", ")
+    val langValues = Text.langMarkers
+      .map { case (l, ws) => s"('$l', [${ws.map(w => s"'$w'").mkString(", ")}])" }
+      .mkString(", ")
+    val h = Hashing.duckRollHash("text", Hashing.P, "c0")
+    s"""WITH canon AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM canon),
+      q AS (
+        SELECT doc_id, text, ws,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               ROUND(LEAST(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) * 0.5
+                     + (CAST(len(list_filter(ws, t -> t IN ($stops))) AS DOUBLE)
+                        / len(ws)) * 0.5, 4) AS quality_score
+        FROM w),
+      g AS (SELECT * FROM q WHERE quality_score >= $qualityMin),
+      langs(lang, wlist) AS (VALUES $langValues),
+      scores AS (
+        SELECT g.*, lang,
+               len(list_filter(ws, x -> list_contains(wlist, x))) AS score
+        FROM g CROSS JOIN langs),
+      rl AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM scores),
+      assigned AS (
+        SELECT doc_id, n_tokens, quality_score, lang AS lang_pred,
+               CASE WHEN ($h) % 100 < 80 THEN 'train'
+                    WHEN ($h) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        FROM rl WHERE rn = 1)
+      SELECT lang_pred, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             ROUND(AVG(quality_score), 4) AS avg_quality
+      FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("pp01_curation", curation, Some(curationOracle))
+  )
+}

@@ -290,10 +290,103 @@ object Sim {
       r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
       SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  // ------------------------------------------ IVF coarse-quantizer search
+
+  /** IVF (inverted-file) approximate search — the other standard ANN layout
+    * next to sm03/sm04's hyperplane LSH. The corpus is partitioned into
+    * cells by nearest centroid (deterministic codebook: the 8 lowest-id
+    * vectors, so the oracle replicates "training"), a query probes its 2
+    * nearest cells, and only those vectors are exact-reranked. At 100 TB
+    * the corpus is physically partitioned (bucketed) by cell id, so a query
+    * touches nprobe/ncells of the data; here cell assignment, probing and
+    * rerank are all replicated exactly in the oracle. Ties on cell distance
+    * break to the smaller centroid id on both sides. */
+  private val ivfCells  = 8
+  private val ivfProbes = 2
+
+  private def ivfSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = collectMatrix(s, d, idBound = ivfCells) // ascending cid
+    def dist2(v: Array[Double], cv: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < cv.length) { val t = v(i) - cv(i); acc += t * t; i += 1 }
+      acc
+    }
+    // centroid ids ordered by (L2^2 asc, cid asc) — sortBy is stable and
+    // cents is id-sorted, so ties keep the smaller cid first
+    def probeCells(v: Array[Double]): Set[Long] =
+      cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
+        .sortBy(_._2).take(ivfProbes).map(_._1).toSet
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (qid, vf) =>
+        val v = vf.map(_.toDouble)
+        (qid, v, normv(v), probeCells(v))
+      }
+    val bc  = s.sparkContext.broadcast((cents, queries))
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, qs) = bc.value
+        it.flatMap { case (nid, vf) =>
+          val v = vf.map(_.toDouble)
+          // nearest centroid: strict < with ascending cid iteration keeps
+          // the smaller cid on ties, matching the oracle's (d2, cid) order
+          var best = Double.MaxValue
+          var cell = -1L
+          var i    = 0
+          while (i < cs.length) {
+            val d2 = dist2(v, cs(i)._2)
+            if (d2 < best) { best = d2; cell = cs(i)._1 }
+            i += 1
+          }
+          lazy val n = normv(v)
+          qs.iterator
+            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
+            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  private val ivfSearchOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS pcell FROM rk WHERE vec_id < 10 AND rn <= $ivfProbes),
+      cand AS (
+        SELECT p.qid, a.vec_id AS nid
+        FROM probes p JOIN cell a ON a.cell = p.pcell AND a.vec_id <> p.qid),
+      dots AS (
+        SELECT cand.qid, cand.nid, SUM(a.x * b.x) AS dot
+        FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid AND a.d = b.d
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
+      SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
     Q("sm03_lsh_buckets", lshBuckets, Some(lshBucketsOracle)),
-    Q("sm04_lsh_search", lshSearch, Some(lshSearchOracle))
+    Q("sm04_lsh_search", lshSearch, Some(lshSearchOracle)),
+    Q("sm05_ivf_search", ivfSearch, Some(ivfSearchOracle))
   )
 }

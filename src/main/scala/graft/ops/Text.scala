@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Hashing, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -37,18 +36,28 @@ object Text {
 
   // ---------------------------------------------------------------- lang id
 
+  /** (lang_pred, score) as pure per-row column expressions. The marker
+    * lists are program constants, so the argmax over 5 languages is five
+    * codegen'd array filters + a greatest/when chain — no crossJoin, no
+    * window shuffle; at 100 TB language ID is a map-only stage. The when
+    * chain evaluates in ascending lang order, so ties break to the
+    * lexicographically smallest language, exactly the oracle's
+    * (score DESC, lang ASC) row_number pick. */
+  private[ops] def langPred(ws: Column): (Column, Column) = {
+    val scores = langMarkers.map { case (l, ms) =>
+      (l, size(filter(ws, w => array_contains(typedLit(ms), w))).cast("long"))
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val pred = scores.tail.foldLeft(when(scores.head._2 === mx, scores.head._1)) {
+      case (acc, (l, sc)) => acc.when(sc === mx, l)
+    }
+    (pred, mx)
+  }
+
   private def langId(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val langs = broadcast(langMarkers.toDF("lang", "wlist"))
-    val byDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    val (pred, score) = langPred(col("ws"))
     words(Tables.documents(s, d))
-      .crossJoin(langs)
-      .select(
-        col("doc_id"), col("lang"),
-        size(filter(col("ws"), w => array_contains(col("wlist"), w))).cast("long").as("score"))
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
+      .select(col("doc_id"), pred.as("lang_pred"), score.as("score"))
       .orderBy("doc_id")
   }
 
@@ -240,6 +249,44 @@ object Text {
       FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------------------- tf-idf
+
+  /** Classic tf-idf document weighting: term frequency per (doc, word),
+    * document frequency per word, score = Σ tf · ln((N+1)/(df+1)). Two
+    * grouped counts on natural keys + a broadcast join of the (tiny
+    * relative to the corpus) document-frequency table — at 100 TB the df
+    * table is vocabulary-sized, so the join stays broadcast and the whole
+    * plan is two shuffles. The corpus size N is a driver-side scalar
+    * (metadata-grade, like a snapshot row count). */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = words(Tables.documents(s, d)).persist() // terms + the N count
+    val terms = docs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count()
+    terms
+      .join(broadcast(dfreq), Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("tf").cast("double") *
+          log(lit((nDocs + 1).toDouble) / (col("df") + 1))), 4).as("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  private val tfidfOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      t AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, COUNT(*) AS n_terms,
+        ROUND(SUM(CAST(tf AS DOUBLE)
+                  * ln(CAST((SELECT n FROM n) + 1 AS DOUBLE) / (df + 1))), 4) AS tfidf
+      FROM tf JOIN df USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   // --------------------------------------------- deterministic data split
 
   /** Reproducible train/val/test assignment by content hash — the
@@ -271,6 +318,7 @@ object Text {
     Q("tx04_fingerprint", fingerprint, Some(fingerprintOracle)),
     Q("tx05_bloom_digest", bloom, Some(bloomOracle)),
     Q("tx06_bigram_lm", bigramLm, Some(bigramLmOracle)),
-    Q("tx07_det_split", detSplit, Some(detSplitOracle))
+    Q("tx07_det_split", detSplit, Some(detSplitOracle)),
+    Q("tx08_tfidf", tfidf, Some(tfidfOracle))
   )
 }

@@ -421,6 +421,41 @@ object Analytics {
           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- KMV (k-minimum-values) distinct sketch vs exact count.
+    //      The estimator keeps the k smallest distinct hash values; at
+    //      100 TB that is a per-partition min-k partial aggregate merged on
+    //      the driver (TakeOrderedAndProject does exactly this — no global
+    //      sort), making distinct-cardinality a single cheap pass. The hash
+    //      is injective over the key domain (< modulus), so the oracle
+    //      replicates the sketch bit-for-bit; the estimate is one double
+    //      division, identical IEEE ops both engines.
+    Q("an21_kmv_distinct",
+      (s, d) => {
+        val m  = 1000000007L
+        val k  = 64
+        val h  = (col("o_custkey") * 999983L + 12345L) % m
+        val hs = Tables.orders(s, d).select(h.as("h")).distinct()
+        val sk = hs.orderBy("h").limit(k)
+          .agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+        hs.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(sk)
+          .select(
+            col("n_exact"),
+            round(
+              when(col("k") < k, col("n_exact").cast("double"))
+                .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) / col("hk")), 4)
+              .as("kmv_estimate"))
+      },
+      Some("""WITH hs AS (
+          SELECT DISTINCT (o_custkey * 999983 + 12345) % 1000000007 AS h FROM orders),
+        sk AS (SELECT COUNT(*) AS k, MAX(h) AS hk
+               FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),
+        ex AS (SELECT COUNT(*) AS n_exact FROM hs)
+        SELECT n_exact,
+          ROUND(CASE WHEN k < 64 THEN CAST(n_exact AS DOUBLE)
+                     ELSE 63.0 * 1000000007.0 / hk END, 4) AS kmv_estimate
+        FROM ex CROSS JOIN sk"""))
   )
 }
