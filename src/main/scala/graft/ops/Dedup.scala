@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Hashing, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over `documents`.
@@ -92,22 +93,24 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash lsh
 
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** Verified near-dup pairs (doc_a < doc_b, exact Jaccard over hashed
+    * shingle sets) found via MinHash banding — shared by dd03 and the
+    * dd06 clustering pass. */
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.hashfns
     // distinct integer shingle-hash sets per doc (codegen'd rolling hash)
     val hs = shingles(s, d).select(
       col("doc_id"),
       array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
-      .persist() // feeds the signature path, the verify join (twice), and sizes
-    val eh = hs.select(col("doc_id"), explode(col("hset")).as("h"))
+      .persist() // feeds the signature path and the verify joins
     // whole 16-value signature in one map-side pass (no explode/crossJoin/
-    // shuffled min-agg), then band signatures by slicing the array
+    // shuffled min-agg), then band signatures by slicing the array — the
+    // sliced array itself is the equi-join key (no csv-string building)
     val band = hs
       .select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
-          s"b -> array_join(transform(slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}), " +
-          "x -> cast(x as string)), ','))")))
+          s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bsig")
     val cand = band.as("x")
@@ -116,27 +119,28 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact jaccard over the hashed shingle sets
-    val inter = cand
-      .join(eh.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(eh.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("c"))
-    val sz = hs.select(col("doc_id"), size(col("hset")).cast("long").as("sz"))
+    // verify candidates with exact jaccard, computed map-side from the two
+    // hset arrays (array_intersect) — no explode + re-join + shuffled count.
+    // The hset frame is per-doc (tiny next to the corpus text), so AQE
+    // broadcasts it; at 100 TB these become shuffle joins on doc_id, still
+    // proportional to the candidate count, not the corpus.
+    val c = size(array_intersect(col("ha"), col("hb"))).cast("long")
+    val jac = c.cast("double") /
+      (size(col("ha")) + size(col("hb")) - c).cast("double")
     cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("c"))
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c")).cast("double"), 4)
-          .as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
-  private val minhashLshOracle = {
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the oracle twin
+    * of [[minhashPairs]], shared by the dd03 and dd06 oracles. */
+  private val minhashPairsCte = {
     val shHash = Hashing.duckRollHash("sg", P, "c0")
-    s"""WITH $duckShingles,
+    s"""$duckShingles,
       hs AS (
         SELECT doc_id, list_distinct(list_transform(shs, sg -> $shHash)) AS hset FROM sh),
       eh AS (SELECT doc_id, unnest(hset) AS h FROM hs),
@@ -158,16 +162,82 @@ object Dedup {
         JOIN eh ea ON c.doc_a = ea.doc_id
         JOIN eh eb ON c.doc_b = eb.doc_id AND ea.h = eb.h
         GROUP BY 1, 2),
-      sz AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS sz FROM hs)
-      SELECT c.doc_a, c.doc_b,
-             ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
-                   / CAST(sa.sz + sb.sz - COALESCE(i.c, 0) AS DOUBLE), 4) AS jaccard
-      FROM cand c
-      LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-      JOIN sz sa ON c.doc_a = sa.doc_id
-      JOIN sz sb ON c.doc_b = sb.doc_id
-      ORDER BY 1, 2"""
+      sz AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS sz FROM hs),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - COALESCE(i.c, 0) AS DOUBLE), 4) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sz sa ON c.doc_a = sa.doc_id
+        JOIN sz sb ON c.doc_b = sb.doc_id)"""
   }
+
+  private val minhashLshOracle =
+    s"WITH $minhashPairsCte SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY 1, 2"
+
+  // ------------------------------------------- near-dup cluster resolution
+
+  /** Connected components over the verified near-dup graph (MinHash pairs
+    * with Jaccard >= 0.5) — the step a real dedup pipeline runs AFTER pair
+    * finding, so each group of transitively-linked near-duplicates keeps
+    * exactly one canonical document. Min-label propagation to a fixpoint:
+    * every node's label converges to the smallest doc_id reachable from it,
+    * which is a deterministic component id (so the oracle can replicate it
+    * with a recursive reachability CTE). Each BSP round is one shuffle on
+    * the edge key + one grouped min — the same iterate-until-stable shape
+    * scales to 100 TB (O(diameter) rounds; large-star/small-star halves the
+    * round count but the per-round plan is identical); localCheckpoint
+    * truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+    */
+  private def ccCluster(s: SparkSession, d: String): DataFrame = {
+    val edges = minhashPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // pair mining runs once, not once per BSP round
+    var lbl       = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed   = 1L
+    var round     = 0
+    while (changed > 0 && round < 30) {
+      val nbrMin = und.join(lbl, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+      val next = lbl.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+        .localCheckpoint()
+      changed = next.filter(col("comp2") < col("comp")).count()
+      lbl = next.select(col("id"), col("comp2").as("comp"))
+      round += 1
+    }
+    require(changed == 0, s"cc did not converge in $round rounds")
+    val byComp = Window.partitionBy("cluster")
+    lbl
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  private val ccClusterOracle =
+    s"""WITH RECURSIVE $minhashPairsCte,
+      ed AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+      e AS (SELECT doc_a AS s, doc_b AS t FROM ed
+            UNION ALL SELECT doc_b, doc_a FROM ed),
+      reach AS (
+        SELECT s AS id, t AS r FROM e
+        UNION
+        SELECT reach.id, e.t FROM reach JOIN e ON e.s = reach.r),
+      comp AS (
+        SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster
+        FROM reach GROUP BY id)
+      SELECT doc_id, cluster,
+             CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+             doc_id = cluster AS is_canonical
+      FROM comp ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- simhash
 
@@ -284,6 +354,7 @@ object Dedup {
     Q("dd02_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dd03_minhash_lsh", minhashLsh, Some(minhashLshOracle)),
     Q("dd04_simhash", simhash, Some(simhashOracle)),
-    Q("dd05_embed_neardup", embedNearDup, Some(embedNearDupOracle))
+    Q("dd05_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
+    Q("dd06_cc_cluster", ccCluster, Some(ccClusterOracle))
   )
 }

@@ -457,5 +457,65 @@ object Analytics {
           ROUND(CASE WHEN k < 64 THEN CAST(n_exact AS DOUBLE)
                      ELSE 63.0 * 1000000007.0 / hk END, 4) AS kmv_estimate
         FROM ex CROSS JOIN sk"""))
-  )
+  ) ++ Seq(cmsHeavyHitters)
+
+  // ---- count-min sketch frequency estimation (heavy hitters).
+  //      Four hash rows x 512 buckets of pure counter sums: the sketch is a
+  //      2048-cell map-side partial aggregate regardless of input size, so
+  //      at 100 TB frequency estimation costs one scan + a constant-size
+  //      merge — no per-key shuffle. The point query (min over the 4 rows'
+  //      counters) overestimates only from bucket collisions; integer
+  //      arithmetic end to end, so the oracle replicates the sketch exactly
+  //      and the gate checks the estimator, not just row counts. Output is
+  //      the top-25 estimated keys joined with their exact counts.
+  private val cmsRows: Seq[(Long, Long)] =
+    Seq((769L, 12289L), (3079L, 49157L), (1543L, 24593L), (6151L, 98317L))
+  private val cmsW = 512L
+  private val cmsP = 1000000007L
+
+  private def cmsBucket(k: Column, a: Long, b: Long): Column =
+    ((k * a + b) % cmsP) % cmsW
+
+  private val cmsHeavyHitters: Q = Q(
+    "an22_cms_topk",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      // the sketch: 4 x 512 counters, built from one explode + grouped count
+      val counters = orders
+        .select(explode(array(cmsRows.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i).as("i"), cmsBucket(col("o_custkey"), a, b).as("bkt"))
+        }: _*)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.bkt").as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = orders.groupBy("o_custkey").agg(count(lit(1)).as("n_exact"))
+      // point query: probe each row's counter, take the min across rows
+      val probes = exact
+        .select(col("o_custkey"), col("n_exact"),
+          explode(array(cmsRows.zipWithIndex.map { case ((a, b), i) =>
+            struct(lit(i).as("i"), cmsBucket(col("o_custkey"), a, b).as("bkt"))
+          }: _*)).as("p"))
+        .select(col("o_custkey"), col("n_exact"), col("p.i").as("i"), col("p.bkt").as("bkt"))
+      probes
+        .join(broadcast(counters), Seq("i", "bkt"))
+        .groupBy("o_custkey", "n_exact")
+        .agg(min("cnt").as("cms_estimate"))
+        .orderBy(desc("cms_estimate"), asc("o_custkey"))
+        .limit(25)
+    },
+    Some(s"""WITH probes(i, pa, pb) AS (VALUES ${cmsRows.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
+      cells AS (
+        SELECT i, ((o_custkey * pa + pb) % $cmsP) % $cmsW AS bkt
+        FROM orders CROSS JOIN probes),
+      counters AS (SELECT i, bkt, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+      exact AS (SELECT o_custkey, COUNT(*) AS n_exact FROM orders GROUP BY 1),
+      est AS (
+        SELECT e.o_custkey, e.n_exact, MIN(c.cnt) AS cms_estimate
+        FROM exact e
+        CROSS JOIN probes p
+        JOIN counters c
+          ON c.i = p.i AND c.bkt = ((e.o_custkey * p.pa + p.pb) % $cmsP) % $cmsW
+        GROUP BY 1, 2)
+      SELECT o_custkey, n_exact, cms_estimate FROM est
+      ORDER BY cms_estimate DESC, o_custkey LIMIT 25"""))
 }
