@@ -350,6 +350,42 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     appendInternal(kept.unionByName(aligned), replace = true, operation = "upsert")
   }
 
+  /** Roll the current pointer back to an earlier snapshot (Iceberg
+    * rollback-to-snapshot). A new metadata version commits with the old
+    * snapshot as current — history is preserved, so the rolled-back-from
+    * snapshot remains time-travelable and a later rollback can restore it.
+    * No data IO at any table size: the operation rewrites one pointer. */
+  def rollback(snapshotId: Long): IceTable = {
+    val md = metadata
+    require(md.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId to roll back to")
+    commit(md.copy(current_snapshot_id = snapshotId))
+    this
+  }
+
+  /** Incremental read: rows appended strictly after `fromSnapshotId` up to
+    * and including `toSnapshotId` (Iceberg incremental append scan — the
+    * batch CDC feed). Because appends carry prior files forward by
+    * reference, the delta is exactly the file-list difference, so the scan
+    * reads only the new files — at 100 TB an incremental consumer pays for
+    * the day's data, never the table. Snapshots produced by replace-style
+    * operations (compact/delete/upsert) rewrite history rather than append
+    * it; the file diff across them would misreport rewritten rows as new,
+    * so they're rejected. */
+  def scanIncremental(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val md = metadata
+    require(fromSnapshotId <= toSnapshotId, s"from $fromSnapshotId > to $toSnapshotId")
+    val from = md.snapshot(fromSnapshotId)
+      .getOrElse(throw new NoSuchElementException(s"snapshot $fromSnapshotId"))
+    val to = md.snapshot(toSnapshotId)
+      .getOrElse(throw new NoSuchElementException(s"snapshot $toSnapshotId"))
+    val between = md.snapshots
+      .filter(s => s.snapshot_id > fromSnapshotId && s.snapshot_id <= toSnapshotId)
+    val nonAppend = between.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"incremental scan crosses non-append snapshots: ${nonAppend.map(_.operation).distinct.mkString(",")}")
+    readFiles(md, (to.files.toSet -- from.files.toSet).toSeq.sorted)
+  }
+
   /** Iceberg-style expire-snapshots maintenance: keep the most recent
     * `keepLast` snapshots, delete the metadata entries of older ones and
     * any data file no kept snapshot references. Time travel remains valid

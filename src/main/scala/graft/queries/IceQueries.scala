@@ -240,6 +240,37 @@ object IceQueries {
          FROM nation WHERE n_nationkey < 2)
        ORDER BY n_nationkey"""
 
+  /** Rollback: three snapshots, roll back to 1, current scan shows the
+    * v1 state while the rolled-back-from snapshot stays time-travelable. */
+  private def rollbackQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "rb")
+    val cat = new FsCatalog(s, wh)
+    val t   = cat.createOrReplaceTable("graft", "nations_rb", Tables.nation(s, d))
+    t.append(Tables.nation(s, d)) // snapshot 2: nation x2
+    t.append(Tables.nation(s, d)) // snapshot 3: nation x3
+    t.rollback(1)
+    require(t.scanSnapshot(3).count() == 75, "history lost on rollback")
+    t.scan().orderBy("n_nationkey")
+  }
+
+  /** Incremental append scan: the delta between snapshot 1 and 3 is
+    * exactly the two appended batches, read without touching snapshot 1's
+    * files. */
+  private def incrementalQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "inc")
+    val cat = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t = cat.createOrReplaceTable("graft", "nations_inc", nation.coalesce(1))
+    t.append(nation.filter(col("n_regionkey") === 0).coalesce(1)) // snapshot 2
+    t.append(nation.filter(col("n_regionkey") === 1).coalesce(1)) // snapshot 3
+    val delta = t.scanIncremental(1, 3)
+    require(delta.inputFiles.length == 2, "incremental scan read base files")
+    delta.orderBy("n_nationkey")
+  }
+
+  private val incrementalOracle =
+    """SELECT * FROM nation WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -263,6 +294,8 @@ object IceQueries {
     Q("ic12_evolve", evolve, Some(evolveOracle)),
     Q("ic13_delete", deleteRows,
       Some("SELECT * FROM nation WHERE n_regionkey <> 0 ORDER BY n_nationkey")),
-    Q("ic14_upsert", upsertRows, Some(upsertOracle))
+    Q("ic14_upsert", upsertRows, Some(upsertOracle)),
+    Q("ic15_rollback", rollbackQ, Some(nationOracle)),
+    Q("ic16_incremental", incrementalQ, Some(incrementalOracle))
   )
 }

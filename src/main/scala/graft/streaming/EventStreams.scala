@@ -61,6 +61,18 @@ object EventStreams {
     (closed.result(), cur)
   }
 
+  /** Streaming exact dedup: first event per `event_id` wins, duplicates
+    * inside the watermark horizon are dropped (`dropDuplicates` keyed
+    * state). The streaming twin of dd01's batch dedup — at-least-once
+    * sources (kafka redeliveries, file-source replays) become effectively-
+    * once downstream. State is one entry per key within the watermark and
+    * is evicted as the watermark advances, so state size is bounded by the
+    * key arrival rate × horizon, not the stream's lifetime. */
+  def dedupe(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful sessionization: 30-min inactivity gap, emitted on
     * processing-time timeout — the `flatMapGroupsWithState` pattern. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {

@@ -216,4 +216,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.scan().count() == 10)
     assert(t.metadata.fields.size == 2)
   }
+
+  test("rollback moves the current pointer without losing history") {
+    val cat    = new FsCatalog(spark, scratch("rb"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_rb", nation)
+    t.append(nation) // snapshot 2
+    assert(t.scan().count() == 50)
+    t.rollback(1)
+    assert(t.metadata.current_snapshot_id == 1L)
+    assert(t.scan().count() == 25)
+    // the rolled-back-from snapshot is still reachable, and re-rollable
+    assert(t.scanSnapshot(2).count() == 50)
+    t.rollback(2)
+    assert(t.scan().count() == 50)
+    intercept[IllegalArgumentException](t.rollback(99))
+    // a write after rollback commits on top of the restored state
+    t.rollback(1)
+    t.append(nation)
+    assert(t.scan().count() == 50)
+  }
+
+  test("scanIncremental reads only files appended in the snapshot window") {
+    val cat    = new FsCatalog(spark, scratch("inc"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_inc", nation.coalesce(1))
+    t.append(nation.filter(col("n_regionkey") === 0).coalesce(1)) // snapshot 2
+    t.append(nation.filter(col("n_regionkey") === 1).coalesce(1)) // snapshot 3
+    val delta = t.scanIncremental(1, 3)
+    assert(delta.inputFiles.length == 2)
+    assert(delta.count() == nation.filter(col("n_regionkey") <= 1).count())
+    // sub-window
+    assert(t.scanIncremental(2, 3).count() ==
+      nation.filter(col("n_regionkey") === 1).count())
+    // empty window
+    assert(t.scanIncremental(3, 3).count() == 0)
+    // windows crossing a rewrite snapshot are rejected
+    t.compact(1) // snapshot 4 (replace-style)
+    intercept[IllegalArgumentException](t.scanIncremental(1, 4))
+  }
 }

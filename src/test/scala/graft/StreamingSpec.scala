@@ -91,6 +91,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedupe drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // event 1 redelivered twice (same id, later ts), event 0 once
+    mem.addData(sample: _*)
+    mem.addData(Event(1, ts(12), 1, "click", 2.0), Event(5, ts(90), 2, "view", 6.0))
+    val q = EventStreams.dedupe(mem.toDF())
+      .writeStream.format("memory").queryName("dedupe_test").outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("dedupe_test")
+      .orderBy("event_id")
+      .collect().map(r => r.getLong(0))
+    // one row per distinct event_id, first delivery wins
+    assert(got.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(spark.table("dedupe_test").filter(col("event_id") === 1 && col("value") =!= 2.0).count() == 0)
+  }
+
   test("foldBatch merges late cross-batch events without moving the session end backwards") {
     import graft.streaming.EventStreams.{Event => E, SessionState}
     val gap = 30L * 60 * 1000
