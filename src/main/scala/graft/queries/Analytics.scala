@@ -457,7 +457,82 @@ object Analytics {
           ROUND(CASE WHEN k < 64 THEN CAST(n_exact AS DOUBLE)
                      ELSE 63.0 * 1000000007.0 / hk END, 4) AS kmv_estimate
         FROM ex CROSS JOIN sk"""))
-  ) ++ Seq(cmsHeavyHitters)
+  ) ++ Seq(cmsHeavyHitters) ++ Seq(
+
+    // ---- sliding window frame: 7-day moving average of daily revenue.
+    //      Two-level shape: a grouped daily rollup (one shuffle) feeds a
+    //      RANGE-framed window over integer day numbers — at 100 TB the
+    //      window input is days × priorities (tiny), so the heavy lifting
+    //      stays in the partial+final hash aggregate. Decimal daily sums
+    //      keep the frame arithmetic exact; the moving average divides two
+    //      exact decimals and rounds once.
+    Q("an23_moving_avg",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"), datediff(col("o_orderdate"), ntz("1995-01-01")).as("day_no"))
+          .agg(sum(dec(col("o_totalprice"))).as("day_rev"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("day_no").rangeBetween(-6, 0)
+        // the moving average divides an exact decimal frame-sum (cast to
+        // double only after summing) by an exact count — both engines hit
+        // the identical IEEE division, unlike AVG(decimal), whose result
+        // type differs between Spark (decimal) and DuckDB (double)
+        daily
+          .select(
+            col("o_orderpriority"), col("day_no").cast("long").as("day_no"),
+            col("day_rev").cast("double").as("day_rev"),
+            round(sum(col("day_rev")).over(w).cast("double") / count(lit(1)).over(w), 4).as("ma7"))
+          .filter(col("day_no") < 60)
+          .orderBy("o_orderpriority", "day_no")
+      },
+      Some("""WITH daily AS (
+          SELECT o_orderpriority,
+                 datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_no,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS day_rev
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, CAST(day_no AS BIGINT) AS day_no,
+               CAST(day_rev AS DOUBLE) AS day_rev,
+               ROUND(CAST(SUM(day_rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS ma7
+        FROM daily
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        QUALIFY day_no < 60
+        ORDER BY o_orderpriority, day_no""")),
+
+    // ---- CUBE: all 2^2 grouping combinations in one pass (an14's ROLLUP
+    //      sibling; Spark plans both as a single Expand + hash aggregate,
+    //      so the input scans once regardless of grouping-set count).
+    Q("an24_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("rev"))
+          .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // ---- scalar subquery: orders above the global average price. Spark
+    //      plans the subqueries as independent one-row aggregates broadcast
+    //      into the filter (no per-row re-evaluation), so at 100 TB this
+    //      costs one extra scan-agg, not a join. The predicate is written
+    //      price*n > sum — all-decimal, so the threshold is exact in both
+    //      engines (AVG would be double in DuckDB, decimal in Spark).
+    Q("an25_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_ss")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n_above
+          FROM orders_ss
+          WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders_ss)
+                > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders_ss)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  )
 
   // ---- count-min sketch frequency estimation (heavy hitters).
   //      Four hash rows x 512 buckets of pure counter sums: the sketch is a
