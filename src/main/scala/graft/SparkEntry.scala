@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.{Analytics, IceQueries, Ref}
 import graft.ops.{Dedup, Multimodal, Pipeline, Sim, Text}
+import graft.streaming.StreamQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +17,8 @@ object SparkEntry {
 
   val registry: Seq[Q] =
     Ref.all ++ Analytics.all ++ IceQueries.all ++
-      Text.all ++ Dedup.all ++ Sim.all ++ Multimodal.all ++ Pipeline.all
+      Text.all ++ Dedup.all ++ Sim.all ++ Multimodal.all ++ Pipeline.all ++
+      StreamQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A 6-way join +
     * grouped revenue — exercises scan, broadcast joins, shuffle agg, sort. */

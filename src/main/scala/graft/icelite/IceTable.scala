@@ -101,8 +101,17 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       df: DataFrame,
       replace: Boolean,
       operation: String = "",
-      carryFiles: Seq[String] = Nil): IceTable = {
-    val md     = metadata
+      carryFiles: Seq[String] = Nil,
+      ref: Option[String] = None): IceTable = {
+    val md = metadata
+    // base snapshot: the target ref's head (main = current pointer)
+    val baseSnap = ref match {
+      case Some(r) =>
+        val info = md.refMap.getOrElse(r, throw new NoSuchElementException(s"no ref $r"))
+        require(info.ref_type == "branch", s"ref $r is a tag — tags are immutable")
+        md.snapshot(info.snapshot_id)
+      case None => md.currentSnapshot
+    }
     val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
     val dataRel = s"data/snap-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(location, dataRel)
@@ -118,8 +127,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       }
       buf.sorted.toIndexedSeq
     }
-    val base      = if (replace) carryFiles else md.currentSnapshot.map(_.files).getOrElse(Nil)
-    val curStats  = md.currentSnapshot.flatMap(_.file_stats).getOrElse(Map.empty)
+    val base      = if (replace) carryFiles else baseSnap.map(_.files).getOrElse(Nil)
+    val curStats  = baseSnap.flatMap(_.file_stats).getOrElse(Map.empty)
     val baseStats = if (replace) curStats.view.filterKeys(carryFiles.toSet).toMap else curStats
     val newStats  = collectFileStats(md.schema, dataDir, dataRel)
     val snap = Snapshot(
@@ -127,9 +136,14 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       timestamp_ms = System.currentTimeMillis(),
       operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
       files = (base ++ files).toList,
-      file_stats = Some(baseStats ++ newStats)
+      file_stats = Some(baseStats ++ newStats),
+      parent_snapshot_id = baseSnap.map(_.snapshot_id)
     )
-    commit(md.copy(current_snapshot_id = snapId, snapshots = md.snapshots :+ snap))
+    val withSnap = md.copy(snapshots = md.snapshots :+ snap)
+    commit(ref match {
+      case Some(r) => withSnap.copy(refs = Some(md.refMap + (r -> RefInfo(snapId, "branch"))))
+      case None    => withSnap.copy(current_snapshot_id = snapId)
+    })
     this
   }
 
@@ -362,6 +376,85 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     this
   }
 
+  // ------------------------------------------------ branches & tags (refs)
+
+  /** Create a branch ref at `at` (default: the current main head). The
+    * Git-like catalog surface of the reference's Nessie deployment
+    * (`bot_iceberg_loader.py:245-281`): a branch is a movable named pointer
+    * into the shared snapshot log — creating one writes one metadata
+    * version and zero data, at any table size. */
+  def createBranch(name: String, at: Option[Long] = None): IceTable =
+    createRef(name, at, "branch")
+
+  /** Create an immutable tag ref (a release pin: scans through it never
+    * move, even as main advances). */
+  def createTag(name: String, at: Option[Long] = None): IceTable =
+    createRef(name, at, "tag")
+
+  private def createRef(name: String, at: Option[Long], refType: String): IceTable = {
+    val md = metadata
+    require(name.nonEmpty && name != "main", s"invalid ref name: $name")
+    require(!md.refMap.contains(name), s"ref $name already exists")
+    val snapId = at.getOrElse(md.current_snapshot_id)
+    require(snapId == 0L || md.snapshot(snapId).isDefined, s"no snapshot $snapId for ref $name")
+    commit(md.copy(refs = Some(md.refMap + (name -> RefInfo(snapId, refType)))))
+    this
+  }
+
+  def refs(): Map[String, RefInfo] = metadata.refMap
+
+  /** Scan through a ref: "main" is the current pointer, anything else
+    * resolves through the refs map (branch head or tag pin). */
+  def scanRef(name: String): DataFrame =
+    if (name == "main") scan()
+    else scanSnapshot(
+      metadata.refMap.getOrElse(name, throw new NoSuchElementException(s"no ref $name")).snapshot_id)
+
+  /** Append `df` as a commit on `branch`: the new snapshot's base is the
+    * branch head, the branch pointer advances, and main is untouched — the
+    * isolated-ingest workflow Nessie branches exist for (load + validate on
+    * a branch, then fast-forward main). */
+  def appendToBranch(branch: String, df: DataFrame): IceTable =
+    appendInternal(df, replace = false, ref = Some(branch))
+
+  /** True iff `ancestorId` is on the parent chain of `descendantId`
+    * (0 = the empty-table root, ancestor of everything). */
+  def isAncestor(ancestorId: Long, descendantId: Long): Boolean = {
+    if (ancestorId == descendantId || ancestorId == 0L) return true
+    val md  = metadata
+    var cur = md.snapshot(descendantId)
+    while (cur.isDefined) {
+      val p = cur.get.parent_snapshot_id.getOrElse(0L)
+      if (p == ancestorId) return true
+      cur = if (p == 0L) None else md.snapshot(p)
+    }
+    false
+  }
+
+  /** Fast-forward merge: move main to `branch`'s head. Requires main to be
+    * an ancestor of the branch head (nothing committed to main since the
+    * branch point) — the only merge shape that needs no data rewrite; a
+    * diverged merge must instead replay commits (append the branch delta),
+    * exactly as in Nessie/Git. */
+  def fastForward(branch: String): IceTable = {
+    val md   = metadata
+    val info = md.refMap.getOrElse(branch, throw new NoSuchElementException(s"no ref $branch"))
+    require(info.ref_type == "branch", s"cannot fast-forward to tag $branch")
+    require(isAncestor(md.current_snapshot_id, info.snapshot_id),
+      s"main is not an ancestor of $branch — not a fast-forward")
+    commit(md.copy(current_snapshot_id = info.snapshot_id))
+    this
+  }
+
+  /** Delete a branch or tag ref (snapshots stay; expiration reclaims them
+    * once unreferenced). */
+  def dropRef(name: String): IceTable = {
+    val md = metadata
+    require(md.refMap.contains(name), s"no ref $name")
+    commit(md.copy(refs = Some(md.refMap - name)))
+    this
+  }
+
   /** Incremental read: rows appended strictly after `fromSnapshotId` up to
     * and including `toSnapshotId` (Iceberg incremental append scan — the
     * batch CDC feed). Because appends carry prior files forward by
@@ -392,8 +485,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * for the kept window; storage for dropped history is reclaimed. */
   def expireSnapshots(keepLast: Int): IceTable = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val md   = metadata
-    val keep = md.snapshots.sortBy(_.snapshot_id).takeRight(keepLast)
+    val md       = metadata
+    val refHeads = md.refMap.values.map(_.snapshot_id).toSet
+    val keep = (md.snapshots.sortBy(_.snapshot_id).takeRight(keepLast) ++
+      md.snapshots.filter(s => refHeads.contains(s.snapshot_id)))
+      .distinctBy(_.snapshot_id).sortBy(_.snapshot_id)
     if (keep.size == md.snapshots.size) return this
     require(keep.exists(_.snapshot_id == md.current_snapshot_id),
       "cannot expire the current snapshot")

@@ -20,6 +20,13 @@ import org.json4s.jackson.Serialization
   */
 final case class FieldInfo(id: Int, name: String, `type`: String, required: Boolean)
 
+/** A named ref into the snapshot log (the Nessie/Iceberg refs concept the
+  * reference's catalog exposes — `bot_iceberg_loader.py:245-281` configures a
+  * Nessie REST catalog precisely for its Git-like branching). `branch` refs
+  * move on commit; `tag` refs are immutable pins. "main" is implicit: it is
+  * the table's `current_snapshot_id`. */
+final case class RefInfo(snapshot_id: Long, ref_type: String) // "branch" | "tag"
+
 /** Per-file, per-column value range (stringified; parsed per schema type).
   * The planner skips files whose range can't satisfy a predicate. */
 final case class ColRange(min: Option[String], max: Option[String])
@@ -29,7 +36,8 @@ final case class Snapshot(
     timestamp_ms: Long,
     operation: String, // "append" | "replace" | "compact"
     files: List[String], // relative to table location
-    file_stats: Option[Map[String, Map[String, ColRange]]] = None // file -> col -> range
+    file_stats: Option[Map[String, Map[String, ColRange]]] = None, // file -> col -> range
+    parent_snapshot_id: Option[Long] = None // commit DAG edge; None/0 = table root
 )
 
 final case class TableMetadata(
@@ -42,9 +50,12 @@ final case class TableMetadata(
     fields: List[FieldInfo],
     current_snapshot_id: Long,
     snapshots: List[Snapshot],
-    partition_columns: Option[List[String]] = None // hive-style layout when set
+    partition_columns: Option[List[String]] = None, // hive-style layout when set
+    refs: Option[Map[String, RefInfo]] = None // named branches/tags beyond main
 ) {
   def partitionCols: List[String] = partition_columns.getOrElse(Nil)
+
+  def refMap: Map[String, RefInfo] = refs.getOrElse(Map.empty)
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 

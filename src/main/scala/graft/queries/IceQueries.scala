@@ -271,6 +271,32 @@ object IceQueries {
   private val incrementalOracle =
     """SELECT * FROM nation WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey"""
 
+  /** Branch/tag refs (the Nessie workflow): ingest on an isolated branch
+    * while main and a release tag stay pinned, then fast-forward main.
+    * Returns the merged main scan; en route requires prove branch
+    * isolation, tag immutability, and ancestry-checked fast-forward. */
+  private def branchQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "br")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t      = cat.createOrReplaceTable("graft", "nations_br", nation) // snapshot 1
+    t.createBranch("dev").createTag("v1")
+    t.appendToBranch("dev", nation.filter(col("n_regionkey") === 0)) // snapshot 2, dev only
+    t.appendToBranch("dev", nation.filter(col("n_regionkey") === 1)) // snapshot 3, dev only
+    require(t.scan().count() == 25, "main moved on a branch commit")
+    require(t.scanRef("v1").count() == 25, "tag moved on a branch commit")
+    t.fastForward("dev")
+    require(t.scanRef("v1").count() == 25, "tag moved on merge")
+    require(t.refs()("dev").snapshot_id == 3, "branch head wrong after merge")
+    t.scan().orderBy("n_nationkey", "n_name")
+  }
+
+  private val branchOracle =
+    """SELECT * FROM (
+         SELECT * FROM nation
+         UNION ALL SELECT * FROM nation WHERE n_regionkey IN (0, 1))
+       ORDER BY n_nationkey, n_name"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -296,6 +322,7 @@ object IceQueries {
       Some("SELECT * FROM nation WHERE n_regionkey <> 0 ORDER BY n_nationkey")),
     Q("ic14_upsert", upsertRows, Some(upsertOracle)),
     Q("ic15_rollback", rollbackQ, Some(nationOracle)),
-    Q("ic16_incremental", incrementalQ, Some(incrementalOracle))
+    Q("ic16_incremental", incrementalQ, Some(incrementalOracle)),
+    Q("ic17_branch", branchQ, Some(branchOracle))
   )
 }

@@ -74,14 +74,23 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom stateful sessionization: 30-min inactivity gap, emitted on
-    * processing-time timeout — the `flatMapGroupsWithState` pattern. */
-  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    * processing-time timeout — the `flatMapGroupsWithState` pattern.
+    *
+    * `withTimeout = false` disables the processing-time timeout (open
+    * sessions stay in state; only gap-closed sessions emit). That is the
+    * mode for finite replays (`Trigger.AvailableNow` backfills/verification
+    * runs): pending processing-time timeouts make the engine schedule
+    * no-data batches indefinitely, so an AvailableNow query would never
+    * terminate. Unbounded deployments keep the default. */
+  def sessionize(events: Dataset[Event], withTimeout: Boolean = true): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
+    val mode =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append(), mode) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption
@@ -91,7 +100,7 @@ object EventStreams {
           } else {
             val (closed, next) = foldBatch(userId, batch.toSeq, state.getOption, gapMs)
             next.foreach(state.update)
-            state.setTimeoutDuration("30 minutes")
+            if (withTimeout) state.setTimeoutDuration("30 minutes")
             closed.iterator
           }
       }

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming under the differential gate: each query drives a
+  * real `readStream` -> stateful transform -> `writeStream` run with
+  * `Trigger.AvailableNow()` (process-everything-then-stop), lands the sink
+  * in a memory table, and returns it as a DataFrame whose contents a batch
+  * DuckDB oracle must reproduce. This gates the streaming *semantics* —
+  * watermarked windowed aggregation, `flatMapGroupsWithState`
+  * sessionization, keyed dedup — not just the batch twins (an11/an12/dd01).
+  *
+  * Scale: the same pipelines run unbounded by swapping the file source for
+  * kafka and the memory sink for a real one; state is keyed (window /
+  * user_id / event_id), so it shards across executors, and the watermark
+  * bounds state size. The AvailableNow harness is also exactly the
+  * production backfill path (replay a day of files through the streaming
+  * topology with identical semantics).
+  */
+object StreamQueries {
+
+  /** Streaming twin of [[graft.Tables.events]]: same raw-nanos handling and
+    * micro precision, but as an unbounded file-source stream. `ts` lands as
+    * TIMESTAMP (watermarks reject NTZ); the session is pinned UTC, so wall
+    * values equal the batch NTZ reads and outputs cast back to NTZ. The
+    * glob (not the bare file path) keeps the source's inferred basePath a
+    * directory. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$d/events.parquet").schema)
+      .parquet(s"$d/events*.parquet")
+    val tsTyped = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    tsTyped.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Run `df` to completion into a fresh memory table, return its contents. */
+  private def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    // repeated runs in one session (bench runs each query twice): drop the
+    // previous sink table before rebinding the name
+    s.catalog.dropTempView(name)
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(name)
+  }
+
+  // ------------------------------------------ watermarked windowed counts
+
+  /** Hourly tumbling-window aggregation through the streaming engine
+    * (EventStreams.hourlyCounts). Values go through DECIMAL so the
+    * stateful partial sums are order-independent — the same exactness rule
+    * the batch queries follow. */
+  private def streamHourly(s: SparkSession, d: String): DataFrame = {
+    val in = eventsStream(s, d).withColumn("value", col("value").cast("decimal(12,2)"))
+    runToTable(s, EventStreams.hourlyCounts(in), "st01_sink", "complete")
+      .select(
+        col("hour_start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"),
+        col("n"),
+        round(col("sum_value"), 2).cast("double").as("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  private val streamHourlyOracle =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------- stateful sessionization stream
+
+  /** `flatMapGroupsWithState` sessionization (EventStreams.sessionize,
+    * 30-min gap). With AvailableNow the whole file lands in one batch and
+    * the query stops before any timeout fires, so exactly the *closed*
+    * sessions are emitted — every session except each user's open last
+    * one. The oracle replays an12's gaps-and-islands and drops each user's
+    * final session. Session bounds are ms-precision (the state folds epoch
+    * millis), so the oracle truncates its timestamps to ms. */
+  private def streamSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, d)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .as[EventStreams.Event]
+    val sessions = EventStreams.sessionize(ev, withTimeout = false).toDF()
+    runToTable(s, sessions, "st02_sink", "append")
+      .select(
+        col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val streamSessionsOracle =
+    """WITH x AS (
+        SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        FROM events),
+      y AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS nw,
+               event_id
+        FROM x),
+      z AS (
+        SELECT user_id, ts,
+               SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM y),
+      sess AS (
+        SELECT user_id, session_id,
+               make_timestamp(epoch_ms(MIN(ts)) * 1000) AS session_start,
+               make_timestamp(epoch_ms(MAX(ts)) * 1000) AS session_end,
+               COUNT(*) AS n_events
+        FROM z GROUP BY 1, 2)
+      SELECT user_id, session_start, session_end, n_events
+      FROM sess
+      QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+      ORDER BY user_id, session_start"""
+
+  // ------------------------------------------------- streaming exact dedup
+
+  /** Keyed streaming dedup (EventStreams.dedupe) over a deliberately
+    * duplicated input: two file-source streams of the same data unioned,
+    * so every event arrives twice in the batch. Downstream counts must
+    * equal the batch DISTINCT — at-least-once delivery becomes
+    * effectively-once. */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
+    runToTable(s, EventStreams.dedupe(doubled), "st03_sink", "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  private val streamDedupOracle =
+    """SELECT event_type, COUNT(DISTINCT event_id) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
+  def all: Seq[Q] = Seq(
+    Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
+    Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
+    Q("st03_stream_dedup", streamDedup, Some(streamDedupOracle))
+  )
+}

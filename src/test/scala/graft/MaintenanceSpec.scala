@@ -255,4 +255,38 @@ class MaintenanceSpec extends SparkSpec {
     t.compact(1) // snapshot 4 (replace-style)
     intercept[IllegalArgumentException](t.scanIncremental(1, 4))
   }
+
+  test("branch commits isolate from main; tags pin; fast-forward checks ancestry") {
+    val cat    = new FsCatalog(spark, scratch("br"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_br", nation) // snapshot 1
+    t.createBranch("dev").createTag("v1")
+    t.appendToBranch("dev", nation) // snapshot 2, dev head
+    assert(t.scan().count() == 25, "main must not move on a branch commit")
+    assert(t.scanRef("dev").count() == 50)
+    assert(t.scanRef("v1").count() == 25)
+    // tags are immutable; unknown refs and duplicate names are rejected
+    intercept[IllegalArgumentException](t.appendToBranch("v1", nation))
+    intercept[NoSuchElementException](t.appendToBranch("nope", nation))
+    intercept[IllegalArgumentException](t.createBranch("dev"))
+    intercept[IllegalArgumentException](t.createBranch("main"))
+
+    // diverge main (snapshot 3): dev's head no longer descends from main
+    t.append(nation.filter(col("n_regionkey") === 0))
+    assert(!t.isAncestor(t.metadata.current_snapshot_id, t.refs()("dev").snapshot_id))
+    intercept[IllegalArgumentException](t.fastForward("dev"))
+
+    // rolling main back to the branch point makes the merge a fast-forward
+    t.rollback(1)
+    t.fastForward("dev")
+    assert(t.scan().count() == 50)
+    // expiration keeps ref heads even outside the keep-last window
+    t.appendToBranch("dev", nation) // snapshot 4
+    t.createTag("v2", at = Some(2L))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.scanRef("v2").count() == 50, "expire dropped a tagged snapshot")
+    assert(t.scanRef("dev").count() == 75)
+    t.dropRef("v2")
+    assert(!t.refs().contains("v2"))
+  }
 }
