@@ -100,7 +100,65 @@ object Pipeline {
       FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  // -------------------------------------------- sequence packing (pp02)
+
+  /** Concat-and-chunk sequence packing — the standard LLM pretraining
+    * batching step: documents are concatenated in a deterministic order and
+    * cut into fixed token-budget chunks; a document can span chunks. Output
+    * is per-chunk occupancy (docs touching the chunk, tokens it holds).
+    *
+    * Shape: one window prefix-sum per shard + a per-row chunk-range explode
+    * + one grouped count. Packing is sharded (here by `lang`) because a
+    * global prefix sum would serialize; at 100 TB you shard by
+    * (lang, hash-bucket) so every window partition is bounded and the
+    * prefix sums run fully parallel — chunk ids then just gain a shard
+    * prefix. The explode emits `ceil(n_tokens / B)` rows per doc, i.e.
+    * ~corpus_tokens / B total — linear, never quadratic. */
+  private val packBudget = 512L
+
+  private def packing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_end", sum("n_tokens").over(byLang))
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      .withColumn("chunk_id",
+        explode(sequence(
+          expr(s"cum_start div $packBudget"),
+          expr(s"(cum_end - 1) div $packBudget"))))
+      .withColumn("tok_in_chunk",
+        least(col("cum_end"), (col("chunk_id") + 1) * packBudget) -
+          greatest(col("cum_start"), col("chunk_id") * packBudget))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_in_chunk").as("n_tokens"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  private val packingOracle: String =
+    s"""WITH t AS (
+        SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+        FROM t),
+      sp AS (SELECT lang, n_tokens, cum_end, cum_end - n_tokens AS cum_start FROM c),
+      ex AS (
+        SELECT lang, cum_start, cum_end,
+               unnest(range(cum_start // $packBudget, (cum_end - 1) // $packBudget + 1)) AS chunk_id
+        FROM sp)
+      SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
+             CAST(SUM(LEAST(cum_end, (chunk_id + 1) * $packBudget)
+                      - GREATEST(cum_start, chunk_id * $packBudget)) AS BIGINT) AS n_tokens
+      FROM ex GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def all: Seq[Q] = Seq(
-    Q("pp01_curation", curation, Some(curationOracle))
+    Q("pp01_curation", curation, Some(curationOracle)),
+    Q("pp02_pack", packing, Some(packingOracle))
   )
 }

@@ -531,7 +531,68 @@ object Analytics {
         FROM orders
         WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders)
               > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- conversion funnel: view -> click-after-view -> purchase-after-
+    //      click, per user, counted per stage. Each stage is a groupBy on
+    //      user_id followed by an equi-join on user_id — every shuffle is on
+    //      the same key, so at 100 TB the stages co-partition and AQE reuses
+    //      the exchange; no stage ever materializes more than (user, ts).
+    Q("an26_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .join(views, "user_id")
+          .filter(col("ts") >= col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .join(clicks, "user_id")
+          .filter(col("ts") >= col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        views.agg(count(lit(1)).as("n_view"))
+          .crossJoin(clicks.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(purchases.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH v AS (
+          SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_view_click,
+               (SELECT COUNT(*) FROM p) AS n_view_click_purchase""")),
+
+    // ---- retention cohorts: users grouped by first-seen day, distinct
+    //      activity counted at each day offset. Two shuffles (user min-day,
+    //      then cohort grid); the cohort grid output is days x offsets —
+    //      tiny at any input scale.
+    Q("an27_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+        val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ev.dropDuplicates("user_id", "day")
+          .join(firstDay, "user_id")
+          .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
+          .filter(col("offset") <= 7)
+          .groupBy("cohort_day", "offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "offset")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+        SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS "offset",
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM a JOIN f ON a.user_id = f.user_id
+        WHERE date_diff('day', cohort_day, day) <= 7
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).
