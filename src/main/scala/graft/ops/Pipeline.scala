@@ -157,8 +157,57 @@ object Pipeline {
                       - GREATEST(cum_start, chunk_id * $packBudget)) AS BIGINT) AS n_tokens
       FROM ex GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ------------------------------------- domain mixing / re-balancing
+
+  /** Deterministic corpus re-balancing toward a uniform language mix (the
+    * domain-weighting step of training-data assembly): each language gets
+    * keep-probability p = min(1, target/actual), realized as an integer
+    * hash threshold so membership is a pure function of content — the same
+    * reproducibility rule as tx07's splits (no RNG, no sampling seed
+    * drift across reruns/retries).
+    *
+    * Shape: one tiny grouped count (langs), broadcast back onto the corpus
+    * for a map-side filtered count. At 100 TB the stats side is
+    * vocabulary-small, the corpus side is one scan — and the same
+    * threshold column drives the actual filtered write in a real run. */
+  private def mix(s: SparkSession, d: String): DataFrame = {
+    val docs  = Tables.documents(s, d).select(col("lang"), col("text"))
+    val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_in"))
+    val tot   = stats.agg(sum("n_in").as("total"), count(lit(1)).as("n_langs"))
+    val withThr = stats.crossJoin(broadcast(tot))
+      .withColumn("thr",
+        floor(least(lit(1.0),
+          col("total").cast("double") / col("n_langs") / col("n_in")) * 10000).cast("long"))
+      .select("lang", "n_in", "thr")
+    val kept = docs
+      .join(broadcast(withThr.select("lang", "thr")), "lang")
+      .filter(graft.functions.hashfns.rollHash(col("text")) % 10000 < col("thr"))
+      .groupBy("lang").agg(count(lit(1)).as("n_out"))
+    withThr
+      .join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_out"))
+      .orderBy("lang")
+  }
+
+  private val mixOracle: String = {
+    val h = Hashing.duckRollHash("text", Hashing.P, "c0")
+    s"""WITH st AS (SELECT lang, COUNT(*) AS n_in FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n_in) AS BIGINT) AS total, COUNT(*) AS n_langs FROM st),
+      p AS (
+        SELECT lang, n_in,
+               CAST(FLOOR(LEAST(1.0, (CAST(total AS DOUBLE) / n_langs) / n_in) * 10000) AS BIGINT) AS thr
+        FROM st CROSS JOIN t),
+      k AS (
+        SELECT d.lang, COUNT(*) AS n_out
+        FROM documents d JOIN p ON d.lang = p.lang
+        WHERE ($h) % 10000 < thr GROUP BY d.lang)
+      SELECT p.lang, n_in, thr, COALESCE(n_out, 0) AS n_out
+      FROM p LEFT JOIN k ON p.lang = k.lang ORDER BY p.lang"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
-    Q("pp02_pack", packing, Some(packingOracle))
+    Q("pp02_pack", packing, Some(packingOracle)),
+    Q("pp03_mix", mix, Some(mixOracle))
   )
 }

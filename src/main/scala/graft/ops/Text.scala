@@ -311,6 +311,41 @@ object Text {
       FROM b GROUP BY 1 ORDER BY 1"""
   }
 
+  // ------------------------------------------------ repetition detection
+
+  /** Gopher-style repetition filter signal: the fraction of a document's
+    * word 3-grams that are repeats of an earlier 3-gram
+    * (1 - distinct/total). Entirely map-side per-row array work — the
+    * n-gram list never leaves the row, so at 100 TB this costs one scan
+    * and shuffles only the final per-doc scalars for the output sort. */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    words(Tables.documents(s, d))
+      .filter(size(col("ws")) >= 3)
+      .select(
+        col("doc_id"),
+        expr("transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+          .as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+
+  private val repetitionOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS grams
+        FROM w WHERE len(ws) >= 3)
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+             ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS rep_ratio
+      FROM g ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -319,6 +354,7 @@ object Text {
     Q("tx05_bloom_digest", bloom, Some(bloomOracle)),
     Q("tx06_bigram_lm", bigramLm, Some(bigramLmOracle)),
     Q("tx07_det_split", detSplit, Some(detSplitOracle)),
-    Q("tx08_tfidf", tfidf, Some(tfidfOracle))
+    Q("tx08_tfidf", tfidf, Some(tfidfOracle)),
+    Q("tx09_repetition", repetition, Some(repetitionOracle))
   )
 }

@@ -592,7 +592,31 @@ object Analytics {
                COUNT(DISTINCT a.user_id) AS n_users
         FROM a JOIN f ON a.user_id = f.user_id
         WHERE date_diff('day', cohort_day, day) <= 7
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- full outer join: daily view vs purchase activity aligned on a
+    //      sparse key union. Both sides pre-aggregate to days before the
+    //      join, so the shuffled sides are calendar-sized regardless of
+    //      input scale.
+    Q("an28_full_outer",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("ts").cast("date").as("day"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("day").agg(count(lit(1)).as("n_views"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("day").agg(count(lit(1)).as("n_purchases"))
+        views.join(purchases, Seq("day"), "full_outer")
+          .na.fill(0L, Seq("n_views", "n_purchases"))
+          .orderBy("day")
+      },
+      Some("""WITH v AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_views
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        p AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT day, COALESCE(n_views, 0) AS n_views, COALESCE(n_purchases, 0) AS n_purchases
+        FROM v FULL OUTER JOIN p USING (day) ORDER BY day"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).
