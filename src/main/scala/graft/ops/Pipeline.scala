@@ -184,7 +184,7 @@ object Pipeline {
       .filter(graft.functions.hashfns.rollHash(col("text")) % 10000 < col("thr"))
       .groupBy("lang").agg(count(lit(1)).as("n_out"))
     withThr
-      .join(kept, Seq("lang"), "left")
+      .join(broadcast(kept), Seq("lang"), "left") // langs-sized: always broadcastable
       .na.fill(0L, Seq("n_out"))
       .orderBy("lang")
   }
