@@ -216,6 +216,54 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       replace = true, operation = "compact")
   }
 
+  /** Z-order clustered compaction: bin-pack into `numFiles` files laid out
+    * along a Morton (bit-interleaved) curve over `cols`, so per-file
+    * min/max stats become selective on EVERY clustering column at once —
+    * the multi-column generalization of [[compactSorted]] (which is
+    * maximally selective on one column but useless on the others).
+    *
+    * Bucketing is linear between the column's global min/max (one tiny agg
+    * scan — negligible next to the rewrite itself); `bits` bits per column,
+    * up to 3 columns. The z-value is a plain codegen'd integer expression,
+    * and the rewrite is `repartitionByRange` + in-partition sort on it, so
+    * the whole operation is a standard shuffle+write at any scale. Skewed
+    * value distributions get uneven buckets (Delta's OPTIMIZE ZORDER has
+    * the same caveat); range-rank bucketing would be the refinement. */
+  def compactZOrder(numFiles: Int, cols: Seq[String], bits: Int = 8): IceTable = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 3, "z-order needs 2-3 columns")
+    val md = metadata
+    cols.foreach { c =>
+      val dt = md.schema(c).dataType
+      require(dt match {
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }, s"z-order column $c must be numeric, got $dt")
+    }
+    val df = scan()
+    val mm = df.agg(
+      cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
+      cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*).head()
+    val nBuckets = 1L << bits
+    val zcol = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val span     = math.max(mx - mn, Double.MinPositiveValue)
+      val bucket = least(lit(nBuckets - 1),
+        floor((col(c).cast("double") - mn) / span * nBuckets).cast("long"))
+      // spread bucket i's bits to positions i, i+k, i+2k... (k = #cols)
+      (0 until bits).map { b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * cols.size + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    appendInternal(
+      df.withColumn("__z", zcol)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"),
+      replace = true, operation = "compact")
+  }
+
   /** Append with schema evolution: new columns get fresh field ids, missing
     * columns are null-filled; old data files stay valid (the scan reads
     * them with the merged schema, absent columns as null). */

@@ -297,6 +297,31 @@ object IceQueries {
          UNION ALL SELECT * FROM nation WHERE n_regionkey IN (0, 1))
        ORDER BY n_nationkey, n_name"""
 
+  /** Z-order compaction: after clustering on (o_custkey, o_orderkey), a
+    * range scan on EITHER column must prune files — the multi-column
+    * file-skipping layout. Returns the custkey-sliced scan for the gate. */
+  private def zorderQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "zo")
+    val cat = new FsCatalog(s, wh)
+    // 8 hash-partitioned files: every file spans both key ranges, nothing prunes
+    val t = cat.createOrReplaceTable("graft", "orders_zo",
+      Tables.orders(s, d).repartition(8))
+    t.compactZOrder(16, Seq("o_custkey", "o_orderkey"))
+    val total = t.scan().inputFiles.length
+    require(t.planFiles("o_custkey", Some("0"), Some("100")).size < total,
+      "z-order: custkey slice did not prune")
+    require(t.planFiles("o_orderkey", Some("0"), Some("100")).size < total,
+      "z-order: orderkey slice did not prune")
+    t.scanRange("o_custkey", Some("0"), Some("100"))
+      .filter(col("o_custkey") <= 100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val zorderOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_custkey <= 100 ORDER BY o_orderkey"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -323,6 +348,7 @@ object IceQueries {
     Q("ic14_upsert", upsertRows, Some(upsertOracle)),
     Q("ic15_rollback", rollbackQ, Some(nationOracle)),
     Q("ic16_incremental", incrementalQ, Some(incrementalOracle)),
-    Q("ic17_branch", branchQ, Some(branchOracle))
+    Q("ic17_branch", branchQ, Some(branchOracle)),
+    Q("ic18_zorder", zorderQ, Some(zorderOracle))
   )
 }

@@ -147,9 +147,41 @@ object StreamQueries {
     """SELECT event_type, COUNT(DISTINCT event_id) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------------------------- stream-stream interval join
+
+  /** Watermarked stream-stream inner join: each purchase joined to the
+    * same user's clicks in the preceding 10 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * engine can size its join state (clicks older than the watermark minus
+    * the interval are evicted) — the canonical unbounded-join recipe. At
+    * 100 TB/day the state held is only the interval window per user, not
+    * the stream history. */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("c_user = p_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 10 MINUTES"))
+    runToTable(s, joined.select("p_id", "c_id"), "st04_sink", "append")
+      .orderBy("p_id", "c_id")
+  }
+
+  private val streamJoinOracle =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+      ORDER BY 1, 2"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
-    Q("st03_stream_dedup", streamDedup, Some(streamDedupOracle))
+    Q("st03_stream_dedup", streamDedup, Some(streamDedupOracle)),
+    Q("st04_stream_join", streamJoin, Some(streamJoinOracle))
   )
 }

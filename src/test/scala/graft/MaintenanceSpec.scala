@@ -256,6 +256,27 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.scanIncremental(1, 4))
   }
 
+  test("compactZOrder prunes on every clustering column at once") {
+    val cat = new FsCatalog(spark, scratch("zord"))
+    val t   = cat.createOrReplaceTable("ns", "orders_z", orders.repartition(8))
+    // hash layout: no slice on either column can prune
+    assert(t.planFiles("o_custkey", Some("0"), Some("50")).size == 8)
+    t.compactZOrder(16, Seq("o_custkey", "o_orderkey"))
+    val total = t.scan().inputFiles.length
+    assert(t.scan().count() == orders.count())
+    // a quarter-range slice on either dimension should hit ~half the files
+    val ckMax = orders.agg(max(col("o_custkey"))).head.getLong(0)
+    val okMax = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val byCust  = t.planFiles("o_custkey", Some("0"), Some((ckMax / 4).toString)).size
+    val byOrder = t.planFiles("o_orderkey", Some("0"), Some((okMax / 4).toString)).size
+    assert(byCust < total, s"custkey slice read all $total files")
+    assert(byOrder < total, s"orderkey slice read all $total files")
+    // 1-D sort clustering for contrast: perfect on the sort key only
+    intercept[IllegalArgumentException](t.compactZOrder(4, Seq("o_custkey")))
+    intercept[IllegalArgumentException](
+      t.compactZOrder(4, Seq("o_orderpriority", "o_custkey")))
+  }
+
   test("branch commits isolate from main; tags pin; fast-forward checks ancestry") {
     val cat    = new FsCatalog(spark, scratch("br"))
     val nation = Tables.nation(spark, sfDir)
