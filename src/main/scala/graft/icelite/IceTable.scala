@@ -89,6 +89,15 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   /** Append `df` as a new snapshot (reference `table.append`). */
   def append(df: DataFrame): IceTable = appendInternal(df, replace = false)
 
+  /** Idempotent append: a no-op if a snapshot already carries `token`.
+    * The streaming-sink commit protocol — `foreachBatch` retries and
+    * replayed batches (at-least-once sources) pass their batch id as the
+    * token, and the table absorbs them exactly once. Same trick Iceberg's
+    * Spark streaming writer plays with batch-id properties. */
+  def appendOnce(df: DataFrame, token: String): IceTable =
+    if (metadata.snapshots.exists(_.commit_token.contains(token))) this
+    else appendInternal(df, replace = false, token = Some(token))
+
   /** Replace table contents with `df` (drop-and-recreate semantics). */
   def replace(df: DataFrame): IceTable = appendInternal(df, replace = true)
 
@@ -102,7 +111,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       replace: Boolean,
       operation: String = "",
       carryFiles: Seq[String] = Nil,
-      ref: Option[String] = None): IceTable = {
+      ref: Option[String] = None,
+      token: Option[String] = None): IceTable = {
     val md = metadata
     // base snapshot: the target ref's head (main = current pointer)
     val baseSnap = ref match {
@@ -137,7 +147,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
       files = (base ++ files).toList,
       file_stats = Some(baseStats ++ newStats),
-      parent_snapshot_id = baseSnap.map(_.snapshot_id)
+      parent_snapshot_id = baseSnap.map(_.snapshot_id),
+      commit_token = token
     )
     val withSnap = md.copy(snapshots = md.snapshots :+ snap)
     commit(ref match {

@@ -37,7 +37,8 @@ final case class Snapshot(
     operation: String, // "append" | "replace" | "compact"
     files: List[String], // relative to table location
     file_stats: Option[Map[String, Map[String, ColRange]]] = None, // file -> col -> range
-    parent_snapshot_id: Option[Long] = None // commit DAG edge; None/0 = table root
+    parent_snapshot_id: Option[Long] = None, // commit DAG edge; None/0 = table root
+    commit_token: Option[String] = None // idempotency key (streaming batch id)
 )
 
 final case class TableMetadata(

@@ -178,10 +178,56 @@ object StreamQueries {
        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
       ORDER BY 1, 2"""
 
+  // --------------------------------------- streaming ingest into IceLite
+
+  /** The streaming lakehouse path: `readStream` -> `foreachBatch` ->
+    * idempotent IceLite append (`appendOnce` keyed on the batch id), then
+    * query the committed table through the engine. A replayed batch is
+    * re-appended with the same token and absorbed as a no-op — the
+    * exactly-once sink contract over at-least-once delivery. The query
+    * replays batch 0 explicitly and requires the row count unchanged
+    * before returning the per-type table stats. */
+  private def streamIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.{Engine, FsCatalog}
+    import org.apache.hadoop.fs.Path
+    val whPath = new Path("/root/repo/target/scratch/st05_wh")
+    val fs     = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(whPath)) fs.delete(whPath, true)
+    fs.mkdirs(whPath)
+    val cat = new FsCatalog(s, whPath.toString)
+    // empty create with the events schema (ts as NTZ, like the batch reads)
+    val ntzSchema = org.apache.spark.sql.types.StructType(
+      graft.Tables.events(s, d).schema.fields)
+    val t = cat.createOrReplaceTable("graft", "events_st",
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ntzSchema))
+    eventsStream(s, d)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        t.appendOnce(batch, s"st05-$batchId"); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    // replay batch 0: the token makes the duplicate delivery a no-op
+    val before = t.scan().count()
+    t.appendOnce(graft.Tables.events(s, d), "st05-0")
+    require(t.scan().count() == before, "replayed batch was double-committed")
+    new Engine(s, cat).table("graft.events_st")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  private val streamIngestOracle =
+    """SELECT event_type, COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
     Q("st03_stream_dedup", streamDedup, Some(streamDedupOracle)),
-    Q("st04_stream_join", streamJoin, Some(streamJoinOracle))
+    Q("st04_stream_join", streamJoin, Some(streamJoinOracle)),
+    Q("st05_stream_ingest", streamIngest, Some(streamIngestOracle))
   )
 }
