@@ -346,6 +346,44 @@ object Text {
              ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS rep_ratio
       FROM g ORDER BY doc_id"""
 
+  // --------------------------------------------------- PII-style redaction
+
+  /** Redaction plumbing (the PII-scrub step of corpus cleaning): pattern
+    * counts + global regexp replacement, all per-row codegen'd string work.
+    * The testdata corpus has no natural emails/ids, so deterministic ones
+    * are synthesized from doc_id first — the gate checks the regex
+    * engine-pair (Java vs RE2) agrees on patterns restricted to their
+    * common semantics (literal classes, +, {n,}; no backrefs). */
+  private def redaction(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com id "), col("doc_id") * 7919).as("payload"))
+      .select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(payload, 'user[0-9]+@example\\\\.com', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr("regexp_extract_all(payload, '\\\\b[0-9]{4,}\\\\b', 0)"))
+          .cast("long").as("n_ids"),
+        length(regexp_replace(regexp_replace(col("payload"),
+          "user[0-9]+@example\\.com", "<EMAIL>"),
+          "\\b[0-9]{4,}\\b", "<ID>"))
+          .cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+
+  private val redactionOracle =
+    """WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com id ' || (doc_id * 7919) AS payload
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(payload, 'user[0-9]+@example\.com')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(payload, '\b[0-9]{4,}\b')) AS BIGINT) AS n_ids,
+             CAST(length(regexp_replace(regexp_replace(payload,
+               'user[0-9]+@example\.com', '<EMAIL>', 'g'),
+               '\b[0-9]{4,}\b', '<ID>', 'g')) AS BIGINT) AS redacted_len
+      FROM p ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -355,6 +393,7 @@ object Text {
     Q("tx06_bigram_lm", bigramLm, Some(bigramLmOracle)),
     Q("tx07_det_split", detSplit, Some(detSplitOracle)),
     Q("tx08_tfidf", tfidf, Some(tfidfOracle)),
-    Q("tx09_repetition", repetition, Some(repetitionOracle))
+    Q("tx09_repetition", repetition, Some(repetitionOracle)),
+    Q("tx10_redaction", redaction, Some(redactionOracle))
   )
 }

@@ -616,7 +616,30 @@ object Analytics {
           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
           FROM events WHERE event_type = 'purchase' GROUP BY 1)
         SELECT day, COALESCE(n_views, 0) AS n_views, COALESCE(n_purchases, 0) AS n_purchases
-        FROM v FULL OUTER JOIN p USING (day) ORDER BY day"""))
+        FROM v FULL OUTER JOIN p USING (day) ORDER BY day""")),
+
+    // ---- explicit GROUPING SETS (the general form behind an14 ROLLUP /
+    //      an24 CUBE): an arbitrary set list incl. the grand total, with
+    //      GROUPING() disambiguating real NULL keys from subtotal rows.
+    //      One Expand + hash aggregate — a single input scan at any scale.
+    Q("an29_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderpriority, o_orderstatus,
+            CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+            CAST(grouping(o_orderstatus) AS INT) AS g_st,
+            COUNT(*) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+          ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+          COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).
