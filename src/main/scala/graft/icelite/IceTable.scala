@@ -95,7 +95,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * token, and the table absorbs them exactly once. Same trick Iceberg's
     * Spark streaming writer plays with batch-id properties. */
   def appendOnce(df: DataFrame, token: String): IceTable =
-    if (metadata.snapshots.exists(_.commit_token.contains(token))) this
+    if (metadata.knownTokens.contains(token)) this
     else appendInternal(df, replace = false, token = Some(token))
 
   /** Replace table contents with `df` (drop-and-recreate semantics). */
@@ -256,16 +256,25 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val mm = df.agg(
       cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
       cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*).head()
+    // empty table (or no non-null values on any clustering column):
+    // nothing to order by — plain bin-pack instead of NPE-ing on the stats
+    if ((0 until 2 * cols.size).forall(mm.isNullAt)) return compact(numFiles)
     val nBuckets = 1L << bits
     val zcol = cols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-      val span     = math.max(mx - mn, Double.MinPositiveValue)
-      val bucket = least(lit(nBuckets - 1),
-        floor((col(c).cast("double") - mn) / span * nBuckets).cast("long"))
-      // spread bucket i's bits to positions i, i+k, i+2k... (k = #cols)
-      (0 until bits).map { b =>
-        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * cols.size + i)
-      }.reduce(_ bitwiseOR _)
+      // an all-null column has no range: it contributes bucket 0 for all rows
+      if (mm.isNullAt(2 * i)) lit(0L)
+      else {
+        val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+        val span     = math.max(mx - mn, Double.MinPositiveValue)
+        // null values land in the min bucket (nulls-first), keeping the top
+        // bucket's stats range tight instead of silently absorbing them
+        val bucket = least(lit(nBuckets - 1),
+          floor((coalesce(col(c).cast("double"), lit(mn)) - mn) / span * nBuckets).cast("long"))
+        // spread bucket i's bits to positions i, i+k, i+2k... (k = #cols)
+        (0 until bits).map { b =>
+          shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * cols.size + i)
+        }.reduce(_ bitwiseOR _)
+      }
     }.reduce(_ bitwiseOR _)
     appendInternal(
       df.withColumn("__z", zcol)
@@ -535,6 +544,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val nonAppend = between.filterNot(_.operation == "append")
     require(nonAppend.isEmpty,
       s"incremental scan crosses non-append snapshots: ${nonAppend.map(_.operation).distinct.mkString(",")}")
+    // a rollback can fork history: ids between `from` and `to` may lie on a
+    // discarded line, and the naive file diff would then misreport rows the
+    // rollback removed. Only a true ancestor path is a valid CDC window.
+    require(isAncestor(fromSnapshotId, toSnapshotId),
+      s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId — not an incremental window")
     readFiles(md, (to.files.toSet -- from.files.toSet).toSeq.sorted)
   }
 
@@ -544,17 +558,40 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * for the kept window; storage for dropped history is reclaimed. */
   def expireSnapshots(keepLast: Int): IceTable = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val md       = metadata
-    val refHeads = md.refMap.values.map(_.snapshot_id).toSet
+    val md = metadata
+    // main (the current pointer) is itself a ref head — a rolled-back
+    // current snapshot outside the keep-last window must survive too
+    val refHeads = md.refMap.values.map(_.snapshot_id).toSet + md.current_snapshot_id
     val keep = (md.snapshots.sortBy(_.snapshot_id).takeRight(keepLast) ++
       md.snapshots.filter(s => refHeads.contains(s.snapshot_id)))
       .distinctBy(_.snapshot_id).sortBy(_.snapshot_id)
     if (keep.size == md.snapshots.size) return this
-    require(keep.exists(_.snapshot_id == md.current_snapshot_id),
-      "cannot expire the current snapshot")
+    // splice expired snapshots out of the commit DAG: a kept snapshot whose
+    // parent is dropped re-parents to its nearest kept ancestor, so
+    // ancestry checks (fastForward, scanIncremental) keep working across
+    // the expired gap instead of dead-ending on a missing id.
+    val keptIds = keep.map(_.snapshot_id).toSet
+    val byId    = md.snapshots.map(s => s.snapshot_id -> s).toMap
+    def nearestKept(id: Long): Long = {
+      var cur = id
+      while (cur != 0L && !keptIds.contains(cur))
+        cur = byId.get(cur).flatMap(_.parent_snapshot_id).getOrElse(0L)
+      cur
+    }
+    val spliced = keep.map { sn =>
+      val p  = sn.parent_snapshot_id.getOrElse(0L)
+      val np = nearestKept(p)
+      if (np == p) sn
+      else sn.copy(parent_snapshot_id = if (np == 0L) None else Some(np))
+    }
+    // idempotency tokens outlive their snapshots: a replayed streaming
+    // batch must stay a no-op even after maintenance expired its commit
+    val dropped       = md.snapshots.filterNot(s => keptIds.contains(s.snapshot_id))
+    val retiredTokens = (md.retired_tokens.getOrElse(Nil) ++ dropped.flatMap(_.commit_token)).distinct
     val referenced = keep.flatMap(_.files).toSet
     val orphaned   = md.snapshots.flatMap(_.files).toSet -- referenced
-    commit(md.copy(snapshots = keep))
+    commit(md.copy(snapshots = spliced,
+      retired_tokens = if (retiredTokens.isEmpty) None else Some(retiredTokens)))
     // snapshot dirs with no referenced file left are removed recursively
     // (also sweeps non-data markers like _SUCCESS); partially-referenced
     // dirs only lose their orphaned parquet files

@@ -52,11 +52,17 @@ final case class TableMetadata(
     current_snapshot_id: Long,
     snapshots: List[Snapshot],
     partition_columns: Option[List[String]] = None, // hive-style layout when set
-    refs: Option[Map[String, RefInfo]] = None // named branches/tags beyond main
+    refs: Option[Map[String, RefInfo]] = None, // named branches/tags beyond main
+    retired_tokens: Option[List[String]] = None // idempotency keys of expired snapshots
 ) {
   def partitionCols: List[String] = partition_columns.getOrElse(Nil)
 
   def refMap: Map[String, RefInfo] = refs.getOrElse(Map.empty)
+
+  /** Every idempotency token the table has ever absorbed — live snapshots'
+    * plus those preserved across snapshot expiration. */
+  def knownTokens: Set[String] =
+    snapshots.flatMap(_.commit_token).toSet ++ retired_tokens.getOrElse(Nil)
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 

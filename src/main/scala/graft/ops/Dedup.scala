@@ -200,9 +200,13 @@ object Dedup {
     var lbl       = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    var changed   = 1L
-    var round     = 0
-    while (changed > 0 && round < 30) {
+    // min-label propagation strictly decreases labels, so it reaches the
+    // fixpoint in <= diameter rounds — iterate until quiescent rather than
+    // capping (a 32-hop chain of successive near-dup edits is a legitimate
+    // component shape, not an error)
+    var changed = 1L
+    var round   = 0
+    while (changed > 0) {
       val nbrMin = und.join(lbl, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
       val next = lbl.join(nbrMin, col("id") === col("dst"), "left")
@@ -213,7 +217,6 @@ object Dedup {
       lbl = next.select(col("id"), col("comp2").as("comp"))
       round += 1
     }
-    require(changed == 0, s"cc did not converge in $round rounds")
     val byComp = Window.partitionBy("cluster")
     lbl
       .select(col("id").as("doc_id"), col("comp").as("cluster"))

@@ -43,9 +43,7 @@ object Pipeline {
           .cast("long").as("stop_cnt"))
       .select(
         col("doc_id"), col("text"), col("ws"), col("n_tokens"),
-        round(
-          least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
-            (col("stop_cnt").cast("double") / col("n_tokens")) * 0.5, 4).as("quality_score"))
+        Text.qualityScore(col("n_tokens"), col("stop_cnt")).as("quality_score"))
       .filter(col("quality_score") >= qualityMin)
     // stage 3: language ID (tx01's map-side marker argmax — no shuffle)
     val (langCol, _) = Text.langPred(col("ws"))

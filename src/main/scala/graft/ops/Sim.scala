@@ -317,15 +317,8 @@ object Sim {
     def probeCells(v: Array[Double]): Set[Long] =
       cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
         .sortBy(_._2).take(ivfProbes).map(_._1).toSet
-    val queries = Tables.embeddings(s, d)
-      .filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-      .map { case (qid, vf) =>
-        val v = vf.map(_.toDouble)
-        (qid, v, normv(v), probeCells(v))
-      }
+    val queries = collectMatrix(s, d, idBound = 10)
+      .map { case (qid, v, n) => (qid, v, n, probeCells(v)) }
     val bc  = s.sparkContext.broadcast((cents, queries))
     val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
     Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))

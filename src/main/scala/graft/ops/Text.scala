@@ -90,11 +90,16 @@ object Text {
         col("doc_id"), col("len_chars"), col("n_words"),
         round((col("len_chars") - (col("n_words") - 1)).cast("double") / col("n_words"), 4).as("avg_word_len"),
         round(col("stop_cnt").cast("double") / col("n_words"), 4).as("stop_ratio"),
-        round(
-          least(col("n_words").cast("double") / 50.0, lit(1.0)) * 0.5 +
-            (col("stop_cnt").cast("double") / col("n_words")) * 0.5, 4).as("quality_score"))
+        qualityScore(col("n_words"), col("stop_cnt")).as("quality_score"))
       .orderBy("doc_id")
   }
+
+  /** The quality-score formula, shared with the pp01 curation pipeline so
+    * a tuning change cannot silently diverge the two (and their oracles). */
+  private[ops] def qualityScore(nWords: Column, stopCnt: Column): Column =
+    round(
+      least(nWords.cast("double") / 50.0, lit(1.0)) * 0.5 +
+        (stopCnt.cast("double") / nWords) * 0.5, 4)
 
   private val qualityOracle: String =
     s"""WITH w AS (

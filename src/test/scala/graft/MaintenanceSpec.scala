@@ -310,4 +310,45 @@ class MaintenanceSpec extends SparkSpec {
     t.dropRef("v2")
     assert(!t.refs().contains("v2"))
   }
+
+  test("scanIncremental rejects windows crossing a rollback fork") {
+    val cat    = new FsCatalog(spark, scratch("incfork"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_if", nation) // snapshot 1
+    t.append(nation.filter(col("n_regionkey") === 0))                 // snapshot 2 (A+B)
+    t.rollback(1)
+    t.append(nation.filter(col("n_regionkey") === 1))                 // snapshot 3, parent=1
+    // 2 -> 3 is not an ancestor path: rows of snapshot 2 were rolled away
+    intercept[IllegalArgumentException](t.scanIncremental(2, 3))
+    // the true line still works
+    assert(t.scanIncremental(1, 3).count() ==
+      nation.filter(col("n_regionkey") === 1).count())
+  }
+
+  test("expire splices the commit DAG so branch ancestry survives") {
+    val cat    = new FsCatalog(spark, scratch("expbr"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_eb", nation) // snapshot 1 (main)
+    t.createBranch("dev")
+    t.appendToBranch("dev", nation) // snapshot 2
+    t.appendToBranch("dev", nation) // snapshot 3 (dev head; chain 3->2->1)
+    t.expireSnapshots(keepLast = 1) // drops snapshot 2 (1 is current, 3 is dev head)
+    assert(t.snapshots().map(_.snapshot_id).toSet == Set(1L, 3L))
+    // snapshot 3 re-parented to 1: the fast-forward is still recognized
+    t.fastForward("dev")
+    assert(t.scan().count() == 75)
+  }
+
+  test("appendOnce tokens survive snapshot expiration") {
+    val cat    = new FsCatalog(spark, scratch("tok"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_tok", nation) // snapshot 1
+    t.appendOnce(nation, "batch-0")                                    // snapshot 2
+    t.append(nation)                                                   // snapshot 3
+    t.append(nation)                                                   // snapshot 4
+    t.expireSnapshots(keepLast = 1) // snapshot 2 (token holder) expires
+    val before = t.scan().count()
+    t.appendOnce(nation, "batch-0") // replay must STILL be a no-op
+    assert(t.scan().count() == before, "retired token was forgotten")
+  }
 }

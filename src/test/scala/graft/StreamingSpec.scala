@@ -95,9 +95,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mem = MemoryStream[Event]
-    // event 1 redelivered twice (same id, later ts), event 0 once
+    // event 1 redelivered with a DIFFERENT value, so which delivery
+    // survives is observable (a same-value redelivery would make the
+    // first-wins assertion vacuous)
     mem.addData(sample: _*)
-    mem.addData(Event(1, ts(12), 1, "click", 2.0), Event(5, ts(90), 2, "view", 6.0))
+    mem.addData(Event(1, ts(12), 1, "click", 99.0), Event(5, ts(90), 2, "view", 6.0))
     val q = EventStreams.dedupe(mem.toDF())
       .writeStream.format("memory").queryName("dedupe_test").outputMode("append")
       .start()
@@ -108,7 +110,9 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0))
     // one row per distinct event_id, first delivery wins
     assert(got.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
-    assert(spark.table("dedupe_test").filter(col("event_id") === 1 && col("value") =!= 2.0).count() == 0)
+    val kept = spark.table("dedupe_test").filter(col("event_id") === 1).collect()
+    assert(kept.length == 1 && kept(0).getAs[Double]("value") == 2.0,
+      "redelivered event replaced the first delivery")
   }
 
   test("foldBatch merges late cross-batch events without moving the session end backwards") {
