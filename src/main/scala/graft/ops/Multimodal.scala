@@ -107,8 +107,28 @@ object Multimodal {
       SELECT doc_id, CAST(i AS INT) AS frame_idx, lower(substr(hx, CAST(i * 32 + 1 AS INT), 32)) AS frame_hex
       FROM idx WHERE i % 4 = 0 ORDER BY doc_id, frame_idx"""
 
+  /** The decode-stub pipeline through the gate: [[decodeAll]]'s typed
+    * `mapPartitions` batch path (the Scala analogue of `mapInPandas`)
+    * must agree with an oracle recomputing the stub arithmetic from the
+    * payload bytes — gating the Dataset encoder round-trip and batch
+    * iteration, not just the formula. Docs are ASCII, so byte 0/1 equal
+    * the first two character codes. */
+  private def decoded(s: SparkSession, d: String): DataFrame =
+    decodeAll(s, d)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_frames").cast("long").as("n_frames"))
+      .orderBy("doc_id")
+
+  private val decodedOracle =
+    """SELECT doc_id,
+      CAST(16 + ascii(substr(text, 1, 1)) % 128 AS BIGINT) AS width,
+      CAST(16 + ascii(substr(text, 2, 1)) % 128 AS BIGINT) AS height,
+      CAST(octet_length(encode(text)) // 16 + 1 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
-    Q("mm02_frame_sample", frames, Some(framesOracle))
+    Q("mm02_frame_sample", frames, Some(framesOracle)),
+    Q("mm03_decode", decoded, Some(decodedOracle))
   )
 }

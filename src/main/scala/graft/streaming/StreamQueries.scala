@@ -223,11 +223,60 @@ object StreamQueries {
     """SELECT event_type, COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------- streaming aggregation -> serving upsert
+
+  /** The streaming-to-serving pattern: an update-mode streaming
+    * aggregation whose changed keys are merged into an IceLite table by
+    * key each micro-batch (`foreachBatch` + copy-on-write `upsert`). A
+    * batch replay merges identical rows for identical keys, so the sink
+    * converges regardless of redelivery — the other standard exactly-once
+    * recipe next to st05's append tokens. At scale only changed keys flow
+    * per batch (update mode), so sink work tracks the update rate, not
+    * the key universe. */
+  private def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.{Engine, FsCatalog}
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    val whPath = new Path("/root/repo/target/scratch/st06_wh")
+    val fs     = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(whPath)) fs.delete(whPath, true)
+    fs.mkdirs(whPath)
+    val cat = new FsCatalog(s, whPath.toString)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_purchases", LongType),
+      StructField("total", DoubleType)))
+    val t = cat.createOrReplaceTable("graft", "purchase_totals",
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("total"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        t.upsert(batch, Seq("user_id")); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    new Engine(s, cat).table("graft.purchase_totals").orderBy("user_id")
+  }
+
+  private val streamUpsertOracle =
+    """SELECT user_id, COUNT(*) AS n_purchases,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
     Q("st03_stream_dedup", streamDedup, Some(streamDedupOracle)),
     Q("st04_stream_join", streamJoin, Some(streamJoinOracle)),
-    Q("st05_stream_ingest", streamIngest, Some(streamIngestOracle))
+    Q("st05_stream_ingest", streamIngest, Some(streamIngestOracle)),
+    Q("st06_stream_upsert", streamUpsert, Some(streamUpsertOracle))
   )
 }
