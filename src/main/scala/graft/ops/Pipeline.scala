@@ -203,9 +203,43 @@ object Pipeline {
       FROM p LEFT JOIN k ON p.lang = k.lang ORDER BY p.lang"""
   }
 
+  // --------------------------------- stratified exact-quota subsampling
+
+  /** Exact quotas per stratum: the k lowest content-hashes per language —
+    * a deterministic "random" sample with exactly k docs per group (pp03
+    * hits proportions only in expectation; evals and holdout sets need
+    * exact counts). One shuffle on the stratum key + a per-group top-k;
+    * at 100 TB Spark fuses the rank+filter into a windowed top-k that
+    * never materializes full partitions sorted. */
+  private val quotaK = 50
+
+  private def stratified(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.hashfns.rollHash(col("text")).as("h"))
+      .withColumn("rk", row_number().over(byLang).cast("long"))
+      .filter(col("rk") <= quotaK)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
+  private val stratifiedOracle: String = {
+    val h = Hashing.duckRollHash("text", Hashing.P, "c0")
+    s"""SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY ($h), doc_id) AS rk,
+         doc_id
+       FROM documents
+       QUALIFY rk <= $quotaK
+       ORDER BY lang, rk"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
-    Q("pp03_mix", mix, Some(mixOracle))
+    Q("pp03_mix", mix, Some(mixOracle)),
+    Q("pp04_stratified", stratified, Some(stratifiedOracle))
   )
 }

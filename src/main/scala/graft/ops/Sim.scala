@@ -375,11 +375,69 @@ object Sim {
       r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
       SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  // ------------------------------------------------ k-means (Lloyd step)
+
+  /** One distributed Lloyd iteration from the deterministic codebook (the
+    * 8 lowest-id vectors, as sm05): assign every vector to its nearest
+    * centroid map-side (broadcast codebook), then recompute per-(cell,
+    * dim) means in one grouped aggregate. This is the iterate-until-stable
+    * clustering shape at 100 TB — per round one scan + one shuffle keyed
+    * by (cell, dim); the centroid matrix that feeds the next round is
+    * cells x dims, driver-sized at any corpus size. Means round to 4
+    * decimals (the usual group-sum association-order guard). */
+  private def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    def dist2(v: Array[Double], cv: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < cv.length) { val t = v(i) - cv(i); acc += t * t; i += 1 }
+      acc
+    }
+    val bc = s.sparkContext.broadcast(cents)
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (_, vf) =>
+          val v = vf.map(_.toDouble)
+          var best = Double.MaxValue
+          var cell = -1L
+          var i    = 0
+          while (i < cs.length) {
+            val d2 = dist2(v, cs(i)._2)
+            if (d2 < best) { best = d2; cell = cs(i)._1 } // ties -> smaller cid
+            i += 1
+          }
+          v.iterator.zipWithIndex.map { case (x, dim) => (cell, dim.toLong, x) }
+        }
+      }
+      .toDF("cell", "d", "x")
+      .groupBy("cell", "d")
+      .agg(count(lit(1)).as("n_members"), round(sum("x") / count(lit(1)), 4).as("mean_q"))
+      .orderBy("cell", "d")
+  }
+
+  private val kmeansStepOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1)
+      SELECT cell, d, COUNT(*) AS n_members, ROUND(SUM(x) / COUNT(*), 4) AS mean_q
+      FROM e JOIN cell USING (vec_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
     Q("sm03_lsh_buckets", lshBuckets, Some(lshBucketsOracle)),
     Q("sm04_lsh_search", lshSearch, Some(lshSearchOracle)),
-    Q("sm05_ivf_search", ivfSearch, Some(ivfSearchOracle))
+    Q("sm05_ivf_search", ivfSearch, Some(ivfSearchOracle)),
+    Q("sm06_kmeans_step", kmeansStep, Some(kmeansStepOracle))
   )
 }
