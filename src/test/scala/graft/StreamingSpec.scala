@@ -147,4 +147,34 @@ class StreamingSpec extends SparkSpec {
     val bad = sessions.filter(col("start_ts") > col("end_ts") || col("n_events") < 1).count()
     assert(bad == 0)
   }
+
+  test("foldBatch is split-invariant and conserves events (seeded property)") {
+    import graft.streaming.EventStreams.{Event => E}
+    val gap = 30L * 60 * 1000
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 200) {
+      // sorted in-order arrival: micro-batch boundaries must not matter
+      var minute = rnd.nextInt(60)
+      val events = (0 until 1 + rnd.nextInt(20)).map { i =>
+        minute += rnd.nextInt(90) // gaps straddle the 30-min threshold
+        E(i.toLong, ts(minute), 1, "click", 1.0)
+      }
+      val (closedWhole, stWhole) = EventStreams.foldBatch(1, events, None, gap)
+      val cut                    = rnd.nextInt(events.size + 1)
+      val (c1, st1)              = EventStreams.foldBatch(1, events.take(cut), None, gap)
+      val (c2, st2)              = EventStreams.foldBatch(1, events.drop(cut), st1, gap)
+      assert(c1 ++ c2 == closedWhole, s"trial $trial: split at $cut changed closed sessions")
+      assert(st2 == stWhole, s"trial $trial: split at $cut changed open state")
+      // conservation: every event lands in exactly one session (or the open state)
+      val total = closedWhole.map(_.n_events).sum + stWhole.map(_.n).getOrElse(0L)
+      assert(total == events.size)
+      // closed sessions are ordered and separated by more than the gap
+      closedWhole.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.session_end.getTime < b.session_start.getTime - gap ||
+            a.session_end.getTime + gap < b.session_start.getTime)
+        case _ =>
+      }
+    }
+  }
 }
