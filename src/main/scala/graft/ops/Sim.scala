@@ -39,6 +39,28 @@ object Sim {
     math.sqrt(acc)
   }
 
+  private[ops] def dist2(v: Array[Double], cv: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < cv.length) { val t = v(i) - cv(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  /** Nearest centroid by (L2^2 asc, cid asc): strict < over an id-sorted
+    * centroid array keeps the smaller cid on ties — the tie rule BOTH the
+    * sm05 and sm06 oracles replicate, kept in one place so they cannot
+    * drift apart. */
+  private[ops] def assignCell(v: Array[Double], cents: Array[(Long, Array[Double], Double)]): Long = {
+    var best = Double.MaxValue
+    var cell = -1L
+    var i    = 0
+    while (i < cents.length) {
+      val d2 = dist2(v, cents(i)._2)
+      if (d2 < best) { best = d2; cell = cents(i)._1 }
+      i += 1
+    }
+    cell
+  }
+
   /** Collect (id, vector, norm) rows sorted by id — the broadcast side of
     * the brute-force kernels. Queries (sm01) are tiny by construction; the
     * full corpus (sm02) is only broadcast-able at verification scale — the
@@ -307,11 +329,6 @@ object Sim {
   private def ivfSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cents = collectMatrix(s, d, idBound = ivfCells) // ascending cid
-    def dist2(v: Array[Double], cv: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < cv.length) { val t = v(i) - cv(i); acc += t * t; i += 1 }
-      acc
-    }
     // centroid ids ordered by (L2^2 asc, cid asc) — sortBy is stable and
     // cents is id-sorted, so ties keep the smaller cid first
     def probeCells(v: Array[Double]): Set[Long] =
@@ -326,17 +343,8 @@ object Sim {
       .mapPartitions { it =>
         val (cs, qs) = bc.value
         it.flatMap { case (nid, vf) =>
-          val v = vf.map(_.toDouble)
-          // nearest centroid: strict < with ascending cid iteration keeps
-          // the smaller cid on ties, matching the oracle's (d2, cid) order
-          var best = Double.MaxValue
-          var cell = -1L
-          var i    = 0
-          while (i < cs.length) {
-            val d2 = dist2(v, cs(i)._2)
-            if (d2 < best) { best = d2; cell = cs(i)._1 }
-            i += 1
-          }
+          val v    = vf.map(_.toDouble)
+          val cell = assignCell(v, cs)
           lazy val n = normv(v)
           qs.iterator
             .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
@@ -388,26 +396,14 @@ object Sim {
   private def kmeansStep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cents = collectMatrix(s, d, idBound = ivfCells)
-    def dist2(v: Array[Double], cv: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < cv.length) { val t = v(i) - cv(i); acc += t * t; i += 1 }
-      acc
-    }
-    val bc = s.sparkContext.broadcast(cents)
+    val bc    = s.sparkContext.broadcast(cents)
     Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (_, vf) =>
-          val v = vf.map(_.toDouble)
-          var best = Double.MaxValue
-          var cell = -1L
-          var i    = 0
-          while (i < cs.length) {
-            val d2 = dist2(v, cs(i)._2)
-            if (d2 < best) { best = d2; cell = cs(i)._1 } // ties -> smaller cid
-            i += 1
-          }
+          val v    = vf.map(_.toDouble)
+          val cell = assignCell(v, cs)
           v.iterator.zipWithIndex.map { case (x, dim) => (cell, dim.toLong, x) }
         }
       }

@@ -187,19 +187,29 @@ object StreamQueries {
     * exactly-once sink contract over at-least-once delivery. The query
     * replays batch 0 explicitly and requires the row count unchanged
     * before returning the per-type table stats. */
-  private def streamIngest(s: SparkSession, d: String): DataFrame = {
-    import graft.icelite.{Engine, FsCatalog}
+  /** Reset a scratch warehouse and create an empty IceLite sink table in
+    * it — the shared preamble of every streaming-to-IceLite query. */
+  private def freshSinkTable(
+      s: SparkSession,
+      dirName: String,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType): (graft.icelite.FsCatalog, graft.icelite.IceTable) = {
     import org.apache.hadoop.fs.Path
-    val whPath = new Path("/root/repo/target/scratch/st05_wh")
+    val whPath = new Path(s"/root/repo/target/scratch/$dirName")
     val fs     = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(whPath)) fs.delete(whPath, true)
     fs.mkdirs(whPath)
-    val cat = new FsCatalog(s, whPath.toString)
-    // empty create with the events schema (ts as NTZ, like the batch reads)
-    val ntzSchema = org.apache.spark.sql.types.StructType(
-      graft.Tables.events(s, d).schema.fields)
-    val t = cat.createOrReplaceTable("graft", "events_st",
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ntzSchema))
+    val cat = new graft.icelite.FsCatalog(s, whPath.toString)
+    val t = cat.createOrReplaceTable("graft", table,
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    (cat, t)
+  }
+
+  private def streamIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.Engine
+    // events schema with ts as NTZ, like the batch reads
+    val (cat, t) = freshSinkTable(s, "st05_wh", "events_st",
+      graft.Tables.events(s, d).schema)
     eventsStream(s, d)
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .writeStream
@@ -230,24 +240,20 @@ object StreamQueries {
     * key each micro-batch (`foreachBatch` + copy-on-write `upsert`). A
     * batch replay merges identical rows for identical keys, so the sink
     * converges regardless of redelivery — the other standard exactly-once
-    * recipe next to st05's append tokens. At scale only changed keys flow
-    * per batch (update mode), so sink work tracks the update rate, not
-    * the key universe. */
+    * recipe next to st05's append tokens. Update mode keeps the *stream*
+    * side proportional to the update rate (only changed keys flow per
+    * batch); the copy-on-write upsert still rewrites the sink table, so
+    * at scale the sink is partitioned/stats-pruned (deleteRange-style
+    * file-granular rewrites) or merge-on-read — the standard lakehouse
+    * upsert trade-off. */
   private def streamUpsert(s: SparkSession, d: String): DataFrame = {
-    import graft.icelite.{Engine, FsCatalog}
-    import org.apache.hadoop.fs.Path
+    import graft.icelite.Engine
     import org.apache.spark.sql.types._
-    val whPath = new Path("/root/repo/target/scratch/st06_wh")
-    val fs     = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(whPath)) fs.delete(whPath, true)
-    fs.mkdirs(whPath)
-    val cat = new FsCatalog(s, whPath.toString)
-    val schema = StructType(Seq(
-      StructField("user_id", LongType),
-      StructField("n_purchases", LongType),
-      StructField("total", DoubleType)))
-    val t = cat.createOrReplaceTable("graft", "purchase_totals",
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val (cat, t) = freshSinkTable(s, "st06_wh", "purchase_totals",
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("n_purchases", LongType),
+        StructField("total", DoubleType))))
     eventsStream(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")

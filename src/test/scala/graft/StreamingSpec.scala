@@ -170,10 +170,8 @@ class StreamingSpec extends SparkSpec {
       assert(total == events.size)
       // closed sessions are ordered and separated by more than the gap
       closedWhole.sliding(2).foreach {
-        case Seq(a, b) =>
-          assert(a.session_end.getTime < b.session_start.getTime - gap ||
-            a.session_end.getTime + gap < b.session_start.getTime)
-        case _ =>
+        case Seq(a, b) => assert(a.session_end.getTime + gap < b.session_start.getTime)
+        case _         =>
       }
     }
   }
