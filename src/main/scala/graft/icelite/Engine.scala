@@ -50,6 +50,19 @@ final class Engine(val spark: SparkSession, val catalog: FsCatalog) {
     finally spark.catalog.dropTempView(viewName)
   }
 
+  /** Namespace-wide SQL: every table of `ns` registered as a view under
+    * its bare table name, then the query runs against them — the
+    * multi-table surface of the reference notebooks (`users JOIN
+    * netflix_titles`, `blog-zero-cost-data-lakehouse-part-3.md:337-343`,
+    * where each table is a registered DuckDB view). Views drop after the
+    * plan is analyzed, as in [[sql]]. */
+  def sqlCatalog(ns: String, query: String): DataFrame = {
+    val names = catalog.listTables(ns)
+    names.foreach(t => registerView(s"$ns.$t", t))
+    try spark.sql(query)
+    finally names.foreach(t => spark.catalog.dropTempView(t))
+  }
+
   /** DESCRIBE: (column_name, column_type) with DuckDB-style type names
     * (reference M1/M2). */
   def describe(ident: String): DataFrame = {

@@ -322,6 +322,25 @@ object IceQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        WHERE o_custkey <= 100 ORDER BY o_orderkey"""
 
+  /** Catalog-wide SQL join (reference Q10 shape, `users JOIN
+    * netflix_titles`): two committed tables joined through bare-name views
+    * by one SQL statement against the namespace. */
+  private def sqlJoinQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "sqlj")
+    val cat = new FsCatalog(s, wh)
+    cat.createOrReplaceTable("jdb", "nations", Tables.nation(s, d))
+    cat.createOrReplaceTable("jdb", "regions", Tables.region(s, d))
+    new Engine(s, cat).sqlCatalog("jdb",
+      """SELECT r.r_name, COUNT(*) AS n_nations
+         FROM nations n JOIN regions r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name""")
+  }
+
+  private val sqlJoinOracle =
+    """SELECT r.r_name, COUNT(*) AS n_nations
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name ORDER BY r.r_name"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -349,6 +368,7 @@ object IceQueries {
     Q("ic15_rollback", rollbackQ, Some(nationOracle)),
     Q("ic16_incremental", incrementalQ, Some(incrementalOracle)),
     Q("ic17_branch", branchQ, Some(branchOracle)),
-    Q("ic18_zorder", zorderQ, Some(zorderOracle))
+    Q("ic18_zorder", zorderQ, Some(zorderOracle)),
+    Q("ic19_sql_join", sqlJoinQ, Some(sqlJoinOracle))
   )
 }
