@@ -350,6 +350,57 @@ object Dedup {
       SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM sims WHERE sim >= 0.4
       ORDER BY id_a, id_b"""
 
+  // ----------------------------------------- frequency-capped jaccard
+
+  /** dd02 with a document-frequency cap on shingles: shingles appearing in
+    * more than `dfCap` documents (boilerplate, headers, hot n-grams) are
+    * dropped before the postings self-join. This is the documented
+    * mitigation for dd02's scale hazard — the postings-join cost is
+    * Σ df(sg)^2 over shingles, so capping df bounds the join fan-out to
+    * dfCap^2 per shingle and removes the quadratic blowup on
+    * near-universal n-grams, at the cost of measuring similarity over
+    * rare-shingle evidence only. The hot-shingle list is vocabulary-sized
+    * → broadcast anti-join, no extra shuffle on the big side. */
+  private val dfCap = 2L
+
+  private def cappedJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).persist()
+    val e  = sh.select(col("doc_id"), explode(col("shs")).as("sg"))
+    val hot = e.groupBy("sg").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sg")
+    val cold = e.join(broadcast(hot), Seq("sg"), "left_anti")
+    val sz   = cold.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cold.as("a")
+      .join(cold.as("b"), col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("c")).cast("double")
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard_capped"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val cappedJaccardOracle =
+    s"""WITH $duckShingles,
+      e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      df AS (SELECT sg, COUNT(*) AS df FROM e GROUP BY sg),
+      cold AS (SELECT e.doc_id, e.sg FROM e JOIN df USING (sg) WHERE df <= $dfCap),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM cold GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM cold a JOIN cold b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 4) AS jaccard_capped
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5
+      ORDER BY doc_a, doc_b"""
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
@@ -358,6 +409,7 @@ object Dedup {
     Q("dd03_minhash_lsh", minhashLsh, Some(minhashLshOracle)),
     Q("dd04_simhash", simhash, Some(simhashOracle)),
     Q("dd05_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
-    Q("dd06_cc_cluster", ccCluster, Some(ccClusterOracle))
+    Q("dd06_cc_cluster", ccCluster, Some(ccClusterOracle)),
+    Q("dd07_capped_jaccard", cappedJaccard, Some(cappedJaccardOracle))
   )
 }

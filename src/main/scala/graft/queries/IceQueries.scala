@@ -341,6 +341,21 @@ object IceQueries {
        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
        GROUP BY r.r_name ORDER BY r.r_name"""
 
+  /** JSONL (newline-delimited JSON) round trip — the standard
+    * training-data interchange format next to CSV/parquet: export to
+    * JSONL, re-read with the declared schema (the production path — no
+    * inference ambiguity), commit as a table, scan back. */
+  private def jsonlQ(s: SparkSession, d: String): DataFrame = {
+    val outDir = freshDir(s, "jsonl")
+    val wh     = freshDir(s, "jsonl_wh")
+    val nation = Tables.nation(s, d)
+    nation.write.mode("overwrite").json(outDir)
+    val back = s.read.schema(nation.schema).json(outDir)
+    val cat  = new FsCatalog(s, wh)
+    cat.createOrReplaceTable("graft", "nations_jl", back)
+      .scan().orderBy("n_nationkey")
+  }
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -369,6 +384,7 @@ object IceQueries {
     Q("ic16_incremental", incrementalQ, Some(incrementalOracle)),
     Q("ic17_branch", branchQ, Some(branchOracle)),
     Q("ic18_zorder", zorderQ, Some(zorderOracle)),
-    Q("ic19_sql_join", sqlJoinQ, Some(sqlJoinOracle))
+    Q("ic19_sql_join", sqlJoinQ, Some(sqlJoinOracle)),
+    Q("ic20_jsonl", jsonlQ, Some(nationOracle))
   )
 }
