@@ -391,8 +391,13 @@ object Sim {
     * dim) means in one grouped aggregate. This is the iterate-until-stable
     * clustering shape at 100 TB — per round one scan + one shuffle keyed
     * by (cell, dim); the centroid matrix that feeds the next round is
-    * cells x dims, driver-sized at any corpus size. Means round to 4
-    * decimals (the usual group-sum association-order guard). */
+    * cells x dims, driver-sized at any corpus size. To keep the grouped
+    * mean independent of partition/association order (a double sum is
+    * not), each element is quantized BEFORE the sum: floor(x * 2^20) is
+    * exact in double arithmetic (power-of-two scale, no rounding ties),
+    * the per-group sum is an exact long, and only then does one
+    * deterministic division + 4-decimal round produce mean_q. The oracle
+    * mirrors the identical quantization. */
   private def kmeansStep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cents = collectMatrix(s, d, idBound = ivfCells)
@@ -404,12 +409,16 @@ object Sim {
         it.flatMap { case (_, vf) =>
           val v    = vf.map(_.toDouble)
           val cell = assignCell(v, cs)
-          v.iterator.zipWithIndex.map { case (x, dim) => (cell, dim.toLong, x) }
+          v.iterator.zipWithIndex.map { case (x, dim) =>
+            (cell, dim.toLong, math.floor(x * 1048576.0).toLong)
+          }
         }
       }
-      .toDF("cell", "d", "x")
+      .toDF("cell", "d", "xq")
       .groupBy("cell", "d")
-      .agg(count(lit(1)).as("n_members"), round(sum("x") / count(lit(1)), 4).as("mean_q"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum("xq") / (count(lit(1)) * lit(1048576.0)), 4).as("mean_q"))
       .orderBy("cell", "d")
   }
 
@@ -424,7 +433,8 @@ object Sim {
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM d2),
       cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1)
-      SELECT cell, d, COUNT(*) AS n_members, ROUND(SUM(x) / COUNT(*), 4) AS mean_q
+      SELECT cell, d, COUNT(*) AS n_members,
+             ROUND(SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) / (COUNT(*) * 1048576.0), 4) AS mean_q
       FROM e JOIN cell USING (vec_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""
 
