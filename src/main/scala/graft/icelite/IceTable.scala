@@ -9,17 +9,21 @@ import scala.collection.mutable.ArrayBuffer
   *
   * {{{
   * <location>/
-  *   data/snap-<id>-<uuid>/part-*.parquet   // files of one commit
-  *   metadata/v<N>.json                      // TableMetadata versions
-  *   metadata/version-hint.text              // latest N (fast lookup)
+  *   data/snap-<id>-<uuid>/part-*.parquet       // files of one commit
+  *   metadata/manifests/m-<id>-<uuid>/part-*.json // file list + stats of one commit
+  *   metadata/v<N>.json                          // TableMetadata versions
+  *   metadata/version-hint.text                  // latest N (fast lookup)
   * }}}
   *
   * Commit protocol (SURVEY.md §7.5): executors write parquet data files
-  * first; the driver then writes `v<N>.json` to a temp name and atomically
-  * `FileSystem.rename`s it into place, finally updating the version hint.
-  * Readers resolve the hint (or highest vN) and plan from the snapshot's
-  * file list — so a reader never observes a half-committed version.
-  * Single-writer per table, like the reference's drop-and-recreate loader.
+  * first, then the commit's manifest (per-file stats, computed and written
+  * executor-side); the driver then writes `v<N>.json` — holding only the
+  * snapshot log with manifest POINTERS, so its size is O(commits), not
+  * O(files) — to a temp name and atomically `FileSystem.rename`s it into
+  * place, finally updating the version hint. Readers resolve the hint (or
+  * highest vN) and plan from the snapshot's manifests — so a reader never
+  * observes a half-committed version. Single-writer per table, like the
+  * reference's drop-and-recreate loader.
   *
   * Scans hand Spark the snapshot's file list with the frozen schema —
   * filters/projections push into the parquet reader exactly as for a plain
@@ -102,15 +106,17 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   def replace(df: DataFrame): IceTable = appendInternal(df, replace = true)
 
   /** Write `df` as new data files and commit a snapshot.
-    * `replace=false` carries the whole current snapshot forward;
-    * `replace=true` starts from `carryFiles` only (empty = full replace) —
-    * which is how file-granular rewrites keep untouched files by
-    * reference instead of copying them. */
+    * `replace=false` carries the current snapshot's manifests forward by
+    * pointer; `replace=true` starts from `carryManifests` only (empty =
+    * full replace) — which is how manifest-granular rewrites keep
+    * untouched data by reference instead of copying it. The commit payload
+    * is O(delta): one new manifest for the just-written files plus one
+    * snapshot entry of manifest pointers — never the table's file list. */
   private def appendInternal(
       df: DataFrame,
       replace: Boolean,
       operation: String = "",
-      carryFiles: Seq[String] = Nil,
+      carryManifests: Seq[String] = Nil,
       ref: Option[String] = None,
       token: Option[String] = None): IceTable = {
     val md = metadata
@@ -137,16 +143,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       }
       buf.sorted.toIndexedSeq
     }
-    val base      = if (replace) carryFiles else baseSnap.map(_.files).getOrElse(Nil)
-    val curStats  = baseSnap.flatMap(_.file_stats).getOrElse(Map.empty)
-    val baseStats = if (replace) curStats.view.filterKeys(carryFiles.toSet).toMap else curStats
-    val newStats  = collectFileStats(md.schema, dataDir, dataRel)
+    val base        = if (replace) carryManifests else baseSnap.map(_.manifests).getOrElse(Nil)
+    val newManifest = writeManifest(md.schema, dataDir, dataRel, files, snapId)
     val snap = Snapshot(
       snapshot_id = snapId,
       timestamp_ms = System.currentTimeMillis(),
       operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
-      files = (base ++ files).toList,
-      file_stats = Some(baseStats ++ newStats),
+      manifests = (base :+ newManifest).toList,
       parent_snapshot_id = baseSnap.map(_.snapshot_id),
       commit_token = token
     )
@@ -178,34 +181,77 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     full.substring(i)
   }
 
-  /** One distributed pass over the just-written files: per-file min/max of
-    * every rangeable column (the manifest stats Iceberg keeps per data
-    * file). Cost is a map-side aggregate over data already in page cache.
-    * For partitioned tables the partition column values come from the
-    * directory layout (partition discovery on the snapshot dir). */
-  private def collectFileStats(
+  /** Write the commit's manifest: one distributed pass over the
+    * just-written files computes per-file min/max of every rangeable
+    * column (the stats Iceberg keeps per data file) and lands them as
+    * JSON-lines entries — aggregation AND manifest write both happen
+    * executor-side, so no per-file data ever rides through the driver;
+    * at 10⁶ delta files the commit is still one map-side agg + one tiny
+    * write. For partitioned tables the partition column values come from
+    * the directory layout (partition discovery on the snapshot dir).
+    * Returns the manifest dir path relative to the table location. */
+  private def writeManifest(
       schema: org.apache.spark.sql.types.StructType,
       dataDir: Path,
-      dataRel: String): Map[String, Map[String, ColRange]] = {
+      dataRel: String,
+      files: Seq[String],
+      snapId: Long): String = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rel  = s"metadata/manifests/m-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir  = new Path(location, rel)
     val cols = schema.fields.filter(f => rangeable(f.dataType)).map(_.name)
-    if (cols.isEmpty) return Map.empty
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
-    spark.read.schema(schema).parquet(dataDir.toString)
-      .groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-      .collect()
-      .map { row =>
-        val ranges = cols.map { c =>
-          c -> ColRange(
-            Option(row.getAs[String](s"min_$c")),
-            Option(row.getAs[String](s"max_$c")))
-        }.toMap
-        relativize(row.getString(0), dataRel) -> ranges
+    // the file inventory comes from the O(delta) listing (a zero-row file
+    // has no groupBy row but must still be tracked), stats from the scan
+    val filesDF = spark.createDataset(files.toIndexedSeq).toDF("file")
+    val statsType = "map<string,struct<min:string,max:string>>"
+    val entries =
+      if (cols.isEmpty || files.isEmpty)
+        filesDF.withColumn("stats", lit(null).cast(statsType))
+      else {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
+        val statsMap = map(cols.flatMap(c =>
+          Seq(lit(c), struct(col(s"min_$c").as("min"), col(s"max_$c").as("max")))).toIndexedSeq: _*)
+        val statsDF = spark.read.schema(schema).parquet(dataDir.toString)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+          .select(
+            expr(s"substring(__file, instr(__file, '$dataRel'))").as("file"),
+            statsMap.as("stats"))
+        filesDF.join(statsDF, Seq("file"), "left")
       }
-      .toMap
+    entries.coalesce(1).write.json(dir.toString)
+    rel
   }
+
+  /** Parse one immutable manifest dir (cached per-JVM: a manifest never
+    * changes after commit, so planning re-reads cost nothing). */
+  private def readManifest(rel: String): IndexedSeq[ManifestEntry] = {
+    val dir = new Path(location, rel)
+    IceTable.manifestCache(dir.toString) {
+      fs.listStatus(dir).toIndexedSeq
+        .filter(s => !s.isDirectory && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+        .flatMap { st =>
+          readFile(st.getPath).split('\n').toIndexedSeq
+            .map(_.trim).filter(_.nonEmpty).map(ManifestEntry.fromJson)
+        }
+        // deterministic scan order within a commit (listings already sort
+        // across commits because manifests are read in snapshot order)
+        .sortBy(_.file)
+    }
+  }
+
+  /** The data files of `snap`, in commit order (manifest order, each
+    * manifest internally sorted). */
+  def filesOf(snap: Snapshot): Seq[String] =
+    snap.manifests.flatMap(readManifest(_).map(_.file))
+
+  /** Per-file column stats of `snap` (files without stats are absent). */
+  def statsOf(snap: Snapshot): Map[String, Map[String, ColRange]] =
+    snap.manifests.flatMap(m =>
+      readManifest(m).flatMap(e => e.stats.map(e.file -> _))).toMap
 
   /** Bin-pack the current snapshot into `numFiles` files as a new
     * "compact" snapshot (Iceberg rewrite-data-files maintenance). Readers
@@ -321,7 +367,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val snap = md
       .snapshot(id)
       .getOrElse(throw new NoSuchElementException(s"snapshot $id of table ${md.name}"))
-    readFiles(md, snap.files)
+    readFiles(md, filesOf(snap))
   }
 
   private def emptyFrame(md: TableMetadata): DataFrame =
@@ -356,9 +402,9 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * stats are conservatively kept. This is the manifest-level pruning a
     * 100 TB scan needs *before* Spark ever lists a file. */
   def planFiles(colName: String, lower: Option[String], upper: Option[String]): Seq[String] = {
-    val md   = metadata
-    val snap = md.currentSnapshot.getOrElse(return Seq.empty)
-    val stats = snap.file_stats.getOrElse(Map.empty)
+    val md    = metadata
+    val snap  = md.currentSnapshot.getOrElse(return Seq.empty)
+    val stats = statsOf(snap)
     val numeric = md.schema.fields.find(_.name == colName).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
           org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) => true
@@ -366,7 +412,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     }
     def cmp(a: String, b: String): Int =
       if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
-    snap.files.filter { f =>
+    filesOf(snap).filter { f =>
       stats.get(f).flatMap(_.get(colName)) match {
         case Some(ColRange(Some(mn), Some(mx))) =>
           lower.forall(lo => cmp(mx, lo) >= 0) && upper.forall(hi => cmp(mn, hi) <= 0)
@@ -401,17 +447,39 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
 
   /** File-granular delete of rows with `colName` in [lower, upper]: files
     * whose min/max range cannot contain matches carry over by reference
-    * (zero IO); only affected files rewrite. The 100 TB delete path. */
+    * (zero IO); only affected files rewrite. Carry is MANIFEST-granular,
+    * as in Iceberg: a manifest with no affected file carries by pointer
+    * (zero metadata IO); one with survivors is rewritten minus the
+    * affected entries — so the commit cost tracks the delete's blast
+    * radius, never the table size. The 100 TB delete path. */
   def deleteRange(colName: String, lower: String, upper: String): IceTable = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val md       = metadata
-    val all      = md.currentSnapshot.map(_.files).getOrElse(Nil)
+    val snap     = md.currentSnapshot
     val affected = planFiles(colName, Some(lower), Some(upper))
-    val carried  = all.filterNot(affected.toSet)
+    val hitSet   = affected.toSet
+    val carried = snap.map(_.manifests).getOrElse(Nil).flatMap { m =>
+      val entries = readManifest(m)
+      if (!entries.exists(e => hitSet(e.file))) Some(m) // untouched: carry pointer
+      else {
+        val remaining = entries.filterNot(e => hitSet(e.file))
+        if (remaining.isEmpty) None else Some(writeFilteredManifest(remaining))
+      }
+    }
     val colType  = md.schema(colName).dataType
     val hit      = col(colName) >= lit(lower).cast(colType) && col(colName) <= lit(upper).cast(colType)
     val survivors = readFiles(md, affected).filter(not(coalesce(hit, lit(false))))
-    appendInternal(survivors, replace = true, operation = "delete", carryFiles = carried)
+    appendInternal(survivors, replace = true, operation = "delete", carryManifests = carried)
+  }
+
+  /** Driver-side rewrite of a partially-affected manifest (entry subset
+    * with stats carried verbatim). O(one manifest), never O(table). */
+  private def writeFilteredManifest(entries: Seq[ManifestEntry]): String = {
+    val rel = s"metadata/manifests/m-rw-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(location, rel)
+    fs.mkdirs(dir)
+    writeFileAtomic(new Path(dir, "part-00000.json"), entries.map(_.toJson).mkString("\n"))
+    rel
   }
 
   /** Upsert (merge-by-key, copy-on-write): rows of `updates` replace
@@ -549,7 +617,12 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     // rollback removed. Only a true ancestor path is a valid CDC window.
     require(isAncestor(fromSnapshotId, toSnapshotId),
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId — not an incremental window")
-    readFiles(md, (to.files.toSet -- from.files.toSet).toSeq.sorted)
+    // append-only window ⇒ the delta is exactly the manifests `to` gained
+    // over `from`: the reader opens only the delta's manifests, so an
+    // incremental consumer's planning cost is O(new commits) too
+    val fromManifests = from.manifests.toSet
+    val delta         = to.manifests.filterNot(fromManifests)
+    readFiles(md, delta.flatMap(readManifest(_).map(_.file)))
   }
 
   /** Iceberg-style expire-snapshots maintenance: keep the most recent
@@ -588,8 +661,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     // batch must stay a no-op even after maintenance expired its commit
     val dropped       = md.snapshots.filterNot(s => keptIds.contains(s.snapshot_id))
     val retiredTokens = (md.retired_tokens.getOrElse(Nil) ++ dropped.flatMap(_.commit_token)).distinct
-    val referenced = keep.flatMap(_.files).toSet
-    val orphaned   = md.snapshots.flatMap(_.files).toSet -- referenced
+    val referenced = keep.flatMap(filesOf).toSet
+    val orphaned   = md.snapshots.flatMap(filesOf).toSet -- referenced
     commit(md.copy(snapshots = spliced,
       retired_tokens = if (retiredTokens.isEmpty) None else Some(retiredTokens)))
     // snapshot dirs with no referenced file left are removed recursively
@@ -599,6 +672,12 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val (deadDirFiles, looseFiles) = orphaned.partition(f => !liveDirs.contains(snapDirOf(f)))
     looseFiles.foreach(f => fs.delete(new Path(location, f), false))
     deadDirFiles.map(snapDirOf).foreach { rel =>
+      val dir = new Path(location, rel)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    // manifests only expired snapshots referenced are reclaimed too
+    val liveManifests = keep.flatMap(_.manifests).toSet
+    (md.snapshots.flatMap(_.manifests).toSet -- liveManifests).foreach { rel =>
       val dir = new Path(location, rel)
       if (fs.exists(dir)) fs.delete(dir, true)
     }
@@ -645,8 +724,27 @@ object IceTable {
     val t  = new IceTable(spark, p.getParent.getParent)
     val md = t.metadataAt(version.toInt)
     md.currentSnapshot match {
-      case Some(snap) => t.readFiles(md, snap.files)
+      case Some(snap) => t.readFiles(md, t.filesOf(snap))
       case None       => t.emptyFrame(md)
+    }
+  }
+
+  /** Per-JVM cache of parsed manifests, keyed by absolute dir path.
+    * Sound because manifests are immutable once committed (UUID-suffixed,
+    * never rewritten in place); bounded by a whole-cache reset so a
+    * long-lived session can't grow it without limit. */
+  private val manifestEntries =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[ManifestEntry]]()
+
+  private[icelite] def manifestCache(key: String)(
+      load: => IndexedSeq[ManifestEntry]): IndexedSeq[ManifestEntry] = {
+    val hit = manifestEntries.get(key)
+    if (hit != null) hit
+    else {
+      if (manifestEntries.size > 65536) manifestEntries.clear()
+      val v = load
+      manifestEntries.put(key, v)
+      v
     }
   }
 }

@@ -14,9 +14,10 @@ import org.json4s.jackson.Serialization
   *   (`bot_iceberg_loader.py:206,232-239` semantics) for schema evolution.
   * - `schemaJson` is the Spark StructType serialization — the engine-native
   *   schema used to re-plan scans with exact types.
-  * - each snapshot lists the parquet files valid at that version; appends
-  *   add files, replaces reset them. Time travel = re-plan from an older
-  *   snapshot's file list.
+  * - each snapshot points at the manifest files describing the parquet
+  *   files valid at that version; appends add one manifest, replaces reset
+  *   the manifest list. Time travel = re-plan from an older snapshot's
+  *   manifests.
   */
 final case class FieldInfo(id: Int, name: String, `type`: String, required: Boolean)
 
@@ -31,12 +32,33 @@ final case class RefInfo(snapshot_id: Long, ref_type: String) // "branch" | "tag
   * The planner skips files whose range can't satisfy a predicate. */
 final case class ColRange(min: Option[String], max: Option[String])
 
+/** One data file of a manifest: its path (relative to the table location)
+  * plus optional per-column min/max stats. Serialized as one JSON line. */
+final case class ManifestEntry(file: String, stats: Option[Map[String, ColRange]] = None) {
+  def toJson: String = {
+    implicit val fmts: Formats = TableMetadata.formats
+    Serialization.write(this)
+  }
+}
+
+object ManifestEntry {
+  def fromJson(s: String): ManifestEntry = {
+    implicit val fmts: Formats = TableMetadata.formats
+    JsonMethods.parse(s).extract[ManifestEntry]
+  }
+}
+
+/** A snapshot references its data through immutable manifest files (the
+  * Iceberg manifest-list design): each commit writes ONE manifest holding
+  * its delta's file paths + stats, and the snapshot carries the parent's
+  * manifest *pointers* plus that one new path — so the metadata JSON stays
+  * O(commits), not O(total files), and a 10⁶-file table appends without
+  * rewriting its file inventory. */
 final case class Snapshot(
     snapshot_id: Long,
     timestamp_ms: Long,
     operation: String, // "append" | "replace" | "compact"
-    files: List[String], // relative to table location
-    file_stats: Option[Map[String, Map[String, ColRange]]] = None, // file -> col -> range
+    manifests: List[String], // manifest dirs (relative), one per contributing commit
     parent_snapshot_id: Option[Long] = None, // commit DAG edge; None/0 = table root
     commit_token: Option[String] = None // idempotency key (streaming batch id)
 )
@@ -94,7 +116,7 @@ object TableMetadata {
       schema: StructType,
       partitionColumns: Seq[String] = Nil): TableMetadata =
     TableMetadata(
-      format_version = 1,
+      format_version = 2, // v2: manifest-based snapshots (v1 inlined file lists)
       table_uuid = java.util.UUID.randomUUID().toString,
       name = name,
       namespace = namespace,

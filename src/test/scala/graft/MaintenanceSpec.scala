@@ -47,7 +47,7 @@ class MaintenanceSpec extends SparkSpec {
     val t   = cat.createOrReplaceTable("ns", "orders_parts", lo)
     t.append(hi)
     assert(t.scan().inputFiles.length == 2)
-    val stats = t.snapshots().last.file_stats.get
+    val stats = t.statsOf(t.snapshots().last)
     assert(stats.size == 2)
     assert(stats.values.forall(_.contains("o_orderkey")))
 
@@ -80,7 +80,7 @@ class MaintenanceSpec extends SparkSpec {
     val cat = new FsCatalog(spark, scratch("part"))
     val t = cat.createOrReplaceTable("ns", "orders_p", orders, Seq("o_orderpriority"))
     // layout: snapshot dir contains k=v partition subdirectories
-    val files = t.snapshots().last.files
+    val files = t.filesOf(t.snapshots().last)
     assert(files.nonEmpty && files.forall(_.contains("o_orderpriority=")))
     // full scan restores the partition column in schema order
     val back = t.scan()
@@ -100,7 +100,7 @@ class MaintenanceSpec extends SparkSpec {
     // append goes into the partitioned layout too; stats still recorded
     t.append(orders.limit(100))
     assert(t.scan().count() == orders.count() + 100)
-    assert(t.snapshots().last.file_stats.get.nonEmpty)
+    assert(t.statsOf(t.snapshots().last).nonEmpty)
 
     // regression: a range-pruned scan on a partitioned table must restore
     // partition values (it once read leaf files without basePath -> nulls)
@@ -174,14 +174,19 @@ class MaintenanceSpec extends SparkSpec {
     val hi  = orders.filter(col("o_orderkey") >= 1000).coalesce(1)
     val t   = cat.createOrReplaceTable("ns", "orders_dr", lo)
     t.append(hi)
-    val hiFileBefore = t.snapshots().last.files.find(f =>
-      t.snapshots().last.file_stats.get(f)("o_orderkey").min.get.toLong >= 1000).get
+    val preSnap      = t.snapshots().last
+    val hiFileBefore = t.filesOf(preSnap).find(f =>
+      t.statsOf(preSnap)(f)("o_orderkey").min.get.toLong >= 1000).get
+    val hiManifest = preSnap.manifests.last // commit 2's manifest (the hi file)
     t.deleteRange("o_orderkey", "0", "499")
     // rows gone...
     assert(t.scan().filter(col("o_orderkey") <= 499).count() == 0)
     assert(t.scan().count() == orders.filter(col("o_orderkey") > 499).count())
     // ...but the untouched high file is carried over verbatim
-    assert(t.snapshots().last.files.contains(hiFileBefore))
+    assert(t.filesOf(t.snapshots().last).contains(hiFileBefore))
+    // and at MANIFEST granularity: the untouched commit's manifest carries
+    // by pointer, not by rewrite
+    assert(t.snapshots().last.manifests.contains(hiManifest))
     assert(t.snapshots().last.operation == "delete")
   }
 
@@ -191,7 +196,7 @@ class MaintenanceSpec extends SparkSpec {
     t.replace(Tables.nation(spark, sfDir).limit(10)) // snapshot 2: own files
     t.append(Tables.nation(spark, sfDir).limit(5))   // snapshot 3: adds files
     assert(t.snapshots().map(_.snapshot_id) == Seq(1L, 2L, 3L))
-    val snap1Files = t.snapshots().head.files
+    val snap1Files = t.filesOf(t.snapshots().head)
     t.expireSnapshots(keepLast = 2)
     assert(t.snapshots().map(_.snapshot_id) == Seq(2L, 3L))
     // current data intact; time travel within the window intact
@@ -337,6 +342,39 @@ class MaintenanceSpec extends SparkSpec {
     // snapshot 3 re-parented to 1: the fast-forward is still recognized
     t.fastForward("dev")
     assert(t.scan().count() == 75)
+  }
+
+  test("commit payload is O(delta): metadata JSON holds pointers, manifests hold files") {
+    val cat    = new FsCatalog(spark, scratch("odelta"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_od", nation.coalesce(1))
+    t.append(nation.coalesce(1))
+    t.append(nation.coalesce(1))
+    val fs = new org.apache.hadoop.fs.Path(t.metadataLocation)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMeta(v: Int): String = {
+      val p  = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(t.location, "metadata"), s"v$v.json")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    // no data-file path ever lands in the metadata JSON — the file
+    // inventory lives in manifests, the snapshot log only points at them
+    (2 to t.currentVersion).foreach { v =>
+      assert(!readMeta(v).contains(".parquet"), s"v$v.json inlines data file paths")
+    }
+    // each append adds exactly ONE manifest pointer on top of the parent's
+    val snaps = t.snapshots()
+    assert(snaps.map(_.manifests.size) == Seq(1, 2, 3))
+    assert(snaps(1).manifests.startsWith(snaps(0).manifests))
+    assert(snaps(2).manifests.startsWith(snaps(1).manifests))
+    // and the new manifest lists only the delta's files
+    val lastManifestFiles = t.filesOf(snaps(2)).toSet -- t.filesOf(snaps(1)).toSet
+    assert(lastManifestFiles.nonEmpty && lastManifestFiles.forall(_.contains("snap-3-")))
+    // metadata growth is bounded by the snapshot log, not the file count:
+    // v4 (3 snapshots) stays within a small constant of v2 (1 snapshot)
+    assert(readMeta(4).length < readMeta(2).length + 2048,
+      s"metadata grew super-linearly: v2=${readMeta(2).length}B v4=${readMeta(4).length}B")
   }
 
   test("appendOnce tokens survive snapshot expiration") {
