@@ -33,6 +33,13 @@ final class Engine(val spark: SparkSession, val catalog: FsCatalog) {
   def scanMetadata(metadataPath: String): DataFrame =
     IceTable.scanMetadataFile(spark, metadataPath)
 
+  /** Scan a STANDARD Apache Iceberg table from its `vN.metadata.json` —
+    * the reference's `iceberg_scan('{metadata}')` against real Iceberg
+    * tables (`query_iceberg_minio.ipynb:274-277`), resolved through the
+    * spec's metadata → manifest-list Avro → manifest Avro chain. */
+  def scanIcebergMetadata(metadataPath: String): DataFrame =
+    IcebergFormat.scan(spark, metadataPath)
+
   /** Register `ident` as a temp view (the `conn.register` of the bridge). */
   def registerView(ident: String, viewName: String): Unit =
     table(ident).createOrReplaceTempView(viewName)

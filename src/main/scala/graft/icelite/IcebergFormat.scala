@@ -1,0 +1,345 @@
+package graft.icelite
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Read/write support for the STANDARD Apache Iceberg table format (v2),
+  * from the public spec at iceberg.apache.org/spec — this is the
+  * compatibility bridge the reference's query path uses for real tables
+  * (`iceberg_scan('{metadata}')`, `query_iceberg_minio.ipynb:274-277`;
+  * PyIceberg `table.scan()`, `query_iceberg.ipynb:210`), implemented
+  * natively because no iceberg-spark-runtime jar ships in this image
+  * (SURVEY.md §7.1).
+  *
+  * Reader: `vN.metadata.json` → current snapshot → manifest-list Avro →
+  * manifest Avro entries (skipping deleted entries and delete manifests)
+  * → parquet file list + schema → one planned Spark scan. Planning cost is
+  * O(manifests) on the driver, exactly like Iceberg's own planner; the
+  * data read is a normal pushdown-capable parquet scan.
+  *
+  * Writer: enough of the spec to commit genuine flat-schema tables —
+  * per-commit manifest Avro (with spec field-ids in the Avro schema),
+  * per-snapshot manifest list, and the metadata JSON with schemas /
+  * partition-specs / snapshot log. Used by the ic21 gate to produce a
+  * fixture that an independent Iceberg reader could consume.
+  */
+object IcebergFormat {
+
+  // ------------------------------------------------------------------ schema
+
+  /** Iceberg schema JSON (struct of flat primitives) → Spark StructType. */
+  private[graft] def toSparkType(icebergType: String): DataType = icebergType match {
+    case "boolean"        => BooleanType
+    case "int"            => IntegerType
+    case "long"           => LongType
+    case "float"          => FloatType
+    case "double"         => DoubleType
+    case "string"         => StringType
+    case "date"           => DateType
+    case "timestamp"      => TimestampNTZType
+    case "timestamptz"    => TimestampType
+    case "binary"         => BinaryType
+    case "uuid"           => StringType
+    case t if t.startsWith("decimal(") =>
+      val Array(p, sc) = t.stripPrefix("decimal(").stripSuffix(")").split(',').map(_.trim.toInt)
+      DecimalType(p, sc)
+    case t if t.startsWith("fixed[") => BinaryType
+    case other =>
+      throw new UnsupportedOperationException(s"nested/unknown Iceberg type not supported: $other")
+  }
+
+  private def fromSparkType(dt: DataType): String = dt match {
+    case BooleanType        => "boolean"
+    case IntegerType        => "int"
+    case LongType           => "long"
+    case FloatType          => "float"
+    case DoubleType         => "double"
+    case StringType         => "string"
+    case DateType           => "date"
+    case TimestampNTZType   => "timestamp"
+    case TimestampType      => "timestamptz"
+    case BinaryType         => "binary"
+    case d: DecimalType     => s"decimal(${d.precision}, ${d.scale})"
+    case other =>
+      throw new UnsupportedOperationException(s"cannot write Iceberg type for: $other")
+  }
+
+  private def schemaFields(schemaObj: JValue): StructType = {
+    implicit val fmts: Formats = DefaultFormats
+    val fields = (schemaObj \ "fields").extract[List[JObject]].map { f =>
+      val name     = (f \ "name").extract[String]
+      val required = (f \ "required").extractOpt[Boolean].getOrElse(false)
+      val tpe = (f \ "type") match {
+        case JString(s) => toSparkType(s)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"nested Iceberg type not supported for column $name: $other")
+      }
+      StructField(name, tpe, nullable = !required)
+    }
+    StructType(fields)
+  }
+
+  // ------------------------------------------------------------------ reader
+
+  /** Scan a standard Iceberg table pinned to the given metadata file (the
+    * reference's `iceberg_scan('{metadata}')` contract). */
+  def scan(spark: SparkSession, metadataPath: String): DataFrame = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+
+    val formatVersion = (md \ "format-version").extract[Int]
+    require(formatVersion == 1 || formatVersion == 2, s"unsupported format-version $formatVersion")
+    val location = (md \ "location").extract[String]
+
+    // v2 keeps a schemas list + current-schema-id; v1 may have only "schema"
+    val schemaObj = (md \ "schemas") match {
+      case JArray(ss) =>
+        val cur = (md \ "current-schema-id").extractOpt[Int].getOrElse(0)
+        ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
+          .orElse(ss.headOption)
+          .getOrElse(throw new IllegalArgumentException("no schema in metadata"))
+      case _ => md \ "schema"
+    }
+    val sparkSchema = schemaFields(schemaObj)
+
+    val currentId = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
+    if (currentId < 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    val snapshot = (md \ "snapshots").extract[List[JObject]]
+      .find(s => (s \ "snapshot-id").extract[Long] == currentId)
+      .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
+
+    // v2: snapshot → manifest-list avro; v1 fallback: inline "manifests"
+    val manifestPaths: Seq[String] = (snapshot \ "manifest-list") match {
+      case JString(listPath) =>
+        readAvro(fs, resolve(location, listPath)).flatMap { rec =>
+          // content 0 = data manifests; 1 = delete manifests (not scanned)
+          val content = Option(rec.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          if (content == 0) Some(rec.get("manifest_path").toString) else None
+        }
+      case _ => (snapshot \ "manifests").extract[List[String]]
+    }
+
+    val dataFiles = manifestPaths.flatMap { mp =>
+      readAvro(fs, resolve(location, mp)).flatMap { entry =>
+        val status = entry.get("status").asInstanceOf[Int] // 0 existing, 1 added, 2 deleted
+        if (status == 2) None
+        else {
+          val df     = entry.get("data_file").asInstanceOf[GenericRecord]
+          val format = df.get("file_format").toString
+          require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
+          // v2 data_file.content: 0 data, 1/2 delete files
+          val content = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          if (content == 0) Some(resolve(location, df.get("file_path").toString)) else None
+        }
+      }
+    }
+
+    if (dataFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    else spark.read.schema(sparkSchema).parquet(dataFiles.map(_.toString): _*)
+  }
+
+  /** Spec paths are fully qualified; tolerate relative ones by anchoring at
+    * the table location. */
+  private def resolve(location: String, p: String): Path =
+    if (p.startsWith("/") || p.contains("://")) new Path(p)
+    else new Path(new Path(location), p)
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {
+    val in  = new FsInput(p, fs.getConf)
+    val rdr = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+      while (rdr.hasNext) buf += rdr.next()
+      buf.toIndexedSeq
+    } finally rdr.close()
+  }
+
+  // ------------------------------------------------------------------ writer
+
+  /** One committed data file (a parquet file already on disk). */
+  final case class DataFileInfo(path: String, recordCount: Long, sizeBytes: Long)
+
+  /** Avro schema of a v2 manifest entry for an unpartitioned table, with
+    * the spec's field-ids attached so spec-compliant readers can project
+    * by id (manifest_entry / data_file required fields per the spec's
+    * "Manifests" table). */
+  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104}
+      ]}}]}""".replaceAll("\n\\s*", ""))
+
+  /** Avro schema of a manifest-list entry (spec "Manifest Lists" table). */
+  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_files_count","type":"int","field-id":504},
+      {"name":"existing_files_count","type":"int","field-id":505},
+      {"name":"deleted_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514}
+    ]}""".replaceAll("\n\\s*", ""))
+
+  /** Iceberg schema JSON for a flat Spark schema (1-based field ids). */
+  private def icebergSchemaJson(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${fromSparkType(f.dataType)}"}"""
+    }
+    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** A writer session for committing genuine Iceberg v2 metadata over
+    * already-written parquet data files. Each `commit` appends a snapshot
+    * (carrying prior manifests by pointer, as the spec intends) and writes
+    * `v<N>.metadata.json` + `version-hint.text`. Single-writer, fixed
+    * timestamps for reproducible fixtures. */
+  final class Writer(
+      spark: SparkSession,
+      val location: String,
+      schema: StructType,
+      tableUuid: String = "11111111-2222-3333-4444-555555555555") {
+
+    private val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val metadataDir = new Path(location, "metadata")
+    private val ts0 = 1704067200000L // fixed epoch (2024-01-01) — deterministic fixtures
+
+    private var version = 0
+    private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
+    private var manifests = List.empty[(String, Long, Long, Long)] // (path, length, snapId, seq)
+
+    private def writeAvroFile(p: Path, schema: Schema, records: Seq[GenericRecord],
+        meta: Map[String, String]): Long = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
+      val out = fs.create(p, true)
+      w.create(schema, out)
+      records.foreach(w.append)
+      w.close()
+      fs.getFileStatus(p).getLen
+    }
+
+    /** Commit `files` as snapshot N+1 (append semantics). */
+    def commit(files: Seq[DataFileInfo]): Unit = {
+      val snapId = committed.size + 1L
+      val seq    = snapId // one sequence number per commit
+      fs.mkdirs(metadataDir)
+
+      // 1. the commit's manifest: one ADDED entry per data file
+      val entries = files.map { f =>
+        val dataFile = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+        dataFile.put("content", 0)
+        dataFile.put("file_path", f.path)
+        dataFile.put("file_format", "PARQUET")
+        dataFile.put("partition",
+          new GenericData.Record(dataFile.getSchema.getField("partition").schema()))
+        dataFile.put("record_count", f.recordCount)
+        dataFile.put("file_size_in_bytes", f.sizeBytes)
+        val entry = new GenericData.Record(manifestEntrySchema)
+        entry.put("status", 1) // ADDED
+        entry.put("snapshot_id", snapId)
+        entry.put("sequence_number", seq)
+        entry.put("file_sequence_number", seq)
+        entry.put("data_file", dataFile)
+        entry
+      }
+      val manifestPath = new Path(metadataDir, f"m-$snapId%05d.avro")
+      val manifestLen = writeAvroFile(manifestPath, manifestEntrySchema, entries, Map(
+        "schema" -> icebergSchemaJson(schema),
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data"))
+      manifests = manifests :+ ((manifestPath.toString, manifestLen, snapId, seq))
+
+      // 2. the snapshot's manifest list: this commit's manifest + carried ones
+      val listRecords = manifests.map { case (mp, len, addedBy, mseq) =>
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", mseq)
+        r.put("min_sequence_number", mseq)
+        r.put("added_snapshot_id", addedBy)
+        r.put("added_files_count", if (addedBy == snapId) files.size else 0)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", if (addedBy == snapId) files.map(_.recordCount).sum else 0L)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        r
+      }
+      val listPath = new Path(metadataDir, f"snap-$snapId%d-manifest-list.avro")
+      writeAvroFile(listPath, manifestFileSchema, listRecords, Map(
+        "format-version" -> "2",
+        "snapshot-id" -> snapId.toString,
+        "sequence-number" -> seq.toString,
+        "parent-snapshot-id" -> (if (snapId == 1) "null" else (snapId - 1).toString)))
+      committed = committed :+ ((snapId, listPath.toString))
+
+      // 3. the metadata JSON: full snapshot log, current pointer
+      version += 1
+      val snapshotsJson = committed.zipWithIndex.map { case ((id, lp), i) =>
+        val parent = if (i == 0) "" else s""""parent-snapshot-id":${committed(i - 1)._1},"""
+        s"""{"snapshot-id":$id,$parent"timestamp-ms":${ts0 + id},"sequence-number":$id,
+           "summary":{"operation":"append"},"manifest-list":"$lp","schema-id":0}"""
+          .replaceAll("\n\\s*", "")
+      }.mkString(",")
+      val metadataJson =
+        s"""{"format-version":2,"table-uuid":"$tableUuid","location":"$location",
+           "last-sequence-number":$seq,"last-updated-ms":${ts0 + snapId},
+           "last-column-id":${schema.fields.length},
+           "current-schema-id":0,"schemas":[${icebergSchemaJson(schema)}],
+           "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+           "last-partition-id":999,
+           "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+           "properties":{},
+           "current-snapshot-id":$snapId,
+           "snapshots":[$snapshotsJson],
+           "snapshot-log":[],"metadata-log":[]}""".replaceAll("\n\\s*", "")
+      val mdPath = new Path(metadataDir, f"v$version%05d.metadata.json")
+      val out = fs.create(mdPath, true)
+      try out.write(metadataJson.getBytes("UTF-8")) finally out.close()
+      val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
+      try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    }
+
+    def currentMetadataPath: String =
+      new Path(metadataDir, f"v$version%05d.metadata.json").toString
+  }
+}

@@ -356,6 +356,49 @@ object IceQueries {
       .scan().orderBy("n_nationkey")
   }
 
+  /** Standard-Iceberg compatibility (reference `iceberg_scan`): build a
+    * genuine Iceberg v2 table — real metadata JSON + manifest-list Avro +
+    * manifest Avro with spec field-ids — over parquet data files, then
+    * scan it back through the spec's resolution chain. The fixture plants
+    * an ORPHAN parquet file in the data dir that no manifest references
+    * (the debris a failed commit leaves behind): a reader that globbed the
+    * directory instead of walking metadata→manifest-list→manifests would
+    * include its rows and fail the oracle. Two commits also prove the
+    * manifest-list carries prior manifests across snapshots. */
+  private def icebergScanQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "icefix")
+    val loc    = s"$root/nations_iceberg"
+    val nation = Tables.nation(s, d)
+    val fs     = new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    // three single-file parquet batches: two committed, one orphan
+    def writeBatch(name: String, df: DataFrame): IcebergFormat.DataFileInfo = {
+      val tmp = s"$root/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(s"$loc/data/$name.parquet")
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(part, dest), s"stage rename failed for $name")
+      fs.delete(new Path(tmp), true)
+      IcebergFormat.DataFileInfo(dest.toString, df.count(), fs.getFileStatus(dest).getLen)
+    }
+    val lo     = writeBatch("lo", nation.filter(col("n_nationkey") < 10))
+    val mid    = writeBatch("mid",
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+    writeBatch("orphan", nation.filter(col("n_nationkey") >= 20)) // never committed
+
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    w.commit(Seq(lo))  // snapshot 1
+    w.commit(Seq(mid)) // snapshot 2: manifest list carries snapshot 1's manifest
+    new Engine(s, new FsCatalog(s, freshDir(s, "icefix_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy("n_nationkey")
+  }
+
+  private val icebergScanOracle =
+    "SELECT * FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey"
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -385,6 +428,7 @@ object IceQueries {
     Q("ic17_branch", branchQ, Some(branchOracle)),
     Q("ic18_zorder", zorderQ, Some(zorderOracle)),
     Q("ic19_sql_join", sqlJoinQ, Some(sqlJoinOracle)),
-    Q("ic20_jsonl", jsonlQ, Some(nationOracle))
+    Q("ic20_jsonl", jsonlQ, Some(nationOracle)),
+    Q("ic21_iceberg_scan", icebergScanQ, Some(icebergScanOracle))
   )
 }

@@ -13,6 +13,76 @@ class IceLiteSpec extends SparkSpec {
 
   private def nation = Tables.nation(spark, sfDir)
 
+  test("standard Iceberg format: avro manifests with spec field-ids, orphan exclusion, v1 fallback") {
+    import org.apache.hadoop.fs.Path
+    val root = scratch("icespec")
+    val loc  = s"$root/t_ice"
+    val fs   = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): IcebergFormat.DataFileInfo = {
+      val tmp = s"$root/st_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(s"$loc/data/$name.parquet")
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest)
+      IcebergFormat.DataFileInfo(dest.toString, df.count(), fs.getFileStatus(dest).getLen)
+    }
+    val a = stage("a", nation.filter(col("n_nationkey") < 10))
+    val b = stage("b", nation.filter(col("n_nationkey") >= 10))
+    stage("orphan", nation.limit(5)) // present on disk, never committed
+    val w = new IcebergFormat.Writer(spark, loc, nation.schema)
+    w.commit(Seq(a))
+    w.commit(Seq(b))
+
+    // scan through the metadata chain: orphan rows must NOT appear
+    val scanned = IcebergFormat.scan(spark, w.currentMetadataPath)
+    assert(scanned.count() == 25)
+    assert(scanned.schema.fieldNames.toSeq == nation.schema.fieldNames.toSeq)
+    // pinned to an older metadata version = time travel
+    val v1 = w.currentMetadataPath.replace("v00002", "v00001")
+    assert(IcebergFormat.scan(spark, v1).count() == 10)
+
+    // the avro files are genuine avro object container files (magic "Obj\1")
+    val mfDir = new Path(loc, "metadata")
+    val avros = fs.listStatus(mfDir).map(_.getPath).filter(_.getName.endsWith(".avro"))
+    assert(avros.length == 4) // 2 manifests + 2 manifest lists
+    avros.foreach { p =>
+      val in  = fs.open(p)
+      val hdr = new Array[Byte](4)
+      in.readFully(hdr); in.close()
+      assert(hdr.toSeq == Seq[Byte]('O', 'b', 'j', 1), s"${p.getName} is not avro")
+    }
+    // spec field-ids ride in the manifest avro schema (readers project by id)
+    val manifestBytes = {
+      val p  = avros.find(_.getName.startsWith("m-")).get
+      val in = fs.open(p)
+      val buf = new java.io.ByteArrayOutputStream()
+      val arr = new Array[Byte](8192)
+      var n = in.read(arr); while (n > 0) { buf.write(arr, 0, n); n = in.read(arr) }
+      in.close(); new String(buf.toByteArray, "ISO-8859-1")
+    }
+    assert(manifestBytes.contains("\"field-id\":100"), "data_file.file_path field-id missing")
+    assert(manifestBytes.contains("manifest_entry"))
+
+    // a v1-style snapshot with inline "manifests" (no manifest-list) also reads
+    val mdV1 =
+      s"""{"format-version":1,"table-uuid":"u","location":"$loc",
+         "schema":{"type":"struct","fields":[
+           {"id":1,"name":"n_nationkey","required":false,"type":"long"},
+           {"id":2,"name":"n_name","required":false,"type":"string"},
+           {"id":3,"name":"n_regionkey","required":false,"type":"int"}]},
+         "current-snapshot-id":7,
+         "snapshots":[{"snapshot-id":7,"timestamp-ms":1,
+           "manifests":["$loc/metadata/m-00001.avro"]}]}""".replaceAll("\n\\s*", "")
+    val v1Path = new Path(mfDir, "v1style.metadata.json")
+    val out = fs.create(v1Path, true); out.write(mdV1.getBytes("UTF-8")); out.close()
+    assert(IcebergFormat.scan(spark, v1Path.toString).count() == 10)
+
+    // nested types are rejected loudly, not silently mangled
+    intercept[UnsupportedOperationException](
+      IcebergFormat.toSparkType("struct<1: a: int>"))
+  }
+
   test("scan of a freshly created table (no commits) is empty, not an error") {
     val t = IceTable.create(spark, scratch("empty") + "/t", "t", "ns", nation.schema)
     assert(t.scan().count() == 0)
