@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
 
 /** Benchmark main: times every registered query at the configured scale
   * factor (driver runs sf0.1) and prints one JSON line.
@@ -40,6 +41,26 @@ object Bench {
 
     force("ref01_count") // warmup: session + codegen + FS init
 
+    // fixed per-run cost of a Structured Streaming lifecycle (checkpoint +
+    // state-store setup + AvailableNow drain over a one-row source): the
+    // floor under every st* number. Reported separately so a regression in
+    // actual state logic isn't masked by — or mistaken for — harness cost.
+    def streamingOverhead(): Double = {
+      import spark.implicits._
+      val dir = "target/scratch/bench_so"
+      Seq((1L, "a")).toDF("id", "k").write.mode("overwrite").parquet(dir)
+      val t0 = System.nanoTime()
+      spark.catalog.dropTempView("so_sink")
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName("so_sink").outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val soA = streamingOverhead()
+    val soB = streamingOverhead()
+    val streamOverheadSec = math.min(soA, soB)
+
     // min of two runs: the first pays Janino/JIT compilation per query and
     // local machine noise was observed at ±40%; the minimum is the stable
     // measure of the plan itself.
@@ -60,7 +81,7 @@ object Bench {
     val total  = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"streaming_overhead":$streamOverheadSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
