@@ -44,12 +44,20 @@ final class IngestJob(spark: SparkSession, catalog: FsCatalog, tmpDir: String) {
     catalog.createNamespace(conf.namespace)
 
     if (conf.mergeGlob && files.size > 1) {
-      // merged load: all files -> one table (union-by-position on the
-      // inferred common schema; Spark's multi-path CSV read)
+      // merged load: all files -> one table. Spark's multi-path CSV read
+      // matches columns by POSITION, which silently misaligns files whose
+      // headers drifted — so the column sets are checked first: identical
+      // headers take the fast single-inference read; drifted headers fall
+      // back to per-file reads merged with unionByName(null-fill), the
+      // schema-evolution semantics a lakehouse loader owes its caller.
       val name = conf.explicitTableName.getOrElse(
         NameResolver.tableNameFor(files.head._2, conf.pluralizeNames))
-      val df = readCsv(files.map(_._1), conf.multiLine)
-      val t  = catalog.createOrReplaceTable(conf.namespace, name, df)
+      val perFile = files.map(f => readCsv(Seq(f._1), conf.multiLine))
+      val df =
+        if (perFile.map(_.schema.fieldNames.toSeq).distinct.size == 1)
+          readCsv(files.map(_._1), conf.multiLine)
+        else perFile.reduce(_.unionByName(_, allowMissingColumns = true))
+      val t = catalog.createOrReplaceTable(conf.namespace, name, df)
       Seq(IngestResult(conf.namespace, name, t.scan().count(), t.location.toString))
     } else {
       // one table per file; explicit name only honored for single-file loads

@@ -212,6 +212,26 @@ class IceLiteSpec extends SparkSpec {
     assert(res.map(r => (r.table, r.rows)) == Seq(("merged", 3L)))
   }
 
+  test("glob-merge with drifted headers unions by name with null-fill") {
+    val csvDir = java.nio.file.Paths.get(scratch("drift_csv"))
+    java.nio.file.Files.createDirectories(csvDir)
+    // b.csv drifts: drops `name`, adds `city` — a positional union would
+    // silently land city values in the name column
+    java.nio.file.Files.writeString(csvDir.resolve("a.csv"), "id,name\n1,ann\n2,bo\n")
+    java.nio.file.Files.writeString(csvDir.resolve("b.csv"), "id,city\n3,oslo\n")
+    val cat = new FsCatalog(spark, scratch("drift_wh"))
+    val job = new IngestJob(spark, cat, scratch("drift_tmp"))
+    val res = job.run(IngestConfig(
+      source = csvDir.toString, globPattern = Some("*.csv"), namespace = "db",
+      explicitTableName = Some("drifted"), mergeGlob = true))
+    assert(res.map(r => (r.table, r.rows)) == Seq(("drifted", 3L)))
+    val out = new Engine(spark, cat).table("db.drifted")
+    assert(out.schema.fieldNames.toSet == Set("id", "name", "city"))
+    val rows = out.orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("city")))
+    assert(rows.toSeq == Seq((1L, "ann", null), (2L, "bo", null), (3L, null, "oslo")))
+  }
+
   test("ingest from a file:// url goes through the download path") {
     val src = java.nio.file.Files.createTempFile("graft_remote", ".csv")
     java.nio.file.Files.writeString(src, "id,val\n1,10\n2,20\n")
