@@ -96,7 +96,7 @@ object Dedup {
   /** Verified near-dup pairs (doc_a < doc_b, exact Jaccard over hashed
     * shingle sets) found via MinHash banding — shared by dd03 and the
     * dd06 clustering pass. */
-  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.hashfns
     // distinct integer shingle-hash sets per doc (codegen'd rolling hash)
     val hs = shingles(s, d).select(
@@ -370,7 +370,7 @@ object Dedup {
     * → broadcast anti-join, no extra shuffle on the big side. */
   private val dfCap = 2L
 
-  private def cappedJaccard(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cappedJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d).persist()
     val e  = sh.select(col("doc_id"), explode(col("shs")).as("sg"))
     val hot = e.groupBy("sg").agg(count(lit(1)).as("df"))

@@ -9,6 +9,67 @@ import org.apache.spark.sql.functions._
   * similarity sanity. */
 class OpsSpec extends SparkSpec {
 
+  test("minhash LSH and df-capped jaccard survive a hot-duplicate skew") {
+    import graft.ops.Dedup
+    // two 10x corpora under scratch: `uniq` keeps every text distinct;
+    // `skew` gives ~1% of all docs one IDENTICAL hot text — the worst case
+    // for shingle-postings joins (every hot pair shares every shingle)
+    val base = Tables.documents(spark, sfDir)
+    val n    = base.count() // 500 at sf0.01
+    def replicate(distinctTexts: Boolean): org.apache.spark.sql.DataFrame = {
+      val copies = (0 until 10).map { k =>
+        val shifted = base
+          .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+        if (distinctTexts)
+          shifted.withColumn("text", concat(col("text"), lit(" u"), col("doc_id")))
+        else shifted
+      }
+      copies.reduce(_ unionByName _)
+    }
+    val hotText = base.orderBy("doc_id").select("text").head.getString(0)
+    val uniq = replicate(distinctTexts = true)
+    // skew: distinct texts everywhere EXCEPT 1% of docs share the hot text
+    val skew = replicate(distinctTexts = true)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(100L)) === 7, lit(hotText)).otherwise(col("text")))
+    def write(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val dir = scratch(name)
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val uniqDir = write(uniq, "skew_uniq")
+    val skewDir = write(skew, "skew_hot")
+
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // dd03: band-bucket candidates + exact verify. The hot cluster is ~50
+    // docs -> C(50,2) = 1225+ true pairs must all surface with jaccard 1.
+    val (uniqPairs, tUniq) = time(Dedup.minhashPairs(spark, uniqDir).count())
+    val (skewPairs, tSkew) = time(Dedup.minhashPairs(spark, skewDir).count())
+    val hotDocs = skew.filter(col("text") === hotText).count()
+    val hotPairs = hotDocs * (hotDocs - 1) / 2
+    assert(hotDocs >= n / 10, s"skew fixture too small: $hotDocs hot docs")
+    assert(skewPairs >= uniqPairs / 2 + hotPairs,
+      s"hot cluster pairs missing: skew=$skewPairs uniq=$uniqPairs hot=$hotPairs")
+    // the blowup must track the O(k^2) extra OUTPUT, not explode beyond it
+    assert(tSkew < 5 * math.max(tUniq, 1.0),
+      f"minhash skew blowup: uniq $tUniq%.1fs -> skew $tSkew%.1fs")
+
+    // dd07: the df-cap drops the hot shingles entirely -> runtime stays
+    // flat AND the hot pairs vanish from the (rare-evidence) output
+    val (_, tCapU) = time(Dedup.cappedJaccard(spark, uniqDir).count())
+    val (capSkew, tCapS) = time(Dedup.cappedJaccard(spark, skewDir).count())
+    assert(tCapS < 5 * math.max(tCapU, 1.0),
+      f"capped jaccard skew blowup: $tCapU%.1fs -> $tCapS%.1fs")
+    val capHot = Dedup.cappedJaccard(spark, skewDir)
+      .filter(pmod(col("doc_a"), lit(100L)) === 7 && pmod(col("doc_b"), lit(100L)) === 7)
+      .count()
+    assert(capHot == 0, s"df-cap failed to drop hot-shingle pairs: $capHot")
+    assert(capSkew >= 0) // shape check; numbers recorded in PERF.md
+    info(f"minhash uniq $tUniq%.2fs skew $tSkew%.2fs; capped uniq $tCapU%.2fs skew $tCapS%.2fs")
+  }
+
   test("multimodal decode stub runs per-partition and is deterministic") {
     val out = Multimodal.decodeAll(spark, sfDir)
     assert(out.columns.toSeq == Seq("doc_id", "width", "height", "n_frames"))
