@@ -429,6 +429,42 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   def scanRange(colName: String, lower: Option[String], upper: Option[String]): DataFrame =
     readFiles(metadata, planFiles(colName, lower, upper))
 
+  /** Export the current snapshot as a STANDARD Apache Iceberg v2 table at
+    * `destLocation` — metadata only, zero data copy: the Iceberg manifests
+    * reference this table's parquet files in place by absolute path (the
+    * spec allows fully-qualified URIs anywhere), exactly how Iceberg's own
+    * `add_files`/migrate procedures adopt existing parquet. Cost is one
+    * tiny per-file count pass + O(#files) metadata, at any table size.
+    * Returns the metadata.json path an external Iceberg reader consumes.
+    * Unpartitioned tables only (hive-layout partition values live in
+    * directory names, which an Iceberg partition spec models differently). */
+  def exportIceberg(destLocation: String): String = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val md = metadata
+    require(md.partitionCols.isEmpty, "exportIceberg supports unpartitioned tables only")
+    val files = md.currentSnapshot.map(filesOf).getOrElse(Nil)
+      .map(f => new Path(location, f))
+    val w = new IcebergFormat.Writer(spark, destLocation, md.schema)
+    if (files.isEmpty) { w.commit(Nil); return w.currentMetadataPath }
+    // record_count is a required manifest field: one map-side count pass,
+    // collected at O(#files) — the same planning-sized driver data Iceberg
+    // itself holds when writing manifests
+    val counts = spark.read.schema(md.schema).parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+      .toMap
+    val infos = files.map { p =>
+      IcebergFormat.DataFileInfo(
+        p.toString,
+        counts.getOrElse(p.toUri.getPath, 0L),
+        fs.getFileStatus(p).getLen)
+    }
+    w.commit(infos)
+    w.currentMetadataPath
+  }
+
   /** Delete all table data + metadata (reference drop_table). */
   def drop(): Unit = fs.delete(location, true)
 

@@ -399,6 +399,29 @@ object IceQueries {
   private val icebergScanOracle =
     "SELECT * FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey"
 
+  /** IceLite → standard-Iceberg export round trip: commit two IceLite
+    * snapshots, export the current one as genuine Iceberg v2 metadata
+    * (zero data copy — manifests adopt the IceLite parquet in place),
+    * then read it back through the spec's resolution chain. A user can
+    * hand the returned metadata.json to any Iceberg reader. */
+  private def icebergExportQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "icexp_wh")
+    val dest   = freshDir(s, "icexp_dest")
+    val nation = Tables.nation(s, d)
+    val cat    = new FsCatalog(s, wh)
+    val t      = cat.createOrReplaceTable("graft", "nations_xp", nation)
+    t.append(nation.filter(col("n_regionkey") <= 1))
+    val metadataPath = t.exportIceberg(s"$dest/nations_iceberg")
+    new Engine(s, cat).scanIcebergMetadata(metadataPath)
+      .orderBy("n_nationkey", "n_name")
+  }
+
+  private val icebergExportOracle =
+    """SELECT * FROM (
+         SELECT * FROM nation
+         UNION ALL SELECT * FROM nation WHERE n_regionkey <= 1)
+       ORDER BY n_nationkey, n_name"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -429,6 +452,7 @@ object IceQueries {
     Q("ic18_zorder", zorderQ, Some(zorderOracle)),
     Q("ic19_sql_join", sqlJoinQ, Some(sqlJoinOracle)),
     Q("ic20_jsonl", jsonlQ, Some(nationOracle)),
-    Q("ic21_iceberg_scan", icebergScanQ, Some(icebergScanOracle))
+    Q("ic21_iceberg_scan", icebergScanQ, Some(icebergScanOracle)),
+    Q("ic22_iceberg_export", icebergExportQ, Some(icebergExportOracle))
   )
 }

@@ -83,6 +83,34 @@ class IceLiteSpec extends SparkSpec {
       IcebergFormat.toSparkType("struct<1: a: int>"))
   }
 
+  test("exportIceberg is metadata-only: manifests adopt IceLite parquet in place") {
+    import org.apache.hadoop.fs.Path
+    val cat = new FsCatalog(spark, scratch("icexp"))
+    val t   = cat.createOrReplaceTable("ns", "nations_x", nation)
+    t.append(nation)
+    val dest = scratch("icexp_dest") + "/t_ice"
+    val mdPath = t.exportIceberg(dest)
+    val back = IcebergFormat.scan(spark, mdPath)
+    assert(back.count() == 50)
+    // zero copy: every planned file lives under the ICELITE table location
+    val tablePrefix = t.location.toString
+    assert(back.inputFiles.nonEmpty &&
+      back.inputFiles.forall(f => new Path(f).toUri.getPath.startsWith(
+        new Path(tablePrefix).toUri.getPath)))
+    // and the export dir holds metadata only — no parquet was copied
+    val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val copied = {
+      val it = fs.listFiles(new Path(dest), true)
+      var any = false
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) any = true
+      any
+    }
+    assert(!copied, "export copied data files")
+    // partitioned tables are rejected loudly
+    val tp = cat.createOrReplaceTable("ns", "nations_p", nation, Seq("n_regionkey"))
+    intercept[IllegalArgumentException](tp.exportIceberg(scratch("icexp_p")))
+  }
+
   test("scan of a freshly created table (no commits) is empty, not an error") {
     val t = IceTable.create(spark, scratch("empty") + "/t", "t", "ns", nation.schema)
     assert(t.scan().count() == 0)
