@@ -236,10 +236,55 @@ object Pipeline {
        ORDER BY lang, rk"""
   }
 
+  /** Benchmark-contamination detection — the decontamination pass every
+    * LLM training run owes its eval suite (n-gram overlap against held-out
+    * benchmarks, per GPT-3/PaLM methodology, here word-3-grams to fit the
+    * testdata's short docs). A deterministic 2% slice of the corpus
+    * (doc_id % 50 == 3) plays the benchmark set.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized (thousands of
+    * docs, not corpus-sized) → its distinct shingles BROADCAST; the train
+    * corpus streams through one map-side shingle explode + broadcast hash
+    * join, then one shuffle on doc_id for the per-doc hit counts. No
+    * corpus-sized join key, no skew surface — at 100 TB this is a single
+    * pass over the text. */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.hashfns.wordShingles(col("text"), 3)).as("sg"))
+    val isBench = pmod(col("doc_id"), lit(50L)) === 3
+    val bench = sh.filter(isBench)
+      .select(col("sg"), col("doc_id").as("bench_id")).distinct()
+    sh.filter(!isBench)
+      .join(broadcast(bench), Seq("sg"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("sg").as("n_hit_shingles"),
+        countDistinct("bench_id").as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shs
+        FROM w WHERE len(ws) >= 3),
+      e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      bench AS (SELECT DISTINCT sg, doc_id AS bench_id FROM e WHERE doc_id % 50 = 3),
+      train AS (SELECT doc_id, sg FROM e WHERE doc_id % 50 <> 3)
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT sg) AS BIGINT) AS n_hit_shingles,
+             CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+      FROM train JOIN bench USING (sg)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
     Q("pp03_mix", mix, Some(mixOracle)),
-    Q("pp04_stratified", stratified, Some(stratifiedOracle))
+    Q("pp04_stratified", stratified, Some(stratifiedOracle)),
+    Q("pp05_contamination", contamination, Some(contaminationOracle))
   )
 }
