@@ -439,27 +439,43 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * Unpartitioned tables only (hive-layout partition values live in
     * directory names, which an Iceberg partition spec models differently). */
   def exportIceberg(destLocation: String): String = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val md = metadata
     require(md.partitionCols.isEmpty, "exportIceberg supports unpartitioned tables only")
     val files = md.currentSnapshot.map(filesOf).getOrElse(Nil)
       .map(f => new Path(location, f))
     val w = new IcebergFormat.Writer(spark, destLocation, md.schema)
     if (files.isEmpty) { w.commit(Nil); return w.currentMetadataPath }
-    // record_count is a required manifest field: one map-side count pass,
-    // collected at O(#files) — the same planning-sized driver data Iceberg
-    // itself holds when writing manifests
-    val counts = spark.read.schema(md.schema).parquet(files.map(_.toString): _*)
+    // record_count is a required manifest field, and per-file min/max feed
+    // the manifests' lower/upper bounds (manifest-level pruning for any
+    // spec-compliant planner): one map-side pass, collected at O(#files) —
+    // the same planning-sized driver data Iceberg itself holds when
+    // writing manifests
+    val statCols = md.schema.fields.filter(f => rangeable(f.dataType)).map(_.name)
+    val aggs = count(lit(1)).as("n") +: statCols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
+    val byFile = spark.read.schema(md.schema).parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .collect()
-      .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+      .map { r =>
+        val bounds = statCols.flatMap { c =>
+          val fieldId = md.schema.fieldNames.indexOf(c) + 1
+          val dt      = md.schema(c).dataType
+          for {
+            mn <- Option(r.getAs[String](s"min_$c"))
+            mx <- Option(r.getAs[String](s"max_$c"))
+            lo <- IcebergFormat.encodeBound(dt, mn)
+            hi <- IcebergFormat.encodeBound(dt, mx)
+          } yield fieldId -> (lo, hi)
+        }.toMap
+        new Path(r.getString(0)).toUri.getPath -> (r.getAs[Long]("n"), bounds)
+      }
       .toMap
     val infos = files.map { p =>
-      IcebergFormat.DataFileInfo(
-        p.toString,
-        counts.getOrElse(p.toUri.getPath, 0L),
-        fs.getFileStatus(p).getLen)
+      val (n, bounds) = byFile.getOrElse(p.toUri.getPath,
+        (0L, Map.empty[Int, (Array[Byte], Array[Byte])]))
+      IcebergFormat.DataFileInfo(p.toString, n, fs.getFileStatus(p).getLen, bounds)
     }
     w.commit(infos)
     w.currentMetadataPath

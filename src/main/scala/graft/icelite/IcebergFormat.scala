@@ -89,9 +89,14 @@ object IcebergFormat {
 
   // ------------------------------------------------------------------ reader
 
-  /** Scan a standard Iceberg table pinned to the given metadata file (the
-    * reference's `iceberg_scan('{metadata}')` contract). */
-  def scan(spark: SparkSession, metadataPath: String): DataFrame = {
+  /** A planned data file: resolved path + per-field-id [lower, upper]
+    * bounds from its manifest entry (Iceberg single-value serialization,
+    * absent when the writer recorded none). */
+  final case class PlannedFile(path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])])
+
+  private final case class TablePlan(schema: StructType, files: Seq[PlannedFile])
+
+  private def plan(spark: SparkSession, metadataPath: String): TablePlan = {
     implicit val fmts: Formats = DefaultFormats
     val mPath = new Path(metadataPath)
     val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -113,9 +118,7 @@ object IcebergFormat {
     val sparkSchema = schemaFields(schemaObj)
 
     val currentId = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
-    if (currentId < 0)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    if (currentId < 0) return TablePlan(sparkSchema, Nil)
     val snapshot = (md \ "snapshots").extract[List[JObject]]
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
@@ -141,14 +144,128 @@ object IcebergFormat {
           require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
           // v2 data_file.content: 0 data, 1/2 delete files
           val content = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          if (content == 0) Some(resolve(location, df.get("file_path").toString)) else None
+          if (content == 0) {
+            val lo = boundsMap(df.getSchema.getField("lower_bounds") != null, df, "lower_bounds")
+            val hi = boundsMap(df.getSchema.getField("upper_bounds") != null, df, "upper_bounds")
+            val merged = (lo.keySet ++ hi.keySet).flatMap { k =>
+              for (l <- lo.get(k); h <- hi.get(k)) yield k -> (l, h)
+            }.toMap
+            Some(PlannedFile(resolve(location, df.get("file_path").toString), merged))
+          } else None
         }
       }
     }
+    TablePlan(sparkSchema, dataFiles)
+  }
 
-    if (dataFiles.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    else spark.read.schema(sparkSchema).parquet(dataFiles.map(_.toString): _*)
+  /** Parse a bounds field in either spec encoding: the array-of-records
+    * map (non-string keys) or a plain Avro string-keyed map. */
+  private def boundsMap(present: Boolean, df: GenericRecord, field: String): Map[Int, Array[Byte]] = {
+    if (!present) return Map.empty
+    def bytes(v: Any): Array[Byte] = v match {
+      case bb: java.nio.ByteBuffer =>
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      case a: Array[Byte] => a
+      case other          => other.toString.getBytes("UTF-8")
+    }
+    df.get(field) match {
+      case null => Map.empty
+      case l: java.util.List[_] =>
+        l.toArray.collect { case r: GenericRecord =>
+          r.get("key").asInstanceOf[Int] -> bytes(r.get("value"))
+        }.toMap
+      case m: java.util.Map[_, _] =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.map { case (k, v) => k.toString.toInt -> bytes(v) }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Scan a standard Iceberg table pinned to the given metadata file (the
+    * reference's `iceberg_scan('{metadata}')` contract). */
+  def scan(spark: SparkSession, metadataPath: String): DataFrame = {
+    val p = plan(spark, metadataPath)
+    if (p.files.isEmpty) emptyFrame(spark, p.schema)
+    else spark.read.schema(p.schema).parquet(p.files.map(_.path.toString): _*)
+  }
+
+  /** Files of the current snapshot whose recorded [lower, upper] bounds for
+    * `colName` can intersect [lower, upper] — manifest-level pruning, the
+    * planning step that lets a 100 TB Iceberg scan skip files before Spark
+    * ever lists one. Files without bounds are conservatively kept. */
+  def planFiles(spark: SparkSession, metadataPath: String, colName: String,
+      lower: Option[String], upper: Option[String]): Seq[String] = {
+    val p = plan(spark, metadataPath)
+    val idx = p.schema.fieldNames.indexOf(colName)
+    require(idx >= 0, s"no column $colName")
+    val fieldId = idx + 1 // writer assigns 1-based ids in schema order
+    val dt      = p.schema.fields(idx).dataType
+    def cmp(a: String, b: String): Int = dt match {
+      case IntegerType | LongType | FloatType | DoubleType => BigDecimal(a).compare(BigDecimal(b))
+      case _                                               => a.compareTo(b)
+    }
+    p.files.filter { f =>
+      f.bounds.get(fieldId) match {
+        case Some((lo, hi)) =>
+          (decodeBound(dt, lo), decodeBound(dt, hi)) match {
+            case (Some(mn), Some(mx)) =>
+              lower.forall(l => cmp(mx.toString, l) >= 0) &&
+                upper.forall(u => cmp(mn.toString, u) <= 0)
+            case _ => true
+          }
+        case None => true // no bounds recorded -> cannot skip
+      }
+    }.map(_.path.toString)
+  }
+
+  /** Range-pruned scan over a standard Iceberg table: reads only files
+    * whose bounds can contain `colName` in [lower, upper]; the caller
+    * still applies the row-level predicate. */
+  def scanRange(spark: SparkSession, metadataPath: String, colName: String,
+      lower: Option[String], upper: Option[String]): DataFrame = {
+    val p     = plan(spark, metadataPath)
+    val files = planFiles(spark, metadataPath, colName, lower, upper)
+    if (files.isEmpty) emptyFrame(spark, p.schema)
+    else spark.read.schema(p.schema).parquet(files: _*)
+  }
+
+  // ----------------------------------- single-value serialization (spec D)
+
+  /** Encode a stringified column value in Iceberg's single-value binary
+    * form (little-endian fixed width for numerics, UTF-8 for strings).
+    * Types outside the supported set record no bound (None). */
+  private[graft] def encodeBound(dt: DataType, v: String): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val bb = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN); f(bb); bb.array()
+    }
+    dt match {
+      case IntegerType => Some(le(4)(_.putInt(v.toInt)))
+      case LongType    => Some(le(8)(_.putLong(v.toLong)))
+      case FloatType   => Some(le(4)(_.putFloat(v.toFloat)))
+      case DoubleType  => Some(le(8)(_.putDouble(v.toDouble)))
+      case StringType  => Some(v.getBytes("UTF-8"))
+      case BooleanType => Some(Array[Byte](if (v.toBoolean) 1 else 0))
+      case _           => None
+    }
+  }
+
+  /** Decode a single-value-serialized bound back to a comparable value. */
+  private[graft] def decodeBound(dt: DataType, b: Array[Byte]): Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if b.length == 4 => Some(bb.getInt)
+      case LongType if b.length == 8    => Some(bb.getLong)
+      case FloatType if b.length == 4   => Some(bb.getFloat)
+      case DoubleType if b.length == 8  => Some(bb.getDouble)
+      case StringType                   => Some(new String(b, "UTF-8"))
+      case BooleanType if b.length == 1 => Some(b(0) != 0)
+      case _                            => None
+    }
   }
 
   /** Spec paths are fully qualified; tolerate relative ones by anchoring at
@@ -175,13 +292,20 @@ object IcebergFormat {
 
   // ------------------------------------------------------------------ writer
 
-  /** One committed data file (a parquet file already on disk). */
-  final case class DataFileInfo(path: String, recordCount: Long, sizeBytes: Long)
+  /** One committed data file (a parquet file already on disk), optionally
+    * with per-field-id [lower, upper] bounds for manifest-level pruning. */
+  final case class DataFileInfo(
+      path: String,
+      recordCount: Long,
+      sizeBytes: Long,
+      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty)
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
     * by id (manifest_entry / data_file required fields per the spec's
-    * "Manifests" table). */
+    * "Manifests" table). lower/upper bounds use the spec's map encoding —
+    * an array of key/value records (Avro maps can't key by int) holding
+    * field-id → single-value-serialized binary. */
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
@@ -194,7 +318,15 @@ object IcebergFormat {
         {"name":"file_format","type":"string","field-id":101},
         {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
         {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+          {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+            {"name":"key","type":"int","field-id":126},
+            {"name":"value","type":"bytes","field-id":127}]}}]},
+        {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+          {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+            {"name":"key","type":"int","field-id":129},
+            {"name":"value","type":"bytes","field-id":130}]}}]}
       ]}}]}""".replaceAll("\n\\s*", ""))
 
   /** Avro schema of a manifest-list entry (spec "Manifest Lists" table). */
@@ -269,6 +401,22 @@ object IcebergFormat {
           new GenericData.Record(dataFile.getSchema.getField("partition").schema()))
         dataFile.put("record_count", f.recordCount)
         dataFile.put("file_size_in_bytes", f.sizeBytes)
+        if (f.bounds.nonEmpty) {
+          def boundList(field: String, pick: ((Array[Byte], Array[Byte])) => Array[Byte]) = {
+            val arraySchema = dataFile.getSchema.getField(field).schema().getTypes.get(1)
+            val items       = arraySchema.getElementType
+            val l = new java.util.ArrayList[GenericRecord]()
+            f.bounds.toSeq.sortBy(_._1).foreach { case (id, lohi) =>
+              val r = new GenericData.Record(items)
+              r.put("key", id)
+              r.put("value", java.nio.ByteBuffer.wrap(pick(lohi)))
+              l.add(r)
+            }
+            new GenericData.Array(arraySchema, l)
+          }
+          dataFile.put("lower_bounds", boundList("lower_bounds", _._1))
+          dataFile.put("upper_bounds", boundList("upper_bounds", _._2))
+        }
         val entry = new GenericData.Record(manifestEntrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", snapId)

@@ -111,6 +111,34 @@ class IceLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException](tp.exportIceberg(scratch("icexp_p")))
   }
 
+  test("exported Iceberg manifests carry bounds; planFiles prunes on them") {
+    val cat = new FsCatalog(spark, scratch("icbnd"))
+    val lo  = nation.filter(col("n_nationkey") < 10).coalesce(1)
+    val hi  = nation.filter(col("n_nationkey") >= 10).coalesce(1)
+    val t   = cat.createOrReplaceTable("ns", "nations_b", lo)
+    t.append(hi)
+    val mdPath = t.exportIceberg(scratch("icbnd_dest") + "/t")
+    // a point lookup below the split plans exactly the low file
+    val planned = IcebergFormat.planFiles(spark, mdPath, "n_nationkey", Some("3"), Some("3"))
+    assert(planned.size == 1, s"bounds pruning failed: $planned")
+    val pruned = IcebergFormat.scanRange(spark, mdPath, "n_nationkey", Some("3"), Some("3"))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.filter(col("n_nationkey") === 3).count() == 1)
+    // unbounded keeps both; a string column prunes lexically
+    assert(IcebergFormat.planFiles(spark, mdPath, "n_nationkey", None, None).size == 2)
+    val loName = nation.filter(col("n_nationkey") < 10)
+      .agg(min("n_name")).head.getString(0)
+    assert(IcebergFormat.planFiles(spark, mdPath, "n_name", Some(loName), Some(loName)).size <= 2)
+    // bound encode/decode round-trips the supported primitives
+    import org.apache.spark.sql.types._
+    for ((dt, v) <- Seq[(DataType, String)](
+        (IntegerType, "-7"), (LongType, "123456789012"), (FloatType, "1.5"),
+        (DoubleType, "-2.25"), (StringType, "oslo"), (BooleanType, "true"))) {
+      val enc = IcebergFormat.encodeBound(dt, v).get
+      assert(IcebergFormat.decodeBound(dt, enc).get.toString == v, s"roundtrip $dt")
+    }
+  }
+
   test("scan of a freshly created table (no commits) is empty, not an error") {
     val t = IceTable.create(spark, scratch("empty") + "/t", "t", "ns", nation.schema)
     assert(t.scan().count() == 0)
