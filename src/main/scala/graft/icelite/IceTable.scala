@@ -469,7 +469,9 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
             hi <- IcebergFormat.encodeBound(dt, mx)
           } yield fieldId -> (lo, hi)
         }.toMap
-        new Path(r.getString(0)).toUri.getPath -> (r.getAs[Long]("n"), bounds)
+        // input_file_name() is already URL-encoded: decode via URI (a
+        // Hadoop Path would re-quote '%' and never match the listing side)
+        new java.net.URI(r.getString(0)).getPath -> (r.getAs[Long]("n"), bounds)
       }
       .toMap
     val infos = files.map { p =>
@@ -783,18 +785,24 @@ object IceTable {
 
   /** Per-JVM cache of parsed manifests, keyed by absolute dir path.
     * Sound because manifests are immutable once committed (UUID-suffixed,
-    * never rewritten in place); bounded by a whole-cache reset so a
-    * long-lived session can't grow it without limit. */
+    * never rewritten in place); bounded by total cached ENTRY count (file
+    * count, the actual memory driver — a handful of 10⁶-entry manifests
+    * would blow a dir-count bound) with a whole-cache reset at the limit. */
   private val manifestEntries =
     new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[ManifestEntry]]()
+  private val cachedEntryCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val maxCachedEntries = 4_000_000L
 
   private[icelite] def manifestCache(key: String)(
       load: => IndexedSeq[ManifestEntry]): IndexedSeq[ManifestEntry] = {
     val hit = manifestEntries.get(key)
     if (hit != null) hit
     else {
-      if (manifestEntries.size > 65536) manifestEntries.clear()
       val v = load
+      if (cachedEntryCount.addAndGet(v.size.toLong) > maxCachedEntries) {
+        manifestEntries.clear()
+        cachedEntryCount.set(v.size.toLong)
+      }
       manifestEntries.put(key, v)
       v
     }

@@ -71,20 +71,25 @@ object IcebergFormat {
       throw new UnsupportedOperationException(s"cannot write Iceberg type for: $other")
   }
 
-  private def schemaFields(schemaObj: JValue): StructType = {
+  /** (Spark schema, per-field Iceberg ids in schema order) — ids come from
+    * the spec's "id" attribute, NOT position: an evolved table's ids are
+    * sparse, and bounds maps key by id. */
+  private def schemaFields(schemaObj: JValue): (StructType, Seq[Int]) = {
     implicit val fmts: Formats = DefaultFormats
-    val fields = (schemaObj \ "fields").extract[List[JObject]].map { f =>
-      val name     = (f \ "name").extract[String]
-      val required = (f \ "required").extractOpt[Boolean].getOrElse(false)
-      val tpe = (f \ "type") match {
-        case JString(s) => toSparkType(s)
-        case other =>
-          throw new UnsupportedOperationException(
-            s"nested Iceberg type not supported for column $name: $other")
-      }
-      StructField(name, tpe, nullable = !required)
+    val parsed = (schemaObj \ "fields").extract[List[JObject]].zipWithIndex.map {
+      case (f, i) =>
+        val name     = (f \ "name").extract[String]
+        val required = (f \ "required").extractOpt[Boolean].getOrElse(false)
+        val id       = (f \ "id").extractOpt[Int].getOrElse(i + 1)
+        val tpe = (f \ "type") match {
+          case JString(s) => toSparkType(s)
+          case other =>
+            throw new UnsupportedOperationException(
+              s"nested Iceberg type not supported for column $name: $other")
+        }
+        (StructField(name, tpe, nullable = !required), id)
     }
-    StructType(fields)
+    (StructType(parsed.map(_._1)), parsed.map(_._2))
   }
 
   // ------------------------------------------------------------------ reader
@@ -94,7 +99,8 @@ object IcebergFormat {
     * absent when the writer recorded none). */
   final case class PlannedFile(path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])])
 
-  private final case class TablePlan(schema: StructType, files: Seq[PlannedFile])
+  private final case class TablePlan(
+      schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile])
 
   private def plan(spark: SparkSession, metadataPath: String): TablePlan = {
     implicit val fmts: Formats = DefaultFormats
@@ -115,10 +121,10 @@ object IcebergFormat {
           .getOrElse(throw new IllegalArgumentException("no schema in metadata"))
       case _ => md \ "schema"
     }
-    val sparkSchema = schemaFields(schemaObj)
+    val (sparkSchema, fieldIds) = schemaFields(schemaObj)
 
     val currentId = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
-    if (currentId < 0) return TablePlan(sparkSchema, Nil)
+    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil)
     val snapshot = (md \ "snapshots").extract[List[JObject]]
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
@@ -155,7 +161,7 @@ object IcebergFormat {
         }
       }
     }
-    TablePlan(sparkSchema, dataFiles)
+    TablePlan(sparkSchema, fieldIds, dataFiles)
   }
 
   /** Parse a bounds field in either spec encoding: the array-of-records
@@ -201,7 +207,7 @@ object IcebergFormat {
     val p = plan(spark, metadataPath)
     val idx = p.schema.fieldNames.indexOf(colName)
     require(idx >= 0, s"no column $colName")
-    val fieldId = idx + 1 // writer assigns 1-based ids in schema order
+    val fieldId = p.fieldIds(idx) // the spec's id attribute, not position
     val dt      = p.schema.fields(idx).dataType
     def cmp(a: String, b: String): Int = dt match {
       case IntegerType | LongType | FloatType | DoubleType => BigDecimal(a).compare(BigDecimal(b))
@@ -376,12 +382,17 @@ object IcebergFormat {
 
     private def writeAvroFile(p: Path, schema: Schema, records: Seq[GenericRecord],
         meta: Map[String, String]): Long = {
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-      meta.foreach { case (k, v) => w.setMeta(k, v) }
-      val out = fs.create(p, true)
-      w.create(schema, out)
-      records.foreach(w.append)
-      w.close()
+      // temp + rename so a failed write can't leave a truncated avro file
+      // at its final name; the writer (and its FS stream) always closes
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val w   = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      try {
+        meta.foreach { case (k, v) => w.setMeta(k, v) }
+        w.create(schema, fs.create(tmp, true))
+        records.foreach(w.append)
+      } finally w.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"avro commit rename failed: $tmp -> $p")
       fs.getFileStatus(p).getLen
     }
 

@@ -29,6 +29,19 @@ final case class IngestResult(namespace: String, table: String, rows: Long, loca
 
 final class IngestJob(spark: SparkSession, catalog: FsCatalog, tmpDir: String) {
 
+  /** First line of a file — the CSV header, for near-zero-cost drift
+    * detection. (A quoted, embedded-newline header would read partially;
+    * such files just take the safe per-file merge path.) */
+  private def headerLine(path: String): String = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Option(br.readLine()).getOrElse("")
+    } finally in.close()
+  }
+
   private def readCsv(paths: Seq[String], multiLine: Boolean): DataFrame = {
     val df = spark.read
       .option("header", "true")
@@ -52,11 +65,15 @@ final class IngestJob(spark: SparkSession, catalog: FsCatalog, tmpDir: String) {
       // schema-evolution semantics a lakehouse loader owes its caller.
       val name = conf.explicitTableName.getOrElse(
         NameResolver.tableNameFor(files.head._2, conf.pluralizeNames))
-      val perFile = files.map(f => readCsv(Seq(f._1), conf.multiLine))
+      // drift detection reads only each file's HEADER LINE (not a full
+      // per-file inference pass): identical headers take the single
+      // multi-path inference read; drifted headers fall back to per-file
+      // reads merged by name
       val df =
-        if (perFile.map(_.schema.fieldNames.toSeq).distinct.size == 1)
+        if (files.map(f => headerLine(f._1)).distinct.size == 1)
           readCsv(files.map(_._1), conf.multiLine)
-        else perFile.reduce(_.unionByName(_, allowMissingColumns = true))
+        else files.map(f => readCsv(Seq(f._1), conf.multiLine))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
       val t = catalog.createOrReplaceTable(conf.namespace, name, df)
       Seq(IngestResult(conf.namespace, name, t.scan().count(), t.location.toString))
     } else {

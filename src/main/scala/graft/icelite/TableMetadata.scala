@@ -101,8 +101,16 @@ final case class TableMetadata(
 object TableMetadata {
   private[icelite] implicit val formats: Formats = DefaultFormats
 
-  def fromJson(s: String): TableMetadata =
-    JsonMethods.parse(s).extract[TableMetadata]
+  def fromJson(s: String): TableMetadata = {
+    val md = JsonMethods.parse(s).extract[TableMetadata]
+    // v1 snapshots inlined `files` lists; json4s would extract their
+    // missing `manifests` as Nil and the table would silently scan EMPTY —
+    // fail loudly instead of losing data
+    require(md.format_version == 2,
+      s"unsupported IceLite metadata format_version ${md.format_version} " +
+        "(v1 inlined file lists; this reader requires manifest-based v2)")
+    md
+  }
 
   def fieldsOf(schema: StructType): List[FieldInfo] =
     schema.fields.zipWithIndex.map { case (f, i) =>

@@ -255,8 +255,7 @@ object Dedup {
     // hamming scan broadcasts the signature vector (8 bytes/doc) and emits
     // only matches; the true 100 TB path buckets on signature bytes first.
     // the all-pairs verify is bounded to Sim.baselineCap ids (mirrored in
-    // the oracle): exact below the cap, O(1) beyond verification scale —
-    // the true 100 TB path buckets on signature bytes first
+    // the oracle): exact below the cap, O(1) beyond verification scale
     val sig = shingles(s, d)
       .filter(col("doc_id") < Sim.baselineCap)
       .select(col("doc_id"), graft.functions.hashfns.simhash32(col("shs")).as("sig"))

@@ -207,10 +207,11 @@ object IceQueries {
   private def deleteRows(s: SparkSession, d: String): DataFrame = {
     val wh  = freshDir(s, "del")
     val cat = new FsCatalog(s, wh)
+    val n   = Tables.nation(s, d).count() // scale-independent guard
     val t   = cat.createOrReplaceTable("graft", "nations_del", Tables.nation(s, d))
     t.deleteWhere(col("n_regionkey") === 0)
     require(t.snapshots().last.operation == "delete", "delete snapshot missing")
-    require(t.scanSnapshot(1).count() == 25, "pre-delete time travel broken")
+    require(t.scanSnapshot(1).count() == n, "pre-delete time travel broken")
     t.scan().orderBy("n_nationkey")
   }
 
@@ -245,11 +246,12 @@ object IceQueries {
   private def rollbackQ(s: SparkSession, d: String): DataFrame = {
     val wh  = freshDir(s, "rb")
     val cat = new FsCatalog(s, wh)
+    val n   = Tables.nation(s, d).count() // scale-independent guard
     val t   = cat.createOrReplaceTable("graft", "nations_rb", Tables.nation(s, d))
     t.append(Tables.nation(s, d)) // snapshot 2: nation x2
     t.append(Tables.nation(s, d)) // snapshot 3: nation x3
     t.rollback(1)
-    require(t.scanSnapshot(3).count() == 75, "history lost on rollback")
+    require(t.scanSnapshot(3).count() == 3 * n, "history lost on rollback")
     t.scan().orderBy("n_nationkey")
   }
 
@@ -280,13 +282,14 @@ object IceQueries {
     val cat    = new FsCatalog(s, wh)
     val nation = Tables.nation(s, d)
     val t      = cat.createOrReplaceTable("graft", "nations_br", nation) // snapshot 1
+    val n = nation.count() // scale-independent guard
     t.createBranch("dev").createTag("v1")
     t.appendToBranch("dev", nation.filter(col("n_regionkey") === 0)) // snapshot 2, dev only
     t.appendToBranch("dev", nation.filter(col("n_regionkey") === 1)) // snapshot 3, dev only
-    require(t.scan().count() == 25, "main moved on a branch commit")
-    require(t.scanRef("v1").count() == 25, "tag moved on a branch commit")
+    require(t.scan().count() == n, "main moved on a branch commit")
+    require(t.scanRef("v1").count() == n, "tag moved on a branch commit")
     t.fastForward("dev")
-    require(t.scanRef("v1").count() == 25, "tag moved on merge")
+    require(t.scanRef("v1").count() == n, "tag moved on merge")
     require(t.refs()("dev").snapshot_id == 3, "branch head wrong after merge")
     t.scan().orderBy("n_nationkey", "n_name")
   }
