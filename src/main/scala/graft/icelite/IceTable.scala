@@ -116,7 +116,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       df: DataFrame,
       replace: Boolean,
       operation: String = "",
-      carryManifests: Seq[String] = Nil,
+      carry: Seq[(String, Map[String, ColRange])] = Nil, // (manifest, summary)
       ref: Option[String] = None,
       token: Option[String] = None): IceTable = {
     val md = metadata
@@ -143,13 +143,24 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       }
       buf.sorted.toIndexedSeq
     }
-    val base        = if (replace) carryManifests else baseSnap.map(_.manifests).getOrElse(Nil)
+    // carried (manifest, summary) pairs: an append carries the parent's
+    // wholesale; a replace starts from the caller's (possibly empty) set
+    val base: Seq[(String, Map[String, ColRange])] =
+      if (replace) carry
+      else baseSnap.toSeq.flatMap(sn =>
+        sn.manifests.zipWithIndex.map { case (m, i) =>
+          m -> sn.summaryAt(i).getOrElse(Map.empty)
+        })
     val newManifest = writeManifest(md.schema, dataDir, dataRel, files, snapId)
+    // the new manifest's summary folds its per-file stats (the delta was
+    // just written, so this driver read is O(delta) and warms the cache)
+    val newSummary = summarize(md.schema, readManifest(newManifest))
     val snap = Snapshot(
       snapshot_id = snapId,
       timestamp_ms = System.currentTimeMillis(),
       operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
-      manifests = (base :+ newManifest).toList,
+      manifests = (base.map(_._1) :+ newManifest).toList,
+      manifest_summaries = Some((base.map(_._2) :+ newSummary).toList),
       parent_snapshot_id = baseSnap.map(_.snapshot_id),
       commit_token = token
     )
@@ -252,6 +263,38 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   def statsOf(snap: Snapshot): Map[String, Map[String, ColRange]] =
     snap.manifests.flatMap(m =>
       readManifest(m).flatMap(e => e.stats.map(e.file -> _))).toMap
+
+  /** Type-aware value compare for stringified stats (numeric columns
+    * compare numerically — "9" > "10" lexically would corrupt pruning). */
+  private def cmpFor(dt: org.apache.spark.sql.types.DataType): (String, String) => Int =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        (a, b) => BigDecimal(a).compare(BigDecimal(b))
+      case _ => (a, b) => a.compareTo(b)
+    }
+
+  /** Fold a manifest's per-file stats into one per-column range — the
+    * manifest-list summary. A column appears only when EVERY file in the
+    * manifest recorded both ends for it (a gap would make skipping on the
+    * summary unsound). */
+  private def summarize(
+      schema: org.apache.spark.sql.types.StructType,
+      entries: Seq[ManifestEntry]): Map[String, ColRange] = {
+    if (entries.isEmpty) return Map.empty
+    schema.fields.filter(f => rangeable(f.dataType)).flatMap { f =>
+      val cmp = cmpFor(f.dataType)
+      val ranges = entries.map(_.stats.flatMap(_.get(f.name)))
+      if (ranges.exists(r => r.isEmpty || r.get.min.isEmpty || r.get.max.isEmpty)) None
+      else {
+        val mins = ranges.map(_.get.min.get)
+        val maxs = ranges.map(_.get.max.get)
+        Some(f.name -> ColRange(
+          Some(mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b)),
+          Some(maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b))))
+      }
+    }.toMap
+  }
 
   /** Bin-pack the current snapshot into `numFiles` files as a new
     * "compact" snapshot (Iceberg rewrite-data-files maintenance). Readers
@@ -398,25 +441,26 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   // ------------------------------------------------- min/max file skipping
 
   /** Files of the current snapshot whose [min,max] range for `colName` can
-    * intersect [lower, upper] (both optional). Files without recorded
-    * stats are conservatively kept. This is the manifest-level pruning a
-    * 100 TB scan needs *before* Spark ever lists a file. */
+    * intersect [lower, upper] (both optional). Two pruning levels, as in
+    * Iceberg: the snapshot's per-MANIFEST summaries skip whole manifests
+    * without opening them (planning cost O(manifests touched)); per-FILE
+    * stats then prune within the manifests that remain. Missing summaries
+    * or stats are conservatively kept. */
   def planFiles(colName: String, lower: Option[String], upper: Option[String]): Seq[String] = {
-    val md    = metadata
-    val snap  = md.currentSnapshot.getOrElse(return Seq.empty)
-    val stats = statsOf(snap)
-    val numeric = md.schema.fields.find(_.name == colName).map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) => true
-      case _                                                                            => false
+    val md   = metadata
+    val snap = md.currentSnapshot.getOrElse(return Seq.empty)
+    val cmp  = cmpFor(md.schema.fields.find(_.name == colName).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType))
+    def intersects(r: ColRange): Boolean = r match {
+      case ColRange(Some(mn), Some(mx)) =>
+        lower.forall(lo => cmp(mx, lo) >= 0) && upper.forall(hi => cmp(mn, hi) <= 0)
+      case _ => true
     }
-    def cmp(a: String, b: String): Int =
-      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
-    filesOf(snap).filter { f =>
-      stats.get(f).flatMap(_.get(colName)) match {
-        case Some(ColRange(Some(mn), Some(mx))) =>
-          lower.forall(lo => cmp(mx, lo) >= 0) && upper.forall(hi => cmp(mn, hi) <= 0)
-        case _ => true // no stats -> cannot skip
+    snap.manifests.zipWithIndex.flatMap { case (m, i) =>
+      val summaryHit = snap.summaryAt(i).flatMap(_.get(colName)).forall(intersects)
+      if (!summaryHit) Nil // whole manifest skipped, never opened
+      else readManifest(m).collect {
+        case e if e.stats.flatMap(_.get(colName)).forall(intersects) => e.file
       }
     }
   }
@@ -512,18 +556,21 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val snap     = md.currentSnapshot
     val affected = planFiles(colName, Some(lower), Some(upper))
     val hitSet   = affected.toSet
-    val carried = snap.map(_.manifests).getOrElse(Nil).flatMap { m =>
+    val carried = snap.toSeq.flatMap(sn => sn.manifests.zipWithIndex.flatMap { case (m, i) =>
+      val summary = sn.summaryAt(i).getOrElse(Map.empty)
       val entries = readManifest(m)
-      if (!entries.exists(e => hitSet(e.file))) Some(m) // untouched: carry pointer
+      if (!entries.exists(e => hitSet(e.file)))
+        Some(m -> summary) // untouched: carry pointer + summary as-is
       else {
         val remaining = entries.filterNot(e => hitSet(e.file))
-        if (remaining.isEmpty) None else Some(writeFilteredManifest(remaining))
+        if (remaining.isEmpty) None
+        else Some(writeFilteredManifest(remaining) -> summarize(md.schema, remaining))
       }
-    }
+    })
     val colType  = md.schema(colName).dataType
     val hit      = col(colName) >= lit(lower).cast(colType) && col(colName) <= lit(upper).cast(colType)
     val survivors = readFiles(md, affected).filter(not(coalesce(hit, lit(false))))
-    appendInternal(survivors, replace = true, operation = "delete", carryManifests = carried)
+    appendInternal(survivors, replace = true, operation = "delete", carry = carried)
   }
 
   /** Driver-side rewrite of a partially-affected manifest (entry subset
@@ -799,6 +846,7 @@ object IceTable {
     if (hit != null) hit
     else {
       val v = load
+      manifestParses.incrementAndGet()
       if (cachedEntryCount.addAndGet(v.size.toLong) > maxCachedEntries) {
         manifestEntries.clear()
         cachedEntryCount.set(v.size.toLong)
@@ -806,5 +854,15 @@ object IceTable {
       manifestEntries.put(key, v)
       v
     }
+  }
+
+  /** Count of actual manifest parses (cache misses) — observability for
+    * specs asserting summary-level skipping never opens a pruned manifest. */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def resetManifestCacheForTest(): Unit = {
+    manifestEntries.clear()
+    cachedEntryCount.set(0L)
+    manifestParses.set(0L)
   }
 }

@@ -53,15 +53,26 @@ object ManifestEntry {
   * its delta's file paths + stats, and the snapshot carries the parent's
   * manifest *pointers* plus that one new path — so the metadata JSON stays
   * O(commits), not O(total files), and a 10⁶-file table appends without
-  * rewriting its file inventory. */
+  * rewriting its file inventory.
+  *
+  * `manifest_summaries` (parallel to `manifests`) carry each manifest's
+  * aggregated per-column value range — the role of Iceberg's manifest-list
+  * partition summaries: the planner skips reading a whole manifest when
+  * its summary can't intersect the predicate, so planning cost is
+  * O(manifests touched), not O(manifests). */
 final case class Snapshot(
     snapshot_id: Long,
     timestamp_ms: Long,
     operation: String, // "append" | "replace" | "compact"
     manifests: List[String], // manifest dirs (relative), one per contributing commit
+    manifest_summaries: Option[List[Map[String, ColRange]]] = None, // per-manifest col ranges
     parent_snapshot_id: Option[Long] = None, // commit DAG edge; None/0 = table root
     commit_token: Option[String] = None // idempotency key (streaming batch id)
-)
+) {
+  /** Summary for manifest index `i`, or None when unrecorded (conservative). */
+  def summaryAt(i: Int): Option[Map[String, ColRange]] =
+    manifest_summaries.flatMap(_.lift(i)).filter(_.nonEmpty)
+}
 
 final case class TableMetadata(
     format_version: Int,

@@ -344,6 +344,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.scan().count() == 75)
   }
 
+  test("manifest summaries skip whole manifests: pruned manifests are never opened") {
+    val cat = new FsCatalog(spark, scratch("msum"))
+    val lo  = orders.filter(col("o_orderkey") < 1000).coalesce(1)
+    val hi  = orders.filter(col("o_orderkey") >= 1000).coalesce(1)
+    val t   = cat.createOrReplaceTable("ns", "orders_ms", lo)
+    t.append(hi)
+    // summaries recorded per manifest, with the commit's true fold
+    val snap = t.snapshots().last
+    assert(snap.manifest_summaries.exists(_.size == 2))
+    val s0 = snap.summaryAt(0).get("o_orderkey")
+    val s1 = snap.summaryAt(1).get("o_orderkey")
+    assert(s0.max.get.toLong < 1000 && s1.min.get.toLong >= 1000)
+    // cold planner: a lookup inside the high range must parse ONLY the
+    // high manifest — the low one is skipped on its summary, never opened
+    IceTable.resetManifestCacheForTest()
+    val planned = t.planFiles("o_orderkey", Some("1200"), Some("1200"))
+    assert(planned.size == 1)
+    assert(IceTable.manifestParses.get() == 1,
+      s"summary skipping opened ${IceTable.manifestParses.get()} manifests, expected 1")
+    // an unbounded plan opens both
+    IceTable.resetManifestCacheForTest()
+    assert(t.planFiles("o_orderkey", None, None).size == 2)
+    assert(IceTable.manifestParses.get() == 2)
+    // deleteRange keeps summaries consistent for the carried pointer
+    t.deleteRange("o_orderkey", "0", "499")
+    val post = t.snapshots().last
+    assert(post.manifests.size == post.manifest_summaries.get.size)
+    assert(post.summaryAt(post.manifests.size - 1).isDefined) // rewrite batch summarized
+  }
+
   test("commit payload is O(delta): metadata JSON holds pointers, manifests hold files") {
     val cat    = new FsCatalog(spark, scratch("odelta"))
     val nation = Tables.nation(spark, sfDir)
