@@ -96,11 +96,19 @@ object IcebergFormat {
 
   /** A planned data file: resolved path + per-field-id [lower, upper]
     * bounds from its manifest entry (Iceberg single-value serialization,
-    * absent when the writer recorded none). */
-  final case class PlannedFile(path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])])
+    * absent when the writer recorded none) + its data sequence number
+    * (deletes apply only to files at least as old — spec "Scan Planning"). */
+  final case class PlannedFile(
+      path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])], seq: Long = 0L)
+
+  /** A planned row-level delete file (v2): position deletes (content 1,
+    * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
+    * `equalityIds` columns). */
+  final case class PlannedDelete(path: Path, seq: Long, content: Int, equalityIds: Seq[Int])
 
   private final case class TablePlan(
-      schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile])
+      schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
+      deletes: Seq[PlannedDelete])
 
   private def plan(spark: SparkSession, metadataPath: String): TablePlan = {
     implicit val fmts: Formats = DefaultFormats
@@ -124,23 +132,23 @@ object IcebergFormat {
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
 
     val currentId = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
-    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil)
+    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil)
     val snapshot = (md \ "snapshots").extract[List[JObject]]
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
 
-    // v2: snapshot → manifest-list avro; v1 fallback: inline "manifests"
-    val manifestPaths: Seq[String] = (snapshot \ "manifest-list") match {
+    // v2: snapshot → manifest-list avro (data AND delete manifests, each
+    // carrying its sequence number); v1 fallback: inline "manifests"
+    val manifestPaths: Seq[(String, Long)] = (snapshot \ "manifest-list") match {
       case JString(listPath) =>
-        readAvro(fs, resolve(location, listPath)).flatMap { rec =>
-          // content 0 = data manifests; 1 = delete manifests (not scanned)
-          val content = Option(rec.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          if (content == 0) Some(rec.get("manifest_path").toString) else None
+        readAvro(fs, resolve(location, listPath)).map { rec =>
+          val seq = Option(rec.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          (rec.get("manifest_path").toString, seq)
         }
-      case _ => (snapshot \ "manifests").extract[List[String]]
+      case _ => (snapshot \ "manifests").extract[List[String]].map((_, 0L))
     }
 
-    val dataFiles = manifestPaths.flatMap { mp =>
+    val planned = manifestPaths.flatMap { case (mp, listSeq) =>
       readAvro(fs, resolve(location, mp)).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int] // 0 existing, 1 added, 2 deleted
         if (status == 2) None
@@ -148,20 +156,35 @@ object IcebergFormat {
           val df     = entry.get("data_file").asInstanceOf[GenericRecord]
           val format = df.get("file_format").toString
           require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
-          // v2 data_file.content: 0 data, 1/2 delete files
-          val content = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          if (content == 0) {
-            val lo = boundsMap(df.getSchema.getField("lower_bounds") != null, df, "lower_bounds")
-            val hi = boundsMap(df.getSchema.getField("upper_bounds") != null, df, "upper_bounds")
-            val merged = (lo.keySet ++ hi.keySet).flatMap { k =>
-              for (l <- lo.get(k); h <- hi.get(k)) yield k -> (l, h)
-            }.toMap
-            Some(PlannedFile(resolve(location, df.get("file_path").toString), merged))
-          } else None
+          // entry seq may be null for ADDED entries — inherit the manifest's
+          val seq = Option(entry.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(listSeq)
+          val path = resolve(location, df.get("file_path").toString)
+          // v2 data_file.content: 0 data, 1 position deletes, 2 equality deletes
+          Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0) match {
+            case 0 =>
+              val lo = boundsMap(df.getSchema.getField("lower_bounds") != null, df, "lower_bounds")
+              val hi = boundsMap(df.getSchema.getField("upper_bounds") != null, df, "upper_bounds")
+              val merged = (lo.keySet ++ hi.keySet).flatMap { k =>
+                for (l <- lo.get(k); h <- hi.get(k)) yield k -> (l, h)
+              }.toMap
+              Some(Left(PlannedFile(path, merged, seq)))
+            case c @ (1 | 2) =>
+              val eqIds = df.getSchema.getField("equality_ids") match {
+                case null => Seq.empty[Int]
+                case _ => df.get("equality_ids") match {
+                  case l: java.util.List[_] => l.toArray.toSeq.map(_.asInstanceOf[Int])
+                  case _                    => Seq.empty[Int]
+                }
+              }
+              Some(Right(PlannedDelete(path, seq, c, eqIds)))
+            case other =>
+              throw new UnsupportedOperationException(s"unknown data_file content $other")
+          }
         }
       }
     }
-    TablePlan(sparkSchema, fieldIds, dataFiles)
+    TablePlan(sparkSchema, fieldIds,
+      planned.collect { case Left(f) => f }, planned.collect { case Right(d) => d })
   }
 
   /** Parse a bounds field in either spec encoding: the array-of-records
@@ -191,11 +214,71 @@ object IcebergFormat {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Scan a standard Iceberg table pinned to the given metadata file (the
-    * reference's `iceberg_scan('{metadata}')` contract). */
+    * reference's `iceberg_scan('{metadata}')` contract), with v2 row-level
+    * deletes applied. */
   def scan(spark: SparkSession, metadataPath: String): DataFrame = {
     val p = plan(spark, metadataPath)
-    if (p.files.isEmpty) emptyFrame(spark, p.schema)
-    else spark.read.schema(p.schema).parquet(p.files.map(_.path.toString): _*)
+    scanFiles(spark, p, p.files)
+  }
+
+  /** Read `files` with the plan's delete files applied (spec "Scan
+    * Planning" / "Row-level deletes"):
+    *
+    *   - position deletes (content 1) remove `(file_path, pos)` rows from
+    *     data files whose data sequence number <= the delete's;
+    *   - equality deletes (content 2) remove rows matching any delete row
+    *     on the `equality_ids` columns (null-safe, per spec) from data
+    *     files STRICTLY older than the delete.
+    *
+    * Both are anti-joins keyed by `_metadata` columns — delete files are
+    * per-partition-sized in a real table, so at scale these broadcast and
+    * the data side streams map-side; no extra shuffle of the fact scan. */
+  private def scanFiles(spark: SparkSession, p: TablePlan, files: Seq[PlannedFile]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty) return emptyFrame(spark, p.schema)
+    val base = spark.read.schema(p.schema).parquet(files.map(_.path.toString): _*)
+    if (p.deletes.isEmpty) return base
+
+    // URI-scheme normalization so manifest paths (`file:/x`, `/x`) and
+    // Spark's `_metadata.file_path` (`file:///x`) compare equal. Local and
+    // bucket-style paths only — an authority component would need the
+    // full-URI form on both sides.
+    def normStr(s: String): String  = s.replaceFirst("^[a-z][a-z0-9+.-]*:/+", "/")
+    def normCol(c: Column): Column = regexp_replace(c, "^[a-z][a-z0-9+.-]*:/+", "/")
+
+    val seqRows = files.map(f => (normStr(f.path.toString), f.seq))
+    val seqDf   = spark.createDataFrame(seqRows).toDF("__path", "__dataseq")
+    var data = base
+      .withColumn("__path", normCol(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(seqDf), "__path")
+
+    val posDeletes = p.deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      val dels = posDeletes.groupBy(_.seq).map { case (seq, group) =>
+        spark.read.parquet(group.map(_.path.toString): _*)
+          .select(normCol(col("file_path")).as("__dp"), col("pos").as("__dpos"),
+            lit(seq).as("__delseq"))
+      }.reduce(_ unionAll _)
+      data = data.join(broadcast(dels),
+        col("__path") === col("__dp") && col("__pos") === col("__dpos") &&
+          col("__dataseq") <= col("__delseq"),
+        "left_anti")
+    }
+
+    val idToName = p.fieldIds.zip(p.schema.fieldNames).toMap
+    p.deletes.filter(_.content == 2).groupBy(d => (d.seq, d.equalityIds)).foreach {
+      case ((seq, eqIds), group) =>
+        require(eqIds.nonEmpty, "equality delete file without equality_ids")
+        val keyNames = eqIds.map(id => idToName.getOrElse(id,
+          throw new NoSuchElementException(s"equality_id $id not in schema")))
+        val delKeys = spark.read.parquet(group.map(_.path.toString): _*)
+          .select(keyNames.map(n => col(n).as(s"__eq_$n")): _*).distinct()
+        val keyMatch = keyNames.map(n => col(n) <=> col(s"__eq_$n")).reduce(_ && _)
+        data = data.join(broadcast(delKeys), keyMatch && col("__dataseq") < lit(seq), "left_anti")
+    }
+
+    data.select(p.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Files of the current snapshot whose recorded [lower, upper] bounds for
@@ -232,10 +315,9 @@ object IcebergFormat {
     * still applies the row-level predicate. */
   def scanRange(spark: SparkSession, metadataPath: String, colName: String,
       lower: Option[String], upper: Option[String]): DataFrame = {
-    val p     = plan(spark, metadataPath)
-    val files = planFiles(spark, metadataPath, colName, lower, upper)
-    if (files.isEmpty) emptyFrame(spark, p.schema)
-    else spark.read.schema(p.schema).parquet(files: _*)
+    val p    = plan(spark, metadataPath)
+    val keep = planFiles(spark, metadataPath, colName, lower, upper).toSet
+    scanFiles(spark, p, p.files.filter(f => keep(f.path.toString)))
   }
 
   // ----------------------------------- single-value serialization (spec D)
@@ -298,13 +380,17 @@ object IcebergFormat {
 
   // ------------------------------------------------------------------ writer
 
-  /** One committed data file (a parquet file already on disk), optionally
-    * with per-field-id [lower, upper] bounds for manifest-level pruning. */
+  /** One committed file (a parquet file already on disk), optionally with
+    * per-field-id [lower, upper] bounds for manifest-level pruning.
+    * `content` 0 = data, 1 = position deletes (`file_path`/`pos` rows),
+    * 2 = equality deletes (rows of the `equalityIds` columns). */
   final case class DataFileInfo(
       path: String,
       recordCount: Long,
       sizeBytes: Long,
-      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty)
+      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
+      content: Int = 0,
+      equalityIds: Seq[Int] = Nil)
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
@@ -332,7 +418,9 @@ object IcebergFormat {
         {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
           {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
             {"name":"key","type":"int","field-id":129},
-            {"name":"value","type":"bytes","field-id":130}]}}]}
+            {"name":"value","type":"bytes","field-id":130}]}}]},
+        {"name":"equality_ids","field-id":135,"default":null,"type":["null",
+          {"type":"array","items":"int","element-id":136}]}
       ]}}]}""".replaceAll("\n\\s*", ""))
 
   /** Avro schema of a manifest-list entry (spec "Manifest Lists" table). */
@@ -378,7 +466,8 @@ object IcebergFormat {
 
     private var version = 0
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
-    private var manifests = List.empty[(String, Long, Long, Long)] // (path, length, snapId, seq)
+    // (path, length, snapId, seq, content 0=data 1=deletes, files, rows)
+    private var manifests = List.empty[(String, Long, Long, Long, Int, Int, Long)]
 
     private def writeAvroFile(p: Path, schema: Schema, records: Seq[GenericRecord],
         meta: Map[String, String]): Long = {
@@ -396,16 +485,19 @@ object IcebergFormat {
       fs.getFileStatus(p).getLen
     }
 
-    /** Commit `files` as snapshot N+1 (append semantics). */
+    /** Commit `files` as snapshot N+1 (append semantics). Files with
+      * `content` > 0 go into a separate DELETE manifest, listed with
+      * content 1 in the manifest list, exactly as the spec splits them. */
     def commit(files: Seq[DataFileInfo]): Unit = {
       val snapId = committed.size + 1L
       val seq    = snapId // one sequence number per commit
       fs.mkdirs(metadataDir)
 
-      // 1. the commit's manifest: one ADDED entry per data file
-      val entries = files.map { f =>
+      // 1. the commit's manifest(s): one ADDED entry per file; data and
+      // delete files may not share a manifest
+      def buildEntry(f: DataFileInfo): GenericRecord = {
         val dataFile = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
-        dataFile.put("content", 0)
+        dataFile.put("content", f.content)
         dataFile.put("file_path", f.path)
         dataFile.put("file_format", "PARQUET")
         dataFile.put("partition",
@@ -428,6 +520,12 @@ object IcebergFormat {
           dataFile.put("lower_bounds", boundList("lower_bounds", _._1))
           dataFile.put("upper_bounds", boundList("upper_bounds", _._2))
         }
+        if (f.equalityIds.nonEmpty) {
+          val arraySchema = dataFile.getSchema.getField("equality_ids").schema().getTypes.get(1)
+          val l = new java.util.ArrayList[Integer]()
+          f.equalityIds.foreach(id => l.add(id))
+          dataFile.put("equality_ids", new GenericData.Array[Integer](arraySchema, l))
+        }
         val entry = new GenericData.Record(manifestEntrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", snapId)
@@ -436,29 +534,35 @@ object IcebergFormat {
         entry.put("data_file", dataFile)
         entry
       }
-      val manifestPath = new Path(metadataDir, f"m-$snapId%05d.avro")
-      val manifestLen = writeAvroFile(manifestPath, manifestEntrySchema, entries, Map(
-        "schema" -> icebergSchemaJson(schema),
-        "partition-spec" -> "[]",
-        "partition-spec-id" -> "0",
-        "format-version" -> "2",
-        "content" -> "data"))
-      manifests = manifests :+ ((manifestPath.toString, manifestLen, snapId, seq))
+      val byKind = files.groupBy(f => if (f.content == 0) 0 else 1).toSeq.sortBy(_._1)
+      byKind.foreach { case (kind, group) =>
+        val suffix       = if (kind == 0) "" else "-deletes"
+        val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix.avro")
+        val manifestLen = writeAvroFile(manifestPath, manifestEntrySchema,
+          group.map(buildEntry), Map(
+            "schema" -> icebergSchemaJson(schema),
+            "partition-spec" -> "[]",
+            "partition-spec-id" -> "0",
+            "format-version" -> "2",
+            "content" -> (if (kind == 0) "data" else "deletes")))
+        manifests = manifests :+ ((manifestPath.toString, manifestLen, snapId, seq, kind,
+          group.size, group.map(_.recordCount).sum))
+      }
 
-      // 2. the snapshot's manifest list: this commit's manifest + carried ones
-      val listRecords = manifests.map { case (mp, len, addedBy, mseq) =>
+      // 2. the snapshot's manifest list: this commit's manifest(s) + carried ones
+      val listRecords = manifests.map { case (mp, len, addedBy, mseq, content, nFiles, nRows) =>
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", mp)
         r.put("manifest_length", len)
         r.put("partition_spec_id", 0)
-        r.put("content", 0)
+        r.put("content", content)
         r.put("sequence_number", mseq)
         r.put("min_sequence_number", mseq)
         r.put("added_snapshot_id", addedBy)
-        r.put("added_files_count", if (addedBy == snapId) files.size else 0)
+        r.put("added_files_count", if (addedBy == snapId) nFiles else 0)
         r.put("existing_files_count", 0)
         r.put("deleted_files_count", 0)
-        r.put("added_rows_count", if (addedBy == snapId) files.map(_.recordCount).sum else 0L)
+        r.put("added_rows_count", if (addedBy == snapId) nRows else 0L)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
         r
