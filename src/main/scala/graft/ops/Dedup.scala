@@ -304,6 +304,67 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
   }
 
+  // ------------------------------------------ simhash pigeonhole buckets
+
+  /** dd04's scale twin — the bucketed SimHash near-dup design that replaces
+    * the all-pairs verify at 100 TB. Pigeonhole over 4 disjoint 8-bit bands
+    * of the 32-bit signature: any pair within hamming distance 3 differs in
+    * at most 3 bands, so it agrees EXACTLY on at least one — the band
+    * equi-join therefore finds every qualifying pair with zero recall loss,
+    * and the exact `bit_count(xor)` verify runs only on candidates that
+    * share a band (map-side, no second shuffle). Cost is signature work
+    * (one codegen'd pass) + per-bucket pairs; buckets are 256-way per band,
+    * so the join fans out on corpus clusters, never the cross product.
+    * Unlike dd04 this runs the FULL corpus — no id cap needed, because
+    * nothing here is quadratic in the corpus. */
+  private def simhashBucketed(s: SparkSession, d: String): DataFrame = {
+    // signature once per doc (persist: the band frame self-joins)
+    val sig = shingles(s, d)
+      .select(col("doc_id"), graft.functions.hashfns.simhash32(col("shs")).as("sig"))
+      .persist()
+    val band = sig.select(col("doc_id"), col("sig"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, b * 8) & 255)")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bval")
+    val cand = band.as("x")
+      .join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct() // a pair may agree on several bands; sigs are per-doc constants
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sig_a ^ sig_b) as int)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashBucketedOracle = {
+    val shingleHash = Hashing.duckRollHash("sg", Hashing.M32, "c0")
+    val bitsValues = (0 until 32).map(i => s"($i, ${1L << i})").mkString(", ")
+    s"""WITH $duckShingles,
+      sge AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      wh AS (SELECT doc_id, $shingleHash AS h FROM sge),
+      bits(i, pw) AS (VALUES $bitsValues),
+      bs AS (
+        SELECT doc_id, i, pw, SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS sb
+        FROM wh CROSS JOIN bits GROUP BY doc_id, i, pw),
+      sig AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN sb > 0 THEN pw ELSE 0 END) AS BIGINT) AS sig
+        FROM bs GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, sig, b AS band_id, (sig >> (b * 8)) & 255 AS bval
+        FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+        FROM band x JOIN band y
+          ON x.band_id = y.band_id AND x.bval = y.bval AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      ORDER BY doc_a, doc_b"""
+  }
+
   // ------------------------------------------- embedding-cosine near-dups
 
   /** All vector pairs with cosine >= 0.4 (the testdata's similarity tail;
@@ -416,6 +477,7 @@ object Dedup {
     Q("dd04_simhash", simhash, Some(simhashOracle)),
     Q("dd05_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
     Q("dd06_cc_cluster", ccCluster, Some(ccClusterOracle)),
-    Q("dd07_capped_jaccard", cappedJaccard, Some(cappedJaccardOracle))
+    Q("dd07_capped_jaccard", cappedJaccard, Some(cappedJaccardOracle)),
+    Q("dd08_simhash_bucketed", simhashBucketed, Some(simhashBucketedOracle))
   )
 }

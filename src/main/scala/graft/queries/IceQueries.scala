@@ -425,6 +425,97 @@ object IceQueries {
          UNION ALL SELECT * FROM nation WHERE n_regionkey <= 1)
        ORDER BY n_nationkey, n_name"""
 
+  /** Write `df` as ONE parquet file at `loc/data/<name>.parquet` and return
+    * its manifest entry. Rows are staged in the caller's sort order (single
+    * partition write preserves it), so file positions are deterministic —
+    * which is what position deletes address. */
+  private def stageIcebergFile(s: SparkSession, root: String, loc: String, name: String,
+      df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil): IcebergFormat.DataFileInfo = {
+    val fs  = new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = s"$root/stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(s"$loc/data/$name.parquet")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(part, dest), s"stage rename failed for $name")
+    fs.delete(new Path(tmp), true)
+    IcebergFormat.DataFileInfo(dest.toString, df.count(),
+      fs.getFileStatus(dest).getLen, content = content, equalityIds = equalityIds)
+  }
+
+  /** Merge-on-read POSITION deletes through the standard-Iceberg chain
+    * (spec row-level deletes, content=1): snapshot 1 commits two sorted
+    * data files, snapshot 2 commits a position-delete file removing rows
+    * (file, pos) — with two entries deliberately aimed at a file that is
+    * only added in snapshot 3. A correct reader anti-joins deletes onto
+    * data files with data sequence number <= the delete's, so the late
+    * file's rows survive; a reader that ignores sequence numbers deletes
+    * them and fails the oracle. No data file is rewritten at any point —
+    * that is the merge-on-read contract that makes deletes O(delta) at
+    * 100 TB instead of O(files-touched) copy-on-write. */
+  private def morPosDeleteQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root   = freshDir(s, "mor_pos")
+    val loc    = s"$root/nations_mor"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val lo   = stageIcebergFile(s, root, loc, "lo", nation.filter(col("n_nationkey") < 10))
+    val mid  = stageIcebergFile(s, root, loc, "mid",
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+    val latePath = s"$loc/data/late.parquet" // known before the file exists
+    val delDf = Seq(
+      (lo.path, 0L), (lo.path, 3L), (lo.path, 7L), // kill keys 0, 3, 7
+      (latePath, 0L), (latePath, 1L)               // aimed at the NEWER file: must not apply
+    ).toDF("file_path", "pos")
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    w.commit(Seq(lo, mid))                                                    // seq 1: data
+    w.commit(Seq(stageIcebergFile(s, root, loc, "del1", delDf, content = 1))) // seq 2: deletes
+    w.commit(Seq(stageIcebergFile(s, root, loc, "late",
+      nation.filter(col("n_nationkey") >= 20))))                              // seq 3: data
+    new Engine(s, new FsCatalog(s, freshDir(s, "mor_pos_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy("n_nationkey")
+  }
+
+  private val morPosDeleteOracle =
+    "SELECT * FROM nation WHERE n_nationkey NOT IN (0, 3, 7) ORDER BY n_nationkey"
+
+  /** Merge-on-read EQUALITY deletes (spec content=2): snapshot 1 commits
+    * the full table, snapshot 2 an equality-delete file on the key column
+    * (field-id addressed, as the spec requires), snapshot 3 re-inserts
+    * restated rows for the deleted keys. Equality deletes apply to rows in
+    * files STRICTLY older than the delete, so the original rows vanish and
+    * the restatements survive — the upsert pattern streaming CDC writers
+    * use on Iceberg v2. */
+  private def morEqDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "mor_eq")
+    val loc    = s"$root/nations_moreq"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val keyFieldId = nation.schema.fieldNames.indexOf("n_nationkey") + 1 // 1-based spec ids
+    val base = stageIcebergFile(s, root, loc, "base", nation)
+    val eqDel = stageIcebergFile(s, root, loc, "eqdel",
+      nation.filter(col("n_nationkey").isin(10, 11)).select("n_nationkey"),
+      content = 2, equalityIds = Seq(keyFieldId))
+    val restated = stageIcebergFile(s, root, loc, "restated",
+      nation.filter(col("n_nationkey").isin(10, 11))
+        .withColumn("n_name", concat(lit("RESTATED_"), col("n_name"))))
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    w.commit(Seq(base))     // seq 1: data
+    w.commit(Seq(eqDel))    // seq 2: equality delete on n_nationkey in (10, 11)
+    w.commit(Seq(restated)) // seq 3: restated rows — newer than the delete, survive
+    new Engine(s, new FsCatalog(s, freshDir(s, "mor_eq_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy("n_nationkey", "n_name")
+  }
+
+  private val morEqDeleteOracle =
+    """SELECT * FROM (
+         SELECT * FROM nation WHERE n_nationkey NOT IN (10, 11)
+         UNION ALL
+         SELECT n_nationkey, 'RESTATED_' || n_name AS n_name, n_regionkey
+         FROM nation WHERE n_nationkey IN (10, 11))
+       ORDER BY n_nationkey, n_name"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -456,6 +547,8 @@ object IceQueries {
     Q("ic19_sql_join", sqlJoinQ, Some(sqlJoinOracle)),
     Q("ic20_jsonl", jsonlQ, Some(nationOracle)),
     Q("ic21_iceberg_scan", icebergScanQ, Some(icebergScanOracle)),
-    Q("ic22_iceberg_export", icebergExportQ, Some(icebergExportOracle))
+    Q("ic22_iceberg_export", icebergExportQ, Some(icebergExportOracle)),
+    Q("ic23_mor_posdelete", morPosDeleteQ, Some(morPosDeleteOracle)),
+    Q("ic24_mor_eqdelete", morEqDeleteQ, Some(morEqDeleteOracle))
   )
 }
