@@ -99,7 +99,8 @@ object IcebergFormat {
     * absent when the writer recorded none) + its data sequence number
     * (deletes apply only to files at least as old — spec "Scan Planning"). */
   final case class PlannedFile(
-      path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])], seq: Long = 0L)
+      path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])], seq: Long = 0L,
+      partition: Map[Int, Any] = Map.empty) // identity values by SOURCE field id
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
@@ -109,6 +110,26 @@ object IcebergFormat {
   private final case class TablePlan(
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
       deletes: Seq[PlannedDelete])
+
+  /** Identity-transform fields of the default partition spec, as
+    * (partition field name, source field id). Non-identity transforms
+    * (bucket, truncate, day, ...) are ignored: their partition values are
+    * derived, so they drive neither column reconstruction nor the simple
+    * range pruning here — files stay conservatively un-pruned. */
+  private def identitySpecFields(md: JValue): Seq[(String, Int)] = {
+    implicit val fmts: Formats = DefaultFormats
+    val specId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    (md \ "partition-specs") match {
+      case JArray(specs) =>
+        specs.find(sp => (sp \ "spec-id").extractOpt[Int].contains(specId)).toSeq.flatMap { sp =>
+          (sp \ "fields").extract[List[JObject]].collect {
+            case f if (f \ "transform").extractOpt[String].contains("identity") =>
+              ((f \ "name").extract[String], (f \ "source-id").extract[Int])
+          }
+        }
+      case _ => Nil
+    }
+  }
 
   private def plan(spark: SparkSession, metadataPath: String): TablePlan = {
     implicit val fmts: Formats = DefaultFormats
@@ -130,6 +151,8 @@ object IcebergFormat {
       case _ => md \ "schema"
     }
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
+
+    val identityFields = identitySpecFields(md)
 
     val currentId = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
     if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil)
@@ -167,7 +190,21 @@ object IcebergFormat {
               val merged = (lo.keySet ++ hi.keySet).flatMap { k =>
                 for (l <- lo.get(k); h <- hi.get(k)) yield k -> (l, h)
               }.toMap
-              Some(Left(PlannedFile(path, merged, seq)))
+              // identity partition values from the entry's partition record
+              // (matched by partition field name, keyed by source field id)
+              val pvals: Map[Int, Any] = df.get("partition") match {
+                case r: GenericRecord =>
+                  identityFields.flatMap { case (pname, sid) =>
+                    Option(r.getSchema.getField(pname))
+                      .flatMap(_ => Option(r.get(pname)))
+                      .map {
+                        case u: org.apache.avro.util.Utf8 => sid -> u.toString
+                        case v                            => sid -> v
+                      }
+                  }.toMap
+                case _ => Map.empty
+              }
+              Some(Left(PlannedFile(path, merged, seq, pvals)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -237,7 +274,21 @@ object IcebergFormat {
     import org.apache.spark.sql.functions._
     if (files.isEmpty) return emptyFrame(spark, p.schema)
     val base = spark.read.schema(p.schema).parquet(files.map(_.path.toString): _*)
-    if (p.deletes.isEmpty) return base
+
+    // Identity partition columns recorded in the manifests' partition
+    // records (spec "Column Projection"): an identity source column may be
+    // OMITTED from data files, its per-file constant living only in
+    // partition metadata. Reconstruct via a broadcast (path -> value) join;
+    // files that do carry the column win through coalesce — for identity
+    // both sides hold the same constant by definition.
+    val idToField = p.fieldIds.zip(p.schema.fields).toMap
+    val overlayIds = p.fieldIds.filter { id =>
+      files.exists(_.partition.contains(id)) && (idToField(id).dataType match {
+        case IntegerType | LongType | FloatType | DoubleType | BooleanType | StringType => true
+        case _ => false
+      })
+    }
+    if (p.deletes.isEmpty && overlayIds.isEmpty) return base
 
     // URI-scheme normalization so manifest paths (`file:/x`, `/x`) and
     // Spark's `_metadata.file_path` (`file:///x`) compare equal. Local and
@@ -246,12 +297,31 @@ object IcebergFormat {
     def normStr(s: String): String  = s.replaceFirst("^[a-z][a-z0-9+.-]*:/+", "/")
     def normCol(c: Column): Column = regexp_replace(c, "^[a-z][a-z0-9+.-]*:/+", "/")
 
-    val seqRows = files.map(f => (normStr(f.path.toString), f.seq))
-    val seqDf   = spark.createDataFrame(seqRows).toDF("__path", "__dataseq")
     var data = base
       .withColumn("__path", normCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
-      .join(broadcast(seqDf), "__path")
+
+    if (overlayIds.nonEmpty) {
+      val pSchema = StructType(StructField("__path", StringType) +:
+        overlayIds.map(id => StructField(s"__pv_$id", StringType)))
+      val pRows = files.map(f => org.apache.spark.sql.Row.fromSeq(
+        normStr(f.path.toString) +: overlayIds.map(id => f.partition.get(id).map(_.toString).orNull)))
+      val pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pRows, 1), pSchema)
+      data = data.join(broadcast(pdf), Seq("__path"), "left")
+      overlayIds.foreach { id =>
+        val fld = idToField(id)
+        data = data.withColumn(fld.name,
+          coalesce(col(fld.name), col(s"__pv_$id").cast(fld.dataType)))
+      }
+    }
+
+    if (p.deletes.isEmpty)
+      return data.select(p.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+    val seqRows = files.map(f => (normStr(f.path.toString), f.seq))
+    val seqDf   = spark.createDataFrame(seqRows).toDF("__path", "__dataseq")
+    data = data.join(broadcast(seqDf), "__path")
 
     val posDeletes = p.deletes.filter(_.content == 1)
     if (posDeletes.nonEmpty) {
@@ -297,15 +367,23 @@ object IcebergFormat {
       case _                                               => a.compareTo(b)
     }
     p.files.filter { f =>
-      f.bounds.get(fieldId) match {
-        case Some((lo, hi)) =>
-          (decodeBound(dt, lo), decodeBound(dt, hi)) match {
-            case (Some(mn), Some(mx)) =>
-              lower.forall(l => cmp(mx.toString, l) >= 0) &&
-                upper.forall(u => cmp(mn.toString, u) <= 0)
-            case _ => true
-          }
-        case None => true // no bounds recorded -> cannot skip
+      // identity partition value first: for a partitioned table it prunes
+      // exactly (the file holds ONLY rows with that value), even when the
+      // writer recorded no column bounds
+      f.partition.get(fieldId) match {
+        case Some(v) =>
+          val s = v.toString
+          lower.forall(l => cmp(s, l) >= 0) && upper.forall(u => cmp(s, u) <= 0)
+        case None => f.bounds.get(fieldId) match {
+          case Some((lo, hi)) =>
+            (decodeBound(dt, lo), decodeBound(dt, hi)) match {
+              case (Some(mn), Some(mx)) =>
+                lower.forall(l => cmp(mx.toString, l) >= 0) &&
+                  upper.forall(u => cmp(mn.toString, u) <= 0)
+              case _ => true
+            }
+          case None => true // no bounds recorded -> cannot skip
+        }
       }
     }.map(_.path.toString)
   }
@@ -390,7 +468,8 @@ object IcebergFormat {
       sizeBytes: Long,
       bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
       content: Int = 0,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      partitionValues: Map[String, Any] = Map.empty) // by partition field name
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
@@ -398,7 +477,14 @@ object IcebergFormat {
     * "Manifests" table). lower/upper bounds use the spec's map encoding —
     * an array of key/value records (Avro maps can't key by int) holding
     * field-id → single-value-serialized binary. */
-  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+  private def manifestEntrySchemaFor(partitionFields: Seq[(String, String, Int)]): Schema = {
+    val pf = partitionFields.map { case (name, avroType, fieldId) =>
+      s"""{"name":"$name","type":["null","$avroType"],"default":null,"field-id":$fieldId}"""
+    }.mkString(",")
+    new Schema.Parser().parse(manifestEntryTemplate.replace("__PARTITION_FIELDS__", pf))
+  }
+
+  private val manifestEntryTemplate: String =
     """{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
       {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -408,7 +494,7 @@ object IcebergFormat {
         {"name":"content","type":"int","field-id":134},
         {"name":"file_path","type":"string","field-id":100},
         {"name":"file_format","type":"string","field-id":101},
-        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[__PARTITION_FIELDS__]}},
         {"name":"record_count","type":"long","field-id":103},
         {"name":"file_size_in_bytes","type":"long","field-id":104},
         {"name":"lower_bounds","field-id":125,"default":null,"type":["null",
@@ -421,7 +507,7 @@ object IcebergFormat {
             {"name":"value","type":"bytes","field-id":130}]}}]},
         {"name":"equality_ids","field-id":135,"default":null,"type":["null",
           {"type":"array","items":"int","element-id":136}]}
-      ]}}]}""".replaceAll("\n\\s*", ""))
+      ]}}]}""".replaceAll("\n\\s*", "")
 
   /** Avro schema of a manifest-list entry (spec "Manifest Lists" table). */
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
@@ -454,15 +540,44 @@ object IcebergFormat {
     * (carrying prior manifests by pointer, as the spec intends) and writes
     * `v<N>.metadata.json` + `version-hint.text`. Single-writer, fixed
     * timestamps for reproducible fixtures. */
+  /** Avro primitive for an identity partition value in the manifest's
+    * partition record. */
+  private def avroPrimitive(dt: DataType): String = dt match {
+    case IntegerType => "int"
+    case LongType    => "long"
+    case FloatType   => "float"
+    case DoubleType  => "double"
+    case BooleanType => "boolean"
+    case StringType  => "string"
+    case other =>
+      throw new UnsupportedOperationException(s"identity partition on $other not supported")
+  }
+
   final class Writer(
       spark: SparkSession,
       val location: String,
       schema: StructType,
+      partitionBy: Seq[String] = Nil, // identity-transform partition columns
       tableUuid: String = "11111111-2222-3333-4444-555555555555") {
 
     private val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
     private val metadataDir = new Path(location, "metadata")
     private val ts0 = 1704067200000L // fixed epoch (2024-01-01) — deterministic fixtures
+
+    // (partition field name, source field id, partition field id) — spec
+    // partition field-ids start at 1000
+    private val specFields: Seq[(String, Int, Int)] = partitionBy.zipWithIndex.map {
+      case (c, i) =>
+        val idx = schema.fieldNames.indexOf(c)
+        require(idx >= 0, s"partition column $c not in schema")
+        (c, idx + 1, 1000 + i)
+    }
+    private val specFieldsJson: String = specFields.map { case (n, sid, fid) =>
+      s"""{"name":"$n","transform":"identity","source-id":$sid,"field-id":$fid}"""
+    }.mkString(",")
+    private val entrySchema: Schema = manifestEntrySchemaFor(specFields.map {
+      case (n, sid, fid) => (n, avroPrimitive(schema.fields(sid - 1).dataType), fid)
+    })
 
     private var version = 0
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
@@ -496,12 +611,15 @@ object IcebergFormat {
       // 1. the commit's manifest(s): one ADDED entry per file; data and
       // delete files may not share a manifest
       def buildEntry(f: DataFileInfo): GenericRecord = {
-        val dataFile = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+        val dataFile = new GenericData.Record(entrySchema.getField("data_file").schema())
         dataFile.put("content", f.content)
         dataFile.put("file_path", f.path)
         dataFile.put("file_format", "PARQUET")
-        dataFile.put("partition",
-          new GenericData.Record(dataFile.getSchema.getField("partition").schema()))
+        val partRec = new GenericData.Record(dataFile.getSchema.getField("partition").schema())
+        specFields.foreach { case (n, _, _) =>
+          f.partitionValues.get(n).foreach(v => partRec.put(n, v))
+        }
+        dataFile.put("partition", partRec)
         dataFile.put("record_count", f.recordCount)
         dataFile.put("file_size_in_bytes", f.sizeBytes)
         if (f.bounds.nonEmpty) {
@@ -526,7 +644,7 @@ object IcebergFormat {
           f.equalityIds.foreach(id => l.add(id))
           dataFile.put("equality_ids", new GenericData.Array[Integer](arraySchema, l))
         }
-        val entry = new GenericData.Record(manifestEntrySchema)
+        val entry = new GenericData.Record(entrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", snapId)
         entry.put("sequence_number", seq)
@@ -538,10 +656,10 @@ object IcebergFormat {
       byKind.foreach { case (kind, group) =>
         val suffix       = if (kind == 0) "" else "-deletes"
         val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix.avro")
-        val manifestLen = writeAvroFile(manifestPath, manifestEntrySchema,
+        val manifestLen = writeAvroFile(manifestPath, entrySchema,
           group.map(buildEntry), Map(
             "schema" -> icebergSchemaJson(schema),
-            "partition-spec" -> "[]",
+            "partition-spec" -> s"[$specFieldsJson]",
             "partition-spec-id" -> "0",
             "format-version" -> "2",
             "content" -> (if (kind == 0) "data" else "deletes")))
@@ -588,8 +706,8 @@ object IcebergFormat {
            "last-sequence-number":$seq,"last-updated-ms":${ts0 + snapId},
            "last-column-id":${schema.fields.length},
            "current-schema-id":0,"schemas":[${icebergSchemaJson(schema)}],
-           "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-           "last-partition-id":999,
+           "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
+           "last-partition-id":${if (specFields.isEmpty) 999 else specFields.map(_._3).max},
            "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
            "properties":{},
            "current-snapshot-id":$snapId,

@@ -280,11 +280,50 @@ object Pipeline {
       FROM train JOIN bench USING (sg)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------- deterministic epoch shuffle
+
+  /** Global training-epoch shuffle + shard assignment, with zero RNG: each
+    * document's shard and within-shard position are pure functions of an
+    * epoch salt and the content (salted rolling hash). Changing the salt
+    * re-shuffles the corpus for the next epoch; re-running the same epoch
+    * reproduces byte-identical shards — the reproducibility property a
+    * training pipeline needs for resumable/auditable data orders.
+    *
+    * Scale shape: the hash is map-side; the only shuffle is the partition
+    * by shard, and the per-shard `row_number` sort IS the physical write
+    * order of the shard file (`repartition(shard).sortWithinPartitions`) —
+    * so the plan you verify here is the plan that writes 100 TB of epochs,
+    * with shard count chosen so each sorted partition fits an executor. */
+  private val epochSalt = "e1|"
+  private val nShards   = 8L
+
+  private def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byShard = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.hashfns.rollHash(concat(lit(epochSalt), col("text"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
+  private val epochShuffleOracle: String = {
+    val h = Hashing.duckRollHash(s"'$epochSalt' || text", Hashing.P, "c0")
+    s"""WITH t AS (SELECT doc_id, ($h) AS h FROM documents)
+      SELECT h % $nShards AS shard,
+             CAST(row_number() OVER (PARTITION BY h % $nShards ORDER BY h, doc_id) AS BIGINT) AS pos,
+             doc_id
+      FROM t ORDER BY shard, pos"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
     Q("pp03_mix", mix, Some(mixOracle)),
     Q("pp04_stratified", stratified, Some(stratifiedOracle)),
-    Q("pp05_contamination", contamination, Some(contaminationOracle))
+    Q("pp05_contamination", contamination, Some(contaminationOracle)),
+    Q("pp06_epoch_shuffle", epochShuffle, Some(epochShuffleOracle))
   )
 }

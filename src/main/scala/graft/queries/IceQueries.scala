@@ -516,6 +516,34 @@ object IceQueries {
          FROM nation WHERE n_nationkey IN (10, 11))
        ORDER BY n_nationkey, n_name"""
 
+  /** Identity-PARTITIONED standard-Iceberg table: real partition spec in
+    * the metadata JSON, typed partition records in the manifest entries,
+    * and data files that OMIT the partition column entirely — the spec's
+    * "Column Projection" rule says identity source columns may live only
+    * in partition metadata, and PyIceberg/Spark readers reconstruct them
+    * per file. The gate proves our reader does the same reconstruction
+    * (the oracle compares the full nation rows INCLUDING n_regionkey) and
+    * that planFiles prunes on partition values alone — no column bounds
+    * are recorded, so only the partition record can prune. */
+  private def icebergPartitionedQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "icepart")
+    val loc    = s"$root/nations_part"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val w = new IcebergFormat.Writer(s, loc, nation.schema, partitionBy = Seq("n_regionkey"))
+    val infos = (0 to 4).map { rk =>
+      stageIcebergFile(s, root, loc, s"r$rk",
+        nation.filter(col("n_regionkey") === rk).drop("n_regionkey"))
+        .copy(partitionValues = Map("n_regionkey" -> Int.box(rk)))
+    }
+    w.commit(infos)
+    val planned = IcebergFormat.planFiles(
+      s, w.currentMetadataPath, "n_regionkey", Some("2"), Some("2"))
+    require(planned.size == 1, s"partition pruning failed: kept ${planned.size} of 5 files")
+    new Engine(s, new FsCatalog(s, freshDir(s, "icepart_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy("n_nationkey")
+  }
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -549,6 +577,7 @@ object IceQueries {
     Q("ic21_iceberg_scan", icebergScanQ, Some(icebergScanOracle)),
     Q("ic22_iceberg_export", icebergExportQ, Some(icebergExportOracle)),
     Q("ic23_mor_posdelete", morPosDeleteQ, Some(morPosDeleteOracle)),
-    Q("ic24_mor_eqdelete", morEqDeleteQ, Some(morEqDeleteOracle))
+    Q("ic24_mor_eqdelete", morEqDeleteQ, Some(morEqDeleteOracle)),
+    Q("ic25_iceberg_partitioned", icebergPartitionedQ, Some(nationOracle))
   )
 }
