@@ -540,6 +540,26 @@ object IcebergFormat {
     * (carrying prior manifests by pointer, as the spec intends) and writes
     * `v<N>.metadata.json` + `version-hint.text`. Single-writer, fixed
     * timestamps for reproducible fixtures. */
+  /** Write `df` as ONE parquet file at `loc/data/<name>.parquet` (staged
+    * through a temp dir under `stagingDir`, then renamed) and return its
+    * manifest entry. The single-partition write preserves the caller's
+    * sort order, which makes file positions deterministic — the property
+    * position deletes address. */
+  def writeSingleFile(spark: SparkSession, stagingDir: String, loc: String, name: String,
+      df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil): DataFileInfo = {
+    val fs  = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$stagingDir/stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(s"$loc/data/$name.parquet")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(part, dest), s"stage rename failed for $name")
+    fs.delete(new Path(tmp), true)
+    DataFileInfo(dest.toString, df.count(), fs.getFileStatus(dest).getLen,
+      content = content, equalityIds = equalityIds)
+  }
+
   /** Avro primitive for an identity partition value in the manifest's
     * partition record. */
   private def avroPrimitive(dt: DataType): String = dt match {

@@ -425,24 +425,11 @@ object IceQueries {
          UNION ALL SELECT * FROM nation WHERE n_regionkey <= 1)
        ORDER BY n_nationkey, n_name"""
 
-  /** Write `df` as ONE parquet file at `loc/data/<name>.parquet` and return
-    * its manifest entry. Rows are staged in the caller's sort order (single
-    * partition write preserves it), so file positions are deterministic —
-    * which is what position deletes address. */
+  /** One-file staging into `loc/data/<name>.parquet` (sort order preserved
+    * -> deterministic positions); see IcebergFormat.writeSingleFile. */
   private def stageIcebergFile(s: SparkSession, root: String, loc: String, name: String,
-      df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil): IcebergFormat.DataFileInfo = {
-    val fs  = new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = s"$root/stage_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    val dest = new Path(s"$loc/data/$name.parquet")
-    fs.mkdirs(dest.getParent)
-    require(fs.rename(part, dest), s"stage rename failed for $name")
-    fs.delete(new Path(tmp), true)
-    IcebergFormat.DataFileInfo(dest.toString, df.count(),
-      fs.getFileStatus(dest).getLen, content = content, equalityIds = equalityIds)
-  }
+      df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil): IcebergFormat.DataFileInfo =
+    IcebergFormat.writeSingleFile(s, root, loc, name, df, content, equalityIds)
 
   /** Merge-on-read POSITION deletes through the standard-Iceberg chain
     * (spec row-level deletes, content=1): snapshot 1 commits two sorted

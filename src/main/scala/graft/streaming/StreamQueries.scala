@@ -277,12 +277,74 @@ object StreamQueries {
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id ORDER BY user_id"""
 
+  // --------------------- streaming CDC into standard Iceberg v2 (MoR)
+
+  /** Streaming CDC into a STANDARD Iceberg v2 table with merge-on-read
+    * equality deletes — the commit shape Flink's and Spark's Iceberg CDC
+    * writers use: each micro-batch commits ONE snapshot holding an
+    * equality-delete file on the key column (retiring the keys' prior
+    * rows; deletes apply strictly-older, so the same commit's data
+    * survives its own delete) plus a data file with the new per-key
+    * aggregates. No data file is ever rewritten — commits are O(batch),
+    * and the spec's scan-planning rules make any Iceberg reader merge the
+    * chain at read time. The source is staged as several files with
+    * `maxFilesPerTrigger=1`, so the gate exercises a multi-commit delete
+    * chain across sequence numbers, not one upsert. Final state must equal
+    * the batch aggregate — convergence of the whole CDC pipeline. */
+  private def streamIcebergCdc(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    val root = "/root/repo/target/scratch/st07"
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    fs.mkdirs(rootPath)
+    // several source files -> several micro-batches under AvailableNow
+    val src = s"$root/src"
+    graft.Tables.events(s, d).repartition(4).write.parquet(src)
+    val aggSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_purchases", LongType),
+      StructField("total", DoubleType)))
+    val loc = s"$root/purchase_totals_ice"
+    val w   = new IcebergFormat.Writer(s, loc, aggSchema)
+    s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("total"))
+      .writeStream
+      .outputMode("update") // only keys changed by the batch flow
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val del = IcebergFormat.writeSingleFile(s, root, loc, s"del-$batchId",
+            batch.select("user_id"), content = 2, equalityIds = Seq(1))
+          val data = IcebergFormat.writeSingleFile(s, root, loc, s"data-$batchId",
+            batch.select("user_id", "n_purchases", "total"))
+          w.commit(Seq(del, data)) // one snapshot: retire old rows, add new
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    IcebergFormat.scan(s, w.currentMetadataPath).orderBy("user_id")
+  }
+
+  private val streamIcebergCdcOracle = streamUpsertOracle // same converged state
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
     Q("st03_stream_dedup", streamDedup, Some(streamDedupOracle)),
     Q("st04_stream_join", streamJoin, Some(streamJoinOracle)),
     Q("st05_stream_ingest", streamIngest, Some(streamIngestOracle)),
-    Q("st06_stream_upsert", streamUpsert, Some(streamUpsertOracle))
+    Q("st06_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
+    Q("st07_stream_iceberg_cdc", streamIcebergCdc, Some(streamIcebergCdcOracle))
   )
 }
