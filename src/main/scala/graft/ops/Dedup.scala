@@ -417,6 +417,99 @@ object Dedup {
       SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM sims WHERE sim >= 0.4
       ORDER BY id_a, id_b"""
 
+  // ------------------------------- IVF-blocked embedding near-dups
+
+  /** dd05's scale twin — embedding near-dup WITHOUT the broadcast corpus
+    * matrix, blocked by the coarse quantizer (sm05's deterministic 8-cell
+    * codebook): every vector lands in its 2 nearest cells (multi-probe
+    * blocking, ties to the smaller centroid id), candidate pairs share a
+    * probed cell, and only candidates get the exact cosine rerank
+    * (>= 0.4, dd05's threshold). Cost: one map-side assignment pass (the
+    * codebook is cells-sized, broadcast by design), one shuffle on cell
+    * id, per-cell pairs — no O(n²) term, no corpus on the driver. At
+    * 100 TB the corpus is physically bucketed by cell and each cell's
+    * pairs are found in parallel; with ncells ~ sqrt(n) the pair scan is
+    * n^1.5, and probing 2 cells is the standard recall lever (at sf0.01
+    * it recovers 46 of dd05's 59 exact pairs; 1-probe recovers 20 —
+    * measured, which is exactly the recall/cost knob a production dedup
+    * tunes). A 16-bit hyperplane-hamming blocker was tried and REJECTED:
+    * cosine-0.4 pairs sit at expected hamming ~6 of 16, so any pigeonhole
+    * banding either returns nothing (tight radius) or everything (wide
+    * bands) — the quantizer blocks where the data actually clusters. */
+  private def embedBlockedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(Sim.collectMatrix(s, d, idBound = Sim.ivfCells))
+    // (vec_id, nrm, v, cells): norm + 2-probe cell list map-side; vector
+    // carried for the candidate rerank join (per-row, no broadcast)
+    val vecs = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vf) =>
+          val v = vf.map(_.toDouble)
+          // two nearest cells by (L2^2 asc, cid asc); cs is cid-ascending
+          // and strict < keeps the smaller cid on ties, same as the
+          // oracle's row_number ORDER BY d2, cid
+          var b1 = Double.MaxValue; var c1 = -1L
+          var b2 = Double.MaxValue; var c2 = -1L
+          var i  = 0
+          while (i < cs.length) {
+            val d2v = Sim.dist2(v, cs(i)._2)
+            if (d2v < b1) { b2 = b1; c2 = c1; b1 = d2v; c1 = cs(i)._1 }
+            else if (d2v < b2) { b2 = d2v; c2 = cs(i)._1 }
+            i += 1
+          }
+          (id, Sim.normv(v), v, Array(c1, c2))
+        }
+      }
+      .toDF("vec_id", "nrm", "v", "cells")
+      .persist() // feeds the blocked frame (self-joined) and two rerank joins
+    val blocked = vecs.select(col("vec_id"), explode(col("cells")).as("cell"))
+    val cand = blocked.as("x")
+      .join(blocked.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct() // a pair may share both probed cells
+    // exact cosine rerank of candidates only: d-ascending fold, same order
+    // as the oracle's SUM over the dim join (PERF.md exactness rule #3)
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("nrm").as("na"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("nrm").as("nb"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+          / (col("na") * col("nb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val embedBlockedNearDupOracle =
+    s"""WITH ${Sim.duckVecs},
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < ${Sim.ivfCells}),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      blocked AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM blocked x JOIN blocked y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      dots AS (
+        SELECT c.id_a, c.id_b, SUM(a.x * b.x) AS dot
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b AND a.d = b.d
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id)
+      SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM sims WHERE sim >= 0.4
+      ORDER BY id_a, id_b"""
+
   // ----------------------------------------- frequency-capped jaccard
 
   /** dd02 with a document-frequency cap on shingles: shingles appearing in
@@ -478,6 +571,7 @@ object Dedup {
     Q("dd05_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
     Q("dd06_cc_cluster", ccCluster, Some(ccClusterOracle)),
     Q("dd07_capped_jaccard", cappedJaccard, Some(cappedJaccardOracle)),
-    Q("dd08_simhash_bucketed", simhashBucketed, Some(simhashBucketedOracle))
+    Q("dd08_simhash_bucketed", simhashBucketed, Some(simhashBucketedOracle)),
+    Q("dd09_embed_blocked_neardup", embedBlockedNearDup, Some(embedBlockedNearDupOracle))
   )
 }

@@ -192,29 +192,36 @@ object Sim {
   private[graft] def planeWeight(j: Int, dim: Int): Double =
     ((j.toLong * 64 + dim) * 2654435761L % 4294967296L) / 2147483648.0 - 1.0
 
+  /** The constant 16x64 plane matrix (a program constant, never shuffled). */
+  private[ops] val hyperPlanes: Array[Array[Double]] =
+    Array.tabulate(16, 64)((j, dim) => planeWeight(j, dim))
+
+  /** 16-bit hyperplane signature — ONE definition shared by sm03/sm04 and
+    * dd09 so the bucketing can never drift between operators. Dot products
+    * accumulate d=0..63 in order; the oracle's group-sum order may differ,
+    * but a sign flip would need |dot| at float-error scale — measure-zero
+    * for this data. */
+  private[ops] def hyperSig(vf: Array[Float]): Long = {
+    var bucket = 0L
+    var j      = 0
+    while (j < 16) {
+      val p   = hyperPlanes(j)
+      var dot = 0.0
+      var i   = 0
+      while (i < vf.length) { dot += vf(i).toDouble * p(i); i += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   private def lshBuckets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // 16x64 plane matrix is a program constant — compute the whole 16-bit
-    // signature per row in one map pass; the only shuffle is the tiny
-    // bucket histogram. (Dot products accumulate d=0..63 in order; the
-    // oracle's group-sum order may differ, but a sign flip would need
-    // |dot| at float-error scale — measure-zero for this data.)
-    val planes = Array.tabulate(16, 64)((j, dim) => planeWeight(j, dim))
+    // compute the whole 16-bit signature per row in one map pass; the only
+    // shuffle is the tiny bucket histogram
     Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
-      .map { case (_, vf) =>
-        var bucket = 0L
-        var j      = 0
-        while (j < 16) {
-          val p   = planes(j)
-          var dot = 0.0
-          var i   = 0
-          while (i < vf.length) { dot += vf(i).toDouble * p(i); i += 1 }
-          if (dot > 0) bucket |= (1L << j)
-          j += 1
-        }
-        bucket
-      }
+      .map { case (_, vf) => hyperSig(vf) }
       .toDF("bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
@@ -246,20 +253,6 @@ object Sim {
     * here the oracle replicates signature, probing and rerank exactly. */
   private def lshSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val planes = Array.tabulate(16, 64)((j, dim) => planeWeight(j, dim))
-    def bucketOf(vf: Array[Float]): Long = {
-      var b = 0L
-      var j = 0
-      while (j < 16) {
-        val p   = planes(j)
-        var dot = 0.0
-        var i   = 0
-        while (i < vf.length) { dot += vf(i).toDouble * p(i); i += 1 }
-        if (dot > 0) b |= (1L << j)
-        j += 1
-      }
-      b
-    }
     val qs = Tables.embeddings(s, d)
       .filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding"))
@@ -268,7 +261,7 @@ object Sim {
       .sortBy(_._1)
       .map { case (id, vf) =>
         val v = vf.map(_.toDouble)
-        (id, v, normv(v), bucketOf(vf))
+        (id, v, normv(v), hyperSig(vf))
       }
     val bc  = s.sparkContext.broadcast(qs)
     val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
@@ -277,7 +270,7 @@ object Sim {
       .mapPartitions { it =>
         val queries = bc.value
         it.flatMap { case (nid, vf) =>
-          val nb  = bucketOf(vf)
+          val nb  = hyperSig(vf)
           lazy val v = vf.map(_.toDouble)
           lazy val n = normv(v)
           queries.iterator
@@ -335,8 +328,8 @@ object Sim {
     * touches nprobe/ncells of the data; here cell assignment, probing and
     * rerank are all replicated exactly in the oracle. Ties on cell distance
     * break to the smaller centroid id on both sides. */
-  private val ivfCells  = 8
-  private val ivfProbes = 2
+  private[ops] val ivfCells = 8
+  private val ivfProbes     = 2
 
   private def ivfSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
