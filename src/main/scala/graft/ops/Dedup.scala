@@ -470,14 +470,20 @@ object Dedup {
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct() // a pair may share both probed cells
-    // exact cosine rerank of candidates only: d-ascending fold, same order
-    // as the oracle's SUM over the dim join (PERF.md exactness rule #3)
+    // exact cosine rerank of candidates only, via the primitive-array
+    // kernel (d-ascending fold, same order as the oracle's SUM over the
+    // dim join — PERF.md exactness rule #3). An interpreted
+    // aggregate(zip_with(...)) was 6x slower here: the candidate set is
+    // n²/(cells/probes²)-sized, so the per-candidate constant dominates.
     cand
       .join(vecs.select(col("vec_id").as("id_a"), col("nrm").as("na"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("nrm").as("nb"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("sim",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
-          / (col("na") * col("nb")))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("va"), col("vb"))
+      .as[(Long, Long, Double, Double, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (a, b, na, nb, va, vb) =>
+        (a, b, Sim.dotv(va, vb) / (na * nb))
+      })
+      .toDF("id_a", "id_b", "sim")
       .filter(col("sim") >= 0.4)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")

@@ -518,8 +518,11 @@ object IceQueries {
     val nation = Tables.nation(s, d).orderBy("n_nationkey")
     val w = new IcebergFormat.Writer(s, loc, nation.schema, partitionBy = Seq("n_regionkey"))
     val infos = (0 to 4).map { rk =>
+      // region 4's file KEEPS the column (both spec-legal layouts in one
+      // table: present-in-file wins via coalesce, absent reconstructs)
+      val slice = nation.filter(col("n_regionkey") === rk)
       stageIcebergFile(s, root, loc, s"r$rk",
-        nation.filter(col("n_regionkey") === rk).drop("n_regionkey"))
+        if (rk == 4) slice else slice.drop("n_regionkey"))
         .copy(partitionValues = Map("n_regionkey" -> Int.box(rk)))
     }
     w.commit(infos)
