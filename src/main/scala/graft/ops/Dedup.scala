@@ -438,7 +438,14 @@ object Dedup {
     * bands) — the quantizer blocks where the data actually clusters. */
   private def embedBlockedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(Sim.collectMatrix(s, d, idBound = Sim.ivfCells))
+    // codebook size scales as sqrt(n/8): 8 cells at verification scale
+    // (recall stats above), finer with the corpus so per-cell occupancy —
+    // and with it the candidate count — grows as n^1.5, not n². The
+    // codebook stays driver/broadcast-sized at any corpus (sqrt growth:
+    // ~15k centroids for 2B vectors). Mirrored exactly in the oracle.
+    val nVecs  = Tables.embeddings(s, d).count()
+    val nCells = math.max(Sim.ivfCells.toLong, math.floor(math.sqrt(nVecs / 8.0)).toLong)
+    val bc = s.sparkContext.broadcast(Sim.collectMatrix(s, d, idBound = nCells))
     // (vec_id, nrm, v, cells): norm + 2-probe cell list map-side; vector
     // carried for the candidate rerank join (per-row, no broadcast)
     val vecs = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
@@ -491,7 +498,10 @@ object Dedup {
 
   private val embedBlockedNearDupOracle =
     s"""WITH ${Sim.duckVecs},
-      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < ${Sim.ivfCells}),
+      nc AS (SELECT GREATEST(${Sim.ivfCells},
+               CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE) / 8)) AS BIGINT)) AS nc
+             FROM embeddings),
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < (SELECT nc FROM nc)),
       d2 AS (
         SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
         FROM e v JOIN ce c USING (d) GROUP BY 1, 2),

@@ -457,15 +457,21 @@ object IceQueries {
     val w = new IcebergFormat.Writer(s, loc, nation.schema)
     w.commit(Seq(lo, mid))                                                    // seq 1: data
     w.commit(Seq(stageIcebergFile(s, root, loc, "del1", delDf, content = 1))) // seq 2: deletes
-    w.commit(Seq(stageIcebergFile(s, root, loc, "late",
-      nation.filter(col("n_nationkey") >= 20))))                              // seq 3: data
+    // seq 3: the late data file TOGETHER with a position delete on its own
+    // pos 4 (key 24). Position deletes apply to dataseq <= delseq — same
+    // commit included — unlike equality deletes' strictly-older rule, so
+    // key 24 must vanish while seq 2's probes at pos 0/1 still must not.
+    val sameCommitDel = Seq((latePath, 4L)).toDF("file_path", "pos")
+    w.commit(Seq(
+      stageIcebergFile(s, root, loc, "late", nation.filter(col("n_nationkey") >= 20)),
+      stageIcebergFile(s, root, loc, "del2", sameCommitDel, content = 1)))
     new Engine(s, new FsCatalog(s, freshDir(s, "mor_pos_wh")))
       .scanIcebergMetadata(w.currentMetadataPath)
       .orderBy("n_nationkey")
   }
 
   private val morPosDeleteOracle =
-    "SELECT * FROM nation WHERE n_nationkey NOT IN (0, 3, 7) ORDER BY n_nationkey"
+    "SELECT * FROM nation WHERE n_nationkey NOT IN (0, 3, 7, 24) ORDER BY n_nationkey"
 
   /** Merge-on-read EQUALITY deletes (spec content=2): snapshot 1 commits
     * the full table, snapshot 2 an equality-delete file on the key column
