@@ -784,6 +784,34 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     }
     this
   }
+
+  /** Orphan-file cleanup (Iceberg's `remove_orphan_files`): delete parquet
+    * files under the table's `data/` tree that NO snapshot references —
+    * the debris an interrupted write leaves when its snapshot never
+    * commits. Referenced = every file of every snapshot, current or not
+    * (time travel must keep working), so a committed file can never be
+    * swept. Returns the deleted table-relative paths. The listing is the
+    * only O(table-files) step — at scale it's the same recursive listing
+    * a compaction pays, executor-parallelizable, and it touches zero
+    * committed data. */
+  def removeOrphans(): Seq[String] = {
+    val md         = metadata
+    val referenced = md.snapshots.flatMap(filesOf).toSet
+    val dataDir    = new Path(location, "data")
+    if (!fs.exists(dataDir)) return Nil
+    val locPath = location.toUri.getPath.stripSuffix("/")
+    val it      = fs.listFiles(dataDir, true)
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.toUri.getPath.stripPrefix(locPath).stripPrefix("/")
+        if (!referenced.contains(rel)) orphans += rel
+      }
+    }
+    orphans.foreach(rel => fs.delete(new Path(location, rel), false))
+    orphans.toSeq
+  }
 }
 
 object IceTable {

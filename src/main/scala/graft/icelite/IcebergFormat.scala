@@ -131,7 +131,8 @@ object IcebergFormat {
     }
   }
 
-  private def plan(spark: SparkSession, metadataPath: String): TablePlan = {
+  private def plan(spark: SparkSession, metadataPath: String,
+      snapshotId: Option[Long] = None): TablePlan = {
     implicit val fmts: Formats = DefaultFormats
     val mPath = new Path(metadataPath)
     val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -154,7 +155,9 @@ object IcebergFormat {
 
     val identityFields = identitySpecFields(md)
 
-    val currentId = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
+    // time travel: an explicit snapshot id overrides the current pointer
+    val currentId = snapshotId.getOrElse(
+      (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L))
     if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil)
     val snapshot = (md \ "snapshots").extract[List[JObject]]
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
@@ -255,6 +258,16 @@ object IcebergFormat {
     * deletes applied. */
   def scan(spark: SparkSession, metadataPath: String): DataFrame = {
     val p = plan(spark, metadataPath)
+    scanFiles(spark, p, p.files)
+  }
+
+  /** Time travel: scan the table as of snapshot `snapshotId` from the
+    * metadata's snapshot list — the other half of the `iceberg_scan`
+    * contract (`FOR VERSION AS OF`). Row-level deletes are applied with
+    * the sequence numbers THAT snapshot's manifest list carries, so a
+    * pre-delete snapshot reads the undeleted rows. */
+  def scanAt(spark: SparkSession, metadataPath: String, snapshotId: Long): DataFrame = {
+    val p = plan(spark, metadataPath, Some(snapshotId))
     scanFiles(spark, p, p.files)
   }
 

@@ -540,6 +540,62 @@ object IceQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Standard-Iceberg TIME TRAVEL (`FOR VERSION AS OF`): two commits, then
+    * scan pinned to snapshot 1 through its own manifest list — must see
+    * only the first commit's rows even though the current pointer is at
+    * snapshot 2. */
+  private def icebergTimetravelQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "icett")
+    val loc    = s"$root/nations_tt_ice"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    w.commit(Seq(stageIcebergFile(s, root, loc, "lo",
+      nation.filter(col("n_nationkey") < 10))))                      // snapshot 1
+    w.commit(Seq(stageIcebergFile(s, root, loc, "hi",
+      nation.filter(col("n_nationkey") >= 10))))                     // snapshot 2
+    require(IcebergFormat.scan(s, w.currentMetadataPath).count() == nation.count(),
+      "current scan must see both commits")
+    IcebergFormat.scanAt(s, w.currentMetadataPath, 1L).orderBy("n_nationkey")
+  }
+
+  private val icebergTimetravelOracle =
+    "SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey"
+
+  /** Orphan-file vacuum (Iceberg `remove_orphan_files`): plant a stray
+    * parquet inside the table's data tree (the debris of a write whose
+    * snapshot never committed), vacuum, and require exactly that file
+    * swept while every committed snapshot — current AND time-travel —
+    * still reads complete. */
+  private def vacuumQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "vac")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val n      = nation.count()
+    val t      = cat.createOrReplaceTable("graft", "nations_vac", nation)
+    t.append(nation.filter(col("n_regionkey") === 0))
+    // the stray: a real parquet under data/ that no snapshot references
+    val strayTmp = freshDir(s, "vac_stray")
+    nation.limit(5).coalesce(1).write.mode("overwrite").parquet(strayTmp)
+    val fs   = t.location.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(strayTmp)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val strayDest = new Path(t.location, "data/stray/leftover.parquet")
+    fs.mkdirs(strayDest.getParent)
+    require(fs.rename(part, strayDest), "stray plant failed")
+    val swept = t.removeOrphans()
+    require(swept == Seq("data/stray/leftover.parquet"), s"unexpected sweep: $swept")
+    require(!fs.exists(strayDest), "orphan survived the vacuum")
+    require(t.removeOrphans().isEmpty, "vacuum not idempotent")
+    require(t.scanSnapshot(1).count() == n, "time travel broken after vacuum")
+    t.scan().orderBy("n_nationkey", "n_name")
+  }
+
+  private val vacuumOracle =
+    """SELECT * FROM (
+         SELECT * FROM nation
+         UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
+       ORDER BY n_nationkey, n_name"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -574,6 +630,8 @@ object IceQueries {
     Q("ic22_iceberg_export", icebergExportQ, Some(icebergExportOracle)),
     Q("ic23_mor_posdelete", morPosDeleteQ, Some(morPosDeleteOracle)),
     Q("ic24_mor_eqdelete", morEqDeleteQ, Some(morEqDeleteOracle)),
-    Q("ic25_iceberg_partitioned", icebergPartitionedQ, Some(nationOracle))
+    Q("ic25_iceberg_partitioned", icebergPartitionedQ, Some(nationOracle)),
+    Q("ic26_iceberg_timetravel", icebergTimetravelQ, Some(icebergTimetravelOracle)),
+    Q("ic27_vacuum", vacuumQ, Some(vacuumOracle))
   )
 }
