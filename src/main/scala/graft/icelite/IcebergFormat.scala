@@ -100,7 +100,8 @@ object IcebergFormat {
     * (deletes apply only to files at least as old — spec "Scan Planning"). */
   final case class PlannedFile(
       path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])], seq: Long = 0L,
-      partition: Map[Int, Any] = Map.empty) // identity values by SOURCE field id
+      partition: Map[Int, Any] = Map.empty, // identity values by SOURCE field id
+      buckets: Map[Int, (Int, Int)] = Map.empty) // source id -> (bucket value, modulus)
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
@@ -111,11 +112,93 @@ object IcebergFormat {
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
       deletes: Seq[PlannedDelete])
 
+  // --------------------------------------- spec 32-bit hash (Appendix B)
+
+  /** Murmur3_x86_32 with seed 0 — the spec's required hash for bucket
+    * transforms, implemented from the public algorithm. Pinned in
+    * IceLiteSpec against the spec's own test vectors (int/long 34 →
+    * 2017239379, string "iceberg" → 1210000089), so bucket ids computed
+    * here agree with every conforming Iceberg writer. */
+  private[graft] def murmur3(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = seed
+    val nblocks = data.length / 4
+    var i = 0
+    while (i < nblocks) {
+      var k1 = (data(i * 4) & 0xff) | ((data(i * 4 + 1) & 0xff) << 8) |
+        ((data(i * 4 + 2) & 0xff) << 16) | ((data(i * 4 + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    val rem  = data.length & 3
+    if (rem >= 3) k1 ^= (data(tail + 2) & 0xff) << 16
+    if (rem >= 2) k1 ^= (data(tail + 1) & 0xff) << 8
+    if (rem >= 1) {
+      k1 ^= data(tail) & 0xff
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= data.length
+    h1 ^= (h1 >>> 16); h1 *= 0x85ebca6b
+    h1 ^= (h1 >>> 13); h1 *= 0xc2b2ae35
+    h1 ^= (h1 >>> 16)
+    h1
+  }
+
+  /** Spec hash of a value for bucketing: int/long as 8-byte little-endian
+    * (ints hash as longs so the transform survives type promotion),
+    * strings as UTF-8 bytes. */
+  private[graft] def specHashLong(v: Long): Int = {
+    val b = new Array[Byte](8)
+    var i = 0
+    var x = v
+    while (i < 8) { b(i) = (x & 0xff).toByte; x >>= 8; i += 1 }
+    murmur3(b)
+  }
+
+  private[graft] def specHashString(s: String): Int = murmur3(s.getBytes("UTF-8"))
+
+  /** bucket[n] of a stringified literal for `dt`; None when the type has
+    * no spec bucket serialization here (no pruning then). */
+  private[graft] def bucketOf(dt: DataType, v: String, n: Int): Option[Int] = {
+    val h = dt match {
+      case IntegerType | LongType | DateType => Some(specHashLong(v.toLong))
+      case StringType                        => Some(specHashString(v))
+      case _                                 => None
+    }
+    h.map(x => (x & Integer.MAX_VALUE) % n)
+  }
+
+  /** Bucket-transform fields of the default partition spec, as
+    * (partition field name, source field id, modulus). */
+  private def bucketSpecFields(md: JValue): Seq[(String, Int, Int)] = {
+    implicit val fmts: Formats = DefaultFormats
+    val specId  = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val Bucket = raw"bucket\[(\d+)\]".r
+    (md \ "partition-specs") match {
+      case JArray(specs) =>
+        specs.find(sp => (sp \ "spec-id").extractOpt[Int].contains(specId)).toSeq.flatMap { sp =>
+          (sp \ "fields").extract[List[JObject]].flatMap { f =>
+            (f \ "transform").extractOpt[String] match {
+              case Some(Bucket(n)) =>
+                Some(((f \ "name").extract[String], (f \ "source-id").extract[Int], n.toInt))
+              case _ => None
+            }
+          }
+        }
+      case _ => Nil
+    }
+  }
+
   /** Identity-transform fields of the default partition spec, as
-    * (partition field name, source field id). Non-identity transforms
-    * (bucket, truncate, day, ...) are ignored: their partition values are
-    * derived, so they drive neither column reconstruction nor the simple
-    * range pruning here — files stay conservatively un-pruned. */
+    * (partition field name, source field id). Other transforms are
+    * handled separately (bucket) or conservatively ignored (truncate,
+    * day, ...): derived values drive neither column reconstruction nor
+    * range pruning — those files stay un-pruned. */
   private def identitySpecFields(md: JValue): Seq[(String, Int)] = {
     implicit val fmts: Formats = DefaultFormats
     val specId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
@@ -154,6 +237,7 @@ object IcebergFormat {
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
 
     val identityFields = identitySpecFields(md)
+    val bucketFields   = bucketSpecFields(md)
 
     // time travel: an explicit snapshot id overrides the current pointer
     val currentId = snapshotId.getOrElse(
@@ -207,7 +291,17 @@ object IcebergFormat {
                   }.toMap
                 case _ => Map.empty
               }
-              Some(Left(PlannedFile(path, merged, seq, pvals)))
+              // bucket values by source id, with the transform's modulus
+              val bvals: Map[Int, (Int, Int)] = df.get("partition") match {
+                case r: GenericRecord =>
+                  bucketFields.flatMap { case (pname, sid, n) =>
+                    Option(r.getSchema.getField(pname))
+                      .flatMap(_ => Option(r.get(pname)))
+                      .collect { case v: java.lang.Integer => sid -> ((v.intValue, n)) }
+                  }.toMap
+                case _ => Map.empty
+              }
+              Some(Left(PlannedFile(path, merged, seq, pvals, bvals)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -387,15 +481,21 @@ object IcebergFormat {
         case Some(v) =>
           val s = v.toString
           lower.forall(l => cmp(s, l) >= 0) && upper.forall(u => cmp(s, u) <= 0)
-        case None => f.bounds.get(fieldId) match {
-          case Some((lo, hi)) =>
-            (decodeBound(dt, lo), decodeBound(dt, hi)) match {
-              case (Some(mn), Some(mx)) =>
-                lower.forall(l => cmp(mx.toString, l) >= 0) &&
-                  upper.forall(u => cmp(mn.toString, u) <= 0)
-              case _ => true
-            }
-          case None => true // no bounds recorded -> cannot skip
+        case None => f.buckets.get(fieldId) match {
+          // bucket partitions prune POINT lookups: the literal's spec
+          // bucket must equal the file's recorded bucket id
+          case Some((bval, n)) if lower.nonEmpty && lower == upper =>
+            bucketOf(dt, lower.get, n).forall(_ == bval)
+          case _ => f.bounds.get(fieldId) match {
+            case Some((lo, hi)) =>
+              (decodeBound(dt, lo), decodeBound(dt, hi)) match {
+                case (Some(mn), Some(mx)) =>
+                  lower.forall(l => cmp(mx.toString, l) >= 0) &&
+                    upper.forall(u => cmp(mn.toString, u) <= 0)
+                case _ => true
+              }
+            case None => true // no bounds recorded -> cannot skip
+          }
         }
       }
     }.map(_.path.toString)
@@ -597,20 +697,32 @@ object IcebergFormat {
     private val metadataDir = new Path(location, "metadata")
     private val ts0 = 1704067200000L // fixed epoch (2024-01-01) — deterministic fixtures
 
-    // (partition field name, source field id, partition field id) — spec
-    // partition field-ids start at 1000
-    private val specFields: Seq[(String, Int, Int)] = partitionBy.zipWithIndex.map {
-      case (c, i) =>
-        val idx = schema.fieldNames.indexOf(c)
-        require(idx >= 0, s"partition column $c not in schema")
-        (c, idx + 1, 1000 + i)
+    // partition fields from `partitionBy` entries: a bare column name is
+    // an identity transform; "bucket(N, col)" is the spec bucket[N]
+    // transform (partition field named col_bucket, int-typed bucket id).
+    // Spec partition field-ids start at 1000.
+    private case class SpecField(
+        name: String, sourceId: Int, fieldId: Int, transform: String, avroType: String)
+    private val BucketPat = raw"bucket\((\d+)\s*,\s*(\w+)\)".r
+    private val specFields: Seq[SpecField] = partitionBy.zipWithIndex.map { case (c, i) =>
+      def src(colName: String): Int = {
+        val idx = schema.fieldNames.indexOf(colName)
+        require(idx >= 0, s"partition column $colName not in schema")
+        idx + 1
+      }
+      c match {
+        case BucketPat(n, colName) =>
+          SpecField(s"${colName}_bucket", src(colName), 1000 + i, s"bucket[$n]", "int")
+        case colName =>
+          SpecField(colName, src(colName), 1000 + i, "identity",
+            avroPrimitive(schema.fields(src(colName) - 1).dataType))
+      }
     }
-    private val specFieldsJson: String = specFields.map { case (n, sid, fid) =>
-      s"""{"name":"$n","transform":"identity","source-id":$sid,"field-id":$fid}"""
-    }.mkString(",")
-    private val entrySchema: Schema = manifestEntrySchemaFor(specFields.map {
-      case (n, sid, fid) => (n, avroPrimitive(schema.fields(sid - 1).dataType), fid)
-    })
+    private val specFieldsJson: String = specFields.map(f =>
+      s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${f.sourceId},"field-id":${f.fieldId}}""")
+      .mkString(",")
+    private val entrySchema: Schema = manifestEntrySchemaFor(
+      specFields.map(f => (f.name, f.avroType, f.fieldId)))
 
     private var version = 0
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
@@ -649,8 +761,8 @@ object IcebergFormat {
         dataFile.put("file_path", f.path)
         dataFile.put("file_format", "PARQUET")
         val partRec = new GenericData.Record(dataFile.getSchema.getField("partition").schema())
-        specFields.foreach { case (n, _, _) =>
-          f.partitionValues.get(n).foreach(v => partRec.put(n, v))
+        specFields.foreach { sf =>
+          f.partitionValues.get(sf.name).foreach(v => partRec.put(sf.name, v))
         }
         dataFile.put("partition", partRec)
         dataFile.put("record_count", f.recordCount)
@@ -740,7 +852,7 @@ object IcebergFormat {
            "last-column-id":${schema.fields.length},
            "current-schema-id":0,"schemas":[${icebergSchemaJson(schema)}],
            "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
-           "last-partition-id":${if (specFields.isEmpty) 999 else specFields.map(_._3).max},
+           "last-partition-id":${if (specFields.isEmpty) 999 else specFields.map(_.fieldId).max},
            "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
            "properties":{},
            "current-snapshot-id":$snapId,

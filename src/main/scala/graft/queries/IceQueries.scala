@@ -596,6 +596,46 @@ object IceQueries {
          UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
        ORDER BY n_nationkey, n_name"""
 
+  /** BUCKET-partitioned standard-Iceberg table (spec `bucket[4]` over the
+    * Murmur3_x86_32 hash pinned to the spec's Appendix B vectors): rows
+    * land in the file of their key's bucket, the spec records
+    * `bucket[4]` + int partition values, and a point lookup must prune to
+    * exactly the one file whose bucket matches — the hash-distributed
+    * layout real Iceberg warehouses use for high-cardinality keys. */
+  private def icebergBucketedQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root   = freshDir(s, "icebkt")
+    val loc    = s"$root/nations_bkt"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val nBuckets = 4
+    val w = new IcebergFormat.Writer(s, loc, nation.schema,
+      partitionBy = Seq(s"bucket($nBuckets, n_nationkey)"))
+    // nation keys are 25 rows at every SF — bucket them with the same spec
+    // hash the reader prunes with
+    val keys = nation.select("n_nationkey").as[Int].collect().sorted
+    val byBucket = keys.groupBy(k =>
+      (IcebergFormat.specHashLong(k.toLong) & Int.MaxValue) % nBuckets)
+    val infos = byBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
+      stageIcebergFile(s, root, loc, s"b$b",
+        nation.filter(col("n_nationkey").isin(ks.toIndexedSeq: _*)))
+        .copy(partitionValues = Map("n_nationkey_bucket" -> Int.box(b)))
+    }
+    w.commit(infos)
+    val total = infos.size
+    val probeKey = keys.head
+    val planned = IcebergFormat.planFiles(
+      s, w.currentMetadataPath, "n_nationkey", Some(probeKey.toString), Some(probeKey.toString))
+    require(planned.size == 1 && total == nBuckets,
+      s"bucket pruning failed: kept ${planned.size} of $total files")
+    // a RANGE query must not bucket-prune (hash order is not key order)
+    val rangePlanned = IcebergFormat.planFiles(
+      s, w.currentMetadataPath, "n_nationkey", Some("0"), Some("10"))
+    require(rangePlanned.size == total, "range query wrongly bucket-pruned")
+    new Engine(s, new FsCatalog(s, freshDir(s, "icebkt_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy("n_nationkey")
+  }
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -632,6 +672,7 @@ object IceQueries {
     Q("ic24_mor_eqdelete", morEqDeleteQ, Some(morEqDeleteOracle)),
     Q("ic25_iceberg_partitioned", icebergPartitionedQ, Some(nationOracle)),
     Q("ic26_iceberg_timetravel", icebergTimetravelQ, Some(icebergTimetravelOracle)),
-    Q("ic27_vacuum", vacuumQ, Some(vacuumOracle))
+    Q("ic27_vacuum", vacuumQ, Some(vacuumOracle)),
+    Q("ic28_iceberg_bucketed", icebergBucketedQ, Some(nationOracle))
   )
 }

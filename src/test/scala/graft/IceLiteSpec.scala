@@ -323,6 +323,19 @@ class IceLiteSpec extends SparkSpec {
     assert(back.current_snapshot_id == 0 && back.snapshots.isEmpty)
   }
 
+  test("spec bucket hash matches the Iceberg spec's Appendix B test vectors") {
+    // published vectors: hash(int 34) = hash(long 34) = 2017239379 (ints
+    // hash as 8-byte little-endian longs), hash("iceberg") = 1210000089
+    assert(IcebergFormat.specHashLong(34L) == 2017239379)
+    assert(IcebergFormat.specHashString("iceberg") == 1210000089)
+    // bucket id = (hash & Int.MaxValue) % N, deterministic across engines
+    assert(IcebergFormat.bucketOf(
+      org.apache.spark.sql.types.LongType, "34", 16).contains(2017239379 % 16))
+    assert(IcebergFormat.bucketOf(
+      org.apache.spark.sql.types.IntegerType, "34", 16) ==
+      IcebergFormat.bucketOf(org.apache.spark.sql.types.LongType, "34", 16))
+  }
+
   test("exports: single-header csv and parquet") {
     val eng = new Engine(spark, new FsCatalog(spark, scratch("exp_wh")))
     val out = scratch("exp_out")
