@@ -438,6 +438,50 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
 
   def snapshots(): Seq[Snapshot] = metadata.snapshots
 
+  // ----------------------------------------------------- metadata tables
+
+  /** `t.snapshots`-style metadata table: one row per snapshot with its
+    * commit-DAG edge, operation, and manifest/file counts — queryable like
+    * any DataFrame. Planning-sized (O(commits) rows), never touches data. */
+  def snapshotsTable(): DataFrame = {
+    import spark.implicits._
+    val md = metadata
+    md.snapshots.map { sn =>
+      (sn.snapshot_id, sn.parent_snapshot_id.getOrElse(0L), sn.operation,
+        sn.manifests.size, filesOf(sn).size.toLong,
+        sn.snapshot_id == md.current_snapshot_id)
+    }.toDF("snapshot_id", "parent_id", "operation", "n_manifests", "n_files", "is_current")
+  }
+
+  /** `t.files`-style metadata table: one row per data file of the current
+    * snapshot with its manifest of origin and recorded per-column stats
+    * (min/max as strings). The inventory a maintenance job queries before
+    * deciding what to compact or expire. */
+  def filesTable(): DataFrame = {
+    import spark.implicits._
+    metadata.currentSnapshot.toSeq.flatMap { sn =>
+      sn.manifests.flatMap { m =>
+        readManifest(m).map { e =>
+          val stats = e.stats.getOrElse(Map.empty)
+          (e.file, m, stats.size,
+            stats.toSeq.sortBy(_._1).map { case (c, r) =>
+              s"$c:[${r.min.getOrElse("")},${r.max.getOrElse("")}]"
+            }.mkString(";"))
+        }
+      }
+    }.toDF("file", "manifest", "n_stat_cols", "stats")
+  }
+
+  /** `t.refs`-style metadata table: named branches/tags plus the implicit
+    * main pointer. */
+  def refsTable(): DataFrame = {
+    import spark.implicits._
+    val md = metadata
+    (("main", "branch", md.current_snapshot_id) +:
+      md.refMap.toSeq.sortBy(_._1).map { case (n, r) => (n, r.ref_type, r.snapshot_id) })
+      .toDF("ref", "ref_type", "snapshot_id")
+  }
+
   // ------------------------------------------------- min/max file skipping
 
   /** Files of the current snapshot whose [min,max] range for `colName` can

@@ -636,6 +636,41 @@ object IceQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Metadata tables (`t.snapshots` / `t.refs` introspection): a
+    * controlled create→append→delete lifecycle must expose exactly its
+    * commit DAG — ids, parents, operations, manifest/file counts, current
+    * pointer — as a queryable DataFrame, pinned row-for-row by a VALUES
+    * oracle. (`t.files` carries UUID paths, so the gate asserts its
+    * row count matches n_files instead.) */
+  private def metaTablesQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "meta")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t = cat.createOrReplaceTable("graft", "nations_meta", nation.coalesce(1)) // snap 1
+    t.append(nation.filter(col("n_regionkey") === 0).coalesce(1))                 // snap 2
+    t.deleteWhere(col("n_regionkey") === 1)                                       // snap 3
+    t.createBranch("dev").createTag("v1")
+    // the delete rewrite preserves input splits (2 source files -> 2
+    // rewritten files, no shuffle inserted)
+    require(t.filesTable().count() == 2, "post-delete rewrite should keep 2 splits")
+    require(t.refsTable().count() == 3, "main + dev + v1 expected")
+    t.snapshotsTable().orderBy("snapshot_id")
+  }
+
+  private val metaTablesOracle =
+    """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+              CAST(parent_id AS BIGINT) AS parent_id,
+              operation,
+              CAST(n_manifests AS INT) AS n_manifests,
+              CAST(n_files AS BIGINT) AS n_files,
+              is_current
+       FROM (VALUES
+         (1, 0, 'append',  1, 1, false),
+         (2, 1, 'append',  2, 2, false),
+         (3, 2, 'delete',  1, 2, true))
+         t(snapshot_id, parent_id, operation, n_manifests, n_files, is_current)
+       ORDER BY snapshot_id"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -673,6 +708,7 @@ object IceQueries {
     Q("ic25_iceberg_partitioned", icebergPartitionedQ, Some(nationOracle)),
     Q("ic26_iceberg_timetravel", icebergTimetravelQ, Some(icebergTimetravelOracle)),
     Q("ic27_vacuum", vacuumQ, Some(vacuumOracle)),
-    Q("ic28_iceberg_bucketed", icebergBucketedQ, Some(nationOracle))
+    Q("ic28_iceberg_bucketed", icebergBucketedQ, Some(nationOracle)),
+    Q("ic29_meta_tables", metaTablesQ, Some(metaTablesOracle))
   )
 }
