@@ -641,11 +641,11 @@ object IcebergFormat {
     ]}""".replaceAll("\n\\s*", ""))
 
   /** Iceberg schema JSON for a flat Spark schema (1-based field ids). */
-  private def icebergSchemaJson(schema: StructType): String = {
+  private def icebergSchemaJson(schema: StructType, schemaId: Int = 0): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${fromSparkType(f.dataType)}"}"""
     }
-    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
 
   /** A writer session for committing genuine Iceberg v2 metadata over
@@ -725,6 +725,9 @@ object IcebergFormat {
       specFields.map(f => (f.name, f.avroType, f.fieldId)))
 
     private var version = 0
+    // historical schemas, index = schema-id; commits use the last (current)
+    private var allSchemas = List(schema)
+    private def currentSchema: StructType = allSchemas.last
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
     // (path, length, snapId, seq, content 0=data 1=deletes, files, rows)
     private var manifests = List.empty[(String, Long, Long, Long, Int, Int, Long)]
@@ -743,6 +746,22 @@ object IcebergFormat {
       if (fs.exists(p)) fs.delete(p, false)
       require(fs.rename(tmp, p), s"avro commit rename failed: $tmp -> $p")
       fs.getFileStatus(p).getLen
+    }
+
+    /** Additive schema evolution for subsequent commits, the spec way:
+      * the metadata JSON keeps EVERY historical schema in `schemas` and
+      * bumps `current-schema-id`; appended columns take fresh (higher)
+      * field ids, existing columns keep theirs, and readers project old
+      * data files through the current schema, null-filling the columns
+      * those files predate. Only append-at-end evolution is supported —
+      * renames/drops/retypes would need id-mapped projection. */
+    def evolveSchema(newSchema: StructType): Unit = {
+      val cur = currentSchema
+      require(newSchema.fields.take(cur.fields.length).zip(cur.fields).forall {
+        case (n, o) => n.name == o.name && n.dataType == o.dataType
+      } && newSchema.fields.length >= cur.fields.length,
+        "only additive (append-at-end) schema evolution is supported")
+      allSchemas = allSchemas :+ newSchema
     }
 
     /** Commit `files` as snapshot N+1 (append semantics). Files with
@@ -803,7 +822,7 @@ object IcebergFormat {
         val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix.avro")
         val manifestLen = writeAvroFile(manifestPath, entrySchema,
           group.map(buildEntry), Map(
-            "schema" -> icebergSchemaJson(schema),
+            "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1),
             "partition-spec" -> s"[$specFieldsJson]",
             "partition-spec-id" -> "0",
             "format-version" -> "2",
@@ -849,8 +868,9 @@ object IcebergFormat {
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$tableUuid","location":"$location",
            "last-sequence-number":$seq,"last-updated-ms":${ts0 + snapId},
-           "last-column-id":${schema.fields.length},
-           "current-schema-id":0,"schemas":[${icebergSchemaJson(schema)}],
+           "last-column-id":${currentSchema.fields.length},
+           "current-schema-id":${allSchemas.size - 1},
+           "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i) }.mkString(",")}],
            "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
            "last-partition-id":${if (specFields.isEmpty) 999 else specFields.map(_.fieldId).max},
            "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],

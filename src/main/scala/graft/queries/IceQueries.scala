@@ -671,6 +671,36 @@ object IceQueries {
          t(snapshot_id, parent_id, operation, n_manifests, n_files, is_current)
        ORDER BY snapshot_id"""
 
+  /** Standard-Iceberg SCHEMA EVOLUTION (spec schemas list +
+    * current-schema-id): commit under schema A, evolve to A + n_comment,
+    * commit evolved rows — the scan must project the old file through the
+    * CURRENT schema, null-filling the column it predates, exactly how
+    * PyIceberg/Spark read evolved tables. */
+  private def icebergEvolveQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "icevo")
+    val loc    = s"$root/nations_evo_ice"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val evolved = nation.withColumn("n_comment", concat(lit("c_"), col("n_name")))
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    w.commit(Seq(stageIcebergFile(s, root, loc, "v0rows",
+      nation.filter(col("n_nationkey") < 10))))               // schema 0
+    w.evolveSchema(evolved.schema)
+    w.commit(Seq(stageIcebergFile(s, root, loc, "v1rows",
+      evolved.filter(col("n_nationkey") >= 10))))             // schema 1
+    new Engine(s, new FsCatalog(s, freshDir(s, "icevo_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy(asc("n_nationkey"), asc_nulls_last("n_comment"))
+  }
+
+  private val icebergEvolveOracle =
+    """SELECT * FROM (
+         SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_comment
+         FROM nation WHERE n_nationkey < 10
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey, 'c_' || n_name AS n_comment
+         FROM nation WHERE n_nationkey >= 10)
+       ORDER BY n_nationkey, n_comment NULLS LAST"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -709,6 +739,7 @@ object IceQueries {
     Q("ic26_iceberg_timetravel", icebergTimetravelQ, Some(icebergTimetravelOracle)),
     Q("ic27_vacuum", vacuumQ, Some(vacuumOracle)),
     Q("ic28_iceberg_bucketed", icebergBucketedQ, Some(nationOracle)),
-    Q("ic29_meta_tables", metaTablesQ, Some(metaTablesOracle))
+    Q("ic29_meta_tables", metaTablesQ, Some(metaTablesOracle)),
+    Q("ic30_iceberg_evolve", icebergEvolveQ, Some(icebergEvolveOracle))
   )
 }
