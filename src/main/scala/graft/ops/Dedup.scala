@@ -138,7 +138,7 @@ object Dedup {
 
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the oracle twin
     * of [[minhashPairs]], shared by the dd03 and dd06 oracles. */
-  private val minhashPairsCte = {
+  private[graft] val minhashPairsCte = {
     val shHash = Hashing.duckRollHash("sg", P, "c0")
     s"""$duckShingles,
       hs AS (
@@ -190,7 +190,11 @@ object Dedup {
     * round count but the per-round plan is identical); localCheckpoint
     * truncates the growing lineage so round N doesn't replay rounds 1..N-1.
     */
-  private def ccCluster(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, cluster) labels of the near-dup graph's connected
+    * components — min-label propagation to a fixpoint, shared by dd06 and
+    * the pp07 canonicalization pipeline. Only documents that appear in at
+    * least one verified pair get a row. */
+  private[graft] def ccLabels(s: SparkSession, d: String): DataFrame = {
     val edges = minhashPairs(s, d).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .persist()
@@ -217,9 +221,12 @@ object Dedup {
       lbl = next.select(col("id"), col("comp2").as("comp"))
       round += 1
     }
+    lbl.select(col("id").as("doc_id"), col("comp").as("cluster"))
+  }
+
+  private def ccCluster(s: SparkSession, d: String): DataFrame = {
     val byComp = Window.partitionBy("cluster")
-    lbl
-      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+    ccLabels(s, d)
       .withColumn("n_members", count(lit(1)).over(byComp))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy("doc_id")

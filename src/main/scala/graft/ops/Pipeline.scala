@@ -318,12 +318,58 @@ object Pipeline {
       FROM t ORDER BY shard, pos"""
   }
 
+  // ------------------------------ near-dup canonicalization pipeline
+
+  /** The production near-dedup pass end to end: MinHash+LSH pair mining
+    * (dd03's band-bucket candidates, exact-Jaccard verified) → connected
+    * components over the >= 0.5 pairs (dd06's min-label fixpoint) → drop
+    * every non-canonical cluster member → per-language stats of the
+    * surviving corpus. This is what pp01's exact-dedup stage becomes when
+    * the corpus has near-duplicates, not just byte-identical copies — and
+    * the whole chain is oracle-replicated (the recursive-CTE components
+    * give the same canonical = min(doc_id) per cluster).
+    *
+    * Scale shape: pair mining is the dd03 plan (map-side signatures +
+    * bucket joins), CC is O(diameter) keyed shuffles, the removal is one
+    * broadcast anti-join (removed set ~ duplicate count, far smaller than
+    * the corpus), stats one grouped agg. No stage is quadratic. */
+  private def neardupCuration(s: SparkSession, d: String): DataFrame = {
+    val removed = Dedup.ccLabels(s, d)
+      .filter(col("doc_id") =!= col("cluster")) // cluster label = min id = canonical
+      .select("doc_id")
+    Tables.documents(s, d)
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  private val neardupCurationOracle =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+      ed AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+      ee AS (SELECT doc_a AS s, doc_b AS t FROM ed
+             UNION ALL SELECT doc_b, doc_a FROM ed),
+      reach AS (
+        SELECT s AS id, t AS r FROM ee
+        UNION
+        SELECT reach.id, ee.t FROM reach JOIN ee ON ee.s = reach.r),
+      comp AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+      removed AS (SELECT doc_id FROM comp WHERE doc_id <> cluster),
+      kept AS (
+        SELECT d.lang, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY lang ORDER BY lang"""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
     Q("pp03_mix", mix, Some(mixOracle)),
     Q("pp04_stratified", stratified, Some(stratifiedOracle)),
     Q("pp05_contamination", contamination, Some(contaminationOracle)),
-    Q("pp06_epoch_shuffle", epochShuffle, Some(epochShuffleOracle))
+    Q("pp06_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
+    Q("pp07_neardup_curation", neardupCuration, Some(neardupCurationOracle))
   )
 }
