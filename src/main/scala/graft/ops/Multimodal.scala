@@ -126,9 +126,41 @@ object Multimodal {
       CAST(octet_length(encode(text)) // 16 + 1 AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id"""
 
+  /** The resize-stub pipeline through the gate: [[resizeStub]]'s strided
+    * byte subsample over the typed batch path, oracle-recomputed from the
+    * payload hex — the downsample shape (stride = len/target) a real image
+    * scaler batches identically. */
+  private val resizeTarget = 32
+
+  private def resized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFrame(s, d)
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val out = resizeStub(r.content, resizeTarget)
+        (r.doc_id, out.length.toLong, out.map(b => f"${b & 0xff}%02x").mkString)
+      })
+      .toDF("doc_id", "n_out", "resized_hex")
+      .orderBy("doc_id")
+  }
+
+  private val resizedOracle =
+    s"""WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+        FROM documents),
+      st AS (SELECT doc_id, hx, len, GREATEST(1, len // $resizeTarget) AS step FROM h),
+      ks AS (
+        SELECT doc_id, hx, step,
+               unnest(range(0, CAST(ceil(CAST(len AS DOUBLE) / step) AS INT))) AS k
+        FROM st)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_out,
+             string_agg(lower(substr(hx, CAST(k * step * 2 + 1 AS INT), 2)), '' ORDER BY k) AS resized_hex
+      FROM ks GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
     Q("mm02_frame_sample", frames, Some(framesOracle)),
-    Q("mm03_decode", decoded, Some(decodedOracle))
+    Q("mm03_decode", decoded, Some(decodedOracle)),
+    Q("mm04_resize", resized, Some(resizedOracle))
   )
 }

@@ -67,7 +67,18 @@ class OpsSpec extends SparkSpec {
       .count()
     assert(capHot == 0, s"df-cap failed to drop hot-shingle pairs: $capHot")
     assert(capSkew >= 0) // shape check; numbers recorded in PERF.md
-    info(f"minhash uniq $tUniq%.2fs skew $tSkew%.2fs; capped uniq $tCapU%.2fs skew $tCapS%.2fs")
+
+    // dd08: identical texts -> identical simhash signatures -> the hot
+    // band-bucket must emit all C(k,2) pairs at hamming 0, and the cost
+    // must track that O(k^2) OUTPUT, not an input cross join
+    val dd08 = SparkEntry.queries("dd08_simhash_bucketed")
+    val (u8, tU8) = time(dd08(spark, uniqDir).count())
+    val (s8, tS8) = time(dd08(spark, skewDir).count())
+    assert(s8 >= hotPairs, s"hot simhash pairs missing: $s8 < $hotPairs")
+    assert(tS8 < 5 * math.max(tU8, 1.0),
+      f"simhash-bucket skew blowup: uniq $tU8%.1fs -> skew $tS8%.1fs")
+    info(f"minhash uniq $tUniq%.2fs skew $tSkew%.2fs; capped uniq $tCapU%.2fs skew $tCapS%.2fs; " +
+      f"simhash-bucket uniq $tU8%.2fs ($u8 pairs) skew $tS8%.2fs ($s8 pairs)")
   }
 
   test("multimodal decode stub runs per-partition and is deterministic") {
