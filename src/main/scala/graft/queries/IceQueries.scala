@@ -701,6 +701,48 @@ object IceQueries {
          FROM nation WHERE n_nationkey >= 10)
        ORDER BY n_nationkey, n_comment NULLS LAST"""
 
+  /** Incremental VIEW MAINTENANCE — the lakehouse pattern that makes
+    * 100 TB summaries affordable: a grouped summary table is seeded from
+    * snapshot 1, then advanced by aggregating ONLY the snapshot-1→2 delta
+    * (ic16's incremental scan, required to touch just the delta file) and
+    * full-outer-merging it into the summary by key. The maintained result
+    * must equal a from-scratch recompute over the whole table — the
+    * correctness contract of every incremental materialized view. */
+  private def incrementalViewQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "iv")
+    val cat    = new FsCatalog(s, wh)
+    val orders = Tables.orders(s, d)
+    val t = cat.createOrReplaceTable("graft", "orders_iv",
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0).coalesce(1))  // snapshot 1
+    t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1).coalesce(1)) // snapshot 2
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("revenue"))
+    val sumT = cat.createOrReplaceTable("graft", "orders_iv_summary",
+      aggOf(t.scanSnapshot(1)))
+    val deltaScan = t.scanIncremental(1, 2)
+    require(deltaScan.inputFiles.length == 1, "incremental scan touched base files")
+    val merged = sumT.scan().as("a")
+      .join(aggOf(deltaScan).as("b"), Seq("o_orderpriority"), "full_outer")
+      .select(
+        col("o_orderpriority"),
+        (coalesce(col("a.n_orders"), lit(0L)) + coalesce(col("b.n_orders"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("a.revenue"), lit(0).cast("decimal(12,2)")) +
+          coalesce(col("b.revenue"), lit(0).cast("decimal(12,2)")))
+          .cast("decimal(22,2)").as("revenue")) // sum(dec(12,2)) type: keep the seeded schema on replace
+    sumT.replace(merged)
+    new Engine(s, cat).table("graft.orders_iv_summary")
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("revenue"), 2).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val incrementalViewOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -740,6 +782,7 @@ object IceQueries {
     Q("ic27_vacuum", vacuumQ, Some(vacuumOracle)),
     Q("ic28_iceberg_bucketed", icebergBucketedQ, Some(nationOracle)),
     Q("ic29_meta_tables", metaTablesQ, Some(metaTablesOracle)),
-    Q("ic30_iceberg_evolve", icebergEvolveQ, Some(icebergEvolveOracle))
+    Q("ic30_iceberg_evolve", icebergEvolveQ, Some(icebergEvolveOracle)),
+    Q("ic31_incremental_view", incrementalViewQ, Some(incrementalViewOracle))
   )
 }
