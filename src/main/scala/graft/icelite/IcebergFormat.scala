@@ -101,7 +101,8 @@ object IcebergFormat {
   final case class PlannedFile(
       path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])], seq: Long = 0L,
       partition: Map[Int, Any] = Map.empty, // identity values by SOURCE field id
-      buckets: Map[Int, (Int, Int)] = Map.empty) // source id -> (bucket value, modulus)
+      buckets: Map[Int, (Int, Int)] = Map.empty, // source id -> (bucket value, modulus)
+      transforms: Map[Int, (String, Any)] = Map.empty) // source id -> (transform, value)
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
@@ -173,6 +174,74 @@ object IcebergFormat {
     h.map(x => (x & Integer.MAX_VALUE) % n)
   }
 
+  // ----------------------------- temporal + truncate transforms (spec)
+
+  /** Flexible literal parse for temporal transforms: accepts
+    * "yyyy-MM-dd[ HH:mm:ss[.fraction]]" (the forms planFiles literals and
+    * fixture SQL use); no timezone math — transforms are defined on the
+    * stored local value. */
+  private def parseTemporal(v: String): Option[java.time.LocalDateTime] = {
+    val t = v.trim.replace(' ', 'T')
+    try Some(java.time.LocalDateTime.parse(t))
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try Some(java.time.LocalDate.parse(v.trim).atStartOfDay())
+        catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  }
+
+  private val TruncatePat = raw"truncate\[(\d+)\]".r
+
+  /** Apply an ORDER-PRESERVING partition transform (year/month/day/hour —
+    * epoch-relative ints per the spec — or truncate[W]) to a stringified
+    * literal of type `dt`. None when the literal/type has no defined
+    * transform here → the caller must keep the file conservatively.
+    * Monotonicity is what makes these range-prunable, unlike bucket. */
+  private[graft] def applyTransform(transform: String, dt: DataType, v: String): Option[Any] = {
+    def temporal(f: java.time.LocalDateTime => Int): Option[Any] = dt match {
+      case DateType | TimestampType | TimestampNTZType => parseTemporal(v).map(f(_))
+      case _                                           => None
+    }
+    transform match {
+      case "year"  => temporal(_.getYear - 1970)
+      case "month" => temporal(t => (t.getYear - 1970) * 12 + t.getMonthValue - 1)
+      case "day"   => temporal(_.toLocalDate.toEpochDay.toInt)
+      case "hour"  => temporal(t => (t.toLocalDate.toEpochDay * 24 + t.getHour).toInt)
+      case TruncatePat(wS) =>
+        val w = wS.toLong
+        dt match {
+          // spec: v - (((v % W) + W) % W) — floors toward -inf for negatives
+          case IntegerType => Some(Int.box((v.toLong - (((v.toLong % w) + w) % w)).toInt))
+          case LongType    => Some(Long.box(v.toLong - (((v.toLong % w) + w) % w)))
+          case StringType  => Some(v.take(w.toInt))
+          case _           => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Temporal/truncate fields of the default partition spec, as
+    * (partition field name, source field id, transform). */
+  private def transformSpecFields(md: JValue): Seq[(String, Int, String)] = {
+    implicit val fmts: Formats = DefaultFormats
+    val specId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    (md \ "partition-specs") match {
+      case JArray(specs) =>
+        specs.find(sp => (sp \ "spec-id").extractOpt[Int].contains(specId)).toSeq.flatMap { sp =>
+          (sp \ "fields").extract[List[JObject]].flatMap { f =>
+            (f \ "transform").extractOpt[String] match {
+              case Some(t @ ("year" | "month" | "day" | "hour")) =>
+                Some(((f \ "name").extract[String], (f \ "source-id").extract[Int], t))
+              case Some(t @ TruncatePat(_)) =>
+                Some(((f \ "name").extract[String], (f \ "source-id").extract[Int], t))
+              case _ => None
+            }
+          }
+        }
+      case _ => Nil
+    }
+  }
+
   /** Bucket-transform fields of the default partition spec, as
     * (partition field name, source field id, modulus). */
   private def bucketSpecFields(md: JValue): Seq[(String, Int, Int)] = {
@@ -236,8 +305,9 @@ object IcebergFormat {
     }
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
 
-    val identityFields = identitySpecFields(md)
-    val bucketFields   = bucketSpecFields(md)
+    val identityFields  = identitySpecFields(md)
+    val bucketFields    = bucketSpecFields(md)
+    val transformFields = transformSpecFields(md)
 
     // time travel: an explicit snapshot id overrides the current pointer
     val currentId = snapshotId.getOrElse(
@@ -301,7 +371,20 @@ object IcebergFormat {
                   }.toMap
                 case _ => Map.empty
               }
-              Some(Left(PlannedFile(path, merged, seq, pvals, bvals)))
+              // temporal/truncate values by source id, with the transform name
+              val tvals: Map[Int, (String, Any)] = df.get("partition") match {
+                case r: GenericRecord =>
+                  transformFields.flatMap { case (pname, sid, tr) =>
+                    Option(r.getSchema.getField(pname))
+                      .flatMap(_ => Option(r.get(pname)))
+                      .map {
+                        case u: org.apache.avro.util.Utf8 => sid -> ((tr, u.toString: Any))
+                        case v                            => sid -> ((tr, v))
+                      }
+                  }.toMap
+                case _ => Map.empty
+              }
+              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -481,7 +564,31 @@ object IcebergFormat {
         case Some(v) =>
           val s = v.toString
           lower.forall(l => cmp(s, l) >= 0) && upper.forall(u => cmp(s, u) <= 0)
-        case None => f.buckets.get(fieldId) match {
+        case None => f.transforms.get(fieldId) match {
+          // temporal/truncate partitions prune RANGES: the transforms are
+          // order-preserving, so the file's value must sit inside
+          // [transform(lower), transform(upper)]. An untransformable
+          // literal keeps the file conservatively.
+          case Some((tr, pval)) =>
+            def num(a: Any): Long = a match {
+              case i: java.lang.Integer => i.longValue
+              case l: java.lang.Long    => l.longValue
+              case other => throw new IllegalStateException(s"non-numeric transform value $other")
+            }
+            def within(bound: Option[String], isLower: Boolean): Boolean = bound match {
+              case None => true
+              case Some(b) => applyTransform(tr, dt, b) match {
+                case None => true
+                case Some(t) =>
+                  val c = (pval, t) match {
+                    case (p: String, tt: String) => p.compareTo(tt)
+                    case (p, tt)                 => java.lang.Long.compare(num(p), num(tt))
+                  }
+                  if (isLower) c >= 0 else c <= 0
+              }
+            }
+            within(lower, isLower = true) && within(upper, isLower = false)
+          case None => f.buckets.get(fieldId) match {
           // bucket partitions prune POINT lookups: the literal's spec
           // bucket must equal the file's recorded bucket id
           case Some((bval, n)) if lower.nonEmpty && lower == upper =>
@@ -496,6 +603,7 @@ object IcebergFormat {
               }
             case None => true // no bounds recorded -> cannot skip
           }
+        }
         }
       }
     }.map(_.path.toString)
@@ -699,11 +807,16 @@ object IcebergFormat {
 
     // partition fields from `partitionBy` entries: a bare column name is
     // an identity transform; "bucket(N, col)" is the spec bucket[N]
-    // transform (partition field named col_bucket, int-typed bucket id).
-    // Spec partition field-ids start at 1000.
+    // transform (partition field named col_bucket, int-typed bucket id);
+    // "years(col)"/"months(col)"/"days(col)"/"hours(col)" are the spec
+    // temporal transforms (int, epoch-relative); "truncate(W, col)" is
+    // truncate[W] (source-typed width-floor). Spec partition field-ids
+    // start at 1000.
     private case class SpecField(
         name: String, sourceId: Int, fieldId: Int, transform: String, avroType: String)
-    private val BucketPat = raw"bucket\((\d+)\s*,\s*(\w+)\)".r
+    private val BucketPat   = raw"bucket\((\d+)\s*,\s*(\w+)\)".r
+    private val TemporalPat = raw"(years|months|days|hours)\((\w+)\)".r
+    private val TruncPat    = raw"truncate\((\d+)\s*,\s*(\w+)\)".r
     private val specFields: Seq[SpecField] = partitionBy.zipWithIndex.map { case (c, i) =>
       def src(colName: String): Int = {
         val idx = schema.fieldNames.indexOf(colName)
@@ -713,6 +826,15 @@ object IcebergFormat {
       c match {
         case BucketPat(n, colName) =>
           SpecField(s"${colName}_bucket", src(colName), 1000 + i, s"bucket[$n]", "int")
+        case TemporalPat(unit, colName) =>
+          val tr = unit.stripSuffix("s") // spec transform names are singular
+          SpecField(s"${colName}_$tr", src(colName), 1000 + i, tr, "int")
+        case TruncPat(w, colName) =>
+          val srcType = schema.fields(src(colName) - 1).dataType
+          require(Seq(IntegerType, LongType, StringType).contains(srcType),
+            s"truncate[$w] unsupported on $srcType")
+          SpecField(s"${colName}_trunc", src(colName), 1000 + i, s"truncate[$w]",
+            avroPrimitive(srcType))
         case colName =>
           SpecField(colName, src(colName), 1000 + i, "identity",
             avroPrimitive(schema.fields(src(colName) - 1).dataType))

@@ -743,6 +743,54 @@ object IceQueries {
          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** TEMPORAL-partitioned standard-Iceberg table (spec `year` transform):
+    * orders land one file per year with epoch-relative int partition
+    * values; a timestamp-range scan must prune through the
+    * ORDER-PRESERVING transform ALONE (the staged files record no column
+    * bounds), including a cross-year range keeping exactly two files —
+    * the partition-by-time layout that 100 TB lakehouse tables
+    * universally use. Cf. bucket[N] (ic28), which correctly refuses
+    * range pruning because hashing destroys order. */
+  private def icebergTemporalQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root   = freshDir(s, "icetemp")
+    val loc    = s"$root/orders_by_year"
+    val orders = Tables.orders(s, d)
+    val w = new IcebergFormat.Writer(s, loc, orders.schema,
+      partitionBy = Seq("years(o_orderdate)"))
+    val years = orders.select(year(col("o_orderdate"))).distinct().as[Int].collect().sorted
+    val infos = years.map { y =>
+      stageIcebergFile(s, root, loc, s"y$y",
+        orders.filter(year(col("o_orderdate")) === y))
+        .copy(partitionValues = Map("o_orderdate_year" -> Int.box(y - 1970)))
+    }
+    w.commit(infos.toIndexedSeq)
+    val lo = "1995-01-01 00:00:00"
+    val hi = "1995-12-31 23:59:59"
+    val planned = IcebergFormat.planFiles(s, w.currentMetadataPath, "o_orderdate",
+      Some(lo), Some(hi))
+    require(planned.size == 1,
+      s"temporal pruning failed: kept ${planned.size} of ${infos.size} files")
+    val crossYear = IcebergFormat.planFiles(s, w.currentMetadataPath, "o_orderdate",
+      Some("1996-06-01 00:00:00"), Some("1997-06-01 00:00:00"))
+    require(crossYear.size == 2, s"cross-year range kept ${crossYear.size} files, wanted 2")
+    IcebergFormat.scanRange(s, w.currentMetadataPath, "o_orderdate", Some(lo), Some(hi))
+      .filter(col("o_orderdate").between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("revenue"))
+      .withColumn("revenue", round(col("revenue"), 2).cast("double"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val icebergTemporalOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+       FROM orders
+       WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1995-12-31 23:59:59'
+       GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -783,6 +831,7 @@ object IceQueries {
     Q("ic28_iceberg_bucketed", icebergBucketedQ, Some(nationOracle)),
     Q("ic29_meta_tables", metaTablesQ, Some(metaTablesOracle)),
     Q("ic30_iceberg_evolve", icebergEvolveQ, Some(icebergEvolveOracle)),
-    Q("ic31_incremental_view", incrementalViewQ, Some(incrementalViewOracle))
+    Q("ic31_incremental_view", incrementalViewQ, Some(incrementalViewOracle)),
+    Q("ic32_iceberg_temporal", icebergTemporalQ, Some(icebergTemporalOracle))
   )
 }

@@ -336,6 +336,50 @@ class IceLiteSpec extends SparkSpec {
       IcebergFormat.bucketOf(org.apache.spark.sql.types.LongType, "34", 16))
   }
 
+  test("spec temporal + truncate transforms: epoch math and floor semantics") {
+    import IcebergFormat.applyTransform
+    // temporal transforms are epoch-relative ints (spec Partition Transforms)
+    assert(applyTransform("year", TimestampType, "1995-07-04 12:30:00").contains(25))
+    assert(applyTransform("month", TimestampType, "1970-02-15 00:00:00").contains(1))
+    assert(applyTransform("day", DateType, "1970-01-02").contains(1))
+    assert(applyTransform("day", TimestampType, "1969-12-31 23:00:00").contains(-1)) // pre-epoch
+    assert(applyTransform("hour", TimestampType, "1970-01-02 03:00:00").contains(27))
+    assert(applyTransform("year", TimestampType, "1969-06-01 00:00:00").contains(-1))
+    // truncate[W] floors toward -inf (spec: v - (((v % W) + W) % W))
+    assert(applyTransform("truncate[10]", IntegerType, "17").contains(10))
+    assert(applyTransform("truncate[10]", IntegerType, "-1").contains(-10))
+    assert(applyTransform("truncate[10]", LongType, "-10").contains(-10L))
+    assert(applyTransform("truncate[3]", StringType, "iceberg").contains("ice"))
+    assert(applyTransform("truncate[3]", StringType, "ab").contains("ab"))
+    // untransformable type -> None -> caller keeps the file conservatively
+    assert(applyTransform("day", IntegerType, "5").isEmpty)
+    assert(applyTransform("truncate[4]", DoubleType, "1.5").isEmpty)
+  }
+
+  test("truncate-partitioned Iceberg table prunes ranges through the transform") {
+    val root = scratch("icetrunc")
+    val loc  = s"$root/nations_trunc"
+    val df   = nation.select("n_nationkey", "n_name")
+    val w = new IcebergFormat.Writer(spark, loc, df.schema,
+      partitionBy = Seq("truncate(10, n_nationkey)"))
+    val infos = (0 to 2).map { b =>
+      IcebergFormat.writeSingleFile(spark, root, loc, s"t$b",
+        df.filter(col("n_nationkey") >= b * 10 && col("n_nationkey") < (b + 1) * 10))
+        .copy(partitionValues = Map("n_nationkey_trunc" -> Int.box(b * 10)))
+    }
+    w.commit(infos)
+    // point and range lookups prune through the width-floor (files carry
+    // no column bounds, so the transform is the only pruning evidence)
+    val point = IcebergFormat.planFiles(spark, w.currentMetadataPath,
+      "n_nationkey", Some("7"), Some("7"))
+    assert(point.size == 1 && point.head.contains("t0"))
+    val range = IcebergFormat.planFiles(spark, w.currentMetadataPath,
+      "n_nationkey", Some("8"), Some("12"))
+    assert(range.size == 2)
+    val all = IcebergFormat.scan(spark, w.currentMetadataPath)
+    assert(all.count() == df.count())
+  }
+
   test("exports: single-header csv and parquet") {
     val eng = new Engine(spark, new FsCatalog(spark, scratch("exp_wh")))
     val out = scratch("exp_out")
