@@ -220,11 +220,14 @@ object IcebergFormat {
     }
   }
 
-  /** Temporal/truncate fields of the default partition spec, as
-    * (partition field name, source field id, transform). */
-  private def transformSpecFields(md: JValue): Seq[(String, Int, String)] = {
+  /** Temporal/truncate fields of partition spec `specId`, as
+    * (partition field name, source field id, transform). Spec evolution
+    * means manifests written under different specs coexist in one table,
+    * so every lookup here is by the spec id recorded in the manifest
+    * list — files are pruned by the spec that WROTE them, never the
+    * current default. */
+  private def transformSpecFields(md: JValue, specId: Int): Seq[(String, Int, String)] = {
     implicit val fmts: Formats = DefaultFormats
-    val specId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
     (md \ "partition-specs") match {
       case JArray(specs) =>
         specs.find(sp => (sp \ "spec-id").extractOpt[Int].contains(specId)).toSeq.flatMap { sp =>
@@ -242,11 +245,10 @@ object IcebergFormat {
     }
   }
 
-  /** Bucket-transform fields of the default partition spec, as
+  /** Bucket-transform fields of partition spec `specId`, as
     * (partition field name, source field id, modulus). */
-  private def bucketSpecFields(md: JValue): Seq[(String, Int, Int)] = {
+  private def bucketSpecFields(md: JValue, specId: Int): Seq[(String, Int, Int)] = {
     implicit val fmts: Formats = DefaultFormats
-    val specId  = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
     val Bucket = raw"bucket\[(\d+)\]".r
     (md \ "partition-specs") match {
       case JArray(specs) =>
@@ -263,14 +265,13 @@ object IcebergFormat {
     }
   }
 
-  /** Identity-transform fields of the default partition spec, as
+  /** Identity-transform fields of partition spec `specId`, as
     * (partition field name, source field id). Other transforms are
     * handled separately (bucket) or conservatively ignored (truncate,
     * day, ...): derived values drive neither column reconstruction nor
     * range pruning — those files stay un-pruned. */
-  private def identitySpecFields(md: JValue): Seq[(String, Int)] = {
+  private def identitySpecFields(md: JValue, specId: Int): Seq[(String, Int)] = {
     implicit val fmts: Formats = DefaultFormats
-    val specId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
     (md \ "partition-specs") match {
       case JArray(specs) =>
         specs.find(sp => (sp \ "spec-id").extractOpt[Int].contains(specId)).toSeq.flatMap { sp =>
@@ -305,9 +306,12 @@ object IcebergFormat {
     }
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
 
-    val identityFields  = identitySpecFields(md)
-    val bucketFields    = bucketSpecFields(md)
-    val transformFields = transformSpecFields(md)
+    val defaultSpecId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    // per-spec field lookups, memoized — an evolved table's manifests name
+    // several specs, and each manifest prunes by its own
+    val specCache = scala.collection.mutable.Map.empty[Int, (Seq[(String, Int)], Seq[(String, Int, Int)], Seq[(String, Int, String)])]
+    def specFieldsOf(specId: Int) = specCache.getOrElseUpdate(specId,
+      (identitySpecFields(md, specId), bucketSpecFields(md, specId), transformSpecFields(md, specId)))
 
     // time travel: an explicit snapshot id overrides the current pointer
     val currentId = snapshotId.getOrElse(
@@ -319,16 +323,18 @@ object IcebergFormat {
 
     // v2: snapshot → manifest-list avro (data AND delete manifests, each
     // carrying its sequence number); v1 fallback: inline "manifests"
-    val manifestPaths: Seq[(String, Long)] = (snapshot \ "manifest-list") match {
+    val manifestPaths: Seq[(String, Long, Int)] = (snapshot \ "manifest-list") match {
       case JString(listPath) =>
         readAvro(fs, resolve(location, listPath)).map { rec =>
           val seq = Option(rec.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
-          (rec.get("manifest_path").toString, seq)
+          val sid = Option(rec.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(defaultSpecId)
+          (rec.get("manifest_path").toString, seq, sid)
         }
-      case _ => (snapshot \ "manifests").extract[List[String]].map((_, 0L))
+      case _ => (snapshot \ "manifests").extract[List[String]].map((_, 0L, defaultSpecId))
     }
 
-    val planned = manifestPaths.flatMap { case (mp, listSeq) =>
+    val planned = manifestPaths.flatMap { case (mp, listSeq, manifestSpecId) =>
+      val (identityFields, bucketFields, transformFields) = specFieldsOf(manifestSpecId)
       readAvro(fs, resolve(location, mp)).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int] // 0 existing, 1 added, 2 deleted
         if (status == 2) None
@@ -817,42 +823,60 @@ object IcebergFormat {
     private val BucketPat   = raw"bucket\((\d+)\s*,\s*(\w+)\)".r
     private val TemporalPat = raw"(years|months|days|hours)\((\w+)\)".r
     private val TruncPat    = raw"truncate\((\d+)\s*,\s*(\w+)\)".r
-    private val specFields: Seq[SpecField] = partitionBy.zipWithIndex.map { case (c, i) =>
-      def src(colName: String): Int = {
-        val idx = schema.fieldNames.indexOf(colName)
-        require(idx >= 0, s"partition column $colName not in schema")
-        idx + 1
+    private def parseSpec(pb: Seq[String], against: StructType, baseFieldId: Int): Seq[SpecField] =
+      pb.zipWithIndex.map { case (c, i) =>
+        def src(colName: String): Int = {
+          val idx = against.fieldNames.indexOf(colName)
+          require(idx >= 0, s"partition column $colName not in schema")
+          idx + 1
+        }
+        c match {
+          case BucketPat(n, colName) =>
+            SpecField(s"${colName}_bucket", src(colName), baseFieldId + i, s"bucket[$n]", "int")
+          case TemporalPat(unit, colName) =>
+            val tr = unit.stripSuffix("s") // spec transform names are singular
+            SpecField(s"${colName}_$tr", src(colName), baseFieldId + i, tr, "int")
+          case TruncPat(w, colName) =>
+            val srcType = against.fields(src(colName) - 1).dataType
+            require(Seq(IntegerType, LongType, StringType).contains(srcType),
+              s"truncate[$w] unsupported on $srcType")
+            SpecField(s"${colName}_trunc", src(colName), baseFieldId + i, s"truncate[$w]",
+              avroPrimitive(srcType))
+          case colName =>
+            SpecField(colName, src(colName), baseFieldId + i, "identity",
+              avroPrimitive(against.fields(src(colName) - 1).dataType))
+        }
       }
-      c match {
-        case BucketPat(n, colName) =>
-          SpecField(s"${colName}_bucket", src(colName), 1000 + i, s"bucket[$n]", "int")
-        case TemporalPat(unit, colName) =>
-          val tr = unit.stripSuffix("s") // spec transform names are singular
-          SpecField(s"${colName}_$tr", src(colName), 1000 + i, tr, "int")
-        case TruncPat(w, colName) =>
-          val srcType = schema.fields(src(colName) - 1).dataType
-          require(Seq(IntegerType, LongType, StringType).contains(srcType),
-            s"truncate[$w] unsupported on $srcType")
-          SpecField(s"${colName}_trunc", src(colName), 1000 + i, s"truncate[$w]",
-            avroPrimitive(srcType))
-        case colName =>
-          SpecField(colName, src(colName), 1000 + i, "identity",
-            avroPrimitive(schema.fields(src(colName) - 1).dataType))
-      }
-    }
-    private val specFieldsJson: String = specFields.map(f =>
+    // all partition specs ever active, index = spec-id; commits use the last
+    private var specs: List[Seq[SpecField]] = List(parseSpec(partitionBy, schema, 1000))
+    private def defaultSpecId: Int = specs.size - 1
+    private def currentSpecFields: Seq[SpecField] = specs.last
+    private def specJson(sf: Seq[SpecField]): String = sf.map(f =>
       s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${f.sourceId},"field-id":${f.fieldId}}""")
       .mkString(",")
-    private val entrySchema: Schema = manifestEntrySchemaFor(
-      specFields.map(f => (f.name, f.avroType, f.fieldId)))
+    private def entrySchema: Schema = manifestEntrySchemaFor(
+      currentSpecFields.map(f => (f.name, f.avroType, f.fieldId)))
+
+    /** Partition-spec evolution, the spec way: the metadata keeps EVERY
+      * historical spec in `partition-specs` and bumps `default-spec-id`;
+      * already-committed manifests keep their original spec id in the
+      * manifest list (their files stay laid out — and pruned — by the old
+      * spec), and only new commits use the new one. Partition field ids
+      * stay unique across specs (fresh ids continue past every prior
+      * spec's). Sources resolve against the CURRENT schema, so a column
+      * added by evolveSchema can become a partition source. */
+    def evolveSpec(newPartitionBy: Seq[String]): Unit = {
+      val nextBase = 1000 + specs.map(_.size).sum
+      specs = specs :+ parseSpec(newPartitionBy, currentSchema, nextBase)
+    }
 
     private var version = 0
     // historical schemas, index = schema-id; commits use the last (current)
     private var allSchemas = List(schema)
     private def currentSchema: StructType = allSchemas.last
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
-    // (path, length, snapId, seq, content 0=data 1=deletes, files, rows)
-    private var manifests = List.empty[(String, Long, Long, Long, Int, Int, Long)]
+    // (path, length, snapId, seq, content 0=data 1=deletes, files, rows, specId)
+    private var manifests = List.empty[(String, Long, Long, Long, Int, Int, Long, Int)]
 
     private def writeAvroFile(p: Path, schema: Schema, records: Seq[GenericRecord],
         meta: Map[String, String]): Long = {
@@ -896,13 +920,14 @@ object IcebergFormat {
 
       // 1. the commit's manifest(s): one ADDED entry per file; data and
       // delete files may not share a manifest
+      val commitEntrySchema = entrySchema // current spec's shape, fixed for this commit
       def buildEntry(f: DataFileInfo): GenericRecord = {
-        val dataFile = new GenericData.Record(entrySchema.getField("data_file").schema())
+        val dataFile = new GenericData.Record(commitEntrySchema.getField("data_file").schema())
         dataFile.put("content", f.content)
         dataFile.put("file_path", f.path)
         dataFile.put("file_format", "PARQUET")
         val partRec = new GenericData.Record(dataFile.getSchema.getField("partition").schema())
-        specFields.foreach { sf =>
+        currentSpecFields.foreach { sf =>
           f.partitionValues.get(sf.name).foreach(v => partRec.put(sf.name, v))
         }
         dataFile.put("partition", partRec)
@@ -930,7 +955,7 @@ object IcebergFormat {
           f.equalityIds.foreach(id => l.add(id))
           dataFile.put("equality_ids", new GenericData.Array[Integer](arraySchema, l))
         }
-        val entry = new GenericData.Record(entrySchema)
+        val entry = new GenericData.Record(commitEntrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", snapId)
         entry.put("sequence_number", seq)
@@ -942,23 +967,23 @@ object IcebergFormat {
       byKind.foreach { case (kind, group) =>
         val suffix       = if (kind == 0) "" else "-deletes"
         val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix.avro")
-        val manifestLen = writeAvroFile(manifestPath, entrySchema,
+        val manifestLen = writeAvroFile(manifestPath, commitEntrySchema,
           group.map(buildEntry), Map(
             "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1),
-            "partition-spec" -> s"[$specFieldsJson]",
-            "partition-spec-id" -> "0",
+            "partition-spec" -> s"[${specJson(currentSpecFields)}]",
+            "partition-spec-id" -> defaultSpecId.toString,
             "format-version" -> "2",
             "content" -> (if (kind == 0) "data" else "deletes")))
         manifests = manifests :+ ((manifestPath.toString, manifestLen, snapId, seq, kind,
-          group.size, group.map(_.recordCount).sum))
+          group.size, group.map(_.recordCount).sum, defaultSpecId))
       }
 
       // 2. the snapshot's manifest list: this commit's manifest(s) + carried ones
-      val listRecords = manifests.map { case (mp, len, addedBy, mseq, content, nFiles, nRows) =>
+      val listRecords = manifests.map { case (mp, len, addedBy, mseq, content, nFiles, nRows, mSpecId) =>
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", mp)
         r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", mSpecId)
         r.put("content", content)
         r.put("sequence_number", mseq)
         r.put("min_sequence_number", mseq)
@@ -993,8 +1018,9 @@ object IcebergFormat {
            "last-column-id":${currentSchema.fields.length},
            "current-schema-id":${allSchemas.size - 1},
            "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i) }.mkString(",")}],
-           "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
-           "last-partition-id":${if (specFields.isEmpty) 999 else specFields.map(_.fieldId).max},
+           "default-spec-id":$defaultSpecId,
+           "partition-specs":[${specs.zipWithIndex.map { case (sf, i) => s"""{"spec-id":$i,"fields":[${specJson(sf)}]}""" }.mkString(",")}],
+           "last-partition-id":${specs.flatten.map(_.fieldId).maxOption.getOrElse(999)},
            "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
            "properties":{},
            "current-snapshot-id":$snapId,

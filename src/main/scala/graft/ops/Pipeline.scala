@@ -363,6 +363,63 @@ object Pipeline {
       SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
       FROM kept GROUP BY lang ORDER BY lang"""
 
+  // ------------------------------ temperature-scaled mixture sampling
+
+  /** Temperature-scaled language mixing at τ = 0.5 (the standard
+    * multilingual-LLM recipe: sample language i with probability
+    * ∝ p_i^τ, which upsamples rare languages relative to the natural
+    * distribution). Unlike pp03 (which equalizes the mix and reports
+    * counts), this emits the actual sampled rows — the frame a training
+    * job would read.
+    *
+    * All threshold arithmetic is exact integers: w_i = floor(sqrt(n_i))
+    * (correctly-rounded IEEE sqrt on n < 2^52, identical in both
+    * engines), a token budget of total/2, and a per-language keep
+    * threshold thr_i = min(10000, 10000·target·w_i / (Σw·n_i)) in
+    * 64-bit integer division. A doc survives iff
+    * rollHash(text) % 10000 < thr_lang — reproducible row-for-row
+    * across engines, re-runs, and cluster sizes.
+    *
+    * Scale shape: one tiny grouped count (languages ~ 10s of rows), the
+    * threshold table broadcast, then a map-only filter over the corpus —
+    * at 100 TB the sample is a single pass with no wide shuffle; the
+    * presentation sort is the only order-by. */
+  private def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs  = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_in"))
+      .withColumn("w", floor(sqrt(col("n_in").cast("double"))).cast("long"))
+    val tot = stats.agg(
+      sum("n_in").cast("long").as("total"),
+      sum("w").cast("long").as("sumw"))
+    val thr = stats.crossJoin(broadcast(tot))
+      .withColumn("target", expr("total div 2")) // integer division on longs
+      .withColumn("thr",
+        expr("least(CAST(10000 AS BIGINT), (10000 * target * w) div (sumw * n_in))"))
+      .select("lang", "thr")
+    docs
+      .join(broadcast(thr), "lang")
+      .filter(graft.functions.hashfns.rollHash(col("text")) % 10000 < col("thr"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  private val temperatureMixOracle: String = {
+    val h = Hashing.duckRollHash("d.text", Hashing.P, "c0")
+    s"""WITH st AS (
+        SELECT lang, COUNT(*) AS n_in,
+               CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n_in) AS BIGINT) AS total, CAST(SUM(w) AS BIGINT) AS sumw FROM st),
+      p AS (
+        SELECT lang,
+               LEAST(10000, (10000 * (total // 2) * w) // (sumw * n_in)) AS thr
+        FROM st CROSS JOIN t)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN p ON d.lang = p.lang
+      WHERE ($h) % 10000 < p.thr
+      ORDER BY d.doc_id"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -370,6 +427,7 @@ object Pipeline {
     Q("pp04_stratified", stratified, Some(stratifiedOracle)),
     Q("pp05_contamination", contamination, Some(contaminationOracle)),
     Q("pp06_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
-    Q("pp07_neardup_curation", neardupCuration, Some(neardupCurationOracle))
+    Q("pp07_neardup_curation", neardupCuration, Some(neardupCurationOracle)),
+    Q("pp08_temperature_mix", temperatureMix, Some(temperatureMixOracle))
   )
 }

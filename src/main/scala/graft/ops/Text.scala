@@ -392,6 +392,55 @@ object Text {
                '\b[0-9]{4,}\b', '<ID>', 'g')) AS BIGINT) AS redacted_len
       FROM p ORDER BY doc_id"""
 
+  // ---------------------------------------------- segment-level dedup
+
+  /** Paragraph/segment-level dedup (the "remove boilerplate lines repeated
+    * across the corpus" pass of corpus cleaning; the testdata corpus has no
+    * newlines, so the segment unit is a deterministic 10-word chunk).
+    * Per doc: chunk words into consecutive 10-word segments, hash each with
+    * the shared rolling hash, count segment occurrences corpus-wide, and
+    * report how much of the doc is corpus-duplicated material.
+    *
+    * Scale shape: segment hashing is map-side codegen ([[graft.functions.hashfns.rollHash]]);
+    * the corpus-wide counts are ONE shuffle on a 8-byte long key with
+    * map-side partial aggregation, and the count join back to segments is
+    * an equi-join AQE can skew-split. No strings cross the wire after the
+    * hash — at 100 TB the shuffle carries (long, long) pairs only. */
+  private def segmentDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = words(Tables.documents(s, d))
+      .filter(size(col("ws")) >= 10)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(ws) div 10 - 1), " +
+          "i -> concat_ws(' ', slice(ws, i*10+1, 10)))").as("segs"))
+      .select(col("doc_id"), explode(col("segs")).as("seg"))
+      .select(col("doc_id"), graft.functions.hashfns.rollHash(col("seg"), Hashing.P).as("h"))
+    val counts = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
+    segs.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", round(col("n_dup").cast("double") / col("n_seg"), 4))
+      .orderBy("doc_id")
+  }
+
+  private val segmentDedupOracle: String = {
+    val segHash = Hashing.duckRollHash("seg", Hashing.P)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_transform(range(0, len(ws) // 10),
+                 i -> array_to_string(ws[i*10+1 : i*10+10], ' ')) AS segs
+        FROM w WHERE len(ws) >= 10),
+      e AS (SELECT doc_id, unnest(segs) AS seg FROM s),
+      h AS (SELECT doc_id, $segHash AS h FROM e),
+      c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             ROUND(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio
+      FROM h JOIN c USING (h) GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -402,6 +451,7 @@ object Text {
     Q("tx07_det_split", detSplit, Some(detSplitOracle)),
     Q("tx08_tfidf", tfidf, Some(tfidfOracle)),
     Q("tx09_repetition", repetition, Some(repetitionOracle)),
-    Q("tx10_redaction", redaction, Some(redactionOracle))
+    Q("tx10_redaction", redaction, Some(redactionOracle)),
+    Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle))
   )
 }

@@ -639,7 +639,69 @@ object Analytics {
           COUNT(*) AS n
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
-        ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+        ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // ---- regression aggregates (REGR_SLOPE / REGR_INTERCEPT / CORR
+    //      composed from moment sums): OLS of extendedprice-in-cents on
+    //      quantity per returnflag. All five moments are exact integer /
+    //      DECIMAL(38,0) sums (order-independent at any parallelism); the
+    //      continuous math happens once per GROUP at the end, on exact
+    //      inputs — so the oracle hash-matches bit-for-bit while the heavy
+    //      lifting stays a single map-side-partial grouped aggregate that
+    //      scales like COUNT(*). The 128-bit decimal sums are the 100 TB
+    //      posture: BIGINT moments overflow near ~10^19 while DECIMAL(38)
+    //      gives 10^38 headroom at identical shuffle width.
+    Q("an30_regression",
+      (s, d) => {
+        val d38 = "decimal(38,0)"
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("bigint").as("x"),
+            (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("y"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x").cast(d38)).as("sx"),
+            sum(col("y").cast(d38)).as("sy"),
+            sum((col("x") * col("x")).cast(d38)).as("sxx"),
+            sum((col("x") * col("y")).cast(d38)).as("sxy"),
+            sum((col("y") * col("y")).cast(d38)).as("syy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("slope_cents"),
+            round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("icept_cents"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+              .as("corr"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH t AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+          FROM lineitem),
+        g AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+          FROM t GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+               ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                     CAST(n * sxx - sx * sx AS DOUBLE), 6) AS icept_cents,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+        FROM g ORDER BY l_returnflag"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).

@@ -791,6 +791,42 @@ object IceQueries {
                              AND TIMESTAMP '1995-12-31 23:59:59'
        GROUP BY 1 ORDER BY 1"""
 
+  /** Partition-spec EVOLUTION (spec "Partition Evolution"): snapshot 1
+    * commits under spec 0 (unpartitioned), the spec is evolved to
+    * identity(n_regionkey), and snapshot 2 commits one file per region
+    * under spec 1. Old files are never rewritten — the manifest list
+    * records each manifest's own spec id, and the planner prunes every
+    * file by the spec that WROTE it: spec-1 files prune exactly on the
+    * region predicate, the legacy spec-0 file (no partition record, no
+    * bounds) is kept conservatively. That per-manifest resolution is what
+    * makes re-partitioning a 100 TB table a metadata-only operation
+    * instead of a rewrite. */
+  private def icebergSpecEvolutionQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "icevolve")
+    val loc    = s"$root/nations_specev"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val w = new IcebergFormat.Writer(s, loc, nation.schema) // spec 0: unpartitioned
+    w.commit(Seq(stageIcebergFile(s, root, loc, "legacy",
+      nation.filter(col("n_nationkey") < 12))))
+    w.evolveSpec(Seq("n_regionkey")) // spec 1: identity(n_regionkey)
+    val infos = (0 to 4).map { rk =>
+      stageIcebergFile(s, root, loc, s"r$rk",
+        nation.filter(col("n_nationkey") >= 12 && col("n_regionkey") === rk))
+        .copy(partitionValues = Map("n_regionkey" -> Int.box(rk)))
+    }
+    w.commit(infos)
+    val planned = IcebergFormat.planFiles(
+      s, w.currentMetadataPath, "n_regionkey", Some("2"), Some("2"))
+    require(planned.size == 2,
+      s"spec-evolved pruning kept ${planned.size} of 6 files, expected legacy + r2")
+    IcebergFormat.scanRange(s, w.currentMetadataPath, "n_regionkey", Some("2"), Some("2"))
+      .filter(col("n_regionkey") === 2)
+      .orderBy("n_nationkey")
+  }
+
+  private val icebergSpecEvolutionOracle =
+    "SELECT * FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey"
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -832,6 +868,7 @@ object IceQueries {
     Q("ic29_meta_tables", metaTablesQ, Some(metaTablesOracle)),
     Q("ic30_iceberg_evolve", icebergEvolveQ, Some(icebergEvolveOracle)),
     Q("ic31_incremental_view", incrementalViewQ, Some(incrementalViewOracle)),
-    Q("ic32_iceberg_temporal", icebergTemporalQ, Some(icebergTemporalOracle))
+    Q("ic32_iceberg_temporal", icebergTemporalQ, Some(icebergTemporalOracle)),
+    Q("ic33_iceberg_spec_evolution", icebergSpecEvolutionQ, Some(icebergSpecEvolutionOracle))
   )
 }
