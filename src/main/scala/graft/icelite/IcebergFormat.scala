@@ -618,6 +618,31 @@ object IcebergFormat {
   /** Range-pruned scan over a standard Iceberg table: reads only files
     * whose bounds can contain `colName` in [lower, upper]; the caller
     * still applies the row-level predicate. */
+  /** (manifest path, content 0=data 1=deletes) entries of the current
+    * snapshot's manifest list — lets gates assert planning-cost effects
+    * (e.g. rewrite_manifests collapsing O(commits) manifests to O(specs)). */
+  private[graft] def manifestListPaths(
+      spark: SparkSession, metadataPath: String): Seq[(String, Int)] = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    val location  = (md \ "location").extract[String]
+    val currentId = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
+    if (currentId < 0) return Nil
+    val snapshot = (md \ "snapshots").extract[List[JObject]]
+      .find(s => (s \ "snapshot-id").extract[Long] == currentId)
+      .getOrElse(return Nil)
+    (snapshot \ "manifest-list") match {
+      case JString(listPath) =>
+        readAvro(fs, resolve(location, listPath)).map { rec =>
+          (rec.get("manifest_path").toString,
+            Option(rec.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+        }
+      case _ => (snapshot \ "manifests").extract[List[String]].map((_, 0))
+    }
+  }
+
   def scanRange(spark: SparkSession, metadataPath: String, colName: String,
       lower: Option[String], upper: Option[String]): DataFrame = {
     val p    = plan(spark, metadataPath)
@@ -875,8 +900,9 @@ object IcebergFormat {
     private var allSchemas = List(schema)
     private def currentSchema: StructType = allSchemas.last
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
-    // (path, length, snapId, seq, content 0=data 1=deletes, files, rows, specId)
-    private var manifests = List.empty[(String, Long, Long, Long, Int, Int, Long, Int)]
+    private case class ManifestRec(path: String, len: Long, addedBy: Long, seq: Long,
+        content: Int, nFiles: Int, nRows: Long, specId: Int, existing: Boolean = false)
+    private var manifests = List.empty[ManifestRec]
 
     private def writeAvroFile(p: Path, schema: Schema, records: Seq[GenericRecord],
         meta: Map[String, String]): Long = {
@@ -974,25 +1000,70 @@ object IcebergFormat {
             "partition-spec-id" -> defaultSpecId.toString,
             "format-version" -> "2",
             "content" -> (if (kind == 0) "data" else "deletes")))
-        manifests = manifests :+ ((manifestPath.toString, manifestLen, snapId, seq, kind,
-          group.size, group.map(_.recordCount).sum, defaultSpecId))
+        manifests = manifests :+ ManifestRec(manifestPath.toString, manifestLen, snapId, seq,
+          kind, group.size, group.map(_.recordCount).sum, defaultSpecId)
       }
 
-      // 2. the snapshot's manifest list: this commit's manifest(s) + carried ones
-      val listRecords = manifests.map { case (mp, len, addedBy, mseq, content, nFiles, nRows, mSpecId) =>
+      // 2+3. the snapshot's manifest list + metadata JSON
+      publishSnapshot(snapId, seq)
+    }
+
+    /** Manifest compaction (Iceberg `rewrite_manifests`): merge every
+      * data manifest into one manifest PER SPEC of status-EXISTING
+      * entries (the spec forbids mixing specs in a manifest), keeping
+      * each entry's original data sequence number so merge-on-read
+      * delete ordering is untouched, and commit the result as a new
+      * `replace` snapshot. No data file moves. This is the antidote to
+      * commit-per-microbatch metadata sprawl: planning reads O(specs)
+      * manifests afterward instead of O(commits) — at 100 TB with
+      * streaming ingest the manifest list would otherwise grow without
+      * bound. Delete manifests are carried as-is. */
+    def rewriteManifests(): Unit = {
+      val snapId = committed.size + 1L
+      val seq    = snapId
+      val (dataM, delM) = manifests.partition(_.content == 0)
+      val merged = dataM.groupBy(_.specId).toSeq.sortBy(_._1).map { case (sid, group) =>
+        val schema = manifestEntrySchemaFor(
+          specs(sid).map(f => (f.name, f.avroType, f.fieldId)))
+        val entries = group.flatMap { m =>
+          readAvro(fs, new Path(m.path)).map { e =>
+            e.put("status", 0) // EXISTING — carried, not added, by this snapshot
+            e
+          }
+        }
+        val path = new Path(metadataDir, f"m-$snapId%05d-rw$sid.avro")
+        val len = writeAvroFile(path, schema, entries, Map(
+          "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1),
+          "partition-spec" -> s"[${specJson(specs(sid))}]",
+          "partition-spec-id" -> sid.toString,
+          "format-version" -> "2",
+          "content" -> "data"))
+        // list seq = the group's MIN so a null-seq entry can never be
+        // treated as newer than it was (entries carry explicit seqs anyway)
+        ManifestRec(path.toString, len, snapId, group.map(_.seq).min, 0,
+          group.map(_.nFiles).sum, group.map(_.nRows).sum, sid, existing = true)
+      }
+      manifests = merged.toList ++ delM
+      publishSnapshot(snapId, seq)
+    }
+
+    private def publishSnapshot(snapId: Long, seq: Long): Unit = {
+      // the snapshot's manifest list: this commit's manifest(s) + carried ones
+      val listRecords = manifests.map { m =>
+        val added = m.addedBy == snapId && !m.existing
         val r = new GenericData.Record(manifestFileSchema)
-        r.put("manifest_path", mp)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", mSpecId)
-        r.put("content", content)
-        r.put("sequence_number", mseq)
-        r.put("min_sequence_number", mseq)
-        r.put("added_snapshot_id", addedBy)
-        r.put("added_files_count", if (addedBy == snapId) nFiles else 0)
-        r.put("existing_files_count", 0)
+        r.put("manifest_path", m.path)
+        r.put("manifest_length", m.len)
+        r.put("partition_spec_id", m.specId)
+        r.put("content", m.content)
+        r.put("sequence_number", m.seq)
+        r.put("min_sequence_number", m.seq)
+        r.put("added_snapshot_id", m.addedBy)
+        r.put("added_files_count", if (added) m.nFiles else 0)
+        r.put("existing_files_count", if (m.existing) m.nFiles else 0)
         r.put("deleted_files_count", 0)
-        r.put("added_rows_count", if (addedBy == snapId) nRows else 0L)
-        r.put("existing_rows_count", 0L)
+        r.put("added_rows_count", if (added) m.nRows else 0L)
+        r.put("existing_rows_count", if (m.existing) m.nRows else 0L)
         r.put("deleted_rows_count", 0L)
         r
       }

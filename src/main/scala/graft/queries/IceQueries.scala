@@ -827,6 +827,55 @@ object IceQueries {
   private val icebergSpecEvolutionOracle =
     "SELECT * FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey"
 
+  /** Manifest compaction (Iceberg `rewrite_manifests`): five
+    * commit-per-file appends leave five data manifests — the metadata
+    * sprawl a streaming writer accumulates — plus one position-delete
+    * manifest. The rewrite merges the data manifests into ONE of
+    * status-EXISTING entries in a new `replace` snapshot, without moving
+    * any data file; entries keep their original data sequence numbers, so
+    * the carried delete (seq 6) still applies to the older data (seq ≤ 5)
+    * and merge-on-read semantics are bit-identical before and after. The
+    * gate asserts the manifest list shrinks 5→1 data manifests, the
+    * pre-rewrite snapshot still time-travels complete, and the scanned
+    * rows match the oracle. */
+  private def icebergRewriteManifestsQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root   = freshDir(s, "icerw")
+    val loc    = s"$root/nations_rw"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    val staged = (0 to 4).map { rk =>
+      stageIcebergFile(s, root, loc, s"r$rk",
+        nation.filter(col("n_regionkey") === rk).orderBy("n_nationkey"))
+    }
+    staged.foreach(f => w.commit(Seq(f))) // 5 commits -> 5 data manifests
+    // seq 6: position delete killing region 0's first row (its min key)
+    val delDf = Seq((staged(0).path, 0L)).toDF("file_path", "pos")
+    w.commit(Seq(stageIcebergFile(s, root, loc, "del", delDf, content = 1)))
+    val before = IcebergFormat.manifestListPaths(s, w.currentMetadataPath)
+    require(before.count(_._2 == 0) == 5 && before.count(_._2 == 1) == 1,
+      s"expected 5 data + 1 delete manifests pre-rewrite, got $before")
+    w.rewriteManifests()
+    val after = IcebergFormat.manifestListPaths(s, w.currentMetadataPath)
+    require(after.count(_._2 == 0) == 1 && after.count(_._2 == 1) == 1,
+      s"rewrite_manifests should leave 1 data + 1 delete manifest, got $after")
+    val engine = new Engine(s, new FsCatalog(s, freshDir(s, "icerw_wh")))
+    require(engine.scanIcebergMetadata(w.currentMetadataPath).count() == nation.count() - 1,
+      "post-rewrite scan row count changed")
+    // pre-rewrite snapshots must still read identically: 5 = all data
+    // before the delete, 6 = the delete applied
+    require(IcebergFormat.scanAt(s, w.currentMetadataPath, 5L).count() == nation.count(),
+      "pre-delete snapshot no longer time-travels complete")
+    require(IcebergFormat.scanAt(s, w.currentMetadataPath, 6L).count() == nation.count() - 1,
+      "pre-rewrite snapshot no longer applies its delete")
+    engine.scanIcebergMetadata(w.currentMetadataPath).orderBy("n_nationkey")
+  }
+
+  private val icebergRewriteManifestsOracle =
+    """SELECT * FROM nation
+       WHERE n_nationkey <> (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 0)
+       ORDER BY n_nationkey"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -869,6 +918,7 @@ object IceQueries {
     Q("ic30_iceberg_evolve", icebergEvolveQ, Some(icebergEvolveOracle)),
     Q("ic31_incremental_view", incrementalViewQ, Some(incrementalViewOracle)),
     Q("ic32_iceberg_temporal", icebergTemporalQ, Some(icebergTemporalOracle)),
-    Q("ic33_iceberg_spec_evolution", icebergSpecEvolutionQ, Some(icebergSpecEvolutionOracle))
+    Q("ic33_iceberg_spec_evolution", icebergSpecEvolutionQ, Some(icebergSpecEvolutionOracle)),
+    Q("ic34_rewrite_manifests", icebergRewriteManifestsQ, Some(icebergRewriteManifestsOracle))
   )
 }
