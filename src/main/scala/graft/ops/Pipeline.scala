@@ -420,6 +420,61 @@ object Pipeline {
       ORDER BY d.doc_id"""
   }
 
+  // ------------------------------ per-language quality-median cut
+
+  /** Quality filtering the way curation pipelines actually apply it:
+    * keep each language's docs at or above that language's own median
+    * quality score (an absolute threshold would gut whichever language
+    * the scorer is hardest on). Reuses tx02's exact quality formula
+    * ([[Text.qualityScore]]) so the two gates can't drift.
+    *
+    * The median is the row_number-selected lower median over a TOTAL
+    * order (score, then doc_id) — deterministic under ties and
+    * identical in both engines, unlike interpolating percentile_cont.
+    * Scale shape: one shuffle on lang for the window pass (the same
+    * partitioning serves row_number and count), a languages-sized
+    * broadcast of the medians, then a map-side filter. */
+  private def qualityCut(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = typedLit(Text.stopwords)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        Text.qualityScore(
+          size(col("ws")).cast("long"),
+          size(filter(col("ws"), w => array_contains(stops, w))).cast("long")).as("q"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val med = ranked
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("q").as("med"))
+    ranked
+      .join(broadcast(med), "lang")
+      .filter(col("q") >= col("med"))
+      .select("doc_id", "lang", "q")
+      .orderBy("doc_id")
+  }
+
+  private val qualityCutOracle: String = {
+    val stopsIn = Text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH s AS (
+        SELECT doc_id, lang,
+               ROUND(LEAST(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) * 0.5
+                     + (CAST(len(list_filter(ws, t -> t IN ($stopsIn))) AS DOUBLE) / len(ws)) * 0.5,
+                 4) AS q
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM s),
+      m AS (SELECT lang, q AS med FROM r WHERE rn = (n + 1) // 2)
+      SELECT r.doc_id, r.lang, r.q
+      FROM r JOIN m ON r.lang = m.lang
+      WHERE r.q >= m.med ORDER BY r.doc_id"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -428,6 +483,7 @@ object Pipeline {
     Q("pp05_contamination", contamination, Some(contaminationOracle)),
     Q("pp06_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
     Q("pp07_neardup_curation", neardupCuration, Some(neardupCurationOracle)),
-    Q("pp08_temperature_mix", temperatureMix, Some(temperatureMixOracle))
+    Q("pp08_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
+    Q("pp09_quality_cut", qualityCut, Some(qualityCutOracle))
   )
 }

@@ -702,6 +702,63 @@ object Analytics {
                      SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
                           CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
         FROM g ORDER BY l_returnflag"""))
+,
+    // ---- the navigation-window surface (lag/lead/first_value/ntile) in
+    //      one pass: per-customer order history with neighbors and
+    //      activity quartile. ONE shuffle on o_custkey + an in-partition
+    //      sort serves all five window functions (they share the WINDOW
+    //      clause, so Catalyst plans a single Window operator) — the shape
+    //      that scales to per-user histories over 100 TB of events. The
+    //      ORDER BY inside the window is total (date, then key), so every
+    //      navigation value is deterministic.
+    Q("an31_window_nav",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_nav")
+        s.sql("""SELECT o_custkey, o_orderkey,
+            CAST(row_number() OVER w AS BIGINT) AS rn,
+            lag(o_orderkey) OVER w AS prev_order,
+            lead(o_orderkey) OVER w AS next_order,
+            first_value(o_orderkey) OVER w AS first_order,
+            CAST(ntile(4) OVER w AS INT) AS quartile
+          FROM orders_nav
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          ORDER BY o_custkey, rn""")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(row_number() OVER w AS BIGINT) AS rn,
+          lag(o_orderkey) OVER w AS prev_order,
+          lead(o_orderkey) OVER w AS next_order,
+          first_value(o_orderkey) OVER w AS first_order,
+          CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn""")),
+
+    // ---- correlated EXISTS / NOT EXISTS: customers with at least one
+    //      high-value order and no failed ("F") order. Catalyst
+    //      decorrelates both subqueries into a left-semi and a left-anti
+    //      hash join on o_custkey — two shuffles total, no per-row
+    //      subquery execution, which is why correlated EXISTS stays
+    //      linear at 100 TB instead of quadratic.
+    Q("an32_exists",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+        Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+        s.sql("""SELECT c_custkey, c_name
+          FROM customer_ex c
+          WHERE EXISTS (SELECT 1 FROM orders_ex o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+            AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).
