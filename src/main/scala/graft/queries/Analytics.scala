@@ -734,6 +734,69 @@ object Analytics {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, rn""")),
 
+    // ---- HyperLogLog distinct estimation (Flajolet et al., AMS 2007
+    //      formulation), m = 256 registers. The sketch side is EXACT
+    //      integer arithmetic end to end: a 32-bit avalanche mix of the
+    //      key splits into top-8-bit bucket + 24-bit suffix, the rank is
+    //      25 - length(bin(w)) (binary-string length is identical in both
+    //      engines, no log2 float), registers are a MAX per bucket, and
+    //      the harmonic denominator Σ 2^-rho is computed scaled by 2^25
+    //      as a sum of integer shifts. Only the final alpha·m²/Z happens
+    //      in doubles, on exact inputs — so the estimator itself
+    //      hash-matches the oracle. Scale shape: one scan, a 256-cell
+    //      map-side-partial aggregate, constant-size state at any corpus
+    //      — the sketch answers COUNT DISTINCT over 100 TB with a
+    //      single-pass, mergeable 2 KB summary (the exact count shown
+    //      beside it costs a full distinct shuffle).
+    Q("an33_hll_distinct",
+      (s, d) => {
+        // 32-bit avalanche mixer (Wang xorshift-multiply; multiplier
+        // 73244475 < 2^27 keeps every product < 2^61 — exact in BIGINT in
+        // both engines). The rolling STRING hash has no avalanche on
+        // short numeric keys: its top-8-bit buckets collapse (measured:
+        // estimate saturates at ~185 for any cardinality).
+        val regs = Tables.orders(s, d)
+          .selectExpr("CAST(o_custkey AS BIGINT) AS x")
+          .selectExpr("((shiftright(x, 16) ^ x) * 73244475) % 4294967296 AS h")
+          .selectExpr("((shiftright(h, 16) ^ h) * 73244475) % 4294967296 AS h")
+          .selectExpr("shiftright(h, 16) ^ h AS h")
+          .selectExpr("h div 16777216 AS bucket", "h % 16777216 AS w")
+          .selectExpr("bucket",
+            "CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho")
+          .groupBy("bucket").agg(max("rho").as("rho"))
+        val allRegs = s.range(256).toDF("bucket")
+          .join(regs, Seq("bucket"), "left")
+          .na.fill(0, Seq("rho")) // empty register -> rho 0 -> contributes 2^25
+        val z = allRegs.agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - rho)")).as("scaled"))
+        val exact = Tables.orders(s, d)
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        z.crossJoin(exact)
+          .select(
+            round(expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 33554432.0")
+              / col("scaled"), 4).as("est_distinct"),
+            col("n_exact"))
+      },
+      Some("""WITH x AS (SELECT CAST(o_custkey AS BIGINT) AS x FROM orders),
+        h1 AS (SELECT (xor(x >> 16, x) * 73244475) % 4294967296 AS h FROM x),
+        h2 AS (SELECT (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1),
+        hf AS (SELECT xor(h >> 16, h) AS h FROM h2),
+        b AS (SELECT h // 16777216 AS bucket, h % 16777216 AS w FROM hf),
+        r AS (
+          SELECT bucket,
+                 MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rho
+          FROM b GROUP BY bucket),
+        regs AS (
+          SELECT g.id, COALESCE(r.rho, 0) AS rho
+          FROM (SELECT range AS id FROM range(256)) g
+          LEFT JOIN r ON g.id = r.bucket),
+        z AS (SELECT SUM(CAST(1 AS BIGINT) << (25 - rho)) AS scaled FROM regs),
+        e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+        SELECT ROUND((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 33554432.0
+                     / scaled, 4) AS est_distinct,
+               n_exact
+        FROM z CROSS JOIN e""")),
+
     // ---- correlated EXISTS / NOT EXISTS: customers with at least one
     //      high-value order and no failed ("F") order. Catalyst
     //      decorrelates both subqueries into a left-semi and a left-anti
