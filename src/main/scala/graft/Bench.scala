@@ -71,6 +71,9 @@ object Bench {
       val a = force(q.name)
       val b = force(q.name)
       val best = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      // stderr progress so a long run (or a hung query) is diagnosable
+      // mid-flight; the JSON contract line on stdout is unchanged
+      System.err.println(f"[bench] ${q.name} $best%.2fs (runs $a%.2f/$b%.2f)")
       q.name -> best
     }
     // failed queries surface as null entries + a failed count, so a

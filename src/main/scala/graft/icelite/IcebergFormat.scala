@@ -1047,6 +1047,33 @@ object IcebergFormat {
       publishSnapshot(snapId, seq)
     }
 
+    /** Snapshot expiration (Iceberg `expire_snapshots`): drop all but the
+      * last `keepLast` snapshots from the metadata, delete their manifest
+      * lists, and delete any manifest file no kept snapshot references —
+      * the complement of rewrite_manifests: rewrite makes old per-commit
+      * manifests unreachable, expiration reclaims them. Data files are
+      * never touched here: in this append-only writer every data file is
+      * carried forward into the kept snapshots (unreachable-DATA sweeping
+      * is the vacuum operation's job, ic27). Bounds the metadata history
+      * a long-lived streaming table accumulates. */
+    def expireSnapshots(keepLast: Int): Unit = {
+      require(keepLast >= 1, "must keep at least the current snapshot")
+      val (expired, kept) = committed.splitAt((committed.size - keepLast).max(0))
+      if (expired.isEmpty) return
+      val keptManifests: Set[String] = kept.flatMap { case (_, lp) =>
+        readAvro(fs, new Path(lp)).map(_.get("manifest_path").toString)
+      }.toSet
+      expired.foreach { case (_, lp) =>
+        val p = new Path(lp)
+        readAvro(fs, p).map(_.get("manifest_path").toString)
+          .filterNot(keptManifests)
+          .foreach(mp => fs.delete(new Path(mp), false))
+        fs.delete(p, false)
+      }
+      committed = kept
+      writeMetadata()
+    }
+
     private def publishSnapshot(snapId: Long, seq: Long): Unit = {
       // the snapshot's manifest list: this commit's manifest(s) + carried ones
       val listRecords = manifests.map { m =>
@@ -1074,8 +1101,15 @@ object IcebergFormat {
         "sequence-number" -> seq.toString,
         "parent-snapshot-id" -> (if (snapId == 1) "null" else (snapId - 1).toString)))
       committed = committed :+ ((snapId, listPath.toString))
+      writeMetadata()
+    }
 
-      // 3. the metadata JSON: full snapshot log, current pointer
+    /** The metadata JSON: full snapshot log, current pointer. Derives
+      * everything from `committed`, so both commits and expiration
+      * publish through the same path. */
+    private def writeMetadata(): Unit = {
+      val snapId = committed.last._1
+      val seq    = snapId
       version += 1
       val snapshotsJson = committed.zipWithIndex.map { case ((id, lp), i) =>
         val parent = if (i == 0) "" else s""""parent-snapshot-id":${committed(i - 1)._1},"""

@@ -55,11 +55,18 @@ object Dedup {
   // --------------------------------------------------------- n-gram jaccard
 
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // EXACTNESS BASELINE, bounded to Sim.baselineCap ids like the other
+    // quadratic baselines (sm02/dd04/dd05): the uncapped postings join is
+    // Σdf² and a corpus of 10-way near-copies makes it the entire bench
+    // (measured 210 s of a 577 s 10x run before the bound). The
+    // full-corpus production paths are dd07 (df-capped shingles) and
+    // dd03 (MinHash banding), both of which stay unbounded.
+    //
     // the shingle frame feeds the self-joined postings (twice) and the two
     // size joins — persist it so shingle construction runs once. At cluster
     // scale the same call applies, backed by executor memory/disk; the
     // harness (Bench/Verify) clears the cache between queries.
-    val sh = shingles(s, d).persist()
+    val sh = shingles(s, d).filter(col("doc_id") < Sim.baselineCap).persist()
     val e  = sh.select(col("doc_id"), explode(col("shs")).as("sg"))
     val sz = sh.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
     val inter = e.as("a")
@@ -79,8 +86,8 @@ object Dedup {
 
   private val ngramJaccardOracle =
     s"""WITH $duckShingles,
-      e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
-      sz AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz FROM sh),
+      e AS (SELECT doc_id, unnest(shs) AS sg FROM sh WHERE doc_id < ${Sim.baselineCap}),
+      sz AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz FROM sh WHERE doc_id < ${Sim.baselineCap}),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
         FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id

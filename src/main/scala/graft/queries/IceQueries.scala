@@ -844,12 +844,13 @@ object IceQueries {
     val loc    = s"$root/nations_rw"
     val nation = Tables.nation(s, d).orderBy("n_nationkey")
     val w = new IcebergFormat.Writer(s, loc, nation.schema)
-    val staged = (0 to 4).map { rk =>
-      stageIcebergFile(s, root, loc, s"r$rk",
-        nation.filter(col("n_regionkey") === rk).orderBy("n_nationkey"))
+    // bucket by key mod 5 (NOT region): covers every row at any scale
+    val staged = (0 to 4).map { b =>
+      stageIcebergFile(s, root, loc, s"b$b",
+        nation.filter(pmod(col("n_nationkey"), lit(5)) === b).orderBy("n_nationkey"))
     }
     staged.foreach(f => w.commit(Seq(f))) // 5 commits -> 5 data manifests
-    // seq 6: position delete killing region 0's first row (its min key)
+    // seq 6: position delete killing bucket 0's first row (its min key)
     val delDf = Seq((staged(0).path, 0L)).toDF("file_path", "pos")
     w.commit(Seq(stageIcebergFile(s, root, loc, "del", delDf, content = 1)))
     val before = IcebergFormat.manifestListPaths(s, w.currentMetadataPath)
@@ -873,8 +874,48 @@ object IceQueries {
 
   private val icebergRewriteManifestsOracle =
     """SELECT * FROM nation
-       WHERE n_nationkey <> (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 0)
+       WHERE n_nationkey <> (SELECT MIN(n_nationkey) FROM nation WHERE n_nationkey % 5 = 0)
        ORDER BY n_nationkey"""
+
+  /** Snapshot expiration (Iceberg `expire_snapshots`) — the complement of
+    * ic34: rewrite_manifests makes the five per-commit manifests
+    * unreachable from the new snapshot, expiration reclaims them. After
+    * keeping only the rewritten snapshot: one manifest list + one
+    * manifest on disk (counted), expired snapshots are gone from the
+    * metadata (time travel to them now throws), and the table's data —
+    * every file carried into the kept snapshot — reads in full. This
+    * bounds the metadata history a long-lived streaming table
+    * accumulates; data-file sweeping stays the vacuum op's job (ic27). */
+  private def icebergExpireQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "icexp")
+    val loc    = s"$root/nations_exp"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    (0 to 4).foreach { rk =>
+      w.commit(Seq(stageIcebergFile(s, root, loc, s"r$rk",
+        nation.filter(col("n_regionkey") === rk).orderBy("n_nationkey"))))
+    }
+    w.rewriteManifests() // snapshot 6: per-commit manifests now unreachable
+    val mdDir = new org.apache.hadoop.fs.Path(s"$loc/metadata")
+    val fs    = mdDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def nFiles(prefix: String): Int =
+      fs.listStatus(mdDir).count(_.getPath.getName.startsWith(prefix))
+    require(nFiles("m-") == 6 && nFiles("snap-") == 6,
+      s"expected 6 manifests + 6 lists pre-expire, got ${nFiles("m-")}/${nFiles("snap-")}")
+    w.expireSnapshots(keepLast = 1)
+    require(nFiles("snap-") == 1, s"expire left ${nFiles("snap-")} manifest lists")
+    require(nFiles("m-") == 1, s"expire left ${nFiles("m-")} manifests")
+    val expiredGone =
+      try { IcebergFormat.scanAt(s, w.currentMetadataPath, 3L); false }
+      catch { case _: NoSuchElementException => true }
+    require(expiredGone, "expired snapshot 3 is still scannable")
+    new Engine(s, new FsCatalog(s, freshDir(s, "icexp_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy("n_nationkey")
+  }
+
+  private val icebergExpireOracle =
+    "SELECT * FROM nation ORDER BY n_nationkey"
 
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
@@ -919,6 +960,7 @@ object IceQueries {
     Q("ic31_incremental_view", incrementalViewQ, Some(incrementalViewOracle)),
     Q("ic32_iceberg_temporal", icebergTemporalQ, Some(icebergTemporalOracle)),
     Q("ic33_iceberg_spec_evolution", icebergSpecEvolutionQ, Some(icebergSpecEvolutionOracle)),
-    Q("ic34_rewrite_manifests", icebergRewriteManifestsQ, Some(icebergRewriteManifestsOracle))
+    Q("ic34_rewrite_manifests", icebergRewriteManifestsQ, Some(icebergRewriteManifestsOracle)),
+    Q("ic35_iceberg_expire", icebergExpireQ, Some(icebergExpireOracle))
   )
 }
