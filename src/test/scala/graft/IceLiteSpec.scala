@@ -380,6 +380,52 @@ class IceLiteSpec extends SparkSpec {
     assert(all.count() == df.count())
   }
 
+  test("spec evolution + rewrite_manifests + expire: mixed-spec lifecycle") {
+    import org.apache.hadoop.fs.Path
+    val root = scratch("icelife")
+    val loc  = s"$root/t_life"
+    val fs   = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): IcebergFormat.DataFileInfo = {
+      IcebergFormat.writeSingleFile(spark, root, loc, name, df)
+    }
+    val w = new IcebergFormat.Writer(spark, loc, nation.schema) // spec 0: unpartitioned
+    w.commit(Seq(stage("legacy", nation.filter(col("n_nationkey") < 10))))
+    w.evolveSpec(Seq("n_regionkey")) // spec 1: identity
+    w.commit(Seq(
+      stage("r2", nation.filter(col("n_nationkey") >= 10 && col("n_regionkey") === 2))
+        .copy(partitionValues = Map("n_regionkey" -> Int.box(2)))))
+    w.evolveSpec(Seq("bucket(4, n_name)")) // spec 2: bucket transform
+    val hot = nation.filter(col("n_nationkey") >= 10 && col("n_regionkey") =!= 2)
+    w.commit(Seq(stage("rest", hot)))
+
+    // rewrite merges per spec: 3 specs -> 3 merged data manifests
+    w.rewriteManifests()
+    val listed = IcebergFormat.manifestListPaths(spark, w.currentMetadataPath)
+    assert(listed.count(_._2 == 0) == 3,
+      s"one merged manifest per spec expected, got $listed")
+    assert(IcebergFormat.scan(spark, w.currentMetadataPath).count() == nation.count())
+    // per-manifest spec resolution: region predicate prunes ONLY the
+    // spec-1 file exactly; spec-0/spec-2 files stay conservatively
+    val planned = IcebergFormat.planFiles(spark, w.currentMetadataPath,
+      "n_regionkey", Some("3"), Some("3"))
+    assert(planned.size == 2 && !planned.exists(_.contains("r2")),
+      s"spec-aware pruning failed: $planned")
+
+    // expire: keepLast > count is a no-op; keepLast = 1 reclaims all
+    // per-commit manifests + old lists, table still reads in full
+    w.expireSnapshots(keepLast = 99)
+    assert(fs.listStatus(new Path(loc, "metadata"))
+      .count(_.getPath.getName.startsWith("snap-")) == 4)
+    w.expireSnapshots(keepLast = 1)
+    val names = fs.listStatus(new Path(loc, "metadata")).map(_.getPath.getName)
+    assert(names.count(_.startsWith("snap-")) == 1, names.mkString(","))
+    assert(names.count(_.startsWith("m-")) == 3, names.mkString(","))
+    assert(IcebergFormat.scan(spark, w.currentMetadataPath).count() == nation.count())
+    intercept[NoSuchElementException] {
+      IcebergFormat.scanAt(spark, w.currentMetadataPath, 2L)
+    }
+  }
+
   test("exports: single-header csv and parquet") {
     val eng = new Engine(spark, new FsCatalog(spark, scratch("exp_wh")))
     val out = scratch("exp_out")
