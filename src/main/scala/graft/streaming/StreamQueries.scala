@@ -343,6 +343,70 @@ object StreamQueries {
 
   private val streamIcebergCdcOracle = streamUpsertOracle // same converged state
 
+  /** Continuous ingest WITH inline metadata maintenance — the production
+    * loop a long-lived streaming table needs: every micro-batch appends a
+    * data file + snapshot to a standard Iceberg v2 table, and whenever
+    * the manifest list exceeds a threshold the SAME foreachBatch runs
+    * rewrite_manifests + expire_snapshots (ic34 + ic35 composed under
+    * st05's ingest shape). The gate asserts what matters at 100 TB with
+    * per-minute commits: metadata stays BOUNDED — O(1) manifests and
+    * O(keepLast) snapshots no matter how many batches ran — while the
+    * table's contents stay byte-identical to the batch oracle. */
+  private def streamCompaction(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val root     = "/root/repo/target/scratch/st08"
+    val rootPath = new Path(root)
+    val fs       = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    fs.mkdirs(rootPath)
+    val src = s"$root/src"
+    graft.Tables.events(s, d).repartition(4).write.parquet(src)
+    val loc = s"$root/purchases_ice"
+    val out = graft.Tables.events(s, d).selectExpr("event_id", "user_id", "value").limit(0)
+    val w   = new IcebergFormat.Writer(s, loc, out.schema)
+    s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*.parquet")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (batch.count() > 0) {
+            w.commit(Seq(IcebergFormat.writeSingleFile(
+              s, root, loc, s"data-$batchId", batch.orderBy("event_id"))))
+            // inline maintenance: compact + expire once metadata sprawls
+            val dataManifests = IcebergFormat
+              .manifestListPaths(s, w.currentMetadataPath).count(_._2 == 0)
+            if (dataManifests > 2) {
+              w.rewriteManifests()
+              w.expireSnapshots(keepLast = 2)
+            }
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    // bounded metadata: at most 2 data manifests (1 merged + at most 1
+    // since the last rewrite) and exactly keepLast manifest lists
+    val listed = IcebergFormat.manifestListPaths(s, w.currentMetadataPath)
+    require(listed.count(_._2 == 0) <= 2,
+      s"manifest list not bounded under streaming ingest: $listed")
+    val mdDir = new Path(loc, "metadata")
+    require(fs.listStatus(mdDir).count(_.getPath.getName.startsWith("snap-")) <= 3,
+      "expired manifest lists not reclaimed")
+    IcebergFormat.scan(s, w.currentMetadataPath).orderBy("event_id")
+  }
+
+  private val streamCompactionOracle =
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'purchase' ORDER BY event_id"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -350,6 +414,7 @@ object StreamQueries {
     Q("st04_stream_join", streamJoin, Some(streamJoinOracle)),
     Q("st05_stream_ingest", streamIngest, Some(streamIngestOracle)),
     Q("st06_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
-    Q("st07_stream_iceberg_cdc", streamIcebergCdc, Some(streamIcebergCdcOracle))
+    Q("st07_stream_iceberg_cdc", streamIcebergCdc, Some(streamIcebergCdcOracle)),
+    Q("st08_stream_compaction", streamCompaction, Some(streamCompactionOracle))
   )
 }
