@@ -157,10 +157,67 @@ object Multimodal {
              string_agg(lower(substr(hx, CAST(k * step * 2 + 1 AS INT), 2)), '' ORDER BY k) AS resized_hex
       FROM ks GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------ shard packing
+
+  private val shardBytes = 4096L
+
+  /** WebDataset-style shard assignment: whole media files binned into
+    * size-bounded shards per modality, in deterministic doc_id order —
+    * the layout step that turns a curated corpus into the tar-shard
+    * files a training job streams. Size-banded semantics: a file's shard
+    * is floor(bytes-before-it / capacity), so shards fill to ~capacity
+    * and the assignment is a pure function of the corpus (no RNG, stable
+    * under re-runs).
+    *
+    * Scale shape: one shuffle partitions by modality; the prefix sum
+    * within a modality is the sequential order contract of shard
+    * building. At 100 TB a single modality's window would serialize —
+    * the production variant range-partitions doc_id, prefix-sums per
+    * range, and broadcasts per-range offsets (two-pass prefix sum);
+    * the assignment function and this gate's semantics are unchanged. */
+  private def shardPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("media_type").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mediaFrame(s, d)
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("content")).cast("long").as("n_bytes"))
+      .withColumn("cum_before", coalesce(sum("n_bytes").over(wOrd), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $shardBytes"))
+      .groupBy("media_type", "shard")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n_bytes").as("shard_size"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .select(col("media_type"), col("shard").cast("long").as("shard"),
+        col("n_files"), col("shard_size").cast("long").as("shard_size"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("media_type", "shard")
+  }
+
+  private val shardPackOracle =
+    s"""WITH m AS (
+        SELECT doc_id, 'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      c AS (
+        SELECT *, COALESCE(SUM(n_bytes) OVER (
+                 PARTITION BY media_type ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM m),
+      sh AS (SELECT *, cum_before // $shardBytes AS shard FROM c)
+      SELECT media_type, CAST(shard AS BIGINT) AS shard,
+             COUNT(*) AS n_files,
+             CAST(SUM(n_bytes) AS BIGINT) AS shard_size,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM sh GROUP BY media_type, shard ORDER BY media_type, shard"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
     Q("mm02_frame_sample", frames, Some(framesOracle)),
     Q("mm03_decode", decoded, Some(decodedOracle)),
-    Q("mm04_resize", resized, Some(resizedOracle))
+    Q("mm04_resize", resized, Some(resizedOracle)),
+    Q("mm05_shard_pack", shardPack, Some(shardPackOracle))
   )
 }
