@@ -645,6 +645,75 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     appendInternal(kept.unionByName(aligned), replace = true, operation = "upsert")
   }
 
+  /** Multi-clause MERGE INTO (copy-on-write, file-granular) — SQL
+    * `MERGE INTO t USING s ON t.key = s.key
+    *    WHEN MATCHED AND deleteCond THEN DELETE
+    *    WHEN MATCHED [AND updateCond] THEN UPDATE SET ...
+    *    WHEN NOT MATCHED THEN INSERT *`.
+    * Clause order is fixed delete-then-update (SQL MERGE evaluates clauses
+    * in declaration order; first hit wins). Conditions and SET expressions
+    * are SQL over the aliases `t` (target) and `s` (source).
+    *
+    * Scale shape: source keys bound a range, and only target files whose
+    * `keyCol` min/max intersects it rewrite — every other manifest carries
+    * by pointer exactly as [[deleteRange]], so commit cost tracks the
+    * merge's blast radius, not table size. The single equi-join against
+    * the source is Catalyst-planned (broadcast when the source is small).
+    * Matching against only the affected files is exact: a target key equal
+    * to any source key lies inside the source range, so its file is always
+    * in the affected set. */
+  def merge(
+      source: DataFrame,
+      keyCol: String,
+      deleteCondSql: Option[String] = None,
+      updateSetSql: Map[String, String] = Map.empty,
+      updateCondSql: Option[String] = None,
+      insertUnmatched: Boolean = true): IceTable = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, min, not, when}
+    val md   = metadata
+    val snap = md.currentSnapshot
+    val aligned = source.select(
+      md.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val dupKeys = aligned.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    require(dupKeys == 0, s"merge source has duplicate keys on $keyCol")
+    val bounds = aligned.agg(
+      min(col(keyCol)).cast("string").as("lo"), max(col(keyCol)).cast("string").as("hi")).head()
+    if (bounds.isNullAt(0)) return this // empty source: nothing matches, nothing inserts
+    val affected = planFiles(keyCol, Some(bounds.getString(0)), Some(bounds.getString(1)))
+    val hitSet   = affected.toSet
+    val carried = snap.toSeq.flatMap(sn => sn.manifests.zipWithIndex.flatMap { case (m, i) =>
+      val summary = sn.summaryAt(i).getOrElse(Map.empty)
+      val entries = readManifest(m)
+      if (!entries.exists(e => hitSet(e.file)))
+        Some(m -> summary)
+      else {
+        val remaining = entries.filterNot(e => hitSet(e.file))
+        if (remaining.isEmpty) None
+        else Some(writeFilteredManifest(remaining) -> summarize(md.schema, remaining))
+      }
+    })
+    val t      = readFiles(md, affected).alias("t")
+    val srcA   = aligned.alias("s")
+    val tKey   = col(s"t.$keyCol")
+    val sKey   = col(s"s.$keyCol")
+    val joined = t.join(srcA, tKey === sKey, "full_outer")
+    val matched = tKey.isNotNull && sKey.isNotNull
+    val delHit  = matched && coalesce(deleteCondSql.map(expr).getOrElse(lit(false)), lit(false))
+    val updHit  = matched && not(delHit) &&
+      coalesce(updateCondSql.map(expr).getOrElse(lit(true)), lit(false))
+    val insRow  = tKey.isNull
+    val kept = joined.filter(
+      not(delHit) && (if (insertUnmatched) lit(true) else not(insRow)))
+    val out = kept.select(md.schema.fields.map { f =>
+      when(insRow, col(s"s.${f.name}"))
+        .when(updHit, updateSetSql.get(f.name).map(expr).getOrElse(col(s"t.${f.name}")))
+        .otherwise(col(s"t.${f.name}"))
+        .cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    appendInternal(out, replace = true, operation = "merge", carry = carried)
+  }
+
   /** Roll the current pointer back to an earlier snapshot (Iceberg
     * rollback-to-snapshot). A new metadata version commits with the old
     * snapshot as current — history is preserved, so the rolled-back-from

@@ -443,12 +443,70 @@ object Sim {
       FROM e JOIN cell USING (vec_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ------------------------------------------- int8 scalar quantization
+
+  /** Int8 scalar quantization of the embedding corpus (the memory-compression
+    * step before an ANN index ships to serving): each dim quantizes to
+    * q = clamp(floor(x·64), ±127), and the per-vector reconstruction error
+    * is audited EXACTLY — (x − q/64) is a difference of dyadic doubles, so
+    * scaling by 2^20 and flooring yields an integer error term whose sum is
+    * association-order-free. Output is the error histogram (bucket = err
+    * div 2^16) plus saturation counts: map-side per-vector work, one
+    * constant-size (histogram-keyed) shuffle — a single pass at 100 TB.
+    */
+  private def sq8Quantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .map { case (id, vf) =>
+        var err = 0L
+        var sat = 0L
+        var i   = 0
+        while (i < vf.length) {
+          val x  = vf(i).toDouble
+          val q0 = math.floor(x * 64.0)
+          val q  = math.max(-127.0, math.min(127.0, q0))
+          if (q != q0) sat += 1
+          err += math.floor((x - q / 64.0) * 1048576.0).toLong
+          i += 1
+        }
+        (id, err, sat)
+      }
+      .toDF("vec_id", "err_q", "n_sat")
+      .groupBy(expr("err_q div 65536").as("err_bucket"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min("err_q").as("min_err"),
+        max("err_q").as("max_err"),
+        sum("n_sat").as("n_saturated"))
+      .orderBy("err_bucket")
+  }
+
+  private val sq8QuantizeOracle =
+    s"""WITH $duckVecs,
+      q AS (
+        SELECT vec_id,
+               x,
+               GREATEST(-127, LEAST(127, FLOOR(x * 64.0))) AS qv,
+               CASE WHEN FLOOR(x * 64.0) BETWEEN -127 AND 127 THEN 0 ELSE 1 END AS sat
+        FROM e),
+      pv AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(FLOOR((x - qv / 64.0) * 1048576.0) AS BIGINT)) AS BIGINT) AS err_q,
+               CAST(SUM(sat) AS BIGINT) AS n_sat
+        FROM q GROUP BY vec_id)
+      SELECT err_q // 65536 AS err_bucket, COUNT(*) AS n_vecs,
+             MIN(err_q) AS min_err, MAX(err_q) AS max_err,
+             CAST(SUM(n_sat) AS BIGINT) AS n_saturated
+      FROM pv GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
     Q("sm03_lsh_buckets", lshBuckets, Some(lshBucketsOracle)),
     Q("sm04_lsh_search", lshSearch, Some(lshSearchOracle)),
     Q("sm05_ivf_search", ivfSearch, Some(ivfSearchOracle)),
-    Q("sm06_kmeans_step", kmeansStep, Some(kmeansStepOracle))
+    Q("sm06_kmeans_step", kmeansStep, Some(kmeansStepOracle)),
+    Q("sm07_sq8_quantize", sq8Quantize, Some(sq8QuantizeOracle))
   )
 }

@@ -441,6 +441,51 @@ object Text {
       FROM h JOIN c USING (h) GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------- vocabulary coverage
+
+  /** Zipf coverage curve: how much of the token stream the top-100 words
+    * cover — the vocabulary-sizing metric a tokenizer-training pipeline
+    * computes before fixing a vocab. One grouped count (the only shuffle),
+    * then top-k; the cumulative sum runs over the 100 surviving rows only,
+    * so the unpartitioned window is constant-size at any corpus scale.
+    * Counts stay exact BIGINTs; the single coverage division happens once
+    * per output row on exact integer inputs, identical IEEE in both
+    * engines. */
+  private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = words(Tables.documents(s, d))
+      .select(explode(col("ws")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val top   = counts.orderBy(desc("cnt"), asc("word")).limit(100)
+    val w     = Window.orderBy(desc("cnt"), asc("word"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top
+      .withColumn("rank", row_number().over(Window.orderBy(desc("cnt"), asc("word"))))
+      .withColumn("cum_cnt", sum("cnt").over(w))
+      .crossJoin(total)
+      .select(col("rank").cast("long").as("rank"), col("word"), col("cnt"),
+        col("cum_cnt"), round(col("cum_cnt") / col("total"), 6).as("coverage"))
+      .orderBy("rank")
+  }
+
+  private val vocabCoverageOracle =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      c AS (SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+      t AS (SELECT SUM(cnt) AS total FROM c),
+      top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100),
+      r AS (
+        SELECT word, cnt,
+               row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cnt
+        FROM top)
+      SELECT CAST(rank AS BIGINT) AS rank, word, cnt, cum_cnt,
+             ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS coverage
+      FROM r CROSS JOIN t ORDER BY rank"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -452,6 +497,7 @@ object Text {
     Q("tx08_tfidf", tfidf, Some(tfidfOracle)),
     Q("tx09_repetition", repetition, Some(repetitionOracle)),
     Q("tx10_redaction", redaction, Some(redactionOracle)),
-    Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle))
+    Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle)),
+    Q("tx12_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle))
   )
 }

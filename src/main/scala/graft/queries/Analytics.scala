@@ -821,7 +821,60 @@ object Analytics {
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
           AND NOT EXISTS (SELECT 1 FROM orders o2
                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- time-series gap fill + forward fill: urgent-order daily series
+    //      over calendar 1995, missing days zero-filled from a generated
+    //      calendar spine, last-active-day carried forward (LOCF). The
+    //      spine is range()-generated (no data shuffle to build it) and the
+    //      join is spine-sized, not fact-sized; at 100 TB the daily
+    //      pre-aggregate is the only fact-table shuffle and the forward
+    //      fill runs over the constant-size (365-row) joined series.
+    //      Revenue sums in DECIMAL (order-independent), cast once at the end.
+    Q("an34_gapfill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(to_date(col("o_orderdate")).as("day"), dec(col("o_totalprice")).as("p"))
+          .filter(col("day").between("1995-01-01", "1995-12-31"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_orders"), sum("p").as("rev"))
+        val spine = s.range(365)
+          .select(date_add(lit("1995-01-01").cast("date"), col("id").cast("int")).as("day"))
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("rev").cast("double"), lit(0.0)).as("revenue"))
+          .withColumn("last_active_day",
+            last(when(col("n_orders") > 0, col("day")), ignoreNulls = true).over(w))
+          .withColumn("days_since_active",
+            datediff(col("day"), col("last_active_day")).cast("long"))
+          .orderBy("day")
+      },
+      Some("""WITH spine AS (
+          SELECT CAST(range AS DATE) AS day
+          FROM range(TIMESTAMP '1995-01-01', TIMESTAMP '1996-01-01', INTERVAL 1 DAY)),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND CAST(o_orderdate AS DATE) BETWEEN '1995-01-01' AND '1995-12-31'
+          GROUP BY 1),
+        filled AS (
+          SELECT s.day, COALESCE(n_orders, 0) AS n_orders,
+                 CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue
+          FROM spine s LEFT JOIN daily d ON s.day = d.day)
+        SELECT day, n_orders, revenue,
+               last_value(CASE WHEN n_orders > 0 THEN day END IGNORE NULLS) OVER (
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_active_day,
+               CAST(day - last_value(CASE WHEN n_orders > 0 THEN day END IGNORE NULLS) OVER (
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS days_since_active
+        FROM filled ORDER BY day"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).

@@ -917,6 +917,47 @@ object IceQueries {
   private val icebergExpireOracle =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** Multi-clause MERGE INTO: one commit applies deletes, conditional
+    * updates, and inserts from a derived source — the lakehouse upsert
+    * verb (Iceberg `MERGE INTO`, reference's managed-table write path).
+    * The source is a deterministic function of `customer`: key%7==0 rows
+    * update (segment + acctbal), key%7==1 rows delete, key%97==0 rows
+    * re-insert under key+1,000,000. The oracle replays the same clauses in
+    * plain SQL over the original parquet. */
+  private def mergeQ(s: SparkSession, d: String): DataFrame = {
+    val wh   = freshDir(s, "mg")
+    val cat  = new FsCatalog(s, wh)
+    val cust = Tables.customer(s, d)
+    val t    = cat.createOrReplaceTable("graft", "cust_mg", cust)
+    val upd = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("UPD"))
+    val del = cust.filter(col("c_custkey") % 7 === 1)
+      .withColumn("c_mktsegment", lit("DEL"))
+    val ins = cust.filter(col("c_custkey") % 97 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .withColumn("c_mktsegment", lit("NEW"))
+    t.merge(
+      upd.unionByName(del).unionByName(ins),
+      keyCol = "c_custkey",
+      deleteCondSql = Some("s.c_mktsegment = 'DEL'"),
+      updateSetSql = Map(
+        "c_acctbal"    -> "t.c_acctbal + 100.0",
+        "c_mktsegment" -> "s.c_mktsegment"))
+    t.scan().orderBy("c_custkey")
+  }
+
+  private val mergeOracle =
+    """WITH merged AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'UPD' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 1),
+      ins AS (
+        SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
+               'NEW' AS c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0)
+      SELECT * FROM merged UNION ALL SELECT * FROM ins ORDER BY c_custkey"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -961,6 +1002,7 @@ object IceQueries {
     Q("ic32_iceberg_temporal", icebergTemporalQ, Some(icebergTemporalOracle)),
     Q("ic33_iceberg_spec_evolution", icebergSpecEvolutionQ, Some(icebergSpecEvolutionOracle)),
     Q("ic34_rewrite_manifests", icebergRewriteManifestsQ, Some(icebergRewriteManifestsOracle)),
-    Q("ic35_iceberg_expire", icebergExpireQ, Some(icebergExpireOracle))
+    Q("ic35_iceberg_expire", icebergExpireQ, Some(icebergExpireOracle)),
+    Q("ic36_merge", mergeQ, Some(mergeOracle))
   )
 }

@@ -407,6 +407,39 @@ class MaintenanceSpec extends SparkSpec {
       s"metadata grew super-linearly: v2=${readMeta(2).length}B v4=${readMeta(4).length}B")
   }
 
+  test("merge applies delete/update/insert clauses; untouched files carry") {
+    val cat = new FsCatalog(spark, scratch("mrg"))
+    val lo  = orders.filter(col("o_orderkey") < 1000).coalesce(1)
+    val hi  = orders.filter(col("o_orderkey") >= 1000).coalesce(1)
+    val t   = cat.createOrReplaceTable("ns", "orders_mg", lo)
+    t.append(hi)
+    val preSnap    = t.snapshots().last
+    val hiManifest = preSnap.manifests.last // commit 2's manifest (hi file)
+    // source confined to keys < 500: delete 'F' rows, bump others' price,
+    // insert one brand-new key 250 (a gap inside the lo file's range)
+    val srcBase = orders.filter(col("o_orderkey") < 500)
+    val src = srcBase
+      .unionByName(srcBase.limit(1).withColumn("o_orderkey", lit(250L))
+        .withColumn("o_orderstatus", lit("N")))
+      .filter(col("o_orderkey") =!= 250L || col("o_orderstatus") === "N")
+    t.merge(src, "o_orderkey",
+      deleteCondSql = Some("s.o_orderstatus = 'F'"),
+      updateSetSql  = Map("o_totalprice" -> "t.o_totalprice + 1.0"))
+    val expectDeleted  = orders.filter(col("o_orderkey") < 500 &&
+      col("o_orderstatus") === "F" && col("o_orderkey") =!= 250L).count()
+    val expectInserted = orders.filter(col("o_orderkey") === 250L).count() match {
+      case 0 => 1L // key 250 absent from orders -> pure insert
+      case _ => 0L
+    }
+    assert(t.scan().count() == orders.count() - expectDeleted + expectInserted)
+    // clause order: a deleted row is NOT updated/kept
+    assert(t.scan().filter(col("o_orderkey") < 500 && col("o_orderstatus") === "F" &&
+      col("o_orderkey") =!= 250L).count() == 0)
+    // blast radius: the untouched hi manifest carries by pointer
+    assert(t.snapshots().last.manifests.contains(hiManifest))
+    assert(t.snapshots().last.operation == "merge")
+  }
+
   test("appendOnce tokens survive snapshot expiration") {
     val cat    = new FsCatalog(spark, scratch("tok"))
     val nation = Tables.nation(spark, sfDir)
