@@ -213,11 +213,57 @@ object Multimodal {
              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM sh GROUP BY media_type, shard ORDER BY media_type, shard"""
 
+  // --------------------------------------------- modality interleaving
+
+  /** Balanced modality interleave — the batch-assembly step that feeds a
+    * multimodal trainer alternating text/image items deterministically.
+    * The key scale property: the global order is PURE ARITHMETIC, not a
+    * global sort — each item's position is `2·(rank_in_modality−1) +
+    * modality_index`, so the only windows are per-modality rankings (one
+    * hash-partitioned shuffle each) and the interleaved order materializes
+    * with zero single-partition operators at any corpus size. The epoch is
+    * truncated to the smaller modality (standard balanced-sampling
+    * behavior). Gate output: the first 256 interleave positions. */
+  private def interleave(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = Tables.documents(s, d)
+      .select(col("doc_id").as("item_id"), lit("text").as("modality"))
+    val img = Tables.embeddings(s, d)
+      .select(col("vec_id").as("item_id"), lit("image").as("modality"))
+    val u  = text.unionByName(img)
+    val wm = Window.partitionBy("modality").orderBy("item_id")
+    val ranked = u.withColumn("rank_m", row_number().over(wm).cast("long"))
+    val nMin = u.groupBy("modality").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("n_min"))
+    ranked.crossJoin(nMin)
+      .filter(col("rank_m") <= col("n_min"))
+      .withColumn("pos",
+        (col("rank_m") - 1) * 2 + when(col("modality") === "image", 1L).otherwise(0L))
+      .filter(col("pos") < 256)
+      .select(col("pos"), expr("pos div 8").as("batch_id"), col("modality"), col("item_id"))
+      .orderBy("pos")
+  }
+
+  private val interleaveOracle =
+    """WITH t AS (SELECT doc_id AS item_id, 'text' AS modality FROM documents),
+      i AS (SELECT vec_id AS item_id, 'image' AS modality FROM embeddings),
+      u AS (SELECT * FROM t UNION ALL SELECT * FROM i),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY modality ORDER BY item_id)
+                        AS BIGINT) AS rank_m FROM u),
+      n AS (SELECT MIN(n) AS n_min
+            FROM (SELECT modality, COUNT(*) AS n FROM u GROUP BY 1)),
+      p AS (SELECT item_id, modality,
+                   (rank_m - 1) * 2 + CASE WHEN modality = 'image' THEN 1 ELSE 0 END AS pos
+            FROM r CROSS JOIN n WHERE rank_m <= n_min)
+      SELECT pos, pos // 8 AS batch_id, modality, item_id
+      FROM p WHERE pos < 256 ORDER BY pos"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
     Q("mm02_frame_sample", frames, Some(framesOracle)),
     Q("mm03_decode", decoded, Some(decodedOracle)),
     Q("mm04_resize", resized, Some(resizedOracle)),
-    Q("mm05_shard_pack", shardPack, Some(shardPackOracle))
+    Q("mm05_shard_pack", shardPack, Some(shardPackOracle)),
+    Q("mm06_interleave", interleave, Some(interleaveOracle))
   )
 }

@@ -475,6 +475,58 @@ object Pipeline {
       WHERE r.q >= m.med ORDER BY r.doc_id"""
   }
 
+  // ------------------------------------- length-bucketed curriculum
+
+  /** Short-to-long curriculum schedule: the corpus trains in length
+    * buckets (shortest documents first), deterministically shuffled inside
+    * each bucket by a salted content hash. The GLOBAL training position is
+    * two-level arithmetic — within-bucket rank plus a prefix-summed bucket
+    * offset (the offsets table is one row per bucket, broadcast back) —
+    * never a global sort or single-partition window, so the schedule
+    * materializes shuffle-parallel at 100 TB exactly like pp06's epoch
+    * shards. Gate output: the first 128 schedule positions. */
+  private val currSalt = "cur|"
+
+  private def curriculum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        least(lit(7L), expr("size(split(text, ' ')) div 40")).as("bucket"),
+        graft.functions.hashfns.rollHash(concat(lit(currSalt), col("text"))).as("h"))
+    val wB     = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    val ranked = docs.withColumn("rank_b", row_number().over(wB).cast("long"))
+    val wOff   = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("bucket", "off")
+    ranked.join(broadcast(offs), Seq("bucket"))
+      .withColumn("pos", col("off") + col("rank_b") - 1)
+      .filter(col("pos") < 128)
+      .select("pos", "bucket", "rank_b", "doc_id")
+      .orderBy("pos")
+  }
+
+  private val curriculumOracle: String = {
+    val h = Hashing.duckRollHash(s"'$currSalt' || text", Hashing.P, "c0")
+    s"""WITH t AS (
+        SELECT doc_id, LEAST(7, len(string_split(text, ' ')) // 40) AS bucket,
+               ($h) AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id, bucket,
+               CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+                 AS BIGINT) AS rank_b
+        FROM t),
+      o AS (
+        SELECT bucket,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM (SELECT bucket, COUNT(*) AS n FROM t GROUP BY bucket))
+      SELECT off + rank_b - 1 AS pos, bucket, rank_b, doc_id
+      FROM r JOIN o USING (bucket)
+      WHERE off + rank_b - 1 < 128 ORDER BY pos"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -484,6 +536,7 @@ object Pipeline {
     Q("pp06_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
     Q("pp07_neardup_curation", neardupCuration, Some(neardupCurationOracle)),
     Q("pp08_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
-    Q("pp09_quality_cut", qualityCut, Some(qualityCutOracle))
+    Q("pp09_quality_cut", qualityCut, Some(qualityCutOracle)),
+    Q("pp10_curriculum", curriculum, Some(curriculumOracle))
   )
 }

@@ -874,7 +874,59 @@ object Analytics {
                CAST(day - last_value(CASE WHEN n_orders > 0 THEN day END IGNORE NULLS) OVER (
                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS days_since_active
-        FROM filled ORDER BY day"""))
+        FROM filled ORDER BY day""")),
+
+    // ---- SCD2 dimension build (gaps-and-islands): collapse each
+    //      customer's order-priority history into validity intervals —
+    //      change rows open a new version, the next version's start closes
+    //      the previous one, the latest version stays open (NULL
+    //      valid_to). Everything is per-customer window work over ONE
+    //      hash-partitioned shuffle on o_custkey; no global sort, so the
+    //      build parallelizes by dimension key at any fact-table size.
+    Q("an35_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val byVer  = Window.partitionBy("o_custkey").orderBy("valid_from", "grp")
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("o_orderdate"),
+            col("o_orderpriority").as("attr"))
+          .withColumn("chg",
+            when(lag("attr", 1).over(byTime).isNull ||
+                 lag("attr", 1).over(byTime) =!= col("attr"), 1L).otherwise(0L))
+          .withColumn("grp", sum("chg").over(
+            byTime.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("o_custkey", "grp")
+          .agg(first("attr").as("attr"), // constant within the island
+            min("o_orderdate").as("valid_from"),
+            count(lit(1)).as("n_orders"))
+          .withColumn("valid_to", lead("valid_from", 1).over(byVer))
+          .select(col("o_custkey"), col("grp").cast("long").as("version"),
+            col("attr"), col("valid_from"), col("valid_to"), col("n_orders"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""WITH o AS (
+          SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                 o_orderpriority AS attr
+          FROM orders),
+        c AS (
+          SELECT *, CASE WHEN lag(attr) OVER w IS NULL OR lag(attr) OVER w <> attr
+                         THEN 1 ELSE 0 END AS chg
+          FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        g AS (
+          SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+          FROM c),
+        v AS (
+          SELECT o_custkey, grp, MIN(attr) AS attr, MIN(o_orderdate) AS valid_from,
+                 COUNT(*) AS n_orders
+          FROM g GROUP BY o_custkey, grp)
+        SELECT o_custkey, grp AS version, attr, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, grp)
+                 AS valid_to,
+               n_orders
+        FROM v ORDER BY o_custkey, version"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).
