@@ -443,6 +443,85 @@ object Sim {
       FROM e JOIN cell USING (vec_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---------------------------------------- k-means (3 Lloyd iterations)
+
+  /** Three full Lloyd iterations — sm06's step driven to the
+    * iterate-until-stable loop a real clustering job runs. Each round is
+    * one scan + one (cell, dim)-keyed shuffle; the ONLY driver-side state
+    * between rounds is the cells×dims centroid matrix (constant-size at
+    * any corpus scale — collecting it is the Lloyd pattern, not a
+    * bottleneck). Round-boundary determinism: next-round centroids are the
+    * 4-decimal quantized means (exact integer sums, division + round once
+    * per cell/dim), so both engines iterate from bit-identical centroids.
+    * A cell that loses all members keeps its previous centroid (never
+    * happens on the gated corpus — the oracle needs no mirror). */
+  private def kmeansIterate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+    var cents  = collectMatrix(s, d, idBound = ivfCells)
+    var result: DataFrame = null
+    for (iter <- 1 to 3) {
+      val bc = s.sparkContext.broadcast(cents)
+      val step = base
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (_, vf) =>
+            val v    = vf.map(_.toDouble)
+            val cell = assignCell(v, cs)
+            v.iterator.zipWithIndex.map { case (x, dim) =>
+              (cell, dim.toLong, math.floor(x * 1048576.0).toLong)
+            }
+          }
+        }
+        .toDF("cell", "d", "xq")
+        .groupBy("cell", "d")
+        .agg(
+          count(lit(1)).as("n_members"),
+          round(sum("xq") / (count(lit(1)) * lit(1048576.0)), 4).as("mean_q"))
+      result = step
+      if (iter < 3) {
+        val rows = step.select(col("cell"), col("d"), col("mean_q"))
+          .as[(Long, Long, Double)].collect()
+        val byCell = rows.groupBy(_._1).map { case (c, rs) =>
+          val arr = new Array[Double](64)
+          rs.foreach { case (_, dim, m) => arr(dim.toInt) = m }
+          c -> arr
+        }
+        cents = cents.map { case (cid, old, _) =>
+          val v = byCell.getOrElse(cid, old)
+          (cid, v, normv(v))
+        }
+      }
+    }
+    result.orderBy("cell", "d")
+  }
+
+  private val kmeansIterateOracle: String = {
+    def round(k: Int, src: String) =
+      s"""d2_$k AS (
+          SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+          FROM e v JOIN $src c USING (d) GROUP BY 1, 2),
+        rk_$k AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM d2_$k),
+        cell_$k AS (SELECT vec_id, cid AS cell FROM rk_$k WHERE rn = 1),
+        m_$k AS (
+          SELECT cell, d, COUNT(*) AS n_members,
+                 ROUND(SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) / (COUNT(*) * 1048576.0), 4) AS mean_q
+          FROM e JOIN cell_$k USING (vec_id)
+          GROUP BY 1, 2)"""
+    s"""WITH $duckVecs,
+      c_0 AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      ${round(1, "c_0")},
+      c_1 AS (SELECT cell AS cid, d, mean_q AS x FROM m_1),
+      ${round(2, "c_1")},
+      c_2 AS (SELECT cell AS cid, d, mean_q AS x FROM m_2),
+      ${round(3, "c_2")}
+      SELECT cell, d, n_members, mean_q FROM m_3 ORDER BY cell, d"""
+  }
+
   // ------------------------------------------- int8 scalar quantization
 
   /** Int8 scalar quantization of the embedding corpus (the memory-compression
@@ -507,6 +586,7 @@ object Sim {
     Q("sm04_lsh_search", lshSearch, Some(lshSearchOracle)),
     Q("sm05_ivf_search", ivfSearch, Some(ivfSearchOracle)),
     Q("sm06_kmeans_step", kmeansStep, Some(kmeansStepOracle)),
-    Q("sm07_sq8_quantize", sq8Quantize, Some(sq8QuantizeOracle))
+    Q("sm07_sq8_quantize", sq8Quantize, Some(sq8QuantizeOracle)),
+    Q("sm08_kmeans_iter", kmeansIterate, Some(kmeansIterateOracle))
   )
 }
