@@ -413,6 +413,19 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     readFiles(md, filesOf(snap))
   }
 
+  /** Time travel by wall clock (`FOR TIMESTAMP AS OF`): scan the latest
+    * snapshot committed at or before `tsMillis`. Resolution is a pure
+    * metadata lookup over the snapshot log — no data IO until the scan
+    * itself, like snapshot-id travel. */
+  def scanAsOf(tsMillis: Long): DataFrame = {
+    val md = metadata
+    val snap = md.snapshots.filter(_.timestamp_ms <= tsMillis)
+      .sortBy(s => (s.timestamp_ms, s.snapshot_id)).lastOption
+      .getOrElse(throw new NoSuchElementException(
+        s"no snapshot of table ${md.name} at or before $tsMillis"))
+    scanSnapshot(snap.snapshot_id)
+  }
+
   private def emptyFrame(md: TableMetadata): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
 

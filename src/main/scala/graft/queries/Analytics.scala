@@ -926,7 +926,45 @@ object Analytics {
                lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, grp)
                  AS valid_to,
                n_orders
-        FROM v ORDER BY o_custkey, version"""))
+        FROM v ORDER BY o_custkey, version""")),
+
+    // ---- trailing 7-day interval frame: per-priority daily revenue with a
+    //      time-RANGE window (value-based frame over day numbers, so gap
+    //      days shrink the window instead of sliding over fixed row
+    //      counts). Partitioned by priority — five independent series, no
+    //      single-partition window; revenue accumulates in DECIMAL
+    //      (order-independent), one double cast at the end.
+    Q("an36_time_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("day_num",
+            datediff(col("day"), lit("1995-01-01").cast("date")))
+        val w = Window.partitionBy("prio").orderBy("day_num").rangeBetween(-6, 0)
+        daily
+          .select(col("prio"), col("day"),
+            sum("n").over(w).as("n_7d"),
+            sum("rev").over(w).cast("double").as("rev_7d"))
+          .filter(col("day").between("1995-01-01", "1995-03-31"))
+          .orderBy("prio", "day")
+      },
+      Some("""WITH daily AS (
+          SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+                 COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+                 date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+          FROM orders GROUP BY 1, 2, 5),
+        win AS (
+          SELECT prio, day,
+                 CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+                 CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d
+          FROM daily
+          WINDOW w AS (PARTITION BY prio ORDER BY day_num
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT * FROM win
+        WHERE day BETWEEN '1995-01-01' AND '1995-03-31'
+        ORDER BY prio, day"""))
   )
 
   // ---- count-min sketch frequency estimation (heavy hitters).

@@ -958,6 +958,62 @@ object IceQueries {
         FROM customer WHERE c_custkey % 97 = 0)
       SELECT * FROM merged UNION ALL SELECT * FROM ins ORDER BY c_custkey"""
 
+  /** REST catalog lifecycle (the reference's Nessie role): create through
+    * the HTTP client against an embedded loopback service, append, publish
+    * the new snapshot via the CAS pointer swap, then load back through the
+    * catalog and scan. Data never moves through the catalog — only
+    * metadata pointers cross the wire, at any table size. */
+  private def restCatalogQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "rest")
+    val server = new RestCatalogServer(wh).start()
+    try {
+      val cat    = new RestCatalog(s, server.uri)
+      val nation = Tables.nation(s, d)
+      val t      = cat.createOrReplaceTable("graft", "nations_rest", nation)
+      val before = cat.metadataLocation("graft", "nations_rest")
+      t.append(nation)
+      cat.commitSwap("graft", "nations_rest", before, t.metadataLocation)
+      cat.loadTable("graft", "nations_rest").scan().orderBy("n_nationkey", "n_name")
+    } finally server.stop()
+  }
+
+  /** Write-audit-publish (WAP) — the Iceberg branch workflow for guarded
+    * ingest: stage the new batch on an `audit` branch (main is untouched
+    * and still serves the old data), validate the staged state, then
+    * publish atomically by fast-forwarding main. A failed audit would
+    * simply drop the branch — nothing to roll back, because nothing was
+    * published. All pointer moves: zero data IO beyond the staged write,
+    * at any table size. */
+  private def wapQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "wap")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t      = cat.createOrReplaceTable("graft", "nations_wap", nation) // main: snapshot 1
+    t.createBranch("audit")
+    t.appendToBranch("audit", nation) // staged, invisible on main
+    val mainBefore = t.scan().count()
+    // audit gate: staged row count must be exactly double the published one
+    require(t.scanRef("audit").count() == mainBefore * 2, "WAP audit failed")
+    t.fastForward("audit") // publish
+    t.dropRef("audit")
+    t.scan().orderBy("n_nationkey", "n_name")
+  }
+
+  /** `FOR TIMESTAMP AS OF` time travel: capture a wall-clock instant
+    * between two commits, then scan as of that instant — only the first
+    * commit is visible. Snapshot resolution is a metadata-log lookup;
+    * data IO starts only at the chosen snapshot's scan. */
+  private def timestampTravelQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "tsasof")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t      = cat.createOrReplaceTable("graft", "nations_ts", nation) // snapshot 1
+    val instant = System.currentTimeMillis()
+    Thread.sleep(5) // ensure the next commit lands strictly after `instant`
+    t.append(nation)                                                     // snapshot 2
+    t.scanAsOf(instant).orderBy("n_nationkey")
+  }
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -1003,6 +1059,13 @@ object IceQueries {
     Q("ic33_iceberg_spec_evolution", icebergSpecEvolutionQ, Some(icebergSpecEvolutionOracle)),
     Q("ic34_rewrite_manifests", icebergRewriteManifestsQ, Some(icebergRewriteManifestsOracle)),
     Q("ic35_iceberg_expire", icebergExpireQ, Some(icebergExpireOracle)),
-    Q("ic36_merge", mergeQ, Some(mergeOracle))
+    Q("ic36_merge", mergeQ, Some(mergeOracle)),
+    Q("ic37_rest_catalog", restCatalogQ,
+      Some("""SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+              ORDER BY n_nationkey, n_name""")),
+    Q("ic38_wap", wapQ,
+      Some("""SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+              ORDER BY n_nationkey, n_name""")),
+    Q("ic39_timestamp_travel", timestampTravelQ, Some(nationOracle))
   )
 }

@@ -162,4 +162,22 @@ class OpsSpec extends SparkSpec {
     assert(out.select("lang_pred").distinct().collect()
       .map(_.getString(0)).toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
+
+  test("arithmetic global orders are gapless permutations (mm06, pp10)") {
+    // both ops compute a GLOBAL position without a global sort; the
+    // correctness of that arithmetic is exactly "positions are 0..n-1,
+    // no duplicates, no gaps"
+    for (name <- Seq("mm06_interleave", "pp10_curriculum")) {
+      val pos = SparkEntry.registry.find(_.name == name).get.run(spark, sfDir)
+        .select("pos").collect().map(_.getLong(0)).sorted
+      assert(pos.nonEmpty, s"$name returned no rows")
+      assert(pos.toSeq == (0L until pos.length).toSeq,
+        s"$name positions are not a gapless 0..n-1 permutation")
+    }
+    // mm06 additionally alternates modalities strictly at every position
+    val mm = SparkEntry.registry.find(_.name == "mm06_interleave").get.run(spark, sfDir)
+      .select("pos", "modality").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(mm.forall { case (p, m) => (p % 2 == 0) == (m == "text") },
+      "mm06 even positions must be text, odd positions image")
+  }
 }
