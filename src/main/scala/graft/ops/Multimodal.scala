@@ -232,9 +232,11 @@ object Multimodal {
     * multimodal trainer alternating text/image items deterministically.
     * The key scale property: the global order is PURE ARITHMETIC, not a
     * global sort — each item's position is `2·(rank_in_modality−1) +
-    * modality_index`, so the only windows are per-modality rankings (one
-    * hash-partitioned shuffle each) and the interleaved order materializes
-    * with zero single-partition operators at any corpus size. The epoch is
+    * modality_index`, and the per-modality rank is itself a TWO-LEVEL
+    * computation (item_id range buckets → bucket-local row_number +
+    * broadcast prefix-summed bucket counts), so there is no
+    * one-partition-per-modality window wall at any corpus size (the same
+    * rewrite that took mm05 from 38.7 s to 1.0 s at 10×). The epoch is
     * truncated to the smaller modality (standard balanced-sampling
     * behavior). Gate output: the first 256 interleave positions. */
   private def interleave(s: SparkSession, d: String): DataFrame = {
@@ -243,9 +245,18 @@ object Multimodal {
       .select(col("doc_id").as("item_id"), lit("text").as("modality"))
     val img = Tables.embeddings(s, d)
       .select(col("vec_id").as("item_id"), lit("image").as("modality"))
-    val u  = text.unionByName(img)
-    val wm = Window.partitionBy("modality").orderBy("item_id")
-    val ranked = u.withColumn("rank_m", row_number().over(wm).cast("long"))
+    val u = text.unionByName(img)
+      .withColumn("bucket", expr("item_id div 65536"))
+    val wIn = Window.partitionBy("modality", "bucket").orderBy("item_id")
+    val wOff = Window.partitionBy("modality").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = u.groupBy("modality", "bucket").agg(count(lit(1)).as("nb"))
+      .withColumn("off", coalesce(sum("nb").over(wOff), lit(0L)))
+      .select("modality", "bucket", "off")
+    val ranked = u
+      .withColumn("r_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), Seq("modality", "bucket"))
+      .withColumn("rank_m", col("off") + col("r_in"))
     val nMin = u.groupBy("modality").agg(count(lit(1)).as("n"))
       .agg(min("n").as("n_min"))
     ranked.crossJoin(nMin)

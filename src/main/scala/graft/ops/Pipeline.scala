@@ -480,11 +480,13 @@ object Pipeline {
   /** Short-to-long curriculum schedule: the corpus trains in length
     * buckets (shortest documents first), deterministically shuffled inside
     * each bucket by a salted content hash. The GLOBAL training position is
-    * two-level arithmetic — within-bucket rank plus a prefix-summed bucket
-    * offset (the offsets table is one row per bucket, broadcast back) —
-    * never a global sort or single-partition window, so the schedule
-    * materializes shuffle-parallel at 100 TB exactly like pp06's epoch
-    * shards. Gate output: the first 128 schedule positions. */
+    * two-level arithmetic at BOTH levels — the within-bucket rank is
+    * computed over hash-range sub-buckets (the hash is uniform, so the
+    * (bucket, sub) windows stay balanced however large one length bucket
+    * grows) plus prefix-summed sub-bucket counts, and bucket offsets are a
+    * broadcast prefix over the 8-row bucket histogram — never a global
+    * sort or a window whose partition grows with the corpus. Gate output:
+    * the first 128 schedule positions. */
   private val currSalt = "cur|"
 
   private def curriculum(s: SparkSession, d: String): DataFrame = {
@@ -493,9 +495,18 @@ object Pipeline {
       .select(col("doc_id"),
         least(lit(7L), expr("size(split(text, ' ')) div 40")).as("bucket"),
         graft.functions.hashfns.rollHash(concat(lit(currSalt), col("text"))).as("h"))
-    val wB     = Window.partitionBy("bucket").orderBy("h", "doc_id")
-    val ranked = docs.withColumn("rank_b", row_number().over(wB).cast("long"))
-    val wOff   = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+      .withColumn("sub", expr("h div 8388608")) // monotone hash range, ~120 sub-buckets
+    val wIn = Window.partitionBy("bucket", "sub").orderBy("h", "doc_id")
+    val wSub = Window.partitionBy("bucket").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subOffs = docs.groupBy("bucket", "sub").agg(count(lit(1)).as("ns"))
+      .withColumn("sub_off", coalesce(sum("ns").over(wSub), lit(0L)))
+      .select("bucket", "sub", "sub_off")
+    val ranked = docs
+      .withColumn("r_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(subOffs), Seq("bucket", "sub"))
+      .withColumn("rank_b", col("sub_off") + col("r_in"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val offs = docs.groupBy("bucket").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
       .select("bucket", "off")
