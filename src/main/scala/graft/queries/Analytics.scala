@@ -264,11 +264,19 @@ object Analytics {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ---- ROLLUP (multi-level aggregation in one pass)
+    // pre-aggregate to (flag, status) granularity BEFORE the rollup:
+    // Spark's Expand otherwise replicates every input row once per
+    // grouping level, so the re-aggregation runs over ~6 partial rows
+    // instead of 3x the fact table (34.2 s -> sub-second at 10x sf0.1).
+    // COUNT re-aggregates as SUM of partial counts, DECIMAL sums stay
+    // exact under re-association.
     Q("an14_rollup",
       (s, d) =>
         Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n0"), sum(dec(col("l_quantity"))).as("s0"))
           .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .agg(sum("n0").as("n"), sum("s0").cast("double").as("sum_qty"))
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -501,11 +509,17 @@ object Analytics {
     // ---- CUBE: all 2^2 grouping combinations in one pass (an14's ROLLUP
     //      sibling; Spark plans both as a single Expand + hash aggregate,
     //      so the input scans once regardless of grouping-set count).
+    // an14's pre-aggregate-before-Expand shape: the cube re-aggregates
+    // ~15 (priority, status) partial rows, not 4x the fact table.
+    // DECIMAL partials re-associate exactly; the 2-dp round happens once
+    // at the end, identical to the single-pass value.
     Q("an24_cube",
       (s, d) =>
         Tables.orders(s, d)
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n0"), sum(dec(col("o_totalprice"))).as("s0"))
           .cube("o_orderpriority", "o_orderstatus")
-          .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("rev"))
+          .agg(sum("n0").as("n"), round(sum("s0"), 2).cast("double").as("rev"))
           .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus")),
       Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
