@@ -203,6 +203,37 @@ object Pipeline {
       FROM p LEFT JOIN k ON p.lang = k.lang ORDER BY p.lang"""
   }
 
+  // ------------------------------------------ data-mix audit report
+
+  /** The mix REPORT next to pp03's mix enforcement: the (source × lang)
+    * token-count matrix with each cell's share of the total token budget —
+    * the first table anyone asks for before (and after) a curation run.
+    * One scan + one shuffle on the tiny (source, lang) key; the total is a
+    * window over the grouped frame (O(groups) rows), never a second scan.
+    * Shares divide two exact longs, so both engines compute the identical
+    * double before the final round. */
+  private def mixAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    grouped
+      .withColumn("pct_tokens",
+        round(col("n_tokens") / sum("n_tokens").over(Window.partitionBy()), 4))
+      .orderBy("source", "lang")
+  }
+
+  private val mixAuditOracle: String =
+    """WITH g AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang)
+      SELECT source, lang, n_docs, n_tokens,
+             ROUND(n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE), 4) AS pct_tokens
+      FROM g ORDER BY source, lang"""
+
   // --------------------------------- stratified exact-quota subsampling
 
   /** Exact quotas per stratum: the k lowest content-hashes per language —
@@ -548,6 +579,7 @@ object Pipeline {
     Q("pp07_neardup_curation", neardupCuration, Some(neardupCurationOracle)),
     Q("pp08_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
     Q("pp09_quality_cut", qualityCut, Some(qualityCutOracle)),
-    Q("pp10_curriculum", curriculum, Some(curriculumOracle))
+    Q("pp10_curriculum", curriculum, Some(curriculumOracle)),
+    Q("pp11_mix_audit", mixAudit, Some(mixAuditOracle))
   )
 }

@@ -579,6 +579,107 @@ object Sim {
              CAST(SUM(n_sat) AS BIGINT) AS n_saturated
       FROM pv GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------ ANN quality eval (recall@k)
+
+  /** Recall@5 of the multi-probe LSH search (sm04) against exact
+    * brute-force ground truth — the "measure, don't guess" evaluation every
+    * ANN deployment runs before trusting its index. Ground truth for the 10
+    * query vectors is ONE broadcast-queries map-side pass over the corpus
+    * (10 dot products per row — O(corpus), not all-pairs) + a top-5 window;
+    * the LSH side is sm04's plan unchanged. Recall joins the two 50-row
+    * result sets on (qid, nid) and divides exact integers, so both engines
+    * compute the identical double. */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        (id, v, normv(v))
+      }
+    val bc  = s.sparkContext.broadcast(qs)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val exact = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          queries.iterator
+            .filter { case (qid, _, _) => qid != nid }
+            .map { case (qid, qv, qn) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid")
+    val approx = lshSearch(s, d).select("qid", "nid")
+    val hits = approx.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / lit(5.0), 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  private val annRecallOracle =
+    s"""WITH planes AS (
+        SELECT j, d, ((j * 64 + d) * 2654435761 % 4294967296) / 2147483648.0 - 1.0 AS w,
+               CAST(1 AS BIGINT) << j AS pw
+        FROM range(16) a(j), range(64) b(d)),
+      e AS (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+        FROM embeddings, range(64) t(d)),
+      dots AS (
+        SELECT vec_id, j, pw, SUM(x * w) AS dp
+        FROM e JOIN planes USING (d) GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      cand AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid
+        FROM sig q JOIN sig c
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         AND bit_count(xor(q.bucket, c.bucket)) <= 2),
+      dq AS (
+        SELECT cand.qid, cand.nid, SUM(a.x * b.x) AS dot
+        FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid AND a.d = b.d
+        GROUP BY 1, 2),
+      lsims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dq JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      lsh AS (
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM lsims) WHERE rn <= 5),
+      edots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 GROUP BY 1, 2),
+      esims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM edots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      exact AS (
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM esims) WHERE rn <= 5),
+      hits AS (
+        SELECT exact.qid, COUNT(lsh.nid) AS n_hits
+        FROM exact LEFT JOIN lsh ON exact.qid = lsh.qid AND exact.nid = lsh.nid
+        GROUP BY exact.qid)
+      SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+             ROUND(n_hits / 5.0, 4) AS recall
+      FROM hits ORDER BY qid"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -587,6 +688,7 @@ object Sim {
     Q("sm05_ivf_search", ivfSearch, Some(ivfSearchOracle)),
     Q("sm06_kmeans_step", kmeansStep, Some(kmeansStepOracle)),
     Q("sm07_sq8_quantize", sq8Quantize, Some(sq8QuantizeOracle)),
-    Q("sm08_kmeans_iter", kmeansIterate, Some(kmeansIterateOracle))
+    Q("sm08_kmeans_iter", kmeansIterate, Some(kmeansIterateOracle)),
+    Q("sm09_ann_recall", annRecall, Some(annRecallOracle))
   )
 }

@@ -257,6 +257,64 @@ object Text {
       FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------- LM perplexity filter (curation)
+
+  /** Perplexity-style fluency filter — the standard LM-based curation cut
+    * (keep the half of the corpus the n-gram model finds most fluent). The
+    * per-doc score is tx06's bigram avg log-probability; the cut is the
+    * corpus median, computed exactly. Docs at or above the median avg_logp
+    * (i.e. at or below median perplexity) are kept.
+    *
+    * Scale shape: scoring is the tx06 plan (broadcast LM probe — the model
+    * is vocabulary-sized); the median is one scalar over the doc-level
+    * frame. At 100 TB the exact percentile would swap to approx_percentile
+    * with identical plan shape. Cross-engine exactness: scores are rounded
+    * to 4dp BEFORE the median, and an interpolated median lies strictly
+    * between two consecutive order statistics, so no doc's membership can
+    * flip on a last-ulp difference between the engines' interpolation. */
+  private def perplexityCut(s: SparkSession, d: String): DataFrame = {
+    val allDocs = words(Tables.documents(s, d)).persist()
+    val docs    = allDocs.filter(size(col("ws")) >= 2)
+    val bigrams = docs
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")))
+      .select(col("doc_id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val uniCounts = allDocs
+      .select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val scored = bigrams
+      .join(broadcast(biCounts.join(uniCounts, Seq("w1"))), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(round(avg(log((col("c_bi") + 1).cast("double") / (col("c_uni") + 31L))), 4)
+        .as("avg_logp"))
+    val cut = scored.agg(expr("percentile(avg_logp, 0.5D)").as("med"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("avg_logp") >= col("med"))
+      .select(col("doc_id"), col("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val perplexityCutOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+        FROM w),
+      bi AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bg GROUP BY w1, w2),
+      uni AS (
+        SELECT u.w1, COUNT(*) AS c_uni
+        FROM (SELECT unnest(ws) AS w1 FROM w) u GROUP BY u.w1),
+      scored AS (
+        SELECT doc_id,
+               ROUND(AVG(ln(CAST(c_bi + 1 AS DOUBLE) / (c_uni + 31))), 4) AS avg_logp
+        FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+        GROUP BY doc_id),
+      cut AS (SELECT median(avg_logp) AS med FROM scored)
+      SELECT doc_id, avg_logp FROM scored, cut
+      WHERE avg_logp >= med ORDER BY doc_id"""
+
   // ------------------------------------------------------------- tf-idf
 
   /** Classic tf-idf document weighting: term frequency per (doc, word),
@@ -498,6 +556,7 @@ object Text {
     Q("tx09_repetition", repetition, Some(repetitionOracle)),
     Q("tx10_redaction", redaction, Some(redactionOracle)),
     Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle)),
-    Q("tx12_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle))
+    Q("tx12_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
+    Q("tx13_perplexity_cut", perplexityCut, Some(perplexityCutOracle))
   )
 }

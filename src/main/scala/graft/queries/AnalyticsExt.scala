@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics surface growth: UNPIVOT, ordered string aggregation,
+  * ANALYZE-style column statistics, and market-basket co-occurrence — all
+  * shapes a warehouse user expects once the relational core exists
+  * (SURVEY.md §2.3–2.7 "free in Spark" surface, made concrete and gated).
+  *
+  * Exactness discipline matches [[Analytics]]: money/string aggregates are
+  * order-independent (exact DECIMAL sums, sorted collect), every output ends
+  * in a total ORDER BY, and every computed column is aliased identically in
+  * the oracle.
+  */
+object AnalyticsExt {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  def all: Seq[Q] = Seq(
+
+    // ---- UNPIVOT: wide aggregate -> long (metric, value) rows. Spark has
+    //      no UNPIVOT keyword; `stack` inside a projection is the idiomatic
+    //      equivalent and stays inside whole-stage codegen. The wide agg is
+    //      computed ONCE (one scan, one shuffle on l_returnflag); the
+    //      unpivot is a zero-shuffle projection over 3 group rows — the
+    //      same plan shape at 100 TB, where the melt cost is O(groups),
+    //      never O(rows).
+    Q("an37_unpivot",
+      (s, d) => {
+        val wide = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+            count(lit(1)).cast("double").as("n_items"))
+        wide.select(col("l_returnflag"), expr(
+          """stack(3, 'n_items', n_items, 'sum_price', sum_price, 'sum_qty', sum_qty)
+             AS (metric, val)"""))
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_items
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, val FROM (
+          SELECT l_returnflag, 'n_items' AS metric, n_items AS val FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'sum_price', sum_price FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'sum_qty', sum_qty FROM wide)
+        ORDER BY l_returnflag, metric""")),
+
+    // ---- ordered string aggregation (LISTAGG / string_agg): per nation,
+    //      the alphabetized distinct market segments of its customers plus
+    //      exact distinct count. collect_set is order-nondeterministic by
+    //      itself; sort_array makes the aggregate order-independent, which
+    //      is the only way a string_agg survives distributed partial
+    //      aggregation. Cardinality story at scale: the set is bounded by
+    //      the segment vocabulary (5), so the per-group state is O(1).
+    Q("an38_string_agg",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            countDistinct("c_mktsegment").as("n_segments"),
+            array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+            count(lit(1)).as("n_custs"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               COUNT(*) AS n_custs
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- ANALYZE-style column statistics: per-column row count, null
+    //      count, exact NDV, min and max (as strings) for four lineitem
+    //      columns — the stats a cost-based optimizer or a data-quality
+    //      monitor collects. ONE scan computes all 14 aggregates (the
+    //      multi-distinct plans as one Expand + shuffle); the melt to one
+    //      row per column is a constant-size projection. At 100 TB the
+    //      exact NDVs would swap to approx_count_distinct (gated separately
+    //      as an33_hll_distinct) — the plan shape is otherwise identical.
+    Q("an39_column_stats",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("l_shipday", col("l_shipdate").cast("date"))
+        def stats(c: String): Seq[Column] = Seq(
+          countDistinct(col(c)).as(s"ndv_$c"),
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+        val cols  = Seq("l_orderkey", "l_returnflag", "l_shipday", "l_linenumber")
+        val aggs  = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
+        val wide  = li.agg(aggs.head, aggs.tail: _*)
+        // melt via explode(array(struct...)): identical field aliases per
+        // struct (stack would carry the source column names and mismatch)
+        val rows = cols.map(c => struct(
+          lit(c).as("column_name"), col("n_rows").as("n_rows"),
+          col(s"ndv_$c").as("ndv"), col(s"nulls_$c").as("n_nulls"),
+          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s")))
+        wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+          .orderBy("column_name")
+      },
+      Some("""WITH li AS (SELECT *, CAST(l_shipdate AS DATE) AS l_shipday FROM lineitem)
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+                 CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+                 CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+                 CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+                 CAST(MAX(l_orderkey) AS VARCHAR) AS max_s FROM li
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(*), CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+                 CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR) FROM li
+          UNION ALL
+          SELECT 'l_shipday', COUNT(*), CAST(COUNT(DISTINCT l_shipday) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(l_shipday) AS BIGINT),
+                 CAST(MIN(l_shipday) AS VARCHAR), CAST(MAX(l_shipday) AS VARCHAR) FROM li
+          UNION ALL
+          SELECT 'l_linenumber', COUNT(*), CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+                 CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR) FROM li)
+        ORDER BY column_name""")),
+
+    // ---- market-basket co-occurrence: top part-brand pairs bought in the
+    //      same order. The classic self-join shape: distinct (order, brand)
+    //      pairs first (bounding fan-out to brands²/2 per order, ~300 max,
+    //      regardless of order size), then an equi-self-join on l_orderkey
+    //      — a key-partitioned shuffle join whose skew is capped by the
+    //      per-order brand bound, so it survives 100 TB without salting.
+    //      The brand lookup broadcasts part (a dimension).
+    Q("an40_copurchase",
+      (s, d) => {
+        val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        val a = ob.select(col("ok"), col("b").as("b1"))
+        val b = ob.select(col("ok"), col("b").as("b2"))
+        a.join(b, Seq("ok")).filter(col("b1") < col("b2"))
+          .groupBy("b1", "b2")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(desc("n_orders"), asc("b1"), asc("b2"))
+          .limit(15)
+      },
+      Some("""WITH ob AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT a.b AS b1, b.b AS b2, COUNT(*) AS n_orders
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, b1, b2 LIMIT 15"""))
+  )
+}
