@@ -495,6 +495,41 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       .toDF("ref", "ref_type", "snapshot_id")
   }
 
+  /** `t.history`-style metadata table: the full snapshot log with each
+    * entry's ancestry flag — `is_current_ancestor` is false for snapshots
+    * orphaned by a rollback (Iceberg's history semantics). Pure metadata
+    * walk over the parent chain, O(commits), zero data IO. */
+  def historyTable(): DataFrame = {
+    import spark.implicits._
+    val md   = metadata
+    val byId = md.snapshots.map(s => s.snapshot_id -> s).toMap
+    val ancestors = Iterator
+      .iterate(byId.get(md.current_snapshot_id))(
+        _.flatMap(_.parent_snapshot_id).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.map(_.snapshot_id).toSet
+    md.snapshots.map(sn =>
+      (sn.snapshot_id, sn.parent_snapshot_id.getOrElse(0L),
+        ancestors.contains(sn.snapshot_id)))
+      .toDF("snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  /** `t.partitions`-style metadata table: one row per partition of the
+    * current snapshot with its data-file count, derived from manifest file
+    * paths alone (hive `k=v` segments) — planning-sized, no data IO. The
+    * inventory a compaction scheduler reads to find fragmented partitions. */
+  def partitionsTable(): DataFrame = {
+    import spark.implicits._
+    metadata.currentSnapshot.toSeq
+      .flatMap(filesOf)
+      .map { f =>
+        val segs = f.split('/').filter(_.contains("="))
+        if (segs.isEmpty) "<unpartitioned>" else segs.mkString("/")
+      }
+      .groupBy(identity).toSeq
+      .map { case (p, fs) => (p, fs.size.toLong) }
+      .toDF("partition", "n_files")
+  }
+
   // ------------------------------------------------- min/max file skipping
 
   /** Files of the current snapshot whose [min,max] range for `colName` can

@@ -1014,6 +1014,54 @@ object IceQueries {
     t.scanAsOf(instant).orderBy("n_nationkey")
   }
 
+  /** `t.history` metadata table under a rollback: snapshots orphaned by the
+    * pointer move must show `is_current_ancestor = false` (Iceberg history
+    * semantics) while the re-based append chains off the restored head. */
+  private def historyQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "hist")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t = cat.createOrReplaceTable("graft", "nations_hist", nation.coalesce(1)) // snap 1
+    t.append(nation.filter(col("n_regionkey") === 0).coalesce(1))                 // snap 2
+    t.append(nation.filter(col("n_regionkey") === 1).coalesce(1))                 // snap 3
+    t.rollback(2L)                                                 // orphan snap 3
+    t.append(nation.filter(col("n_regionkey") === 2).coalesce(1))  // snap 4, parent 2
+    t.historyTable().orderBy("snapshot_id")
+  }
+
+  private val historyOracle =
+    """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+              CAST(parent_id AS BIGINT) AS parent_id,
+              is_current_ancestor
+       FROM (VALUES (1, 0, true), (2, 1, true), (3, 2, false), (4, 2, true))
+         t(snapshot_id, parent_id, is_current_ancestor)
+       ORDER BY snapshot_id"""
+
+  /** `t.partitions` metadata table: per-partition file counts from manifest
+    * paths alone (planning-sized), joined with scan-derived row counts —
+    * the fragmentation inventory a compaction scheduler consumes. File
+    * counts are deterministic because every commit is a single write task
+    * (coalesce(1)): one file per partition value it touches. */
+  private def partitionsMetaQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "ptm")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t = cat.createOrReplaceTable("graft", "nations_ptm",
+      nation.coalesce(1), Seq("n_regionkey"))                     // 1 file/region
+    t.append(nation.filter(col("n_regionkey") < 2).coalesce(1))   // +1 in r0, r1
+    t.append(nation.filter(col("n_regionkey") === 4).coalesce(1)) // +1 in r4
+    val rows = t.scan()
+      .groupBy(concat(lit("n_regionkey="), col("n_regionkey")).as("partition"))
+      .agg(count(lit(1)).as("n_rows"))
+    t.partitionsTable().join(rows, "partition").orderBy("partition")
+  }
+
+  private val partitionsMetaOracle =
+    """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS partition,
+              CAST(1 + CASE WHEN n_regionkey IN (0, 1, 4) THEN 1 ELSE 0 END AS BIGINT) AS n_files,
+              CAST(COUNT(*) * CASE WHEN n_regionkey IN (0, 1, 4) THEN 2 ELSE 1 END AS BIGINT) AS n_rows
+       FROM nation GROUP BY n_regionkey ORDER BY partition"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -1066,6 +1114,8 @@ object IceQueries {
     Q("ic38_wap", wapQ,
       Some("""SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
               ORDER BY n_nationkey, n_name""")),
-    Q("ic39_timestamp_travel", timestampTravelQ, Some(nationOracle))
+    Q("ic39_timestamp_travel", timestampTravelQ, Some(nationOracle)),
+    Q("ic40_history", historyQ, Some(historyOracle)),
+    Q("ic41_partitions", partitionsMetaQ, Some(partitionsMetaOracle))
   )
 }
