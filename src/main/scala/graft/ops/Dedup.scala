@@ -143,6 +143,125 @@ object Dedup {
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(s, d).orderBy("doc_a", "doc_b")
 
+  // ------------------------------- minhash estimator quality (sketch eval)
+
+  /** Estimator audit for dd03 — "measure, don't guess" applied to the
+    * sketch itself: for every LSH candidate pair, the MinHash ESTIMATE of
+    * Jaccard (matching signature positions / 16) next to the exact value,
+    * with absolute error. The number that decides whether 16 hashes are
+    * enough before anyone trusts the index at 100 TB. Same bounded
+    * band-join shape as dd03; the estimate adds two per-doc signature
+    * probes (map-side zip_with), never a second corpus pass. */
+  private def minhashEst(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.hashfns
+    val hs = shingles(s, d).select(
+      col("doc_id"),
+      array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
+      .persist()
+    val sigs = hs.select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
+    val band = sigs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
+          s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bsig")
+    val cand = band.as("x")
+      .join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val c   = size(array_intersect(col("ha"), col("hb"))).cast("long")
+    val jac = c.cast("double") / (size(col("ha")) + size(col("hb")) - c).cast("double")
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .withColumn("eq", expr("size(filter(zip_with(sa, sb, (a, b) -> a = b), x -> x))"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jac, 4).as("jaccard"),
+        round(col("eq") / 16.0, 4).as("est_jaccard"),
+        round(abs(round(jac, 4) - round(col("eq") / 16.0, 4)), 4).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private lazy val minhashEstOracle =
+    s"""WITH $minhashPairsCte,
+      mh AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS BIGINT) AS eq
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.doc_a
+        JOIN sig y ON y.doc_id = c.doc_b AND y.j = x.j
+        GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             ROUND(m.eq / 16.0, 4) AS est_jaccard,
+             ROUND(ABS(p.jaccard - ROUND(m.eq / 16.0, 4)), 4) AS abs_err
+      FROM pairs p JOIN mh m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+      ORDER BY p.doc_a, p.doc_b"""
+
+  // --------------------------------- containment (asymmetric near-dup)
+
+  /** Containment classification over the dd03 candidate set: Jaccard is
+    * symmetric and misses subset duplication (a doc quoted whole inside a
+    * longer one), so each pair also gets |A∩B|/|A| and |A∩B|/|B| and a
+    * label — 'mutual' / 'a_in_b' / 'b_in_a' at 0.9 containment, else
+    * 'partial'. Thresholds compare the RAW integer-ratio doubles (identical
+    * in both engines); rounding is output-only. Same bounded candidate
+    * join as dd03 — no new scale surface. */
+  private def containment(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.hashfns
+    val hs = shingles(s, d).select(
+      col("doc_id"),
+      array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
+      .persist()
+    val band = hs
+      .select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
+          s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bsig")
+    val cand = band.as("x")
+      .join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val c  = size(array_intersect(col("ha"), col("hb"))).cast("double")
+    val ca = c / size(col("ha"))
+    val cb = c / size(col("hb"))
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(ca, 4).as("cont_a"), round(cb, 4).as("cont_b"),
+        when(ca >= 0.9 && cb >= 0.9, "mutual")
+          .when(ca >= 0.9, "a_in_b")
+          .when(cb >= 0.9, "b_in_a")
+          .otherwise("partial").as("kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private lazy val containmentOracle =
+    s"""WITH $minhashPairsCte
+      SELECT c.doc_a, c.doc_b,
+             ROUND(COALESCE(i.c, 0) / CAST(sa.sz AS DOUBLE), 4) AS cont_a,
+             ROUND(COALESCE(i.c, 0) / CAST(sb.sz AS DOUBLE), 4) AS cont_b,
+             CASE
+               WHEN COALESCE(i.c, 0) / CAST(sa.sz AS DOUBLE) >= 0.9
+                AND COALESCE(i.c, 0) / CAST(sb.sz AS DOUBLE) >= 0.9 THEN 'mutual'
+               WHEN COALESCE(i.c, 0) / CAST(sa.sz AS DOUBLE) >= 0.9 THEN 'a_in_b'
+               WHEN COALESCE(i.c, 0) / CAST(sb.sz AS DOUBLE) >= 0.9 THEN 'b_in_a'
+               ELSE 'partial'
+             END AS kind
+      FROM cand c
+      LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sz sa ON c.doc_a = sa.doc_id
+      JOIN sz sb ON c.doc_b = sb.doc_id
+      ORDER BY c.doc_a, c.doc_b"""
+
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the oracle twin
     * of [[minhashPairs]], shared by the dd03 and dd06 oracles. */
   private[graft] val minhashPairsCte = {
@@ -602,6 +721,8 @@ object Dedup {
     Q("dd06_cc_cluster", ccCluster, Some(ccClusterOracle)),
     Q("dd07_capped_jaccard", cappedJaccard, Some(cappedJaccardOracle)),
     Q("dd08_simhash_bucketed", simhashBucketed, Some(simhashBucketedOracle)),
+    Q("dd10_minhash_est", minhashEst, Some(minhashEstOracle)),
+    Q("dd11_containment", containment, Some(containmentOracle)),
     Q("dd09_embed_blocked_neardup", embedBlockedNearDup, Some(embedBlockedNearDupOracle))
   )
 }

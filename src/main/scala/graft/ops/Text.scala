@@ -315,6 +315,30 @@ object Text {
       SELECT doc_id, avg_logp FROM scored, cut
       WHERE avg_logp >= med ORDER BY doc_id"""
 
+  // ------------------------------------- boilerplate / template detection
+
+  /** Template detection by shared opening (C4-style boilerplate hunting at
+    * document granularity, next to tx11's line-level pass): documents that
+    * begin with the same 5 tokens are one template group. One shuffle on
+    * the prefix key; group state is (count, min) — O(1) — so the shape is
+    * identical at 100 TB, where the prefix would be hashed first to keep
+    * the key narrow. Output: multi-document groups with their
+    * representative (lowest doc_id), the dedup survivor. */
+  private def boilerplate(s: SparkSession, d: String): DataFrame =
+    words(Tables.documents(s, d))
+      .select(col("doc_id"), array_join(slice(col("ws"), 1, 5), " ").as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("prefix")
+
+  private val boilerplateOracle: String =
+    """WITH p AS (
+        SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix
+        FROM documents)
+      SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
+      FROM p GROUP BY prefix HAVING COUNT(*) > 1 ORDER BY prefix"""
+
   // ------------------------------------------------------------- tf-idf
 
   /** Classic tf-idf document weighting: term frequency per (doc, word),
@@ -557,6 +581,7 @@ object Text {
     Q("tx10_redaction", redaction, Some(redactionOracle)),
     Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle)),
     Q("tx12_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
-    Q("tx13_perplexity_cut", perplexityCut, Some(perplexityCutOracle))
+    Q("tx13_perplexity_cut", perplexityCut, Some(perplexityCutOracle)),
+    Q("tx14_boilerplate", boilerplate, Some(boilerplateOracle))
   )
 }

@@ -158,6 +158,30 @@ object AnalyticsExt {
         SELECT a.b AS b1, b.b AS b2, COUNT(*) AS n_orders
         FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b
         GROUP BY 1, 2
-        ORDER BY n_orders DESC, b1, b2 LIMIT 15"""))
+        ORDER BY n_orders DESC, b1, b2 LIMIT 15""")),
+
+    // ---- discrete percentiles: percentile_disc picks an ACTUAL value
+    //      (the smallest with cume_dist >= p — same rule in both engines,
+    //      probed before gating), so the result is exact with no
+    //      interpolation-order caveat at all. Complements an15's
+    //      percentile_cont. One shuffle on the group key; per-group state
+    //      for exact percentiles is the sorted run — at 100 TB this swaps
+    //      to approx_percentile, same plan shape.
+    Q("an42_percentile_disc",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25_disc"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          quantile_disc(o_totalprice, 0.25) AS p25_disc,
+          quantile_disc(o_totalprice, 0.5) AS p50_disc,
+          quantile_disc(o_totalprice, 0.9) AS p90_disc,
+          COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
