@@ -1008,6 +1008,21 @@ object IcebergFormat {
       publishSnapshot(snapId, seq)
     }
 
+    /** Data-file compaction (Iceberg `rewrite_data_files`, bin-pack with
+      * delete materialization): the caller stages the compacted file(s) —
+      * written from a scan of the CURRENT state, so every pending
+      * merge-on-read delete is applied in the rewrite — and this commit
+      * replaces ALL existing manifests (data and delete) with one fresh
+      * ADDED manifest for them. Earlier snapshots still reference the
+      * original manifests through their own manifest lists, so time travel
+      * to any pre-rewrite snapshot, deletes included, is untouched. The
+      * antidote to small-file sprawl AND to the per-read delete-join tax:
+      * after the rewrite, scans are pure data-file reads again. */
+    def rewriteDataFiles(files: Seq[DataFileInfo]): Unit = {
+      manifests = List.empty // replaced wholesale; old snapshots keep theirs
+      commit(files)
+    }
+
     /** Manifest compaction (Iceberg `rewrite_manifests`): merge every
       * data manifest into one manifest PER SPEC of status-EXISTING
       * entries (the spec forbids mixing specs in a manifest), keeping

@@ -1062,6 +1062,42 @@ object IceQueries {
               CAST(COUNT(*) * CASE WHEN n_regionkey IN (0, 1, 4) THEN 2 ELSE 1 END AS BIGINT) AS n_rows
        FROM nation GROUP BY n_regionkey ORDER BY partition"""
 
+  /** Standard-Iceberg `rewrite_data_files` (bin-pack compaction with
+    * delete materialization): two data files + a position-delete file are
+    * compacted into ONE clean data file in a replace commit. The gate
+    * checks all three contract points: the current snapshot plans exactly
+    * one file and scans with no delete joins; time travel to the
+    * pre-rewrite snapshot still applies the merge-on-read delete; time
+    * travel to the first snapshot still sees the undeleted rows. */
+  private def icebergRewriteDataQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root   = freshDir(s, "icerw")
+    val loc    = s"$root/nations_rw_ice"
+    val nation = Tables.nation(s, d).orderBy("n_nationkey")
+    val lo  = stageIcebergFile(s, root, loc, "lo", nation.filter(col("n_nationkey") < 10))
+    val hi  = stageIcebergFile(s, root, loc, "hi", nation.filter(col("n_nationkey") >= 10))
+    val del = Seq((lo.path, 0L), (lo.path, 3L), (lo.path, 7L)).toDF("file_path", "pos")
+    val w = new IcebergFormat.Writer(s, loc, nation.schema)
+    w.commit(Seq(lo, hi))                                                     // snap 1
+    w.commit(Seq(stageIcebergFile(s, root, loc, "del", del, content = 1)))    // snap 2
+    val preRewrite = IcebergFormat.scan(s, w.currentMetadataPath)
+      .orderBy("n_nationkey")
+    val compacted = stageIcebergFile(s, root, loc, "compacted", preRewrite)
+    w.rewriteDataFiles(Seq(compacted))                                        // snap 3
+    val planned = IcebergFormat.planFiles(s, w.currentMetadataPath, "n_nationkey", None, None)
+    require(planned.size == 1, s"bin-pack left ${planned.size} files, expected 1")
+    val atDelete = IcebergFormat.scanAt(s, w.currentMetadataPath, 2L).count()
+    val atStart  = IcebergFormat.scanAt(s, w.currentMetadataPath, 1L).count()
+    require(atStart == atDelete + 3,
+      s"time travel broken by rewrite: snap1=$atStart snap2=$atDelete")
+    new Engine(s, new FsCatalog(s, freshDir(s, "icerw_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+      .orderBy("n_nationkey")
+  }
+
+  private val icebergRewriteDataOracle =
+    "SELECT * FROM nation WHERE n_nationkey NOT IN (0, 3, 7) ORDER BY n_nationkey"
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -1116,6 +1152,7 @@ object IceQueries {
               ORDER BY n_nationkey, n_name""")),
     Q("ic39_timestamp_travel", timestampTravelQ, Some(nationOracle)),
     Q("ic40_history", historyQ, Some(historyOracle)),
-    Q("ic41_partitions", partitionsMetaQ, Some(partitionsMetaOracle))
+    Q("ic41_partitions", partitionsMetaQ, Some(partitionsMetaOracle)),
+    Q("ic42_iceberg_rewrite_data", icebergRewriteDataQ, Some(icebergRewriteDataOracle))
   )
 }
