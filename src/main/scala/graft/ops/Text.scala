@@ -283,11 +283,14 @@ object Text {
     val uniCounts = allDocs
       .select(explode(col("ws")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    // persisted: the doc-level score frame feeds both the median scalar
+    // and the filtered output — without it the whole LM chain runs twice
     val scored = bigrams
       .join(broadcast(biCounts.join(uniCounts, Seq("w1"))), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(round(avg(log((col("c_bi") + 1).cast("double") / (col("c_uni") + 31L))), 4)
         .as("avg_logp"))
+      .persist()
     val cut = scored.agg(expr("percentile(avg_logp, 0.5D)").as("med"))
     scored.crossJoin(broadcast(cut))
       .filter(col("avg_logp") >= col("med"))

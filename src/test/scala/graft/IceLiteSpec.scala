@@ -380,6 +380,29 @@ class IceLiteSpec extends SparkSpec {
     assert(all.count() == df.count())
   }
 
+  test("rewrite_data_files composes with later appends and keeps history") {
+    val root   = scratch("icerwspec")
+    val loc    = s"$root/t_rw"
+    val nation = Tables.nation(spark, sfDir)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      IcebergFormat.writeSingleFile(spark, root, loc, name, df)
+    val w = new IcebergFormat.Writer(spark, loc, nation.schema)
+    w.commit(Seq(stage("a", nation.filter(col("n_nationkey") < 10))))   // snap 1
+    w.commit(Seq(stage("b", nation.filter(col("n_nationkey") >= 10))))  // snap 2
+    val all = IcebergFormat.scan(spark, w.currentMetadataPath)
+    w.rewriteDataFiles(Seq(stage("packed", all)))                       // snap 3
+    assert(IcebergFormat.planFiles(
+      spark, w.currentMetadataPath, "n_nationkey", None, None).size == 1)
+    // appends after a rewrite land NEXT TO the compacted file
+    w.commit(Seq(stage("c", nation.filter(col("n_nationkey") < 5))))    // snap 4
+    assert(IcebergFormat.planFiles(
+      spark, w.currentMetadataPath, "n_nationkey", None, None).size == 2)
+    assert(IcebergFormat.scan(spark, w.currentMetadataPath).count() == 30)
+    // pre-rewrite snapshots still plan their own (uncompacted) manifests
+    assert(IcebergFormat.scanAt(spark, w.currentMetadataPath, 1L).count() == 10)
+    assert(IcebergFormat.scanAt(spark, w.currentMetadataPath, 2L).count() == 25)
+  }
+
   test("spec evolution + rewrite_manifests + expire: mixed-spec lifecycle") {
     import org.apache.hadoop.fs.Path
     val root = scratch("icelife")

@@ -452,4 +452,39 @@ class MaintenanceSpec extends SparkSpec {
     t.appendOnce(nation, "batch-0") // replay must STILL be a no-op
     assert(t.scan().count() == before, "retired token was forgotten")
   }
+
+  test("historyTable marks rollback orphans and survives expiration splice") {
+    val cat    = new FsCatalog(spark, scratch("hist"))
+    val nation = Tables.nation(spark, sfDir)
+    val t      = cat.createOrReplaceTable("ns", "nations_h", nation) // snap 1
+    t.append(nation)                                                 // snap 2
+    t.append(nation)                                                 // snap 3
+    t.rollback(2L)
+    t.append(nation)                                                 // snap 4, parent 2
+    val h = t.historyTable().collect().map(r =>
+      r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(h == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+    // expiration splices the DAG; the kept head must still be an ancestor
+    t.expireSnapshots(keepLast = 2)
+    val h2 = t.historyTable().collect().map(r =>
+      r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(h2.getOrElse(4L, false), "current head lost ancestry after splice")
+  }
+
+  test("partitionsTable counts files per partition from manifests alone") {
+    val cat    = new FsCatalog(spark, scratch("ptm"))
+    val nation = Tables.nation(spark, sfDir)
+    val t = cat.createOrReplaceTable("ns", "nations_p",
+      nation.coalesce(1), Seq("n_regionkey"))                     // 1 file/region
+    t.append(nation.filter(col("n_regionkey") === 0).coalesce(1)) // +1 in r0
+    val parts = t.partitionsTable().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts("n_regionkey=0") == 2L)
+    assert(parts("n_regionkey=1") == 1L)
+    assert(parts.size == 5)
+    // unpartitioned tables report a single synthetic bucket
+    val u = cat.createOrReplaceTable("ns", "nations_u", nation.coalesce(1))
+    val up = u.partitionsTable().collect().map(r => r.getString(0)).toSeq
+    assert(up == Seq("<unpartitioned>"))
+  }
 }
