@@ -234,6 +234,102 @@ object Pipeline {
              ROUND(n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE), 4) AS pct_tokens
       FROM g ORDER BY source, lang"""
 
+  // ------------------------------------- curation provenance ledger
+
+  /** Per-document disposition ledger — the audit artifact a curation run
+    * must ship with the dataset: WHY each input document survived or was
+    * dropped, with one deterministic precedence chain (benchmark holdout >
+    * exact duplicate > benchmark contamination ≥3 shingles > below-median
+    * quality > kept). Composes dd01's survivor rule, pp05's contamination
+    * probe, and pp09's per-language median cut in ONE plan: the exact-dup
+    * shuffle keys on the content (hash at 100 TB), the contamination probe
+    * broadcasts the benchmark shingle set, the quality cut reuses the
+    * shared scoring formula — three shuffles total, each on a natural key. */
+  private def provenance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val isBench = pmod(col("doc_id"), lit(50L)) === 3
+    val canon = docs.groupBy("text").agg(min("doc_id").as("canon_id"))
+    val sh = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.hashfns.wordShingles(col("text"), 3)).as("sg"))
+    val bench = sh.filter(isBench).select("sg").distinct()
+    val contaminated = sh.filter(!isBench)
+      .join(broadcast(bench), Seq("sg"))
+      .groupBy("doc_id").agg(countDistinct("sg").as("nhit"))
+      .filter(col("nhit") >= 3)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val stops = typedLit(Text.stopwords)
+    val scored = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        Text.qualityScore(
+          size(col("ws")).cast("long"),
+          size(filter(col("ws"), w => array_contains(stops, w))).cast("long")).as("q"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val med = ranked
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("q").as("med"))
+    docs
+      .join(canon, Seq("text"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(scored.select("doc_id", "q"), Seq("doc_id"))
+      .join(broadcast(med), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        when(isBench, "benchmark")
+          .when(col("doc_id") =!= col("canon_id"), "dropped_exact")
+          .when(col("contam"), "dropped_contaminated")
+          .when(col("q") < col("med"), "dropped_quality")
+          .otherwise("kept").as("disposition"))
+      .orderBy("doc_id")
+  }
+
+  private val provenanceOracle: String = {
+    val stopsIn = Text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws, text FROM documents),
+      canon AS (SELECT text, MIN(doc_id) AS canon_id FROM documents GROUP BY text),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shs
+        FROM w WHERE len(ws) >= 3),
+      e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      bench AS (SELECT DISTINCT sg FROM e WHERE doc_id % 50 = 3),
+      contam AS (
+        SELECT doc_id FROM e JOIN bench USING (sg)
+        WHERE doc_id % 50 <> 3
+        GROUP BY doc_id HAVING COUNT(DISTINCT sg) >= 3),
+      scored AS (
+        SELECT doc_id, lang,
+               ROUND(LEAST(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) * 0.5
+                     + (CAST(len(list_filter(ws, t -> t IN ($stopsIn))) AS DOUBLE) / len(ws)) * 0.5,
+                 4) AS q
+        FROM w),
+      ranked AS (
+        SELECT doc_id, lang, q,
+               row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scored),
+      med AS (SELECT lang, q AS med FROM ranked WHERE rn = (n + 1) // 2)
+      SELECT d.doc_id, d.lang,
+             CASE
+               WHEN d.doc_id % 50 = 3 THEN 'benchmark'
+               WHEN d.doc_id <> c.canon_id THEN 'dropped_exact'
+               WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
+               WHEN s.q < m.med THEN 'dropped_quality'
+               ELSE 'kept'
+             END AS disposition
+      FROM documents d
+      JOIN canon c ON d.text = c.text
+      LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+      JOIN scored s ON d.doc_id = s.doc_id
+      JOIN med m ON d.lang = m.lang
+      ORDER BY d.doc_id"""
+  }
+
   // --------------------------------- stratified exact-quota subsampling
 
   /** Exact quotas per stratum: the k lowest content-hashes per language —
@@ -580,6 +676,7 @@ object Pipeline {
     Q("pp08_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
     Q("pp09_quality_cut", qualityCut, Some(qualityCutOracle)),
     Q("pp10_curriculum", curriculum, Some(curriculumOracle)),
-    Q("pp11_mix_audit", mixAudit, Some(mixAuditOracle))
+    Q("pp11_mix_audit", mixAudit, Some(mixAuditOracle)),
+    Q("pp12_provenance", provenance, Some(provenanceOracle))
   )
 }

@@ -96,7 +96,7 @@ object Text {
 
   /** The quality-score formula, shared with the pp01 curation pipeline so
     * a tuning change cannot silently diverge the two (and their oracles). */
-  private[ops] def qualityScore(nWords: Column, stopCnt: Column): Column =
+  private[graft] def qualityScore(nWords: Column, stopCnt: Column): Column =
     round(
       least(nWords.cast("double") / 50.0, lit(1.0)) * 0.5 +
         (stopCnt.cast("double") / nWords) * 0.5, 4)

@@ -182,6 +182,49 @@ object AnalyticsExt {
           quantile_disc(o_totalprice, 0.5) AS p50_disc,
           quantile_disc(o_totalprice, 0.9) AS p90_disc,
           COUNT(*) AS n
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- running distinct count: cumulative distinct customers per
+    //      priority over order days. Spark has no COUNT(DISTINCT) OVER;
+    //      the scalable composition is first-occurrence flags (one window
+    //      over (priority, customer)) + a day-level running sum — state
+    //      per group is O(1), vs the naive set-accumulating frame that is
+    //      O(distinct) per ROW. The oracle runs DuckDB's NATIVE windowed
+    //      COUNT(DISTINCT), so the gate proves the composition equals the
+    //      real semantics, day-for-day.
+    Q("an43_running_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.orders(s, d).select(
+          col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"),
+          col("o_custkey"))
+        val firstSeen = Window.partitionBy("prio", "o_custkey").orderBy("day")
+        val daily = base
+          .withColumn("is_first",
+            when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+          .groupBy("prio", "day")
+          .agg(count(lit(1)).as("n_orders"), sum("is_first").as("new_custs"))
+        val cum = Window.partitionBy("prio").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .select(col("prio"), col("day"), col("n_orders"),
+            sum("new_custs").over(cum).as("cum_custs"))
+          .filter(col("day").between("1995-01-01", "1995-03-31"))
+          .orderBy("prio", "day")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day, o_custkey
+          FROM orders),
+        d AS (SELECT prio, day, COUNT(*) AS n_orders FROM base GROUP BY 1, 2),
+        rd AS (
+          SELECT DISTINCT prio, day,
+                 COUNT(DISTINCT o_custkey) OVER (PARTITION BY prio ORDER BY day
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_custs
+          FROM base)
+        SELECT d.prio, d.day, d.n_orders, CAST(rd.cum_custs AS BIGINT) AS cum_custs
+        FROM d JOIN rd ON d.prio = rd.prio AND d.day = rd.day
+        WHERE d.day BETWEEN '1995-01-01' AND '1995-03-31'
+        ORDER BY d.prio, d.day"""))
   )
 }

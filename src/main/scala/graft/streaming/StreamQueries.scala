@@ -407,6 +407,53 @@ object StreamQueries {
     """SELECT event_id, user_id, value FROM events
        WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  // ------------------------------------ streaming corpus curation gate
+
+  /** In-flight curation: tx02's quality score computed ON THE STREAM
+    * (stateless map — the Kafka → quality-gate → sink shape of a
+    * production ingest pipe) with a 0.6 keep threshold, then per-language
+    * kept/total accounting. The formula is `Text.qualityScore` itself, so
+    * batch and streaming curation cannot diverge. A stateless filter plus
+    * one complete-mode aggregation is deterministic under AvailableNow
+    * regardless of how the source splits into batches; the quality sum
+    * aggregates in exact DECIMAL so partial-merge order can't move it. */
+  private def streamCuration(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Text
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$d/documents.parquet").schema)
+      .parquet(s"$d/documents*.parquet")
+    val ws = split(col("text"), " ")
+    val scored = raw.select(
+      col("lang"),
+      size(ws).cast("long").as("n_words"),
+      size(filter(ws, w => array_contains(typedLit(Text.stopwords), w)))
+        .cast("long").as("stop_cnt"))
+      .withColumn("q", Text.qualityScore(col("n_words"), col("stop_cnt")))
+    val agg = scored.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("q") >= 0.6, 1L).otherwise(0L)).as("n_kept"),
+      round(sum(col("q").cast("decimal(8,4)")), 4).cast("double").as("sum_q"))
+    runToTable(s, agg, "st09_sink", "complete").orderBy("lang")
+  }
+
+  private val streamCurationOracle: String = {
+    val stops = graft.ops.Text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH x AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt
+        FROM documents),
+      q AS (
+        SELECT lang,
+               ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.5
+                     + (CAST(stop_cnt AS DOUBLE) / n_words) * 0.5, 4) AS q
+        FROM x)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(ROUND(SUM(CAST(q AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_q
+      FROM q GROUP BY lang ORDER BY lang"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -415,6 +462,7 @@ object StreamQueries {
     Q("st05_stream_ingest", streamIngest, Some(streamIngestOracle)),
     Q("st06_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
     Q("st07_stream_iceberg_cdc", streamIcebergCdc, Some(streamIcebergCdcOracle)),
-    Q("st08_stream_compaction", streamCompaction, Some(streamCompactionOracle))
+    Q("st08_stream_compaction", streamCompaction, Some(streamCompactionOracle)),
+    Q("st09_stream_curation", streamCuration, Some(streamCurationOracle))
   )
 }
