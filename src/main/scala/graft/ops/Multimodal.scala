@@ -282,12 +282,59 @@ object Multimodal {
       SELECT pos, pos // 8 AS batch_id, modality, item_id
       FROM p WHERE pos < 256 ORDER BY pos"""
 
+  // --------------------------- contrastive pair construction audit
+
+  /** Media↔embedding PAIR construction — the contrastive-training input
+    * table (CLIP-style): each payload joins its embedding row on id, gets
+    * a deterministic train/val split (doc_id mod 10, zero RNG), and the
+    * audit aggregates per (label, split): pair count, total payload
+    * bytes, and the summed embedding norm (4dp-quantized then
+    * DECIMAL-summed, so partial-merge order can't move the hash). At
+    * 100 TB both sides are bucketed by id, so the pairing join is
+    * co-partitioned; here it is one equi-join + one tiny aggregate. */
+  private def pairAudit(s: SparkSession, d: String): DataFrame = {
+    val media = mediaFrame(s, d)
+      .select(col("doc_id"), octet_length(col("content")).cast("long").as("nbytes"))
+    val embs = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("nrm"))
+    media.join(embs, col("doc_id") === col("vec_id"))
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(10L)) < 8, "train").otherwise("val"))
+      .groupBy("label", "split")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("nbytes").as("total_bytes"),
+        round(sum(round(col("nrm"), 4).cast("decimal(12,4)")), 4).cast("double").as("sum_norm"))
+      .orderBy("label", "split")
+  }
+
+  private val pairAuditOracle =
+    """WITH e AS (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+        FROM embeddings, range(64) t(d)),
+      nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes FROM documents),
+      pairs AS (
+        SELECT em.label,
+               CASE WHEN m.doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+               m.nbytes, n.nrm
+        FROM m
+        JOIN embeddings em ON m.doc_id = em.vec_id
+        JOIN nrm n ON n.vec_id = em.vec_id)
+      SELECT label, split, COUNT(*) AS n_pairs,
+             CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+             CAST(ROUND(SUM(CAST(ROUND(nrm, 4) AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_norm
+      FROM pairs GROUP BY label, split ORDER BY label, split"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
     Q("mm02_frame_sample", frames, Some(framesOracle)),
     Q("mm03_decode", decoded, Some(decodedOracle)),
     Q("mm04_resize", resized, Some(resizedOracle)),
     Q("mm05_shard_pack", shardPack, Some(shardPackOracle)),
-    Q("mm06_interleave", interleave, Some(interleaveOracle))
+    Q("mm06_interleave", interleave, Some(interleaveOracle)),
+    Q("mm07_pair_audit", pairAudit, Some(pairAuditOracle))
   )
 }

@@ -225,6 +225,46 @@ object AnalyticsExt {
         SELECT d.prio, d.day, d.n_orders, CAST(rd.cum_custs AS BIGINT) AS cum_custs
         FROM d JOIN rd ON d.prio = rd.prio AND d.day = rd.day
         WHERE d.day BETWEEN '1995-01-01' AND '1995-03-31'
-        ORDER BY d.prio, d.day"""))
+        ORDER BY d.prio, d.day""")),
+
+    // ---- robust statistics: median, MAD (median absolute deviation) and
+    //      a 3×MAD outlier count per priority — the outlier detector that
+    //      survives skewed money distributions where mean/stddev do not.
+    //      MAD is inherently two-pass (median, then median of deviations);
+    //      both pass results broadcast back as dimension-sized frames, so
+    //      the fact table is scanned, never re-shuffled wide. At 100 TB
+    //      both exact percentiles swap to approx_percentile, same shape.
+    Q("an44_robust_stats",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("x"))
+        val med = o.groupBy("prio").agg(expr("percentile(x, 0.5D)").as("med"))
+        val dev = o.join(broadcast(med), Seq("prio"))
+          .withColumn("adev", abs(col("x") - col("med")))
+        val mad = dev.groupBy("prio")
+          .agg(min("med").as("med"), expr("percentile(adev, 0.5D)").as("mad"))
+        dev.select("prio", "adev")
+          .join(broadcast(mad), Seq("prio"))
+          .groupBy("prio")
+          .agg(
+            round(min("med"), 4).as("median_price"),
+            round(min("mad"), 4).as("mad"),
+            sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+            count(lit(1)).as("n"))
+          .orderBy("prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS x FROM orders),
+        med AS (SELECT prio, quantile_cont(x, 0.5) AS med FROM o GROUP BY prio),
+        dev AS (SELECT o.prio, ABS(x - med) AS adev FROM o JOIN med USING (prio)),
+        mad AS (
+          SELECT d.prio, MIN(m.med) AS med, quantile_cont(d.adev, 0.5) AS mad
+          FROM dev d JOIN med m ON d.prio = m.prio GROUP BY d.prio)
+        SELECT d.prio,
+               ROUND(MIN(m.med), 4) AS median_price,
+               ROUND(MIN(m.mad), 4) AS mad,
+               CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               COUNT(*) AS n
+        FROM dev d JOIN mad m ON d.prio = m.prio
+        GROUP BY d.prio ORDER BY d.prio"""))
   )
 }
