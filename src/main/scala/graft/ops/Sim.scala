@@ -579,6 +579,66 @@ object Sim {
              CAST(SUM(n_sat) AS BIGINT) AS n_saturated
       FROM pv GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------- product quantization (PQ codes)
+
+  /** Product quantization — the compressed layout large ANN indexes store
+    * vectors in (FAISS-style IVF-PQ residual coding, minus the IVF level
+    * gated separately as sm05): the 64-dim space splits into 4 16-dim
+    * subspaces, each with its own 8-entry codebook (deterministic
+    * "training": the sub-vectors of the 8 lowest-id vectors, sm05's
+    * codebook convention), and every vector is stored as 4 small codes.
+    * The audit reports per (subspace, code) usage and the summed
+    * reconstruction error (4dp-quantized then DECIMAL-summed, so
+    * partial-merge order can't move it) — the table that decides whether
+    * 8 codes/subspace is enough before anyone ships the compressed index.
+    * Codebook stays broadcast-sized at any corpus; encoding is map-only:
+    * one scan + a 32-row aggregate. Ties break to the smaller code id in
+    * both engines. */
+  private def pqQuantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val books = collectMatrix(s, d, idBound = 8).map { case (cid, v, _) => (cid, v) }
+    val bc = s.sparkContext.broadcast(books)
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .flatMap { case (_, vf) =>
+        val v  = vf.map(_.toDouble)
+        val cb = bc.value
+        (0 until 4).iterator.map { sub =>
+          val off = sub * 16
+          var bestCode = -1L
+          var bestD    = Double.PositiveInfinity
+          cb.foreach { case (cid, cv) =>
+            var dd = 0.0
+            var i  = 0
+            while (i < 16) { val t = v(off + i) - cv(off + i); dd += t * t; i += 1 }
+            if (dd < bestD) { bestD = dd; bestCode = cid } // ascending: ties keep min cid
+          }
+          (sub.toLong, bestCode, bestD)
+        }
+      }
+      .toDF("sub", "code", "err")
+      .groupBy("sub", "code")
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        round(sum(round(col("err"), 4).cast("decimal(14,4)")), 4).cast("double").as("sum_err"))
+      .orderBy("sub", "code")
+  }
+
+  private val pqQuantizeOracle =
+    s"""WITH $duckVecs,
+      cb AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < 8),
+      d2 AS (
+        SELECT v.vec_id, v.d // 16 AS sub, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS err
+        FROM e v JOIN cb c ON v.d = c.d
+        GROUP BY 1, 2, 3),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY err, cid) AS rn
+        FROM d2),
+      asg AS (SELECT vec_id, sub, cid AS code, err FROM rk WHERE rn = 1)
+      SELECT CAST(sub AS BIGINT) AS sub, code, COUNT(*) AS n_assigned,
+             CAST(ROUND(SUM(CAST(ROUND(err, 4) AS DECIMAL(14,4))), 4) AS DOUBLE) AS sum_err
+      FROM asg GROUP BY sub, code ORDER BY sub, code"""
+
   // ------------------------------------------ ANN quality eval (recall@k)
 
   /** Recall@5 of the multi-probe LSH search (sm04) against exact
@@ -689,6 +749,7 @@ object Sim {
     Q("sm06_kmeans_step", kmeansStep, Some(kmeansStepOracle)),
     Q("sm07_sq8_quantize", sq8Quantize, Some(sq8QuantizeOracle)),
     Q("sm08_kmeans_iter", kmeansIterate, Some(kmeansIterateOracle)),
-    Q("sm09_ann_recall", annRecall, Some(annRecallOracle))
+    Q("sm09_ann_recall", annRecall, Some(annRecallOracle)),
+    Q("sm10_pq_quantize", pqQuantize, Some(pqQuantizeOracle))
   )
 }
