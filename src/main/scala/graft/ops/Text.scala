@@ -342,6 +342,42 @@ object Text {
       SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
       FROM p GROUP BY prefix HAVING COUNT(*) > 1 ORDER BY prefix"""
 
+  // ----------------------------------------------- character entropy
+
+  /** Character-level Shannon entropy per document — the Gopher-style
+    * low-entropy filter signal (catches base64 blobs, repeated-char
+    * padding, and template noise that length/stopword ratios miss).
+    * One shuffle on the (doc, char) key — alphabet-bounded fan-in — then
+    * a per-doc sum of ~|alphabet| terms; entropy and the char count are
+    * map-stage work at 100 TB. Output rounds to 4dp (the repo's standard
+    * group-sum association guard, as tx06). */
+  private def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), length(col("text")).cast("double").as("len"),
+        explode(split(col("text"), "")).as("ch"))
+    chars
+      .groupBy("doc_id", "len", "ch")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_chars"),
+        round(sum(-(col("cnt") / col("len")) * log(2.0, col("cnt") / col("len"))), 4)
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  private val charEntropyOracle: String =
+    """WITH c AS (
+        SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+               unnest(string_split(text, '')) AS ch
+        FROM documents),
+      f AS (
+        SELECT doc_id, len, ch, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM c GROUP BY doc_id, len, ch)
+      SELECT doc_id, COUNT(*) AS n_distinct_chars,
+             ROUND(SUM(-(cnt / len) * log2(cnt / len)), 4) AS entropy_bits
+      FROM f GROUP BY doc_id ORDER BY doc_id"""
+
   // ------------------------------------------------------------- tf-idf
 
   /** Classic tf-idf document weighting: term frequency per (doc, word),
@@ -585,6 +621,7 @@ object Text {
     Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle)),
     Q("tx12_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
     Q("tx13_perplexity_cut", perplexityCut, Some(perplexityCutOracle)),
-    Q("tx14_boilerplate", boilerplate, Some(boilerplateOracle))
+    Q("tx14_boilerplate", boilerplate, Some(boilerplateOracle)),
+    Q("tx15_char_entropy", charEntropy, Some(charEntropyOracle))
   )
 }

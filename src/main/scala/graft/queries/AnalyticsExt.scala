@@ -265,6 +265,31 @@ object AnalyticsExt {
                CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                COUNT(*) AS n
         FROM dev d JOIN mad m ON d.prio = m.prio
-        GROUP BY d.prio ORDER BY d.prio"""))
+        GROUP BY d.prio ORDER BY d.prio""")),
+
+    // ---- correlated LATERAL subquery with LIMIT (top-2 orders per
+    //      customer). The SQL-text surface for per-group top-k: Catalyst
+    //      decorrelates the lateral into a ranked join rather than
+    //      re-scanning orders per customer row, so the plan is one
+    //      shuffle on the correlation key — the same shape an04's window
+    //      top-n compiles to, now reachable from the SQL frontend. Both
+    //      engines run genuine LATERAL; ties pin on o_orderkey.
+    Q("an45_lateral",
+      (s, d) => s.sql(s"""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM parquet.`$d/customer.parquet` c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM parquet.`$d/orders.parquet`
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""),
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""))
   )
 }
