@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the 100 TB design claims in PERF.md,
+  * enforced as assertions on `executedPlan` so a future edit can't silently
+  * regress a pushdown, broadcast, or decorrelation. Complements the
+  * value-level oracle gate, which cannot see HOW a result was computed. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("ref10 pushes its row filter into the parquet scan") {
+    // AQE's top-level toString truncates before the leaf scan and hides the
+    // subtree from collect(), so read the formatted explain, which always
+    // prints each scan's PushedFilters in full.
+    val df = SparkEntry.queries("ref10_pushdown")(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = raw"PushedFilters: \[([^\]]*)\]".r
+      .findAllMatchIn(p).map(_.group(1).trim).toList
+    assert(pushed.nonEmpty, "no scan with PushedFilters in plan:\n" + p.take(800))
+    assert(pushed.exists(_.nonEmpty), s"no filter reached any scan: $pushed")
+  }
+
+  test("an03 6-way join broadcasts every dimension (no SortMergeJoin)") {
+    val p = plan("an03_local_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension join fell back to sort-merge: " + p.take(600))
+  }
+
+  test("an31 fuses five navigation functions into ONE Window operator") {
+    val p = plan("an31_window_nav")
+    val windows = "\\bWindow \\[".r.findAllIn(p).length
+    assert(windows == 1, s"expected 1 Window operator, found $windows")
+  }
+
+  test("an45 LATERAL decorrelates to WindowGroupLimit, not a per-row rescan") {
+    val p = plan("an45_lateral")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(!p.contains("CartesianProduct"), "lateral planned as cartesian")
+  }
+
+  test("an37 melt stays zero-shuffle after the grouped aggregate") {
+    // one exchange for the groupBy + one for the presentation sort; the
+    // unpivot projection itself must not add any
+    val p = plan("an37_unpivot")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"unpivot added shuffles: $exchanges exchanges\n" + p.take(600))
+  }
+
+  test("no registered query plans a CartesianProduct at test scale") {
+    // quadratic baselines (sm02/dd04/dd05) are broadcast loops, not
+    // cartesian plans; everything else must be keyed. Checks the LOGIC of
+    // every registry entry cheaply: plan only, nothing executes.
+    val offenders = SparkEntry.registry
+      .filter(q => !q.name.startsWith("st") && !q.name.startsWith("ic"))
+      .flatMap { q =>
+        try {
+          val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+          if (p.contains("CartesianProduct")) Some(q.name) else None
+        } catch { case _: Throwable => None } // lifecycle ops need scratch state
+      }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+}
