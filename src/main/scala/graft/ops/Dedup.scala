@@ -710,6 +710,29 @@ object Dedup {
       WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5
       ORDER BY doc_a, doc_b"""
 
+  // ---------------------------------------------- bag-of-words fingerprint
+
+  /** Token-multiset dedup: two documents with the SAME words in a
+    * different order collapse to one group (the reordering-robust exact
+    * fingerprint between dd01's byte-exact hash and dd02's fuzzy
+    * Jaccard). The key is the sorted token list — computed map-side in
+    * one codegen'd projection, then one shuffle on the fingerprint,
+    * exactly dd01's plan shape and scale story: a 100 TB corpus pays one
+    * exchange on a well-distributed key. */
+  private def bowFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bow", sort_array(split(col("text"), " ")))
+      .groupBy("bow")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), size(col("bow")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  private val bowFingerprintOracle =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+              CAST(len(bow) AS BIGINT) AS n_tokens
+       FROM (SELECT doc_id, list_sort(string_split(text, ' ')) AS bow FROM documents)
+       GROUP BY bow ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
@@ -723,6 +746,7 @@ object Dedup {
     Q("dd08_simhash_bucketed", simhashBucketed, Some(simhashBucketedOracle)),
     Q("dd10_minhash_est", minhashEst, Some(minhashEstOracle)),
     Q("dd11_containment", containment, Some(containmentOracle)),
-    Q("dd09_embed_blocked_neardup", embedBlockedNearDup, Some(embedBlockedNearDupOracle))
+    Q("dd09_embed_blocked_neardup", embedBlockedNearDup, Some(embedBlockedNearDupOracle)),
+    Q("dd12_bow_fingerprint", bowFingerprint, Some(bowFingerprintOracle))
   )
 }

@@ -740,6 +740,73 @@ object Sim {
              ROUND(n_hits / 5.0, 4) AS recall
       FROM hits ORDER BY qid"""
 
+  // ------------------------------------------------- kNN label vote
+
+  /** k-nearest-neighbor classification — the label-propagation /
+    * quality-classifier primitive: each query vector takes the majority
+    * label of its 5 cosine-nearest neighbors (sm01's exact candidate
+    * selection), ties on the smaller label id. The corpus streams map-side
+    * against broadcast queries exactly as sm01; the label join happens
+    * AFTER top-k, so the corpus-sized label table is probed by a
+    * 50-row broadcast — never the other way around. At 100 TB the
+    * brute-force scan swaps to sm04's LSH candidates; the vote is
+    * unchanged. */
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bc  = s.sparkContext.broadcast(collectMatrix(s, d, idBound = 10))
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val cands = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, vf) =>
+          val v = vf.map(_.toDouble)
+          val n = normv(v)
+          qs.iterator.filter(_._1 != nid).map { case (qid, qv, qn) =>
+            (qid, nid, dotv(qv, v) / (qn * n))
+          }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid")
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = labels.join(broadcast(cands), col("vec_id") === col("nid"))
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val byVotes = Window.partitionBy("qid").orderBy(desc("votes"), asc("label"))
+    val pred = votes.withColumn("vr", row_number().over(byVotes))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    labels.join(broadcast(pred), col("vec_id") === col("qid"))
+      .select(col("qid"), col("label").as("true_label"), col("pred_label"), col("votes"))
+      .orderBy("qid")
+  }
+
+  private val knnClassifyOracle =
+    s"""WITH $duckVecs,
+      dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims),
+      cands AS (SELECT qid, nid FROM r WHERE rn <= 5),
+      votes AS (
+        SELECT qid, label, COUNT(*) AS votes
+        FROM cands JOIN embeddings ON nid = vec_id
+        GROUP BY qid, label),
+      pred AS (
+        SELECT qid, label AS pred_label, votes,
+               row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+        FROM votes)
+      SELECT qid, e2.label AS true_label, pred_label, votes
+      FROM pred JOIN embeddings e2 ON qid = e2.vec_id
+      WHERE vr = 1 ORDER BY qid"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -750,6 +817,7 @@ object Sim {
     Q("sm07_sq8_quantize", sq8Quantize, Some(sq8QuantizeOracle)),
     Q("sm08_kmeans_iter", kmeansIterate, Some(kmeansIterateOracle)),
     Q("sm09_ann_recall", annRecall, Some(annRecallOracle)),
-    Q("sm10_pq_quantize", pqQuantize, Some(pqQuantizeOracle))
+    Q("sm10_pq_quantize", pqQuantize, Some(pqQuantizeOracle)),
+    Q("sm11_knn_classify", knnClassify, Some(knnClassifyOracle))
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Hashing, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -416,6 +417,46 @@ object Text {
       FROM tf JOIN df USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------------ keyword extract
+
+  /** Per-document top-3 keywords by TF-IDF — tx08's term statistics kept
+    * at (doc, term) grain and ranked instead of summed. The per-term
+    * score is a scalar product of two counts (no sum-order hazard), ties
+    * pin on the term string, and the rank is a WindowGroupLimit on the
+    * doc key — per-group state is 3 rows, so the window never
+    * materializes a document's full vocabulary at any scale. */
+  private def keywordExtract(s: SparkSession, d: String): DataFrame = {
+    val docs = words(Tables.documents(s, d))
+    val terms = docs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).count()
+    val byDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
+    terms
+      .join(broadcast(dfreq), Seq("w"))
+      .withColumn("score",
+        col("tf").cast("double") * log(lit((nDocs + 1).toDouble) / (col("df") + 1)))
+      .withColumn("rk", row_number().over(byDoc).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w").as("term"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val keywordExtractOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      t AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      sc AS (
+        SELECT doc_id, w,
+               CAST(tf AS DOUBLE) * ln(CAST((SELECT n FROM n) + 1 AS DOUBLE) / (df + 1)) AS score
+        FROM tf JOIN df USING (w)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk FROM sc)
+      SELECT doc_id, rk, w AS term, ROUND(score, 4) AS score
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""
+
   // --------------------------------------------- deterministic data split
 
   /** Reproducible train/val/test assignment by content hash — the
@@ -616,6 +657,7 @@ object Text {
     Q("tx06_bigram_lm", bigramLm, Some(bigramLmOracle)),
     Q("tx07_det_split", detSplit, Some(detSplitOracle)),
     Q("tx08_tfidf", tfidf, Some(tfidfOracle)),
+    Q("tx16_keyword_extract", keywordExtract, Some(keywordExtractOracle)),
     Q("tx09_repetition", repetition, Some(repetitionOracle)),
     Q("tx10_redaction", redaction, Some(redactionOracle)),
     Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle)),

@@ -290,6 +290,132 @@ object AnalyticsExt {
           SELECT o_orderkey, o_totalprice FROM orders
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""))
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")),
+
+    // ---- heavy hitters: parts whose lineitem frequency exceeds 1.5× the
+    //      mean per-part frequency. The threshold is pure integer
+    //      arithmetic (2·cnt·n_parts > 3·n_rows) so there is no float
+    //      boundary to disagree on. One shuffle (the groupBy); the two
+    //      scalar totals broadcast back. At 100 TB this is the exact
+    //      counterpart of a Misra-Gries / count-min pass — same single
+    //      scan, and the exact groupBy swaps to the sketch only when the
+    //      key cardinality itself is the bottleneck.
+    Q("an46_heavy_hitters",
+      (s, d) => {
+        val cnts = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = cnts.agg(
+          sum("cnt").as("n_rows"), count(lit(1)).as("n_parts"))
+        cnts.crossJoin(broadcast(tot))
+          .filter(lit(2) * col("cnt") * col("n_parts") > lit(3) * col("n_rows"))
+          .select(col("partkey"), col("cnt"))
+          .orderBy(desc("cnt"), asc("partkey"))
+      },
+      Some("""WITH c AS (SELECT l_partkey AS partkey, COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_parts FROM c)
+        SELECT partkey, cnt FROM c, t
+        WHERE 2 * cnt * n_parts > 3 * n_rows
+        ORDER BY cnt DESC, partkey""")),
+
+    // ---- equal-width histogram: 20 bins over [min, max] of
+    //      l_extendedprice. min/max are order-independent scalars, the bin
+    //      expression is the same IEEE double formula on both engines, and
+    //      the bin id is the only computed key — one scan + one tiny
+    //      shuffle on 20 keys with map-side partial counts. This is the
+    //      profiling pass a curation pipeline runs before choosing quality
+    //      cut thresholds; the shape is scan-bound at any scale.
+    Q("an47_bin_histogram",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+        val mm = li.agg(min("x").as("mn"), max("x").as("mx"))
+        li.crossJoin(broadcast(mm))
+          .withColumn("bin", expr(
+            "least(cast(floor((x - mn) * 20.0 / (mx - mn)) as bigint), 19)"))
+          .groupBy("bin")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            round(min("mn") + col("bin") * (min("mx") - min("mn")) / lit(20.0), 2)
+              .as("bin_lo"))
+          .orderBy("bin")
+      },
+      Some("""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+        mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM li),
+        b AS (SELECT LEAST(CAST(FLOOR((x - mn) * 20.0 / (mx - mn)) AS BIGINT), 19) AS bin,
+                     mn, mx
+              FROM li, mm)
+        SELECT bin, COUNT(*) AS n_rows,
+               ROUND(MIN(mn) + bin * (MIN(mx) - MIN(mn)) / 20.0, 2) AS bin_lo
+        FROM b GROUP BY bin ORDER BY bin""")),
+
+    // ---- weighted PageRank, three unrolled iterations, over the brand
+    //      co-purchase graph (an40's edges, symmetrized; weight = number
+    //      of co-occurring orders). The rank update is the canonical
+    //      keyed-aggregation iterate: each round is ONE shuffle on the
+    //      destination key, and the per-edge contribution is quantized to
+    //      DECIMAL *before* the sum so the aggregate is association-order
+    //      independent (the repo's group-sum exactness rule) — both
+    //      engines sum the identical decimals exactly. At 100 TB the node
+    //      frame stays keyed by node id and each iteration is the same
+    //      single shuffle; the heavy part — building edges from the fact
+    //      table — is the one distinct + one self-join an40 already gates.
+    Q("an48_pagerank",
+      (s, d) => {
+        val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        val pairs = ob.select(col("ok"), col("b").as("b1"))
+          .join(ob.select(col("ok"), col("b").as("b2")), Seq("ok"))
+          .filter(col("b1") < col("b2"))
+          .groupBy("b1", "b2").agg(count(lit(1)).as("w"))
+        val edges = pairs.select(col("b1").as("src"), col("b2").as("dst"), col("w"))
+          .union(pairs.select(col("b2").as("src"), col("b1").as("dst"), col("w")))
+          .persist()
+        val deg = edges.groupBy("src").agg(sum("w").as("wd"))
+        val e   = edges.join(broadcast(deg), Seq("src"))
+        var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
+        for (_ <- 1 to 3) {
+          ranks = e.join(broadcast(ranks), col("src") === col("node"))
+            .select(col("dst"),
+              expr("cast(round(r * w / wd, 10) as decimal(24,10))").as("contrib"))
+            .groupBy(col("dst").as("node"))
+            .agg(round(lit(0.15) + lit(0.85) * sum("contrib").cast("double"), 10).as("r"))
+        }
+        ranks
+          .join(broadcast(deg), col("node") === col("src"))
+          .select(col("node").as("brand"), round(col("r"), 6).as("rank"), col("wd").as("wdeg"))
+          .orderBy(desc("rank"), asc("brand"))
+      },
+      Some("""WITH ob AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        pairs AS (
+          SELECT a.b AS b1, b.b AS b2, COUNT(*) AS w
+          FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b GROUP BY 1, 2),
+        edges AS (
+          SELECT b1 AS src, b2 AS dst, w FROM pairs
+          UNION ALL
+          SELECT b2, b1, w FROM pairs),
+        deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM edges GROUP BY src),
+        e AS (SELECT edges.src, dst, w, wd FROM edges JOIN deg USING (src)),
+        r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+        r1 AS (
+          SELECT dst AS node,
+                 ROUND(0.15 + 0.85 * CAST(SUM(CAST(ROUND(r * w / wd, 10) AS DECIMAL(24,10))) AS DOUBLE), 10) AS r
+          FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+        r2 AS (
+          SELECT dst AS node,
+                 ROUND(0.15 + 0.85 * CAST(SUM(CAST(ROUND(r * w / wd, 10) AS DECIMAL(24,10))) AS DOUBLE), 10) AS r
+          FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+        r3 AS (
+          SELECT dst AS node,
+                 ROUND(0.15 + 0.85 * CAST(SUM(CAST(ROUND(r * w / wd, 10) AS DECIMAL(24,10))) AS DOUBLE), 10) AS r
+          FROM e JOIN r2 ON e.src = r2.node GROUP BY dst)
+        SELECT node AS brand, ROUND(r, 6) AS rank, wd AS wdeg
+        FROM r3 JOIN deg ON node = deg.src
+        ORDER BY rank DESC, brand"""))
   )
 }
