@@ -665,6 +665,96 @@ object Pipeline {
       WHERE off + rank_b - 1 < 128 ORDER BY pos"""
   }
 
+  // ------------------------------------------------ data-quality gate
+
+  /** Expectation-suite validation (the Great-Expectations / Deequ shape):
+    * a battery of declarative constraints — uniqueness, referential
+    * integrity, domain bounds, null rate — each reduced to ONE row
+    * (check, n_checked, n_violations, pass). Every check is a single
+    * scan + keyed aggregate or broadcast/shuffle anti-join; the union of
+    * one-row frames costs nothing. This is the admission gate a 100 TB
+    * ingest runs before data reaches training: all checks are
+    * distributed, none collect row-level data to the driver. */
+  private def dqGate(s: SparkSession, d: String): DataFrame = {
+    val li  = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cst = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+
+    def check(name: String, checked: org.apache.spark.sql.Column,
+              violations: org.apache.spark.sql.Column, df: DataFrame): DataFrame =
+      df.agg(checked.cast("long").as("n_checked"),
+             violations.cast("long").as("n_violations"))
+        .select(lit(name).as("check"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+
+    val orderKeyUnique = check("orders.o_orderkey unique",
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), ord)
+    val priceRange = check("orders.o_totalprice > 0",
+      count(lit(1)), sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), ord)
+    val qtyDomain = check("lineitem.l_quantity in [1,50]",
+      count(lit(1)),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)), li)
+    val custNotNull = check("customer.c_name not null",
+      count(lit(1)), sum(when(col("c_name").isNull, 1L).otherwise(0L)), cst)
+    // referential integrity via anti-join: violations never leave executors
+    val liFk = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+      .select(lit("lineitem.l_orderkey fk orders").as("check"),
+        col("n_checked"), col("n_violations"), (col("n_violations") === 0).as("pass"))
+    val custFk = cst.select(col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(cst.agg(count(lit(1)).as("n_checked")))
+      .select(lit("customer.c_nationkey fk nation").as("check"),
+        col("n_checked"), col("n_violations"), (col("n_violations") === 0).as("pass"))
+
+    orderKeyUnique.union(priceRange).union(qtyDomain).union(custNotNull)
+      .union(liFk).union(custFk)
+      .orderBy("check")
+  }
+
+  private val dqGateOracle =
+    """SELECT * FROM (
+        SELECT 'orders.o_orderkey unique' AS "check",
+               COUNT(*) AS n_checked,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+               COUNT(*) = COUNT(DISTINCT o_orderkey) AS pass
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_totalprice > 0', COUNT(*),
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_quantity in [1,50]', COUNT(*),
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer.c_name not null', COUNT(*),
+               CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem.l_orderkey fk orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+        UNION ALL
+        SELECT 'customer.c_nationkey fk nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+                 ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL),
+               (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+                 ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) = 0)
+       ORDER BY "check""""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -677,6 +767,7 @@ object Pipeline {
     Q("pp09_quality_cut", qualityCut, Some(qualityCutOracle)),
     Q("pp10_curriculum", curriculum, Some(curriculumOracle)),
     Q("pp11_mix_audit", mixAudit, Some(mixAuditOracle)),
-    Q("pp12_provenance", provenance, Some(provenanceOracle))
+    Q("pp12_provenance", provenance, Some(provenanceOracle)),
+    Q("pp13_dq_gate", dqGate, Some(dqGateOracle))
   )
 }

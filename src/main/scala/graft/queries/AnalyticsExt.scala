@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 analytics surface growth: UNPIVOT, ordered string aggregation,
@@ -417,5 +418,74 @@ object AnalyticsExt {
         SELECT node AS brand, ROUND(r, 6) AS rank, wd AS wdeg
         FROM r3 JOIN deg ON node = deg.src
         ORDER BY rank DESC, brand"""))
+,
+    // ---- decile analysis: customers ranked into spend deciles with
+    //      per-decile totals — the stratification report behind tiered
+    //      sampling and curriculum weighting. ntile's remainder rule
+    //      (first buckets get the extra row) is identical in both engines
+    //      once the order is total (spend DESC, custkey pins ties). Spend
+    //      sums are exact DECIMAL; the window is one shuffle over the
+    //      customer aggregate (dimension-sized, not fact-sized) — at
+    //      100 TB the fact scan feeds a keyed agg and only customer rows
+    //      enter the sort.
+    Q("an49_decile_spend",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("spend"))
+        val bySpend = Window.orderBy(desc("spend"), asc("custkey"))
+        spend.withColumn("decile", ntile(10).over(bySpend).cast("long"))
+          .groupBy("decile")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum("spend").cast("double").as("total_spend"),
+            max("spend").cast("double").as("top_spend"),
+            min("spend").cast("double").as("floor_spend"))
+          .orderBy("decile")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey AS custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT custkey, spend,
+                 CAST(ntile(10) OVER (ORDER BY spend DESC, custkey) AS BIGINT) AS decile
+          FROM spend)
+        SELECT decile, COUNT(*) AS n_customers,
+               CAST(SUM(spend) AS DOUBLE) AS total_spend,
+               CAST(MAX(spend) AS DOUBLE) AS top_spend,
+               CAST(MIN(spend) AS DOUBLE) AS floor_spend
+        FROM ranked GROUP BY decile ORDER BY decile""")),
+
+    // ---- year-over-year growth: monthly revenue with a 12-step LAG over
+    //      the (year, month) sequence. Revenue is an exact DECIMAL sum per
+    //      month (order-independent); the growth ratio divides two such
+    //      exact doubles, so both engines compute the identical value. The
+    //      month frame is calendar-sized — the window sort is free at any
+    //      data scale; only the one grouped aggregate touches the facts.
+    Q("an50_yoy_growth",
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        val byMonth = Window.orderBy("yr", "mo")
+        monthly
+          .withColumn("prev", lag("revenue", 12).over(byMonth))
+          .withColumn("yoy_pct",
+            round((col("revenue") - col("prev")) * lit(100.0) / col("prev"), 4))
+          .select(col("yr"), col("mo"), round(col("revenue"), 2).as("revenue"), col("yoy_pct"))
+          .orderBy("yr", "mo")
+      },
+      Some("""WITH monthly AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(month(o_orderdate) AS BIGINT) AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT yr, mo, revenue, lag(revenue, 12) OVER (ORDER BY yr, mo) AS prev
+          FROM monthly)
+        SELECT yr, mo, ROUND(revenue, 2) AS revenue,
+               ROUND((revenue - prev) * 100.0 / prev, 4) AS yoy_pct
+        FROM lagged ORDER BY yr, mo"""))
   )
 }

@@ -1098,6 +1098,36 @@ object IceQueries {
   private val icebergRewriteDataOracle =
     "SELECT * FROM nation WHERE n_nationkey NOT IN (0, 3, 7) ORDER BY n_nationkey"
 
+  /** `t.refs` metadata table with per-ref visible row counts: a tag pinned
+    * at the create, a branch with an isolated commit ahead of main, and
+    * the implicit main pointer — the full named-ref inventory (Nessie's
+    * catalog view) resolved to snapshot ids plus what each ref actually
+    * sees. Ref resolution is a metadata map lookup; the three counts are
+    * planning-cheap scans through each pinned snapshot. */
+  private def refsQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh     = freshDir(s, "refs")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    var t = cat.createOrReplaceTable("graft", "nations_refs", nation)    // snap 1
+    t = t.createTag("v1")                                                // pin at 1
+    t = t.append(nation.filter(col("n_regionkey") === 0))                // snap 2
+    t = t.createBranch("dev")                                            // at main=2
+    t = t.appendToBranch("dev", nation.filter(col("n_regionkey") === 1)) // snap 3
+    val refRows = t.refsTable().collect().map { r =>
+      val name = r.getString(0)
+      (name, r.getString(1), r.getLong(2), t.scanRef(name).count())
+    }.toSeq
+    refRows.toDF("ref", "ref_type", "snapshot_id", "n_rows").orderBy("ref")
+  }
+
+  private val refsOracle =
+    """SELECT ref, ref_type, CAST(snapshot_id AS BIGINT) AS snapshot_id,
+              CAST(n_rows AS BIGINT) AS n_rows
+       FROM (VALUES ('main', 'branch', 2, 30), ('dev', 'branch', 3, 35),
+                    ('v1', 'tag', 1, 25)) t(ref, ref_type, snapshot_id, n_rows)
+       ORDER BY ref"""
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -1153,6 +1183,7 @@ object IceQueries {
     Q("ic39_timestamp_travel", timestampTravelQ, Some(nationOracle)),
     Q("ic40_history", historyQ, Some(historyOracle)),
     Q("ic41_partitions", partitionsMetaQ, Some(partitionsMetaOracle)),
-    Q("ic42_iceberg_rewrite_data", icebergRewriteDataQ, Some(icebergRewriteDataOracle))
+    Q("ic42_iceberg_rewrite_data", icebergRewriteDataQ, Some(icebergRewriteDataOracle)),
+    Q("ic43_refs", refsQ, Some(refsOracle))
   )
 }
