@@ -710,6 +710,53 @@ object Dedup {
       WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5
       ORDER BY doc_a, doc_b"""
 
+  // ------------------------------------------------- keep-best curation
+
+  /** Cluster-dedup with a KEEP-BEST representative: dd06's connected
+    * components, but each near-dup cluster keeps its LONGEST member
+    * (ties → smallest doc_id) instead of the min-id one — the real
+    * curation policy (keep the most complete copy, drop truncations).
+    * Singleton docs (no near-dup edge) keep themselves. The ranked pick
+    * is a WindowGroupLimit on the cluster key: per-group state is one
+    * row, so the selection scales with clusters, not corpus. */
+  private def keepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val full = docs.join(ccLabels(s, d), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val byCl   = Window.partitionBy("cluster")
+    val ranked = Window.partitionBy("cluster").orderBy(desc("n_chars"), asc("doc_id"))
+    full
+      .withColumn("n_members", count(lit(1)).over(byCl))
+      .withColumn("rk", row_number().over(ranked))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_doc"),
+        col("n_members"), col("n_chars").as("kept_chars"))
+      .orderBy("cluster")
+  }
+
+  private val keepBestOracle =
+    s"""WITH RECURSIVE $minhashPairsCte,
+      ed AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+      e AS (SELECT doc_a AS s, doc_b AS t FROM ed
+            UNION ALL SELECT doc_b, doc_a FROM ed),
+      reach AS (
+        SELECT s AS id, t AS r FROM e
+        UNION
+        SELECT reach.id, e.t FROM reach JOIN e ON e.s = reach.r),
+      comp AS (
+        SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster
+        FROM reach GROUP BY id),
+      f AS (
+        SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster, d.n_chars
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id),
+      r AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+               row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk
+        FROM f)
+      SELECT cluster, doc_id AS kept_doc,
+             CAST(n_members AS BIGINT) AS n_members, n_chars AS kept_chars
+      FROM r WHERE rk = 1 ORDER BY cluster"""
+
   // ---------------------------------------------- bag-of-words fingerprint
 
   /** Token-multiset dedup: two documents with the SAME words in a
@@ -747,6 +794,7 @@ object Dedup {
     Q("dd10_minhash_est", minhashEst, Some(minhashEstOracle)),
     Q("dd11_containment", containment, Some(containmentOracle)),
     Q("dd09_embed_blocked_neardup", embedBlockedNearDup, Some(embedBlockedNearDupOracle)),
-    Q("dd12_bow_fingerprint", bowFingerprint, Some(bowFingerprintOracle))
+    Q("dd12_bow_fingerprint", bowFingerprint, Some(bowFingerprintOracle)),
+    Q("dd13_keep_best", keepBest, Some(keepBestOracle))
   )
 }

@@ -487,5 +487,50 @@ object AnalyticsExt {
         SELECT yr, mo, ROUND(revenue, 2) AS revenue,
                ROUND((revenue - prev) * 100.0 / prev, 4) AS yoy_pct
         FROM lagged ORDER BY yr, mo"""))
+,
+    // ---- distribution-position window functions: rank, dense_rank,
+    //      percent_rank, cume_dist over per-segment customer spend, in ONE
+    //      Window operator (all four share the partition + order, so
+    //      Catalyst fuses them — the an31 navigation-fusion property for
+    //      the ranking family). The order is total (spend DESC, custkey),
+    //      so rank == row_number and the two ratio functions divide exact
+    //      integers — no float ambiguity. One shuffle on the segment key
+    //      over the customer-grain aggregate.
+    Q("an51_rank_surface",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"), col("c_custkey").as("custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("spend"))
+        val w = Window.partitionBy("segment").orderBy(desc("spend"), asc("custkey"))
+        spend
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .filter(col("rnk") <= 5)
+          .select(col("segment"), col("rnk"), col("custkey"),
+            col("spend").cast("double").as("spend"), col("drnk"),
+            col("pct_rank"), col("cume"))
+          .orderBy("segment", "rnk")
+      },
+      Some("""WITH spend AS (
+          SELECT c_mktsegment AS segment, c_custkey AS custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        r AS (
+          SELECT segment, custkey, spend,
+                 CAST(rank() OVER w AS BIGINT) AS rnk,
+                 CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                 ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                 ROUND(cume_dist() OVER w, 6) AS cume
+          FROM spend
+          WINDOW w AS (PARTITION BY segment ORDER BY spend DESC, custkey))
+        SELECT segment, rnk, custkey, CAST(spend AS DOUBLE) AS spend,
+               drnk, pct_rank, cume
+        FROM r WHERE rnk <= 5 ORDER BY segment, rnk"""))
   )
 }
