@@ -807,6 +807,99 @@ object Sim {
       FROM pred JOIN embeddings e2 ON qid = e2.vec_id
       WHERE vr = 1 ORDER BY qid"""
 
+  /** sm09's eval harness pointed at the IVF index (sm05) instead of the
+    * LSH one: recall@5 of the coarse-quantizer search against exact
+    * brute-force ground truth. Together the two recall gates cover both
+    * shipped ANN scale paths — an index change that silently hurts
+    * either search's quality now fails a differential check rather than
+    * drifting. Same cost shape as sm09: one corpus pass per side, the
+    * comparison join is top-k-sized. */
+  private def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        (id, v, normv(v))
+      }
+    val bc  = s.sparkContext.broadcast(qs)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val exact = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          queries.iterator
+            .filter { case (qid, _, _) => qid != nid }
+            .map { case (qid, qv, qn) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid")
+    val approx = ivfSearch(s, d).select("qid", "nid")
+    val hits = approx.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / lit(5.0), 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  private val ivfRecallOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS pcell FROM rk WHERE vec_id < 10 AND rn <= $ivfProbes),
+      cand AS (
+        SELECT p.qid, a.vec_id AS nid
+        FROM probes p JOIN cell a ON a.cell = p.pcell AND a.vec_id <> p.qid),
+      dots AS (
+        SELECT cand.qid, cand.nid, SUM(a.x * b.x) AS dot
+        FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid AND a.d = b.d
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      ivf AS (
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM sims) WHERE rn <= 5),
+      edots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 GROUP BY 1, 2),
+      esims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM edots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      exact AS (
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM esims) WHERE rn <= 5),
+      hits AS (
+        SELECT exact.qid, COUNT(ivf.nid) AS n_hits
+        FROM exact LEFT JOIN ivf ON exact.qid = ivf.qid AND exact.nid = ivf.nid
+        GROUP BY exact.qid)
+      SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+             ROUND(n_hits / 5.0, 4) AS recall
+      FROM hits ORDER BY qid"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -818,6 +911,7 @@ object Sim {
     Q("sm08_kmeans_iter", kmeansIterate, Some(kmeansIterateOracle)),
     Q("sm09_ann_recall", annRecall, Some(annRecallOracle)),
     Q("sm10_pq_quantize", pqQuantize, Some(pqQuantizeOracle)),
-    Q("sm11_knn_classify", knnClassify, Some(knnClassifyOracle))
+    Q("sm11_knn_classify", knnClassify, Some(knnClassifyOracle)),
+    Q("sm12_ivf_recall", ivfRecall, Some(ivfRecallOracle))
   )
 }

@@ -76,6 +76,48 @@ object Text {
       SELECT doc_id, lang AS lang_pred, score FROM r WHERE rn = 1 ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------ lang confusion
+
+  /** Classifier-eval confusion matrix: the declared `lang` column against
+    * tx01's predicted language, with each cell's share of its declared
+    * row. The prediction is tx01's map-only expression, so the whole
+    * matrix is one scan + one shuffle on (lang, lang_pred) — 25 keys; the
+    * per-lang total comes from a window over the lang-sized cell frame,
+    * not a second pass over the corpus. The standard drift monitor for
+    * any heuristic labeler at any scale. */
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val (pred, _) = langPred(col("ws"))
+    val cells = graft.Tables
+      .spread(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")))
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("lang"), pred.as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+    val byLang = Window.partitionBy("lang")
+    cells
+      .withColumn("share",
+        round(col("n_docs").cast("double") / sum("n_docs").over(byLang), 4))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private lazy val langConfusionOracle: String = {
+    val values = langMarkers
+      .map { case (l, ws) => s"('$l', [${sqlList(ws)}])" }
+      .mkString(", ")
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      langs(plang, wlist) AS (VALUES $values),
+      scores AS (
+        SELECT doc_id, lang, plang,
+               CAST(len(list_filter(ws, x -> list_contains(wlist, x))) AS BIGINT) AS score
+        FROM w CROSS JOIN langs),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM scores),
+      cells AS (
+        SELECT lang, plang AS lang_pred, COUNT(*) AS n_docs
+        FROM r WHERE rn = 1 GROUP BY 1, 2)
+      SELECT lang, lang_pred, n_docs,
+             ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang), 4) AS share
+      FROM cells ORDER BY lang, lang_pred"""
+  }
+
   // ---------------------------------------------------------------- quality
 
   private def quality(s: SparkSession, d: String): DataFrame = {
@@ -658,6 +700,7 @@ object Text {
     Q("tx07_det_split", detSplit, Some(detSplitOracle)),
     Q("tx08_tfidf", tfidf, Some(tfidfOracle)),
     Q("tx16_keyword_extract", keywordExtract, Some(keywordExtractOracle)),
+    Q("tx17_lang_confusion", langConfusion, Some(langConfusionOracle)),
     Q("tx09_repetition", repetition, Some(repetitionOracle)),
     Q("tx10_redaction", redaction, Some(redactionOracle)),
     Q("tx11_segment_dedup", segmentDedup, Some(segmentDedupOracle)),

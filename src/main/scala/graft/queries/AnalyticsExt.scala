@@ -531,6 +531,53 @@ object AnalyticsExt {
           WINDOW w AS (PARTITION BY segment ORDER BY spend DESC, custkey))
         SELECT segment, rnk, custkey, CAST(spend AS DOUBLE) AS spend,
                drnk, pct_rank, cume
-        FROM r WHERE rnk <= 5 ORDER BY segment, rnk"""))
+        FROM r WHERE rnk <= 5 ORDER BY segment, rnk""")),
+
+    // ---- triangle counting over the brand co-purchase graph: the classic
+    //      distributed graph statistic (clustering/community density). The
+    //      name-ordered edge orientation (b1 < b2) means each triangle is
+    //      enumerated exactly once as a < b < c — two equi-joins on edge
+    //      endpoints, NO cartesian and no post-dedup. Per-brand counts
+    //      come from exploding each triangle to its three corners (3 rows
+    //      per triangle, never materializing neighbor sets). At 100 TB the
+    //      same oriented-join runs with degree-based orientation to bound
+    //      skew; the plan shape (two keyed joins + one agg) is unchanged.
+    Q("an52_triangle_count",
+      (s, d) => {
+        val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        val edges = ob.select(col("ok"), col("b").as("b1"))
+          .join(ob.select(col("ok"), col("b").as("b2")), Seq("ok"))
+          .filter(col("b1") < col("b2"))
+          .select("b1", "b2").distinct().persist()
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.b2") === col("e2.b1"))
+          .join(edges.as("e3"),
+            col("e1.b1") === col("e3.b1") && col("e2.b2") === col("e3.b2"))
+          .select(col("e1.b1").as("a"), col("e1.b2").as("b"), col("e2.b2").as("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("brand"))
+          .groupBy("brand").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("brand")
+      },
+      Some("""WITH ob AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        edges AS (
+          SELECT DISTINCT a.b AS b1, b.b AS b2
+          FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b),
+        tri AS (
+          SELECT e1.b1 AS a, e1.b2 AS b, e2.b2 AS c
+          FROM edges e1
+          JOIN edges e2 ON e1.b2 = e2.b1
+          JOIN edges e3 ON e1.b1 = e3.b1 AND e2.b2 = e3.b2),
+        corners AS (
+          SELECT a AS brand FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT brand, COUNT(*) AS n_triangles
+        FROM corners GROUP BY brand ORDER BY brand"""))
   )
 }
