@@ -83,8 +83,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total  = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"streaming_overhead":$streamOverheadSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"streaming_overhead":$streamOverheadSec%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver's stdout capture truncates long output from the FRONT
+    // (round 5 kept only the tail ~75 of 175 timings, leaving the JSON
+    // line unparseable). Persist the full record to a file in the repo so
+    // the machine-readable per-query map always survives, then print the
+    // contract line as the sole stdout line as before.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

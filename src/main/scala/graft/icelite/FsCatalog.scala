@@ -95,8 +95,23 @@ final class FsCatalog(spark: SparkSession, val warehouse: String) extends IceCat
 
   /** Reference S15 warehouse cleanup: list then recursively delete
     * everything under the warehouse prefix. Returns the deleted paths
-    * (preview semantics of `clean_r2_warehouse.py:78-107`). */
-  def cleanupWarehouse(dryRun: Boolean = false): Seq[String] = {
+    * (preview semantics of `clean_r2_warehouse.py:78-107`).
+    *
+    * Destructive runs are double-gated like the reference's interactive
+    * confirm-twice protocol (`clean_r2_warehouse.py:52-58,89-101`: first a
+    * yes/no, then the user must retype the bucket name): a non-dry-run
+    * call must pass `confirm = Some(<warehouse leaf name>)` — the caller
+    * proving it knows WHICH warehouse it is destroying. A missing or
+    * mismatched token throws and deletes nothing; `dryRun = true` never
+    * needs a token. */
+  def cleanupWarehouse(dryRun: Boolean = false, confirm: Option[String] = None): Seq[String] = {
+    if (!dryRun) {
+      val expected = root.getName
+      if (!confirm.contains(expected))
+        throw new IllegalArgumentException(
+          s"refusing destructive cleanup of '$warehouse': pass confirm = Some(\"$expected\") " +
+            s"(got ${confirm.fold("no token")(t => s"'$t'")}); preview with dryRun = true")
+    }
     if (!fs.exists(root)) return Seq.empty
     val all = {
       val it  = fs.listFiles(root, true)

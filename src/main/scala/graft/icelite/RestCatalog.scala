@@ -324,6 +324,54 @@ final class RestCatalog(spark: SparkSession, val uri: String) extends IceCatalog
   override def dropTable(ns: String, table: String): Boolean =
     delete(s"$uri/v1/namespaces/${enc(ns)}/tables/${enc(table)}") == 204
 
+  /** Append through the Iceberg client's bounded refresh-and-retry commit
+    * loop (real writers never surface a single lost CAS to the caller).
+    *
+    * Architecture note that shapes the retry: `IceTable.append` REBASES
+    * against the live table metadata at FS-commit time (it carries the
+    * current snapshot's manifests forward), and per-table versions are
+    * linear — so when our CAS loses, the fresh catalog pointer either
+    * (a) already points AT or PAST our committed version, meaning a later
+    * writer rebased on top of us and our rows are in the fresh lineage —
+    * adopt it and succeed (re-appending here would duplicate rows); or
+    * (b) trails our version (the racing writer swapped to an ancestor of
+    * our commit) — re-swap with the refreshed base. Both arms are one
+    * pointer read; no data is rewritten. Bounded at `maxRetries` so a
+    * livelocked catalog surfaces as the spec's conflict instead of
+    * spinning.
+    *
+    * `raceHook` runs between the FS commit and the CAS — the seam a spec
+    * uses to interleave a competing writer deterministically. */
+  def appendCommit(ns: String, table: String, df: DataFrame, maxRetries: Int = 3,
+      raceHook: () => Unit = () => ()): IceTable = {
+    val base = metadataLocation(ns, table)
+    val mine = IceTable.load(spark, tableLocation(base)).append(df)
+    raceHook()
+    var expected = base
+    var attempt  = 0
+    while (attempt <= maxRetries) {
+      try {
+        commitSwap(ns, table, expected, mine.metadataLocation)
+        return mine
+      } catch {
+        case e: RestCatalog.CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val fresh = metadataLocation(ns, table)
+          if (metadataVersion(fresh) >= metadataVersion(mine.metadataLocation))
+            return IceTable.load(spark, tableLocation(fresh)) // rebased past us: subsumed
+          expected = fresh // pointer trails our commit: re-swap from the fresh base
+      }
+    }
+    throw new IllegalStateException("unreachable: bounded commit loop fell through")
+  }
+
+  /** `<location>/metadata/v<N>[...].json -> N` (lenient on suffixes). */
+  private def metadataVersion(metadataLocation: String): Int = {
+    val name = new Path(metadataLocation).getName
+    "\\d+".r.findFirstIn(name).map(_.toInt).getOrElse(-1)
+  }
+
   /** Optimistic-concurrency pointer swap: succeed iff the catalog still
     * points at `expected`; a lost race raises CommitConflictException and
     * the caller retries from the fresh pointer (Iceberg's commit loop). */

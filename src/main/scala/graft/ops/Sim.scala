@@ -61,6 +61,28 @@ object Sim {
     cell
   }
 
+  /** Exact-integer nearest centroid over 2^20-quantized coordinates: the
+    * squared distance is a sum of (long diff)^2 terms — no floating-point
+    * accumulation at all, so the assignment is independent of summation
+    * order on ANY engine (the double variant above can flip a near-tie
+    * depending on association order; the kmeans oracles quantize the same
+    * way, so both engines pick bit-identical cells). Tie on distance keeps
+    * the smaller cid (strict < over the id-sorted array). */
+  private[ops] def assignCellQ(vq: Array[Long], cents: Array[(Long, Array[Long])]): Long = {
+    var best = Long.MaxValue
+    var cell = -1L
+    var i    = 0
+    while (i < cents.length) {
+      val cq  = cents(i)._2
+      var acc = 0L
+      var j   = 0
+      while (j < cq.length) { val t = vq(j) - cq(j); acc += t * t; j += 1 }
+      if (acc < best) { best = acc; cell = cents(i)._1 }
+      i += 1
+    }
+    cell
+  }
+
   /** Collect (id, vector, norm) rows sorted by id — the broadcast side of
     * the brute-force kernels. Queries (sm01) are tiny by construction; the
     * full corpus (sm02) is only broadcast-able at verification scale — the
@@ -396,52 +418,86 @@ object Sim {
     * dim) means in one grouped aggregate. This is the iterate-until-stable
     * clustering shape at 100 TB — per round one scan + one shuffle keyed
     * by (cell, dim); the centroid matrix that feeds the next round is
-    * cells x dims, driver-sized at any corpus size. To keep the grouped
-    * mean independent of partition/association order (a double sum is
-    * not), each element is quantized BEFORE the sum: floor(x * 2^20) is
-    * exact in double arithmetic (power-of-two scale, no rounding ties),
-    * the per-group sum is an exact long, and only then does one
-    * deterministic division + 4-decimal round produce mean_q. The oracle
-    * mirrors the identical quantization. */
+    * cells x dims, driver-sized at any corpus size. Every arithmetic step
+    * that feeds the compared output is EXACT INTEGER math, identical on
+    * both engines regardless of association order: (1) coordinates are
+    * quantized to floor(x * 2^20) longs up front; (2) the assignment
+    * distance is a sum of (long diff)^2 — `assignCellQ`, mirrored by the
+    * oracle's quantized d2 — so a near-tie can never flip between engines
+    * (round-5 root cause #2); (3) mean_q is a half-up integer division
+    * `(2*|sum|*10^4 + den) div (2*den)` at 4 decimals — no ROUND(double)
+    * anywhere, which Spark (BigDecimal HALF_UP on shortest repr) and
+    * DuckDB (scaled nearbyint) disagree on at half-ulp boundaries
+    * (round-5 root cause #1). The final /10000.0 is a single IEEE op on
+    * identical integers — bit-identical everywhere. */
   private def kmeansStep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cents = collectMatrix(s, d, idBound = ivfCells)
-    val bc    = s.sparkContext.broadcast(cents)
+    val cents  = collectMatrix(s, d, idBound = ivfCells)
+    val centsQ = cents.map { case (cid, v, _) => (cid, v.map(quant20)) }
+    val bc     = s.sparkContext.broadcast(centsQ)
     Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (_, vf) =>
-          val v    = vf.map(_.toDouble)
-          val cell = assignCell(v, cs)
-          v.iterator.zipWithIndex.map { case (x, dim) =>
-            (cell, dim.toLong, math.floor(x * 1048576.0).toLong)
-          }
+          val vq   = vf.map(x => quant20(x.toDouble))
+          val cell = assignCellQ(vq, cs)
+          vq.iterator.zipWithIndex.map { case (xq, dim) => (cell, dim.toLong, xq) }
         }
       }
       .toDF("cell", "d", "xq")
       .groupBy("cell", "d")
-      .agg(
-        count(lit(1)).as("n_members"),
-        round(sum("xq") / (count(lit(1)) * lit(1048576.0)), 4).as("mean_q"))
+      .agg(count(lit(1)).as("n_members"), sum("xq").as("sq"))
+      .withColumn("mean_q", expr(meanQ4Spark))
+      .select(col("cell"), col("d"), col("n_members"), col("mean_q"))
       .orderBy("cell", "d")
   }
+
+  /** floor(x * 2^20): power-of-two scale, exact in double arithmetic. */
+  private def quant20(x: Double): Long = math.floor(x * 1048576.0).toLong
+
+  /** Half-up 4-decimal mean of quantized sum `sq` over `n_members` rows,
+    * as pure integer division — `(2|s|·10^4 + den) div 2·den` truncated is
+    * round-half-up for positive operands; the sign is split out so
+    * truncate-vs-floor semantics can never differ between engines. The
+    * trailing /10000.0 maps the exact scaled integer to the double both
+    * engines render identically. */
+  private val meanQ4Spark =
+    """CAST(CASE WHEN sq >= 0
+      |  THEN (2 * sq * 10000 + n_members * 1048576) DIV (2 * n_members * 1048576)
+      |  ELSE -((2 * (-sq) * 10000 + n_members * 1048576) DIV (2 * n_members * 1048576))
+      |END AS DOUBLE) / CAST(10000 AS DOUBLE)""".stripMargin
+  private val meanQ4Duck =
+    """CAST(CASE WHEN sq >= 0
+      |  THEN (2 * sq * 10000 + n_members * 1048576) // (2 * n_members * 1048576)
+      |  ELSE -((2 * (-sq) * 10000 + n_members * 1048576) // (2 * n_members * 1048576))
+      |END AS DOUBLE) / CAST(10000 AS DOUBLE)""".stripMargin
+
+  /** Oracle-side quantized assignment distance: exact BIGINT (diff)^2 sum
+    * over floor(x*2^20) coords — mirrors `assignCellQ` bit-for-bit. */
+  private def quantD2(src: String, k: String = ""): String =
+    s"""d2$k AS (
+        SELECT v.vec_id, c.cid,
+               SUM((CAST(FLOOR(v.x * 1048576.0) AS BIGINT) - CAST(FLOOR(c.x * 1048576.0) AS BIGINT))
+                 * (CAST(FLOOR(v.x * 1048576.0) AS BIGINT) - CAST(FLOOR(c.x * 1048576.0) AS BIGINT))) AS d2
+        FROM e v JOIN $src c USING (d) GROUP BY 1, 2)"""
 
   private val kmeansStepOracle =
     s"""WITH $duckVecs,
       ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
-      d2 AS (
-        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
-        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      ${quantD2("ce")},
       rk AS (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM d2),
-      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1)
-      SELECT cell, d, COUNT(*) AS n_members,
-             ROUND(SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) / (COUNT(*) * 1048576.0), 4) AS mean_q
-      FROM e JOIN cell USING (vec_id)
-      GROUP BY 1, 2 ORDER BY 1, 2"""
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      acc AS (
+        SELECT cell, d, COUNT(*) AS n_members,
+               SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS sq
+        FROM e JOIN cell USING (vec_id)
+        GROUP BY 1, 2)
+      SELECT cell, d, n_members, $meanQ4Duck AS mean_q
+      FROM acc ORDER BY cell, d"""
 
   // ---------------------------------------- k-means (3 Lloyd iterations)
 
@@ -451,47 +507,44 @@ object Sim {
     * between rounds is the cells×dims centroid matrix (constant-size at
     * any corpus scale — collecting it is the Lloyd pattern, not a
     * bottleneck). Round-boundary determinism: next-round centroids are the
-    * 4-decimal quantized means (exact integer sums, division + round once
-    * per cell/dim), so both engines iterate from bit-identical centroids.
+    * 4-decimal exact-integer means (see sm06's Scaladoc) re-quantized with
+    * the same floor(x*2^20), so both engines iterate from bit-identical
+    * integer centroids and assign with the same exact-integer distance.
     * A cell that loses all members keeps its previous centroid (never
     * happens on the gated corpus — the oracle needs no mirror). */
   private def kmeansIterate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
-    var cents  = collectMatrix(s, d, idBound = ivfCells)
+    var centsQ = collectMatrix(s, d, idBound = ivfCells)
+      .map { case (cid, v, _) => (cid, v.map(quant20)) }
     var result: DataFrame = null
     for (iter <- 1 to 3) {
-      val bc = s.sparkContext.broadcast(cents)
+      val bc = s.sparkContext.broadcast(centsQ)
       val step = base
         .mapPartitions { it =>
           val cs = bc.value
           it.flatMap { case (_, vf) =>
-            val v    = vf.map(_.toDouble)
-            val cell = assignCell(v, cs)
-            v.iterator.zipWithIndex.map { case (x, dim) =>
-              (cell, dim.toLong, math.floor(x * 1048576.0).toLong)
-            }
+            val vq   = vf.map(x => quant20(x.toDouble))
+            val cell = assignCellQ(vq, cs)
+            vq.iterator.zipWithIndex.map { case (xq, dim) => (cell, dim.toLong, xq) }
           }
         }
         .toDF("cell", "d", "xq")
         .groupBy("cell", "d")
-        .agg(
-          count(lit(1)).as("n_members"),
-          round(sum("xq") / (count(lit(1)) * lit(1048576.0)), 4).as("mean_q"))
+        .agg(count(lit(1)).as("n_members"), sum("xq").as("sq"))
+        .withColumn("mean_q", expr(meanQ4Spark))
+        .select(col("cell"), col("d"), col("n_members"), col("mean_q"))
       result = step
       if (iter < 3) {
         val rows = step.select(col("cell"), col("d"), col("mean_q"))
           .as[(Long, Long, Double)].collect()
         val byCell = rows.groupBy(_._1).map { case (c, rs) =>
-          val arr = new Array[Double](64)
-          rs.foreach { case (_, dim, m) => arr(dim.toInt) = m }
+          val arr = new Array[Long](64)
+          rs.foreach { case (_, dim, m) => arr(dim.toInt) = quant20(m) }
           c -> arr
         }
-        cents = cents.map { case (cid, old, _) =>
-          val v = byCell.getOrElse(cid, old)
-          (cid, v, normv(v))
-        }
+        centsQ = centsQ.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
       }
     }
     result.orderBy("cell", "d")
@@ -499,19 +552,18 @@ object Sim {
 
   private val kmeansIterateOracle: String = {
     def round(k: Int, src: String) =
-      s"""d2_$k AS (
-          SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
-          FROM e v JOIN $src c USING (d) GROUP BY 1, 2),
+      s"""${quantD2(src, s"_$k")},
         rk_$k AS (
           SELECT vec_id, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
           FROM d2_$k),
         cell_$k AS (SELECT vec_id, cid AS cell FROM rk_$k WHERE rn = 1),
         m_$k AS (
-          SELECT cell, d, COUNT(*) AS n_members,
-                 ROUND(SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) / (COUNT(*) * 1048576.0), 4) AS mean_q
-          FROM e JOIN cell_$k USING (vec_id)
-          GROUP BY 1, 2)"""
+          SELECT cell, d, n_members, $meanQ4Duck AS mean_q
+          FROM (SELECT cell, d, COUNT(*) AS n_members,
+                       SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS sq
+                FROM e JOIN cell_$k USING (vec_id)
+                GROUP BY 1, 2))"""
     s"""WITH $duckVecs,
       c_0 AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
       ${round(1, "c_0")},

@@ -161,6 +161,10 @@ object AnalyticsExt {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, b1, b2 LIMIT 15""")),
 
+    // ---- NOTE: there is deliberately no an41 — a drafted windowed-distinct
+    //      variant was superseded by an43_running_distinct before it ever
+    //      registered; the id is retired to keep later ids stable.
+
     // ---- discrete percentiles: percentile_disc picks an ACTUAL value
     //      (the smallest with cume_dist >= p — same rule in both engines,
     //      probed before gating), so the result is exact with no

@@ -225,13 +225,17 @@ class IceLiteSpec extends SparkSpec {
     assert(desc("n_name") == "VARCHAR")
   }
 
-  test("warehouse cleanup lists then deletes everything") {
+  test("warehouse cleanup lists then deletes everything (confirm-gated)") {
     val cat = new FsCatalog(spark, scratch("clean"))
     cat.createOrReplaceTable("ns", "nations", nation)
     val preview = cat.cleanupWarehouse(dryRun = true)
     assert(preview.exists(_.contains("v2.json")))
     assert(cat.listNamespaces().nonEmpty)
-    cat.cleanupWarehouse()
+    // reference confirm-twice protocol: wrong/missing token destroys nothing
+    intercept[IllegalArgumentException](cat.cleanupWarehouse())
+    intercept[IllegalArgumentException](cat.cleanupWarehouse(confirm = Some("wrong_wh")))
+    assert(cat.listNamespaces().nonEmpty)
+    cat.cleanupWarehouse(confirm = Some("test_clean"))
     assert(cat.listNamespaces().isEmpty)
   }
 

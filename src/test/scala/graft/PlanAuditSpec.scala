@@ -53,18 +53,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"unpivot added shuffles: $exchanges exchanges\n" + p.take(600))
   }
 
-  test("no registered query plans a CartesianProduct at test scale") {
+  test("no non-lifecycle query plans a CartesianProduct, and all of them plan") {
     // quadratic baselines (sm02/dd04/dd05) are broadcast loops, not
     // cartesian plans; everything else must be keyed. Checks the LOGIC of
-    // every registry entry cheaply: plan only, nothing executes.
-    val offenders = SparkEntry.registry
+    // every registry entry cheaply: plan only, nothing executes. Scope is
+    // the non-streaming, non-lifecycle registry (st*/ic* drive scratch
+    // warehouses and checkpoints, which don't exist at plan time here) —
+    // and within that scope a query that THROWS during planning is a
+    // failure, not a silent pass (round-5 ADVICE: a swallowed planning
+    // exception used to slip through this audit).
+    val cartesian = scala.collection.mutable.ListBuffer.empty[String]
+    val broken    = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    SparkEntry.registry
       .filter(q => !q.name.startsWith("st") && !q.name.startsWith("ic"))
-      .flatMap { q =>
+      .foreach { q =>
         try {
           val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
-          if (p.contains("CartesianProduct")) Some(q.name) else None
-        } catch { case _: Throwable => None } // lifecycle ops need scratch state
+          if (p.contains("CartesianProduct")) cartesian += q.name
+        } catch { case e: Throwable => broken += (q.name -> e.toString.take(200)) }
       }
-    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+    assert(broken.isEmpty, s"queries failed to plan: $broken")
+    assert(cartesian.isEmpty, s"cartesian plans: $cartesian")
   }
 }

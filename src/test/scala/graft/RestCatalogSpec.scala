@@ -96,6 +96,43 @@ class RestCatalogSpec extends SparkSpec {
     assert(catalog.metadataLocation("lakehouse", "contended") == loserNext)
   }
 
+  test("appendCommit retry loop: racing writers BOTH land, no duplicates, one lineage") {
+    import spark.implicits._
+    catalog.createOrReplaceTable("lakehouse", "race", demo(3))
+    val aRows = Seq((101L, "a1"), (102L, "a2")).toDF("id", "name")
+    val bRows = Seq((201L, "b1"), (202L, "b2"), (203L, "b3")).toDF("id", "name")
+
+    // writer B plans + FS-commits first, then writer A commits INSIDE B's
+    // commit window (raceHook) — B's CAS loses and must refresh-and-retry
+    var aCommitted = false
+    catalog.appendCommit("lakehouse", "race", bRows, raceHook = () => {
+      catalog.appendCommit("lakehouse", "race", aRows)
+      aCommitted = true
+    })
+    assert(aCommitted)
+
+    val finalTable = catalog.loadTable("lakehouse", "race")
+    val ids = finalTable.scan().select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 101L, 102L, 201L, 202L, 203L),
+      s"racing writers lost or duplicated rows: $ids")
+    // the catalog pointer resolves the same lineage the table reads
+    assert(catalog.metadataLocation("lakehouse", "race") == finalTable.metadataLocation)
+  }
+
+  test("appendCommit with exhausted retries surfaces the conflict") {
+    catalog.createOrReplaceTable("lakehouse", "race0", demo(2))
+    import spark.implicits._
+    // with zero retries a single lost CAS must surface as the spec conflict
+    val stale = catalog.metadataLocation("lakehouse", "race0")
+    intercept[RestCatalog.CommitConflictException] {
+      catalog.appendCommit("lakehouse", "race0", Seq((9L, "x")).toDF("id", "name"),
+        maxRetries = 0,
+        raceHook = () => // swap the pointer to a synthetic higher version B can't subsume
+          catalog.commitSwap("lakehouse", "race0", stale,
+            stale.replace(".json", "") + "99.json"))
+    }
+  }
+
   test("dropping a non-empty namespace is rejected; empty namespace drops") {
     catalog.createNamespace("tmpns")
     catalog.createOrReplaceTable("tmpns", "t", demo(2))
