@@ -5,34 +5,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
-  * `binary` columns plus typed metadata, with decode / feature-extraction
-  * stubbed (no media libs in this container) behind a deterministic fake.
+  * `binary` columns plus typed metadata. The image path is REAL as of
+  * round 6: mm03/mm04 generate deterministic grayscale PNGs per document,
+  * push the actual PNG bytes through the binary column, and decode them
+  * with `javax.imageio` (JDK-native, no external media libs) — the oracle
+  * verifies real pixel statistics by recomputing them from the generative
+  * formula, which only agrees if the codec round-trip is lossless and the
+  * decode is honest.
   *
-  * The Spark-side plumbing is real: binary schema, per-partition batch
-  * iteration (`mapPartitions` over a typed Dataset — the Scala analogue of
-  * Python's `mapInPandas` batch shape), and codegen'd binary expressions for
-  * the metadata path. Payloads here are the utf-8 bytes of `documents.text`
-  * (the only deterministic bytes in the testdata), so the oracle can verify
-  * the binary expression path end-to-end.
+  * The Spark-side plumbing: binary schema, per-partition batch iteration
+  * (`mapPartitions` over a typed Dataset — the Scala analogue of Python's
+  * `mapInPandas` batch shape), codegen'd binary expressions for the
+  * metadata path (mm01/mm02 run on utf-8 text payloads, the deterministic
+  * bytes both engines can hash).
   *
-  * Scale: all per-row map work, no shuffle; a real decoder would swap into
-  * [[decodeStub]] without touching the plan shape. Partition sizing, not
-  * operator design, is the 100 TB knob here.
+  * Scale: all per-row map work, no shuffle; partition sizing, not operator
+  * design, is the 100 TB knob here.
   */
 object Multimodal {
 
   /** One media record: opaque payload + metadata, as a training pipeline
     * would model an image/audio blob column. */
   final case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
-
-  /** Deterministic fake "decode": width/height/frames derived from payload
-    * bytes. A real image decoder would replace exactly this function. */
-  def decodeStub(r: MediaRecord): (Long, Int, Int, Int) = {
-    val n = r.content.length
-    val w = 16 + (if (n > 0) (r.content(0) & 0x7f) else 0)
-    val h = 16 + (if (n > 1) (r.content(1) & 0x7f) else 0)
-    (r.doc_id, w, h, n / 16 + 1)
-  }
 
   /** documents -> binary media records (utf-8 payload). */
   def mediaFrame(s: SparkSession, d: String): DataFrame =
@@ -41,21 +35,81 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       encode(col("text"), "UTF-8").as("content"))
 
-  /** Typed per-partition decode — the batch-shaped stub pipeline. */
-  def decodeAll(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    mediaFrame(s, d)
-      .as[MediaRecord]
-      .mapPartitions(_.map(decodeStub))
-      .toDF("doc_id", "width", "height", "n_frames")
+  // -------------------------------------------- real PNG encode / decode
+
+  /** Deterministic per-doc image geometry + pixel formula — the shared
+    * ground truth the DuckDB oracle recomputes arithmetically: a doc's
+    * image is `w x h` 8-bit grayscale with
+    * `lum(x, y) = (doc_id*31 + x*7 + y*13) mod 256`. */
+  def imgWidth(docId: Long): Int  = (8 + docId % 9).toInt
+  def imgHeight(docId: Long): Int = (8 + (docId / 9) % 7).toInt
+  def imgLum(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Render the doc's image and encode it as a REAL PNG via javax.imageio
+    * (8-bit gray PNG is lossless, so decode recovers the formula bit-for-
+    * bit). */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w   = imgWidth(docId)
+    val h   = imgHeight(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val ras = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { ras.setSample(x, y, 0, imgLum(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** Deterministic fake "resize": keep every (w/target)-th byte — the
-    * signature/batch shape a real image scaler would use. */
-  def resizeStub(content: Array[Byte], target: Int): Array[Byte] = {
-    if (content.isEmpty || target <= 0) return Array.emptyByteArray
-    val step = math.max(1, content.length / target)
-    content.indices.by(step).map(content(_)).toArray
+  /** Real decode: PNG bytes -> (width, height, sum of luminance, count of
+    * pixels >= 128). Statistics come from the DECODED raster, so a broken
+    * codec or lossy round-trip diverges from the oracle. */
+  def decodePng(content: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    val ras = img.getRaster
+    var sum = 0L; var bright = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v = ras.getSample(x, y, 0)
+        sum += v; if (v >= 128) bright += 1
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, sum, bright)
+  }
+
+  /** Nearest-neighbor resize over a DECODED raster: out(x,y) = in(x*w div
+    * tw, y*h div th) — pure integer sampling, so the oracle can replay it
+    * from the pixel formula. */
+  def resizeNearest(img: java.awt.image.BufferedImage, tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val out  = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val ir   = img.getRaster
+    val or   = out.getRaster
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        or.setSample(x, y, 0, ir.getSample(x * img.getWidth / tw, y * img.getHeight / th, 0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** documents -> REAL PNG payload column (doc_id, media_type, content). */
+  def pngFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, "image/png", encodePng(id))))
+      .toDF("doc_id", "media_type", "content")
   }
 
   /** Frame sampling: cut the payload into fixed-size frames and keep every
@@ -107,55 +161,85 @@ object Multimodal {
       SELECT doc_id, CAST(i AS INT) AS frame_idx, lower(substr(hx, CAST(i * 32 + 1 AS INT), 32)) AS frame_hex
       FROM idx WHERE i % 4 = 0 ORDER BY doc_id, frame_idx"""
 
-  /** The decode-stub pipeline through the gate: [[decodeAll]]'s typed
-    * `mapPartitions` batch path (the Scala analogue of `mapInPandas`)
-    * must agree with an oracle recomputing the stub arithmetic from the
-    * payload bytes — gating the Dataset encoder round-trip and batch
-    * iteration, not just the formula. Docs are ASCII, so byte 0/1 equal
-    * the first two character codes. */
-  private def decoded(s: SparkSession, d: String): DataFrame =
-    decodeAll(s, d)
-      .select(col("doc_id"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"), col("n_frames").cast("long").as("n_frames"))
+  /** REAL image decode through the gate: [[pngFrame]] puts actual PNG
+    * bytes in the binary column; this query decodes every payload with
+    * `javax.imageio` and reports the decoded geometry + pixel statistics,
+    * plus the first 8 payload bytes hex'd via the codegen'd binary
+    * expression path (must equal the PNG magic). The oracle recomputes
+    * width/height/sum/bright from the generative pixel formula — the two
+    * can only agree if the PNG encode→decode round-trip is lossless and
+    * the raster is actually read. Per-row map work, no shuffle. */
+  private def decoded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngFrame(s, d)
+      .select(col("doc_id"), col("content"),
+        lower(hex(substring(col("content"), 1, 8))).as("header_hex"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, png, header) =>
+        val (w, h, sum, bright) = decodePng(png)
+        (id, header, w.toLong, h.toLong, sum, bright)
+      })
+      .toDF("doc_id", "header_hex", "width", "height", "sum_lum", "n_bright")
       .orderBy("doc_id")
+  }
 
   private val decodedOracle =
-    """SELECT doc_id,
-      CAST(16 + ascii(substr(text, 1, 1)) % 128 AS BIGINT) AS width,
-      CAST(16 + ascii(substr(text, 2, 1)) % 128 AS BIGINT) AS height,
-      CAST(octet_length(encode(text)) // 16 + 1 AS BIGINT) AS n_frames
-      FROM documents ORDER BY doc_id"""
+    """WITH g AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 7 AS h
+        FROM documents),
+      px AS (
+        SELECT g.doc_id, g.w, g.h,
+               (g.doc_id * 31 + x.i * 7 + y.j * 13) % 256 AS lum
+        FROM g
+        JOIN range(0, 16) x(i) ON x.i < g.w
+        JOIN range(0, 14) y(j) ON y.j < g.h)
+      SELECT doc_id, '89504e470d0a1a0a' AS header_hex,
+             CAST(ANY_VALUE(w) AS BIGINT) AS width,
+             CAST(ANY_VALUE(h) AS BIGINT) AS height,
+             CAST(SUM(lum) AS BIGINT) AS sum_lum,
+             CAST(COUNT(*) FILTER (WHERE lum >= 128) AS BIGINT) AS n_bright
+      FROM px GROUP BY doc_id ORDER BY doc_id"""
 
-  /** The resize-stub pipeline through the gate: [[resizeStub]]'s strided
-    * byte subsample over the typed batch path, oracle-recomputed from the
-    * payload hex — the downsample shape (stride = len/target) a real image
-    * scaler batches identically. */
-  private val resizeTarget = 32
+  /** REAL resize through the gate: decode the PNG, nearest-neighbor
+    * downscale the raster to 8x8, RE-ENCODE the result as PNG, decode it
+    * AGAIN, and report the second decode's statistics — the full
+    * decode→transform→encode→decode chain a thumbnailing pipeline runs.
+    * The oracle replays the integer sampling (`src = out*dim div 8`) over
+    * the pixel formula, so any loss anywhere in the double round-trip
+    * breaks the hash. */
+  private val resizeTo = 8
 
   private def resized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaFrame(s, d)
-      .as[MediaRecord]
-      .mapPartitions(_.map { r =>
-        val out = resizeStub(r.content, resizeTarget)
-        (r.doc_id, out.length.toLong, out.map(b => f"${b & 0xff}%02x").mkString)
+    pngFrame(s, d)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val img    = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val small  = resizeNearest(img, resizeTo, resizeTo)
+        val out    = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(small, "png", out)
+        val (w, h, sum, bright) = decodePng(out.toByteArray)
+        (id, w.toLong, h.toLong, sum, bright)
       })
-      .toDF("doc_id", "n_out", "resized_hex")
+      .toDF("doc_id", "out_w", "out_h", "sum_lum", "n_bright")
       .orderBy("doc_id")
   }
 
   private val resizedOracle =
-    s"""WITH h AS (
-        SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+    s"""WITH g AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 7 AS h
         FROM documents),
-      st AS (SELECT doc_id, hx, len, GREATEST(1, len // $resizeTarget) AS step FROM h),
-      ks AS (
-        SELECT doc_id, hx, step,
-               unnest(range(0, CAST(ceil(CAST(len AS DOUBLE) / step) AS INT))) AS k
-        FROM st)
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_out,
-             string_agg(lower(substr(hx, CAST(k * step * 2 + 1 AS INT), 2)), '' ORDER BY k) AS resized_hex
-      FROM ks GROUP BY doc_id ORDER BY doc_id"""
+      px AS (
+        SELECT g.doc_id,
+               (g.doc_id * 31 + ((x.i * g.w) // $resizeTo) * 7
+                 + ((y.j * g.h) // $resizeTo) * 13) % 256 AS lum
+        FROM g, range(0, $resizeTo) x(i), range(0, $resizeTo) y(j))
+      SELECT doc_id,
+             CAST($resizeTo AS BIGINT) AS out_w, CAST($resizeTo AS BIGINT) AS out_h,
+             CAST(SUM(lum) AS BIGINT) AS sum_lum,
+             CAST(COUNT(*) FILTER (WHERE lum >= 128) AS BIGINT) AS n_bright
+      FROM px GROUP BY doc_id ORDER BY doc_id"""
 
   // ------------------------------------------------ shard packing
 

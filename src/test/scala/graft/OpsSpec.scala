@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Multimodal
-import graft.ops.Multimodal.MediaRecord
+
 import org.apache.spark.sql.functions._
 
 /** Operator-semantics specs that go beyond the oracle hash-compare:
@@ -81,26 +81,41 @@ class OpsSpec extends SparkSpec {
       f"simhash-bucket uniq $tU8%.2fs ($u8 pairs) skew $tS8%.2fs ($s8 pairs)")
   }
 
-  test("multimodal decode stub runs per-partition and is deterministic") {
-    val out = Multimodal.decodeAll(spark, sfDir)
-    assert(out.columns.toSeq == Seq("doc_id", "width", "height", "n_frames"))
-    assert(out.count() == 500)
-    val r = out.filter(col("doc_id") === 0).collect()(0)
-    // payload is the utf-8 text; width/height derive from its first bytes
-    val txt = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
-      .select("text").collect()(0).getString(0)
-    assert(r.getInt(1) == 16 + (txt.charAt(0) & 0x7f))
-    assert(r.getInt(2) == 16 + (txt.charAt(1) & 0x7f))
-    assert(r.getInt(3) == txt.getBytes("UTF-8").length / 16 + 1)
+  test("multimodal PNG payloads are real PNGs and decode losslessly (javax.imageio)") {
+    // direct codec check: encode -> decode recovers the pixel formula
+    val png = Multimodal.encodePng(7L)
+    assert(png.take(8).map(b => f"${b & 0xff}%02x").mkString == "89504e470d0a1a0a",
+      "payload does not start with the PNG magic")
+    val (w, h, sum, bright) = Multimodal.decodePng(png)
+    assert(w == Multimodal.imgWidth(7L) && h == Multimodal.imgHeight(7L))
+    var eSum = 0L; var eBright = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = Multimodal.imgLum(7L, x, y)
+      eSum += v; if (v >= 128) eBright += 1
+    }
+    assert((sum, bright) == (eSum, eBright), "decoded raster diverged from formula")
+
+    // distributed path: binary column carries decodable PNG bytes
+    val row = Multimodal.pngFrame(spark, sfDir)
+      .filter(col("doc_id") === 42).collect()(0)
+    val (w42, h42, _, _) = Multimodal.decodePng(row.getAs[Array[Byte]]("content"))
+    assert(w42 == Multimodal.imgWidth(42L) && h42 == Multimodal.imgHeight(42L))
   }
 
-  test("resize stub subsamples deterministically; frame sampling covers the payload") {
-    val bytes = (0 until 100).map(_.toByte).toArray
-    val small = Multimodal.resizeStub(bytes, 10)
-    assert(small.length == 10)
-    assert(small.toSeq == (0 until 100 by 10).map(_.toByte))
-    assert(Multimodal.resizeStub(Array.emptyByteArray, 10).isEmpty)
+  test("nearest-neighbor resize samples src = out*dim div target exactly") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(11L)))
+    val small = Multimodal.resizeNearest(img, 8, 8)
+    assert(small.getWidth == 8 && small.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val sx = x * img.getWidth / 8
+      val sy = y * img.getHeight / 8
+      assert(small.getRaster.getSample(x, y, 0) == Multimodal.imgLum(11L, sx, sy),
+        s"resize sample mismatch at ($x,$y)")
+    }
+  }
 
+  test("frame sampling covers the payload") {
     val fs = Multimodal.frameSample(spark, sfDir, frameBytes = 16, every = 4)
     assert(fs.columns.toSeq == Seq("doc_id", "frame_idx", "frame"))
     val r0 = fs.filter(col("doc_id") === 0).orderBy("frame_idx").collect()
@@ -108,11 +123,6 @@ class OpsSpec extends SparkSpec {
     val txt = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
       .select("text").collect()(0).getString(0)
     assert(r0(0).getAs[Array[Byte]](2).toSeq == txt.getBytes("UTF-8").take(16).toSeq)
-  }
-
-  test("decode stub round-trips through the case class directly") {
-    val (id, w, h, f) = Multimodal.decodeStub(MediaRecord(7, "text/plain", "AB".getBytes))
-    assert((id, w, h, f) == (7L, 16 + 'A'.toInt, 16 + 'B'.toInt, 1))
   }
 
   test("minhash LSH finds the planted near-duplicates that exact jaccard finds") {
