@@ -60,16 +60,31 @@ object Multimodal {
       while (x < w) { ras.setSample(x, y, 0, imgLum(docId, x, y)); x += 1 }
       y += 1
     }
+    pngBytes(img)
+  }
+
+  /** PNG-encode via an in-memory image stream: ImageIO's default stream
+    * cache is a TEMP FILE per call — per-row disk IO that dominated the
+    * first mm04 bench (5.2 s at sf0.1); the memory-cached stream removes
+    * it without touching global ImageIO state. */
+  def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
+
+  /** Memory-cached PNG read (same rationale as [[pngBytes]]).
+    * `ImageIO.read(ImageInputStream)` closes the stream itself. */
+  def readPng(content: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(content)))
 
   /** Real decode: PNG bytes -> (width, height, sum of luminance, count of
     * pixels >= 128). Statistics come from the DECODED raster, so a broken
     * codec or lossy round-trip diverges from the oracle. */
   def decodePng(content: Array[Byte]): (Int, Int, Long, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    val img = readPng(content)
     val ras = img.getRaster
     var sum = 0L; var bright = 0L
     var y = 0
@@ -215,11 +230,8 @@ object Multimodal {
       .select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, png) =>
-        val img    = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-        val small  = resizeNearest(img, resizeTo, resizeTo)
-        val out    = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(small, "png", out)
-        val (w, h, sum, bright) = decodePng(out.toByteArray)
+        val small = resizeNearest(readPng(png), resizeTo, resizeTo)
+        val (w, h, sum, bright) = decodePng(pngBytes(small))
         (id, w.toLong, h.toLong, sum, bright)
       })
       .toDF("doc_id", "out_w", "out_h", "sum_lum", "n_bright")
