@@ -690,6 +690,91 @@ object Text {
              ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS coverage
       FROM r CROSS JOIN t ORDER BY rank"""
 
+  // ------------------------------------------------- lexical diversity
+
+  /** Type-token ratio per document, in integer basis points — the
+    * vocabulary-richness gate a curation pipeline runs next to tx02's
+    * surface-quality score (low TTR ⇒ template/spam text). Pure per-row
+    * map over codegen'd array ops (split → array_distinct → size): no
+    * shuffle at all, embarrassingly parallel at any corpus scale. */
+  private def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    words(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_types"))
+      .withColumn("ttr_bp", expr("n_types * 10000 div n_tokens"))
+      .orderBy("doc_id")
+
+  private val lexicalDiversityOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+             CAST(len(list_distinct(ws)) AS BIGINT) * 10000
+               // CAST(len(ws) AS BIGINT) AS ttr_bp
+      FROM w ORDER BY doc_id"""
+
+  // ------------------------------------------------- char-trigram profile
+
+  /** Top-10 character trigrams per language — the feature table a
+    * statistical language identifier trains on (tx01 uses word markers;
+    * this is the sub-word evidence). The trigram explode is map-side
+    * codegen (`transform(sequence(...))`); one (lang, tri) shuffle, then
+    * a per-lang WindowGroupLimit over a 5-partition key space. At 100 TB
+    * the aggregate keyspace is |langs|×|trigram vocab| — bounded, so the
+    * combine is map-side and the shuffle tiny. */
+  private def trigramProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Window.partitionBy("lang").orderBy(desc("cnt"), asc("tri"))
+    Tables.spread(Tables.documents(s, d).select(col("lang"), col("text")))
+      .select(col("lang"), explode(
+        expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(perLang).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("lang", "rank", "tri", "cnt")
+      .orderBy("lang", "rank")
+  }
+
+  private val trigramProfileOracle =
+    """WITH g AS (
+        SELECT lang, unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                                           i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+        FROM documents),
+      c AS (SELECT lang, tri, COUNT(*) AS cnt FROM g GROUP BY lang, tri),
+      r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rank FROM c)
+      SELECT lang, CAST(rank AS BIGINT) AS rank, tri, cnt
+      FROM r WHERE rank <= 10 ORDER BY lang, rank"""
+
+  // ------------------------------------------------- token burstiness
+
+  /** Collection-frequency vs document-frequency dispersion for the top-30
+    * tokens: bursty tokens (cf ≫ df) concentrate in few documents —
+    * boilerplate and spam markers — while function words spread evenly.
+    * One token explode + one grouped agg computing both counts in a
+    * single pass (count + approx-free exact distinct via the doc-grain
+    * pre-distinct), then a constant-size top-k. */
+  private def burstiness(s: SparkSession, d: String): DataFrame = {
+    val tok = words(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .filter(col("word") =!= "")
+    tok.groupBy("word")
+      .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+      .withColumn("burst_bp", expr("cf * 10000 div df"))
+      .orderBy(desc("cf"), asc("word")).limit(30)
+      .orderBy(desc("cf"), asc("word"))
+  }
+
+  private val burstinessOracle =
+    """WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      c AS (
+        SELECT word, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        FROM t WHERE word <> '' GROUP BY word)
+      SELECT word, cf, df, cf * 10000 // df AS burst_bp
+      FROM c ORDER BY cf DESC, word LIMIT 30"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -707,6 +792,9 @@ object Text {
     Q("tx12_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
     Q("tx13_perplexity_cut", perplexityCut, Some(perplexityCutOracle)),
     Q("tx14_boilerplate", boilerplate, Some(boilerplateOracle)),
-    Q("tx15_char_entropy", charEntropy, Some(charEntropyOracle))
+    Q("tx15_char_entropy", charEntropy, Some(charEntropyOracle)),
+    Q("tx18_lexical_diversity", lexicalDiversity, Some(lexicalDiversityOracle)),
+    Q("tx19_trigram_profile", trigramProfile, Some(trigramProfileOracle)),
+    Q("tx20_burstiness", burstiness, Some(burstinessOracle))
   )
 }

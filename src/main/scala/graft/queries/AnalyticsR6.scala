@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 analytics surface growth: gaps-and-islands streaks, per-group
+  * mode, sweep-line concurrency, Benford first-digit audit, and a Markov
+  * transition matrix — event-log shapes every warehouse user writes once
+  * their core relational ops exist (SURVEY.md §2.3–2.7 surface).
+  *
+  * Exactness discipline matches [[Analytics]]: ratios are integer basis
+  * points (`x * 10000 div total`), never float division, so Spark and the
+  * DuckDB oracle agree bit-for-bit; every output ends in a total ORDER BY
+  * with every computed column aliased identically on both sides.
+  */
+object AnalyticsR6 {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- gaps & islands: per user, maximal runs of consecutive active
+    //      days via the classic day − row_number() grouping key. Two
+    //      shuffles (distinct days, then the per-user window) — both keyed
+    //      on user_id, so at 100 TB this is one repartition by user
+    //      reused across stages; per-user day counts are calendar-bounded,
+    //      so no window partition can skew.
+    Q("an53_islands",
+      (s, d) => {
+        val perUser = Window.partitionBy("user_id").orderBy("day")
+        val days = Tables.events(s, d)
+          .select(col("user_id"), datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+          .distinct()
+        days
+          .withColumn("grp", col("day") - row_number().over(perUser))
+          .groupBy("user_id", "grp")
+          .agg(min("day").as("start_day"), count(lit(1)).as("streak_len"))
+          .select(
+            col("user_id"),
+            date_add(lit("2024-01-01").cast("date"), col("start_day")).as("streak_start"),
+            col("streak_len"))
+          .orderBy("user_id", "streak_start")
+      },
+      Some("""WITH days AS (
+          SELECT DISTINCT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+          FROM events),
+        grp AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          FROM days)
+        SELECT user_id,
+               DATE '2024-01-01' + CAST(MIN(day) AS INTEGER) AS streak_start,
+               COUNT(*) AS streak_len
+        FROM grp GROUP BY user_id, grp
+        ORDER BY user_id, streak_start""")),
+
+    // ---- per-group mode: each user's most frequent event type with a
+    //      deterministic (count DESC, type ASC) tie-break, plus its share
+    //      in integer basis points. One shuffle on (user, type), then a
+    //      user-keyed window over ≤5 rows per user — the top-1-per-group
+    //      plan Spark fuses to WindowGroupLimit, O(1) state per user at
+    //      any scale.
+    Q("an54_mode",
+      (s, d) => {
+        val perUser = Window.partitionBy("user_id").orderBy(desc("cnt"), asc("event_type"))
+        Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+          .withColumn("total", sum("cnt").over(Window.partitionBy("user_id")))
+          .withColumn("rn", row_number().over(perUser))
+          .filter(col("rn") === 1)
+          .select(
+            col("user_id"),
+            col("event_type").as("mode_type"),
+            col("cnt"),
+            expr("cnt * 10000 div total").as("share_bp"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt,
+                 CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+        SELECT user_id, event_type AS mode_type, cnt,
+               cnt * 10000 // total AS share_bp
+        FROM c WHERE rn = 1 ORDER BY user_id""")),
+
+    // ---- sweep-line concurrency: each event holds a 60-second interval;
+    //      peak simultaneous intervals per event type. Boundaries are
+    //      pre-aggregated per (type, instant) so the running sum sees net
+    //      deltas — tie-order inside an instant cannot change any prefix
+    //      value, which keeps the MAX deterministic. One shuffle + one
+    //      type-keyed ordered window. Scale note: the running sum is
+    //      sequential per type; with a high-cardinality partition key this
+    //      is the mm05 pattern (per-partition partial sums, then a
+    //      broadcast prefix offset) — here type cardinality is 5, and the
+    //      per-type boundary stream is what a single executor core absorbs.
+    Q("an55_concurrency",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val starts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+        val ends = ev.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 60 SECONDS")).as("t"), lit(-1L).as("delta"))
+        val perType = Window.partitionBy("event_type").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        starts.unionAll(ends)
+          .groupBy("event_type", "t").agg(sum("delta").as("net"))
+          .withColumn("running", sum("net").over(perType))
+          .groupBy("event_type")
+          .agg(max("running").as("peak_concurrent"))
+          .join(ev.groupBy("event_type").agg(count(lit(1)).as("n_events")), Seq("event_type"))
+          .select("event_type", "n_events", "peak_concurrent")
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+          SELECT event_type, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 60 SECOND, -1 FROM events),
+        net AS (
+          SELECT event_type, t, CAST(SUM(delta) AS BIGINT) AS net
+          FROM b GROUP BY event_type, t),
+        run AS (
+          SELECT event_type,
+                 CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+          FROM net)
+        SELECT r.event_type, n.n_events, r.peak_concurrent
+        FROM (SELECT event_type, MAX(running) AS peak_concurrent
+              FROM run GROUP BY event_type) r
+        JOIN (SELECT event_type, COUNT(*) AS n_events
+              FROM events GROUP BY event_type) n USING (event_type)
+        ORDER BY event_type""")),
+
+    // ---- Benford first-digit audit: distribution of the leading digit of
+    //      the lineitem extended price vs the Benford expectation, both in
+    //      integer basis points (the expectation is a 9-entry compile-time
+    //      constant — no runtime log10, no float boundary). Pure one-pass
+    //      grouped scan, 9 output rows at any scale.
+    Q("an56_benford",
+      (s, d) => {
+        // floor(log10(1 + 1/d) * 10000) for d = 1..9, precomputed
+        val benford = Map(1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L,
+          5 -> 791L, 6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L)
+        val expected = benford.foldLeft(lit(0L)) { case (acc, (dig, bp)) =>
+          when(col("digit") === dig.toString, lit(bp)).otherwise(acc)
+        }
+        Tables.lineitem(s, d)
+          // explicit floor: DuckDB's double→BIGINT cast rounds, Spark's truncates
+          .select(substring(floor(col("l_extendedprice")).cast("bigint").cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("cnt"))
+          .withColumn("total", sum("cnt").over())
+          .select(
+            col("digit"),
+            col("cnt"),
+            expr("cnt * 10000 div total").as("share_bp"),
+            expected.as("benford_bp"))
+          .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
+          .orderBy("digit")
+      },
+      Some("""WITH c AS (
+          SELECT substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT *, CAST(SUM(cnt) OVER () AS BIGINT) AS total FROM c),
+        e AS (SELECT *, cnt * 10000 // total AS share_bp,
+                 CAST(CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1760 WHEN '3' THEN 1249
+                            WHEN '4' THEN 969 WHEN '5' THEN 791 WHEN '6' THEN 669
+                            WHEN '7' THEN 579 WHEN '8' THEN 511 WHEN '9' THEN 457
+                            ELSE 0 END AS BIGINT) AS benford_bp
+              FROM t)
+        SELECT digit, cnt, share_bp, benford_bp,
+               share_bp - benford_bp AS dev_bp
+        FROM e ORDER BY digit""")),
+
+    // ---- Markov transition matrix: P(next event type | current) from
+    //      per-user event sequences. LEAD over (user, time) — one shuffle
+    //      on user_id, sequential only within a user's own history — then
+    //      a 25-key aggregate. Probabilities are integer basis points over
+    //      the per-source-state row total (window over ≤5 rows). The same
+    //      plan at 100 TB: the user-keyed window is the natural partition.
+    Q("an57_markov",
+      (s, d) => {
+        val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(seq))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("from_total", sum("cnt").over(Window.partitionBy("from_type")))
+          .withColumn("prob_bp", expr("cnt * 10000 div from_total"))
+          .drop("from_total")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events),
+        c AS (
+          SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT from_type, to_type, cnt,
+               cnt * 10000 // CAST(SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+        FROM c ORDER BY from_type, to_type"""))
+  )
+}
