@@ -780,6 +780,54 @@ object Dedup {
        FROM (SELECT doc_id, list_sort(string_split(text, ' ')) AS bow FROM documents)
        GROUP BY bow ORDER BY doc_id"""
 
+  // ------------------------------------------------- truncation duplicates
+
+  /** Prefix-key duplicate audit: documents sharing their first 64 chars
+    * are truncation/re-crawl variants dd01's full-text hash misses. Same
+    * one-keyed-shuffle shape as dd01 — group on the prefix (at 100 TB
+    * you'd group on a hash of the prefix; the plan is identical, and the
+    * 64-byte key is already bounded) — emitting only multi-member groups
+    * with their spread across sources. */
+  private def prefixDup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(substring(col("text"), 1, 64).as("pfx"))
+      .agg(min("doc_id").as("rep_doc"), count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"))
+      .filter(col("n_docs") > 1)
+      .select("rep_doc", "n_docs", "n_sources")
+      .orderBy("rep_doc")
+
+  private val prefixDupOracle =
+    """SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_docs,
+              COUNT(DISTINCT source) AS n_sources
+       FROM documents GROUP BY substr(text, 1, 64)
+       HAVING COUNT(*) > 1 ORDER BY rep_doc"""
+
+  // ------------------------------------------------- cross-source overlap
+
+  /** Source-pair contamination matrix: for every pair of sources, how many
+    * prefix-duplicate groups they share — the provenance view a crawl
+    * pipeline uses to find mirror sites. The self-join runs on the
+    * *group-deduplicated* (prefix, source) frame, so its size is
+    * #dup-groups × sources-per-group (both bounded by the dedup result,
+    * not the corpus); never an all-pairs join over documents. */
+  private def crossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.documents(s, d)
+      .select(substring(col("text"), 1, 64).as("pfx"), col("source"))
+      .distinct()
+    ps.as("a")
+      .join(ps.as("b"), col("a.pfx") === col("b.pfx") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val crossSourceDupOracle =
+    """WITH ps AS (SELECT DISTINCT substr(text, 1, 64) AS pfx, source FROM documents)
+       SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+       FROM ps a JOIN ps b ON a.pfx = b.pfx AND a.source < b.source
+       GROUP BY 1, 2 ORDER BY src_a, src_b"""
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
@@ -795,6 +843,8 @@ object Dedup {
     Q("dd11_containment", containment, Some(containmentOracle)),
     Q("dd09_embed_blocked_neardup", embedBlockedNearDup, Some(embedBlockedNearDupOracle)),
     Q("dd12_bow_fingerprint", bowFingerprint, Some(bowFingerprintOracle)),
-    Q("dd13_keep_best", keepBest, Some(keepBestOracle))
+    Q("dd13_keep_best", keepBest, Some(keepBestOracle)),
+    Q("dd14_prefix_dup", prefixDup, Some(prefixDupOracle)),
+    Q("dd15_cross_source_dup", crossSourceDup, Some(crossSourceDupOracle))
   )
 }

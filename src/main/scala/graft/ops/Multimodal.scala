@@ -424,6 +424,66 @@ object Multimodal {
              CAST(ROUND(SUM(CAST(ROUND(nrm, 4) AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_norm
       FROM pairs GROUP BY label, split ORDER BY label, split"""
 
+  // ---------------------------------------------------- audio frame energy
+
+  /** Deterministic per-doc PCM16 waveform — the audio analogue of the
+    * [[imgLum]] formula, and the shared ground truth the oracle replays:
+    * `s(t) = ((doc_id*17 + t*t*3 + t*11) mod 4096) - 2048` over 1024
+    * samples, serialized little-endian (the WAV data-chunk layout). */
+  val audioSamples = 1024
+  val audioFrame   = 256
+  def audioSample(docId: Long, t: Int): Int =
+    ((docId * 17 + t.toLong * t * 3 + t * 11) % 4096).toInt - 2048
+
+  def encodePcm(docId: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(audioSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var t = 0
+    while (t < audioSamples) { b.putShort(audioSample(docId, t).toShort); t += 1 }
+    b.array()
+  }
+
+  /** Per-frame loudness over REAL bytes: each doc carries its 2 KiB PCM16
+    * payload in the binary column; this query re-parses the little-endian
+    * samples FROM THE BYTES (not the formula), windows them into 256-sample
+    * frames, and reports exact integer energy (Σ|s|) and peak per frame —
+    * the VAD/segmentation front-end of an audio curation pipeline. The
+    * oracle replays the generative formula arithmetically, so byte order,
+    * sign handling, and framing are all under test. Pure per-row fan-out
+    * (4 frames/doc), no shuffle until the final ORDER BY. */
+  private def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodePcm(id))))
+      .toDF("doc_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, pcm) =>
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until audioSamples / audioFrame).map { f =>
+          var energy = 0L; var peak = 0L
+          var i = 0
+          while (i < audioFrame) {
+            val v = math.abs(bb.getShort((f * audioFrame + i) * 2).toLong)
+            energy += v; if (v > peak) peak = v
+            i += 1
+          }
+          (id, f.toLong, energy, peak)
+        }
+      })
+      .toDF("doc_id", "frame", "energy", "peak")
+      .orderBy("doc_id", "frame")
+  }
+
+  private val audioEnergyOracle =
+    """WITH t AS (
+        SELECT doc_id, i, i // 256 AS frame,
+               ABS((doc_id * 17 + i * i * 3 + i * 11) % 4096 - 2048) AS a
+        FROM documents, range(0, 1024) r(i))
+      SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+             CAST(SUM(a) AS BIGINT) AS energy,
+             CAST(MAX(a) AS BIGINT) AS peak
+      FROM t GROUP BY doc_id, frame ORDER BY doc_id, frame"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
     Q("mm02_frame_sample", frames, Some(framesOracle)),
@@ -431,6 +491,7 @@ object Multimodal {
     Q("mm04_resize", resized, Some(resizedOracle)),
     Q("mm05_shard_pack", shardPack, Some(shardPackOracle)),
     Q("mm06_interleave", interleave, Some(interleaveOracle)),
-    Q("mm07_pair_audit", pairAudit, Some(pairAuditOracle))
+    Q("mm07_pair_audit", pairAudit, Some(pairAuditOracle)),
+    Q("mm08_audio_energy", audioEnergy, Some(audioEnergyOracle))
   )
 }

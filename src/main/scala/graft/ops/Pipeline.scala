@@ -755,6 +755,80 @@ object Pipeline {
                  ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) = 0)
        ORDER BY "check""""
 
+  // ------------------------------------------- duplicate-aware weights
+
+  /** Repetition-discounted sampling weights: a doc in a k-member
+    * truncation-duplicate group (dd14's prefix key) trains with weight
+    * 1/k so duplicated content isn't over-sampled. Weights are integer
+    * basis points (10000 div k — zero float). Two shuffles, both on
+    * bounded keys: the prefix group, then the per-source rollup; exactly
+    * the shape the full pipeline runs before writing sampling manifests. */
+  private def dedupWeights(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(substring(col("text"), 1, 64))
+    Tables.documents(s, d)
+      .withColumn("gsize", count(lit(1)).over(grp))
+      .withColumn("w_bp", expr("10000 div gsize"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_bp")).as("weight_bp"),
+        sum(when(col("gsize") > 1, 1L).otherwise(0L)).as("n_duped"))
+      .orderBy("source")
+  }
+
+  private val dedupWeightsOracle =
+    """WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) OVER (PARTITION BY substr(text, 1, 64)) AS BIGINT) AS gsize
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(10000 // gsize) AS BIGINT) AS weight_bp,
+             CAST(SUM(CASE WHEN gsize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duped
+      FROM g GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------- per-domain token cap
+
+  /** Per-source token budget: rank each source's docs by length (longest
+    * first, doc_id tie-break), admit while the running token total stays
+    * within a 2,000-token cap — the domain-balancing step that stops one
+    * crawl from dominating the mixture. One source-keyed window (running
+    * sum), then a constant-size per-source rollup; at 100 TB the window
+    * partitions by source, which is the natural skew-safe key once
+    * oversized sources are salted into epoch slices (pp06's shape). */
+  private def domainCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source").orderBy(desc("n_tok"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum("n_tok").over(bySrc))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_total"),
+        sum(when(col("cum_tok") <= 2000L, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("cum_tok") <= 2000L, col("n_tok")).otherwise(0L)).as("tok_selected"))
+      .orderBy("source")
+  }
+
+  private val domainCapOracle =
+    """WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT source, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source
+                    ORDER BY n_tok DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM t)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+             CAST(SUM(CASE WHEN cum_tok <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+             CAST(SUM(CASE WHEN cum_tok <= 2000 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_selected
+      FROM c GROUP BY source ORDER BY source"""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -768,6 +842,8 @@ object Pipeline {
     Q("pp10_curriculum", curriculum, Some(curriculumOracle)),
     Q("pp11_mix_audit", mixAudit, Some(mixAuditOracle)),
     Q("pp12_provenance", provenance, Some(provenanceOracle)),
-    Q("pp13_dq_gate", dqGate, Some(dqGateOracle))
+    Q("pp13_dq_gate", dqGate, Some(dqGateOracle)),
+    Q("pp14_dedup_weights", dedupWeights, Some(dedupWeightsOracle)),
+    Q("pp15_domain_cap", domainCap, Some(domainCapOracle))
   )
 }

@@ -952,6 +952,48 @@ object Sim {
              ROUND(n_hits / 5.0, 4) AS recall
       FROM hits ORDER BY qid"""
 
+  // -------------------------------------------- binary-signature Hamming
+
+  /** Sign-binarized Hamming top-k: each 64-float vector collapses to one
+    * packed 64-bit signature (bit i = coordinate i > 0), and neighbor
+    * ranking is `bit_count(xor)` — the 32×-compression fast path a vector
+    * store runs before exact re-ranking. The packing is a codegen'd
+    * `aggregate(sequence(...))` fold (8 bytes/row of shuffle instead of
+    * 256), the 10 query signatures broadcast, and distance is two ALU ops
+    * per candidate. At 100 TB the same signatures feed dd08-style band
+    * buckets (byte-sliced equi-join) instead of this broadcast sweep; the
+    * packing and popcount kernel are unchanged. Integer distances — no
+    * float boundary anywhere. */
+  private def hammingTopK(s: SparkSession, d: String): DataFrame = {
+    val sig = expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+        (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0.0,
+                             shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
+    val sigs = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), sig.as("sig"))
+    val qs = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val byQ = Window.partitionBy("qid").orderBy(asc("hamming"), asc("nid"))
+    sigs.select(col("vec_id").as("nid"), col("sig").as("nsig"))
+      .join(broadcast(qs), col("qid") =!= col("nid"))
+      .withColumn("hamming", expr("CAST(bit_count(qsig ^ nsig) AS BIGINT)"))
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "nid", "hamming")
+      .orderBy("qid", "rn")
+  }
+
+  private val hammingTopKOracle =
+    s"""WITH $duckVecs,
+      ham AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(SUM(CASE WHEN (a.x > 0) <> (b.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rn FROM ham)
+      SELECT qid, CAST(rn AS BIGINT) AS rn, nid, hamming
+      FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -964,6 +1006,7 @@ object Sim {
     Q("sm09_ann_recall", annRecall, Some(annRecallOracle)),
     Q("sm10_pq_quantize", pqQuantize, Some(pqQuantizeOracle)),
     Q("sm11_knn_classify", knnClassify, Some(knnClassifyOracle)),
-    Q("sm12_ivf_recall", ivfRecall, Some(ivfRecallOracle))
+    Q("sm12_ivf_recall", ivfRecall, Some(ivfRecallOracle)),
+    Q("sm13_hamming_topk", hammingTopK, Some(hammingTopKOracle))
   )
 }
