@@ -454,6 +454,50 @@ object StreamQueries {
       FROM q GROUP BY lang ORDER BY lang"""
   }
 
+  // --------------------------------------- built-in session_window stream
+
+  /** Native `session_window` sessionization — the engine-managed twin of
+    * st02's hand-rolled `flatMapGroupsWithState` state machine. Complete
+    * output mode emits EVERY session (closed and open), so the oracle is
+    * an12's full gaps-and-islands with no last-session drop — the
+    * differential between st02 and st10 is exactly the open-session
+    * boundary semantics. Session merging is the state store's job here:
+    * at scale this is the path to prefer (no user state code, RocksDB
+    *-backed merge), keyed by user_id so it shards. */
+  private def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    val sessions = eventsStream(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, sessions, "st10_sink", "complete")
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** `session_window` closes at last-event + gap; the oracle only needs
+    * the start bound + count, replayed via gaps-and-islands. */
+  private val sessionWindowOracle =
+    """WITH x AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      y AS (
+        SELECT user_id, ts, event_id,
+               -- session_window end = last event + gap, EXCLUSIVE: an event
+               -- at exactly gap distance starts a new session, hence >=
+               CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS nw
+        FROM x),
+      z AS (
+        SELECT user_id, ts,
+               SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM y)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      FROM z GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -463,6 +507,7 @@ object StreamQueries {
     Q("st06_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
     Q("st07_stream_iceberg_cdc", streamIcebergCdc, Some(streamIcebergCdcOracle)),
     Q("st08_stream_compaction", streamCompaction, Some(streamCompactionOracle)),
-    Q("st09_stream_curation", streamCuration, Some(streamCurationOracle))
+    Q("st09_stream_curation", streamCuration, Some(streamCurationOracle)),
+    Q("st10_session_window", sessionWindow, Some(sessionWindowOracle))
   )
 }
