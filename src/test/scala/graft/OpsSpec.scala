@@ -102,6 +102,38 @@ class OpsSpec extends SparkSpec {
     assert(w42 == Multimodal.imgWidth(42L) && h42 == Multimodal.imgHeight(42L))
   }
 
+  test("PCM16 payloads round-trip little-endian sign-correct (mm08)") {
+    // codec check: encode -> ByteBuffer parse recovers the waveform formula,
+    // including negative samples (sign extension) and byte order
+    val pcm = Multimodal.encodePcm(13L)
+    assert(pcm.length == Multimodal.audioSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val decoded = (0 until Multimodal.audioSamples).map(t => bb.getShort(t * 2).toInt)
+    val expected = (0 until Multimodal.audioSamples).map(t => Multimodal.audioSample(13L, t))
+    assert(decoded == expected, "decoded samples diverged from formula")
+    assert(expected.exists(_ < 0) && expected.exists(_ > 0),
+      "waveform should exercise both signs")
+  }
+
+  test("hamming signature packs sign bits exactly (sm13)") {
+    // the packed-long fold must equal a bit-by-bit reference, including
+    // bit 63 (the negative-long bit) when coordinate 63 is positive
+    import org.apache.spark.sql.Row
+    val sig = expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+        (acc, i) -> acc + IF(element_at(v, i + 1) > 0.0,
+                             shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
+    val vec = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(vec.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val got = df.select(sig.as("sig")).collect()(0).getLong(0)
+    val want = (0 until 64).foldLeft(0L)((acc, i) => if (vec(i) > 0) acc | (1L << i) else acc)
+    assert(got == want, f"packed $got%x != reference $want%x")
+    assert(java.lang.Long.bitCount(got) == vec.count(_ > 0))
+  }
+
   test("nearest-neighbor resize samples src = out*dim div target exactly") {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(Multimodal.encodePng(11L)))
