@@ -952,6 +952,52 @@ object Sim {
              ROUND(n_hits / 5.0, 4) AS recall
       FROM hits ORDER BY qid"""
 
+  // ------------------------------------------------ IVF cell-balance audit
+
+  /** IVF partition-balance audit: per-cell vector counts, basis-point
+    * share, and the max/mean imbalance factor — the index-health metric
+    * that decides when an IVF codebook needs retraining (a hot cell turns
+    * probes into scans). Same exact-integer assignment as sm06
+    * ([[assignCellQ]] over 2^20-quantized coords — tie-proof across
+    * engines); one scan, one |cells|-key aggregate, O(1) output. */
+  private def cellBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val centsQ = collectMatrix(s, d, idBound = ivfCells)
+      .map { case (cid, v, _) => (cid, v.map(quant20)) }
+    val bc = s.sparkContext.broadcast(centsQ)
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, vf) => assignCellQ(vf.map(x => quant20(x.toDouble)), cs) }
+      }
+      .toDF("cell")
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum("n_vecs").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(
+        col("cell"),
+        col("n_vecs"),
+        expr("n_vecs * 10000 div total").as("share_bp"),
+        expr(s"n_vecs * $ivfCells * 10000 div total").as("imbalance_bp"))
+      .orderBy("cell")
+  }
+
+  private val cellBalanceOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      ${quantD2("ce")},
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      c AS (SELECT cell, COUNT(*) AS n_vecs FROM cell GROUP BY cell),
+      t AS (SELECT *, CAST(SUM(n_vecs) OVER () AS BIGINT) AS total FROM c)
+      SELECT cell, n_vecs,
+             n_vecs * 10000 // total AS share_bp,
+             n_vecs * $ivfCells * 10000 // total AS imbalance_bp
+      FROM t ORDER BY cell"""
+
   // -------------------------------------------- binary-signature Hamming
 
   /** Sign-binarized Hamming top-k: each 64-float vector collapses to one
@@ -1007,6 +1053,7 @@ object Sim {
     Q("sm10_pq_quantize", pqQuantize, Some(pqQuantizeOracle)),
     Q("sm11_knn_classify", knnClassify, Some(knnClassifyOracle)),
     Q("sm12_ivf_recall", ivfRecall, Some(ivfRecallOracle)),
-    Q("sm13_hamming_topk", hammingTopK, Some(hammingTopKOracle))
+    Q("sm13_hamming_topk", hammingTopK, Some(hammingTopKOracle)),
+    Q("sm14_cell_balance", cellBalance, Some(cellBalanceOracle))
   )
 }

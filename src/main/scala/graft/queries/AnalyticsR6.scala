@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   * with every computed column aliased identically on both sides.
   */
 object AnalyticsR6 {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
   def all: Seq[Q] = Seq(
 
@@ -202,6 +204,42 @@ object AnalyticsR6 {
           GROUP BY 1, 2)
         SELECT from_type, to_type, cnt,
                cnt * 10000 // CAST(SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
-        FROM c ORDER BY from_type, to_type"""))
+        FROM c ORDER BY from_type, to_type""")),
+
+    // ---- bucketed co-located join: both fact tables are written
+    //      bucketBy(8, join-key) + sortBy, so the subsequent join needs NO
+    //      shuffle exchange on either side — Spark's output partitioning
+    //      already satisfies the join's distribution requirement
+    //      (PlanAuditSpec asserts zero Exchange with broadcast disabled).
+    //      This is the 100 TB co-location strategy: pay one bucketed write
+    //      at ingest, then every keyed join/agg on that key is
+    //      exchange-free forever after. At sf0.01 the dim side would
+    //      broadcast anyway; the bucketed layout is what survives when
+    //      both sides are TB-scale and broadcast stops being an option.
+    Q("an58_bucketed_join",
+      (s, d) => {
+        s.sql("DROP TABLE IF EXISTS b_lineitem")
+        s.sql("DROP TABLE IF EXISTS b_orders")
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", "target/scratch/bucketed/b_lineitem")
+          .saveAsTable("b_lineitem")
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", "target/scratch/bucketed/b_orders")
+          .saveAsTable("b_orders")
+        s.table("b_lineitem")
+          .join(s.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

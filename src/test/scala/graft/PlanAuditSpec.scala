@@ -26,6 +26,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.exists(_.nonEmpty), s"no filter reached any scan: $pushed")
   }
 
+  test("an58 bucketed tables join with ZERO shuffle exchange (broadcast off)") {
+    // run the query once so the bucketed tables exist, then force the
+    // non-broadcast path: co-located bucketing must satisfy the join's
+    // distribution requirement with no Exchange on either side
+    SparkEntry.queries("an58_bucketed_join")(spark, sfDir).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed join should be exchange-free:\n" + p.take(1200))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffle-family join operator (satisfied by bucketing):\n" + p.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("an03 6-way join broadcasts every dimension (no SortMergeJoin)") {
     val p = plan("an03_local_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
