@@ -498,6 +498,35 @@ object StreamQueries {
       SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
       FROM z GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  // ------------------------------------------ stream-static enrichment
+
+  /** Stream-static dimension enrichment: the unbounded event stream joins
+    * a STATIC customer dimension (no watermark, no state — the dim is
+    * re-planned per micro-batch and broadcast, Spark's stream-static join
+    * path), then aggregates per market segment. This is the standard
+    * "enrich events with reference data" topology; at scale the static
+    * side stays broadcast-sized or becomes a bucketed table (an58's
+    * layout) and the stream side never shuffles before the keyed agg. */
+  private def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+    runToTable(s, joined, "st11_sink", "complete")
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  private val streamEnrichOracle =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -508,6 +537,7 @@ object StreamQueries {
     Q("st07_stream_iceberg_cdc", streamIcebergCdc, Some(streamIcebergCdcOracle)),
     Q("st08_stream_compaction", streamCompaction, Some(streamCompactionOracle)),
     Q("st09_stream_curation", streamCuration, Some(streamCurationOracle)),
-    Q("st10_session_window", sessionWindow, Some(sessionWindowOracle))
+    Q("st10_session_window", sessionWindow, Some(sessionWindowOracle)),
+    Q("st11_stream_enrich", streamEnrich, Some(streamEnrichOracle))
   )
 }
