@@ -291,6 +291,111 @@ object WordShinglesExpr {
   }
 }
 
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme):
+  * rolling k-gram hashes, then the minimum of every w-hash sliding window,
+  * deduplicated and sorted. Guarantees any match of length >= k+w-1 shares
+  * a fingerprint while keeping only ~2/(w+1) of the gram hashes — the
+  * density/recall trade a substring-level dedup pipeline wants. One tight
+  * generated loop per row (gram hashing is the hot part); output is a
+  * sorted long array so downstream explode + equi-join is deterministic. */
+case class WinnowExpr(child: Expression, k: Int, w: Int, m: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "graft_winnow"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.length < k) return null
+    val ng    = s.length - k + 1
+    val grams = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      var acc = 0L
+      var j   = 0
+      while (j < k) { acc = (acc * 31 + s.charAt(i + j)) % m; j += 1 }
+      grams(i) = acc
+      i += 1
+    }
+    val nw  = math.max(1, ng - w + 1)
+    val fps = new Array[Long](nw)
+    var jw = 0
+    while (jw < nw) {
+      var best = Long.MaxValue
+      var x    = jw
+      val end  = math.min(jw + w, ng)
+      while (x < end) { if (grams(x) < best) best = grams(x); x += 1 }
+      fps(jw) = best
+      jw += 1
+    }
+    java.util.Arrays.sort(fps)
+    var u = 0
+    var x = 0
+    while (x < nw) { if (x == 0 || fps(x) != fps(x - 1)) { fps(u) = fps(x); u += 1 }; x += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(fps, u))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg   = child.genCode(ctx)
+    val s    = ctx.freshName("s")
+    val ng   = ctx.freshName("ng")
+    val gr   = ctx.freshName("grams")
+    val acc  = ctx.freshName("acc")
+    val i    = ctx.freshName("i")
+    val j    = ctx.freshName("j")
+    val nw   = ctx.freshName("nw")
+    val fps  = ctx.freshName("fps")
+    val jw   = ctx.freshName("jw")
+    val best = ctx.freshName("best")
+    val x    = ctx.freshName("x")
+    val end  = ctx.freshName("end")
+    val u    = ctx.freshName("u")
+    ev.copy(code = code"""
+      ${cg.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${cg.isNull}) {
+        java.lang.String $s = ${cg.value}.toString();
+        if ($s.length() >= $k) {
+          int $ng = $s.length() - $k + 1;
+          long[] $gr = new long[$ng];
+          for (int $i = 0; $i < $ng; $i++) {
+            long $acc = 0L;
+            for (int $j = 0; $j < $k; $j++) {
+              $acc = ($acc * 31 + $s.charAt($i + $j)) % ${m}L;
+            }
+            $gr[$i] = $acc;
+          }
+          int $nw = java.lang.Math.max(1, $ng - $w + 1);
+          long[] $fps = new long[$nw];
+          for (int $jw = 0; $jw < $nw; $jw++) {
+            long $best = Long.MAX_VALUE;
+            int $end = java.lang.Math.min($jw + $w, $ng);
+            for (int $x = $jw; $x < $end; $x++) {
+              if ($gr[$x] < $best) $best = $gr[$x];
+            }
+            $fps[$jw] = $best;
+          }
+          java.util.Arrays.sort($fps);
+          int $u = 0;
+          for (int $x = 0; $x < $nw; $x++) {
+            if ($x == 0 || $fps[$x] != $fps[$x - 1]) { $fps[$u++] = $fps[$x]; }
+          }
+          ${ev.isNull} = false;
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            java.util.Arrays.copyOf($fps, $u));
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object hashfns {
   private def expr(c: Column): Expression = bridge.expression(c)
@@ -310,4 +415,7 @@ object hashfns {
   def simhash32(c: Column): Column = col(SimHash32Expr(expr(c)))
 
   def wordShingles(c: Column, n: Int = 3): Column = col(WordShinglesExpr(expr(c), n))
+
+  def winnow(c: Column, k: Int, w: Int, m: Long = Hashing.P): Column =
+    col(WinnowExpr(expr(c), k, w, m))
 }

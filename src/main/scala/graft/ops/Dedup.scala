@@ -828,6 +828,60 @@ object Dedup {
        FROM ps a JOIN ps b ON a.pfx = b.pfx AND a.source < b.source
        GROUP BY 1, 2 ORDER BY src_a, src_b"""
 
+  // ------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing substring fingerprints (the MOSS scheme): per doc, rolling
+    * 8-gram hashes → min of each 4-hash sliding window → distinct sorted
+    * fingerprint set, computed by one codegen'd Catalyst expression
+    * ([[graft.functions.WinnowExpr]]). Any shared substring of length
+    * ≥ 11 chars guarantees a shared fingerprint at ~0.4× the gram
+    * density. Downstream is the dd07 discipline: fingerprints with
+    * df > 20 (vocabulary boilerplate) are dropped before the postings
+    * self-join, so the pair space is df²-capped — never corpus². Output
+    * is per-doc: fingerprint counts and the number of partner docs
+    * sharing a rare fingerprint. */
+  private def winnowDup(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), graft.functions.hashfns.winnow(col("text"), 8, 4).as("fps"))
+      .filter(col("fps").isNotNull)
+      .persist()
+    val e = fps.select(col("doc_id"), explode(col("fps")).as("f")).persist()
+    val dfreq = e.groupBy("f").agg(countDistinct("doc_id").as("df"))
+    val rare  = e.join(dfreq.filter(col("df") <= 20), Seq("f")).persist()
+    val partners = rare.as("a")
+      .join(rare.as("b"), col("a.f") === col("b.f") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(countDistinct(col("b.doc_id")).as("n_partners"))
+    fps.select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))
+      .join(rare.groupBy("doc_id").agg(countDistinct("f").as("n_rare_fps")), Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_rare_fps", "n_partners"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowDupOracle: String = {
+    val gramHash = graft.Hashing.duckRollHash("substr(text, CAST(i AS INTEGER), 8)", graft.Hashing.P, "c")
+    s"""WITH g AS (
+        SELECT doc_id, list_transform(range(1, len(text) - 8 + 2), i -> $gramHash) AS hs
+        FROM documents WHERE len(text) >= 8),
+      wn AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 3, 1) + 1),
+                 j -> list_min(hs[j:least(j + 3, len(hs))]))) AS fps
+        FROM g),
+      e AS (SELECT doc_id, unnest(fps) AS f FROM wn),
+      dfreq AS (SELECT f, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY f),
+      rare AS (SELECT e.doc_id, e.f FROM e JOIN dfreq USING (f) WHERE df <= 20),
+      p AS (SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_partners
+            FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id <> b.doc_id GROUP BY 1),
+      r AS (SELECT doc_id, COUNT(DISTINCT f) AS n_rare_fps FROM rare GROUP BY 1)
+      SELECT wn.doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+             CAST(COALESCE(r.n_rare_fps, 0) AS BIGINT) AS n_rare_fps,
+             CAST(COALESCE(p.n_partners, 0) AS BIGINT) AS n_partners
+      FROM wn LEFT JOIN r USING (doc_id) LEFT JOIN p USING (doc_id)
+      ORDER BY doc_id"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
@@ -845,6 +899,7 @@ object Dedup {
     Q("dd12_bow_fingerprint", bowFingerprint, Some(bowFingerprintOracle)),
     Q("dd13_keep_best", keepBest, Some(keepBestOracle)),
     Q("dd14_prefix_dup", prefixDup, Some(prefixDupOracle)),
-    Q("dd15_cross_source_dup", crossSourceDup, Some(crossSourceDupOracle))
+    Q("dd15_cross_source_dup", crossSourceDup, Some(crossSourceDupOracle)),
+    Q("dd16_winnow_fingerprint", winnowDup, Some(winnowDupOracle))
   )
 }

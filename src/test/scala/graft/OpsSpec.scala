@@ -134,6 +134,30 @@ class OpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(got) == vec.count(_ > 0))
   }
 
+  test("winnowing guarantees a shared fingerprint for matches >= k+w-1 (dd16)") {
+    import spark.implicits._
+    // two otherwise-different docs sharing one 11-char substring (k=8, w=4:
+    // guarantee threshold k+w-1 = 11) must share at least one fingerprint;
+    // two disjoint-alphabet docs must share none
+    val shared = "SHAREDRUN11"
+    val docs = Seq(
+      (1L, s"aaaa bbbb cccc $shared dddd eeee"),
+      (2L, s"zzzz yyyy $shared xxxx wwww vvvv"),
+      (3L, "qqqq rrrr ssss tttt uuuu qqqq rrrr"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), graft.functions.hashfns.winnow(col("text"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing an 11-char run must share a winnowed fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty,
+      "disjoint-alphabet docs should share no fingerprint")
+    // sorted-distinct contract (join determinism relies on it)
+    val arr = docs.select(graft.functions.hashfns.winnow(col("text"), 8, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(arr == arr.sorted && arr.distinct.size == arr.size)
+  }
+
   test("nearest-neighbor resize samples src = out*dim div target exactly") {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(Multimodal.encodePng(11L)))
