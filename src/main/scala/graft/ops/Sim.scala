@@ -1040,6 +1040,73 @@ object Sim {
       SELECT qid, CAST(rn AS BIGINT) AS rn, nid, hamming
       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  // ---------------------------------------- two-stage Hamming + re-rank
+
+  /** Production two-stage retrieval: stage 1 ranks the corpus by packed
+    * sign-signature Hamming distance (sm13's 8-byte popcount kernel) and
+    * keeps the top-50 candidates per query; stage 2 re-ranks ONLY those
+    * candidates with exact float cosine and emits the top-5. The expensive
+    * exact kernel touches 50 rows/query instead of the corpus — the
+    * binary-prefilter shape every large vector store runs. Candidate
+    * selection is integer-deterministic (ham asc, nid asc), so the oracle
+    * replays both stages exactly; the final cosine is the one float op,
+    * rounded like sm01. */
+  private def hammingRerank(s: SparkSession, d: String): DataFrame = {
+    val sig = expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+        (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0.0,
+                             shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
+    val base = Tables.spread(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), sig.as("sig"))
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
+    val byHam = Window.partitionBy("qid").orderBy(asc("hamming"), asc("nid"))
+    val byCos = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val cand = base
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("sig").as("nsig"))
+      .join(broadcast(qs), col("qid") =!= col("nid"))
+      .withColumn("hamming", expr("CAST(bit_count(qsig ^ nsig) AS BIGINT)"))
+      .withColumn("hrn", row_number().over(byHam))
+      .filter(col("hrn") <= 50)
+    cand
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, nv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("qn", expr(
+        "sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nn", expr(
+        "sqrt(aggregate(nv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("sim", col("dot") / (col("qn") * col("nn")))
+      .withColumn("rn", row_number().over(byCos).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  private val hammingRerankOracle =
+    s"""WITH $duckVecs,
+      ham AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               SUM(CASE WHEN (a.x > 0) <> (b.x > 0) THEN 1 ELSE 0 END) AS hamming
+        FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS hrn
+          FROM ham) WHERE hrn <= 50),
+      dots AS (
+        SELECT c.qid, c.nid, SUM(a.x * b.x) AS dot
+        FROM cand c
+        JOIN e a ON a.vec_id = c.qid
+        JOIN e b ON b.vec_id = c.nid AND b.d = a.d
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
+      SELECT qid, CAST(rn AS BIGINT) AS rn, nid, ROUND(sim, 4) AS sim
+      FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1054,6 +1121,7 @@ object Sim {
     Q("sm11_knn_classify", knnClassify, Some(knnClassifyOracle)),
     Q("sm12_ivf_recall", ivfRecall, Some(ivfRecallOracle)),
     Q("sm13_hamming_topk", hammingTopK, Some(hammingTopKOracle)),
-    Q("sm14_cell_balance", cellBalance, Some(cellBalanceOracle))
+    Q("sm14_cell_balance", cellBalance, Some(cellBalanceOracle)),
+    Q("sm15_hamming_rerank", hammingRerank, Some(hammingRerankOracle))
   )
 }
