@@ -775,6 +775,44 @@ object Text {
       SELECT word, cf, df, cf * 10000 // df AS burst_bp
       FROM c ORDER BY cf DESC, word LIMIT 30"""
 
+  // ------------------------------------------------ token-length profile
+
+  /** Per-language token-length distribution: discrete p25/p50/p90 of
+    * character lengths over the token stream plus the long-token tail
+    * share in basis points — the shape a subword-tokenizer budget planner
+    * reads per language (long-tailed token lengths ⇒ more splits per
+    * word). Lengths are exact integers and percentiles discrete (the an42
+    * no-interpolation discipline), so there is no float boundary. One
+    * explode + one |langs|-key aggregate. */
+  private def tokenLengthProfile(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d).select(col("lang"), col("text")))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("lang"), length(col("w")).cast("long").as("wlen"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY wlen) AS BIGINT)").as("p25_len"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY wlen) AS BIGINT)").as("p50_len"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY wlen) AS BIGINT)").as("p90_len"),
+        sum(when(col("wlen") > 6L, 1L).otherwise(0L)).as("n_long"))
+      .withColumn("long_bp", expr("n_long * 10000 div n_tokens"))
+      .orderBy("lang")
+
+  private val tokenLengthProfileOracle =
+    """WITH w AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      wl AS (
+        SELECT lang, CAST(len(w) AS BIGINT) AS wlen FROM w WHERE w <> '')
+      SELECT lang, COUNT(*) AS n_tokens,
+             quantile_disc(wlen, 0.25) AS p25_len,
+             quantile_disc(wlen, 0.5) AS p50_len,
+             quantile_disc(wlen, 0.9) AS p90_len,
+             CAST(SUM(CASE WHEN wlen > 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+             CAST(SUM(CASE WHEN wlen > 6 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+               // COUNT(*) AS long_bp
+      FROM wl GROUP BY lang ORDER BY lang"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -795,6 +833,7 @@ object Text {
     Q("tx15_char_entropy", charEntropy, Some(charEntropyOracle)),
     Q("tx18_lexical_diversity", lexicalDiversity, Some(lexicalDiversityOracle)),
     Q("tx19_trigram_profile", trigramProfile, Some(trigramProfileOracle)),
-    Q("tx20_burstiness", burstiness, Some(burstinessOracle))
+    Q("tx20_burstiness", burstiness, Some(burstinessOracle)),
+    Q("tx21_token_length_profile", tokenLengthProfile, Some(tokenLengthProfileOracle))
   )
 }
