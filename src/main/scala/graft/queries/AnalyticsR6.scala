@@ -240,6 +240,35 @@ object AnalyticsR6 {
       Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- semi-structured JSON column: the events table carries a JSON
+    //      properties string; extract the typed field with from_json (a
+    //      declared schema, the Spark-native typed path — codegen'd, no
+    //      UDF) and aggregate over derived buckets. At 100 TB the rule is
+    //      the same as here: parse ONCE per row into a typed struct at
+    //      scan time, never re-extract per expression — and persist the
+    //      parsed column at ingest if more than one query reads it.
+    Q("an59_json_surface",
+      (s, d) => {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        Tables.events(s, d)
+          .select(col("event_type"),
+            from_json(col("props"), schema).getField("k").as("k"))
+          .filter(col("k").isNotNull)
+          .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+          .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max"))
+          .orderBy("event_type", "k_bucket")
+      },
+      Some("""WITH x AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, k // 10 AS k_bucket,
+               COUNT(*) AS n, MIN(k) AS k_min, MAX(k) AS k_max
+        FROM x WHERE k IS NOT NULL
+        GROUP BY 1, 2 ORDER BY event_type, k_bucket"""))
   )
 }
