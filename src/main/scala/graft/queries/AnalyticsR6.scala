@@ -269,6 +269,93 @@ object AnalyticsR6 {
         SELECT event_type, k // 10 AS k_bucket,
                COUNT(*) AS n, MIN(k) AS k_min, MAX(k) AS k_max
         FROM x WHERE k IS NOT NULL
-        GROUP BY 1, 2 ORDER BY event_type, k_bucket"""))
+        GROUP BY 1, 2 ORDER BY event_type, k_bucket""")),
+
+    // ---- mergeable-sketch roll-up: per-priority HLL register sets (an33's
+    //      integer-exact pipeline) estimate each group's distinct
+    //      customers, then the GLOBAL estimate comes from merging the
+    //      group registers with MAX — never re-reading the data. This is
+    //      THE scale property that makes sketches worth their error bar:
+    //      at 100 TB, per-partition sketches roll up to any grain as a
+    //      256-value MAX, and the merged estimate is bit-identical to the
+    //      single-pass global sketch (MAX is associative). Registers are
+    //      exact BIGINTs; the one float division per output row is the
+    //      an33-proven estimate step.
+    Q("an60_hll_merge",
+      (s, d) => {
+        val regs = Tables.orders(s, d)
+          .selectExpr("o_orderpriority AS g", "CAST(o_custkey AS BIGINT) AS x")
+          .selectExpr("g", "((shiftright(x, 16) ^ x) * 73244475) % 4294967296 AS h")
+          .selectExpr("g", "((shiftright(h, 16) ^ h) * 73244475) % 4294967296 AS h")
+          .selectExpr("g", "shiftright(h, 16) ^ h AS h")
+          .selectExpr("g", "h div 16777216 AS bucket", "h % 16777216 AS w")
+          .selectExpr("g", "bucket",
+            "CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho")
+          .groupBy("g", "bucket").agg(max("rho").as("rho"))
+          .persist()
+        // FLOOR of the 1e4-scaled estimate: both engines compute the same
+        // IEEE constant and one correctly-rounded division, so the floor
+        // is bit-deterministic — ROUND(,4) is not (Spark HALF_UP string
+        // rendering vs DuckDB scaled nearbyint diverge at half-ulp). The
+        // D suffixes matter: a bare 0.7213 parses as DECIMAL(5,4) in
+        // Spark and the decimal-division constant differs from DuckDB's
+        // double at the 1e-10 level — enough to flip a floor.
+        val est = expr(
+          "CAST(FLOOR((0.7213D / (1.0D + 1.079D / 256.0D)) * 256.0D * 256.0D * 33554432.0D * 10000.0D / scaled) AS BIGINT)")
+        def estimate(r: DataFrame, grainCol: Column): DataFrame = {
+          val grains = r.select(grainCol.as("grain")).distinct()
+          grains.join(broadcast(s.range(256).toDF("bucket")))
+            .join(r.select(grainCol.as("grain"), col("bucket"), col("rho")),
+              Seq("grain", "bucket"), "left")
+            .na.fill(0, Seq("rho"))
+            .groupBy("grain")
+            .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - rho)")).as("scaled"))
+            .select(col("grain"), est.as("est_x10000"))
+        }
+        val perG   = estimate(regs, col("g"))
+        val merged = estimate(
+          regs.groupBy("bucket").agg(max("rho").as("rho")), lit("ALL"))
+        val exactG = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("grain"))
+          .agg(countDistinct("o_custkey").as("n_exact"))
+        val exactA = Tables.orders(s, d)
+          .agg(countDistinct("o_custkey").as("n_exact")).withColumn("grain", lit("ALL"))
+        perG.unionByName(merged)
+          .join(exactG.unionByName(exactA), Seq("grain"))
+          .select("grain", "est_x10000", "n_exact")
+          .orderBy("grain")
+      },
+      Some("""WITH x AS (
+          SELECT o_orderpriority AS g, CAST(o_custkey AS BIGINT) AS x FROM orders),
+        h1 AS (SELECT g, (xor(x >> 16, x) * 73244475) % 4294967296 AS h FROM x),
+        h2 AS (SELECT g, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1),
+        hf AS (SELECT g, xor(h >> 16, h) AS h FROM h2),
+        b AS (SELECT g, h // 16777216 AS bucket, h % 16777216 AS w FROM hf),
+        r AS (
+          SELECT g, bucket,
+                 MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rho
+          FROM b GROUP BY g, bucket),
+        rall AS (SELECT 'ALL' AS g, bucket, MAX(rho) AS rho FROM r GROUP BY bucket),
+        ru AS (SELECT * FROM r UNION ALL SELECT * FROM rall),
+        grid AS (
+          SELECT gg.g, t.range AS bucket
+          FROM (SELECT DISTINCT g FROM ru) gg CROSS JOIN range(256) t),
+        filled AS (
+          SELECT grid.g, COALESCE(ru.rho, 0) AS rho
+          FROM grid LEFT JOIN ru ON grid.g = ru.g AND grid.bucket = ru.bucket),
+        z AS (
+          SELECT g AS grain, SUM(CAST(1 AS BIGINT) << (25 - rho)) AS scaled
+          FROM filled GROUP BY g),
+        e AS (
+          SELECT o_orderpriority AS grain, COUNT(DISTINCT o_custkey) AS n_exact
+          FROM orders GROUP BY 1
+          UNION ALL
+          SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders)
+        SELECT z.grain,
+               CAST(FLOOR((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 33554432.0
+                     * 10000.0 / scaled) AS BIGINT) AS est_x10000,
+               n_exact
+        FROM z JOIN e ON z.grain = e.grain
+        ORDER BY z.grain"""))
   )
 }
