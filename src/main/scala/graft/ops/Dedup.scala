@@ -828,6 +828,66 @@ object Dedup {
        FROM ps a JOIN ps b ON a.pfx = b.pfx AND a.source < b.source
        GROUP BY 1, 2 ORDER BY src_a, src_b"""
 
+  // ------------------------------------------------- LSH band-plan tuning
+
+  /** LSH index tuning table: candidate-pair counts for three band plans
+    * over the SAME 16-hash MinHash signatures — 8 bands × 2 rows (high
+    * recall, more candidates), 4×4 (dd03's shipped plan), 2×8 (high
+    * precision, fewest candidates). The S-curve trade made measurable:
+    * this is the number an index operator reads before picking (b, r) at
+    * 100 TB, where each extra candidate pair is a real verification join
+    * row. Signatures compute once (persisted); each plan is one
+    * band-bucket equi-join + a count — bounded exactly like dd03. */
+  private def bandTuning(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.hashfns
+    val sigs = shingles(s, d).select(
+      col("doc_id"),
+      hashfns.minhashSig(
+        array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P)))).as("sig"))
+      .persist()
+    def planFor(r: Int): DataFrame = {
+      val band = sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${16 / r - 1}), b -> slice(sig, b * $r + 1, $r))")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "bsig")
+      band.as("x")
+        .join(band.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .agg(count(lit(1)).as("n_cand_pairs"))
+        .select(lit(r.toLong).as("band_rows"), lit((16 / r).toLong).as("n_bands"),
+          col("n_cand_pairs"))
+    }
+    planFor(2).unionByName(planFor(4)).unionByName(planFor(8)).orderBy("band_rows")
+  }
+
+  private val bandTuningOracle: String = {
+    val shHash = Hashing.duckRollHash("sg", P, "c0")
+    def cfg(r: Int) =
+      s"""SELECT CAST($r AS BIGINT) AS band_rows, CAST(${16 / r} AS BIGINT) AS n_bands,
+            COUNT(*) AS n_cand_pairs
+          FROM (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM (SELECT doc_id, j // $r AS band_id,
+                         string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bsig
+                  FROM sig GROUP BY doc_id, j // $r) x
+            JOIN (SELECT doc_id, j // $r AS band_id,
+                         string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bsig
+                  FROM sig GROUP BY doc_id, j // $r) y
+              ON x.band_id = y.band_id AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
+    s"""WITH $duckShingles,
+      hs AS (
+        SELECT doc_id, list_distinct(list_transform(shs, sg -> $shHash)) AS hset FROM sh),
+      eh AS (SELECT doc_id, unnest(hset) AS h FROM hs),
+      params(j, pa, pb) AS (VALUES ${Hashing.duckMinhashParams}),
+      sig AS (
+        SELECT doc_id, j, MIN((pa * h + pb) % $P) AS m
+        FROM eh CROSS JOIN params GROUP BY doc_id, j)
+      ${cfg(2)} UNION ALL ${cfg(4)} UNION ALL ${cfg(8)} ORDER BY band_rows"""
+  }
+
   // ------------------------------------------------- winnowing fingerprints
 
   /** Winnowing substring fingerprints (the MOSS scheme): per doc, rolling
@@ -900,6 +960,7 @@ object Dedup {
     Q("dd13_keep_best", keepBest, Some(keepBestOracle)),
     Q("dd14_prefix_dup", prefixDup, Some(prefixDupOracle)),
     Q("dd15_cross_source_dup", crossSourceDup, Some(crossSourceDupOracle)),
-    Q("dd16_winnow_fingerprint", winnowDup, Some(winnowDupOracle))
+    Q("dd16_winnow_fingerprint", winnowDup, Some(winnowDupOracle)),
+    Q("dd17_band_tuning", bandTuning, Some(bandTuningOracle))
   )
 }

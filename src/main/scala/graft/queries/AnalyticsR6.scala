@@ -356,6 +356,51 @@ object AnalyticsR6 {
                      * 10000.0 / scaled) AS BIGINT) AS est_x10000,
                n_exact
         FROM z JOIN e ON z.grain = e.grain
-        ORDER BY z.grain"""))
+        ORDER BY z.grain""")),
+
+    // ---- first-touch attribution: each purchase is credited to the FIRST
+    //      event type of its user session (30-min gap, an12's islands).
+    //      One user-keyed window pass derives session ids, a second takes
+    //      first_value per session — both partition on user, so the whole
+    //      funnel computes in a single shuffle's worth of co-partitioned
+    //      windows; the credit rollup is a 25-key aggregate. The
+    //      product-analytics query every event pipeline ends up running.
+    Q("an61_attribution",
+      (s, d) => {
+        val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val bySess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        val ev = Tables.events(s, d)
+          .withColumn("us", expr("unix_micros(cast(ts as timestamp_ltz))"))
+          .withColumn("prev_us", lag("us", 1).over(seq))
+          .withColumn("nw", when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("nw").over(seq.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("first_touch", first("event_type").over(bySess))
+        ev.filter(col("event_type") === "purchase")
+          .groupBy(col("first_touch"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+          .orderBy("first_touch")
+      },
+      Some("""WITH x AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (
+          SELECT *, CASE WHEN prev_us IS NULL
+                          OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS nw
+          FROM x),
+        z AS (
+          SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM y),
+        f AS (
+          SELECT *, first_value(event_type) OVER (PARTITION BY user_id, sid
+                                                  ORDER BY ts, event_id) AS first_touch
+          FROM z)
+        SELECT first_touch, COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM f WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY first_touch"""))
   )
 }
