@@ -998,6 +998,63 @@ object Sim {
              n_vecs * $ivfCells * 10000 // total AS imbalance_bp
       FROM t ORDER BY cell"""
 
+  // ------------------------------------------------ int8-quantized search
+
+  /** SQ8 search: top-k by EXACT INTEGER dot product over sm07's int8
+    * codes (q = clamp(floor(x·64), ±127)) — the production fast path
+    * where the corpus lives as int8 (4× smaller, SIMD-friendly) and
+    * ranking never touches a float. Every distance is a bounded BIGINT
+    * (|q| ≤ 127, 64 dims ⇒ |dot| ≤ ~10⁶), so ranking is bit-deterministic
+    * in both engines with no rounding discipline needed at all — the
+    * strongest possible oracle for a similarity kernel. Same broadcast-
+    * queries/corpus-streams shape as sm01. */
+  private def sq8Search(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def quant(x: Double): Long =
+      math.max(-127.0, math.min(127.0, math.floor(x * 64.0))).toLong
+    val qs = collectMatrix(s, d, idBound = 10)
+      .map { case (id, v, _) => (id, v.map(quant)) }
+    val bc  = s.sparkContext.broadcast(qs)
+    val byQ = Window.partitionBy("qid").orderBy(desc("idot"), asc("nid"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val q = bc.value
+        it.flatMap { case (nid, vf) =>
+          val nv = new Array[Long](vf.length)
+          var i = 0
+          while (i < vf.length) { nv(i) = quant(vf(i).toDouble); i += 1 }
+          q.iterator.filter(_._1 != nid).map { case (qid, qv) =>
+            var acc = 0L
+            var j   = 0
+            while (j < qv.length) { acc += qv(j) * nv(j); j += 1 }
+            (qid, nid, acc)
+          }
+        }
+      }
+      .toDF("qid", "nid", "idot")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "nid", "idot")
+      .orderBy("qid", "rn")
+  }
+
+  private val sq8SearchOracle =
+    s"""WITH $duckVecs,
+      q AS (
+        SELECT vec_id, d,
+               CAST(GREATEST(-127, LEAST(127, FLOOR(x * 64.0))) AS BIGINT) AS qv
+        FROM e),
+      dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(SUM(a.qv * b.qv) AS BIGINT) AS idot
+        FROM q a JOIN q b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY idot DESC, nid) AS rn FROM dots)
+      SELECT qid, CAST(rn AS BIGINT) AS rn, nid, idot
+      FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   // -------------------------------------------- binary-signature Hamming
 
   /** Sign-binarized Hamming top-k: each 64-float vector collapses to one
@@ -1122,6 +1179,7 @@ object Sim {
     Q("sm12_ivf_recall", ivfRecall, Some(ivfRecallOracle)),
     Q("sm13_hamming_topk", hammingTopK, Some(hammingTopKOracle)),
     Q("sm14_cell_balance", cellBalance, Some(cellBalanceOracle)),
-    Q("sm15_hamming_rerank", hammingRerank, Some(hammingRerankOracle))
+    Q("sm15_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),
+    Q("sm16_sq8_search", sq8Search, Some(sq8SearchOracle))
   )
 }

@@ -401,6 +401,60 @@ object AnalyticsR6 {
         SELECT first_touch, COUNT(*) AS n_purchases,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM f WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY first_touch"""))
+        GROUP BY 1 ORDER BY first_touch""")),
+
+    // ---- time-to-convert: per viewer, seconds from first view to first
+    //      purchase, rolled up per customer market segment with discrete
+    //      p50/p90 and an integer-bp conversion rate. Two user-keyed
+    //      min-aggregates (one shuffle each, co-partitioned), a broadcast
+    //      dim join, and a 5-key percentile aggregate. Times stay exact
+    //      integer microseconds until the final div to whole seconds —
+    //      no float anywhere. The funnel-latency metric a growth team
+    //      tracks weekly at any event volume.
+    Q("an62_time_to_convert",
+      (s, d) => {
+        val us = expr("unix_micros(cast(ts as timestamp_ltz))")
+        val ev = Tables.events(s, d)
+        val firstView = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), us.as("us"))
+          .groupBy("user_id").agg(min("us").as("t_view"))
+        val firstBuy = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), us.as("us"))
+          .groupBy("user_id").agg(min("us").as("t_buy"))
+        val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        firstView
+          .join(firstBuy, Seq("user_id"), "left")
+          .withColumn("tts_s", when(col("t_buy") >= col("t_view"),
+            expr("(t_buy - t_view) div 1000000")).otherwise(lit(null)))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_viewers"),
+            count(col("tts_s")).as("n_converted"),
+            expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY tts_s) AS BIGINT)").as("p50_s"),
+            expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY tts_s) AS BIGINT)").as("p90_s"))
+          .withColumn("conv_bp", expr("n_converted * 10000 div n_viewers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH v AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        b AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS t_buy
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        j AS (
+          SELECT v.user_id, CASE WHEN b.t_buy >= v.t_view
+                 THEN (b.t_buy - v.t_view) // 1000000 ELSE NULL END AS tts_s
+          FROM v LEFT JOIN b ON v.user_id = b.user_id),
+        seg AS (
+          SELECT c_mktsegment, tts_s
+          FROM j JOIN customer ON user_id = c_custkey)
+        SELECT c_mktsegment,
+               COUNT(*) AS n_viewers,
+               COUNT(tts_s) AS n_converted,
+               quantile_disc(tts_s, 0.5) AS p50_s,
+               quantile_disc(tts_s, 0.9) AS p90_s,
+               COUNT(tts_s) * 10000 // COUNT(*) AS conv_bp
+        FROM seg GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 }
