@@ -829,6 +829,64 @@ object Pipeline {
              CAST(SUM(CASE WHEN cum_tok <= 2000 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_selected
       FROM c GROUP BY source ORDER BY source"""
 
+  // ---------------------------------------------- shard-balance audit
+
+  /** Shard skew audit over pp06's salted-hash epoch sharding: per-shard
+    * row AND token counts, each shard's deviation from the ideal equal
+    * split in basis points, and the spread between heaviest and lightest
+    * shard — the pre-flight check a training job runs before launching N
+    * loaders (one slow shard gates the whole epoch). Pure arithmetic on
+    * exact integers after one 8-key aggregate; the window runs over 8
+    * rows. Two epochs' salts are audited side by side so drift between
+    * re-shuffles is visible. */
+  private def shardBalance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def forSalt(salt: String, epoch: Int): DataFrame =
+      Tables.documents(s, d)
+        .select(
+          lit(epoch.toLong).as("epoch"),
+          pmod(graft.functions.hashfns.rollHash(concat(lit(salt), col("text"))), lit(nShards)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val both = forSalt(epochSalt, 1).unionByName(forSalt("e2|", 2))
+    val byEpoch = Window.partitionBy("epoch")
+    both
+      .withColumn("tot_docs", sum("n_docs").over(byEpoch))
+      // delta stays a raw signed integer; the bp division runs on ABS only
+      // (negative integer division truncates toward zero in Spark but can
+      // floor elsewhere — keep every div non-negative)
+      .withColumn("delta_docs", expr(s"n_docs * $nShards - tot_docs"))
+      .withColumn("abs_dev_bp", expr("abs(delta_docs) * 10000 div tot_docs"))
+      .withColumn("spread_bp",
+        expr(s"(max(n_docs) OVER (PARTITION BY epoch) - min(n_docs) OVER (PARTITION BY epoch)) * 10000 div tot_docs"))
+      .select("epoch", "shard", "n_docs", "n_tokens", "delta_docs", "abs_dev_bp", "spread_bp")
+      .orderBy("epoch", "shard")
+  }
+
+  private val shardBalanceOracle: String = {
+    def cte(salt: String, epoch: Int, name: String) = {
+      val h = Hashing.duckRollHash(s"'$salt' || text", Hashing.P, s"c$epoch")
+      s"""$name AS (
+        SELECT CAST($epoch AS BIGINT) AS epoch, ($h) % $nShards AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 2)"""
+    }
+    s"""WITH ${cte(epochSalt, 1, "e1")}, ${cte("e2|", 2, "e2")},
+      u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+      w AS (
+        SELECT *, CAST(SUM(n_docs) OVER (PARTITION BY epoch) AS BIGINT) AS tot_docs,
+               CAST(MAX(n_docs) OVER (PARTITION BY epoch) AS BIGINT) AS mx,
+               CAST(MIN(n_docs) OVER (PARTITION BY epoch) AS BIGINT) AS mn
+        FROM u)
+      SELECT epoch, shard, n_docs, n_tokens,
+             n_docs * $nShards - tot_docs AS delta_docs,
+             abs(n_docs * $nShards - tot_docs) * 10000 // tot_docs AS abs_dev_bp,
+             (mx - mn) * 10000 // tot_docs AS spread_bp
+      FROM w ORDER BY epoch, shard"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -844,6 +902,7 @@ object Pipeline {
     Q("pp12_provenance", provenance, Some(provenanceOracle)),
     Q("pp13_dq_gate", dqGate, Some(dqGateOracle)),
     Q("pp14_dedup_weights", dedupWeights, Some(dedupWeightsOracle)),
-    Q("pp15_domain_cap", domainCap, Some(domainCapOracle))
+    Q("pp15_domain_cap", domainCap, Some(domainCapOracle)),
+    Q("pp16_shard_balance", shardBalance, Some(shardBalanceOracle))
   )
 }

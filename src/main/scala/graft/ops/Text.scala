@@ -813,6 +813,63 @@ object Text {
                // COUNT(*) AS long_bp
       FROM wl GROUP BY lang ORDER BY lang"""
 
+  // ------------------------------------------------ code-switch detection
+
+  /** Code-switching audit: docs whose marker evidence splits across TWO
+    * languages (second-place score ≥ 20% of total marker hits) — mixed-
+    * language documents break monolingual tokenizers and training mixes,
+    * so a curation pipeline counts them per (primary, secondary) pair
+    * before routing. Per-doc scores are tx01's map-only codegen'd array
+    * filters; ranking explodes a constant 5 rows/doc, so the whole audit
+    * is one doc-keyed window over bounded fanout + a ≤25-key rollup.
+    * Shares are integer basis points. */
+  private def codeSwitch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    val scored = words(Tables.documents(s, d))
+      .select(col("doc_id") +: langMarkers.map { case (l, ms) =>
+        size(filter(col("ws"), w => array_contains(typedLit(ms), w))).cast("long").as(s"s_$l")
+      }: _*)
+      .select(col("doc_id"), explode(expr(
+        "map(" + langMarkers.map { case (l, _) => s"'$l', s_$l" }.mkString(", ") + ")"))
+        .as(Seq("lang", "score")))
+      .withColumn("rn", row_number().over(perDoc))
+      .withColumn("total", sum("score").over(Window.partitionBy("doc_id")))
+    val top = scored.filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("top_lang"), col("total"))
+    val second = scored.filter(col("rn") === 2)
+      .select(col("doc_id"), col("lang").as("second_lang"), col("score").as("s2"))
+    top.join(second, Seq("doc_id"))
+      .filter(col("total") > 0)
+      .withColumn("mixed", when(expr("s2 * 10000 div total") >= 2000L, 1L).otherwise(0L))
+      .groupBy("top_lang", "second_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("mixed").as("n_mixed"))
+      .orderBy("top_lang", "second_lang")
+  }
+
+  private val codeSwitchOracle: String = {
+    val values = langMarkers
+      .map { case (l, ws) => s"('$l', [${sqlList(ws)}])" }
+      .mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      langs(lang, wlist) AS (VALUES $values),
+      scores AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(ws, x -> list_contains(wlist, x))) AS BIGINT) AS score
+        FROM w CROSS JOIN langs),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn,
+               CAST(SUM(score) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+        FROM scores),
+      t AS (SELECT doc_id, lang AS top_lang, total FROM rk WHERE rn = 1),
+      s2 AS (SELECT doc_id, lang AS second_lang, score AS s2 FROM rk WHERE rn = 2)
+      SELECT top_lang, second_lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN s2 * 10000 // total >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+      FROM t JOIN s2 USING (doc_id)
+      WHERE total > 0
+      GROUP BY 1, 2 ORDER BY top_lang, second_lang"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -834,6 +891,7 @@ object Text {
     Q("tx18_lexical_diversity", lexicalDiversity, Some(lexicalDiversityOracle)),
     Q("tx19_trigram_profile", trigramProfile, Some(trigramProfileOracle)),
     Q("tx20_burstiness", burstiness, Some(burstinessOracle)),
-    Q("tx21_token_length_profile", tokenLengthProfile, Some(tokenLengthProfileOracle))
+    Q("tx21_token_length_profile", tokenLengthProfile, Some(tokenLengthProfileOracle)),
+    Q("tx22_code_switch", codeSwitch, Some(codeSwitchOracle))
   )
 }
