@@ -942,6 +942,90 @@ object Dedup {
       ORDER BY doc_id"""
   }
 
+  // --------------------------------------------- winnow estimator audit
+
+  /** Estimator audit for dd16 — the dd10 discipline applied to winnowing:
+    * for every pair sharing ≥ 3 rare fingerprints, the fingerprint-set
+    * Jaccard (what the index sees at ~0.4× density) next to the EXACT
+    * 8-gram-set Jaccard, with absolute error. The number that says
+    * whether winnowed density is enough before trusting the index at
+    * scale. Fingerprints come from the codegen'd [[graft.functions.WinnowExpr]];
+    * the exact gram sets are computed ONLY for documents that appear in a
+    * candidate pair (pair-bounded, never corpus-wide). */
+  private def winnowEst(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"),
+        graft.functions.hashfns.winnow(col("text"), 8, 4).as("fps"))
+      .filter(col("fps").isNotNull)
+      .persist()
+    val e = fps.select(col("doc_id"), explode(col("fps")).as("f"))
+    val rare = e.join(
+      e.groupBy("f").agg(countDistinct("doc_id").as("df")).filter(col("df") <= 20), Seq("f"))
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    // exact 8-gram sets only for docs in candidate pairs (interpreted
+    // lambda hashing is fine here: the row set is pair-bounded)
+    val gramHash =
+      "aggregate(sequence(i, i + 7), CAST(0 AS BIGINT), (acc, p) -> (acc * 31 + ascii(substring(text, p, 1))) % 1000000007)"
+    val inPairs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = fps.join(inPairs, Seq("doc_id"))
+      .select(col("doc_id"), col("fps"),
+        expr(s"array_distinct(transform(sequence(1, length(text) - 7), i -> $gramHash))").as("ghs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("fps").as("fa"), col("ghs").as("ga")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("fps").as("fb"), col("ghs").as("gb")), Seq("doc_b"))
+      .withColumn("cf", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+      .withColumn("cg", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("cf").cast("double") /
+          (size(col("fa")) + size(col("fb")) - col("cf")).cast("double"), 4).as("est_jac"),
+        round(col("cg").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("cg")).cast("double"), 4).as("exact_jac"))
+      .withColumn("abs_err", round(abs(col("est_jac") - col("exact_jac")), 4))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val winnowEstOracle: String = {
+    val gramHash = graft.Hashing.duckRollHash("substr(text, CAST(i AS INTEGER), 8)", graft.Hashing.P, "c")
+    s"""WITH g AS (
+        SELECT doc_id, text,
+               list_transform(range(1, len(text) - 8 + 2), i -> $gramHash) AS hs
+        FROM documents WHERE len(text) >= 8),
+      wn AS (
+        SELECT doc_id, text, list_distinct(hs) AS ghs,
+               list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 3, 1) + 1),
+                 j -> list_min(hs[j:least(j + 3, len(hs))]))) AS fps
+        FROM g),
+      e AS (SELECT doc_id, unnest(fps) AS f FROM wn),
+      dfreq AS (SELECT f, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY f),
+      rare AS (SELECT e.doc_id, e.f FROM e JOIN dfreq USING (f) WHERE df <= 20),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      j AS (
+        SELECT c.doc_a, c.doc_b, c.n_shared,
+               len(list_intersect(wa.fps, wb.fps)) AS cf,
+               len(wa.fps) AS nfa, len(wb.fps) AS nfb,
+               len(list_intersect(wa.ghs, wb.ghs)) AS cg,
+               len(wa.ghs) AS nga, len(wb.ghs) AS ngb
+        FROM cand c
+        JOIN wn wa ON c.doc_a = wa.doc_id
+        JOIN wn wb ON c.doc_b = wb.doc_id)
+      SELECT doc_a, doc_b, n_shared,
+             ROUND(CAST(cf AS DOUBLE) / (nfa + nfb - cf), 4) AS est_jac,
+             ROUND(CAST(cg AS DOUBLE) / (nga + ngb - cg), 4) AS exact_jac,
+             ROUND(ABS(ROUND(CAST(cf AS DOUBLE) / (nfa + nfb - cf), 4)
+                       - ROUND(CAST(cg AS DOUBLE) / (nga + ngb - cg), 4)), 4) AS abs_err
+      FROM j ORDER BY doc_a, doc_b"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
@@ -961,6 +1045,7 @@ object Dedup {
     Q("dd14_prefix_dup", prefixDup, Some(prefixDupOracle)),
     Q("dd15_cross_source_dup", crossSourceDup, Some(crossSourceDupOracle)),
     Q("dd16_winnow_fingerprint", winnowDup, Some(winnowDupOracle)),
-    Q("dd17_band_tuning", bandTuning, Some(bandTuningOracle))
+    Q("dd17_band_tuning", bandTuning, Some(bandTuningOracle)),
+    Q("dd18_winnow_est", winnowEst, Some(winnowEstOracle))
   )
 }

@@ -484,6 +484,56 @@ object Multimodal {
              CAST(MAX(a) AS BIGINT) AS peak
       FROM t GROUP BY doc_id, frame ORDER BY doc_id, frame"""
 
+  // ------------------------------------------------ luminance histogram
+
+  /** 4-bin luminance histogram from the DECODED raster (not the formula):
+    * the brightness-profile feature an image-curation gate computes to
+    * drop all-black/all-white frames. Runs the real PNG decode per row
+    * (mm03's codec path) and bins pixels at 64-level boundaries; the
+    * oracle recomputes the bins arithmetically from the generative
+    * formula, so binning is only green if the decode is lossless. Map-
+    * only, no shuffle. */
+  private def lumHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngFrame(s, d)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val img  = readPng(png)
+        val ras  = img.getRaster
+        val bins = new Array[Long](4)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            bins(ras.getSample(x, y, 0) / 64) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (id, bins(0), bins(1), bins(2), bins(3))
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+      .orderBy("doc_id")
+  }
+
+  private val lumHistogramOracle =
+    """WITH g AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 7 AS h
+        FROM documents),
+      px AS (
+        SELECT g.doc_id,
+               ((g.doc_id * 31 + x.i * 7 + y.j * 13) % 256) // 64 AS bin
+        FROM g
+        JOIN range(0, 16) x(i) ON x.i < g.w
+        JOIN range(0, 14) y(j) ON y.j < g.h)
+      SELECT doc_id,
+             CAST(COUNT(*) FILTER (WHERE bin = 0) AS BIGINT) AS b0,
+             CAST(COUNT(*) FILTER (WHERE bin = 1) AS BIGINT) AS b1,
+             CAST(COUNT(*) FILTER (WHERE bin = 2) AS BIGINT) AS b2,
+             CAST(COUNT(*) FILTER (WHERE bin = 3) AS BIGINT) AS b3
+      FROM px GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
     Q("mm02_frame_sample", frames, Some(framesOracle)),
@@ -492,6 +542,7 @@ object Multimodal {
     Q("mm05_shard_pack", shardPack, Some(shardPackOracle)),
     Q("mm06_interleave", interleave, Some(interleaveOracle)),
     Q("mm07_pair_audit", pairAudit, Some(pairAuditOracle)),
-    Q("mm08_audio_energy", audioEnergy, Some(audioEnergyOracle))
+    Q("mm08_audio_energy", audioEnergy, Some(audioEnergyOracle)),
+    Q("mm09_lum_histogram", lumHistogram, Some(lumHistogramOracle))
   )
 }
