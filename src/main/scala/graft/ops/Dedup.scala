@@ -959,22 +959,29 @@ object Dedup {
       .filter(col("fps").isNotNull)
       .persist()
     val e = fps.select(col("doc_id"), explode(col("fps")).as("f"))
+    // rare feeds both sides of the self-join; cand feeds inPairs twice and
+    // the final join — persist both or the explode+groupBy chain reruns
+    // once per consumer
     val rare = e.join(
       e.groupBy("f").agg(countDistinct("doc_id").as("df")).filter(col("df") <= 20), Seq("f"))
+      .persist()
     val cand = rare.as("a")
       .join(rare.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-    // exact 8-gram sets only for docs in candidate pairs (interpreted
-    // lambda hashing is fine here: the row set is pair-bounded)
-    val gramHash =
-      "aggregate(sequence(i, i + 7), CAST(0 AS BIGINT), (acc, p) -> (acc * 31 + ascii(substring(text, p, 1))) % 1000000007)"
+      .persist()
+    // exact 8-gram sets only for docs in candidate pairs. winnow with
+    // window=1 IS the distinct sorted gram-hash set (every window's min is
+    // the gram itself), so the exact side reuses the same generated loop —
+    // the first cut used an interpreted transform(aggregate(...)) lambda
+    // here and it alone cost 20 s flat at any SF (measured; nested
+    // higher-order exprs evaluate per element, per row, uncompiled).
     val inPairs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sets = fps.join(inPairs, Seq("doc_id"))
       .select(col("doc_id"), col("fps"),
-        expr(s"array_distinct(transform(sequence(1, length(text) - 7), i -> $gramHash))").as("ghs"))
+        graft.functions.hashfns.winnow(col("text"), 8, 1).as("ghs"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("fps").as("fa"), col("ghs").as("ga")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("fps").as("fb"), col("ghs").as("gb")), Seq("doc_b"))
