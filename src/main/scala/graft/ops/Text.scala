@@ -870,6 +870,40 @@ object Text {
       GROUP BY 1, 2 ORDER BY top_lang, second_lang"""
   }
 
+  // ---------------------------------------------------- hapax legomena
+
+  /** Vocabulary-novelty audit: per source, the share of token occurrences
+    * that are corpus-wide hapax legomena (words appearing exactly once) —
+    * high hapax rates flag noisy/OCR-damaged sources, near-zero rates
+    * flag templated ones. One explode feeding two aggregates: the global
+    * word-frequency table (bounded by vocabulary) and the per-source
+    * rollup joined against it. Integer basis points throughout. */
+  private def hapaxRate(s: SparkSession, d: String): DataFrame = {
+    val tok = graft.Tables.spread(Tables.documents(s, d).select(col("source"), col("text")))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .persist()
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+    tok.join(freq, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_bp", expr("n_hapax * 10000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  private val hapaxRateOracle =
+    """WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT source, w FROM t WHERE w <> ''),
+      freq AS (SELECT w, COUNT(*) AS cf FROM tf GROUP BY w)
+      SELECT source, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             CAST(SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+               // COUNT(*) AS hapax_bp
+      FROM tf JOIN freq USING (w)
+      GROUP BY source ORDER BY source"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -892,6 +926,7 @@ object Text {
     Q("tx19_trigram_profile", trigramProfile, Some(trigramProfileOracle)),
     Q("tx20_burstiness", burstiness, Some(burstinessOracle)),
     Q("tx21_token_length_profile", tokenLengthProfile, Some(tokenLengthProfileOracle)),
-    Q("tx22_code_switch", codeSwitch, Some(codeSwitchOracle))
+    Q("tx22_code_switch", codeSwitch, Some(codeSwitchOracle)),
+    Q("tx23_hapax_rate", hapaxRate, Some(hapaxRateOracle))
   )
 }

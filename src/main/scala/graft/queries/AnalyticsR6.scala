@@ -455,6 +455,33 @@ object AnalyticsR6 {
                quantile_disc(tts_s, 0.5) AS p50_s,
                quantile_disc(tts_s, 0.9) AS p90_s,
                COUNT(tts_s) * 10000 // COUNT(*) AS conv_bp
-        FROM seg GROUP BY 1 ORDER BY c_mktsegment"""))
+        FROM seg GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // ---- equi-DEPTH histogram: ntile(10) boundaries over the price
+    //      column — the other histogram a cost-based optimizer keeps
+    //      (an47 is equi-width). One global ntile window (sorted once),
+    //      then a 10-key rollup; boundary values are raw column values
+    //      passed through untouched, so there is no arithmetic to
+    //      diverge. At 100 TB the exact global sort becomes a sampled
+    //      quantile sketch with the same output contract.
+    Q("an63_equidepth_hist",
+      (s, d) => {
+        val w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        Tables.lineitem(s, d)
+          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("bucket", ntile(10).over(w).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_extendedprice").as("lo"),
+            max("l_extendedprice").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (
+          SELECT l_extendedprice,
+                 CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+          FROM lineitem)
+        SELECT bucket, COUNT(*) AS n_rows,
+               MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }
