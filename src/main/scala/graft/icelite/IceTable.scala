@@ -453,6 +453,22 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
 
   // ----------------------------------------------------- metadata tables
 
+  /** `t.manifests`-style metadata table: one row per (snapshot, manifest)
+    * with the manifest's position in the list and its data-file count —
+    * the granularity `rewrite_manifests` planning reads (many small
+    * manifests ⇒ compact them). O(commits × manifests) rows, data never
+    * touched. */
+  def manifestsTable(): DataFrame = {
+    import spark.implicits._
+    val md = metadata
+    md.snapshots.flatMap { sn =>
+      sn.manifests.zipWithIndex.map { case (m, i) =>
+        (sn.snapshot_id, i.toLong, readManifest(m).size.toLong,
+          sn.snapshot_id == md.current_snapshot_id)
+      }
+    }.toDF("snapshot_id", "manifest_pos", "n_files", "is_current")
+  }
+
   /** `t.snapshots`-style metadata table: one row per snapshot with its
     * commit-DAG edge, operation, and manifest/file counts — queryable like
     * any DataFrame. Planning-sized (O(commits) rows), never touches data. */

@@ -1184,6 +1184,32 @@ object IceQueries {
     Q("ic40_history", historyQ, Some(historyOracle)),
     Q("ic41_partitions", partitionsMetaQ, Some(partitionsMetaOracle)),
     Q("ic42_iceberg_rewrite_data", icebergRewriteDataQ, Some(icebergRewriteDataOracle)),
-    Q("ic43_refs", refsQ, Some(refsOracle))
+    Q("ic43_refs", refsQ, Some(refsOracle)),
+    Q("ic44_manifests", manifestsQ, Some(manifestsOracle))
   )
+
+  /** `t.manifests` metadata table over a pinned lifecycle: create + two
+    * single-file appends. Manifests carry by pointer, so snapshot N lists
+    * N one-file manifests — the growth curve `rewrite_manifests` (ic34)
+    * exists to flatten, now directly queryable. */
+  private def manifestsQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "mfs")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t = cat.createOrReplaceTable("graft", "nations_mfs", nation.coalesce(1)) // snap 1
+    t.append(nation.filter(col("n_regionkey") === 0).coalesce(1))                // snap 2
+    t.append(nation.filter(col("n_regionkey") === 1).coalesce(1))                // snap 3
+    t.manifestsTable().orderBy("snapshot_id", "manifest_pos")
+  }
+
+  private val manifestsOracle =
+    """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+              CAST(manifest_pos AS BIGINT) AS manifest_pos,
+              CAST(n_files AS BIGINT) AS n_files,
+              is_current
+       FROM (VALUES (1, 0, 1, false),
+                    (2, 0, 1, false), (2, 1, 1, false),
+                    (3, 0, 1, true), (3, 1, 1, true), (3, 2, 1, true))
+         t(snapshot_id, manifest_pos, n_files, is_current)
+       ORDER BY snapshot_id, manifest_pos"""
 }
