@@ -887,6 +887,57 @@ object Pipeline {
       FROM w ORDER BY epoch, shard"""
   }
 
+  // ---------------------------------------------------- dataset card
+
+  /** Dataset-card metrics: the one-row-per-fact corpus datasheet a
+    * released training set ships with (docs/sources/langs, token and
+    * char volume, vocabulary size, length distribution, duplication).
+    * Each metric is a single exact-integer aggregate; the unions are
+    * planning-level (nine 1-row aggregates), so the whole card costs a
+    * handful of independent scans that AQE runs in parallel — and at
+    * 100 TB each metric is exactly the aggregate you would run anyway. */
+  private def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    def m(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+    m("01_n_docs", docs.agg(count(lit(1)).as("value")))
+      .unionByName(m("02_n_sources", docs.agg(countDistinct("source").as("value"))))
+      .unionByName(m("03_n_langs", docs.agg(countDistinct("lang").as("value"))))
+      .unionByName(m("04_n_tokens", tok.agg(count(lit(1)).as("value"))))
+      .unionByName(m("05_n_chars", docs.agg(sum(length(col("text"))).as("value"))))
+      .unionByName(m("06_vocab_size", tok.agg(countDistinct("w").as("value"))))
+      .unionByName(m("07_max_doc_tokens", docs
+        .select(size(split(col("text"), " ")).as("t")).agg(max("t").as("value"))))
+      .unionByName(m("08_median_doc_tokens", docs
+        .select(size(split(col("text"), " ")).cast("long").as("t"))
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY t) AS BIGINT)").as("value"))))
+      .unionByName(m("09_prefix_dup_groups", docs
+        .groupBy(substring(col("text"), 1, 64)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("value"))))
+      .orderBy("metric")
+  }
+
+  private val datasetCardOracle =
+    """SELECT metric, value FROM (
+        SELECT '01_n_docs' AS metric, COUNT(*) AS value FROM documents
+        UNION ALL SELECT '02_n_sources', COUNT(DISTINCT source) FROM documents
+        UNION ALL SELECT '03_n_langs', COUNT(DISTINCT lang) FROM documents
+        UNION ALL SELECT '04_n_tokens', COUNT(*) FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''
+        UNION ALL SELECT '05_n_chars', CAST(SUM(len(text)) AS BIGINT) FROM documents
+        UNION ALL SELECT '06_vocab_size', COUNT(DISTINCT w) FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''
+        UNION ALL SELECT '07_max_doc_tokens',
+          CAST(MAX(len(string_split(text, ' '))) AS BIGINT) FROM documents
+        UNION ALL SELECT '08_median_doc_tokens',
+          CAST(quantile_disc(len(string_split(text, ' ')), 0.5) AS BIGINT) FROM documents
+        UNION ALL SELECT '09_prefix_dup_groups', COUNT(*) FROM
+          (SELECT substr(text, 1, 64) AS p, COUNT(*) AS c FROM documents
+           GROUP BY p HAVING COUNT(*) > 1))
+      ORDER BY metric"""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -903,6 +954,7 @@ object Pipeline {
     Q("pp13_dq_gate", dqGate, Some(dqGateOracle)),
     Q("pp14_dedup_weights", dedupWeights, Some(dedupWeightsOracle)),
     Q("pp15_domain_cap", domainCap, Some(domainCapOracle)),
-    Q("pp16_shard_balance", shardBalance, Some(shardBalanceOracle))
+    Q("pp16_shard_balance", shardBalance, Some(shardBalanceOracle)),
+    Q("pp17_dataset_card", datasetCard, Some(datasetCardOracle))
   )
 }

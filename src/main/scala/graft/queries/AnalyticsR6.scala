@@ -482,6 +482,49 @@ object AnalyticsR6 {
           FROM lineitem)
         SELECT bucket, COUNT(*) AS n_rows,
                MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- percent-of-parent hierarchy: each nation's share of its
+    //      region's order count and each region's share of the total, in
+    //      one pass — the drill-down share layout every OLAP report
+    //      renders. One grouped aggregate at nation grain, then two
+    //      constant-size windows (region total, grand total) over the
+    //      25-row result; shares are integer basis points. At 100 TB the
+    //      windows still run over the aggregate, never the fact table.
+    Q("an64_share_of_parent",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        val grain = o
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_orders"))
+        grain
+          .withColumn("region_total", sum("n_orders").over(Window.partitionBy("r_name")))
+          .withColumn("grand_total", sum("n_orders").over(Window.partitionBy()))
+          .select(col("r_name"), col("n_name"), col("n_orders"),
+            expr("n_orders * 10000 div region_total").as("share_of_region_bp"),
+            expr("region_total * 10000 div grand_total").as("region_share_bp"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH g AS (
+          SELECT r_name, n_name, COUNT(*) AS n_orders
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        w AS (
+          SELECT *, CAST(SUM(n_orders) OVER (PARTITION BY r_name) AS BIGINT) AS region_total,
+                 CAST(SUM(n_orders) OVER () AS BIGINT) AS grand_total
+          FROM g)
+        SELECT r_name, n_name, n_orders,
+               n_orders * 10000 // region_total AS share_of_region_bp,
+               region_total * 10000 // grand_total AS region_share_bp
+        FROM w ORDER BY r_name, n_name"""))
   )
 }
