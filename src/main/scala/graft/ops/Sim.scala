@@ -1055,6 +1055,79 @@ object Sim {
       SELECT qid, CAST(rn AS BIGINT) AS rn, nid, idot
       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  // ------------------------------------------------ SQ8 recall eval
+
+  /** recall@5 of the int8 search (sm16) against exact float-cosine ground
+    * truth — the third shipped ANN path quality-gated (LSH → sm09,
+    * IVF → sm12, SQ8 → sm17). This is THE number that justifies shipping
+    * the 4×-compressed index: quantization error only matters if it
+    * changes the top-k. Ground truth is the one broadcast-queries corpus
+    * pass; the int8 side reuses sm16's ranking verbatim. */
+  private def sq8Recall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bc  = s.sparkContext.broadcast(collectMatrix(s, d, idBound = 10))
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val exact = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          queries.iterator
+            .filter { case (qid, _, _) => qid != nid }
+            .map { case (qid, qv, qn) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid")
+    val approx = sq8Search(s, d).select("qid", "nid")
+    val hits = approx.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / lit(5.0), 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  private val sq8RecallOracle =
+    s"""WITH $duckVecs,
+      q8 AS (
+        SELECT vec_id, d,
+               CAST(GREATEST(-127, LEAST(127, FLOOR(x * 64.0))) AS BIGINT) AS qv
+        FROM e),
+      idots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(SUM(a.qv * b.qv) AS BIGINT) AS idot
+        FROM q8 a JOIN q8 b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 GROUP BY 1, 2),
+      sq8 AS (
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY idot DESC, nid) AS rn
+          FROM idots) WHERE rn <= 5),
+      edots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 GROUP BY 1, 2),
+      esims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM edots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      exact AS (
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM esims) WHERE rn <= 5),
+      hits AS (
+        SELECT exact.qid, COUNT(sq8.nid) AS n_hits
+        FROM exact LEFT JOIN sq8 ON exact.qid = sq8.qid AND exact.nid = sq8.nid
+        GROUP BY exact.qid)
+      SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+             ROUND(n_hits / 5.0, 4) AS recall
+      FROM hits ORDER BY qid"""
+
   // -------------------------------------------- binary-signature Hamming
 
   /** Sign-binarized Hamming top-k: each 64-float vector collapses to one
@@ -1180,6 +1253,7 @@ object Sim {
     Q("sm13_hamming_topk", hammingTopK, Some(hammingTopKOracle)),
     Q("sm14_cell_balance", cellBalance, Some(cellBalanceOracle)),
     Q("sm15_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),
-    Q("sm16_sq8_search", sq8Search, Some(sq8SearchOracle))
+    Q("sm16_sq8_search", sq8Search, Some(sq8SearchOracle)),
+    Q("sm17_sq8_recall", sq8Recall, Some(sq8RecallOracle))
   )
 }
