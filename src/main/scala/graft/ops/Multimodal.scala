@@ -543,6 +543,52 @@ object Multimodal {
     Q("mm06_interleave", interleave, Some(interleaveOracle)),
     Q("mm07_pair_audit", pairAudit, Some(pairAuditOracle)),
     Q("mm08_audio_energy", audioEnergy, Some(audioEnergyOracle)),
-    Q("mm09_lum_histogram", lumHistogram, Some(lumHistogramOracle))
+    Q("mm09_lum_histogram", lumHistogram, Some(lumHistogramOracle)),
+    Q("mm10_aspect_bucket", aspectBucket, Some(aspectBucketOracle))
   )
+
+  /** Aspect-ratio bucketing (the SDXL/NaViT batching recipe): decode every
+    * image's REAL dimensions from its PNG payload, bucket by integer
+    * aspect-ratio percent `w*100 div h`, and report each bucket's
+    * population, its batch envelope (max w × max h), and the padding waste
+    * a batcher would pay there — `Σ(max_w·max_h − w·h)` — the number this
+    * op exists to minimize. The oracle recomputes everything from the
+    * generative geometry formula, so the bucketing is gated on the decode
+    * path being real. Per-row decode then one tiny keyed shuffle over a
+    * bounded bucket space: map-side combine makes the agg free at scale. */
+  private def aspectBucket(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngFrame(s, d)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val img = readPng(png)
+        (id, img.getWidth.toLong, img.getHeight.toLong)
+      })
+      .toDF("doc_id", "w", "h")
+      .withColumn("ar_pct", expr("w * 100 div h"))
+      .groupBy("ar_pct")
+      .agg(
+        count(lit(1)).as("n_imgs"),
+        max("w").as("max_w"),
+        max("h").as("max_h"),
+        sum(expr("w * h")).as("sum_px"))
+      .withColumn("pad_waste_px", expr("n_imgs * max_w * max_h - sum_px"))
+      .select("ar_pct", "n_imgs", "max_w", "max_h", "sum_px", "pad_waste_px")
+      .orderBy("ar_pct")
+  }
+
+  private val aspectBucketOracle =
+    """WITH g AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS BIGINT) AS w,
+               CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h
+        FROM documents),
+      b AS (SELECT doc_id, w, h, w * 100 // h AS ar_pct FROM g)
+      SELECT ar_pct, COUNT(*) AS n_imgs,
+             CAST(MAX(w) AS BIGINT) AS max_w,
+             CAST(MAX(h) AS BIGINT) AS max_h,
+             CAST(SUM(w * h) AS BIGINT) AS sum_px,
+             CAST(COUNT(*) * MAX(w) * MAX(h) - SUM(w * h) AS BIGINT) AS pad_waste_px
+      FROM b GROUP BY ar_pct ORDER BY ar_pct"""
 }

@@ -938,6 +938,61 @@ object Pipeline {
            GROUP BY p HAVING COUNT(*) > 1))
       ORDER BY metric"""
 
+  // ------------------------------------- selection under a token budget
+
+  /** Data selection under a fixed token budget: rank every document by an
+    * integer quality key (type-token ratio in basis points, tie-broken by
+    * doc_id), then take the greedy prefix whose cumulative token count
+    * fits the budget — here 25% of the corpus's tokens, so the gate is
+    * scale-free. The report is the per-language composition of the
+    * selected set, which is what a mixing engineer actually reviews
+    * before training. All-integer arithmetic end-to-end.
+    *
+    * Scale: one pass computes per-doc (tokens, ttr) map-side; the ranked
+    * prefix sum is a global ordered window over doc-sized rows — at 100 TB
+    * this becomes the mm05 two-pass pattern (per-range partial sums +
+    * broadcast offsets over a ttr-bucketed key), same arithmetic. */
+  private def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_tok"),
+        expr("size(array_distinct(ws)) * 10000 div size(ws)").as("ttr_bp"))
+    val budget = docs.agg((sum("n_tok") / 4).cast("bigint").as("budget"))
+    docs
+      .withColumn("cum", sum("n_tok").over(
+        Window.orderBy(desc("ttr_bp"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("tok_sel"),
+        max("budget").as("budget"))
+      .select(col("lang"), col("n_sel"), col("tok_sel"),
+        expr("tok_sel * 10000 div budget").as("budget_share_bp"))
+      .orderBy("lang")
+  }
+
+  private val tokenBudgetOracle: String =
+    """WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(ws) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(ws)) AS BIGINT) * 10000
+                 // CAST(len(ws) AS BIGINT) AS ttr_bp
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+      b AS (SELECT CAST(SUM(n_tok) // 4 AS BIGINT) AS budget FROM s),
+      r AS (
+        SELECT *, CAST(SUM(n_tok) OVER (ORDER BY ttr_bp DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM s)
+      SELECT lang, COUNT(*) AS n_sel,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_sel,
+             CAST(SUM(n_tok) * 10000 // MAX(budget) AS BIGINT) AS budget_share_bp
+      FROM r CROSS JOIN b
+      WHERE cum <= budget
+      GROUP BY lang ORDER BY lang"""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -955,6 +1010,7 @@ object Pipeline {
     Q("pp14_dedup_weights", dedupWeights, Some(dedupWeightsOracle)),
     Q("pp15_domain_cap", domainCap, Some(domainCapOracle)),
     Q("pp16_shard_balance", shardBalance, Some(shardBalanceOracle)),
-    Q("pp17_dataset_card", datasetCard, Some(datasetCardOracle))
+    Q("pp17_dataset_card", datasetCard, Some(datasetCardOracle)),
+    Q("pp18_token_budget", tokenBudget, Some(tokenBudgetOracle))
   )
 }

@@ -904,6 +904,72 @@ object Text {
       FROM tf JOIN freq USING (w)
       GROUP BY source ORDER BY source"""
 
+  // ------------------------------------------------- collocation mining
+
+  /** Top-20 bigram collocations by PMI-style lift: how much more often two
+    * words appear adjacent than independence predicts,
+    * `lift = P(a,b) / (P(a)·P(b)) = c_bi·N² / (M·c_a·c_b)`, emitted as an
+    * exact integer scaled e4 (DECIMAL(38,0) intermediates on both engines,
+    * floor division — no float anywhere, so Spark and DuckDB agree
+    * bit-for-bit at any SF). Support floor c_bi ≥ 5 kills noise pairs, the
+    * standard collocation-extraction recipe (Manning & Schütze ch. 5).
+    *
+    * Scale: the token stream reduces to vocabulary-sized count tables
+    * (unigrams, bigram pairs) via map-side combine; the corpus totals are
+    * 1-row broadcasts; the final top-20 ranks a |V|²-bounded aggregate,
+    * so the only data-proportional work is the two count shuffles. */
+  private def collocations(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allDocs = words(Tables.documents(s, d)).persist()
+    val toks = allDocs.select(explode(col("ws")).as("w"))
+    val uni  = toks.groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val bigrams = allDocs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+      .filter(col("c_bi") >= 5)
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val mBi  = bigrams.agg(count(lit(1)).as("m_bi"))
+    val ranked = bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_uni").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_uni").as("c_b"))), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(mBi))
+      .withColumn("lift_e4",
+        expr("""CAST(CAST(c_bi AS DECIMAL(38,0)) * n_tok * n_tok * 10000
+                div (CAST(m_bi AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)"""))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("lift_e4"), asc("w1"), asc("w2"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("rank", "w1", "w2", "c_bi", "lift_e4")
+      .orderBy("rank")
+    ranked
+  }
+
+  private val collocationsOracle =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+        FROM w WHERE len(ws) >= 2),
+      uni AS (SELECT u.w AS w, COUNT(*) AS c_uni
+              FROM (SELECT unnest(ws) AS w FROM w) u GROUP BY 1),
+      tot AS (SELECT (SELECT COUNT(*) FROM (SELECT unnest(ws) FROM w)) AS n_tok,
+                     (SELECT COUNT(*) FROM bg) AS m_bi),
+      bi AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      scored AS (
+        SELECT w1, w2, c_bi,
+               CAST(CAST(c_bi AS HUGEINT) * n_tok * n_tok * 10000
+                    // (CAST(m_bi AS HUGEINT) * a.c_uni * b.c_uni) AS BIGINT) AS lift_e4
+        FROM bi
+        JOIN uni a ON a.w = bi.w1
+        JOIN uni b ON b.w = bi.w2
+        CROSS JOIN tot),
+      r AS (SELECT *, row_number() OVER (ORDER BY lift_e4 DESC, w1, w2) AS rank
+            FROM scored)
+      SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c_bi, lift_e4
+      FROM r WHERE rank <= 20 ORDER BY rank"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -927,6 +993,7 @@ object Text {
     Q("tx20_burstiness", burstiness, Some(burstinessOracle)),
     Q("tx21_token_length_profile", tokenLengthProfile, Some(tokenLengthProfileOracle)),
     Q("tx22_code_switch", codeSwitch, Some(codeSwitchOracle)),
-    Q("tx23_hapax_rate", hapaxRate, Some(hapaxRateOracle))
+    Q("tx23_hapax_rate", hapaxRate, Some(hapaxRateOracle)),
+    Q("tx24_collocations", collocations, Some(collocationsOracle))
   )
 }

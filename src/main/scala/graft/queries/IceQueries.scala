@@ -1185,8 +1185,44 @@ object IceQueries {
     Q("ic41_partitions", partitionsMetaQ, Some(partitionsMetaOracle)),
     Q("ic42_iceberg_rewrite_data", icebergRewriteDataQ, Some(icebergRewriteDataOracle)),
     Q("ic43_refs", refsQ, Some(refsOracle)),
-    Q("ic44_manifests", manifestsQ, Some(manifestsOracle))
+    Q("ic44_manifests", manifestsQ, Some(manifestsOracle)),
+    Q("ic45_files", filesQ, Some(filesOracle))
   )
+
+  /** `t.files` metadata table: one row per data file of the current
+    * snapshot with its per-column min/max stats — the planner's own
+    * skipping inputs made user-queryable (what `SELECT * FROM t.files`
+    * shows in real Iceberg). The oracle recomputes each file's stats
+    * string from the source rows it was written from, so this gates that
+    * commit-time stats collection (IceTable.writeManifest) actually
+    * aggregates the right values per file, not just that files exist.
+    * Pure metadata read: O(manifest entries), zero data IO. */
+  private def filesQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "filesmeta")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t = cat.createOrReplaceTable("graft", "nations_files", nation.coalesce(1))
+    t.append(nation.filter(col("n_regionkey") === 0).coalesce(1))
+    t.append(nation.filter(col("n_regionkey") === 1).coalesce(1))
+    t.filesTable()
+      .select(col("n_stat_cols").cast("long").as("n_stat_cols"), col("stats"))
+      .orderBy("stats")
+  }
+
+  private val filesOracle = {
+    def statsOf(where: String) =
+      s"""SELECT CAST(3 AS BIGINT) AS n_stat_cols,
+            'n_name:[' || CAST(MIN(n_name) AS VARCHAR) || ',' || CAST(MAX(n_name) AS VARCHAR) ||
+            '];n_nationkey:[' || CAST(MIN(n_nationkey) AS VARCHAR) || ',' || CAST(MAX(n_nationkey) AS VARCHAR) ||
+            '];n_regionkey:[' || CAST(MIN(n_regionkey) AS VARCHAR) || ',' || CAST(MAX(n_regionkey) AS VARCHAR) || ']'
+            AS stats
+          FROM nation $where"""
+    s"""SELECT n_stat_cols, stats FROM (
+          ${statsOf("")}
+          UNION ALL ${statsOf("WHERE n_regionkey = 0")}
+          UNION ALL ${statsOf("WHERE n_regionkey = 1")})
+        ORDER BY stats"""
+  }
 
   /** `t.manifests` metadata table over a pinned lifecycle: create + two
     * single-file appends. Manifests carry by pointer, so snapshot N lists
