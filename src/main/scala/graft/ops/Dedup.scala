@@ -1053,6 +1053,37 @@ object Dedup {
     Q("dd15_cross_source_dup", crossSourceDup, Some(crossSourceDupOracle)),
     Q("dd16_winnow_fingerprint", winnowDup, Some(winnowDupOracle)),
     Q("dd17_band_tuning", bandTuning, Some(bandTuningOracle)),
-    Q("dd18_winnow_est", winnowEst, Some(winnowEstOracle))
+    Q("dd18_winnow_est", winnowEst, Some(winnowEstOracle)),
+    Q("dd19_cluster_size_hist", clusterSizeHist, Some(clusterSizeHistOracle))
   )
+
+  /** Duplicate-cluster size distribution: how many exact-duplicate
+    * clusters exist at each multiplicity, how many documents they hold,
+    * and each multiplicity's share of the corpus in basis points — the
+    * histogram every dedup report leads with (it answers "is duplication
+    * a few huge clusters or a long tail", which decides whether keep-one
+    * dedup or frequency-capped sampling is the right remedy). Two keyed
+    * aggregations, text-hash then size — both map-side combinable; the
+    * second operates on cluster-count-sized data, so the whole audit
+    * costs one corpus shuffle at any scale. */
+  private def clusterSizeHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .groupBy("text").agg(count(lit(1)).as("n_copies"))
+      .groupBy("n_copies").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("n_copies") * col("n_clusters"))
+      .withColumn("corpus_share_bp",
+        expr("n_docs * 10000 div sum(n_docs) over ()"))
+      .select("n_copies", "n_clusters", "n_docs", "corpus_share_bp")
+      .orderBy("n_copies")
+  }
+
+  private val clusterSizeHistOracle =
+    """WITH c AS (SELECT COUNT(*) AS n_copies FROM documents GROUP BY text),
+      h AS (SELECT n_copies, COUNT(*) AS n_clusters,
+                   CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs
+            FROM c GROUP BY n_copies)
+      SELECT n_copies, n_clusters, n_docs,
+             CAST(n_docs * 10000 // (SUM(n_docs) OVER ()) AS BIGINT) AS corpus_share_bp
+      FROM h ORDER BY n_copies"""
 }

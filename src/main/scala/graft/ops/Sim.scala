@@ -1254,6 +1254,96 @@ object Sim {
     Q("sm14_cell_balance", cellBalance, Some(cellBalanceOracle)),
     Q("sm15_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),
     Q("sm16_sq8_search", sq8Search, Some(sq8SearchOracle)),
-    Q("sm17_sq8_recall", sq8Recall, Some(sq8RecallOracle))
+    Q("sm17_sq8_recall", sq8Recall, Some(sq8RecallOracle)),
+    Q("sm18_knn_reciprocity", knnReciprocity, Some(knnReciprocityOracle))
   )
+
+  /** kNN-graph reciprocity: build the 1-NN graph inside LSH buckets (each
+    * vector's best same-bucket neighbor by exact cosine) and measure, per
+    * class label, how many of those edges are mutual — the standard
+    * diagnostic for hubness/partition quality in an ANN index (low
+    * reciprocity means buckets are lumping unrelated regions together).
+    * The candidate graph is a bucket equi-join of the corpus with itself —
+    * the dd09/sm03 scale shape: shuffle on the 16-bit signature, never an
+    * all-pairs product — and the NN pick is a WindowGroupLimit per vector.
+    * The oracle replays signature, bucket join, rerank and the mutuality
+    * join declaratively. */
+  private def knnReciprocity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label")))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, vf, label) =>
+        val v = vf.map(_.toDouble)
+        (id, label, hyperSig(vf), v, normv(v))
+      }
+      .toDF("vec_id", "label", "bucket", "v", "nrm")
+      .persist()
+    // dot product via built-in higher-order fns (no UDF): aggregate folds
+    // left in element order, the same sequential accumulation as dotv
+    val byA = Window.partitionBy("ai").orderBy(desc("sim"), asc("bi"))
+    val nn = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ai"), col("a.label").as("label"),
+        col("b.vec_id").as("bi"),
+        col("a.v").as("av"), col("b.v").as("bv"),
+        (col("a.nrm") * col("b.nrm")).as("nn_prod"))
+      .select(col("ai"), col("label"), col("bi"),
+        (expr("aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)") /
+          col("nn_prod")).as("sim"))
+      .withColumn("rn", row_number().over(byA))
+      .filter(col("rn") === 1)
+      .select("ai", "label", "bi")
+      .persist()
+    nn.as("x")
+      .join(nn.as("y"), col("x.bi") === col("y.ai") && col("y.bi") === col("x.ai"), "left")
+      .groupBy(col("x.label").as("label"))
+      .agg(
+        count(lit(1)).as("n_with_nn"),
+        count(col("y.ai")).as("n_reciprocal"))
+      .withColumn("recip_bp", expr("n_reciprocal * 10000 div n_with_nn"))
+      .select("label", "n_with_nn", "n_reciprocal", "recip_bp")
+      .orderBy("label")
+  }
+
+  private val knnReciprocityOracle =
+    """WITH planes AS (
+        SELECT j, d, ((j * 64 + d) * 2654435761 % 4294967296) / 2147483648.0 - 1.0 AS w,
+               CAST(1 AS BIGINT) << j AS pw
+        FROM range(16) a(j), range(64) b(d)),
+      e AS (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+        FROM embeddings, range(64) t(d)),
+      sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dp > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+        FROM (SELECT vec_id, j, pw, SUM(x * w) AS dp
+              FROM e JOIN planes USING (d) GROUP BY 1, 2, 3)
+        GROUP BY vec_id),
+      nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM e GROUP BY 1),
+      pairs AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      sims AS (
+        SELECT p.ai, p.bi,
+               SUM(ea.x * eb.x) / (na.n * nb.n) AS sim
+        FROM pairs p
+        JOIN e ea ON ea.vec_id = p.ai
+        JOIN e eb ON eb.vec_id = p.bi AND eb.d = ea.d
+        JOIN nrm na ON na.vec_id = p.ai
+        JOIN nrm nb ON nb.vec_id = p.bi
+        GROUP BY p.ai, p.bi, na.n, nb.n),
+      nn AS (
+        SELECT ai, bi FROM (
+          SELECT ai, bi, row_number() OVER (PARTITION BY ai ORDER BY sim DESC, bi) AS rn
+          FROM sims) WHERE rn = 1),
+      lab AS (SELECT vec_id, label FROM embeddings)
+      SELECT l.label, COUNT(*) AS n_with_nn,
+             CAST(COUNT(y.ai) AS BIGINT) AS n_reciprocal,
+             CAST(COUNT(y.ai) * 10000 // COUNT(*) AS BIGINT) AS recip_bp
+      FROM nn x
+      JOIN lab l ON l.vec_id = x.ai
+      LEFT JOIN nn y ON y.ai = x.bi AND y.bi = x.ai
+      GROUP BY l.label ORDER BY l.label"""
 }

@@ -226,6 +226,49 @@ object AnalyticsR6b {
         FROM o
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
                      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
-        ORDER BY o_custkey, day"""))
+        ORDER BY o_custkey, day""")),
+
+    // ---- recursive CTE reachability: min-hop distance between event
+    //      types on the observed transition graph (an57's Markov matrix
+    //      gives 1-step probabilities; this answers "can a viewer reach a
+    //      purchase, and in how few steps"). Spark 4's WITH RECURSIVE
+    //      executes the fixpoint natively — the edge list is built with
+    //      a lead() window (one user-keyed shuffle over the event log),
+    //      and the recursion then iterates over a ≤|types|² aggregate, so
+    //      depth-capped BFS costs nothing at any corpus scale. The same
+    //      statement runs verbatim on both engines.
+    Q("an70_reachability",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")))
+          .filter(col("next_type").isNotNull)
+          .select(col("event_type").as("src"), col("next_type").as("dst"))
+          .distinct()
+          .createOrReplaceTempView("ev_edges_v")
+        s.sql("""WITH RECURSIVE paths(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM ev_edges_v
+            UNION ALL
+            SELECT p.src, e.dst, p.hops + 1
+            FROM paths p JOIN ev_edges_v e ON p.dst = e.src
+            WHERE p.hops < 4)
+          SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops
+          FROM paths GROUP BY src, dst ORDER BY src, dst""")
+      },
+      Some("""WITH RECURSIVE
+          seq AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events),
+          edges AS (SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL),
+          paths(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION ALL
+            SELECT p.src, e.dst, p.hops + 1
+            FROM paths p JOIN edges e ON p.dst = e.src
+            WHERE p.hops < 4)
+        SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops
+        FROM paths GROUP BY src, dst ORDER BY src, dst"""))
   )
 }
