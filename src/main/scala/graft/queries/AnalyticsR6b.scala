@@ -269,6 +269,35 @@ object AnalyticsR6b {
             FROM paths p JOIN edges e ON p.dst = e.src
             WHERE p.hops < 4)
         SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops
-        FROM paths GROUP BY src, dst ORDER BY src, dst"""))
+        FROM paths GROUP BY src, dst ORDER BY src, dst""")),
+
+    // ---- VARIANT semi-structured path: parse the JSON props column into
+    //      Spark 4's native VARIANT type and extract typed fields lazily
+    //      with variant_get — the schema-flexible twin of an59's
+    //      from_json(declared struct). VARIANT is the right call when the
+    //      payload schema drifts per row: parse once into a binary-encoded
+    //      tree, extract only the paths each query touches (columnar
+    //      shredding at 100 TB means untouched paths are never even
+    //      decoded). Aggregation identical to an59's oracle shape, so the
+    //      two paths are mutually differential as well as DuckDB-gated.
+    Q("an71_variant_json",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"), parse_json(col("props")).as("v"))
+          .select(col("event_type"),
+            expr("CAST(variant_get(v, '$.k') AS BIGINT)").as("k"))
+          .filter(col("k").isNotNull)
+          .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+          .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
+          .orderBy("event_type", "k_bucket")
+      },
+      Some("""WITH x AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, k // 10 AS k_bucket,
+               COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
+        FROM x WHERE k IS NOT NULL
+        GROUP BY 1, 2 ORDER BY event_type, k_bucket"""))
   )
 }

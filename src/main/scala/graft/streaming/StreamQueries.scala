@@ -538,6 +538,60 @@ object StreamQueries {
     Q("st08_stream_compaction", streamCompaction, Some(streamCompactionOracle)),
     Q("st09_stream_curation", streamCuration, Some(streamCurationOracle)),
     Q("st10_session_window", sessionWindow, Some(sessionWindowOracle)),
-    Q("st11_stream_enrich", streamEnrich, Some(streamEnrichOracle))
+    Q("st11_stream_enrich", streamEnrich, Some(streamEnrichOracle)),
+    Q("st12_transform_with_state", transformWithStateQ, Some(transformWithStateOracle))
   )
+
+  /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * with explicit [[org.apache.spark.sql.streaming.ValueState]] — the
+    * arbitrary-stateful-processing API that replaces
+    * `mapGroupsWithState` (st02 uses the legacy API; this is its modern
+    * twin). Emits the updated count on every batch; the report keeps each
+    * user's LAST emission (max — counts only grow), which must equal the
+    * batch GROUP BY regardless of how the file source splits batches. */
+  private class RunningCount
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, (Long, Long)] {
+    @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+                                 timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store; pin it for this
+    * run and restore the session's provider after. */
+  private def transformWithStateQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventsStream(s, d)
+        .select(col("user_id")).as[Long]
+        .groupByKey(identity)
+        .transformWithState(new RunningCount,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .toDF("user_id", "n_seen")
+      runToTable(s, updates, "st12_sink", "update")
+        .groupBy("user_id")
+        .agg(max("n_seen").as("n_events"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  private val transformWithStateOracle =
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"
 }

@@ -71,6 +71,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"unpivot added shuffles: $exchanges exchanges\n" + p.take(600))
   }
 
+  test("an68 skyline plans as windows over one sort — NO join operator") {
+    // the textbook skyline is an O(n^2) NOT-EXISTS self-join (what the
+    // oracle states); the implementation must stay the two-window O(n log n)
+    val p = plan("an68_pareto")
+    assert(!p.contains("Join"), "pareto frontier fell back to a self-join:\n" + p.take(600))
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("an70 recursive CTE executes as a native UnionLoop fixpoint") {
+    val p = plan("an70_reachability")
+    assert(p.contains("UnionLoop"), "recursion not planned as UnionLoopExec:\n" + p.take(600))
+  }
+
   test("no non-lifecycle query plans a CartesianProduct, and all of them plan") {
     // quadratic baselines (sm02/dd04/dd05) are broadcast loops, not
     // cartesian plans; everything else must be keyed. Checks the LOGIC of
