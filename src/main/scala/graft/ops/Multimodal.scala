@@ -544,8 +544,60 @@ object Multimodal {
     Q("mm07_pair_audit", pairAudit, Some(pairAuditOracle)),
     Q("mm08_audio_energy", audioEnergy, Some(audioEnergyOracle)),
     Q("mm09_lum_histogram", lumHistogram, Some(lumHistogramOracle)),
-    Q("mm10_aspect_bucket", aspectBucket, Some(aspectBucketOracle))
+    Q("mm10_aspect_bucket", aspectBucket, Some(aspectBucketOracle)),
+    Q("mm11_shot_boundary", shotBoundary, Some(shotBoundaryOracle))
   )
+
+  /** Shot-boundary detection over the frame stream: every 16-byte frame
+    * gets an integer energy (Σ unsigned byte values); a boundary is a
+    * frame-to-frame energy jump above a fixed threshold — the
+    * keyframe-selection primitive a video pipeline runs before sampling
+    * frames for captioning (mm02 samples blindly every Nth; this samples
+    * where content changes). Per-doc report of frame count, boundary
+    * count, and the largest jump, all exact integers. Frame fan-out
+    * distributes with the scan; the only shuffle is the doc-keyed lag
+    * window, whose partitions are frames-per-doc — bounded by media
+    * length, never by corpus size. */
+  private val shotThreshold = 200L
+
+  private def shotBoundary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameSample(s, d, frameBytes = 16, every = 1)
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, idx, frame) =>
+        var e = 0L; var i = 0
+        while (i < frame.length) { e += (frame(i) & 0xff); i += 1 }
+        (id, idx, e)
+      }
+      .toDF("doc_id", "frame_idx", "energy")
+      .withColumn("delta", abs(col("energy") - lag("energy", 1).over(byDoc)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum((col("delta") > shotThreshold).cast("long")).as("n_boundaries"),
+        coalesce(max("delta"), lit(0L)).as("max_delta"))
+      .orderBy("doc_id")
+  }
+
+  private val shotBoundaryOracle =
+    s"""WITH f AS (
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(list_sum(list_transform(
+                 range(i * 16 + 1, least(len(text), i * 16 + 16) + 1),
+                 j -> unicode(substr(text, CAST(j AS INT), 1)))) AS BIGINT) AS energy
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, CAST(ceil(len(text) / 16.0) AS INT))) AS i
+              FROM documents)),
+      d AS (
+        SELECT doc_id, frame_idx,
+               ABS(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+        FROM f)
+      SELECT doc_id, COUNT(*) AS n_frames,
+             CAST(SUM(CASE WHEN delta > $shotThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+             CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+      FROM d GROUP BY doc_id ORDER BY doc_id"""
 
   /** Aspect-ratio bucketing (the SDXL/NaViT batching recipe): decode every
     * image's REAL dimensions from its PNG payload, bucket by integer

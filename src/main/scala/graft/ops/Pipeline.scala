@@ -993,6 +993,49 @@ object Pipeline {
       WHERE cum <= budget
       GROUP BY lang ORDER BY lang"""
 
+  // ------------------------------------- per-domain epoch/repeat factors
+
+  /** Epoch-factor planning for a fixed uniform mixture: each source should
+    * contribute an equal token share of the training mix; a source with
+    * fewer tokens than its target repeats (multiple epochs), capped at 4
+    * epochs — the data-constrained scaling recipe (repeating beyond ~4
+    * epochs stops helping). Emits, per source: available tokens, target,
+    * the repeat factor in centi-epochs (exact integer `div`), the
+    * effective token contribution under the cap, and whether the cap bit.
+    * One token-count aggregation; everything after is sources-sized
+    * arithmetic on a broadcast — free at any corpus scale. */
+  private def epochFactors(s: SparkSession, d: String): DataFrame = {
+    val avail = Tables.documents(s, d)
+      .select(col("source"), expr("size(split(text, ' '))").cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("avail_tok"))
+    val tot = avail.agg(sum("avail_tok").as("total"), count(lit(1)).as("n_sources"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("target_tok", expr("total div n_sources"))
+      .withColumn("epochs_e2", least(lit(400L), expr("target_tok * 100 div avail_tok")))
+      .withColumn("effective_tok", expr("avail_tok * epochs_e2 div 100"))
+      .withColumn("capped", col("epochs_e2") === 400L)
+      .select("source", "avail_tok", "target_tok", "epochs_e2", "effective_tok", "capped")
+      .orderBy("source")
+  }
+
+  private val epochFactorsOracle =
+    """WITH a AS (
+        SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tok
+        FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(avail_tok) AS BIGINT) AS total,
+                   COUNT(*) AS n_sources FROM a),
+      p AS (
+        SELECT source, avail_tok,
+               total // n_sources AS target_tok,
+               LEAST(400, (total // n_sources) * 100 // avail_tok) AS epochs_e2
+        FROM a CROSS JOIN t)
+      SELECT source, avail_tok,
+             CAST(target_tok AS BIGINT) AS target_tok,
+             CAST(epochs_e2 AS BIGINT) AS epochs_e2,
+             CAST(avail_tok * epochs_e2 // 100 AS BIGINT) AS effective_tok,
+             epochs_e2 = 400 AS capped
+      FROM p ORDER BY source"""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -1011,6 +1054,7 @@ object Pipeline {
     Q("pp15_domain_cap", domainCap, Some(domainCapOracle)),
     Q("pp16_shard_balance", shardBalance, Some(shardBalanceOracle)),
     Q("pp17_dataset_card", datasetCard, Some(datasetCardOracle)),
-    Q("pp18_token_budget", tokenBudget, Some(tokenBudgetOracle))
+    Q("pp18_token_budget", tokenBudget, Some(tokenBudgetOracle)),
+    Q("pp19_epoch_factors", epochFactors, Some(epochFactorsOracle))
   )
 }

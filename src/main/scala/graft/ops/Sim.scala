@@ -1255,8 +1255,99 @@ object Sim {
     Q("sm15_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),
     Q("sm16_sq8_search", sq8Search, Some(sq8SearchOracle)),
     Q("sm17_sq8_recall", sq8Recall, Some(sq8RecallOracle)),
-    Q("sm18_knn_reciprocity", knnReciprocity, Some(knnReciprocityOracle))
+    Q("sm18_knn_reciprocity", knnReciprocity, Some(knnReciprocityOracle)),
+    Q("sm19_pq_adc_search", pqAdcSearch, Some(pqAdcSearchOracle))
   )
+
+  /** PQ asymmetric-distance search (ADC) — the query path for sm10's
+    * compressed codes, completing the PQ story the way sm16 completes
+    * SQ8: each query precomputes a 4×8 lookup table of squared L2
+    * distances to every codebook entry per subspace, and a database
+    * vector's approximate distance is just 4 LUT adds on its codes —
+    * never a full 64-dim distance at query time (Jégou et al., PQ for
+    * nearest neighbor search). Codebooks and LUTs are driver-computed
+    * constants (8 codebook + 10 query vectors), broadcast; the corpus
+    * pass is map-only encode + LUT sums, then a per-query top-5
+    * WindowGroupLimit — the FAISS scan shape, linear in the corpus with
+    * O(1) per-row work. */
+  private def pqAdcSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val books = collectMatrix(s, d, idBound = 8).map { case (cid, v, _) => (cid, v) }
+    val qs    = collectMatrix(s, d, idBound = 10).map { case (qid, v, _) => (qid, v) }
+    // lut(qid)(sub)(code): squared L2 between the query's 16-dim sub-vector
+    // and codebook entry `code`'s — subspace sums accumulate d in order
+    val lut: Map[Long, Array[Array[Double]]] = qs.map { case (qid, qv) =>
+      qid -> Array.tabulate(4) { sub =>
+        val off = sub * 16
+        books.map { case (_, cv) =>
+          var dd = 0.0; var i = 0
+          while (i < 16) { val t = qv(off + i) - cv(off + i); dd += t * t; i += 1 }
+          dd
+        }
+      }
+    }.toMap
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcLut   = s.sparkContext.broadcast(lut)
+    val byQ = Window.partitionBy("qid").orderBy(asc("adist"), asc("nid"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .flatMap { case (nid, vf) =>
+        val v  = vf.map(_.toDouble)
+        val cb = bcBooks.value
+        val codes = Array.tabulate(4) { sub =>
+          val off = sub * 16
+          var bestCode = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cb.length) {
+            val cv = cb(c)._2
+            var dd = 0.0; var i = 0
+            while (i < 16) { val t = v(off + i) - cv(off + i); dd += t * t; i += 1 }
+            if (dd < bestD) { bestD = dd; bestCode = c }
+            c += 1
+          }
+          bestCode
+        }
+        bcLut.value.iterator.collect { case (qid, tbl) if qid != nid =>
+          var adist = 0.0; var sub = 0
+          while (sub < 4) { adist += tbl(sub)(codes(sub)); sub += 1 }
+          (qid, nid, adist)
+        }
+      }
+      .toDF("qid", "nid", "adist")
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), round(col("adist"), 4).as("adist"))
+      .orderBy("qid", "rank")
+  }
+
+  private val pqAdcSearchOracle =
+    s"""WITH $duckVecs,
+      cb AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < 8),
+      q  AS (SELECT vec_id AS qid, d, x FROM e WHERE vec_id < 10),
+      d2 AS (
+        SELECT v.vec_id, v.d // 16 AS sub, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS err
+        FROM e v JOIN cb c ON v.d = c.d
+        GROUP BY 1, 2, 3),
+      enc AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY err, cid) AS rn
+          FROM d2) WHERE rn = 1),
+      lut AS (
+        SELECT q.qid, c.d // 16 AS sub, c.cid AS code,
+               SUM((q.x - c.x) * (q.x - c.x)) AS dd
+        FROM q JOIN cb c ON q.d = c.d
+        GROUP BY 1, 2, 3),
+      ad AS (
+        SELECT l.qid, enc.vec_id AS nid, SUM(l.dd) AS adist
+        FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+        WHERE l.qid <> enc.vec_id
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT qid, nid, adist,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+        FROM ad)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, nid, ROUND(adist, 4) AS adist
+      FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** kNN-graph reciprocity: build the 1-NN graph inside LSH buckets (each
     * vector's best same-bucket neighbor by exact cosine) and measure, per

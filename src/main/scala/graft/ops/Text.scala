@@ -994,6 +994,43 @@ object Text {
     Q("tx21_token_length_profile", tokenLengthProfile, Some(tokenLengthProfileOracle)),
     Q("tx22_code_switch", codeSwitch, Some(codeSwitchOracle)),
     Q("tx23_hapax_rate", hapaxRate, Some(hapaxRateOracle)),
-    Q("tx24_collocations", collocations, Some(collocationsOracle))
+    Q("tx24_collocations", collocations, Some(collocationsOracle)),
+    Q("tx25_bpe_pairs", bpePairs, Some(bpePairsOracle))
   )
+
+  /** One BPE training step: the corpus-wide frequency of every adjacent
+    * character pair inside words, top-10 by count — exactly the statistic
+    * byte-pair-encoding greedily merges on (Sennrich et al.; tx03's
+    * `(len+3) div 4` sub-word estimate assumes such a tokenizer exists,
+    * this is how it gets built). The pair fan-out is per-row codegen
+    * (`transform(sequence(...))`), the count shuffles a character-bigram
+    * keyspace — alphabet²-bounded, so map-side combine does nearly all
+    * the work at any corpus size. */
+  private def bpePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCnt = Window.orderBy(desc("cnt"), asc("pair"))
+    words(Tables.documents(s, d))
+      .select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(byCnt).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("rank", "pair", "cnt")
+      .orderBy("rank")
+  }
+
+  private val bpePairsOracle =
+    """WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      p AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair
+        FROM w WHERE len(w) >= 2),
+      c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair),
+      r AS (SELECT pair, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+            FROM c)
+      SELECT CAST(rank AS BIGINT) AS rank, pair, cnt
+      FROM r WHERE rank <= 10 ORDER BY rank"""
 }
