@@ -1256,8 +1256,212 @@ object Sim {
     Q("sm16_sq8_search", sq8Search, Some(sq8SearchOracle)),
     Q("sm17_sq8_recall", sq8Recall, Some(sq8RecallOracle)),
     Q("sm18_knn_reciprocity", knnReciprocity, Some(knnReciprocityOracle)),
-    Q("sm19_pq_adc_search", pqAdcSearch, Some(pqAdcSearchOracle))
+    Q("sm19_pq_adc_search", pqAdcSearch, Some(pqAdcSearchOracle)),
+    Q("sm20_ivf_pq_search", ivfPqSearch, Some(ivfPqSearchOracle)),
+    Q("sm21_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallOracle))
   )
+
+  /** IVF-PQ — the composed index (Jégou et al.; the FAISS `IVFx,PQy`
+    * everyone actually ships): sm05's coarse quantizer routes each vector
+    * to a cell, the vector is stored as a PQ code of its RESIDUAL
+    * (v − centroid), and a query probes its 2 nearest cells, scanning only
+    * their lists with a per-(query, cell) residual LUT. Residual coding is
+    * what makes the composition better than either part: residuals are
+    * small, so 8 codes per subspace cover them far more densely than they
+    * cover raw vectors. All "training" is the deterministic house
+    * convention (centroids = 8 lowest-id vectors; residual codebook = the
+    * residuals of those same 8), so the DuckDB oracle replays routing,
+    * encoding, LUTs and ranking exactly. Corpus pass is map-only; state is
+    * centroids + codebook + 10 queries, broadcast. */
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents   = collectMatrix(s, d, idBound = ivfCells)
+    val centById = cents.map { case (cid, cv, _) => cid -> cv }.toMap
+    def resid(v: Array[Double]): (Long, Array[Double]) = {
+      val cell = assignCell(v, cents)
+      val cv   = centById(cell)
+      val r    = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
+      (cell, r)
+    }
+    // residual codebook: residuals of the 8 lowest-id vectors (id order)
+    val books = collectMatrix(s, d, idBound = 8).map { case (cid, v, _) => (cid, resid(v)._2) }
+    def encode(r: Array[Double]): Array[Int] = Array.tabulate(4) { sub =>
+      val off = sub * 16
+      var bestCode = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < books.length) {
+        val cv = books(c)._2
+        var dd = 0.0; var i = 0
+        while (i < 16) { val t = r(off + i) - cv(off + i); dd += t * t; i += 1 }
+        if (dd < bestD) { bestD = dd; bestCode = c }
+        c += 1
+      }
+      bestCode
+    }
+    def probeCells(v: Array[Double]): Seq[Long] =
+      cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
+        .sortBy(_._2).take(ivfProbes).map(_._1).toSeq
+    // per (query, probed cell): 4x8 LUT over the query's residual IN THAT CELL
+    val queries = collectMatrix(s, d, idBound = 10).map { case (qid, qv, _) =>
+      val luts = probeCells(qv).map { cell =>
+        val cv = centById(cell)
+        val rq = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+        cell -> Array.tabulate(4) { sub =>
+          val off = sub * 16
+          books.map { case (_, bv) =>
+            var dd = 0.0; var i = 0
+            while (i < 16) { val t = rq(off + i) - bv(off + i); dd += t * t; i += 1 }
+            dd
+          }
+        }
+      }.toMap
+      (qid, luts)
+    }
+    val bc  = s.sparkContext.broadcast((cents, queries))
+    val byQ = Window.partitionBy("qid").orderBy(asc("adist"), asc("nid"))
+    Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, qs) = bc.value
+        val byId = cs.map { case (cid, cv, _) => cid -> cv }.toMap
+        it.flatMap { case (nid, vf) =>
+          val v = vf.map(_.toDouble)
+          val (cell, r) = {
+            val c  = assignCell(v, cs)
+            val cv = byId(c)
+            (c, Array.tabulate(v.length)(i => v(i) - cv(i)))
+          }
+          val codes = encode(r)
+          qs.iterator
+            .filter { case (qid, luts) => qid != nid && luts.contains(cell) }
+            .map { case (qid, luts) =>
+              val tbl = luts(cell)
+              var adist = 0.0; var sub = 0
+              while (sub < 4) { adist += tbl(sub)(codes(sub)); sub += 1 }
+              (qid, nid, adist)
+            }
+        }
+      }
+      .toDF("qid", "nid", "adist")
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), round(col("adist"), 4).as("adist"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The sm20 CTE chain (routing → residuals → codes → LUTs → ranked ADC
+    * candidates) — shared by the search oracle and sm21's recall oracle. */
+  private val ivfPqCtes =
+    s"""$duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      cd2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      crk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd2),
+      cell AS (SELECT vec_id, cid AS cell FROM crk WHERE rn = 1),
+      res AS (
+        SELECT v.vec_id, v.d, v.x - c.x AS r
+        FROM e v JOIN cell ON cell.vec_id = v.vec_id
+        JOIN ce c ON c.cid = cell.cell AND c.d = v.d),
+      cb AS (SELECT vec_id AS bid, d, r FROM res WHERE vec_id < 8),
+      ed2 AS (
+        SELECT v.vec_id, v.d // 16 AS sub, b.bid,
+               SUM((v.r - b.r) * (v.r - b.r)) AS dd
+        FROM res v JOIN cb b USING (d) GROUP BY 1, 2, 3),
+      enc AS (
+        SELECT vec_id, sub, bid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, bid) AS rn
+          FROM ed2) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS pcell FROM crk
+                 WHERE vec_id < 10 AND rn <= $ivfProbes),
+      qres AS (
+        SELECT p.qid, p.pcell, v.d, v.x - c.x AS r
+        FROM probes p
+        JOIN e v ON v.vec_id = p.qid
+        JOIN ce c ON c.cid = p.pcell AND c.d = v.d),
+      lut AS (
+        SELECT q.qid, q.pcell, q.d // 16 AS sub, b.bid AS code,
+               SUM((q.r - b.r) * (q.r - b.r)) AS dd
+        FROM qres q JOIN cb b USING (d) GROUP BY 1, 2, 3, 4),
+      ad AS (
+        SELECT l.qid, enc.vec_id AS nid, SUM(l.dd) AS adist
+        FROM cell
+        JOIN lut l ON l.pcell = cell.cell
+        JOIN enc ON enc.vec_id = cell.vec_id AND enc.sub = l.sub AND enc.code = l.code
+        WHERE l.qid <> cell.vec_id
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT qid, nid, adist,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+        FROM ad)"""
+
+  private val ivfPqSearchOracle =
+    s"""WITH $ivfPqCtes
+      SELECT qid, CAST(rank AS BIGINT) AS rank, nid, ROUND(adist, 4) AS adist
+      FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** Recall@5 of the IVF-PQ search against exact L2 ground truth (the
+    * composed index approximates L2 distance, so the truth set is L2
+    * top-5, not cosine) — sm09/sm12/sm17's convention: every shipped
+    * search path carries its own quality eval. Ground truth is one
+    * broadcast-queries map pass over the corpus. */
+  private def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs  = collectMatrix(s, d, idBound = 10).map { case (qid, v, _) => (qid, v) }
+    val bc  = s.sparkContext.broadcast(qs)
+    val byQ = Window.partitionBy("qid").orderBy(asc("dd"), asc("nid"))
+    val exact = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          queries.iterator
+            .filter { case (qid, _) => qid != nid }
+            .map { case (qid, qv) => (qid, nid, dist2(qv, v)) }
+        }
+      }
+      .toDF("qid", "nid", "dd")
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid")
+    val approx = ivfPqSearch(s, d).select("qid", "nid")
+    val hits = approx.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / lit(5.0), 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  private val ivfPqRecallOracle =
+    s"""WITH $ivfPqCtes,
+      l2 AS (
+        SELECT q.vec_id AS qid, v.vec_id AS nid,
+               SUM((q.x - v.x) * (q.x - v.x)) AS dd
+        FROM e q JOIN e v USING (d)
+        WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      gt AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dd, nid) AS rn
+          FROM l2) WHERE rn <= 5),
+      appr AS (SELECT qid, nid FROM rk WHERE rank <= 5),
+      hits AS (
+        SELECT a.qid, COUNT(*) AS n_hits
+        FROM appr a JOIN gt USING (qid, nid) GROUP BY 1)
+      SELECT g.qid,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall
+      FROM (SELECT DISTINCT qid FROM gt) g
+      LEFT JOIN hits h USING (qid) ORDER BY g.qid"""
 
   /** PQ asymmetric-distance search (ADC) — the query path for sm10's
     * compressed codes, completing the PQ story the way sm16 completes
