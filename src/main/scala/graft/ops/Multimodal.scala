@@ -545,8 +545,49 @@ object Multimodal {
     Q("mm08_audio_energy", audioEnergy, Some(audioEnergyOracle)),
     Q("mm09_lum_histogram", lumHistogram, Some(lumHistogramOracle)),
     Q("mm10_aspect_bucket", aspectBucket, Some(aspectBucketOracle)),
-    Q("mm11_shot_boundary", shotBoundary, Some(shotBoundaryOracle))
+    Q("mm11_shot_boundary", shotBoundary, Some(shotBoundaryOracle)),
+    Q("mm12_audio_clipping", audioClipping, Some(audioClippingOracle))
   )
+
+  /** Audio-quality gate over the PCM payload: per-doc clipping rate
+    * (samples at or beyond ±2000 of the ±2048 range, in basis points),
+    * DC offset (the exact signed sample sum — a nonzero bias means a
+    * broken recording chain), and peak amplitude. Like mm08, the samples
+    * are re-parsed little-endian FROM THE BYTES while the oracle replays
+    * the generative formula — sign handling across the byte boundary is
+    * exactly what this gates. Map-only per-row work, no shuffle. */
+  private val clipLevel = 2000L
+
+  private def audioClipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bb = java.nio.ByteBuffer.wrap(encodePcm(id)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var clipped = 0L; var dc = 0L; var peak = 0L
+        var i = 0
+        while (i < audioSamples) {
+          val v = bb.getShort(i * 2).toLong
+          val a = math.abs(v)
+          if (a >= clipLevel) clipped += 1
+          dc += v; if (a > peak) peak = a
+          i += 1
+        }
+        (id, clipped * 10000 / audioSamples, dc, peak)
+      })
+      .toDF("doc_id", "clip_bp", "dc_offset", "peak")
+      .orderBy("doc_id")
+  }
+
+  private val audioClippingOracle =
+    s"""WITH t AS (
+        SELECT doc_id,
+               (doc_id * 17 + i * i * 3 + i * 11) % 4096 - 2048 AS s
+        FROM documents, range(0, 1024) r(i))
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN ABS(s) >= $clipLevel THEN 1 ELSE 0 END) * 10000 // 1024 AS BIGINT) AS clip_bp,
+             CAST(SUM(s) AS BIGINT) AS dc_offset,
+             CAST(MAX(ABS(s)) AS BIGINT) AS peak
+      FROM t GROUP BY doc_id ORDER BY doc_id"""
 
   /** Shot-boundary detection over the frame stream: every 16-byte frame
     * gets an integer energy (Σ unsigned byte values); a boundary is a

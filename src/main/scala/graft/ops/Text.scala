@@ -995,8 +995,63 @@ object Text {
     Q("tx22_code_switch", codeSwitch, Some(codeSwitchOracle)),
     Q("tx23_hapax_rate", hapaxRate, Some(hapaxRateOracle)),
     Q("tx24_collocations", collocations, Some(collocationsOracle)),
-    Q("tx25_bpe_pairs", bpePairs, Some(bpePairsOracle))
+    Q("tx25_bpe_pairs", bpePairs, Some(bpePairsOracle)),
+    Q("tx26_lang_profile_overlap", langProfileOverlap, Some(langProfileOverlapOracle))
   )
+
+  /** Pairwise Jaccard overlap between the languages' top-50 character-
+    * trigram sets (tx19's feature table turned into a confusability
+    * matrix): two languages whose profiles overlap heavily are the pairs
+    * a statistical lang-id will confuse — this ranks WHICH confusions
+    * tx17's matrix should be watched for. Everything after the one
+    * (lang, tri) count shuffle operates on a ≤250-row aggregate; the
+    * pair join is 5×5-bounded, exact integer basis points. */
+  private def langProfileOverlap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Window.partitionBy("lang").orderBy(desc("cnt"), asc("tri"))
+    val top = Tables.spread(Tables.documents(s, d).select(col("lang"), col("text")))
+      .select(col("lang"), explode(
+        expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(perLang))
+      .filter(col("rn") <= 50)
+      .select("lang", "tri")
+      .persist()
+    val sizes = top.groupBy("lang").agg(count(lit(1)).as("sz"))
+    top.as("a")
+      .join(top.as("b"), col("a.tri") === col("b.tri") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("sz").as("sz_a"))), Seq("lang_a"))
+      .join(broadcast(sizes.select(col("lang").as("lang_b"), col("sz").as("sz_b"))), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared"),
+        expr("n_shared * 10000 div (sz_a + sz_b - n_shared)").as("jac_bp"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  private val langProfileOverlapOracle =
+    """WITH tri AS (
+        SELECT lang,
+               unnest(list_transform(range(1, greatest(len(text) - 2, 0) + 1),
+                                     i -> substr(text, CAST(i AS INT), 3))) AS tri
+        FROM documents),
+      c AS (SELECT lang, tri, COUNT(*) AS cnt FROM tri GROUP BY 1, 2),
+      top AS (
+        SELECT lang, tri FROM (
+          SELECT lang, tri,
+                 row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn
+          FROM c) WHERE rn <= 50),
+      sz AS (SELECT lang, COUNT(*) AS sz FROM top GROUP BY lang),
+      p AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+        FROM top a JOIN top b ON a.tri = b.tri AND a.lang < b.lang
+        GROUP BY 1, 2)
+      SELECT lang_a, lang_b, n_shared,
+             CAST(n_shared * 10000 // (sa.sz + sb.sz - n_shared) AS BIGINT) AS jac_bp
+      FROM p
+      JOIN sz sa ON sa.lang = p.lang_a
+      JOIN sz sb ON sb.lang = p.lang_b
+      ORDER BY lang_a, lang_b"""
 
   /** One BPE training step: the corpus-wide frequency of every adjacent
     * character pair inside words, top-10 by count — exactly the statistic

@@ -1186,8 +1186,50 @@ object IceQueries {
     Q("ic42_iceberg_rewrite_data", icebergRewriteDataQ, Some(icebergRewriteDataOracle)),
     Q("ic43_refs", refsQ, Some(refsOracle)),
     Q("ic44_manifests", manifestsQ, Some(manifestsOracle)),
-    Q("ic45_files", filesQ, Some(filesOracle))
+    Q("ic45_files", filesQ, Some(filesOracle)),
+    Q("ic46_skip_audit", skipAuditQ, Some(skipAuditOracle))
   )
+
+  /** Skipping-effectiveness audit: the report a table-maintenance
+    * scheduler reads to decide whether clustering is paying off — for a
+    * table laid out as 5 disjoint orderkey-range files, how many files
+    * does planning open for a range probe vs a point probe? ic08 gates
+    * that pruning HAPPENS; this gates the planner's selectivity numbers
+    * themselves (files kept, selectivity in bp), pinned by a VALUES
+    * oracle. Pure metadata arithmetic — planning cost O(manifests), zero
+    * data IO. */
+  private def skipAuditQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh     = freshDir(s, "skipaudit")
+    val cat    = new FsCatalog(s, wh)
+    val orders = Tables.orders(s, d)
+    // 5 disjoint 300-key range files (sf0.001 has orderkeys 0..1499, so
+    // every slice is non-empty at every testdata scale)
+    val t = cat.createOrReplaceTable("graft", "orders_ska",
+      orders.filter(col("o_orderkey") < 300).coalesce(1))
+    (1 to 4).foreach { k =>
+      t.append(orders
+        .filter(col("o_orderkey") >= k * 300 && col("o_orderkey") < (k + 1) * 300)
+        .coalesce(1))
+    }
+    val total = t.filesTable().count()
+    val probes = Seq(
+      ("range_600_1199", Some("600"), Some("1199")), // spans exactly files 3+4
+      ("point_450", Some("450"), Some("450")))       // lands in file 2
+    probes.map { case (name, lo, hi) =>
+      val kept = t.planFiles("o_orderkey", lo, hi).length.toLong
+      (name, total, kept, kept * 10000 / total)
+    }.toDF("probe", "n_files", "n_kept", "kept_bp")
+      .orderBy("probe")
+  }
+
+  private val skipAuditOracle =
+    """SELECT probe, CAST(n_files AS BIGINT) AS n_files,
+              CAST(n_kept AS BIGINT) AS n_kept,
+              CAST(kept_bp AS BIGINT) AS kept_bp
+       FROM (VALUES ('point_450', 5, 1, 2000),
+                    ('range_600_1199', 5, 2, 4000)) t(probe, n_files, n_kept, kept_bp)
+       ORDER BY probe"""
 
   /** `t.files` metadata table: one row per data file of the current
     * snapshot with its per-column min/max stats — the planner's own
