@@ -949,28 +949,42 @@ object Pipeline {
     * before training. All-integer arithmetic end-to-end.
     *
     * Scale: one pass computes per-doc (tokens, ttr) map-side; the ranked
-    * prefix sum is a global ordered window over doc-sized rows — at 100 TB
-    * this becomes the mm05 two-pass pattern (per-range partial sums +
-    * broadcast offsets over a ttr-bucketed key), same arithmetic. */
+    * prefix sum is the an63 two-pass pattern, NOT a global window —
+    * range-repartition on the rank key, sort within partitions, collect
+    * one token-subtotal per partition, broadcast the prefix offsets, and
+    * accumulate map-side. Driver state is 32 longs; every core sorts its
+    * own range, at any corpus size. */
   private def tokenBudget(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+    import s.implicits._
+    val sorted = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"),
         size(col("ws")).cast("long").as("n_tok"),
         expr("size(array_distinct(ws)) * 10000 div size(ws)").as("ttr_bp"))
-    val budget = docs.agg((sum("n_tok") / 4).cast("bigint").as("budget"))
-    docs
-      .withColumn("cum", sum("n_tok").over(
-        Window.orderBy(desc("ttr_bp"), asc("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(budget))
-      .filter(col("cum") <= col("budget"))
+      .repartitionByRange(32, col("ttr_bp").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("ttr_bp").desc, col("doc_id").asc)
+      .as[(Long, String, Long, Long)]
+      .persist()
+    val subtotals = sorted
+      .mapPartitions(it => Iterator.single(
+        (org.apache.spark.TaskContext.getPartitionId(), it.map(_._3).sum)))
+      .collect().sortBy(_._1)
+    val total   = subtotals.map(_._2).sum
+    val budget  = total / 4
+    val offsets = subtotals.map(_._1).zip(
+      subtotals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val bcOff = s.sparkContext.broadcast(offsets)
+    sorted
+      .mapPartitions { it =>
+        var cum = bcOff.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, lang, nTok, _) => cum += nTok; (id, lang, nTok, cum) }
+      }
+      .toDF("doc_id", "lang", "n_tok", "cum")
+      .filter(col("cum") <= lit(budget))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("tok_sel"),
-        max("budget").as("budget"))
+      .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("tok_sel"))
       .select(col("lang"), col("n_sel"), col("tok_sel"),
-        expr("tok_sel * 10000 div budget").as("budget_share_bp"))
+        expr(s"tok_sel * 10000 div ${budget}L").as("budget_share_bp"))
       .orderBy("lang")
   }
 
