@@ -700,7 +700,17 @@ object Sim {
     * (10 dot products per row — O(corpus), not all-pairs) + a top-5 window;
     * the LSH side is sm04's plan unchanged. Recall joins the two 50-row
     * result sets on (qid, nid) and divides exact integers, so both engines
-    * compute the identical double. */
+    * compute the identical double.
+    *
+    * Reading the number: 16 planes shard the space into 2^16 buckets, so
+    * the right-sized corpus for this signature is millions of vectors
+    * (bits ≈ log2(n / wanted bucket occupancy)); at the sf0.01 eval's 500
+    * vectors almost every bucket is empty and hamming≤2 probing reaches
+    * 137/65536 of them, which is why measured recall here is low (~0.12)
+    * while the IVF (sm12: 0.80) and SQ8 (sm17: 0.88) paths — whose index
+    * granularity matches this corpus — score high. The eval exists
+    * precisely to surface that density mismatch per deployment; the
+    * signature width is the knob. */
   private def annRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qs = Tables.embeddings(s, d)

@@ -539,7 +539,8 @@ object StreamQueries {
     Q("st09_stream_curation", streamCuration, Some(streamCurationOracle)),
     Q("st10_session_window", sessionWindow, Some(sessionWindowOracle)),
     Q("st11_stream_enrich", streamEnrich, Some(streamEnrichOracle)),
-    Q("st12_transform_with_state", transformWithStateQ, Some(transformWithStateOracle))
+    Q("st12_transform_with_state", transformWithStateQ, Some(transformWithStateOracle)),
+    Q("st13_map_state", mapStateQ, Some(mapStateOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
@@ -594,4 +595,62 @@ object StreamQueries {
 
   private val transformWithStateOracle =
     "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"
+
+  /** Per-user per-event-type running counts held in a
+    * [[org.apache.spark.sql.streaming.MapState]] (one sub-keyed map per
+    * grouping key — the state layout for "counts per category per user"
+    * that a ValueState would have to serialize wholesale on every
+    * update). Emits the updated (type → n) rows each batch; the report
+    * keeps each cell's max, which equals the batch GROUP BY under any
+    * file-source batch split because counts only grow. */
+  private class PerTypeCounts
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val n = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, n + 1)
+        touched += t
+      }
+      touched.iterator.map(t => (key, t, counts.getValue(t)))
+    }
+  }
+
+  private def mapStateQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventsStream(s, d)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new PerTypeCounts,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[(Long, String, Long)])
+        .toDF("user_id", "event_type", "n_seen")
+      runToTable(s, updates, "st13_sink", "update")
+        .groupBy("user_id", "event_type")
+        .agg(max("n_seen").as("n_events"))
+        .orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  private val mapStateOracle =
+    """SELECT user_id, event_type, COUNT(*) AS n_events
+       FROM events GROUP BY user_id, event_type
+       ORDER BY user_id, event_type"""
 }
