@@ -473,10 +473,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val simhashBucketedOracle = {
+  /** DuckDB CTE chain ending in `sig(doc_id, sig)` — the 32-bit simhash
+    * signature per shingled doc, shared by dd08 and dd21. */
+  private val duckSimhashSigCte = {
     val shingleHash = Hashing.duckRollHash("sg", Hashing.M32, "c0")
     val bitsValues = (0 until 32).map(i => s"($i, ${1L << i})").mkString(", ")
-    s"""WITH $duckShingles,
+    s"""$duckShingles,
       sge AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
       wh AS (SELECT doc_id, $shingleHash AS h FROM sge),
       bits(i, pw) AS (VALUES $bitsValues),
@@ -485,7 +487,11 @@ object Dedup {
         FROM wh CROSS JOIN bits GROUP BY doc_id, i, pw),
       sig AS (
         SELECT doc_id, CAST(SUM(CASE WHEN sb > 0 THEN pw ELSE 0 END) AS BIGINT) AS sig
-        FROM bs GROUP BY doc_id),
+        FROM bs GROUP BY doc_id)"""
+  }
+
+  private val simhashBucketedOracle = {
+    s"""WITH $duckSimhashSigCte,
       band AS (
         SELECT doc_id, sig, b AS band_id, (sig >> (b * 8)) & 255 AS bval
         FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b)),
@@ -1033,6 +1039,127 @@ object Dedup {
       FROM j ORDER BY doc_a, doc_b"""
   }
 
+  // ------------------------------------- edit-distance (fuzzy) near-dups
+
+  /** Levenshtein-verified near-duplicates: MinHash band candidates (the
+    * dd03 index — never an all-pairs scan) re-verified with exact edit
+    * distance, keeping pairs whose edit count is ≤20% of the longer text.
+    * This is the fuzzy-dedup design real crawls use for re-typed /
+    * OCR-mutated copies that shingle-Jaccard underrates (a single
+    * character edit kills 3 word-shingles, but costs 1 edit). The O(len²)
+    * DP runs only on the banding's candidate pairs, so total cost is
+    * candidates × len² — independent of corpus size; similarity is
+    * reported as half-up integer basis points of (1 - lev/maxlen). */
+  private def editDistanceDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.hashfns
+    val hs = shingles(s, d).select(
+      col("doc_id"),
+      array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
+    val band = hs
+      .select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
+          s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bsig")
+    val cand = band.as("x")
+      .join(band.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .filter(col("lev") * 5 <= col("maxlen"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        expr("10000 - ((2 * lev * 10000 + maxlen) DIV (2 * maxlen))").as("edit_sim_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private lazy val editDistanceDupOracle =
+    s"""WITH $minhashPairsCte,
+      tx AS (SELECT doc_id, text FROM documents),
+      lv AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+               CAST(GREATEST(len(a.text), len(b.text)) AS BIGINT) AS maxlen
+        FROM cand c JOIN tx a ON a.doc_id = c.doc_a JOIN tx b ON b.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, lev,
+             10000 - ((2 * lev * 10000 + maxlen) // (2 * maxlen)) AS edit_sim_bp
+      FROM lv WHERE lev * 5 <= maxlen ORDER BY doc_a, doc_b"""
+
+  // ----------------------------------- incremental (batch-vs-index) dedup
+
+  /** Incremental dedup of a NEW BATCH against the existing corpus index —
+    * the shape a daily crawl actually runs (dedup today's shard against
+    * everything already ingested, never corpus × corpus). The batch is
+    * `source = 'src19'`; the index is every other source. Both sides get
+    * the dd08 SimHash signature; candidates come from an 8-bit band
+    * equi-join (batch bands × index bands — cost ∝ batch size, the
+    * incremental property), verified at hamming ≤ 3. Every batch doc is
+    * reported: its verified index-duplicate count, the smallest matching
+    * index doc (its canonical representative), and a dup/unique status.
+    * At 100 TB the index bands are a stored table partitioned by
+    * (band_id, bval); the daily join touches only matching buckets. */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val batchSrc = "src19"
+    val sig = shingles(s, d)
+      .select(col("doc_id"), graft.functions.hashfns.simhash32(col("shs")).as("sig"))
+    val sigSrc = sig.join(
+      Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+    def bandOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, b * 8) & 255)")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bval")
+    val newB = bandOf(sigSrc.filter(col("source") === batchSrc).drop("source"))
+    val idxB = bandOf(sigSrc.filter(col("source") =!= batchSrc).drop("source"))
+    val hits = newB.as("x")
+      .join(idxB.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bval") === col("y.bval"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("idx_doc"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+      .filter(expr("bit_count(sa ^ sb) <= 3"))
+      .groupBy("doc_id")
+      .agg(countDistinct("idx_doc").as("n_index_dups"), min("idx_doc").as("rep_doc"))
+    Tables.documents(s, d).filter(col("source") === batchSrc).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+        coalesce(col("rep_doc"), lit(-1L)).as("rep_doc"),
+        when(col("n_index_dups").isNotNull, lit("dup")).otherwise(lit("unique")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val incrementalDedupOracle =
+    s"""WITH $duckSimhashSigCte,
+      ss AS (SELECT s.doc_id, s.sig, dc.source FROM sig s JOIN documents dc USING (doc_id)),
+      nb AS (
+        SELECT doc_id, sig, b AS band_id, (sig >> (b * 8)) & 255 AS bval
+        FROM ss CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b)
+        WHERE source = 'src19'),
+      ib AS (
+        SELECT doc_id, sig, b AS band_id, (sig >> (b * 8)) & 255 AS bval
+        FROM ss CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b)
+        WHERE source <> 'src19'),
+      hits0 AS (
+        SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS idx_doc, x.sig AS sa, y.sig AS sb
+        FROM nb x JOIN ib y ON x.band_id = y.band_id AND x.bval = y.bval),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT idx_doc) AS BIGINT) AS n_index_dups,
+               MIN(idx_doc) AS rep_doc
+        FROM hits0 WHERE bit_count(xor(sa, sb)) <= 3 GROUP BY 1)
+      SELECT dc.doc_id, COALESCE(h.n_index_dups, 0) AS n_index_dups,
+             COALESCE(h.rep_doc, -1) AS rep_doc,
+             CASE WHEN h.doc_id IS NULL THEN 'unique' ELSE 'dup' END AS status
+      FROM documents dc LEFT JOIN hits h ON dc.doc_id = h.doc_id
+      WHERE dc.source = 'src19' ORDER BY dc.doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
@@ -1054,7 +1181,9 @@ object Dedup {
     Q("dd16_winnow_fingerprint", winnowDup, Some(winnowDupOracle)),
     Q("dd17_band_tuning", bandTuning, Some(bandTuningOracle)),
     Q("dd18_winnow_est", winnowEst, Some(winnowEstOracle)),
-    Q("dd19_cluster_size_hist", clusterSizeHist, Some(clusterSizeHistOracle))
+    Q("dd19_cluster_size_hist", clusterSizeHist, Some(clusterSizeHistOracle)),
+    Q("dd20_edit_distance", editDistanceDup, Some(editDistanceDupOracle)),
+    Q("dd21_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle))
   )
 
   /** Duplicate-cluster size distribution: how many exact-duplicate

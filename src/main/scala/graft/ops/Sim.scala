@@ -1247,6 +1247,65 @@ object Sim {
       SELECT qid, CAST(rn AS BIGINT) AS rn, nid, ROUND(sim, 4) AS sim
       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  // ----------------------------- cluster-balanced diversity sampling
+
+  /** Cluster-balanced sampling (the SemDeDup/diversity-selection shape):
+    * assign every vector to its nearest codebook cell (sm06's exact
+    * quantized assignment), then keep a fixed per-cell quota of 8 chosen
+    * by a salted affine hash — so dense regions are downsampled hard and
+    * sparse regions survive intact, which is the point of balancing a
+    * training mix by embedding cluster rather than uniformly. Fully
+    * deterministic: the hash is `(vec_id·2654435761 + 12345) mod P`
+    * integer arithmetic, identical in DuckDB. Shape at 100 TB: map-side
+    * assignment against a broadcast codebook + one cell-partitioned
+    * window ranking (per-cell fanout bounded by cell population, the
+    * quota cut is inside the window) — no global sort, no driver state
+    * beyond the k×d codebook. */
+  private def cellSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val centsQ = collectMatrix(s, d, idBound = ivfCells)
+      .map { case (cid, v, _) => (cid, v.map(quant20)) }
+    val bc = s.sparkContext.broadcast(centsQ)
+    val cells = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vf) => (id, assignCellQ(vf.map(x => quant20(x.toDouble)), cs)) }
+      }
+      .toDF("vec_id", "cell")
+    cells
+      .withColumn("h", expr(s"(vec_id * 2654435761 + 12345) % ${graft.Hashing.P}"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("smp_rank",
+        row_number().over(Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))).cast("long"))
+      .filter(col("smp_rank") <= 8)
+      .select(col("cell"), col("smp_rank"), col("vec_id"), col("n_members"))
+      .orderBy("cell", "smp_rank")
+  }
+
+  private lazy val cellSampleOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      ${quantD2("ce")},
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      hsh AS (
+        SELECT vec_id, cell, (vec_id * 2654435761 + 12345) % ${graft.Hashing.P} AS h,
+               COUNT(*) OVER (PARTITION BY cell) AS n_members
+        FROM cell),
+      smp AS (
+        SELECT cell, vec_id, n_members,
+               row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS smp_rank
+        FROM hsh)
+      SELECT cell, CAST(smp_rank AS BIGINT) AS smp_rank, vec_id,
+             CAST(n_members AS BIGINT) AS n_members
+      FROM smp WHERE smp_rank <= 8 ORDER BY cell, smp_rank"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1268,7 +1327,8 @@ object Sim {
     Q("sm18_knn_reciprocity", knnReciprocity, Some(knnReciprocityOracle)),
     Q("sm19_pq_adc_search", pqAdcSearch, Some(pqAdcSearchOracle)),
     Q("sm20_ivf_pq_search", ivfPqSearch, Some(ivfPqSearchOracle)),
-    Q("sm21_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallOracle))
+    Q("sm21_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallOracle)),
+    Q("sm22_cell_sample", cellSample, Some(cellSampleOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS

@@ -970,6 +970,94 @@ object Text {
       SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c_bi, lift_e4
       FROM r WHERE rank <= 20 ORDER BY rank"""
 
+  // ------------------------------- importance weights (DSIR-style resample)
+
+  /** Data-selection importance weights, the hashed-n-gram importance-
+    * resampling idea (Xie et al., DSIR) reduced to its exact-integer core:
+    * with English as the target distribution and the whole corpus as the
+    * source, every word gets an importance ratio tgt_count/src_count in
+    * half-up basis points, and every document scores the mean ratio of its
+    * tokens — documents whose vocabulary looks target-like float up, and
+    * a deterministic resampler (pp06's salted-hash pattern) would keep
+    * docs proportionally to this score. All integer: ratio_bp and the
+    * per-doc mean are half-up divisions, so both engines agree exactly.
+    * Shape at 100 TB: one map-side explode, two word-keyed grouped counts
+    * (map-combinable), one join of doc-words against the ratio table
+    * (broadcast while vocab fits, shuffle-on-word beyond), one doc-keyed
+    * sum — all linear, no driver state. */
+  private def importanceWeights(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("wd"))
+    val src = w.groupBy("wd").agg(count(lit(1)).as("sc"))
+    val tgt = w.filter(col("lang") === "en").groupBy("wd").agg(count(lit(1)).as("tc"))
+    val ratio = src.join(tgt, Seq("wd"), "left")
+      .select(col("wd"),
+        expr("(2 * coalesce(tc, 0) * 10000 + sc) DIV (2 * sc)").as("ratio_bp"))
+    w.join(ratio, "wd")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("ratio_bp").as("score"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(2 * score + n_tokens) DIV (2 * n_tokens)").as("score_per_tok_bp"))
+      .orderBy("doc_id")
+  }
+
+  private val importanceWeightsOracle =
+    """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd FROM documents),
+      src AS (SELECT wd, COUNT(*) AS sc FROM w GROUP BY 1),
+      tgt AS (SELECT wd, COUNT(*) AS tc FROM w WHERE lang = 'en' GROUP BY 1),
+      ratio AS (
+        SELECT s.wd, (2 * COALESCE(t.tc, 0) * 10000 + s.sc) // (2 * s.sc) AS ratio_bp
+        FROM src s LEFT JOIN tgt t USING (wd)),
+      pd AS (
+        SELECT w.doc_id, COUNT(*) AS n_tokens, SUM(r.ratio_bp) AS score
+        FROM w JOIN ratio r USING (wd) GROUP BY 1)
+      SELECT doc_id, n_tokens,
+             CAST((2 * score + n_tokens) // (2 * n_tokens) AS BIGINT) AS score_per_tok_bp
+      FROM pd ORDER BY doc_id"""
+
+  // ---------------------------------------- n-gram novelty (corpus growth)
+
+  /** Per-document n-gram NOVELTY: the share of a doc's distinct word-3-gram
+    * shingles whose global first occurrence (min doc_id over all docs
+    * containing the shingle) is the doc itself. This is the marginal-
+    * information curve a streaming corpus build watches — novelty collapses
+    * exactly where dedup should fire, without computing any pairs. Shape:
+    * one map-side shingle explode, one shingle-keyed min aggregation
+    * (map-combinable), one join back, one doc-keyed count — all linear in
+    * corpus shingles; the shingle-frequency skew risk is the same as
+    * dd02's and handled the same way (AQE skew join). */
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), graft.functions.hashfns.wordShingles(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) >= 1)
+      .select(col("doc_id"), explode(col("shs")).as("sg"))
+    val first = sh.groupBy("sg").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "sg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 10000 div n_shingles").as("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltyOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shs
+        FROM w WHERE len(ws) >= 3),
+      e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      f AS (SELECT sg, MIN(doc_id) AS first_doc FROM e GROUP BY 1),
+      pd AS (
+        SELECT e.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM e JOIN f USING (sg) GROUP BY 1)
+      SELECT doc_id, n_shingles, n_novel,
+             n_novel * 10000 // n_shingles AS novelty_bp
+      FROM pd ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("tx01_lang_id", langId, Some(langIdOracle)),
     Q("tx02_quality", quality, Some(qualityOracle)),
@@ -996,7 +1084,9 @@ object Text {
     Q("tx23_hapax_rate", hapaxRate, Some(hapaxRateOracle)),
     Q("tx24_collocations", collocations, Some(collocationsOracle)),
     Q("tx25_bpe_pairs", bpePairs, Some(bpePairsOracle)),
-    Q("tx26_lang_profile_overlap", langProfileOverlap, Some(langProfileOverlapOracle))
+    Q("tx26_lang_profile_overlap", langProfileOverlap, Some(langProfileOverlapOracle)),
+    Q("tx27_importance_weights", importanceWeights, Some(importanceWeightsOracle)),
+    Q("tx28_ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle))
   )
 
   /** Pairwise Jaccard overlap between the languages' top-50 character-
