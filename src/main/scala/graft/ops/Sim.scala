@@ -1306,6 +1306,106 @@ object Sim {
              CAST(n_members AS BIGINT) AS n_members
       FROM smp WHERE smp_rank <= 8 ORDER BY cell, smp_rank"""
 
+  // ----------------------- dimension-truncation (Matryoshka) quality eval
+
+  /** Matryoshka-style truncation eval: recall@5 of searching with only the
+    * FIRST 16 of 64 dimensions against the full-dimension exact top-5.
+    * This is the storage/latency dial every embedding index exposes (MRL
+    * trains prefixes to be usable; truncation cuts index bytes 4× and
+    * dot-product FLOPs 4×) — and like sm09/sm12/sm17/sm21 the decision to
+    * ship it should come from a measured recall number, not the paper's.
+    * On THIS corpus the measured recall is ~0.0–0.2: the synthetic
+    * embeddings are i.i.d. random, so no information concentrates in the
+    * prefix dims and truncation rightly scores as unusable — which is the
+    * eval doing its job (an MRL-trained model front-loads variance and
+    * scores high here; random vectors must not).
+    * One broadcast-queries corpus pass computes BOTH similarity columns
+    * (full and truncated) from the same row read — the eval costs the
+    * same scan the search itself does; ranking stays in two tiny top-k
+    * windows over |corpus|×10 rows. */
+  private def mrlRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val trunc = 16
+    val qs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, vf) =>
+        val v  = vf.map(_.toDouble)
+        val vt = v.take(trunc)
+        (id, v, normv(v), vt, normv(vt))
+      }
+    val bc  = s.sparkContext.broadcast(qs)
+    val byFull  = Window.partitionBy("qid").orderBy(desc("sim_full"), asc("nid"))
+    val byTrunc = Window.partitionBy("qid").orderBy(desc("sim_trunc"), asc("nid"))
+    val sims = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (nid, vf) =>
+          lazy val v  = vf.map(_.toDouble)
+          lazy val n  = normv(v)
+          lazy val vt = v.take(trunc)
+          lazy val nt = normv(vt)
+          queries.iterator
+            .filter { case (qid, _, _, _, _) => qid != nid }
+            .map { case (qid, qv, qn, qvt, qnt) =>
+              (qid, nid, dotv(qv, v) / (qn * n), dotv(qvt, vt) / (qnt * nt))
+            }
+        }
+      }
+      .toDF("qid", "nid", "sim_full", "sim_trunc")
+      .persist() // both rankings read the same |corpus| x 10 frame
+    val exact = sims.withColumn("rn", row_number().over(byFull))
+      .filter(col("rn") <= 5).select("qid", "nid")
+    val tr = sims.withColumn("rn", row_number().over(byTrunc))
+      .filter(col("rn") <= 5).select("qid", "nid")
+    val hits = tr.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / lit(5.0), 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  private lazy val mrlRecallOracle =
+    s"""WITH $duckVecs,
+      et AS (SELECT vec_id, d, x FROM e WHERE d < 16),
+      nrmt AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM et GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      ex AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM sims) WHERE rn <= 5),
+      dotst AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM et a JOIN et b ON a.d = b.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 GROUP BY 1, 2),
+      simst AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dotst JOIN nrmt na ON qid = na.vec_id JOIN nrmt nb ON nid = nb.vec_id),
+      tr AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM simst) WHERE rn <= 5),
+      hits AS (
+        SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tr t JOIN ex USING (qid, nid) GROUP BY 1)
+      SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+             ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall
+      FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hits h USING (qid)
+      ORDER BY q.qid"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1328,7 +1428,8 @@ object Sim {
     Q("sm19_pq_adc_search", pqAdcSearch, Some(pqAdcSearchOracle)),
     Q("sm20_ivf_pq_search", ivfPqSearch, Some(ivfPqSearchOracle)),
     Q("sm21_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallOracle)),
-    Q("sm22_cell_sample", cellSample, Some(cellSampleOracle))
+    Q("sm22_cell_sample", cellSample, Some(cellSampleOracle)),
+    Q("sm23_mrl_recall", mrlRecall, Some(mrlRecallOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS

@@ -1187,8 +1187,53 @@ object IceQueries {
     Q("ic43_refs", refsQ, Some(refsOracle)),
     Q("ic44_manifests", manifestsQ, Some(manifestsOracle)),
     Q("ic45_files", filesQ, Some(filesOracle)),
-    Q("ic46_skip_audit", skipAuditQ, Some(skipAuditOracle))
+    Q("ic46_skip_audit", skipAuditQ, Some(skipAuditOracle)),
+    Q("ic47_zorder_write", zorderWriteQ, Some(zorderWriteOracle))
   )
+
+  /** Z-ORDER write path: an75 measures that bit-interleaved bucketing
+    * bounds both key ranges; this query PROVES the file-skipping payoff on
+    * the real table format. The same projection is written twice into
+    * IceLite — once range-partitioned on the interleaved z-value, once on
+    * xk alone (classic linear clustering) — and the same second-dimension
+    * range probe (`yk <= 127`) is planned against both tables' per-file
+    * min/max stats. The z-layout MUST open strictly fewer files (require,
+    * spec-grade gate inline); the returned aggregate comes from the pruned
+    * z-scan, so the oracle also proves pruning lost no rows. At 100 TB
+    * `repartitionByRange(zval)` before write is exactly the OPTIMIZE
+    * ZORDER recipe — a shuffle at write time buying bounded min/max tiles
+    * for every later scan on EITHER predicate column. */
+  private def zorderWriteQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "zo")
+    val cat = new FsCatalog(s, wh)
+    val base = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 1024).cast("long").as("xk"),
+        (col("l_orderkey") % 1024).cast("long").as("yk"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 9), 0L, (acc, i) ->
+          |  acc + shiftleft(shiftright(xk, i) & 1, 2 * i)
+          |      + shiftleft(shiftright(yk, i) & 1, 2 * i + 1))""".stripMargin))
+    val tz = cat.createOrReplaceTable("graft", "li_zorder",
+      base.repartitionByRange(8, col("zval")))
+    val tl = cat.createOrReplaceTable("graft", "li_linear",
+      base.repartitionByRange(8, col("xk")))
+    val zScan = tz.scanRange("yk", Some("0"), Some("127"))
+    val lScan = tl.scanRange("yk", Some("0"), Some("127"))
+    require(zScan.inputFiles.length < lScan.inputFiles.length,
+      s"z-order pruning opened ${zScan.inputFiles.length} files; " +
+        s"linear opened ${lScan.inputFiles.length} — interleave buys nothing")
+    zScan.filter(col("yk") <= 127)
+      .groupBy("yk")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"))
+      .orderBy("yk")
+  }
+
+  private val zorderWriteOracle =
+    """SELECT l_orderkey % 1024 AS yk, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum
+       FROM lineitem WHERE l_orderkey % 1024 <= 127
+       GROUP BY 1 ORDER BY 1"""
 
   /** Skipping-effectiveness audit: the report a table-maintenance
     * scheduler reads to decide whether clustering is paying off — for a

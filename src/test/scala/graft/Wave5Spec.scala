@@ -156,6 +156,26 @@ class Wave5Spec extends SparkSpec {
     assert(first.getLong(3) == 10000L, "lowest doc_id owns all its shingles' first occurrences")
   }
 
+  test("ic47 z-order layout must open fewer files than linear for the 2nd-dim probe") {
+    // the query itself `require`s z < linear at plan time; surviving the
+    // run IS the gate — assert the result also reconciles with raw data
+    val out = q("ic47_zorder_write").collect()
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 1024 <= 127).count()
+    assert(out.map(_.getLong(1)).sum == want, "pruned scan lost or duplicated rows")
+  }
+
+  test("sm23 truncated-prefix recall is a valid recall@5 and near zero on random vectors") {
+    val out = q("sm23_mrl_recall").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(r.getDouble(2) == r.getLong(1) / 5.0)
+    }
+    val mean = out.map(_.getLong(1)).sum / 50.0
+    assert(mean < 0.5, "i.i.d. random embeddings cannot have high prefix recall")
+  }
+
   test("tx27 scores are bounded basis points and rank the target language up") {
     val lang = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
