@@ -217,20 +217,29 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val filesDF = spark.createDataset(files.toIndexedSeq).toDF("file")
     val statsType = "map<string,struct<min:string,max:string>>"
     val entries =
-      if (cols.isEmpty || files.isEmpty)
+      if (files.isEmpty)
         filesDF.withColumn("stats", lit(null).cast(statsType))
+          .withColumn("rows", lit(null).cast("long"))
       else {
-        val aggs = cols.flatMap(c =>
+        // row count always rides the stats pass (Iceberg's required
+        // record_count) — COUNT(*)/snapshot sizes answer from metadata
+        val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c =>
           Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
-        val statsMap = map(cols.flatMap(c =>
-          Seq(lit(c), struct(col(s"min_$c").as("min"), col(s"max_$c").as("max")))).toIndexedSeq: _*)
+        val statsMap =
+          if (cols.isEmpty) lit(null).cast(statsType)
+          else map(cols.flatMap(c =>
+            Seq(lit(c), struct(col(s"min_$c").as("min"), col(s"max_$c").as("max")))).toIndexedSeq: _*)
         val statsDF = spark.read.schema(schema).parquet(dataDir.toString)
           .groupBy(input_file_name().as("__file"))
           .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
           .select(
             expr(s"substring(__file, instr(__file, '$dataRel'))").as("file"),
-            statsMap.as("stats"))
+            statsMap.as("stats"),
+            col("__rows").as("rows"))
+        // a zero-row file has no scan group: its entry keeps rows = 0,
+        // not null (we know it is empty — the listing produced it)
         filesDF.join(statsDF, Seq("file"), "left")
+          .withColumn("rows", coalesce(col("rows"), lit(0L)))
       }
     entries.coalesce(1).write.json(dir.toString)
     rel
@@ -258,6 +267,15 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * manifest internally sorted). */
   def filesOf(snap: Snapshot): Seq[String] =
     snap.manifests.flatMap(readManifest(_).map(_.file))
+
+  /** COUNT(*) of `snap` answered from manifest metadata alone — no data
+    * file is opened (planning-sized work: O(#manifests) JSON reads, all
+    * cached). None if any entry predates the `rows` field, so a stale
+    * manifest can never silently undercount. */
+  def statsRowCount(snap: Snapshot): Option[Long] = {
+    val rs = snap.manifests.flatMap(readManifest(_).map(_.rows))
+    if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+  }
 
   /** Per-file column stats of `snap` (files without stats are absent). */
   def statsOf(snap: Snapshot): Map[String, Map[String, ColRange]] =

@@ -33,8 +33,14 @@ final case class RefInfo(snapshot_id: Long, ref_type: String) // "branch" | "tag
 final case class ColRange(min: Option[String], max: Option[String])
 
 /** One data file of a manifest: its path (relative to the table location)
-  * plus optional per-column min/max stats. Serialized as one JSON line. */
-final case class ManifestEntry(file: String, stats: Option[Map[String, ColRange]] = None) {
+  * plus optional per-column min/max stats and its row count (Iceberg's
+  * required `record_count` — lets COUNT(*) answer from metadata alone).
+  * Serialized as one JSON line; `rows` is Optional so manifests written
+  * before the field existed still parse. */
+final case class ManifestEntry(
+    file: String,
+    stats: Option[Map[String, ColRange]] = None,
+    rows: Option[Long] = None) {
   def toJson: String = {
     implicit val fmts: Formats = TableMetadata.formats
     Serialization.write(this)

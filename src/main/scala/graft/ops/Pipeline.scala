@@ -1069,6 +1069,50 @@ object Pipeline {
     Q("pp16_shard_balance", shardBalance, Some(shardBalanceOracle)),
     Q("pp17_dataset_card", datasetCard, Some(datasetCardOracle)),
     Q("pp18_token_budget", tokenBudget, Some(tokenBudgetOracle)),
-    Q("pp19_epoch_factors", epochFactors, Some(epochFactorsOracle))
+    Q("pp19_epoch_factors", epochFactors, Some(epochFactorsOracle)),
+    Q("pp20_filter_ablation", filterAblation, Some(filterAblationOracle))
   )
+
+  /** Curation-filter ABLATION matrix: every document is scored against the
+    * four standard gates (length ≥ 100 chars, target language, exact-
+    * duplicate-free, ≥ 20 tokens) and the corpus is broken down by the
+    * full 2⁴ combination grid — docs and tokens per cell plus corpus
+    * share. This is the table a curation review actually reads: it shows
+    * each filter's marginal bite and their overlaps (e.g. how much of the
+    * short-doc mass is ALSO duplicated), which a per-filter funnel hides.
+    * One text-keyed window for uniqueness (the dd01 shuffle), then one
+    * 16-cell aggregate — map-combinable, constant output at any scale. */
+  private def filterAblation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("text")))
+      .select(
+        (col("n_chars") >= 100).as("g_len"),
+        (col("lang") === "en").as("g_lang"),
+        (col("n_copies") === 1).as("g_uniq"),
+        (size(split(col("text"), " ")) >= 20).as("g_tok"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs.groupBy("g_len", "g_lang", "g_uniq", "g_tok")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("share_bp",
+        expr("n_docs * 10000 div sum(n_docs) over ()"))
+      .orderBy("g_len", "g_lang", "g_uniq", "g_tok")
+  }
+
+  private val filterAblationOracle =
+    """WITH docs AS (
+        SELECT n_chars >= 100 AS g_len,
+               lang = 'en' AS g_lang,
+               COUNT(*) OVER (PARTITION BY text) = 1 AS g_uniq,
+               len(string_split(text, ' ')) >= 20 AS g_tok,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      g AS (
+        SELECT g_len, g_lang, g_uniq, g_tok,
+               COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+        FROM docs GROUP BY 1, 2, 3, 4)
+      SELECT g_len, g_lang, g_uniq, g_tok, n_docs,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_docs * 10000 // (SUM(n_docs) OVER ()) AS BIGINT) AS share_bp
+      FROM g ORDER BY g_len, g_lang, g_uniq, g_tok"""
 }

@@ -1406,6 +1406,107 @@ object Sim {
       FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hits h USING (qid)
       ORDER BY q.qid"""
 
+  // --------------------------- label-separation (embedding quality) audit
+
+  /** Centroid-silhouette embedding-quality audit: per label, the mean
+    * quantized squared distance of members to their OWN label centroid vs
+    * to the NEAREST OTHER centroid, and their ratio in half-up basis
+    * points. separation_bp ≈ 10000 means the labels are not separated in
+    * embedding space (own ≈ other — true for this i.i.d. random corpus);
+    * a real encoder pushes it well above. Full silhouette is O(n²); the
+    * centroid form is the scalable stand-in every embedding eval uses:
+    * one (label, dim)-keyed aggregate for centroids (Lloyd's shuffle), a
+    * collected k×d matrix (bounded at any corpus size), then one map-side
+    * pass scoring each vector against the broadcast matrix. Exact integer
+    * end-to-end: coordinates quantized floor(x·2²⁰), centroid means the
+    * sm06 4-decimal half-up integers re-quantized, distances BIGINT. */
+  private def labelSeparation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.spread(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
+      .as[(Long, Array[Float], Int)]
+    val centRows = base
+      .mapPartitions(_.flatMap { case (_, vf, lab) =>
+        vf.iterator.zipWithIndex.map { case (x, dim) => (lab, dim.toLong, quant20(x.toDouble)) }
+      })
+      .toDF("label", "d", "xq")
+      .groupBy("label", "d")
+      .agg(count(lit(1)).as("n_members"), sum("xq").as("sq"))
+      .withColumn("mean_q", expr(meanQ4Spark))
+      .select("label", "d", "mean_q")
+      .collect()
+    val centsQ: Array[(Int, Array[Long])] = centRows.groupBy(_.getInt(0)).map { case (l, rs) =>
+      val arr = new Array[Long](64)
+      rs.foreach(r => arr(r.getLong(1).toInt) = math.floor(r.getDouble(2) * 1048576.0).toLong)
+      l -> arr
+    }.toArray.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(centsQ)
+    base
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, vf, lab) =>
+          val vq  = vf.map(x => quant20(x.toDouble))
+          var own = 0L
+          var oth = Long.MaxValue
+          cs.foreach { case (l, cq) =>
+            var s2 = 0L
+            var i  = 0
+            while (i < vq.length) { val df0 = vq(i) - cq(i); s2 += df0 * df0; i += 1 }
+            if (l == lab) own = s2 else if (s2 < oth) oth = s2
+          }
+          (lab, own, oth)
+        }
+      }
+      .toDF("label", "d2own", "d2oth")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("d2own").as("so"), sum("d2oth").as("st"))
+      .withColumn("mean_own_q", expr("(2 * so + n) DIV (2 * n)"))
+      .withColumn("mean_other_q", expr("(2 * st + n) DIV (2 * n)"))
+      .select(col("label"), col("n"), col("mean_own_q"), col("mean_other_q"),
+        expr("(2 * mean_other_q * 10000 + mean_own_q) DIV (2 * mean_own_q)")
+          .as("separation_bp"))
+      .orderBy("label")
+  }
+
+  private lazy val labelSeparationOracle =
+    s"""WITH $duckVecs,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      acc AS (
+        SELECT l.label, e.d, COUNT(*) AS n_members,
+               SUM(CAST(FLOOR(e.x * 1048576.0) AS BIGINT)) AS sq
+        FROM e JOIN lab l USING (vec_id) GROUP BY 1, 2),
+      cent AS (
+        SELECT label, d,
+               CAST(FLOOR(($meanQ4Duck) * 1048576.0) AS BIGINT) AS cq
+        FROM acc),
+      vd AS (
+        SELECT e.vec_id, c.label AS clabel,
+               SUM((CAST(FLOOR(e.x * 1048576.0) AS BIGINT) - c.cq)
+                 * (CAST(FLOOR(e.x * 1048576.0) AS BIGINT) - c.cq)) AS d2
+        FROM e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
+      own AS (
+        SELECT v.vec_id, l.label, v.d2 AS d2own
+        FROM vd v JOIN lab l ON v.vec_id = l.vec_id AND v.clabel = l.label),
+      oth AS (
+        SELECT v.vec_id, MIN(v.d2) AS d2oth
+        FROM vd v JOIN lab l ON v.vec_id = l.vec_id AND v.clabel <> l.label
+        GROUP BY 1),
+      per AS (SELECT o.label, o.d2own, t.d2oth FROM own o JOIN oth t USING (vec_id)),
+      agg AS (
+        SELECT label, COUNT(*) AS n, SUM(d2own) AS so, SUM(d2oth) AS st
+        FROM per GROUP BY 1),
+      m AS (
+        SELECT label, n,
+               (2 * so + n) // (2 * n) AS mean_own_q,
+               (2 * st + n) // (2 * n) AS mean_other_q
+        FROM agg)
+      SELECT label, n,
+             CAST(mean_own_q AS BIGINT) AS mean_own_q,
+             CAST(mean_other_q AS BIGINT) AS mean_other_q,
+             CAST((2 * mean_other_q * 10000 + mean_own_q) // (2 * mean_own_q) AS BIGINT)
+               AS separation_bp
+      FROM m ORDER BY label"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1429,7 +1530,8 @@ object Sim {
     Q("sm20_ivf_pq_search", ivfPqSearch, Some(ivfPqSearchOracle)),
     Q("sm21_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallOracle)),
     Q("sm22_cell_sample", cellSample, Some(cellSampleOracle)),
-    Q("sm23_mrl_recall", mrlRecall, Some(mrlRecallOracle))
+    Q("sm23_mrl_recall", mrlRecall, Some(mrlRecallOracle)),
+    Q("sm24_label_separation", labelSeparation, Some(labelSeparationOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS

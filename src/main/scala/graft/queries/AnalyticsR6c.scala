@@ -239,5 +239,78 @@ object AnalyticsR6c {
         SELECT scheme, bucket, n_rows, x_min, x_max, y_min, y_max,
                (x_max - x_min + 1) * (y_max - y_min + 1) AS area
         FROM g ORDER BY scheme, bucket"""))
-  )
+  ) ++ Seq(countMinQ)
+
+  // ---- COUNT-MIN SKETCH, built and then audited against exact counts.
+  //      The sketch is a 4×64 integer grid (row j buckets word-hash h by
+  //      (a_j·h + b_j) mod P mod 64; cells sum collisions) — fixed 256
+  //      cells of state no matter how many distinct words exist, which is
+  //      why it's the streaming/mergeable answer to heavy-hitter counting
+  //      at 100 TB: cell counts are plain sums, so partial sketches merge
+  //      by addition (map-side combine does it for free). The audit joins
+  //      the exact top-20 words against their 4 cells and reports the
+  //      estimate (min over rows — NEVER below truth, one-sided error) and
+  //      the overestimate each suffered. All integer arithmetic, shared
+  //      with the oracle via the [[graft.Hashing]] parameter set.
+  private lazy val countMinQ: Q = {
+    val P = graft.Hashing.P
+    val W = 64L
+    val params = graft.Hashing.minhashParams.take(4)
+    Q("an76_count_min",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("wd"))
+          .select(col("wd"), graft.functions.hashfns.rollHash(col("wd"), P).as("h"))
+        val rows = params.map { case (j, a, b) =>
+          words.select(lit(j).as("j"), expr(s"(($a * h + $b) % $P) % $W").as("bucket"))
+        }.reduce(_ unionByName _)
+        val sketch = rows.groupBy("j", "bucket").agg(count(lit(1)).as("cell"))
+        val exact = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("wd"))
+          .groupBy("wd").agg(count(lit(1)).as("exact_c"))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("exact_c"), asc("wd"))).cast("long"))
+          .filter(col("rank") <= 20)
+          .withColumn("h", graft.functions.hashfns.rollHash(col("wd"), P))
+        val probes = params.map { case (j, a, b) =>
+          exact.select(col("rank"), col("wd"), col("exact_c"),
+            lit(j).as("j"), expr(s"(($a * h + $b) % $P) % $W").as("bucket"))
+        }.reduce(_ unionByName _)
+        probes.join(sketch, Seq("j", "bucket"))
+          .groupBy("rank", "wd", "exact_c")
+          .agg(min("cell").as("est_c"))
+          .select(col("rank"), col("wd"), col("exact_c"), col("est_c"),
+            (col("est_c") - col("exact_c")).as("over_c"))
+          .orderBy("rank")
+      },
+      Some {
+        val h  = graft.Hashing.duckRollHash("wd", P, "c0")
+        val pv = params.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+        s"""WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+          wh AS (SELECT wd, $h AS h FROM words),
+          whd AS (SELECT DISTINCT wd, h FROM wh),
+          params(j, pa, pb) AS (VALUES $pv),
+          cells AS (
+            SELECT j, ((pa * h + pb) % $P) % $W AS bucket, COUNT(*) AS cell
+            FROM wh CROSS JOIN params GROUP BY 1, 2),
+          exact AS (
+            SELECT wd, COUNT(*) AS exact_c FROM words GROUP BY 1),
+          top AS (
+            SELECT wd, exact_c,
+                   CAST(row_number() OVER (ORDER BY exact_c DESC, wd) AS BIGINT) AS rank
+            FROM exact QUALIFY rank <= 20),
+          probes AS (
+            SELECT t.rank, t.wd, t.exact_c, p.j,
+                   ((p.pa * w.h + p.pb) % $P) % $W AS bucket
+            FROM top t JOIN whd w ON t.wd = w.wd CROSS JOIN params p),
+          est AS (
+            SELECT pr.rank, pr.wd, pr.exact_c, MIN(c.cell) AS est_c
+            FROM probes pr JOIN cells c ON pr.j = c.j AND pr.bucket = c.bucket
+            GROUP BY 1, 2, 3)
+          SELECT rank, wd, exact_c, est_c, est_c - exact_c AS over_c
+          FROM est ORDER BY rank"""
+      })
+  }
 }

@@ -1188,12 +1188,55 @@ object IceQueries {
     Q("ic44_manifests", manifestsQ, Some(manifestsOracle)),
     Q("ic45_files", filesQ, Some(filesOracle)),
     Q("ic46_skip_audit", skipAuditQ, Some(skipAuditOracle)),
-    Q("ic47_zorder_write", zorderWriteQ, Some(zorderWriteOracle))
+    Q("ic47_zorder_write", zorderWriteQ, Some(zorderWriteOracle)),
+    Q("ic48_stats_count", statsCountQ, Some(statsCountOracle))
   )
 
-  /** Z-ORDER write path: an75 measures that bit-interleaved bucketing
-    * bounds both key ranges; this query PROVES the file-skipping payoff on
-    * the real table format. The same projection is written twice into
+  /** Metadata-only COUNT(*): every commit's manifest now carries per-file
+    * row counts (Iceberg's required `record_count`), so the row count of
+    * ANY snapshot — current or historical — is answered by summing
+    * O(#manifests) cached JSON entries, with zero data files opened. This
+    * is the optimization real engines apply to `SELECT COUNT(*)` on
+    * Iceberg tables, and it's what makes snapshot-size reporting free on
+    * a 10⁶-file table. Three commits build a growth history; each
+    * snapshot's metadata count is REQUIRED to equal its time-travel scan
+    * count (the scan is the audit, not the answer), and the emitted
+    * numbers are oracle-checked against the raw source. */
+  private def statsCountQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh     = freshDir(s, "sc")
+    val cat    = new FsCatalog(s, wh)
+    val orders = Tables.orders(s, d)
+    val t = cat.createOrReplaceTable("graft", "orders_sc",
+      orders.filter(col("o_orderkey") < 1000).coalesce(1))
+    t.append(orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000).coalesce(1))
+    t.append(orders.filter(col("o_orderkey") >= 2000).coalesce(1))
+    val rows = t.snapshots().sortBy(_.snapshot_id).zipWithIndex.map { case (snap, i) =>
+      val meta = t.statsRowCount(snap)
+        .getOrElse(sys.error(s"snapshot ${snap.snapshot_id} lacks metadata row counts"))
+      val scanned = t.scanSnapshot(snap.snapshot_id).count()
+      require(meta == scanned,
+        s"metadata count $meta != scan count $scanned at snapshot ${snap.snapshot_id}")
+      (i + 1L, meta)
+    }
+    rows.toDF("commit_seq", "n_rows").orderBy("commit_seq")
+  }
+
+  private val statsCountOracle =
+    """SELECT CAST(1 AS BIGINT) AS commit_seq,
+              COUNT(*) FILTER (WHERE o_orderkey < 1000) AS n_rows FROM orders
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), COUNT(*) FILTER (WHERE o_orderkey < 2000) FROM orders
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), COUNT(*) FROM orders
+       ORDER BY commit_seq"""
+
+  /** Z-ORDER at WRITE time (the ingest-side twin of `compactZOrder`,
+    * which re-clusters existing files): an75 measures that bit-interleaved
+    * bucketing bounds both key ranges; this query PROVES the file-skipping
+    * payoff on the real table format, and unlike the compaction spec it
+    * quantifies the win AGAINST the linear layout a naive writer produces.
+    * The same projection is written twice into
     * IceLite — once range-partitioned on the interleaved z-value, once on
     * xk alone (classic linear clustering) — and the same second-dimension
     * range probe (`yk <= 127`) is planned against both tables' per-file

@@ -176,6 +176,40 @@ class Wave5Spec extends SparkSpec {
     assert(mean < 0.5, "i.i.d. random embeddings cannot have high prefix recall")
   }
 
+  test("ic48 metadata row counts grow monotonically and end at the source size") {
+    val out = q("ic48_stats_count").collect().sortBy(_.getLong(0))
+    assert(out.length == 3)
+    // third commit is empty at sf0.001 (orderkeys stop at 1499) — growth
+    // is non-decreasing, and the empty-commit snapshot still counts right
+    assert(out.map(_.getLong(1)).sliding(2).forall { case Array(a, b) => a <= b })
+    assert(out.last.getLong(1) == Tables.orders(spark, sfDir).count())
+  }
+
+  test("an76 count-min estimates are one-sided: never below the exact count") {
+    val out = q("an76_count_min").collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), s"CMS underestimated '${r.getString(1)}'")
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+  }
+
+  test("pp20 ablation cells partition the corpus exactly") {
+    val out = q("pp20_filter_ablation").collect()
+    assert(out.length <= 16)
+    assert(out.map(_.getLong(4)).sum == Tables.documents(spark, sfDir).count())
+  }
+
+  test("sm24 separation is ~1.0 on random embeddings and accounts every vector") {
+    val out = q("sm24_label_separation").collect()
+    assert(out.map(_.getLong(1)).sum == Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      val bp = r.getLong(4)
+      assert(bp > 9000 && bp < 11000,
+        s"random labels cannot be separated (label ${r.getInt(0)} got $bp bp)")
+    }
+  }
+
   test("tx27 scores are bounded basis points and rank the target language up") {
     val lang = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
