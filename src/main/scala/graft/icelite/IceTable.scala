@@ -59,12 +59,45 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     if (!fs.rename(tmp, p)) throw new IllegalStateException(s"commit rename failed: $tmp -> $p")
   }
 
-  def currentVersion: Int =
-    if (fs.exists(hintFile)) readFile(hintFile).trim.toInt
-    else {
+  /** Rename-as-CAS: land `content` at `p` ONLY if `p` does not exist yet —
+    * the compare-and-swap the filesystem commit protocol needs so a
+    * concurrent writer's `vN.json` is never clobbered (the REST catalog
+    * path has a server-side CAS at RestCatalog.scala; this is the
+    * filesystem twin). Content is fully staged to a tmp file first, so no
+    * reader ever observes a partial metadata file. Atomicity: HDFS-like
+    * stores guarantee rename-fails-if-destination-exists; for the local FS
+    * a per-location JVM lock + existence check makes same-process racers
+    * (the realistic local case, incl. the MaintenanceSpec race) fully
+    * safe. Returns false when the version was taken — caller rebases. */
+  private def writeFileIfAbsent(p: Path, content: String): Boolean = {
+    val tmp = new Path(p.getParent, p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val won = IceTable.commitLock(p.toString).synchronized {
+      !fs.exists(p) && fs.rename(tmp, p)
+    }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Latest committed version. The hint file is a HINT, not truth: a
+    * concurrent writer may have advanced past it (its update is
+    * best-effort after the CAS), so walk forward from it until the next
+    * version is absent — O(1) amortized, correct under stale hints. */
+  def currentVersion: Int = {
+    val hinted =
+      if (fs.exists(hintFile)) scala.util.Try(readFile(hintFile).trim.toInt).getOrElse(0)
+      else 0
+    if (hinted <= 0) {
       val versions = listVersions()
       if (versions.isEmpty) 0 else versions.max
+    } else {
+      var v = hinted
+      while (fs.exists(new Path(metadataDir, s"v${v + 1}.json"))) v += 1
+      v
     }
+  }
 
   private def listVersions(): Seq[Int] =
     if (!fs.exists(metadataDir)) Seq.empty
@@ -81,10 +114,24 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
 
   def metadataLocation: String = new Path(metadataDir, s"v$currentVersion.json").toString
 
+  /** CAS commit of `md` as version `next`; false = lost the race. The
+    * hint update runs only after winning and is best-effort (readers walk
+    * forward from it, so a stale hint is harmless). */
+  private def commitCasAt(next: Int, md: TableMetadata): Boolean =
+    if (!writeFileIfAbsent(new Path(metadataDir, s"v$next.json"), md.toJson)) false
+    else { writeFileAtomic(hintFile, next.toString); true }
+
+  /** Single-attempt commit for metadata-only operations (rollback, refs,
+    * expire…): these compute their update from the current version, so a
+    * lost race means the computation is stale — fail LOUDLY rather than
+    * clobber the winner (pre-CAS behavior) or silently re-apply. Appends
+    * rebase-and-retry instead (see appendInternal). */
   private def commit(md: TableMetadata): Int = {
     val next = currentVersion + 1
-    writeFileAtomic(new Path(metadataDir, s"v$next.json"), md.toJson)
-    writeFileAtomic(hintFile, next.toString)
+    if (!commitCasAt(next, md))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit to ${location}: v$next.json already exists; " +
+          "re-read the table and retry the operation")
     next
   }
 
@@ -119,19 +166,14 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       carry: Seq[(String, Map[String, ColRange])] = Nil, // (manifest, summary)
       ref: Option[String] = None,
       token: Option[String] = None): IceTable = {
-    val md = metadata
-    // base snapshot: the target ref's head (main = current pointer)
-    val baseSnap = ref match {
-      case Some(r) =>
-        val info = md.refMap.getOrElse(r, throw new NoSuchElementException(s"no ref $r"))
-        require(info.ref_type == "branch", s"ref $r is a tag — tags are immutable")
-        md.snapshot(info.snapshot_id)
-      case None => md.currentSnapshot
-    }
-    val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
-    val dataRel = s"data/snap-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
+    val md0 = metadata
+    // the data + manifest write happens ONCE, off any commit race: the
+    // files are immutable and addressed by a UUID-suffixed dir, so a
+    // rebased commit attempt re-points at the same delta unchanged
+    val snapId0 = md0.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+    val dataRel = s"data/snap-$snapId0-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(location, dataRel)
-    val parts   = md.partitionCols
+    val parts   = md0.partitionCols
     if (parts.isEmpty) df.write.parquet(dataDir.toString)
     else df.write.partitionBy(parts: _*).parquet(dataDir.toString)
     val files = {
@@ -143,33 +185,60 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       }
       buf.sorted.toIndexedSeq
     }
-    // carried (manifest, summary) pairs: an append carries the parent's
-    // wholesale; a replace starts from the caller's (possibly empty) set
-    val base: Seq[(String, Map[String, ColRange])] =
-      if (replace) carry
-      else baseSnap.toSeq.flatMap(sn =>
-        sn.manifests.zipWithIndex.map { case (m, i) =>
-          m -> sn.summaryAt(i).getOrElse(Map.empty)
-        })
-    val newManifest = writeManifest(md.schema, dataDir, dataRel, files, snapId)
+    val newManifest = writeManifest(md0.schema, dataDir, dataRel, files, snapId0)
     // the new manifest's summary folds its per-file stats (the delta was
     // just written, so this driver read is O(delta) and warms the cache)
-    val newSummary = summarize(md.schema, readManifest(newManifest))
-    val snap = Snapshot(
-      snapshot_id = snapId,
-      timestamp_ms = System.currentTimeMillis(),
-      operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
-      manifests = (base.map(_._1) :+ newManifest).toList,
-      manifest_summaries = Some((base.map(_._2) :+ newSummary).toList),
-      parent_snapshot_id = baseSnap.map(_.snapshot_id),
-      commit_token = token
-    )
-    val withSnap = md.copy(snapshots = md.snapshots :+ snap)
-    commit(ref match {
-      case Some(r) => withSnap.copy(refs = Some(md.refMap + (r -> RefInfo(snapId, "branch"))))
-      case None    => withSnap.copy(current_snapshot_id = snapId)
-    })
-    this
+    val newSummary = summarize(md0.schema, readManifest(newManifest))
+
+    // CAS commit with rebase-and-retry: two concurrent appends BOTH land —
+    // the loser re-reads the winner's metadata, recomputes its snapshot on
+    // top (new snapshot id, winner's manifests carried), and retries the
+    // rename-as-CAS at the next version (Iceberg's optimistic-concurrency
+    // protocol; the REST path does the same server-side at
+    // RestCatalog.scala:327).
+    var attempt = 0
+    while (attempt < 10) {
+      val v  = currentVersion
+      val md = metadataAt(v)
+      // base snapshot: the target ref's head (main = current pointer)
+      val baseSnap = ref match {
+        case Some(r) =>
+          val info = md.refMap.getOrElse(r, throw new NoSuchElementException(s"no ref $r"))
+          require(info.ref_type == "branch", s"ref $r is a tag — tags are immutable")
+          md.snapshot(info.snapshot_id)
+        case None => md.currentSnapshot
+      }
+      // idempotency re-check on the rebased state: the racing winner may
+      // have been a retry of this very token
+      if (token.exists(md.knownTokens.contains)) return this
+      val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+      // carried (manifest, summary) pairs: an append carries the parent's
+      // wholesale; a replace starts from the caller's (possibly empty) set
+      val base: Seq[(String, Map[String, ColRange])] =
+        if (replace) carry
+        else baseSnap.toSeq.flatMap(sn =>
+          sn.manifests.zipWithIndex.map { case (m, i) =>
+            m -> sn.summaryAt(i).getOrElse(Map.empty)
+          })
+      val snap = Snapshot(
+        snapshot_id = snapId,
+        timestamp_ms = System.currentTimeMillis(),
+        operation = if (operation.nonEmpty) operation else if (replace) "replace" else "append",
+        manifests = (base.map(_._1) :+ newManifest).toList,
+        manifest_summaries = Some((base.map(_._2) :+ newSummary).toList),
+        parent_snapshot_id = baseSnap.map(_.snapshot_id),
+        commit_token = token
+      )
+      val withSnap = md.copy(snapshots = md.snapshots :+ snap)
+      val newMd = ref match {
+        case Some(r) => withSnap.copy(refs = Some(md.refMap + (r -> RefInfo(snapId, "branch"))))
+        case None    => withSnap.copy(current_snapshot_id = snapId)
+      }
+      if (commitCasAt(v + 1, newMd)) return this
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"append to $location lost the commit race 10 times — giving up")
   }
 
   /** `data/snap-N-x` prefix of a snapshot-relative file path. */
@@ -572,22 +641,39 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * without opening them (planning cost O(manifests touched)); per-FILE
     * stats then prune within the manifests that remain. Missing summaries
     * or stats are conservatively kept. */
-  def planFiles(colName: String, lower: Option[String], upper: Option[String]): Seq[String] = {
-    val md   = metadata
-    val snap = md.currentSnapshot.getOrElse(return Seq.empty)
-    val cmp  = cmpFor(md.schema.fields.find(_.name == colName).map(_.dataType)
-      .getOrElse(org.apache.spark.sql.types.StringType))
-    def intersects(r: ColRange): Boolean = r match {
-      case ColRange(Some(mn), Some(mx)) =>
-        lower.forall(lo => cmp(mx, lo) >= 0) && upper.forall(hi => cmp(mn, hi) <= 0)
-      case _ => true
-    }
-    snap.manifests.zipWithIndex.flatMap { case (m, i) =>
-      val summaryHit = snap.summaryAt(i).flatMap(_.get(colName)).forall(intersects)
-      if (!summaryHit) Nil // whole manifest skipped, never opened
-      else readManifest(m).collect {
-        case e if e.stats.flatMap(_.get(colName)).forall(intersects) => e.file
+  def planFiles(colName: String, lower: Option[String], upper: Option[String]): Seq[String] =
+    metadata.currentSnapshot
+      .map(snap => planFilesBounds(snap, Map(colName -> (lower, upper))))
+      .getOrElse(Seq.empty)
+
+  /** Multi-column generalization of [[planFiles]] — the planning entry the
+    * DataSource V2 scan builder calls with every pushed-down range bound at
+    * once (SupportsPushDownFilters). A file survives only if, for EVERY
+    * bound column, its recorded min/max range can intersect [lower, upper];
+    * manifest summaries are consulted first so a manifest whose summary
+    * misses any bound is skipped without ever being opened. Missing stats
+    * are conservative (file kept), identical to single-column planFiles. */
+  def planFilesBounds(
+      snap: Snapshot,
+      bounds: Map[String, (Option[String], Option[String])]): Seq[String] = {
+    val md = metadata
+    if (bounds.isEmpty) return filesOf(snap)
+    val cmps = bounds.keys.map { c =>
+      c -> cmpFor(md.schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType))
+    }.toMap
+    def hit(stats: Option[Map[String, ColRange]]): Boolean =
+      bounds.forall { case (c, (lo, hi)) =>
+        stats.flatMap(_.get(c)) match {
+          case Some(ColRange(Some(mn), Some(mx))) =>
+            val cmp = cmps(c)
+            lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+          case _ => true // no recorded range for this column: can't skip
+        }
       }
+    snap.manifests.zipWithIndex.flatMap { case (m, i) =>
+      if (!hit(snap.summaryAt(i))) Nil // whole manifest skipped, never opened
+      else readManifest(m).collect { case e if hit(e.stats) => e.file }
     }
   }
 
@@ -1021,6 +1107,26 @@ object IceTable {
       partitionColumns: Seq[String] = Nil): IceTable = {
     require(partitionColumns.forall(schema.fieldNames.contains),
       s"partition columns $partitionColumns not all present in schema")
+    // IceLite inherits the reference's flat 8-primitive type surface
+    // (SURVEY.md §1.2; TypeNormalizer). Reject anything outside it HERE,
+    // with a clear error, instead of failing obscurely downstream in
+    // min/max stats collection or export. (The Iceberg v2 layer in
+    // IcebergFormat has its own, wider type system.)
+    locally {
+      import org.apache.spark.sql.types._
+      val unsupported = schema.fields.filterNot(f => f.dataType match {
+        case StringType | DoubleType | FloatType | LongType | IntegerType |
+             TimestampType | TimestampNTZType | DateType | BooleanType => true
+        case _: DecimalType => true // flat, parquet-native; excluded from min/max skipping only
+        case _ => false
+      })
+      require(unsupported.isEmpty,
+        "IceLite tables support only the flat primitive surface " +
+          "{string, double, float, long, int, decimal, timestamp, timestamp_ntz, date, boolean} " +
+          "(SURVEY.md §1.2); unsupported column(s): " +
+          unsupported.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+          ". Run TypeNormalizer.normalize(df) first, or use the Iceberg v2 writer for nested types.")
+    }
     val t  = new IceTable(spark, new Path(location))
     val fs = t.location.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(t.location)) throw new IllegalStateException(s"table location exists: $location")
@@ -1082,6 +1188,13 @@ object IceTable {
   /** Count of actual manifest parses (cache misses) — observability for
     * specs asserting summary-level skipping never opens a pruned manifest. */
   private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-destination JVM lock backing writeFileIfAbsent's exists+rename
+    * CAS on filesystems whose rename overwrites (local FS). Keyed by the
+    * metadata file path; bounded by distinct commit destinations. */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[icelite] def commitLock(key: String): Object =
+    commitLocks.computeIfAbsent(key, _ => new Object)
 
   private[graft] def resetManifestCacheForTest(): Unit = {
     manifestEntries.clear()

@@ -52,7 +52,44 @@ object IcebergFormat {
       DecimalType(p, sc)
     case t if t.startsWith("fixed[") => BinaryType
     case other =>
-      throw new UnsupportedOperationException(s"nested/unknown Iceberg type not supported: $other")
+      throw new UnsupportedOperationException(s"unknown Iceberg primitive type: $other")
+  }
+
+  /** Full Iceberg type JSON → Spark type: primitives are JSON strings,
+    * struct/list/map are objects (spec "Schemas and Data Types" JSON
+    * serialization). Recursive, so arbitrarily nested compositions —
+    * struct-of-list-of-struct etc. — round-trip. Manifest value bounds
+    * remain top-level-primitive only (the spec keeps bounds per leaf field;
+    * our planner consumes only top-level ids), so nested columns simply
+    * never participate in file skipping — conservative, never wrong. */
+  private[graft] def jsonToSparkType(j: JValue): DataType = {
+    implicit val fmts: Formats = DefaultFormats
+    j match {
+      case JString(s) => toSparkType(s)
+      case o: JObject =>
+        (o \ "type") match {
+          case JString("struct") =>
+            StructType((o \ "fields").extract[List[JObject]].map { f =>
+              StructField(
+                (f \ "name").extract[String],
+                jsonToSparkType(f \ "type"),
+                nullable = !(f \ "required").extractOpt[Boolean].getOrElse(false))
+            })
+          case JString("list") =>
+            ArrayType(
+              jsonToSparkType(o \ "element"),
+              containsNull = !(o \ "element-required").extractOpt[Boolean].getOrElse(false))
+          case JString("map") =>
+            MapType(
+              jsonToSparkType(o \ "key"),
+              jsonToSparkType(o \ "value"),
+              valueContainsNull = !(o \ "value-required").extractOpt[Boolean].getOrElse(false))
+          case other =>
+            throw new UnsupportedOperationException(s"unknown Iceberg composite type: $other")
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"unparseable Iceberg type JSON: $other")
+    }
   }
 
   private def fromSparkType(dt: DataType): String = dt match {
@@ -68,7 +105,30 @@ object IcebergFormat {
     case BinaryType         => "binary"
     case d: DecimalType     => s"decimal(${d.precision}, ${d.scale})"
     case other =>
-      throw new UnsupportedOperationException(s"cannot write Iceberg type for: $other")
+      throw new UnsupportedOperationException(s"cannot write Iceberg primitive for: $other")
+  }
+
+  /** Spark type → Iceberg type JSON (inverse of [[jsonToSparkType]]):
+    * primitives serialize as quoted strings, struct/list/map as spec
+    * objects. Nested field/element/key/value ids are drawn from `nextId`
+    * so they stay unique across the whole schema (the spec requires
+    * schema-global id uniqueness; top-level fields keep their historical
+    * 1..n ids, nested ids continue after them). */
+  private def typeJson(dt: DataType, nextId: () => Int): String = dt match {
+    case st: StructType =>
+      val fs = st.fields.map { f =>
+        val id = nextId()
+        s"""{"id":$id,"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, nextId)}}"""
+      }
+      s"""{"type":"struct","fields":[${fs.mkString(",")}]}"""
+    case at: ArrayType =>
+      val id = nextId()
+      s"""{"type":"list","element-id":$id,"element":${typeJson(at.elementType, nextId)},"element-required":${!at.containsNull}}"""
+    case mt: MapType =>
+      val kid = nextId()
+      val vid = nextId()
+      s"""{"type":"map","key-id":$kid,"key":${typeJson(mt.keyType, nextId)},"value-id":$vid,"value":${typeJson(mt.valueType, nextId)},"value-required":${!mt.valueContainsNull}}"""
+    case p => "\"" + fromSparkType(p) + "\""
   }
 
   /** (Spark schema, per-field Iceberg ids in schema order) — ids come from
@@ -81,12 +141,7 @@ object IcebergFormat {
         val name     = (f \ "name").extract[String]
         val required = (f \ "required").extractOpt[Boolean].getOrElse(false)
         val id       = (f \ "id").extractOpt[Int].getOrElse(i + 1)
-        val tpe = (f \ "type") match {
-          case JString(s) => toSparkType(s)
-          case other =>
-            throw new UnsupportedOperationException(
-              s"nested Iceberg type not supported for column $name: $other")
-        }
+        val tpe = jsonToSparkType(f \ "type")
         (StructField(name, tpe, nullable = !required), id)
     }
     (StructType(parsed.map(_._1)), parsed.map(_._2))
@@ -781,8 +836,12 @@ object IcebergFormat {
 
   /** Iceberg schema JSON for a flat Spark schema (1-based field ids). */
   private def icebergSchemaJson(schema: StructType, schemaId: Int = 0): String = {
+    // top-level fields keep ids 1..n (historical flat layout, bounds maps
+    // key by these); nested ids continue after n
+    var lastId = schema.fields.length
+    val nextId = () => { lastId += 1; lastId }
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${fromSparkType(f.dataType)}"}"""
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, nextId)}}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }

@@ -1074,7 +1074,11 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
       .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
       .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))).cast("long"))
-      .filter(col("lev") * 5 <= col("maxlen"))
+      // maxlen > 0 guard: two empty candidate texts give lev=0, maxlen=0 —
+      // the ratio gate passes but edit_sim_bp would be null-on-/0 in Spark
+      // vs a division-by-zero ERROR in DuckDB. Drop degenerate pairs in
+      // both twins so the engines agree.
+      .filter(col("lev") * 5 <= col("maxlen") && col("maxlen") > 0)
       .select(col("doc_a"), col("doc_b"), col("lev"),
         expr("10000 - ((2 * lev * 10000 + maxlen) DIV (2 * maxlen))").as("edit_sim_bp"))
       .orderBy("doc_a", "doc_b")
@@ -1090,7 +1094,7 @@ object Dedup {
         FROM cand c JOIN tx a ON a.doc_id = c.doc_a JOIN tx b ON b.doc_id = c.doc_b)
       SELECT doc_a, doc_b, lev,
              10000 - ((2 * lev * 10000 + maxlen) // (2 * maxlen)) AS edit_sim_bp
-      FROM lv WHERE lev * 5 <= maxlen ORDER BY doc_a, doc_b"""
+      FROM lv WHERE lev * 5 <= maxlen AND maxlen > 0 ORDER BY doc_a, doc_b"""
 
   // ----------------------------------- incremental (batch-vs-index) dedup
 

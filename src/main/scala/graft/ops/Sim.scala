@@ -1364,12 +1364,17 @@ object Sim {
       .filter(col("rn") <= 5).select("qid", "nid")
     val hits = tr.join(exact, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    exact.select("qid").distinct()
+    val out = exact.select("qid").distinct()
       .join(hits, Seq("qid"), "left")
       .na.fill(0L, Seq("n_hits"))
       .select(col("qid"), col("n_hits"),
         round(col("n_hits") / lit(5.0), 4).as("recall"))
       .orderBy("qid")
+    // Materialize the 10-row result eagerly (localCheckpoint truncates the
+    // lineage), then drop the |corpus|×10 cached frame so repeated
+    // registry/bench invocations don't accumulate cached partitions.
+    try out.localCheckpoint(eager = true)
+    finally sims.unpersist(blocking = false)
   }
 
   private lazy val mrlRecallOracle =
@@ -1440,6 +1445,12 @@ object Sim {
       rs.foreach(r => arr(r.getLong(1).toInt) = math.floor(r.getDouble(2) * 1048576.0).toLong)
       l -> arr
     }.toArray.sortBy(_._1)
+    // Degenerate-input guard: with one distinct label there is no
+    // other-label centroid, so the Long.MaxValue sentinel below would be
+    // summed into d2oth (garbage separation_bp) while the oracle's
+    // clabel<>label join silently drops every vector. Fail loudly instead.
+    require(centsQ.length >= 2,
+      s"labelSeparation requires >= 2 distinct labels, got ${centsQ.length}")
     val bc = s.sparkContext.broadcast(centsQ)
     base
       .mapPartitions { it =>
@@ -1507,6 +1518,161 @@ object Sim {
                AS separation_bp
       FROM m ORDER BY label"""
 
+  // ------------------------------------------ persisted IVF index (sm25/26)
+
+  /** Build-and-COMMIT the IVF index as a standard Iceberg v2 table — one
+    * data file per cell, `cell` bounds recorded in the manifest so the
+    * search path file-skips by cell. Memoized per (JVM, sfDir): sm26 and
+    * repeated bench runs read the PERSISTED index instead of re-deriving
+    * centroid assignments — the split real ANN services run (index build
+    * is an ingest-time job; search must not touch raw embeddings beyond
+    * the probed cells). Returns the committed metadata.json path. */
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexMetadata(s: SparkSession, d: String): String =
+    ivfIndexCache.computeIfAbsent(d, _ => buildIvfIndex(s, d))
+
+  private def buildIvfIndex(s: SparkSession, d: String): String = {
+    import s.implicits._
+    import graft.icelite.IcebergFormat
+    val root = "/root/repo/target/scratch/ivfidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    fs.mkdirs(rootP)
+    val loc   = s"$root/ivf_index"
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    val bc    = s.sparkContext.broadcast(cents)
+    val assigned = Tables.spread(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vf) => (assignCell(vf.map(_.toDouble), cs), id, vf) }
+      }
+      .toDF("cell", "vec_id", "embedding")
+      .persist() // read once per cell below, assignment computed once
+    try {
+      val w = new IcebergFormat.Writer(s, loc, assigned.schema)
+      val infos = (0L until ivfCells.toLong).flatMap { cid =>
+        val cellDf = assigned.filter(col("cell") === cid)
+        if (cellDf.isEmpty) None
+        else {
+          val enc = IcebergFormat
+            .encodeBound(org.apache.spark.sql.types.LongType, cid.toString).get
+          Some(IcebergFormat
+            .writeSingleFile(s, root, loc, s"cell$cid", cellDf.orderBy("vec_id"))
+            .copy(bounds = Map(1 -> (enc, enc)))) // field 1 = cell: min = max = cid
+        }
+      }
+      w.commit(infos)
+      w.currentMetadataPath
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** sm25: the index-build job's audit — read BACK the persisted Iceberg
+    * index table and report per-cell membership. Gates that the committed
+    * assignments equal a from-scratch recompute (the oracle re-derives
+    * cells from raw embeddings in SQL). */
+  private def ivfIndexBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    ivfIndexCache.remove(d) // sm25 IS the build: always commit fresh
+    val meta = ivfIndexMetadata(s, d)
+    IcebergFormat.scan(s, meta)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+      .orderBy("cell")
+  }
+
+  private lazy val ivfIndexBuildOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1)
+      SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+      FROM cell GROUP BY 1 ORDER BY 1"""
+
+  /** sm26: search FROM the persisted index — no raw-embeddings scan at
+    * all. 3 query vectors probe their 2 nearest cells; only those cells'
+    * data files are read (manifest `cell` bounds prune the rest, proven
+    * by the inputFiles require), and the exact rerank runs on the
+    * candidates alone. The oracle recomputes everything from raw
+    * embeddings, gating search-from-persisted == search-from-fresh. */
+  private val ivfSearchQueries = 3
+
+  private def ivfPersistedSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.icelite.IcebergFormat
+    val meta  = ivfIndexMetadata(s, d)
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    def probeCells(v: Array[Double]): Set[Long] =
+      cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
+        .sortBy(_._2).take(ivfProbes).map(_._1).toSet
+    val queries = collectMatrix(s, d, idBound = ivfSearchQueries)
+      .map { case (qid, v, n) => (qid, v, n, probeCells(v)) }
+    val cellsToRead = queries.flatMap(_._4).toSet
+    require(cellsToRead.size < ivfCells,
+      s"probe union covers every cell (${cellsToRead.size}/$ivfCells) — no pruning to prove")
+    val idx = cellsToRead.toSeq.sorted
+      .map(c => IcebergFormat.scanRange(s, meta, "cell", Some(c.toString), Some(c.toString)))
+      .reduce(_ unionByName _)
+    require(idx.inputFiles.length <= cellsToRead.size,
+      s"index scan read ${idx.inputFiles.length} files for ${cellsToRead.size} cells — " +
+        "manifest cell bounds failed to prune")
+    val bc  = s.sparkContext.broadcast(queries)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    idx.select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (cell, nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          qs.iterator
+            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
+            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  private lazy val ivfPersistedSearchOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS pcell FROM rk
+                 WHERE vec_id < $ivfSearchQueries AND rn <= $ivfProbes),
+      cand AS (
+        SELECT p.qid, a.vec_id AS nid
+        FROM probes p JOIN cell a ON a.cell = p.pcell AND a.vec_id <> p.qid),
+      dots AS (
+        SELECT cand.qid, cand.nid, SUM(a.x * b.x) AS dot
+        FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid AND a.d = b.d
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
+      SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1531,7 +1697,9 @@ object Sim {
     Q("sm21_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallOracle)),
     Q("sm22_cell_sample", cellSample, Some(cellSampleOracle)),
     Q("sm23_mrl_recall", mrlRecall, Some(mrlRecallOracle)),
-    Q("sm24_label_separation", labelSeparation, Some(labelSeparationOracle))
+    Q("sm24_label_separation", labelSeparation, Some(labelSeparationOracle)),
+    Q("sm25_ivf_index_build", ivfIndexBuild, Some(ivfIndexBuildOracle)),
+    Q("sm26_ivf_index_search", ivfPersistedSearch, Some(ivfPersistedSearchOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS

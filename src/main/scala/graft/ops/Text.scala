@@ -1084,6 +1084,7 @@ object Text {
     Q("tx23_hapax_rate", hapaxRate, Some(hapaxRateOracle)),
     Q("tx24_collocations", collocations, Some(collocationsOracle)),
     Q("tx25_bpe_pairs", bpePairs, Some(bpePairsOracle)),
+    Q("tx29_bpe_apply", bpeApply, Some(bpeApplyOracle)),
     Q("tx26_lang_profile_overlap", langProfileOverlap, Some(langProfileOverlapOracle)),
     Q("tx27_importance_weights", importanceWeights, Some(importanceWeightsOracle)),
     Q("tx28_ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle))
@@ -1164,6 +1165,100 @@ object Text {
       .filter(col("rank") <= 10)
       .select("rank", "pair", "cnt")
       .orderBy("rank")
+  }
+
+  /** tx29: APPLIED byte-pair encoding — tx25's pair statistic iterated 5
+    * greedy merge rounds (highest count, ties to the lexically smaller
+    * pair) and the corpus RE-TOKENIZED with the learned merges, reporting
+    * the merge sequence and the real post-merge token total each round
+    * (the counts pp18/pp02's budgets actually want, instead of whitespace
+    * splits).
+    *
+    * Representation trick that makes the greedy merge SQL-expressible in
+    * both engines: every token is wrapped in its own delimiters —
+    * "hello" → `|h||e||l||l||o|` — so a LITERAL non-overlapping
+    * `replace(s, "|A||B|", "|AB|")` is exactly the left-to-right greedy
+    * BPE merge: a match consumes both tokens' delimiters whole, partial-
+    * token suffix matches are impossible (the char before a token head is
+    * always `|`), and repeated runs (`aaaa` under merge `a a`) pair up
+    * left-to-right like real BPE. Spark `replace` and DuckDB `replace`
+    * share the scan-original non-overlap contract, so the twins agree
+    * bit-for-bit. The initial char split uses `([\s\S])` so newline
+    * bytes are wrapped identically under Java regex and RE2.
+    *
+    * Scale: each round is one alphabet²-bounded pair count (map-side
+    * combine does nearly all work) + one codegen'd per-row replace; the
+    * driver holds ONE (pair, count) row per round — BPE training is
+    * inherently sequential in the merge rank, the corpus passes are not. */
+  private val bpeRounds = 5
+
+  private def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val w0 = words(Tables.documents(s, d))
+      .select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(regexp_replace(col("w"), "([\\s\\S])", "|$1|").as("t"))
+    val tokCol  = expr("split(substring(t, 2, length(t) - 2), '\\\\|\\\\|')")
+    val pairCol = expr(
+      "transform(sequence(1, size(tk) - 1), " +
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")
+    def tokenTotal(df: DataFrame): Long =
+      df.select(sum(size(tokCol)).as("n")).head().getLong(0)
+    var cur = w0
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)](
+      (0L, "(chars)", tokenTotal(w0)))
+    for (k <- 1 to bpeRounds) {
+      val top = cur
+        .select(tokCol.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(pairCol).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .head()
+      val pair          = top.getString(0)
+      val Array(a, b)   = pair.split(' ')
+      cur = cur.withColumn("t",
+        org.apache.spark.sql.functions.replace(
+          col("t"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+      out += ((k.toLong, pair, tokenTotal(cur)))
+    }
+    import s.implicits._
+    out.toSeq.toDF("rank", "pair", "tokens").orderBy("rank")
+  }
+
+  private val bpeApplyOracle = {
+    // identical algorithm, unrolled: t0 = char-delimited words, then per
+    // round K: pair counts pK -> 1-row argmax mK -> merged tK
+    val rounds = (1 to bpeRounds).map { k =>
+      s"""tk$k AS (SELECT string_split(substr(t, 2, len(t) - 2), '||') AS tk FROM t${k - 1}),
+      p$k AS (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM tk$k WHERE len(tk) >= 2),
+      m$k AS (
+        SELECT pair FROM (SELECT pair, COUNT(*) AS cnt FROM p$k GROUP BY 1)
+        ORDER BY cnt DESC, pair LIMIT 1),
+      t$k AS (
+        SELECT replace(x.t,
+                 '|' || split_part(m.pair, ' ', 1) || '||' || split_part(m.pair, ' ', 2) || '|',
+                 '|' || replace(m.pair, ' ', '') || '|') AS t
+        FROM t${k - 1} x, m$k m),
+      s$k AS (
+        SELECT CAST($k AS BIGINT) AS rank, (SELECT pair FROM m$k) AS pair,
+               CAST(SUM(len(string_split(substr(t, 2, len(t) - 2), '||'))) AS BIGINT) AS tokens
+        FROM t$k)"""
+    }.mkString(",\n      ")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      t0 AS (
+        SELECT regexp_replace(w, '([\\s\\S])', '|\\1|', 'g') AS t
+        FROM w WHERE len(w) >= 1),
+      s0 AS (
+        SELECT CAST(0 AS BIGINT) AS rank, '(chars)' AS pair,
+               CAST(SUM(len(string_split(substr(t, 2, len(t) - 2), '||'))) AS BIGINT) AS tokens
+        FROM t0),
+      $rounds
+      SELECT rank, pair, tokens FROM (
+        ${(0 to bpeRounds).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")}
+      ) ORDER BY rank"""
   }
 
   private val bpePairsOracle =

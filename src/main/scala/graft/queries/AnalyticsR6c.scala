@@ -69,9 +69,15 @@ object AnalyticsR6c {
             sum(big(col("xq")) * big(col("xq"))).as("sxx"))
           .withColumn("num_s", expr("n * sxy - sx * sy"))
           .withColumn("den", expr("n * sxx - sx * sx"))
-          .select(col("l_returnflag"), col("n"),
-            expr(halfUpDiv("num_s", "den", 10000L)).cast("bigint").as("slope_bp"),
-            expr(halfUpDiv("sy * den - num_s * sx", "n * den", 10000L))
+          // intercept from the already-reduced slope: (sy·1e4 − slope_bp·sx)/n
+          // caps the intermediate at ~n² digits. The naive closed form
+          // (sy·den − num_s·sx)/(n·den) grows ~n⁵ and approaches the
+          // DECIMAL(38,0)/HUGEINT ceiling near sf100, where Spark
+          // (non-ANSI) silently nulls on overflow while DuckDB raises.
+          .withColumn("slope_bp",
+            expr(halfUpDiv("num_s", "den", 10000L)).cast("bigint"))
+          .select(col("l_returnflag"), col("n"), col("slope_bp"),
+            expr(halfUpDiv("sy * 10000 - slope_bp * sx", "n", 1L))
               .cast("bigint").as("intercept_e4"))
           .orderBy("l_returnflag")
       },
@@ -82,11 +88,12 @@ object AnalyticsR6c {
                  SUM(CAST(l_quantity AS HUGEINT) * CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)) AS sxy,
                  SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx
           FROM lineitem GROUP BY 1),
-        st AS (SELECT *, n * sxy - sx * sy AS num_s, n * sxx - sx * sx AS den FROM g)
+        st AS (SELECT *, n * sxy - sx * sy AS num_s, n * sxx - sx * sx AS den FROM g),
+        sl AS (SELECT *, CAST(${duckHalfUpDiv("num_s", "den", 10000L)} AS HUGEINT) AS slope_bp FROM st)
         SELECT l_returnflag, n,
-               CAST(${duckHalfUpDiv("num_s", "den", 10000L)} AS BIGINT) AS slope_bp,
-               CAST(${duckHalfUpDiv("sy * den - num_s * sx", "n * den", 10000L)} AS BIGINT) AS intercept_e4
-        FROM st ORDER BY l_returnflag""")),
+               CAST(slope_bp AS BIGINT) AS slope_bp,
+               CAST(${duckHalfUpDiv("sy * 10000 - slope_bp * sx", "n", 1L)} AS BIGINT) AS intercept_e4
+        FROM sl ORDER BY l_returnflag""")),
 
     // ---- time-series GAP-FILL / resample: the 20 lowest users' event
     //      stream resampled to a dense per-(user, day) grid over the

@@ -1128,6 +1128,112 @@ object IceQueries {
                     ('v1', 'tag', 1, 25)) t(ref, ref_type, snapshot_id, n_rows)
        ORDER BY ref"""
 
+  /** DataSource V2 packaging (SURVEY.md §4): the same two-file layout as
+    * ic08, but read through `spark.read.format("icelite")` with a plain
+    * `.filter(...)` — no scanRange call anywhere. SupportsPushDownFilters
+    * hands the bound to planFilesBounds, and the require proves the
+    * BatchScan planned 1 of 2 files (the scan description carries
+    * `files=<survivors>/<total>`, visible in .explain too). This is what
+    * makes min/max skipping fire from arbitrary Spark SQL WHERE clauses,
+    * not just library callers. */
+  private def dsv2Pushdown(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "dsv2")
+    val cat    = new FsCatalog(s, wh)
+    val orders = Tables.orders(s, d)
+    val t = cat.createOrReplaceTable("graft", "orders_v2",
+      orders.filter(col("o_orderkey") < 1000).coalesce(1))
+    t.append(orders.filter(col("o_orderkey") >= 1000).coalesce(1))
+    val df = s.read.format("icelite").option("location", t.location.toString).load()
+      .filter(col("o_orderkey") <= 999)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("files=1/2"),
+      s"DSv2 min/max file skipping did not prune (expected files=1/2): $plan")
+    df.orderBy("o_orderkey")
+  }
+
+  /** Nested types through the REAL Iceberg v2 metadata path (struct +
+    * list + map — the spec's composite JSON type objects): build a nested
+    * view of orders, commit it as an Iceberg table whose schema JSON
+    * carries `{"type":"struct"...}` / `"list"` / `"map"` objects, scan it
+    * back through the METADATA (not the parquet footers — the require
+    * proves the schema round-tripped through our codec), then flatten for
+    * the oracle compare. Any real-world Iceberg warehouse has nested
+    * columns; this was the v2 reader's first-real-user wall. */
+  private def icebergNestedQ(s: SparkSession, d: String): DataFrame = {
+    val root = freshDir(s, "icenest")
+    val loc  = s"$root/orders_nested"
+    val base = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total")).as("info"),
+        split(col("o_orderpriority"), "-").as("prio_parts"),
+        map(lit("cust"), col("o_custkey")).as("attrs"))
+      .orderBy("o_orderkey")
+    val f = IcebergFormat.writeSingleFile(s, root, loc, "b1", base)
+    val w = new IcebergFormat.Writer(s, loc, base.schema)
+    w.commit(Seq(f))
+    val scanned = new Engine(s, new FsCatalog(s, freshDir(s, "icenest_wh")))
+      .scanIcebergMetadata(w.currentMetadataPath)
+    // catalogString equality = full structural type round-trip (field
+    // names + nesting + element/key/value types); nullability may tighten
+    // legitimately (Iceberg `required` is tri-state on the write path)
+    require(scanned.schema.catalogString == base.schema.catalogString,
+      s"nested schema did not round-trip through Iceberg metadata: " +
+        s"${scanned.schema.catalogString} vs ${base.schema.catalogString}")
+    scanned.select(
+      col("o_orderkey"),
+      col("info.status").as("status"),
+      col("info.total").as("total"),
+      concat_ws("-", col("prio_parts")).as("prio"),
+      element_at(col("attrs"), "cust").as("custkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Storage-partitioned join FROM OUR TABLE METADATA (the an58 strategy
+    * without Spark's catalog): both sides are IceLite hive-partitioned on
+    * the join key, the V2 scans report KeyGroupedPartitioning(identity),
+    * and under spark.sql.sources.v2.bucketing.enabled the join AND the
+    * downstream aggregate need zero shuffle Exchange — co-location is
+    * proven by the require with broadcast disabled. At 100 TB this is the
+    * pay-once-at-ingest layout: every keyed join/agg on the partition key
+    * is exchange-free forever after, driven by table metadata alone. */
+  private def spjJoin(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "spj")
+    val cat = new FsCatalog(s, wh)
+    val t1 = cat.createOrReplaceTable("graft", "cust_spj",
+      Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal"),
+      Seq("c_nationkey"))
+    val t2 = cat.createOrReplaceTable("graft", "supp_spj",
+      Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal"),
+      Seq("s_nationkey"))
+    val cents = (c: org.apache.spark.sql.Column) =>
+      (c.cast("decimal(12,2)") * 100).cast("bigint")
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val c = s.read.format("icelite").option("location", t1.location.toString).load()
+      val p = s.read.format("icelite").option("location", t2.location.toString).load()
+      val joined = c.join(p, col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(cents(col("c_acctbal")) + cents(col("s_acctbal"))).as("bal_cents"))
+        .orderBy("nationkey")
+      // AQE's pre-execution toString hides the subtree; the simple explain
+      // prints the full initial plan. The join and the aggregate must run
+      // with NO hash-partition shuffle (the only Exchange allowed is the
+      // rangepartitioning of the 25-row output sort).
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join/agg still shuffled: $plan")
+      require(plan.contains("SortMergeJoin"),
+        s"expected a shuffle-family join satisfied by storage partitioning: $plan")
+      joined
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   def all: Seq[Q] = Seq(
     Q("ic01_roundtrip", roundtrip, Some(nationOracle)),
     Q("ic02_timetravel", timetravel, Some(nationOracle)),
@@ -1189,7 +1295,20 @@ object IceQueries {
     Q("ic45_files", filesQ, Some(filesOracle)),
     Q("ic46_skip_audit", skipAuditQ, Some(skipAuditOracle)),
     Q("ic47_zorder_write", zorderWriteQ, Some(zorderWriteOracle)),
-    Q("ic48_stats_count", statsCountQ, Some(statsCountOracle))
+    Q("ic48_stats_count", statsCountQ, Some(statsCountOracle)),
+    Q("ic49_dsv2_pushdown", dsv2Pushdown,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_orderkey <= 999 ORDER BY o_orderkey""")),
+    Q("ic50_spj_join", spjJoin,
+      Some("""SELECT c_nationkey AS nationkey, COUNT(*) AS n_pairs,
+                     CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       + CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
+              FROM customer JOIN supplier ON c_nationkey = s_nationkey
+              GROUP BY 1 ORDER BY 1""")),
+    Q("ic51_iceberg_nested", icebergNestedQ,
+      Some("""SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+                     o_orderpriority AS prio, o_custkey AS custkey
+              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -1,0 +1,515 @@
+package graft.sources
+
+import graft.icelite.{FsCatalog, IceTable, Snapshot}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.sources.DataSourceRegister
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+import java.util.{Map => JMap}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 packaging of the IceLite table format (SURVEY.md §4's
+  * "idiomatic packaging" — `/root/reference` exposes its tables to DuckDB
+  * through `iceberg_scan(...)`; this is the Spark-native equivalent:
+  * `spark.read.format("icelite").option("location", dir)` or
+  * `.option("warehouse", wh).option("table", "ns.name")`).
+  *
+  * What the V2 integration buys over the library-call scan
+  * (`Engine.table` / `IceTable.scan`):
+  *
+  *  - `SupportsPushDownFilters`: range/equality predicates from a plain SQL
+  *    `WHERE` clause reach [[IceTable.planFilesBounds]], so manifest min/max
+  *    FILE SKIPPING fires for arbitrary Spark SQL — previously only
+  *    `scanRange` callers got it. The scan node's `description()` reports
+  *    `files=<survivors>/<total>` so pruning is visible in
+  *    `.explain("formatted")` and assertable by PlanAuditSpec.
+  *  - `SupportsPushDownRequiredColumns`: the pruned schema is converted to
+  *    a parquet projection (`parquet.read.schema`), so unprojected columns
+  *    are never decoded — `ReadSchema` semantics at the file level.
+  *  - `SupportsReportPartitioning` + `HasPartitionKey`: hive-layout
+  *    partitioned tables report `KeyGroupedPartitioning(identity(p), n)`,
+  *    one input partition per partition value. Under
+  *    `spark.sql.sources.v2.bucketing.enabled` two IceLite tables
+  *    partitioned on the join key plan a STORAGE-PARTITIONED JOIN — zero
+  *    Exchange on either side, co-location coming from OUR table metadata
+  *    rather than Spark's catalog (the an58 strategy without `bucketBy`).
+  *
+  * At 100 TB: planning cost is O(manifests touched) metadata reads (the
+  * manifest-summary skip applies before any manifest is opened), and the
+  * per-file readers run fully executor-side. Snapshot selection
+  * (`option("snapshot", id)` / `option("asOfTimestamp", ms)`) gives SQL
+  * users the same time travel the library scan has.
+  */
+final class IceLiteSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "icelite"
+
+  private def resolveLocation(options: CaseInsensitiveStringMap): String = {
+    val loc = Option(options.get("location")).orElse(Option(options.get("path")))
+    loc.getOrElse {
+      val wh = Option(options.get("warehouse")).getOrElse(
+        throw new IllegalArgumentException(
+          "icelite: pass option(\"location\", <table dir>) or " +
+            "option(\"warehouse\", <dir>) + option(\"table\", \"ns.name\")"))
+      val fq = Option(options.get("table")).getOrElse(
+        throw new IllegalArgumentException("icelite: option(\"table\", \"ns.name\") required with warehouse"))
+      val (ns, name) = fq.split('.') match {
+        case Array(a, b) => (a, b)
+        case _ => throw new IllegalArgumentException(s"icelite: table must be ns.name, got '$fq'")
+      }
+      new FsCatalog(SparkSession.active, wh).loadTable(ns, name).location.toString
+    }
+  }
+
+  private def loadIce(options: CaseInsensitiveStringMap): IceTable =
+    IceTable.load(SparkSession.active, resolveLocation(options))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    loadIce(options).metadata.schema
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    loadIce(options).metadata.partitionCols.map(Expressions.identity(_)).toArray
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val ice  = loadIce(opts)
+    val snap = resolveSnapshot(ice, opts)
+    new IceLiteV2Table(ice, snap)
+  }
+
+  private def resolveSnapshot(ice: IceTable, opts: CaseInsensitiveStringMap): Option[Snapshot] = {
+    val md = ice.metadata
+    Option(opts.get("snapshot")).map(_.toLong).map { id =>
+      md.snapshot(id).getOrElse(throw new NoSuchElementException(s"snapshot $id of ${md.name}"))
+    }.orElse {
+      Option(opts.get("asoftimestamp")).map(_.toLong).map { ts =>
+        md.snapshots.filter(_.timestamp_ms <= ts)
+          .sortBy(s => (s.timestamp_ms, s.snapshot_id)).lastOption
+          .getOrElse(throw new NoSuchElementException(s"no snapshot of ${md.name} at or before $ts"))
+      }
+    }.orElse(md.currentSnapshot)
+  }
+}
+
+/** V2 Table over one resolved IceLite snapshot (None = empty, pre-commit). */
+final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
+    extends Table with SupportsRead {
+
+  private val md = ice.metadata
+
+  override def name(): String = s"icelite.${md.namespace}.${md.name}"
+  override def schema(): StructType = md.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] =
+    md.partitionCols.map(Expressions.identity(_)).toArray
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IceLiteScanBuilder(ice, snap)
+}
+
+final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val md = ice.metadata
+  private var required: StructType = md.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept single-column comparison filters for FILE-granular pruning;
+    * everything is returned as residual because manifest ranges can never
+    * prove a row-level predicate (same contract as parquet row-group
+    * stats: skip what can't match, re-check what might). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(usableForPruning)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def usableForPruning(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => isLit(v)
+    case GreaterThan(_, v)        => isLit(v)
+    case GreaterThanOrEqual(_, v) => isLit(v)
+    case LessThan(_, v)           => isLit(v)
+    case LessThanOrEqual(_, v)    => isLit(v)
+    case _                        => false
+  }
+
+  private def isLit(v: Any): Boolean = v match {
+    case null => false
+    case _: String | _: java.lang.Integer | _: java.lang.Long | _: java.lang.Double |
+        _: java.lang.Float | _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    // fold pushed filters into per-column [lower, upper] bounds (first
+    // bound per column wins; later ones stay row-level residuals — sound
+    // because pruning only ever widens what survives)
+    val bounds = mutable.LinkedHashMap.empty[String, (Option[String], Option[String])]
+    def add(c: String, lo: Option[String], hi: Option[String]): Unit =
+      if (!bounds.contains(c)) bounds(c) = (lo, hi)
+    pushed.foreach {
+      case EqualTo(c, v)            => add(c, Some(v.toString), Some(v.toString))
+      case GreaterThan(c, v)        => add(c, Some(v.toString), None)
+      case GreaterThanOrEqual(c, v) => add(c, Some(v.toString), None)
+      case LessThan(c, v)           => add(c, None, Some(v.toString))
+      case LessThanOrEqual(c, v)    => add(c, None, Some(v.toString))
+      case _                        =>
+    }
+    new IceLiteScan(ice, snap, required, bounds.toMap, pushed)
+  }
+}
+
+/** One scan = one snapshot's pruned file list. Also the Batch (stateless). */
+final class IceLiteScan(
+    ice: IceTable,
+    snap: Option[Snapshot],
+    required: StructType,
+    bounds: Map[String, (Option[String], Option[String])],
+    pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  private val md       = ice.metadata
+  private val partCols = md.partitionCols
+
+  private def numericPart(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | FloatType => true
+    case _                                               => false
+  }
+
+  /** Partition-column bounds are applied on the k=v path values (exact,
+    * directory-granular) — they never appear in file stats because hive
+    * layout strips them from the data files. */
+  private def partValueHit(col: String, raw: String): Boolean =
+    bounds.get(col) match {
+      case None => true
+      case Some((lo, hi)) =>
+        val dt = md.schema.fields.find(_.name == col).map(_.dataType).getOrElse(StringType)
+        val v  = IceLiteScan.unescapePath(raw)
+        if (v == IceLiteScan.HiveNullPart) false // bounded col: null can't match a comparison
+        else {
+          val cmp: (String, String) => Int =
+            if (numericPart(dt)) (a, b) => BigDecimal(a).compare(BigDecimal(b))
+            else (a, b) => a.compareTo(b)
+          lo.forall(l => cmp(v, l) >= 0) && hi.forall(h => cmp(v, h) <= 0)
+        }
+    }
+
+  /** Relative file path -> partition values in partCols order (raw path
+    * encoding), or Nil for unpartitioned tables. */
+  private def partValuesOf(rel: String): Seq[String] = {
+    if (partCols.isEmpty) return Nil
+    val kv = rel.split('/').iterator.filter(_.contains('=')).map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) -> seg.substring(i + 1)
+    }.toMap
+    partCols.map(c => kv.getOrElse(c,
+      throw new IllegalStateException(s"partition column $c missing from path $rel")))
+  }
+
+  // planned once: stats-pruned (data cols) then path-pruned (partition cols)
+  private lazy val totalFiles: Int = snap.map(ice.filesOf(_).size).getOrElse(0)
+  private lazy val survivors: Seq[String] = snap match {
+    case None => Nil
+    case Some(sn) =>
+      val dataBounds = bounds.filterNot { case (c, _) => partCols.contains(c) }
+      ice.planFilesBounds(sn, dataBounds)
+        .filter(rel => partCols.isEmpty ||
+          partCols.zip(partValuesOf(rel)).forall { case (c, v) => partValueHit(c, v) })
+  }
+
+  private lazy val partitions: Array[InputPartition] = {
+    val loc = ice.location.toString
+    if (partCols.isEmpty)
+      survivors.map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition).toArray
+    else {
+      val partTypes = partCols.map(c => md.schema.fields.find(_.name == c).get.dataType)
+      survivors.groupBy(partValuesOf).toSeq.sortBy(_._1.mkString("/"))
+        .map { case (vals, files) =>
+          val key = new GenericInternalRow(
+            vals.zip(partTypes).map { case (v, dt) => IceLiteScan.partToCatalyst(v, dt) }.toArray)
+          IceLitePartition(files.map(f => s"$loc/$f").toArray, key): InputPartition
+        }.toArray
+    }
+  }
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val b = bounds.map { case (c, (lo, hi)) =>
+      s"$c in [${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}]"
+    }.mkString(", ")
+    s"icelite ${md.namespace}.${md.name} files=${survivors.size}/$totalFiles" +
+      (if (b.nonEmpty) s" prunedBy=[$b]" else "")
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  /** Report key-grouped layout only when every partition column survives
+    * column pruning (the keys must resolve against the scan output). */
+  override def outputPartitioning(): Partitioning =
+    if (partCols.nonEmpty && partCols.forall(required.fieldNames.contains))
+      new KeyGroupedPartitioning(
+        partCols.map(c => Expressions.identity(c)).toArray, partitions.length)
+    else new UnknownPartitioning(partitions.length)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IceLiteReaderFactory(
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      required, partCols.toArray, md.schema)
+}
+
+object IceLiteScan {
+  val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Minimal hive path unescape (%XX sequences; malformed %-runs pass
+    * through literally, matching Spark's lenient behavior). */
+  def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i  = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
+  /** Hive path partition value -> Catalyst value for the 8-primitive surface. */
+  def partToCatalyst(raw: String, dt: DataType): Any = {
+    val v = unescapePath(raw)
+    if (v == HiveNullPart) null
+    else dt match {
+      case StringType    => UTF8String.fromString(v)
+      case IntegerType   => v.toInt
+      case LongType      => v.toLong
+      case DoubleType    => v.toDouble
+      case FloatType     => v.toFloat
+      case BooleanType   => v.toBoolean
+      case DateType      => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case TimestampType | TimestampNTZType =>
+        java.sql.Timestamp.valueOf(v).getTime * 1000L
+      case other => throw new UnsupportedOperationException(s"partition type $other")
+    }
+  }
+}
+
+/** All files of one partition value (or one file, unpartitioned). The key
+  * makes storage-partitioned joins possible (HasPartitionKey contract:
+  * distinct keys across partitions, rows grouped by key). */
+final case class IceLitePartition(files: Array[String], key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Hadoop Configuration isn't Serializable; standard writable-based wrapper. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = { out.defaultWriteObject(); value.write(out) }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+/** Executor-side reader: parquet-mr example API (GroupReadSupport) with a
+  * per-file projection schema — only required columns are decoded. Flat
+  * 8-primitive surface only, guaranteed by IceTable.create's validation.
+  * Deliberately row-at-a-time: this is the PACKAGING layer; the headline
+  * scan path for bulk analytics remains Spark's vectorized parquet reader
+  * via the library scan. Correct-by-construction beats re-implementing the
+  * vectorized reader against internal APIs. */
+final class IceLiteReaderFactory(
+    conf: SerializableHadoopConf,
+    required: StructType,
+    partCols: Array[String],
+    tableSchema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IceLitePartition]
+    new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema)
+  }
+}
+
+final class IceLitePartitionReader(
+    conf: Configuration,
+    partition: IceLitePartition,
+    required: StructType,
+    partCols: Array[String],
+    tableSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val partIdx: Map[String, Int] = partCols.zipWithIndex.toMap
+
+  private var fileIdx: Int = 0
+  private var reader: ParquetReader[Group] = _
+  private var rowFns: Array[Group => Any] = _ // one per required field; null fn = from partition/missing
+  private var constRow: InternalRow = _ // when no data columns are projected
+  private var constRemaining: Long = 0L
+  private var current: InternalRow = _
+
+  /** Partition-column constant for required field `name` (parsed from the
+    * partition key row — already Catalyst-typed), or null if absent. */
+  private def partConst(name: String): Any =
+    partIdx.get(name) match {
+      case Some(i) if partition.key != null =>
+        val dt = tableSchema.fields.find(_.name == partCols(i)).get.dataType
+        partition.key.get(i, dt)
+      case _ => null
+    }
+
+  private def openNextFile(): Boolean = {
+    if (fileIdx >= partition.files.length) return false
+    val path = new Path(partition.files(fileIdx))
+    fileIdx += 1
+
+    val inFile  = HadoopInputFile.fromPath(path, conf)
+    val fr      = ParquetFileReader.open(inFile)
+    val fileMsg = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+
+    val dataFields = required.fields.filter(f =>
+      !partIdx.contains(f.name) && fileMsg.containsField(f.name))
+
+    if (dataFields.isEmpty) {
+      // nothing to decode (count over partition cols, or pure-partition
+      // projection): row count from the footer, constants for the rest
+      val fr2 = ParquetFileReader.open(inFile)
+      val n   = try fr2.getRecordCount finally fr2.close()
+      constRow = new GenericInternalRow(required.fields.map(f => partConst(f.name)): Array[Any])
+      constRemaining = n
+      reader = null
+      true
+    } else {
+      val projection = new MessageType("spark_schema",
+        dataFields.map(f => fileMsg.getType(fileMsg.getFieldIndex(f.name))): _*)
+      val c = new Configuration(conf)
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      reader = ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+      val posOf = dataFields.map(_.name).zipWithIndex.toMap
+      rowFns = required.fields.map { f =>
+        posOf.get(f.name) match {
+          case Some(i) =>
+            val fn = IceLiteConverters.fieldReader(
+              projection.getType(i).asPrimitiveType(), f.dataType, i)
+            (g: Group) => fn(g)
+          case None =>
+            val const = partConst(f.name) // partition col, or evolved-in column absent from this file
+            (_: Group) => const
+        }
+      }
+      constRow = null
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (constRow != null) {
+        if (constRemaining > 0) { constRemaining -= 1; current = constRow; return true }
+        constRow = null
+      } else if (reader != null) {
+        val g = reader.read()
+        if (g != null) {
+          current = new GenericInternalRow(rowFns.map(_(g)): Array[Any])
+          return true
+        }
+        reader.close(); reader = null
+      }
+      if (!openNextFile()) return false
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+object IceLiteConverters {
+
+  private val JulianEpochDay = 2440588L
+
+  /** Group-field reader for primitive `pt` at projection position `pos`,
+    * producing the Catalyst value for `sparkType`. Null-safe (repetition
+    * count 0 = null). Handles the physical encodings Spark/pyarrow emit
+    * for the flat surface: BINARY-UTF8, INT32 (+DATE), INT64 (+TIMESTAMP
+    * millis/micros), INT96 timestamps, FLOAT, DOUBLE, BOOLEAN. */
+  def fieldReader(pt: PrimitiveType, sparkType: DataType, pos: Int): Group => Any = {
+    val read: Group => Any = pt.getPrimitiveTypeName match {
+      case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+        sparkType match {
+          case StringType => g => UTF8String.fromBytes(g.getBinary(pos, 0).getBytes)
+          case _          => g => g.getBinary(pos, 0).getBytes
+        }
+      case PrimitiveTypeName.INT32 =>
+        sparkType match {
+          case LongType => g => g.getInteger(pos, 0).toLong
+          case _        => g => g.getInteger(pos, 0) // Int: IntegerType + DateType(days)
+        }
+      case PrimitiveTypeName.INT64 =>
+        val scale = pt.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotationUnit.MILLIS => 1000L
+          case _ => 1L
+        }
+        if (scale == 1L) g => g.getLong(pos, 0) else g => g.getLong(pos, 0) * scale
+      case PrimitiveTypeName.INT96 => // legacy spark timestamps: (nanos LE, julian day LE)
+        g => {
+          val b  = g.getInt96(pos, 0).getBytes
+          val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = bb.getLong
+          val jday  = bb.getInt
+          (jday - JulianEpochDay) * 86400000000L + nanos / 1000L
+        }
+      case PrimitiveTypeName.FLOAT =>
+        sparkType match {
+          case DoubleType => g => g.getFloat(pos, 0).toDouble
+          case _          => g => g.getFloat(pos, 0)
+        }
+      case PrimitiveTypeName.DOUBLE  => g => g.getDouble(pos, 0)
+      case PrimitiveTypeName.BOOLEAN => g => g.getBoolean(pos, 0)
+    }
+    g => if (g.getFieldRepetitionCount(pos) == 0) null else read(g)
+  }
+
+  // tiny indirection: LogicalTypeAnnotation.TimeUnit nested-enum import alias
+  private object LogicalTypeAnnotationUnit {
+    val MILLIS = org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS
+  }
+}

@@ -10,6 +10,47 @@ class MaintenanceSpec extends SparkSpec {
 
   private def orders = Tables.orders(spark, sfDir)
 
+  test("racing concurrent appends BOTH land via rename-as-CAS rebase") {
+    val cat  = new FsCatalog(spark, scratch("race"))
+    val t    = cat.createOrReplaceTable("ns", "nation_race", Tables.nation(spark, sfDir))
+    val base = t.scan().count()
+    // two appends racing from independent threads: the CAS loser must
+    // rebase on the winner's snapshot and retry, so NEITHER commit is lost
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool    = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val mine = Tables.nation(spark, sfDir).filter(col("n_nationkey") % 2 === i % 2)
+            barrier.await()
+            t.append(mine)
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // both snapshots visible in the log, all rows present, linear history
+    val snaps = t.snapshots()
+    assert(snaps.size == 3, s"expected 3 snapshots (create + 2 appends), got ${snaps.size}")
+    assert(t.scan().count() == base + Tables.nation(spark, sfDir).count())
+    val parents = snaps.sortBy(_.snapshot_id).map(_.parent_snapshot_id)
+    assert(parents == snaps.sortBy(_.snapshot_id).map(s => Option(s.snapshot_id - 1).filter(_ > 0)),
+      s"history is not a linear rebase chain: $parents")
+  }
+
+  test("IceTable.create rejects nested/unsupported column types with a clear error") {
+    import org.apache.spark.sql.types._
+    val ex = intercept[IllegalArgumentException] {
+      IceTable.create(spark, scratch("badtype") + "/t", "bad", "ns",
+        StructType(Seq(
+          StructField("ok", StringType),
+          StructField("nested", ArrayType(StringType)))))
+    }
+    assert(ex.getMessage.contains("flat primitive surface"), ex.getMessage)
+    assert(ex.getMessage.contains("nested"), "error must name the offending column")
+  }
+
   test("compact bin-packs the current snapshot and preserves rows + history") {
     val cat = new FsCatalog(spark, scratch("cmp"))
     val t   = cat.createOrReplaceTable("ns", "orders", orders.repartition(8))

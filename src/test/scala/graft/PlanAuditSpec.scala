@@ -51,6 +51,30 @@ class PlanAuditSpec extends SparkSpec {
       "dimension join fell back to sort-merge: " + p.take(600))
   }
 
+  test("ic49 DSv2 scan prunes files from a plain WHERE (files=1/2 in explain)") {
+    // spark.read.format("icelite") + .filter — no scanRange call anywhere;
+    // SupportsPushDownFilters must hand the bound to planFilesBounds and
+    // the BatchScan description must show the pruned file count
+    val df = SparkEntry.queries("ic49_dsv2_pushdown")(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("files=1/2"), "DSv2 scan did not prune:\n" + p.take(800))
+    assert(p.contains("BatchScan"), p.take(400))
+    assert(df.count() > 0)
+  }
+
+  test("ic50 storage-partitioned join/agg runs with zero hash-partition Exchange") {
+    // both IceLite tables are hive-partitioned on the join key; the V2
+    // scans report KeyGroupedPartitioning so the join AND the grouped
+    // aggregate satisfy their distribution from table metadata alone
+    val df = SparkEntry.queries("ic50_spj_join")(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "SPJ still shuffled:\n" + p.take(1200))
+    assert(p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("an31 fuses five navigation functions into ONE Window operator") {
     val p = plan("an31_window_nav")
     val windows = "\\bWindow \\[".r.findAllIn(p).length

@@ -29,8 +29,12 @@ class Wave5Spec extends SparkSpec {
       val sxx = g.map(t => t._2 * t._2).sum
       val num = n * sxy - sx * sy
       val den = n * sxx - sx * sx
-      flag -> (halfUp(num, den, 10000L).toLong,
-        halfUp(sy * den - num * sx, n * den, 10000L).toLong)
+      val slopeBp = halfUp(num, den, 10000L)
+      // intercept from the REDUCED slope — (sy·1e4 − slope_bp·sx)/n — the
+      // overflow-capped formula the query ships (round-7 ADVICE: the
+      // naive closed form grows ~n⁵ toward the 38-digit ceiling)
+      flag -> (slopeBp.toLong,
+        halfUp(sy * 10000L - slopeBp * sx, n, 1L).toLong)
     }
     val got = q("an72_regression").collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
