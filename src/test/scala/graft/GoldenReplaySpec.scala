@@ -92,7 +92,9 @@ class GoldenReplaySpec extends SparkSpec {
           .append("City").append(u % 641).append(',')
           .append(state).append(',')
           .append("u").append(u).append("@example.com").append(',')
-          .append(f"555${u % 10000000}%07d")
+          // formatted like the reference's real data — the golden artifact
+          // pins phone as STRING, so the fixture must not infer numeric
+          .append("555-").append(f"${u % 10000000}%07d")
         prefs.foreach { case (_, _, k, p) =>
           row.append(',').append((u.toLong * p % N) < k)
         }
@@ -165,6 +167,33 @@ class GoldenReplaySpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() == 8682L)
     assert(back.columns.length == 18)
+  }
+
+  test("sports_fans.parquet golden: our export's PHYSICAL schema matches the committed artifact") {
+    import org.apache.spark.sql.types._
+    // read the reference's own committed export (read-only), not our
+    // replayed counts: 18 columns, int64 key, 7 strings, 10 booleans
+    val golden = spark.read.parquet("/root/reference/output/sports_fans.parquet")
+    assert(golden.count() == 8682L)
+    val (eng, t) = env
+    val out = scratch("golden_sports_schema")
+    eng.exportParquet(eng.table(t).filter(col("likesports")), out)
+    val ours = spark.read.parquet(out).schema
+    assert(ours.fieldNames.toSeq == golden.schema.fieldNames.toSeq,
+      s"column names/order diverge from the golden artifact: " +
+        s"${ours.fieldNames.mkString(",")} vs ${golden.schema.fieldNames.mkString(",")}")
+    // types after §1.2 normalization, integer width folded: the reference
+    // ingests CSV through pyarrow (ints default to int64) while Spark's
+    // CSV inference picks the narrowest width — both land in the same
+    // normalized integral family, everything else must match exactly
+    def norm(dt: DataType): DataType = dt match {
+      case IntegerType | LongType => LongType
+      case other                  => graft.icelite.TypeNormalizer.normalizeType(other)
+    }
+    ours.fields.zip(golden.schema.fields).foreach { case (a, b) =>
+      assert(norm(a.dataType) == norm(b.dataType),
+        s"${a.name}: ${a.dataType.simpleString} vs golden ${b.dataType.simpleString}")
+    }
   }
 
   test("join shape replay (Q10): users enriched with their state histogram row") {
