@@ -1152,6 +1152,67 @@ object IceQueries {
     df.orderBy("o_orderkey")
   }
 
+  /** Metadata-only COUNT(*) through the DSv2 aggregate pushdown
+    * (SupportsPushDownAggregates): a plain `SELECT COUNT(*)` on the V2
+    * source must be answered from the manifests' record counts with ZERO
+    * data-file reads — proven by the files-opened counter staying flat
+    * across execution. ic48 gates the same capability as a library call;
+    * this is the SQL-surface packaging of it. */
+  private def dsv2CountQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "dsv2cnt")
+    val cat    = new FsCatalog(s, wh)
+    val orders = Tables.orders(s, d)
+    val t = cat.createOrReplaceTable("graft", "orders_cnt",
+      orders.filter(col("o_orderkey") < 1000).coalesce(1))
+    t.append(orders.filter(col("o_orderkey") >= 1000).coalesce(1))
+    val df = s.read.format("icelite").option("location", t.location.toString).load()
+      .agg(count(lit(1)).as("n_rows"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    require(plan.contains("metadata-only count"),
+      s"COUNT(*) was not answered from metadata: $plan")
+    graft.sources.IceLiteSource.filesOpened.reset()
+    val n = df.collect()
+    require(graft.sources.IceLiteSource.filesOpened.sum() == 0L,
+      "metadata-only count opened data files")
+    require(n.length == 1, "count produced more than one row")
+    df
+  }
+
+  /** Runtime (join-driven) partition pruning through the DSv2 source
+    * (SupportsRuntimeFiltering — Spark's dynamic partition pruning over
+    * OUR table metadata): the fact table is partitioned by priority, the
+    * dimension filter selects ONE priority, and at execution time the
+    * scan receives the dim side's actual keys and drops the other four
+    * partition directories before any reader opens. The files-opened
+    * counter proves the IO never happened — the behavior that matters at
+    * 100 TB, where a star-join's fact scan must read only the partitions
+    * the dimension actually selects. */
+  private def dsv2RuntimePruneQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "dsv2rt")
+    val cat = new FsCatalog(s, wh)
+    val t = cat.createOrReplaceTable("graft", "orders_rt",
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("p")).distinct()
+      .filter(col("p") === "1-URGENT")
+    val fact = s.read.format("icelite").option("location", t.location.toString).load()
+    val joined = fact.join(broadcast(dim), col("o_orderpriority") === col("p"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(12,2)") * 100)).cast("bigint").as("cents"))
+      .orderBy("o_orderpriority")
+    graft.sources.IceLiteSource.filesOpened.reset()
+    val rows = joined.collect()
+    val opened = graft.sources.IceLiteSource.filesOpened.sum()
+    val total  = t.scan().inputFiles.length.toLong
+    require(opened < total,
+      s"runtime filtering pruned nothing: opened $opened of $total files")
+    require(rows.length == 1, s"expected one priority group, got ${rows.length}")
+    joined
+  }
+
   /** Nested types through the REAL Iceberg v2 metadata path (struct +
     * list + map — the spec's composite JSON type objects): build a nested
     * view of orders, commit it as an Iceberg table whose schema JSON
@@ -1308,7 +1369,14 @@ object IceQueries {
     Q("ic51_iceberg_nested", icebergNestedQ,
       Some("""SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
                      o_orderpriority AS prio, o_custkey AS custkey
-              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+    Q("ic52_dsv2_count", dsv2CountQ,
+      Some("SELECT COUNT(*) AS n_rows FROM orders")),
+    Q("ic53_dsv2_runtime_prune", dsv2RuntimePruneQ,
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

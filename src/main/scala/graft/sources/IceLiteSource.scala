@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources._
@@ -116,6 +117,13 @@ final class IceLiteSource extends TableProvider with DataSourceRegister {
   }
 }
 
+object IceLiteSource {
+  /** Count of data files actually opened by V2 readers — observability for
+    * specs asserting that runtime/static pruning really avoided IO
+    * (meaningful in local mode, where executors share the JVM). */
+  private[graft] val filesOpened = new java.util.concurrent.atomic.LongAdder()
+}
+
 /** V2 Table over one resolved IceLite snapshot (None = empty, pre-commit). */
 final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
     extends Table with SupportsRead {
@@ -134,11 +142,33 @@ final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
 }
 
 final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val md = ice.metadata
   private var required: StructType = md.schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** Metadata-only COUNT(*): answered from the manifests' record counts
+    * with ZERO data-file IO (Iceberg answers the same query from its
+    * manifest record_count field; ic48 gates the library-call twin).
+    * Accepted only for ungrouped CountStar with no residual filters and a
+    * complete row-count record — anything else falls back to a real scan. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    canPushCount(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    countPushed = canPushCount(aggregation)
+    countPushed
+  }
+
+  private def canPushCount(aggregation: Aggregation): Boolean =
+    pushed.isEmpty &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar] &&
+      snap.exists(sn => ice.statsRowCount(sn).isDefined)
 
   /** Accept single-column comparison filters for FILE-granular pruning;
     * everything is returned as residual because manifest ranges can never
@@ -171,6 +201,8 @@ final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
     required = requiredSchema
 
   override def build(): Scan = {
+    if (countPushed)
+      return new IceLiteCountScan(ice, snap.get)
     // fold pushed filters into per-column [lower, upper] bounds (first
     // bound per column wins; later ones stay row-level residuals — sound
     // because pruning only ever widens what survives)
@@ -189,6 +221,34 @@ final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
   }
 }
 
+/** Pushed-down ungrouped COUNT(*): one partition, one row, straight from
+  * the manifests' record counts — the scan never touches a data file. */
+final class IceLiteCountScan(ice: IceTable, snap: Snapshot) extends Scan with Batch {
+  private val rows = ice.statsRowCount(snap).getOrElse(
+    throw new IllegalStateException("count pushdown accepted without full row counts"))
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def description(): String =
+    s"icelite metadata-only count rows=$rows (no data files read)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IceLiteCountPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](p.asInstanceOf[IceLiteCountPartition].rows))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class IceLiteCountPartition(rows: Long) extends InputPartition
+
 /** One scan = one snapshot's pruned file list. Also the Batch (stateless). */
 final class IceLiteScan(
     ice: IceTable,
@@ -196,7 +256,7 @@ final class IceLiteScan(
     required: StructType,
     bounds: Map[String, (Option[String], Option[String])],
     pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   private val md       = ice.metadata
   private val partCols = md.partitionCols
@@ -238,7 +298,7 @@ final class IceLiteScan(
 
   // planned once: stats-pruned (data cols) then path-pruned (partition cols)
   private lazy val totalFiles: Int = snap.map(ice.filesOf(_).size).getOrElse(0)
-  private lazy val survivors: Seq[String] = snap match {
+  private lazy val staticSurvivors: Seq[String] = snap match {
     case None => Nil
     case Some(sn) =>
       val dataBounds = bounds.filterNot { case (c, _) => partCols.contains(c) }
@@ -247,13 +307,45 @@ final class IceLiteScan(
           partCols.zip(partValuesOf(rel)).forall { case (c, v) => partValueHit(c, v) })
   }
 
-  private lazy val partitions: Array[InputPartition] = {
-    val loc = ice.location.toString
+  // ------------------------------------------------ runtime (join) pruning
+
+  /** Join-driven dynamic partition pruning (SupportsRuntimeFiltering): at
+    * execution time Spark hands back In/EqualTo filters on the partition
+    * columns derived from the OTHER join side's actual keys, and the scan
+    * drops whole partition directories before any reader opens — Spark's
+    * DPP re-expressed over OUR table metadata. Unrecognized runtime
+    * filters prune nothing (conservative). */
+  @volatile private var runtimeKept: Map[String, Set[String]] = Map.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    partCols.map(c => Expressions.column(c)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val kept = filters.flatMap {
+      case In(c, vs) if partCols.contains(c) =>
+        Some(c -> vs.filter(_ != null).map(_.toString).toSet)
+      case EqualTo(c, v) if partCols.contains(c) && v != null =>
+        Some(c -> Set(v.toString))
+      case _ => None
+    }.toMap
+    if (kept.nonEmpty) runtimeKept = kept
+  }
+
+  private def runtimeHit(rel: String): Boolean =
+    runtimeKept.isEmpty || partCols.zip(partValuesOf(rel)).forall { case (c, raw) =>
+      runtimeKept.get(c).forall(_.contains(IceLiteScan.unescapePath(raw)))
+    }
+
+  private def survivors: Seq[String] = staticSurvivors.filter(runtimeHit)
+
+  private def partitions: Array[InputPartition] = {
+    val loc  = ice.location.toString
+    val surv = survivors
     if (partCols.isEmpty)
-      survivors.map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition).toArray
+      surv.map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition).toArray
     else {
       val partTypes = partCols.map(c => md.schema.fields.find(_.name == c).get.dataType)
-      survivors.groupBy(partValuesOf).toSeq.sortBy(_._1.mkString("/"))
+      surv.groupBy(partValuesOf).toSeq.sortBy(_._1.mkString("/"))
         .map { case (vals, files) =>
           val key = new GenericInternalRow(
             vals.zip(partTypes).map { case (v, dt) => IceLiteScan.partToCatalyst(v, dt) }.toArray)
@@ -398,6 +490,7 @@ final class IceLitePartitionReader(
     if (fileIdx >= partition.files.length) return false
     val path = new Path(partition.files(fileIdx))
     fileIdx += 1
+    IceLiteSource.filesOpened.increment()
 
     val inFile  = HadoopInputFile.fromPath(path, conf)
     val fr      = ParquetFileReader.open(inFile)

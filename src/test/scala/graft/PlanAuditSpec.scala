@@ -75,6 +75,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("ic52 DSv2 COUNT(*) answers from manifest metadata with zero file reads") {
+    // the query's internal requires assert the plan says metadata-only
+    // count AND the files-opened counter stays at zero across execution
+    val df = SparkEntry.queries("ic52_dsv2_count")(spark, sfDir)
+    assert(df.collect().map(_.getLong(0)).head > 0L)
+  }
+
+  test("ic53 DSv2 runtime filtering prunes partition files the dim side excludes") {
+    // internal require: files opened at execution < total files of the
+    // fact table — Spark's DPP flowing through SupportsRuntimeFiltering
+    val df = SparkEntry.queries("ic53_dsv2_runtime_prune")(spark, sfDir)
+    assert(df.collect().length == 1)
+  }
+
   test("an31 fuses five navigation functions into ONE Window operator") {
     val p = plan("an31_window_nav")
     val windows = "\\bWindow \\[".r.findAllIn(p).length
