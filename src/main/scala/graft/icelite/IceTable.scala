@@ -241,6 +241,47 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       s"append to $location lost the commit race 10 times — giving up")
   }
 
+  /** Commit already-staged data files (the DataSource V2 write path:
+    * executors wrote the parquet + collected stats themselves, so the
+    * commit is pure metadata — one manifest write + the same CAS
+    * rebase-and-retry loop appends use). `entries` carry paths RELATIVE
+    * to the table location plus per-file stats/rows from the writers. */
+  private[graft] def commitStagedEntries(
+      entries: Seq[ManifestEntry],
+      replace: Boolean): IceTable = {
+    val md0 = metadata
+    val rel = s"metadata/manifests/m-w-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(location, rel)
+    fs.mkdirs(dir)
+    writeFileAtomic(new Path(dir, "part-0.json"), entries.map(_.toJson).mkString("\n"))
+    val newSummary = summarize(md0.schema, entries)
+    var attempt = 0
+    while (attempt < 10) {
+      val v  = currentVersion
+      val md = metadataAt(v)
+      val baseSnap = md.currentSnapshot
+      val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+      val base: Seq[(String, Map[String, ColRange])] =
+        if (replace) Nil
+        else baseSnap.toSeq.flatMap(sn =>
+          sn.manifests.zipWithIndex.map { case (m, i) =>
+            m -> sn.summaryAt(i).getOrElse(Map.empty)
+          })
+      val snap = Snapshot(
+        snapshot_id = snapId,
+        timestamp_ms = System.currentTimeMillis(),
+        operation = if (replace) "replace" else "append",
+        manifests = (base.map(_._1) :+ rel).toList,
+        manifest_summaries = Some((base.map(_._2) :+ newSummary).toList),
+        parent_snapshot_id = baseSnap.map(_.snapshot_id))
+      val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
+      if (commitCasAt(v + 1, newMd)) return this
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"staged commit to $location lost the commit race 10 times — giving up")
+  }
+
   /** `data/snap-N-x` prefix of a snapshot-relative file path. */
   private def snapDirOf(relPath: String): String = relPath.split('/').take(2).mkString("/")
 

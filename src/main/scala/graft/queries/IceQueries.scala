@@ -1213,6 +1213,32 @@ object IceQueries {
     joined
   }
 
+  /** DSv2 WRITE round trip: `df.write.format("icelite").save()` appends a
+    * snapshot through the V2 BatchWrite (executors write parquet + stats
+    * in one pass, the driver CAS-commits pure metadata), `overwrite` maps
+    * to replace, and the written files participate in min/max file
+    * skipping exactly like library-path appends (scanRange require). The
+    * final read goes back through the V2 reader. */
+  private def dsv2WriteQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "dsv2w")
+    val cat = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    // create an empty-shaped table, then drive BOTH V2 write modes
+    val t = cat.createOrReplaceTable("graft", "nation_w", nation.limit(0))
+    val opts = Map("location" -> t.location.toString)
+    nation.filter(col("n_nationkey") < 10).coalesce(1)
+      .write.format("icelite").options(opts).mode("overwrite").save() // replace the empty snap
+    nation.filter(col("n_nationkey") >= 10).coalesce(1)
+      .write.format("icelite").options(opts).mode("append").save()
+    // writer-collected stats must drive file skipping like any append
+    val pruned = t.scanRange("n_nationkey", Some("0"), Some("9"))
+    require(pruned.inputFiles.length == 1,
+      s"V2-written file stats failed to prune: read ${pruned.inputFiles.length} files")
+    require(t.snapshots().size == 3, s"expected 3 snapshots, got ${t.snapshots().size}")
+    s.read.format("icelite").option("location", t.location.toString).load()
+      .orderBy("n_nationkey")
+  }
+
   /** Nested types through the REAL Iceberg v2 metadata path (struct +
     * list + map — the spec's composite JSON type objects): build a nested
     * view of orders, commit it as an Iceberg table whose schema JSON
@@ -1376,7 +1402,8 @@ object IceQueries {
       Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
               FROM orders WHERE o_orderpriority = '1-URGENT'
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+    Q("ic54_dsv2_write", dsv2WriteQ, Some(nationOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

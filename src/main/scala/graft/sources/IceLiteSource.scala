@@ -126,19 +126,28 @@ object IceLiteSource {
 
 /** V2 Table over one resolved IceLite snapshot (None = empty, pre-commit). */
 final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val md = ice.metadata
 
   override def name(): String = s"icelite.${md.namespace}.${md.name}"
   override def schema(): StructType = md.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     md.partitionCols.map(Expressions.identity(_)).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(ice, snap)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new IceLiteWriteBuilder(ice, info)
 }
 
 final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])

@@ -1,0 +1,248 @@
+package graft.sources
+
+import graft.icelite.{ColRange, IceTable, ManifestEntry}
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** DataSource V2 WRITE path for IceLite: `df.write.format("icelite")
+  * .option("location", dir).mode("append"|"overwrite").save()`.
+  *
+  * Executors write parquet files straight into a staging snapshot dir
+  * under the table location via parquet-mr, collecting per-file min/max +
+  * row count AS THEY WRITE (one pass — no post-hoc stats scan); the
+  * driver's commit is then pure metadata: one manifest of the writers'
+  * entries plus the same rename-as-CAS rebase-and-retry snapshot commit
+  * appends use. At 100 TB this is the right shape: data volume moves only
+  * executor-side, the driver handles O(files) metadata, and a concurrent
+  * library-path append cannot be clobbered (shared CAS protocol).
+  *
+  * Unpartitioned flat-primitive tables (the format surface); `overwrite`
+  * maps to replace semantics via SupportsTruncate. */
+final class IceLiteWriteBuilder(ice: IceTable, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = {
+    val md = ice.metadata
+    require(md.partitionCols.isEmpty,
+      "icelite V2 write supports unpartitioned tables; use the catalog append for hive layouts")
+    require(info.schema().catalogString == md.schema.catalogString,
+      s"write schema ${info.schema().catalogString} != table schema ${md.schema.catalogString}")
+    new IceLiteWrite(ice.location.toString, md.schema, replace)
+  }
+}
+
+final class IceLiteWrite(location: String, schema: StructType, replace: Boolean)
+    extends Write {
+  override def toBatch: BatchWrite =
+    new IceLiteBatchWrite(location, schema, replace,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+final class IceLiteBatchWrite(
+    location: String,
+    schema: StructType,
+    replace: Boolean,
+    conf: SerializableHadoopConf)
+    extends BatchWrite {
+
+  // staging dir fixed at the driver; every task writes beneath it
+  private val dataRel = s"data/snap-w-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new IceLiteWriterFactory(conf, location, dataRel, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.toSeq.map { m =>
+      val w = m.asInstanceOf[IceLiteWriteMessage]
+      ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
+    }
+    IceTable.load(SparkSession.active, location)
+      .commitStagedEntries(entries, replace)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(location).getFileSystem(conf.value)
+    fs.delete(new Path(location, dataRel), true)
+  }
+}
+
+final case class IceLiteWriteMessage(
+    relPath: String,
+    rows: Long,
+    stats: Map[String, ColRange])
+    extends WriterCommitMessage
+
+final class IceLiteWriterFactory(
+    conf: SerializableHadoopConf,
+    location: String,
+    dataRel: String,
+    schema: StructType)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IceLiteDataWriter(conf, location, dataRel, schema, partitionId, taskId)
+}
+
+/** Row-at-a-time parquet writer (parquet-mr Group API) with inline stats
+  * collection. The min/max strings use the same representations the
+  * library path's Spark `cast(string)` stats produce (Long/Int toString,
+  * Java Double/Float toString, raw strings compared with String.compareTo
+  * — the exact comparator cmpFor prunes with), so files written here
+  * participate in file skipping identically. */
+final class IceLiteDataWriter(
+    conf: SerializableHadoopConf,
+    location: String,
+    dataRel: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val relPath = f"$dataRel/part-$partitionId%05d-$taskId.parquet"
+  private val path    = new Path(location, relPath)
+  private val msgType = IceLiteWriteSchema.messageTypeFor(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+  private val writer  = ExampleParquetWriter
+    .builder(HadoopOutputFile.fromPath(path, conf.value))
+    .withType(msgType)
+    .withConf(conf.value)
+    .build()
+
+  private var rows = 0L
+  // per-rangeable-column running (min, max); strings via compareTo,
+  // integers as Long, floats as Double — matching cmpFor's semantics
+  private val statCols: Array[(Int, DataType)] = schema.fields.zipWithIndex.collect {
+    case (f, i) if IceLiteWriteSchema.rangeable(f.dataType) => (i, f.dataType)
+  }
+  private val mins = new Array[Any](statCols.length)
+  private val maxs = new Array[Any](statCols.length)
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema.fields(i).name
+        schema.fields(i).dataType match {
+          case StringType  => g.append(name, Binary.fromString(row.getUTF8String(i).toString))
+          case IntegerType | DateType => g.append(name, row.getInt(i))
+          case LongType | TimestampType | TimestampNTZType => g.append(name, row.getLong(i))
+          case FloatType   => g.append(name, row.getFloat(i))
+          case DoubleType  => g.append(name, row.getDouble(i))
+          case BooleanType => g.append(name, row.getBoolean(i))
+          case other => throw new UnsupportedOperationException(
+            s"icelite V2 write: unsupported type $other for column $name")
+        }
+      }
+      i += 1
+    }
+    var s = 0
+    while (s < statCols.length) {
+      val (idx, dt) = statCols(s)
+      if (!row.isNullAt(idx)) {
+        val v: Any = dt match {
+          case StringType            => row.getUTF8String(idx).toString
+          case IntegerType           => row.getInt(idx).toLong
+          case LongType              => row.getLong(idx)
+          case FloatType             => row.getFloat(idx).toDouble
+          case DoubleType            => row.getDouble(idx)
+          case _                     => null
+        }
+        if (v != null) {
+          if (mins(s) == null || lt(v, mins(s))) mins(s) = v
+          if (maxs(s) == null || lt(maxs(s), v)) maxs(s) = v
+        }
+      }
+      s += 1
+    }
+    writer.write(g)
+    rows += 1L
+  }
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x.compareTo(y) < 0
+    case _                      => false
+  }
+
+  /** Value -> the stats string representation the pruner compares. Floats
+    * ride Double.toString like Spark's cast; Long covers int columns. */
+  private def statStr(dt: DataType, v: Any): String = (dt, v) match {
+    case (IntegerType, x: Long) => x.toInt.toString
+    case (FloatType, x: Double) => x.toFloat.toString
+    case (_, x)                 => x.toString
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val stats = statCols.indices.flatMap { s =>
+      val (idx, dt) = statCols(s)
+      if (mins(s) == null) None
+      else Some(schema.fields(idx).name ->
+        ColRange(Some(statStr(dt, mins(s))), Some(statStr(dt, maxs(s)))))
+    }.toMap
+    IceLiteWriteMessage(relPath, rows, stats)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val fs = path.getFileSystem(conf.value)
+    fs.delete(path, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+object IceLiteWriteSchema {
+
+  def rangeable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | FloatType | StringType => true
+    case _                                                            => false
+  }
+
+  /** Parquet MessageType for the flat primitive surface, physical layouts
+    * matching what Spark's own writer emits (so the V2 reader, Spark's
+    * vectorized reader and DuckDB all read these files identically). */
+  def messageTypeFor(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case IntegerType => Types.optional(INT32)
+        case LongType    => Types.optional(INT64)
+        case FloatType   => Types.optional(FLOAT)
+        case DoubleType  => Types.optional(DOUBLE)
+        case BooleanType => Types.optional(BOOLEAN)
+        case DateType =>
+          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case TimestampType =>
+          Types.optional(INT64).as(LogicalTypeAnnotation.timestampType(
+            true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType =>
+          Types.optional(INT64).as(LogicalTypeAnnotation.timestampType(
+            false, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case other => throw new UnsupportedOperationException(
+          s"icelite V2 write: unsupported type $other for column ${f.name} " +
+            "(flat primitive surface only; decimals go through the catalog append)")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+}
