@@ -387,6 +387,14 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
   }
 
+  /** Row count of a SUBSET of `snap`'s files from manifest metadata (None
+    * if any matching entry predates the `rows` field) — feeds the V2
+    * scan's planner statistics after pruning. */
+  def statsRowCountForFiles(snap: Snapshot, files: Set[String]): Option[Long] = {
+    val es = snap.manifests.flatMap(readManifest).filter(e => files.contains(e.file))
+    if (es.exists(_.rows.isEmpty)) None else Some(es.flatMap(_.rows).sum)
+  }
+
   /** Per-file column stats of `snap` (files without stats are absent). */
   def statsOf(snap: Snapshot): Map[String, Map[String, ColRange]] =
     snap.manifests.flatMap(m =>
@@ -1046,6 +1054,27 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val fromManifests = from.manifests.toSet
     val delta         = to.manifests.filterNot(fromManifests)
     readFiles(md, delta.flatMap(readManifest(_).map(_.file)))
+  }
+
+  /** File paths ADDED in the append-only snapshot window (from, to] — the
+    * planning primitive behind both scanIncremental and the V2 streaming
+    * source's micro-batches. from = 0 means everything up to `to`. */
+  private[graft] def incrementalFiles(fromSnapshotId: Long, toSnapshotId: Long): Seq[String] = {
+    if (fromSnapshotId >= toSnapshotId) return Nil
+    val md = metadata
+    val to = md.snapshot(toSnapshotId)
+      .getOrElse(throw new NoSuchElementException(s"snapshot $toSnapshotId"))
+    if (fromSnapshotId == 0L) return filesOf(to)
+    val from = md.snapshot(fromSnapshotId)
+      .getOrElse(throw new NoSuchElementException(s"snapshot $fromSnapshotId"))
+    val between = md.snapshots
+      .filter(s => s.snapshot_id > fromSnapshotId && s.snapshot_id <= toSnapshotId)
+    val nonAppend = between.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"incremental window crosses non-append snapshots: " +
+        nonAppend.map(_.operation).distinct.mkString(","))
+    val fromManifests = from.manifests.toSet
+    to.manifests.filterNot(fromManifests).flatMap(readManifest(_).map(_.file))
   }
 
   /** Iceberg-style expire-snapshots maintenance: keep the most recent

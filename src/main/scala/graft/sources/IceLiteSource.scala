@@ -137,7 +137,8 @@ final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def partitioning(): Array[Transform] =
     md.partitionCols.map(Expressions.identity(_)).toArray
 
@@ -152,12 +153,18 @@ final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
 
 final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private val md = ice.metadata
   private var required: StructType = md.schema
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var limit: Option[Int] = None
+
+  /** Partial limit pushdown: readers stop emitting after `n` rows per
+    * partition (returning false keeps Spark's final Limit in the plan,
+    * which is required — file-parallel partitions each honor n). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
   /** Metadata-only COUNT(*): answered from the manifests' record counts
     * with ZERO data-file IO (Iceberg answers the same query from its
@@ -226,7 +233,7 @@ final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
       case LessThanOrEqual(c, v)    => add(c, None, Some(v.toString))
       case _                        =>
     }
-    new IceLiteScan(ice, snap, required, bounds.toMap, pushed)
+    new IceLiteScan(ice, snap, required, bounds.toMap, pushed, limit)
   }
 }
 
@@ -264,8 +271,10 @@ final class IceLiteScan(
     snap: Option[Snapshot],
     required: StructType,
     bounds: Map[String, (Option[String], Option[String])],
-    pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    pushed: Array[Filter],
+    limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   private val md       = ice.metadata
   private val partCols = md.partitionCols
@@ -385,10 +394,90 @@ final class IceLiteScan(
         partCols.map(c => Expressions.identity(c)).toArray, partitions.length)
     else new UnknownPartitioning(partitions.length)
 
+  /** Manifest row counts → planner statistics: with real numRows and a
+    * schema-width sizeInBytes estimate, Spark's own join planning can pick
+    * a broadcast join for a small IceLite table WITHOUT a broadcast()
+    * hint — the CBO input a 100 TB star join needs. (A V2 relation with
+    * no statistics defaults to conf.defaultSizeInBytes = huge = SMJ.) */
+  override def estimateStatistics(): Statistics = {
+    val rowsOpt = snap.flatMap(sn => ice.statsRowCountForFiles(sn, survivors.toSet))
+    val width = required.fields.map(_.dataType match {
+      case StringType => 24L
+      case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+      case IntegerType | DateType | FloatType => 4L
+      case BooleanType => 1L
+      case _ => 16L
+    }).sum.max(8L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rowsOpt.map(r => java.util.OptionalLong.of(math.max(r, 1L) * width))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteReaderFactory(
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      required, partCols.toArray, md.schema)
+      required, partCols.toArray, md.schema, limit)
+
+  /** `spark.readStream.format("icelite")`: tail the snapshot log as a
+    * Structured Streaming source — each micro-batch is exactly the files
+    * appended in an (offset, offset] snapshot window (Iceberg's streaming
+    * read). Offsets are snapshot ids, so recovery replays a committed
+    * window bit-identically. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(partCols.isEmpty,
+      "icelite streaming read supports unpartitioned tables")
+    new IceLiteMicroBatchStream(ice, required,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+  }
+}
+
+final case class IceLiteOffset(snapshotId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** Snapshot-log tailing micro-batch stream: latestOffset re-reads the
+  * table metadata (O(1) version walk), planInputPartitions is the
+  * manifest DELTA of the window — planning cost O(new commits), never
+  * O(table). Commits are tracked by Spark's checkpoint; `commit` is a
+  * no-op because snapshots are immutable. */
+final class IceLiteMicroBatchStream(
+    ice: IceTable,
+    required: StructType,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val tableSchema = ice.metadata.schema
+
+  override def initialOffset(): Offset = IceLiteOffset(0L)
+
+  override def latestOffset(): Offset =
+    IceLiteOffset(ice.metadata.current_snapshot_id)
+
+  override def deserializeOffset(json: String): Offset =
+    IceLiteOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[IceLiteOffset].snapshotId
+    val to   = end.asInstanceOf[IceLiteOffset].snapshotId
+    val loc  = ice.location.toString
+    ice.incrementalFiles(from, to)
+      .map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IceLiteReaderFactory(conf, required, Array.empty, tableSchema)
+
+  override def commit(end: Offset): Unit = () // snapshots are immutable
+  override def stop(): Unit = ()
 }
 
 object IceLiteScan {
@@ -459,12 +548,13 @@ final class IceLiteReaderFactory(
     conf: SerializableHadoopConf,
     required: StructType,
     partCols: Array[String],
-    tableSchema: StructType)
+    tableSchema: StructType,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IceLitePartition]
-    new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema)
+    new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema, limit)
   }
 }
 
@@ -473,10 +563,12 @@ final class IceLitePartitionReader(
     partition: IceLitePartition,
     required: StructType,
     partCols: Array[String],
-    tableSchema: StructType)
+    tableSchema: StructType,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val partIdx: Map[String, Int] = partCols.zipWithIndex.toMap
+  private var emitted = 0L
 
   private var fileIdx: Int = 0
   private var reader: ParquetReader[Group] = _
@@ -541,14 +633,18 @@ final class IceLitePartitionReader(
   }
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false // pushed partial limit
     while (true) {
       if (constRow != null) {
-        if (constRemaining > 0) { constRemaining -= 1; current = constRow; return true }
+        if (constRemaining > 0) {
+          constRemaining -= 1; current = constRow; emitted += 1; return true
+        }
         constRow = null
       } else if (reader != null) {
         val g = reader.read()
         if (g != null) {
           current = new GenericInternalRow(rowFns.map(_(g)): Array[Any])
+          emitted += 1
           return true
         }
         reader.close(); reader = null

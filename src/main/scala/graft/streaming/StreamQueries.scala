@@ -527,6 +527,60 @@ object StreamQueries {
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** st14: `spark.readStream.format("icelite")` — the TABLE ITSELF as the
+    * streaming source (the V2 MicroBatchStream tailing the snapshot log,
+    * Iceberg's streaming read). Three appended snapshots stream through a
+    * grouped aggregation; then a FOURTH snapshot lands and the query
+    * RESUMES from its checkpoint — the resumed batch must open only the
+    * delta's files (offsets are snapshot ids; planning is the manifest
+    * diff), proven by the files-opened counter, while the sink converges
+    * to the full-corpus aggregate the oracle recomputes. */
+  private def streamTableSource(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.FsCatalog
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val wh = "/root/repo/target/scratch/st14_wh"
+    val ckpt = "/root/repo/target/scratch/st14_ckpt"
+    Seq(wh, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val cat = new FsCatalog(s, wh)
+    val t = cat.createOrReplaceTable("graft", "events_src",
+      ev.filter(col("event_id") % 4 === 0).coalesce(1))
+    t.append(ev.filter(col("event_id") % 4 === 1).coalesce(1))
+    t.append(ev.filter(col("event_id") % 4 === 2).coalesce(1))
+    def run(): Unit = {
+      s.catalog.dropTempView("st14_sink")
+      s.readStream.format("icelite").option("location", t.location.toString).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).as("sv"))
+        .writeStream.format("memory").queryName("st14_sink").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    graft.sources.IceLiteSource.filesOpened.reset()
+    run()
+    val firstOpened = graft.sources.IceLiteSource.filesOpened.sum()
+    t.append(ev.filter(col("event_id") % 4 === 3).coalesce(1)) // snapshot 4
+    graft.sources.IceLiteSource.filesOpened.reset()
+    run() // resume: same checkpoint, only the delta may be read
+    val resumedOpened = graft.sources.IceLiteSource.filesOpened.sum()
+    require(firstOpened >= 3,
+      s"first pass read $firstOpened files, expected the 3 committed snapshots")
+    require(resumedOpened < firstOpened,
+      s"resumed pass re-read history: opened $resumedOpened vs first $firstOpened")
+    s.table("st14_sink")
+      .select(col("event_type"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val streamTableSourceOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -540,7 +594,8 @@ object StreamQueries {
     Q("st10_session_window", sessionWindow, Some(sessionWindowOracle)),
     Q("st11_stream_enrich", streamEnrich, Some(streamEnrichOracle)),
     Q("st12_transform_with_state", transformWithStateQ, Some(transformWithStateOracle)),
-    Q("st13_map_state", mapStateQ, Some(mapStateOracle))
+    Q("st13_map_state", mapStateQ, Some(mapStateOracle)),
+    Q("st14_stream_table_source", streamTableSource, Some(streamTableSourceOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]

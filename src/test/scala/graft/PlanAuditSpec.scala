@@ -89,6 +89,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("V2 scan reports manifest row counts into planner statistics") {
+    import graft.icelite.FsCatalog
+    val cat = new FsCatalog(spark, scratch("v2stats"))
+    val t   = cat.createOrReplaceTable("ns", "nation_stats", Tables.nation(spark, sfDir))
+    val dim = spark.read.format("icelite")
+      .option("location", t.location.toString).load()
+    val st = dim.queryExecution.optimizedPlan.stats
+    // numRows flows from the manifests' record counts; size is rows×width,
+    // which is what lets Spark auto-broadcast a small IceLite dim table
+    assert(st.rowCount.exists(_.toLong == 25L), s"stats: $st")
+    assert(st.sizeInBytes.toLong < (1L << 20), s"stats: $st")
+    // and the join indeed broadcasts the V2 side without a hint
+    val j = Tables.customer(spark, sfDir)
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+    val p = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("V2 limit pushdown: readers stop early, result still exact") {
+    import graft.icelite.FsCatalog
+    val cat = new FsCatalog(spark, scratch("v2limit"))
+    val t   = cat.createOrReplaceTable("ns", "orders_lim", Tables.orders(spark, sfDir))
+    val dim = spark.read.format("icelite")
+      .option("location", t.location.toString).load()
+    assert(dim.limit(3).collect().length == 3)
+  }
+
   test("an31 fuses five navigation functions into ONE Window operator") {
     val p = plan("an31_window_nav")
     val windows = "\\bWindow \\[".r.findAllIn(p).length
