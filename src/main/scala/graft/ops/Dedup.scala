@@ -1164,6 +1164,58 @@ object Dedup {
       FROM documents dc LEFT JOIN hits h ON dc.doc_id = h.doc_id
       WHERE dc.source = 'src19' ORDER BY dc.doc_id"""
 
+  /** dd22: CROSS-document span coverage — per doc, the share of its
+    * 10-word chunks that appear verbatim in at least one OTHER document
+    * (tx11's per-doc chunk dup ratio counts within-doc repeats; this is
+    * the policy-grade variant: what fraction of each doc is copied text),
+    * rolled up per source as the dedup-policy input: mean coverage bp +
+    * how many docs are majority-duplicated. One chunk-hash shuffle with
+    * countDistinct(doc) — at 100 TB identical shape to tx11: the chunk
+    * keyspace shards by hash, map-side combine first. Exact integers. */
+  private def dupSpanCoverage(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.spread(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 10)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(ws) div 10 - 1), " +
+          "i -> concat_ws(' ', slice(ws, i*10+1, 10)))")).as("seg"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.hashfns.rollHash(col("seg"), Hashing.P).as("h"))
+    val spread = chunks.groupBy("h").agg(countDistinct("doc_id").as("n_docs_h"))
+    chunks.join(spread, "h")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("n_docs_h") > 1, 1L).otherwise(0L)).as("n_cross"))
+      .withColumn("cov_bp", expr("n_cross * 10000 DIV n_seg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(2 * sum(cov_bp) + count(1)) DIV (2 * count(1))").as("mean_cov_bp"),
+        sum(when(col("cov_bp") >= 5000, 1L).otherwise(0L)).as("n_majority_dup"))
+      .orderBy("source")
+  }
+
+  private lazy val dupSpanCoverageOracle: String = {
+    val segHash = Hashing.duckRollHash("seg", Hashing.P)
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      sgs AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(0, len(ws) // 10),
+                 i -> array_to_string(ws[i*10+1 : i*10+10], ' '))) AS seg
+        FROM w WHERE len(ws) >= 10),
+      h AS (SELECT doc_id, source, $segHash AS h FROM sgs),
+      sp AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs_h FROM h GROUP BY h),
+      per AS (
+        SELECT doc_id, source, COUNT(*) AS n_seg,
+               SUM(CASE WHEN n_docs_h > 1 THEN 1 ELSE 0 END) AS n_cross
+        FROM h JOIN sp USING (h) GROUP BY 1, 2),
+      cov AS (SELECT source, n_cross * 10000 // n_seg AS cov_bp FROM per)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST((2 * SUM(cov_bp) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_cov_bp,
+             CAST(SUM(CASE WHEN cov_bp >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_majority_dup
+      FROM cov GROUP BY source ORDER BY source"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("dd01_exact",
       exact,
@@ -1187,7 +1239,8 @@ object Dedup {
     Q("dd18_winnow_est", winnowEst, Some(winnowEstOracle)),
     Q("dd19_cluster_size_hist", clusterSizeHist, Some(clusterSizeHistOracle)),
     Q("dd20_edit_distance", editDistanceDup, Some(editDistanceDupOracle)),
-    Q("dd21_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle))
+    Q("dd21_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
+    Q("dd22_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageOracle))
   )
 
   /** Duplicate-cluster size distribution: how many exact-duplicate

@@ -1085,6 +1085,7 @@ object Text {
     Q("tx24_collocations", collocations, Some(collocationsOracle)),
     Q("tx25_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     Q("tx29_bpe_apply", bpeApply, Some(bpeApplyOracle)),
+    Q("tx30_zipf_slope", zipfSlope, Some(zipfSlopeOracle)),
     Q("tx26_lang_profile_overlap", langProfileOverlap, Some(langProfileOverlapOracle)),
     Q("tx27_importance_weights", importanceWeights, Some(importanceWeightsOracle)),
     Q("tx28_ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle))
@@ -1166,6 +1167,61 @@ object Text {
       .select("rank", "pair", "cnt")
       .orderBy("rank")
   }
+
+  /** tx30: Zipf-law slope of the token frequency distribution, EXACTLY.
+    * Logs normally force floating point; instead both rank and frequency
+    * drop to integer floor(log2) via binary-representation length
+    * (`length(bin(x)) - 1` in Spark, `length(format('{:b}', x)) - 1` in
+    * DuckDB — bit-exact in both), and the slope of ilog2(freq) over
+    * ilog2(rank) comes from the an72 five-sums regression in half-up
+    * basis points. A Zipfian corpus reads ≈ −10000 bp (slope −1); a
+    * uniform synthetic one reads near 0 — the standard naturalness check
+    * on a training corpus. One (token) count shuffle; the regression runs
+    * on the top-1024 rows. */
+  private def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.orderBy(desc("cnt"), asc("w"))
+    val ranked = words(Tables.documents(s, d))
+      .select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .filter(col("rank") <= 1024)
+      .select(
+        (length(bin(col("rank"))) - 1).cast("long").as("xq"),
+        (length(bin(col("cnt"))) - 1).cast("long").as("yq"))
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    ranked.groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(big(col("xq"))).as("sx"), sum(big(col("yq"))).as("sy"),
+        sum(big(col("xq")) * big(col("yq"))).as("sxy"),
+        sum(big(col("xq")) * big(col("xq"))).as("sxx"))
+      .select(col("n"),
+        expr("""CASE WHEN (n * sxy - sx * sy) >= 0
+          THEN (2 * (n * sxy - sx * sy) * 10000 + (n * sxx - sx * sx)) DIV (2 * (n * sxx - sx * sx))
+          ELSE -((2 * (-(n * sxy - sx * sy)) * 10000 + (n * sxx - sx * sx)) DIV (2 * (n * sxx - sx * sx)))
+          END""").cast("bigint").as("zipf_slope_bp"))
+  }
+
+  private val zipfSlopeOracle =
+    """WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (SELECT w, COUNT(*) AS cnt FROM w WHERE len(w) >= 1 GROUP BY w),
+      r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM c),
+      q AS (
+        SELECT CAST(length(format('{:b}', rank)) - 1 AS HUGEINT) AS xq,
+               CAST(length(format('{:b}', cnt)) - 1 AS HUGEINT) AS yq
+        FROM r WHERE rank <= 1024),
+      g AS (
+        SELECT COUNT(*) AS n, SUM(xq) AS sx, SUM(yq) AS sy,
+               SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx
+        FROM q)
+      SELECT n,
+             CAST(CASE WHEN (n * sxy - sx * sy) >= 0
+               THEN (2 * (n * sxy - sx * sy) * 10000 + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx))
+               ELSE -((2 * (-(n * sxy - sx * sy)) * 10000 + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx)))
+               END AS BIGINT) AS zipf_slope_bp
+      FROM g"""
 
   /** tx29: APPLIED byte-pair encoding — tx25's pair statistic iterated 5
     * greedy merge rounds (highest count, ties to the lexically smaller
