@@ -534,6 +534,79 @@ object Multimodal {
              CAST(COUNT(*) FILTER (WHERE bin = 3) AS BIGINT) AS b3
       FROM px GROUP BY doc_id ORDER BY doc_id"""
 
+  /** mm13: perceptual difference-hash (dHash) image near-dup — the
+    * standard cheap visual fingerprint: decode the REAL PNG, nearest-
+    * neighbor downsample to 9×8 (the mm04 kernel), set bit (y·8+x) when
+    * the right neighbor is brighter, giving a 63-bit signature (bit 63
+    * dropped so the value stays non-negative in signed 64-bit on BOTH
+    * engines). Near-dup candidates come from a 4×16-bit band equi-join —
+    * the dd08 pigeonhole layout, candidate-proportional, never all-pairs;
+    * reported per doc as the count of band-sharing partners. The oracle
+    * replays decode+resize+hash ARITHMETICALLY from the generative pixel
+    * formula, so it only agrees if the codec, the resampler and the bit
+    * packing are all honest. Per-row map work + one (band, bval) shuffle. */
+  private def dhashQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = pngFrame(s, d)
+      .select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val ras = resizeNearest(readPng(png), 9, 8).getRaster
+        var hsh = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (!(x == 7 && y == 7) &&
+              ras.getSample(x + 1, y, 0) > ras.getSample(x, y, 0))
+              hsh |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (id, hsh)
+      })
+      .toDF("doc_id", "dhash")
+    val bands = hashes
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bval")
+    val partners = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(countDistinct(col("b.doc_id")).as("n_band_partners"))
+    hashes.join(partners, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_band_partners"))
+      .orderBy("doc_id")
+  }
+
+  private val dhashOracle =
+    """WITH g AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 7 AS h FROM documents),
+      px AS (
+        SELECT doc_id, w, h, tx.x, ty.y
+        FROM g, range(8) tx(x), range(8) ty(y)),
+      bitv AS (
+        SELECT doc_id, CASE WHEN NOT (x = 7 AND y = 7)
+            AND ((doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256)
+              > ((doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256)
+          THEN (CAST(1 AS BIGINT) << CAST(y*8 + x AS INT)) ELSE 0 END AS v
+        FROM px),
+      hsh AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash FROM bitv GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b AS band_id, (dhash >> CAST(b*16 AS INT)) & 65535 AS bval
+        FROM hsh, range(4) r(b)),
+      p AS (
+        SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_band_partners
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bval = b.bval AND a.doc_id <> b.doc_id
+        GROUP BY 1)
+      SELECT h.doc_id, h.dhash,
+             CAST(COALESCE(p.n_band_partners, 0) AS BIGINT) AS n_band_partners
+      FROM hsh h LEFT JOIN p ON h.doc_id = p.doc_id ORDER BY h.doc_id"""
+
   def all: Seq[Q] = Seq(
     Q("mm01_meta", meta, Some(metaOracle)),
     Q("mm02_frame_sample", frames, Some(framesOracle)),
@@ -546,7 +619,8 @@ object Multimodal {
     Q("mm09_lum_histogram", lumHistogram, Some(lumHistogramOracle)),
     Q("mm10_aspect_bucket", aspectBucket, Some(aspectBucketOracle)),
     Q("mm11_shot_boundary", shotBoundary, Some(shotBoundaryOracle)),
-    Q("mm12_audio_clipping", audioClipping, Some(audioClippingOracle))
+    Q("mm12_audio_clipping", audioClipping, Some(audioClippingOracle)),
+    Q("mm13_dhash", dhashQ, Some(dhashOracle))
   )
 
   /** Audio-quality gate over the PCM payload: per-doc clipping rate

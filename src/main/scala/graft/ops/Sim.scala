@@ -1673,6 +1673,102 @@ object Sim {
       r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
       SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  /** sm27: recall@5 as a FUNCTION of nprobe (1..4) — the quality/cost
+    * curve that prices the IVF search knob: each extra probed cell costs
+    * one more cell's candidates and buys measurable recall. One corpus
+    * pass emits every candidate tagged with the probe rank at which its
+    * cell enters (prank ∈ 1..4); each curve point is then a top-5 window
+    * over the prank ≤ k slice — no re-scan per k. Ground truth is the
+    * sm12 exact pass. mean_recall_bp = hits·10000/50 exactly. */
+  private def nprobeCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    val queries = collectMatrix(s, d, idBound = 10).map { case (qid, v, n) =>
+      // stable sort over the id-sorted centroid array: ties keep smaller cid,
+      // matching the oracle's ORDER BY d2, cid
+      val order = cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
+        .sortBy(_._2).map(_._1).take(4)
+      (qid, v, n, order.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap)
+    }
+    val bc  = s.sparkContext.broadcast((cents, queries))
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val pairs = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, qs) = bc.value
+        it.flatMap { case (nid, vf) =>
+          val v    = vf.map(_.toDouble)
+          val cell = assignCell(v, cs)
+          val n    = normv(v)
+          qs.iterator.filter(_._1 != nid).flatMap { case (qid, qv, qn, order) =>
+            val sim = dotv(qv, v) / (qn * n)
+            // prank 0 marks exact-ground-truth-only rows (cell unprobed)
+            Iterator((qid, nid, sim, order.getOrElse(cell, 0)))
+          }
+        }
+      }
+      .toDF("qid", "nid", "sim", "prank")
+      .persist()
+    try {
+      val exact = pairs
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 5).select("qid", "nid")
+      val out = (1 to 4).map { k =>
+        val approx = pairs.filter(col("prank") >= 1 && col("prank") <= k)
+          .withColumn("rn", row_number().over(byQ))
+          .filter(col("rn") <= 5).select("qid", "nid")
+        approx.join(exact, Seq("qid", "nid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(k.toLong).as("nprobe"), col("hits"),
+            (col("hits") * 200).as("mean_recall_bp"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+      out.localCheckpoint(eager = true) // 4-row result; drop the cached pairs
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  private lazy val nprobeCurveOracle = {
+    val blocks = (1 to 4).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS nprobe, COUNT(*) AS hits
+         FROM (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             FROM sims WHERE prank BETWEEN 1 AND $k) WHERE rn <= 5)
+         JOIN ex5 USING (qid, nid)"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      cd2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS pcell, rn AS prank
+                 FROM rk WHERE vec_id < 10 AND rn <= 4),
+      dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.d = b.d AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT d.qid, d.nid, d.dot / (na.nrm * nb.nrm) AS sim,
+               COALESCE(p.prank, 0) AS prank
+        FROM dots d
+        JOIN nrm na ON d.qid = na.vec_id
+        JOIN nrm nb ON d.nid = nb.vec_id
+        JOIN cell c ON c.vec_id = d.nid
+        LEFT JOIN probes p ON p.qid = d.qid AND p.pcell = c.cell),
+      ex5 AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM sims) WHERE rn <= 5)
+      SELECT nprobe, hits, hits * 200 AS mean_recall_bp
+      FROM ($blocks) ORDER BY nprobe"""
+  }
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1699,7 +1795,8 @@ object Sim {
     Q("sm23_mrl_recall", mrlRecall, Some(mrlRecallOracle)),
     Q("sm24_label_separation", labelSeparation, Some(labelSeparationOracle)),
     Q("sm25_ivf_index_build", ivfIndexBuild, Some(ivfIndexBuildOracle)),
-    Q("sm26_ivf_index_search", ivfPersistedSearch, Some(ivfPersistedSearchOracle))
+    Q("sm26_ivf_index_search", ivfPersistedSearch, Some(ivfPersistedSearchOracle)),
+    Q("sm27_nprobe_curve", nprobeCurve, Some(nprobeCurveOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS
