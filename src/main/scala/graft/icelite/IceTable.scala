@@ -248,8 +248,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * to the table location plus per-file stats/rows from the writers. */
   private[graft] def commitStagedEntries(
       entries: Seq[ManifestEntry],
-      replace: Boolean): IceTable = {
+      replace: Boolean,
+      token: Option[String] = None): IceTable = {
     val md0 = metadata
+    // idempotency (streaming epochs): a replayed commit is a no-op
+    if (token.exists(md0.knownTokens.contains)) return this
     val rel = s"metadata/manifests/m-w-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new Path(location, rel)
     fs.mkdirs(dir)
@@ -259,6 +262,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     while (attempt < 10) {
       val v  = currentVersion
       val md = metadataAt(v)
+      if (token.exists(md.knownTokens.contains)) return this // raced replay
       val baseSnap = md.currentSnapshot
       val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
       val base: Seq[(String, Map[String, ColRange])] =
@@ -273,7 +277,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         operation = if (replace) "replace" else "append",
         manifests = (base.map(_._1) :+ rel).toList,
         manifest_summaries = Some((base.map(_._2) :+ newSummary).toList),
-        parent_snapshot_id = baseSnap.map(_.snapshot_id))
+        parent_snapshot_id = baseSnap.map(_.snapshot_id),
+        commit_token = token)
       val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
       if (commitCasAt(v + 1, newMd)) return this
       attempt += 1

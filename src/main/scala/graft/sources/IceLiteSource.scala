@@ -138,7 +138,8 @@ final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
     md.partitionCols.map(Expressions.identity(_)).toArray
 

@@ -50,6 +50,45 @@ final class IceLiteWrite(location: String, schema: StructType, replace: Boolean)
   override def toBatch: BatchWrite =
     new IceLiteBatchWrite(location, schema, replace,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+
+  /** `df.writeStream.format("icelite")`: every epoch commits one snapshot
+    * through the CAS protocol with the epoch id as the commit token, so a
+    * replayed epoch (restart, at-least-once redelivery) is absorbed
+    * EXACTLY ONCE — the V2-native twin of the st05 foreachBatch +
+    * appendOnce recipe. */
+  override def toStreaming: streaming.StreamingWrite = {
+    require(!replace, "icelite streaming write supports append output mode only")
+    new IceLiteStreamingWrite(location, schema,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+  }
+}
+
+final class IceLiteStreamingWrite(
+    location: String,
+    schema: StructType,
+    conf: SerializableHadoopConf)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    IceLiteStreamingWriterFactory(conf, location, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.toSeq.map { m =>
+      val w = m.asInstanceOf[IceLiteWriteMessage]
+      ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
+    }
+    IceTable.load(SparkSession.active, location)
+      .commitStagedEntries(entries, replace = false, token = Some(s"v2-epoch-$epochId"))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(location).getFileSystem(conf.value)
+    messages.foreach {
+      case m: IceLiteWriteMessage => fs.delete(new Path(location, m.relPath), false)
+      case _                      =>
+    }
+  }
 }
 
 final class IceLiteBatchWrite(
@@ -85,6 +124,18 @@ final case class IceLiteWriteMessage(
     rows: Long,
     stats: Map[String, ColRange])
     extends WriterCommitMessage
+
+final case class IceLiteStreamingWriterFactory(
+    conf: SerializableHadoopConf,
+    location: String,
+    schema: StructType)
+    extends streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new IceLiteDataWriter(conf, location,
+      s"data/snap-e$epochId-${f"$partitionId%05d"}", schema, partitionId, taskId)
+}
 
 final class IceLiteWriterFactory(
     conf: SerializableHadoopConf,

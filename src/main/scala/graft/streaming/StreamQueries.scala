@@ -581,6 +581,55 @@ object StreamQueries {
       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** st15: `writeStream.format("icelite")` — the V2-NATIVE exactly-once
+    * streaming sink (st05 hand-rolls the same guarantee with foreachBatch
+    * + appendOnce; this is the connector doing it: every epoch commits
+    * one CAS snapshot carrying `v2-epoch-N` as its token, so a replayed
+    * epoch is absorbed exactly once). The gate streams events into the
+    * table, REPLAYS epoch 0's commit by hand, asserts the table ignored
+    * it, and returns the per-type aggregate the oracle recomputes. */
+  private def streamTableSink(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.FsCatalog
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val wh   = "/root/repo/target/scratch/st15_wh"
+    val ckpt = "/root/repo/target/scratch/st15_ckpt"
+    Seq(wh, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val ev  = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val cat = new FsCatalog(s, wh)
+    val t   = cat.createOrReplaceTable("graft", "events_sink", ev.limit(0))
+    eventsStream(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .writeStream.format("icelite")
+      .option("location", t.location.toString)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    // exactly-once: replaying epoch 0's commit must be a no-op
+    val before = t.scan().count()
+    t.appendOnce(ev, "v2-epoch-0")
+    require(t.scan().count() == before, "replayed epoch was double-committed")
+    require(t.snapshots().exists(_.commit_token.contains("v2-epoch-0")),
+      "epoch token missing from the snapshot log")
+    s.read.format("icelite").option("location", t.location.toString).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"))
+      .select(col("event_type"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val streamTableSinkOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -595,7 +644,8 @@ object StreamQueries {
     Q("st11_stream_enrich", streamEnrich, Some(streamEnrichOracle)),
     Q("st12_transform_with_state", transformWithStateQ, Some(transformWithStateOracle)),
     Q("st13_map_state", mapStateQ, Some(mapStateOracle)),
-    Q("st14_stream_table_source", streamTableSource, Some(streamTableSourceOracle))
+    Q("st14_stream_table_source", streamTableSource, Some(streamTableSourceOracle)),
+    Q("st15_stream_table_sink", streamTableSink, Some(streamTableSinkOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
