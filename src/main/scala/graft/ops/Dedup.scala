@@ -1062,12 +1062,26 @@ object Dedup {
           s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bsig")
-    val cand = band.as("x")
-      .join(band.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // Per-doc candidate cap (top-16 by band-collision count, ties to the
+    // smaller id): the O(len²) DP cost per doc stays BOUNDED even on a
+    // pathologically duplicate-heavy corpus where every doc has dozens of
+    // near-copies — without it, total verify work grows with the square
+    // of the copy factor (measured: the 10× scale set has ~100× the
+    // pairs). The explicit spread() keeps AQE from coalescing the tiny-
+    // by-bytes candidate shuffle onto one core — byte-based coalescing
+    // can't see that each row carries a quadratic-in-length DP.
+    val byCollisions = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a").orderBy(desc("n_bands"), asc("doc_b"))
+    val cand = Tables.spread(
+      band.as("x")
+        .join(band.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .withColumn("rk", row_number().over(byCollisions))
+        .filter(col("rk") <= 16)
+        .select("doc_a", "doc_b"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
@@ -1086,12 +1100,23 @@ object Dedup {
 
   private lazy val editDistanceDupOracle =
     s"""WITH $minhashPairsCte,
+      ccand AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b,
+                 row_number() OVER (PARTITION BY doc_a
+                                    ORDER BY n_bands DESC, doc_b) AS rk
+          FROM (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_bands
+            FROM band x JOIN band y
+              ON x.band_id = y.band_id AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+            GROUP BY 1, 2))
+        WHERE rk <= 16),
       tx AS (SELECT doc_id, text FROM documents),
       lv AS (
         SELECT c.doc_a, c.doc_b,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
                CAST(GREATEST(len(a.text), len(b.text)) AS BIGINT) AS maxlen
-        FROM cand c JOIN tx a ON a.doc_id = c.doc_a JOIN tx b ON b.doc_id = c.doc_b)
+        FROM ccand c JOIN tx a ON a.doc_id = c.doc_a JOIN tx b ON b.doc_id = c.doc_b)
       SELECT doc_a, doc_b, lev,
              10000 - ((2 * lev * 10000 + maxlen) // (2 * maxlen)) AS edit_sim_bp
       FROM lv WHERE lev * 5 <= maxlen AND maxlen > 0 ORDER BY doc_a, doc_b"""

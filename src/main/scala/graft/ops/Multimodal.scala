@@ -566,20 +566,36 @@ object Multimodal {
         (id, hsh)
       })
       .toDF("doc_id", "dhash")
+      .persist() // two join sides + the final join-back: decode ONCE
     val bands = hashes
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bval")
-    val partners = bands.as("a")
-      .join(bands.as("b"),
+    // hot-bucket skip (standard LSH hygiene, the dd16 df-cap): dHash is
+    // LOW-entropy by design — gradient-dominated images share band
+    // values en masse, and a bucket of g docs costs g² join rows. A
+    // bucket larger than 64 carries no near-dup signal (it's the
+    // degenerate "everything looks alike" class) and is dropped BEFORE
+    // the self-join, so candidate cost stays bucket-bounded at any
+    // corpus size (measured: un-capped, the 10× corpus exploded
+    // quadratically).
+    val bucketSizes = bands.groupBy("band_id", "bval")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 64)
+    val coldBands = bands.join(bucketSizes, Seq("band_id", "bval"))
+      .select("doc_id", "band_id", "bval")
+    val partners = coldBands.as("a")
+      .join(coldBands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id"))
       .agg(countDistinct(col("b.doc_id")).as("n_band_partners"))
-    hashes.join(partners, Seq("doc_id"), "left")
+    val out = hashes.join(partners, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_band_partners"))
       .orderBy("doc_id")
+    try out.localCheckpoint(eager = true)
+    finally hashes.unpersist(blocking = false)
   }
 
   private val dhashOracle =
@@ -598,9 +614,13 @@ object Multimodal {
       bands AS (
         SELECT doc_id, b AS band_id, (dhash >> CAST(b*16 AS INT)) & 65535 AS bval
         FROM hsh, range(4) r(b)),
+      cold AS (
+        SELECT band_id, bval FROM bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+      cb AS (SELECT b.* FROM bands b JOIN cold USING (band_id, bval)),
       p AS (
         SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_band_partners
-        FROM bands a JOIN bands b
+        FROM cb a JOIN cb b
           ON a.band_id = b.band_id AND a.bval = b.bval AND a.doc_id <> b.doc_id
         GROUP BY 1)
       SELECT h.doc_id, h.dhash,

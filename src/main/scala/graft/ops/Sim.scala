@@ -1552,19 +1552,29 @@ object Sim {
         it.map { case (id, vf) => (assignCell(vf.map(_.toDouble), cs), id, vf) }
       }
       .toDF("cell", "vec_id", "embedding")
-      .persist() // read once per cell below, assignment computed once
+      .persist() // materialized once; per-cell writes read the cache
     try {
       val w = new IcebergFormat.Writer(s, loc, assigned.schema)
-      val infos = (0L until ivfCells.toLong).flatMap { cid =>
-        val cellDf = assigned.filter(col("cell") === cid)
-        if (cellDf.isEmpty) None
-        else {
-          val enc = IcebergFormat
-            .encodeBound(org.apache.spark.sql.types.LongType, cid.toString).get
-          Some(IcebergFormat
-            .writeSingleFile(s, root, loc, s"cell$cid", cellDf.orderBy("vec_id"))
-            .copy(bounds = Map(1 -> (enc, enc)))) // field 1 = cell: min = max = cid
-        }
+      // one grouped count replaces 8 isEmpty probes + 8 per-file counts
+      val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fsL = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val infos = counts.toSeq.sortBy(_._1).map { case (cid, n) =>
+        val tmp = s"$root/stage_c$cid"
+        assigned.filter(col("cell") === cid).coalesce(1)
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(tmp)
+        val part = fsL.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val dest = new org.apache.hadoop.fs.Path(s"$loc/data/cell$cid.parquet")
+        fsL.mkdirs(dest.getParent)
+        require(fsL.rename(part, dest), s"stage rename failed for cell$cid")
+        fsL.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val enc = IcebergFormat
+          .encodeBound(org.apache.spark.sql.types.LongType, cid.toString).get
+        IcebergFormat.DataFileInfo(dest.toString, n, fsL.getFileStatus(dest).getLen)
+          .copy(bounds = Map(1 -> (enc, enc))) // field 1 = cell: min = max = cid
       }
       w.commit(infos)
       w.currentMetadataPath

@@ -1259,9 +1259,12 @@ object Text {
         "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")
     def tokenTotal(df: DataFrame): Long =
       df.select(sum(size(tokCol)).as("n")).head().getLong(0)
-    var cur = w0
+    // each round's state is persisted so the pair count and token total
+    // read materialized data instead of replaying the replace chain from
+    // the raw corpus (O(k) passes per action otherwise)
+    var cur = w0.persist()
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)](
-      (0L, "(chars)", tokenTotal(w0)))
+      (0L, "(chars)", tokenTotal(cur)))
     for (k <- 1 to bpeRounds) {
       val top = cur
         .select(tokCol.as("tk"))
@@ -1272,11 +1275,14 @@ object Text {
         .head()
       val pair          = top.getString(0)
       val Array(a, b)   = pair.split(' ')
+      val prev = cur
       cur = cur.withColumn("t",
         org.apache.spark.sql.functions.replace(
-          col("t"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          col("t"), lit(s"|$a||$b|"), lit(s"|$a$b|"))).persist()
       out += ((k.toLong, pair, tokenTotal(cur)))
+      prev.unpersist(blocking = false)
     }
+    cur.unpersist(blocking = false)
     import s.implicits._
     out.toSeq.toDF("rank", "pair", "tokens").orderBy("rank")
   }

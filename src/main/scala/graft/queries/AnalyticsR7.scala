@@ -141,6 +141,123 @@ object AnalyticsR7 {
           ev AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_ev FROM events GROUP BY 1),
           j AS (SELECT rev.day, rev_c, n_ev FROM rev JOIN ev USING (day))
           SELECT * FROM (${one(0)} UNION ALL ${one(1)}) ORDER BY lag_days"""
-      })
+      }),
+
+    // ---- winsorized mean (clip at the p05/p95 ORDER STATISTICS, then
+    //      average): the robust-location estimate an74's median/MAD pair
+    //      doesn't give. Exact: ranks come from a deterministic
+    //      (value, orderkey, linenumber) total order, the clip points are
+    //      the ceil(n/20) / ceil(19n/20) order statistics, and the
+    //      clipped mean is a half-up integer division of cents. Work:
+    //      one per-flag rank window over lineitem (the fact-grain window
+    //      an63's two-pass prefix-sum treatment covers at 100 TB,
+    //      documented there) + a 3-row broadcast of clip points.
+    Q("an79_winsorized",
+      (s, d) => {
+        val byV = Window.partitionBy("l_returnflag")
+          .orderBy("vc", "l_orderkey", "l_linenumber")
+        val byF = Window.partitionBy("l_returnflag")
+        val ranked = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            cents(col("l_extendedprice")).as("vc"))
+          .withColumn("rn", row_number().over(byV).cast("long"))
+          .withColumn("n", count(lit(1)).over(byF))
+          .withColumn("r05", expr("(n + 19) DIV 20"))
+          .withColumn("r95", expr("(19 * n + 19) DIV 20"))
+        val clips = ranked.groupBy("l_returnflag")
+          .agg(max(when(col("rn") === col("r05"), col("vc"))).as("p05_c"),
+            max(when(col("rn") === col("r95"), col("vc"))).as("p95_c"))
+        ranked.join(broadcast(clips), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("p05_c"), col("p95_c"),
+            greatest(col("p05_c"), least(col("p95_c"), col("vc"))).as("wc"))
+          .groupBy("l_returnflag", "p05_c", "p95_c")
+          .agg(count(lit(1)).as("n"),
+            sum(col("wc").cast("decimal(38,0)")).as("sw"))
+          .select(col("l_returnflag"), col("n"), col("p05_c"), col("p95_c"),
+            expr(halfUpDiv("sw", "n", 1L)).cast("bigint").as("winsor_mean_c"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH v AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM lineitem),
+        r AS (
+          SELECT l_returnflag, vc,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY vc, l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM v),
+        cl AS (
+          SELECT l_returnflag,
+                 MAX(CASE WHEN rn = (n + 19) // 20 THEN vc END) AS p05_c,
+                 MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN vc END) AS p95_c
+          FROM r GROUP BY 1),
+        w AS (
+          SELECT r.l_returnflag, cl.p05_c, cl.p95_c,
+                 GREATEST(cl.p05_c, LEAST(cl.p95_c, r.vc)) AS wc
+          FROM r JOIN cl USING (l_returnflag)),
+        g AS (
+          SELECT l_returnflag, p05_c, p95_c, COUNT(*) AS n,
+                 SUM(CAST(wc AS HUGEINT)) AS sw
+          FROM w GROUP BY 1, 2, 3)
+        SELECT l_returnflag, n, p05_c, p95_c,
+               CAST(${duckHalfUpDiv("sw", "n", 1L)} AS BIGINT) AS winsor_mean_c
+        FROM g ORDER BY l_returnflag""")),
+
+    // ---- two-sample Kolmogorov–Smirnov distance between per-customer
+    //      spend distributions of two market segments, EXACT: at each
+    //      distinct spend value, D-candidate = |cumA·m − cumB·n| (pure
+    //      integers), and D_bp = max·10000/(n·m) half-up — no ECDF
+    //      floating point anywhere. The distribution lives at customer
+    //      grain (dimension-bounded windows); corpus-proportional work is
+    //      the one orders aggregate. The standard drift test between two
+    //      cohorts' distributions, exact enough to hash.
+    Q("an80_ks_test",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .groupBy(col("c_mktsegment"), col("c_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("vc"))
+        val perValue = spend.groupBy("vc")
+          .agg(sum(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("da"),
+            sum(when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L)).as("db"))
+        val byV = Window.orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totals = perValue.agg(sum("da").as("n_a"), sum("db").as("n_b"))
+        perValue
+          .withColumn("ca", sum("da").over(byV))
+          .withColumn("cb", sum("db").over(byV))
+          .crossJoin(broadcast(totals))
+          .select(col("n_a"), col("n_b"),
+            abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("dnum"))
+          .groupBy("n_a", "n_b")
+          .agg(max("dnum").as("dmax"))
+          .select(col("n_a"), col("n_b"),
+            expr(halfUpDiv("dmax", "n_a * n_b", 10000L)).cast("bigint").as("ks_bp"))
+      },
+      Some(s"""WITH sp AS (
+          SELECT c_mktsegment, c_custkey,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS vc
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          GROUP BY 1, 2),
+        pv AS (
+          SELECT vc,
+                 SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS da,
+                 SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS db
+          FROM sp GROUP BY vc),
+        cum AS (
+          SELECT vc,
+                 SUM(da) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS ca,
+                 SUM(db) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cb
+          FROM pv),
+        t AS (SELECT SUM(da) AS n_a, SUM(db) AS n_b FROM pv),
+        m AS (
+          SELECT t.n_a, t.n_b, MAX(ABS(ca * t.n_b - cb * t.n_a)) AS dmax
+          FROM cum, t GROUP BY 1, 2)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(${duckHalfUpDiv("dmax", "n_a * n_b", 10000L)} AS BIGINT) AS ks_bp
+        FROM m"""))
   )
 }

@@ -1239,6 +1239,32 @@ object IceQueries {
       .orderBy("n_nationkey")
   }
 
+  /** V2 time travel: `option("snapshot", id)` and
+    * `option("asOfTimestamp", ms)` pin the SQL-surface read to a
+    * historical snapshot — the same semantics the library's
+    * scanSnapshot/scanAsOf have, now reachable from
+    * spark.read.format("icelite"). Both forms must agree with each
+    * other (require) and with the oracle's view of snapshot 1. */
+  private def dsv2TimeTravelQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "dsv2tt")
+    val cat    = new FsCatalog(s, wh)
+    val nation = Tables.nation(s, d)
+    val t = cat.createOrReplaceTable("graft", "nation_tt", nation) // snapshot 1
+    Thread.sleep(15) // strictly later wall clock so the timestamp pin is unambiguous
+    t.append(nation.filter(col("n_regionkey") === 0))              // snapshot 2
+    val snap1Ts = t.snapshots().find(_.snapshot_id == 1L).get.timestamp_ms
+    val bySnap = s.read.format("icelite")
+      .option("location", t.location.toString).option("snapshot", "1").load()
+    val byTs = s.read.format("icelite")
+      .option("location", t.location.toString)
+      .option("asOfTimestamp", snap1Ts.toString).load()
+    require(byTs.count() == bySnap.count(),
+      "asOfTimestamp travel diverged from snapshot-id travel")
+    require(t.scan().count() > bySnap.count(),
+      "current snapshot should see the second append")
+    bySnap.orderBy("n_nationkey")
+  }
+
   /** Nested types through the REAL Iceberg v2 metadata path (struct +
     * list + map — the spec's composite JSON type objects): build a nested
     * view of orders, commit it as an Iceberg table whose schema JSON
@@ -1403,7 +1429,8 @@ object IceQueries {
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
               FROM orders WHERE o_orderpriority = '1-URGENT'
               GROUP BY 1 ORDER BY 1""")),
-    Q("ic54_dsv2_write", dsv2WriteQ, Some(nationOracle))
+    Q("ic54_dsv2_write", dsv2WriteQ, Some(nationOracle)),
+    Q("ic55_dsv2_timetravel", dsv2TimeTravelQ, Some(nationOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file
