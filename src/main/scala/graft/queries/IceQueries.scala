@@ -1265,6 +1265,28 @@ object IceQueries {
     bySnap.orderBy("n_nationkey")
   }
 
+  /** The TableCatalog plugin end to end, entirely in SQL: register the
+    * warehouse as catalog `ice_sql`, then CREATE TABLE AS SELECT,
+    * INSERT INTO, SHOW TABLES and SELECT-by-name — zero library calls.
+    * CTAS + INSERT both land real CAS snapshots through the V2 write
+    * path, and the final by-name SELECT resolves through the same scan
+    * (file skipping, stats, DPP all apply to SQL-by-name access). */
+  private def sqlCatalogV2Q(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlcat")
+    s.conf.set("spark.sql.catalog.ice_sql", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_sql.warehouse", wh)
+    Tables.nation(s, d).createOrReplaceTempView("nation_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS ice_sql.graft")
+    s.sql("DROP TABLE IF EXISTS ice_sql.graft.nation_sql")
+    s.sql("CREATE TABLE ice_sql.graft.nation_sql AS SELECT * FROM nation_src")
+    s.sql("INSERT INTO ice_sql.graft.nation_sql SELECT * FROM nation_src WHERE n_regionkey = 0")
+    val shown = s.sql("SHOW TABLES IN ice_sql.graft")
+      .select("tableName").collect().map(_.getString(0))
+    require(shown.contains("nation_sql"), s"SHOW TABLES missed the table: ${shown.mkString(",")}")
+    s.sql("""SELECT n_regionkey, COUNT(*) AS n
+             FROM ice_sql.graft.nation_sql GROUP BY 1 ORDER BY 1""")
+  }
+
   /** Nested types through the REAL Iceberg v2 metadata path (struct +
     * list + map — the spec's composite JSON type objects): build a nested
     * view of orders, commit it as an Iceberg table whose schema JSON
@@ -1430,7 +1452,11 @@ object IceQueries {
               FROM orders WHERE o_orderpriority = '1-URGENT'
               GROUP BY 1 ORDER BY 1""")),
     Q("ic54_dsv2_write", dsv2WriteQ, Some(nationOracle)),
-    Q("ic55_dsv2_timetravel", dsv2TimeTravelQ, Some(nationOracle))
+    Q("ic55_dsv2_timetravel", dsv2TimeTravelQ, Some(nationOracle)),
+    Q("ic56_sql_catalog_v2", sqlCatalogV2Q,
+      Some("""WITH t AS (SELECT * FROM nation
+                         UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
+              SELECT n_regionkey, COUNT(*) AS n FROM t GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file
