@@ -1779,6 +1779,60 @@ object Sim {
       FROM ($blocks) ORDER BY nprobe"""
   }
 
+  /** sm28: centroid-assignment DRIFT between the even-id and odd-id
+    * corpus halves — the index-staleness monitor a live ANN service runs:
+    * the build-time half fixes the expectation, and when the serving
+    * half's per-cell shares diverge, the IVF codebook needs retraining
+    * (completes sm14's static balance audit with a temporal signal).
+    * Per-cell |share_even − share_odd| in exact integer bp; one corpus
+    * pass + an 8-key aggregate. */
+  private def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    val bc    = s.sparkContext.broadcast(cents)
+    val counts = Tables.spread(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vf) => (assignCell(vf.map(_.toDouble), cs), id % 2) }
+      }
+      .toDF("cell", "half")
+      .groupBy("cell")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_odd"))
+    val totals = counts.agg(sum("n_even").as("t_even"), sum("n_odd").as("t_odd"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_even"), col("n_odd"),
+        expr("n_even * 10000 DIV t_even").as("share_even_bp"),
+        expr("n_odd * 10000 DIV t_odd").as("share_odd_bp"))
+      .withColumn("drift_bp", abs(col("share_even_bp") - col("share_odd_bp")))
+      .orderBy("cell")
+  }
+
+  private lazy val centroidDriftOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      cnt AS (
+        SELECT cell,
+               SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+               SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+        FROM cell GROUP BY 1),
+      t AS (SELECT SUM(n_even) AS t_even, SUM(n_odd) AS t_odd FROM cnt)
+      SELECT cell, CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
+             CAST(n_even * 10000 // t_even AS BIGINT) AS share_even_bp,
+             CAST(n_odd * 10000 // t_odd AS BIGINT) AS share_odd_bp,
+             CAST(ABS(n_even * 10000 // t_even - n_odd * 10000 // t_odd) AS BIGINT) AS drift_bp
+      FROM cnt, t ORDER BY cell"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1806,7 +1860,8 @@ object Sim {
     Q("sm24_label_separation", labelSeparation, Some(labelSeparationOracle)),
     Q("sm25_ivf_index_build", ivfIndexBuild, Some(ivfIndexBuildOracle)),
     Q("sm26_ivf_index_search", ivfPersistedSearch, Some(ivfPersistedSearchOracle)),
-    Q("sm27_nprobe_curve", nprobeCurve, Some(nprobeCurveOracle))
+    Q("sm27_nprobe_curve", nprobeCurve, Some(nprobeCurveOracle)),
+    Q("sm28_centroid_drift", centroidDrift, Some(centroidDriftOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS

@@ -258,6 +258,58 @@ object AnalyticsR7 {
           FROM cum, t GROUP BY 1, 2)
         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                CAST(${duckHalfUpDiv("dmax", "n_a * n_b", 10000L)} AS BIGINT) AS ks_bp
-        FROM m"""))
+        FROM m""")),
+
+    // ---- TIME-BOUNDED funnel (an26 counts unbounded step completion;
+    //      real product funnels expire): view → click → purchase, each
+    //      step within 1 HOUR of the previous, evaluated on the earliest
+    //      eligible event per user (deterministic strict-funnel
+    //      semantics). Three chained windows over ONE user partition =
+    //      one shuffle on user_id; timestamps compare exactly in both
+    //      engines (micro precision, INTERVAL arithmetic).
+    Q("an81_windowed_funnel",
+      (s, d) => {
+        val byU = Window.partitionBy("user_id")
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val staged = ev
+          .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(byU))
+          .withColumn("tc", min(when(col("event_type") === "click" &&
+            col("ts") >= col("tv"), col("ts"))).over(byU))
+          .withColumn("tp", min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("tc"), col("ts"))).over(byU))
+          .select("user_id", "tv", "tc", "tp").distinct()
+        staged.agg(
+          sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("tc").isNotNull &&
+            col("tc") <= col("tv") + expr("INTERVAL 1 HOUR"), 1L).otherwise(0L)).as("n_click_1h"),
+          sum(when(col("tc").isNotNull &&
+            col("tc") <= col("tv") + expr("INTERVAL 1 HOUR") &&
+            col("tp").isNotNull &&
+            col("tp") <= col("tc") + expr("INTERVAL 1 HOUR"), 1L).otherwise(0L))
+            .as("n_purchase_1h"))
+      },
+      Some("""WITH v AS (
+          SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv
+          FROM events GROUP BY 1),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS tc
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS tp
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1),
+        st AS (
+          SELECT v.user_id, v.tv, c.tc, p.tp
+          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        SELECT
+          CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+          CAST(SUM(CASE WHEN tc IS NOT NULL AND tc <= tv + INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_click_1h,
+          CAST(SUM(CASE WHEN tc IS NOT NULL AND tc <= tv + INTERVAL 1 HOUR
+                         AND tp IS NOT NULL AND tp <= tc + INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_1h
+        FROM st"""))
   )
 }

@@ -630,6 +630,57 @@ object StreamQueries {
       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** st16: TABLE-TO-TABLE streaming pipeline through the connector at
+    * BOTH ends — readStream tails the source table's snapshot log, a
+    * stateless quality-gate transform runs per micro-batch, and
+    * writeStream lands exactly-once epoch snapshots in the sink table
+    * (st14's source + st15's sink composed: the lakehouse "bronze →
+    * silver" hop with no foreachBatch glue anywhere). After the first
+    * drain, a second source append + resume must flow ONLY the delta
+    * into a new sink snapshot. */
+  private def streamTableToTable(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.FsCatalog
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val wh   = "/root/repo/target/scratch/st16_wh"
+    val ckpt = "/root/repo/target/scratch/st16_ckpt"
+    Seq(wh, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val ev  = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val cat = new FsCatalog(s, wh)
+    val src = cat.createOrReplaceTable("graft", "ev_bronze",
+      ev.filter(col("event_id") % 2 === 0).coalesce(1))
+    val dst = cat.createOrReplaceTable("graft", "ev_silver", ev.limit(0))
+    def drain(): Unit =
+      s.readStream.format("icelite").option("location", src.location.toString).load()
+        .filter(col("value") >= 0) // the quality gate: non-negative amounts pass
+        .writeStream.format("icelite")
+        .option("location", dst.location.toString)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    drain()
+    val afterFirst = dst.scan().count()
+    src.append(ev.filter(col("event_id") % 2 === 1).coalesce(1))
+    drain() // resume: only the delta snapshot flows
+    require(dst.scan().count() > afterFirst, "resumed drain moved no delta rows")
+    s.read.format("icelite").option("location", dst.location.toString).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"))
+      .select(col("event_type"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val streamTableToTableOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      FROM events WHERE value >= 0 GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -645,7 +696,8 @@ object StreamQueries {
     Q("st12_transform_with_state", transformWithStateQ, Some(transformWithStateOracle)),
     Q("st13_map_state", mapStateQ, Some(mapStateOracle)),
     Q("st14_stream_table_source", streamTableSource, Some(streamTableSourceOracle)),
-    Q("st15_stream_table_sink", streamTableSink, Some(streamTableSinkOracle))
+    Q("st15_stream_table_sink", streamTableSink, Some(streamTableSinkOracle)),
+    Q("st16_stream_table_to_table", streamTableToTable, Some(streamTableToTableOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
