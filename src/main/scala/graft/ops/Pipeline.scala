@@ -1050,6 +1050,68 @@ object Pipeline {
              epochs_e2 = 400 AS capped
       FROM p ORDER BY source"""
 
+  /** pp21: WATER-FILLING token allocation — split a global budget (25%
+    * of corpus tokens, scale-free) across sources so no source dominates:
+    * every source gets min(its tokens, L) where the level L satisfies
+    * Σ min(tₛ, L) = budget. The classic uniform-capped mixture allocator
+    * (the continuous analogue of pp15's hard caps), solved EXACTLY with
+    * integers: sort sources by size, prefix sums give the largest k with
+    * everyone-below-k fully taken, L = (budget − prefix)/(n−k) floor, and
+    * the division remainder goes one token each to the first sources in
+    * name order — bit-deterministic in both engines. Corpus-proportional
+    * work is ONE (source) aggregate; the solve runs on ≤|sources| rows. */
+  private def waterfill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.spread(Tables.documents(s, d).select(col("source"), col("text")))
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("t_s"))
+    val byAsc = Window.orderBy("t_s", "source")
+    val staged = perSrc
+      .withColumn("rk", row_number().over(byAsc).cast("long"))
+      .withColumn("pfx", sum("t_s").over(byAsc.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(perSrc.agg(
+        count(lit(1)).as("n_src"),
+        expr("sum(t_s) DIV 4").as("budget"))))
+    // k = the largest rank whose source (and everything smaller) is taken
+    // IN FULL: with level = t_s(k), the total still fits the budget
+    val kv = staged
+      .filter(col("pfx") + (col("n_src") - col("rk")) * col("t_s") <= col("budget"))
+      .agg(coalesce(max("rk"), lit(0L)).as("k"), coalesce(max("pfx"), lit(0L)).as("pfx_k"))
+    staged.crossJoin(broadcast(kv))
+      .withColumn("lvl", expr("(budget - pfx_k) DIV (n_src - k)"))
+      .withColumn("rem", expr("(budget - pfx_k) % (n_src - k)"))
+      .withColumn("alloc", expr(
+        """CASE WHEN rk <= k THEN t_s
+           ELSE least(t_s, lvl + CASE WHEN rk <= k + rem THEN 1 ELSE 0 END)
+           END"""))
+      .select(col("source"), col("t_s"), col("alloc"))
+      .orderBy("source")
+  }
+
+  private val waterfillOracle =
+    """WITH w AS (
+        SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
+      ps AS (SELECT source, CAST(SUM(t) AS BIGINT) AS t_s FROM w GROUP BY 1),
+      st AS (
+        SELECT source, t_s,
+               row_number() OVER (ORDER BY t_s, source) AS rk,
+               SUM(t_s) OVER (ORDER BY t_s, source ROWS UNBOUNDED PRECEDING) AS pfx
+        FROM ps),
+      g AS (SELECT COUNT(*) AS n_src, SUM(t_s) // 4 AS budget FROM ps),
+      kv AS (
+        SELECT COALESCE(MAX(rk), 0) AS k, COALESCE(MAX(pfx), 0) AS pfx_k
+        FROM st, g WHERE pfx + (n_src - rk) * t_s <= budget),
+      f AS (
+        SELECT st.source, st.t_s, st.rk, g.budget, g.n_src, kv.k, kv.pfx_k,
+               (g.budget - kv.pfx_k) // (g.n_src - kv.k) AS lvl,
+               (g.budget - kv.pfx_k) % (g.n_src - kv.k) AS rem
+        FROM st, g, kv)
+      SELECT source, t_s,
+             CAST(CASE WHEN rk <= k THEN t_s
+               ELSE LEAST(t_s, lvl + CASE WHEN rk <= k + rem THEN 1 ELSE 0 END)
+               END AS BIGINT) AS alloc
+      FROM f ORDER BY source"""
+
   def all: Seq[Q] = Seq(
     Q("pp01_curation", curation, Some(curationOracle)),
     Q("pp02_pack", packing, Some(packingOracle)),
@@ -1070,7 +1132,8 @@ object Pipeline {
     Q("pp17_dataset_card", datasetCard, Some(datasetCardOracle)),
     Q("pp18_token_budget", tokenBudget, Some(tokenBudgetOracle)),
     Q("pp19_epoch_factors", epochFactors, Some(epochFactorsOracle)),
-    Q("pp20_filter_ablation", filterAblation, Some(filterAblationOracle))
+    Q("pp20_filter_ablation", filterAblation, Some(filterAblationOracle)),
+    Q("pp21_waterfill", waterfill, Some(waterfillOracle))
   )
 
   /** Curation-filter ABLATION matrix: every document is scored against the

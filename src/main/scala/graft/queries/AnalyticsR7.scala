@@ -311,5 +311,40 @@ object AnalyticsR7 {
                          AND tp IS NOT NULL AND tp <= tc + INTERVAL 1 HOUR
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_1h
         FROM st"""))
+    ,
+    // ---- CUSUM changepoint on the daily revenue series, EXACT: the
+    //      mean-centered cumulative sum S_k = Σ_{i≤k}(n·xᵢ − Σx) stays in
+    //      integers (scaling by n instead of dividing by it), the
+    //      changepoint is the argmax of |S_k| (ties → earliest day), and
+    //      the score normalizes by n·Σx in half-up bp. The classic
+    //      "where did the level shift" detector, hashable bit-for-bit.
+    //      One orders aggregate + calendar-grain windows.
+    Q("an82_cusum_changepoint",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("x"))
+        val totals = daily.agg(count(lit(1)).as("n"), sum("x").as("tx"))
+        val cum = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(totals))
+          .withColumn("sk", sum(col("n") * col("x") - col("tx")).over(cum))
+          .select(col("day").as("cp_day"), col("n").as("n_days"),
+            expr(halfUpDiv("abs(sk)", "n * tx", 10000L)).cast("bigint").as("cusum_bp"))
+          .orderBy(desc("cusum_bp"), asc("cp_day"))
+          .limit(1)
+      },
+      Some(s"""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+          FROM orders GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n, SUM(x) AS tx FROM daily),
+        c AS (
+          SELECT day, t.n, t.tx,
+                 SUM(t.n * x - t.tx) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sk
+          FROM daily, t)
+        SELECT day AS cp_day, CAST(n AS BIGINT) AS n_days,
+               CAST(${duckHalfUpDiv("ABS(sk)", "n * tx", 10000L)} AS BIGINT) AS cusum_bp
+        FROM c ORDER BY cusum_bp DESC, cp_day LIMIT 1"""))
   )
 }
