@@ -344,11 +344,20 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
           if (cols.isEmpty) lit(null).cast(statsType)
           else map(cols.flatMap(c =>
             Seq(lit(c), struct(col(s"min_$c").as("min"), col(s"max_$c").as("max")))).toIndexedSeq: _*)
+        // input_file_name() is URI-ENCODED ("4-NOT SPECIFIED" partition
+        // dirs arrive as "4-NOT%20SPECIFIED") while the listing side is
+        // raw, so the join key must URI-decode — guarding literal '+'
+        // first, because url_decode is form-style ('+' -> space) but URI
+        // encoding leaves '+' bare. Without this, every file under an
+        // escaped partition value silently lost its stats AND its row
+        // count (metadata COUNT(*) undercounted — caught by the V2
+        // count-pushdown spec on the hive layout).
         val statsDF = spark.read.schema(schema).parquet(dataDir.toString)
           .groupBy(input_file_name().as("__file"))
           .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
           .select(
-            expr(s"substring(__file, instr(__file, '$dataRel'))").as("file"),
+            expr(s"url_decode(replace(substring(__file, instr(__file, '$dataRel')), '+', '%2B'))")
+              .as("file"),
             statsMap.as("stats"),
             col("__rows").as("rows"))
         // a zero-row file has no scan group: its entry keeps rows = 0,

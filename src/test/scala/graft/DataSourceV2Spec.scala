@@ -1,0 +1,89 @@
+package graft
+
+import graft.icelite.FsCatalog
+import org.apache.spark.sql.functions._
+
+/** Edge-case coverage for the DataSource V2 connector beyond the
+  * oracle-gated registry queries (ic49–ic56, st14–st16): partition-value
+  * restoration, empty tables, null partition values, schema pruning to
+  * nothing, and write-path schema enforcement. */
+class DataSourceV2Spec extends SparkSpec {
+
+  private def v2(location: String) =
+    spark.read.format("icelite").option("location", location).load()
+
+  test("partitioned read restores typed partition values identical to the library scan") {
+    val cat = new FsCatalog(spark, scratch("v2part"))
+    val t = cat.createOrReplaceTable("ns", "orders_p",
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"))
+    val lib = t.scan().select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val via = v2(t.location.toString).select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(via.length == lib.length && via.sameElements(lib),
+      "V2 partition-value restoration diverged from the library scan")
+  }
+
+  test("empty (pre-commit) table reads as zero rows with the declared schema") {
+    val cat = new FsCatalog(spark, scratch("v2empty"))
+    val src = Tables.nation(spark, sfDir)
+    val t = graft.icelite.IceTable.create(spark,
+      scratch("v2empty_t") + "/t", "empty_t", "ns", src.schema)
+    val df = v2(t.location.toString)
+    assert(df.schema.fieldNames.sameElements(src.schema.fieldNames))
+    assert(df.count() == 0L)
+  }
+
+  test("projection pruned to a single column decodes only that column") {
+    val cat = new FsCatalog(spark, scratch("v2prune"))
+    val t   = cat.createOrReplaceTable("ns", "nation_pr", Tables.nation(spark, sfDir))
+    val names = v2(t.location.toString).select("n_name")
+      .collect().map(_.getString(0)).sorted
+    val expect = Tables.nation(spark, sfDir).select("n_name")
+      .collect().map(_.getString(0)).sorted
+    assert(names.sameElements(expect))
+  }
+
+  test("count(*) over a partitioned table uses footer row counts per file") {
+    val cat = new FsCatalog(spark, scratch("v2cnt"))
+    val t = cat.createOrReplaceTable("ns", "orders_c",
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+      Seq("o_orderpriority"))
+    // partitioned tables take the non-pushed path (count pushdown is
+    // unpartitioned-only today): the readers still satisfy an empty
+    // required schema from footers + partition constants
+    assert(v2(t.location.toString).count() == Tables.orders(spark, sfDir).count())
+  }
+
+  test("V2 write rejects a mismatched schema loudly") {
+    val cat = new FsCatalog(spark, scratch("v2wbad"))
+    val t   = cat.createOrReplaceTable("ns", "nation_w", Tables.nation(spark, sfDir))
+    val ex = intercept[Exception] {
+      Tables.region(spark, sfDir).write.format("icelite")
+        .option("location", t.location.toString).mode("append").save()
+    }
+    // Spark's own V2 write analysis rejects the shape before our builder
+    // even runs — either error is a loud, correct refusal
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("schema") || ex.getMessage.contains("INCOMPATIBLE_DATA")),
+      s"expected a schema-mismatch error, got: ${ex.getMessage}")
+  }
+
+  test("filters on a pruned-away column still prune files (pushdown before projection)") {
+    val cat    = new FsCatalog(spark, scratch("v2fp"))
+    val orders = Tables.orders(spark, sfDir)
+    val t = cat.createOrReplaceTable("ns", "orders_fp",
+      orders.filter(col("o_orderkey") < 1000).coalesce(1))
+    t.append(orders.filter(col("o_orderkey") >= 1000).coalesce(1))
+    // project a DIFFERENT column than the filter column
+    val df = v2(t.location.toString)
+      .filter(col("o_orderkey") <= 999)
+      .select("o_totalprice")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("files=1/2"), "pushdown lost when filter column is pruned:\n" + p.take(600))
+    assert(df.count() == orders.filter(col("o_orderkey") <= 999).count())
+  }
+}
