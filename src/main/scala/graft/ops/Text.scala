@@ -1086,6 +1086,7 @@ object Text {
     Q("tx25_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     Q("tx29_bpe_apply", bpeApply, Some(bpeApplyOracle)),
     Q("tx30_zipf_slope", zipfSlope, Some(zipfSlopeOracle)),
+    Q("tx31_lang_diversity", langDiversity, Some(langDiversityOracle)),
     Q("tx26_lang_profile_overlap", langProfileOverlap, Some(langProfileOverlapOracle)),
     Q("tx27_importance_weights", importanceWeights, Some(importanceWeightsOracle)),
     Q("tx28_ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle))
@@ -1167,6 +1168,38 @@ object Text {
       .select("rank", "pair", "cnt")
       .orderBy("rank")
   }
+
+  /** tx31: per-source language diversity as the GINI-SIMPSON index —
+    * 1 − Σ shareᵢ², the probability two random docs differ in language.
+    * Shannon entropy needs logs (floats); Gini-Simpson is the standard
+    * diversity index that stays EXACT: with per-(source, lang) counts n
+    * and source total N, the index in bp is
+    * (N² − Σn²)·10000 / N² half-up. Tells which sources are monolingual
+    * silos vs mixed — the mixture-design input next to pp03/pp08. One
+    * (source, lang) aggregate; everything after is ≤ sources×langs rows. */
+  private def langDiversity(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.spread(Tables.documents(s, d).select(col("source"), col("lang")))
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    counts.groupBy("source")
+      .agg(count(lit(1)).as("n_langs"),
+        sum("n").as("n_docs"),
+        sum(col("n") * col("n")).as("sq"))
+      .select(col("source"), col("n_langs"), col("n_docs"),
+        expr("""(2 * (n_docs * n_docs - sq) * 10000 + (n_docs * n_docs))
+                DIV (2 * (n_docs * n_docs))""").cast("bigint").as("diversity_bp"))
+      .orderBy("source")
+  }
+
+  private val langDiversityOracle =
+    """WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+      g AS (
+        SELECT source, COUNT(*) AS n_langs, SUM(n) AS n_docs, SUM(n * n) AS sq
+        FROM c GROUP BY 1)
+      SELECT source, CAST(n_langs AS BIGINT) AS n_langs,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             CAST((2 * (n_docs * n_docs - sq) * 10000 + (n_docs * n_docs))
+                  // (2 * (n_docs * n_docs)) AS BIGINT) AS diversity_bp
+      FROM g ORDER BY source"""
 
   /** tx30: Zipf-law slope of the token frequency distribution, EXACTLY.
     * Logs normally force floating point; instead both rank and frequency
