@@ -346,5 +346,34 @@ object AnalyticsR7 {
         SELECT day AS cp_day, CAST(n AS BIGINT) AS n_days,
                CAST(${duckHalfUpDiv("ABS(sk)", "n * tx", 10000L)} AS BIGINT) AS cusum_bp
         FROM c ORDER BY cusum_bp DESC, cp_day LIMIT 1"""))
+    ,
+    // ---- weekday seasonality profile: each ISO weekday's share of total
+    //      revenue vs the uniform 1/7 expectation, exact bp. The simplest
+    //      seasonality diagnostic (an08's monthly rollup says WHEN, this
+    //      says WHICH weekday structurally over/under-indexes). One
+    //      orders aggregate, 7-row arithmetic after.
+    Q("an83_weekday_profile",
+      (s, d) => {
+        val byDay = Tables.orders(s, d)
+          .groupBy(dayofweek(col("o_orderdate")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_c"))
+        val totals = byDay.agg(sum("rev_c").as("t_rev"))
+        byDay.crossJoin(broadcast(totals))
+          .select(col("dow"), col("n_orders"), col("rev_c"),
+            expr("rev_c * 10000 DIV t_rev").as("share_bp"),
+            expr("rev_c * 10000 DIV t_rev - 10000 DIV 7").as("dev_bp"))
+          .orderBy("dow")
+      },
+      Some("""WITH b AS (
+          SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev_c
+          FROM orders GROUP BY 1),
+        t AS (SELECT SUM(rev_c) AS t_rev FROM b)
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(rev_c AS BIGINT) AS rev_c,
+               CAST(rev_c * 10000 // t_rev AS BIGINT) AS share_bp,
+               CAST(rev_c * 10000 // t_rev - 10000 // 7 AS BIGINT) AS dev_bp
+        FROM b, t ORDER BY dow"""))
   )
 }

@@ -132,7 +132,13 @@ final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
   private val md = ice.metadata
 
   override def name(): String = s"icelite.${md.namespace}.${md.name}"
-  override def schema(): StructType = md.schema
+  // file-source read semantics: every column is nullable at read time —
+  // an evolved column is physically ABSENT from pre-evolution files, so
+  // nulls can always surface regardless of the declared required flag
+  // (Spark's own parquet relation applies the same asNullable coercion;
+  // without it, codegen NPEs on the first evolved read)
+  override def schema(): StructType =
+    StructType(md.schema.fields.map(_.copy(nullable = true)))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,

@@ -57,6 +57,23 @@ class DataSourceV2Spec extends SparkSpec {
     assert(v2(t.location.toString).count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("schema evolution: V2 read nulls the evolved column for pre-evolution files") {
+    val cat = new FsCatalog(spark, scratch("v2evo"))
+    val t   = cat.createOrReplaceTable("ns", "nation_evo",
+      Tables.nation(spark, sfDir).select("n_nationkey", "n_name"))
+    t.evolveAppend(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey") + 100, col("n_name"), lit("extra").as("note"))
+      .toDF("n_nationkey", "n_name", "note"))
+    val df = v2(t.location.toString).select("n_nationkey", "note")
+    val rows = df.collect().map(r =>
+      (r.getAs[Number](0).longValue(), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(rows.length == 50)
+    assert(rows.filter(_._1 < 100).forall(_._2 == null),
+      "old files must surface NULL for the evolved column")
+    assert(rows.filter(_._1 >= 100).forall(_._2 == "extra"),
+      "new files must carry the evolved column's values")
+  }
+
   test("V2 write rejects a mismatched schema loudly") {
     val cat = new FsCatalog(spark, scratch("v2wbad"))
     val t   = cat.createOrReplaceTable("ns", "nation_w", Tables.nation(spark, sfDir))
