@@ -549,6 +549,26 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   // ------------------------------------------------------------------- reads
 
   /** Lazy DataFrame over the current snapshot. */
+  /** Metadata-only additive schema evolution (the ALTER TABLE ADD COLUMN
+    * path): append nullable columns with fresh field ids and commit a new
+    * metadata version — zero data IO; existing files surface NULL for the
+    * new columns at read time (same contract as evolveAppend, without a
+    * data write). CAS-committed like every other metadata operation. */
+  def addColumns(newFields: Seq[org.apache.spark.sql.types.StructField]): IceTable = {
+    val md = metadata
+    newFields.foreach { f =>
+      require(!md.schema.fieldNames.contains(f.name), s"column ${f.name} already exists")
+      require(f.nullable, s"evolved column ${f.name} must be nullable (old files lack it)")
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(md.schema.fields ++ newFields)
+    val maxId     = md.fields.map(_.id).foldLeft(0)(math.max)
+    val added = newFields.zipWithIndex.map { case (f, i) =>
+      FieldInfo(maxId + i + 1, f.name, f.dataType.catalogString, required = false)
+    }
+    commit(md.copy(schemaJson = newSchema.json, fields = md.fields ++ added.toList))
+    this
+  }
+
   def scan(): DataFrame = scanSnapshot(metadata.current_snapshot_id)
 
   /** Time travel: lazy DataFrame over snapshot `id`'s file list. */

@@ -89,9 +89,25 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     new IceLiteV2Table(ice, ice.metadata.currentSnapshot)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "icelite ALTER TABLE: use IceTable.evolveAppend for additive schema evolution")
+  /** ALTER TABLE ADD COLUMN(S): metadata-only additive evolution through
+    * [[IceTable.addColumns]] (fresh field ids, CAS commit, old files read
+    * as NULL). Every other change kind is rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"icelite ADD COLUMN supports top-level columns, got ${a.fieldNames().mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"icelite ALTER TABLE supports ADD COLUMN only, got $other")
+    }
+    val ice = fsCatalog.loadTable(ns1(ident.namespace()), ident.name())
+    ice.addColumns(adds)
+    val reloaded = fsCatalog.loadTable(ns1(ident.namespace()), ident.name())
+    new IceLiteV2Table(reloaded, reloaded.metadata.currentSnapshot)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     fsCatalog.dropTable(ns1(ident.namespace()), ident.name())

@@ -74,6 +74,23 @@ class DataSourceV2Spec extends SparkSpec {
       "new files must carry the evolved column's values")
   }
 
+  test("SQL ALTER TABLE ADD COLUMN evolves metadata-only; old rows read NULL") {
+    spark.conf.set("spark.sql.catalog.ice_t", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_t.warehouse", scratch("v2alter"))
+    Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .createOrReplaceTempView("nation_alter_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_t.ns")
+    spark.sql("DROP TABLE IF EXISTS ice_t.ns.nation_a")
+    spark.sql("CREATE TABLE ice_t.ns.nation_a AS SELECT * FROM nation_alter_src")
+    spark.sql("ALTER TABLE ice_t.ns.nation_a ADD COLUMN note STRING")
+    spark.sql("INSERT INTO ice_t.ns.nation_a SELECT n_nationkey + 100, n_name, 'x' FROM nation_alter_src")
+    val rows = spark.sql("SELECT n_nationkey, note FROM ice_t.ns.nation_a")
+      .collect().map(r => (r.getAs[Number](0).longValue(), Option(r.getString(1))))
+    assert(rows.length == 50)
+    assert(rows.filter(_._1 < 100).forall(_._2.isEmpty), "pre-evolution rows must read NULL")
+    assert(rows.filter(_._1 >= 100).forall(_._2.contains("x")))
+  }
+
   test("V2 write rejects a mismatched schema loudly") {
     val cat = new FsCatalog(spark, scratch("v2wbad"))
     val t   = cat.createOrReplaceTable("ns", "nation_w", Tables.nation(spark, sfDir))
