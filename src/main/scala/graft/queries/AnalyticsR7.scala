@@ -375,5 +375,46 @@ object AnalyticsR7 {
                CAST(rev_c * 10000 // t_rev AS BIGINT) AS share_bp,
                CAST(rev_c * 10000 // t_rev - 10000 // 7 AS BIGINT) AS dev_bp
         FROM b, t ORDER BY dow"""))
+    ,
+    // ---- trailing-median anomaly days: each day's revenue vs the DISCRETE
+    //      lower median of its trailing 30-day window (exact integers — a
+    //      sorted 30-element window list indexed at (n+1) div 2, identical
+    //      in both engines; no approx percentile anywhere), reporting the
+    //      top-5 deviation days in half-up-free integer bp. Full windows
+    //      only (rn ≥ 30). Calendar grain: the windows run over ≤ a few
+    //      thousand day rows at ANY corpus size; corpus-proportional work
+    //      is the one orders aggregate.
+    Q("an84_anomaly_days",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("x"))
+        val trail = Window.orderBy("day").rowsBetween(-29, 0)
+        daily
+          .withColumn("rn", row_number().over(Window.orderBy("day")).cast("long"))
+          .withColumn("meds", sort_array(collect_list("x").over(trail)))
+          .filter(col("rn") >= 30)
+          .withColumn("med", expr("element_at(meds, CAST((size(meds) + 1) DIV 2 AS INT))"))
+          .select(col("day"), col("x").as("rev_c"), col("med").as("med_c"),
+            expr("abs(x - med) * 10000 DIV med").as("dev_bp"))
+          .orderBy(desc("dev_bp"), asc("day"))
+          .limit(5)
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+          FROM orders GROUP BY 1),
+        w AS (
+          SELECT day, x,
+                 row_number() OVER (ORDER BY day) AS rn,
+                 list_sort(list(x) OVER (ORDER BY day
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) AS meds
+          FROM daily),
+        m AS (
+          SELECT day, x, meds[(len(meds) + 1) // 2] AS med
+          FROM w WHERE rn >= 30)
+        SELECT day, CAST(x AS BIGINT) AS rev_c, CAST(med AS BIGINT) AS med_c,
+               CAST(ABS(x - med) * 10000 // med AS BIGINT) AS dev_bp
+        FROM m ORDER BY dev_bp DESC, day LIMIT 5"""))
   )
 }
