@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Keep Derby (dragged in if anything touches the Hive metastore path)
+  // from littering the source tree with metastore_db/ + derby.log.
+  "-Dderby.system.home=target/derby",
+  "-Dderby.stream.error.file=target/derby/derby.log",
   // 32 local executor threads want ~0.5-1 GiB each before spilling;
   // 8g measurably throttled the 10x scale check (an14 9->37 s from
   // shuffle spill). The image has 128 GiB.

@@ -1175,21 +1175,29 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * the debris an interrupted write leaves when its snapshot never
     * commits. Referenced = every file of every snapshot, current or not
     * (time travel must keep working), so a committed file can never be
-    * swept. Returns the deleted table-relative paths. The listing is the
-    * only O(table-files) step — at scale it's the same recursive listing
-    * a compaction pays, executor-parallelizable, and it touches zero
-    * committed data. */
-  def removeOrphans(): Seq[String] = {
+    * swept. `olderThanMillis` is the in-flight-write guard: a V2 (or
+    * library) write stages parquet under data/ BEFORE its metadata CAS
+    * commit, so an unreferenced-but-recent file may be a commit about to
+    * land, not debris — sweeping it would corrupt the table the moment
+    * that commit's manifest references it. Iceberg's remove_orphan_files
+    * defaults the same cutoff to 3 days; pass 0 only when no writer can
+    * be live (tests, decommission). Returns the deleted table-relative
+    * paths. The listing is the only O(table-files) step — at scale it's
+    * the same recursive listing a compaction pays,
+    * executor-parallelizable, and it touches zero committed data. */
+  def removeOrphans(olderThanMillis: Long = IceTable.DefaultOrphanAgeMs): Seq[String] = {
     val md         = metadata
     val referenced = md.snapshots.flatMap(filesOf).toSet
     val dataDir    = new Path(location, "data")
     if (!fs.exists(dataDir)) return Nil
+    val cutoff  = System.currentTimeMillis() - olderThanMillis
     val locPath = location.toUri.getPath.stripSuffix("/")
     val it      = fs.listFiles(dataDir, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.endsWith(".parquet")) {
+      val st = it.next()
+      val p  = st.getPath
+      if (p.getName.endsWith(".parquet") && st.getModificationTime <= cutoff) {
         val rel = p.toUri.getPath.stripPrefix(locPath).stripPrefix("/")
         if (!referenced.contains(rel)) orphans += rel
       }
@@ -1200,6 +1208,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
 }
 
 object IceTable {
+
+  /** Default orphan-file age cutoff (3 days, matching Iceberg's
+    * remove_orphan_files default): younger unreferenced files are treated
+    * as possibly-in-flight staged writes, never swept. */
+  val DefaultOrphanAgeMs: Long = 3L * 24 * 60 * 60 * 1000
 
   /** Create a new table directory with a v1 metadata (no data yet). */
   def create(

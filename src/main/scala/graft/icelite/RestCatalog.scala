@@ -366,6 +366,27 @@ final class RestCatalog(spark: SparkSession, val uri: String) extends IceCatalog
     throw new IllegalStateException("unreachable: bounded commit loop fell through")
   }
 
+  /** Advance the catalog pointer to `next` after an out-of-band FS commit
+    * (the V2 write path commits table metadata first, then publishes the
+    * pointer — the same order PyIceberg writers use against Nessie).
+    * Per-table versions are linear and FS commits rebase, so a fresher
+    * pointer than `next` means a later writer already carried our commit
+    * forward — adopt it; otherwise CAS from whatever is current. Bounded
+    * retries keep a livelocked catalog from spinning. */
+  def advancePointer(ns: String, table: String, next: String, maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      val cur = metadataLocation(ns, table)
+      if (metadataVersion(cur) >= metadataVersion(next)) return
+      try { commitSwap(ns, table, cur, next); return }
+      catch {
+        case e: RestCatalog.CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
   /** `<location>/metadata/v<N>[...].json -> N` (lenient on suffixes). */
   private def metadataVersion(metadataLocation: String): Int = {
     val name = new Path(metadataLocation).getName

@@ -582,10 +582,13 @@ object IceQueries {
     val strayDest = new Path(t.location, "data/stray/leftover.parquet")
     fs.mkdirs(strayDest.getParent)
     require(fs.rename(part, strayDest), "stray plant failed")
-    val swept = t.removeOrphans()
+    // default (3-day) cutoff must treat the fresh stray as possibly
+    // in-flight and leave it; age-0 sweep (no live writers) removes it
+    require(t.removeOrphans().isEmpty, "age guard swept a recent file")
+    val swept = t.removeOrphans(olderThanMillis = 0L)
     require(swept == Seq("data/stray/leftover.parquet"), s"unexpected sweep: $swept")
     require(!fs.exists(strayDest), "orphan survived the vacuum")
-    require(t.removeOrphans().isEmpty, "vacuum not idempotent")
+    require(t.removeOrphans(olderThanMillis = 0L).isEmpty, "vacuum not idempotent")
     require(t.scanSnapshot(1).count() == n, "time travel broken after vacuum")
     t.scan().orderBy("n_nationkey", "n_name")
   }
@@ -1283,8 +1286,55 @@ object IceQueries {
     val shown = s.sql("SHOW TABLES IN ice_sql.graft")
       .select("tableName").collect().map(_.getString(0))
     require(shown.contains("nation_sql"), s"SHOW TABLES missed the table: ${shown.mkString(",")}")
-    s.sql("""SELECT n_regionkey, COUNT(*) AS n
+    val out = s.sql("""SELECT n_regionkey, COUNT(*) AS n
              FROM ice_sql.graft.nation_sql GROUP BY 1 ORDER BY 1""")
+    // resolve now (analysis embeds the V2 Table into the plan), then drop
+    // the catalog registration so it doesn't leak into later queries
+    out.queryExecution.assertAnalyzed()
+    s.conf.unset("spark.sql.catalog.ice_sql")
+    s.conf.unset("spark.sql.catalog.ice_sql.warehouse")
+    out
+  }
+
+  /** The TableCatalog plugin bound to the REST catalog service — the
+    * reference's PRIMARY deployment shape (PyIceberg RestCatalog against
+    * Nessie, `bot_iceberg_loader.py:245-262`, `query_iceberg.ipynb:110-125`)
+    * driven entirely from plain SQL: CREATE NAMESPACE, CTAS, INSERT INTO,
+    * ALTER TABLE ADD COLUMN, SHOW TABLES and SELECT-by-name, with every
+    * write published to the service by a CAS pointer swap. The requires
+    * prove the SERVICE (not the filesystem) tracked the lineage: after
+    * CTAS + INSERT + ALTER the catalog pointer must name metadata v4
+    * (v1 create, v2 CTAS rows, v3 INSERT, v4 ADD COLUMN) — a stale
+    * pointer means a commit bypassed the catalog. Only pointers cross the
+    * wire at any table size; the final SELECT plans from FS metadata and
+    * reads parquet directly. */
+  private def restSqlCatalogQ(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "restsql")
+    val server = new RestCatalogServer(wh).start()
+    try {
+      s.conf.set("spark.sql.catalog.ice_rest", "graft.sources.IceLiteCatalog")
+      s.conf.set("spark.sql.catalog.ice_rest.uri", server.uri)
+      Tables.nation(s, d).createOrReplaceTempView("nation_rest_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_rest.graft")
+      s.sql("CREATE TABLE ice_rest.graft.nation_rest AS SELECT * FROM nation_rest_src")
+      s.sql("""INSERT INTO ice_rest.graft.nation_rest
+               SELECT * FROM nation_rest_src WHERE n_regionkey = 0""")
+      s.sql("ALTER TABLE ice_rest.graft.nation_rest ADD COLUMN extra DOUBLE")
+      val shown = s.sql("SHOW TABLES IN ice_rest.graft")
+        .select("tableName").collect().map(_.getString(0))
+      require(shown.contains("nation_rest"),
+        s"SHOW TABLES via REST missed the table: ${shown.mkString(",")}")
+      val client  = new RestCatalog(s, server.uri)
+      val pointer = client.metadataLocation("graft", "nation_rest")
+      require(pointer.endsWith("v4.json"),
+        s"REST pointer did not follow the SQL commits (expected v4.json): $pointer")
+      val out = s.sql("""SELECT n_regionkey, COUNT(*) AS n, COUNT(extra) AS n_extra
+               FROM ice_rest.graft.nation_rest GROUP BY 1 ORDER BY 1""")
+      out.queryExecution.assertAnalyzed()
+      s.conf.unset("spark.sql.catalog.ice_rest")
+      s.conf.unset("spark.sql.catalog.ice_rest.uri")
+      out
+    } finally server.stop()
   }
 
   /** Nested types through the REAL Iceberg v2 metadata path (struct +
@@ -1345,6 +1395,7 @@ object IceQueries {
     val cents = (c: org.apache.spark.sql.Column) =>
       (c.cast("decimal(12,2)") * 100).cast("bigint")
     val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -1366,7 +1417,15 @@ object IceQueries {
       require(plan.contains("SortMergeJoin"),
         s"expected a shuffle-family join satisfied by storage partitioning: $plan")
       joined
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      // restore (or clear) the bucketing flag too — leaking it changes
+      // every subsequent registry query's plans vs a standalone run
+      prevBucketing match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
   }
 
   def all: Seq[Q] = Seq(
@@ -1456,7 +1515,12 @@ object IceQueries {
     Q("ic56_sql_catalog_v2", sqlCatalogV2Q,
       Some("""WITH t AS (SELECT * FROM nation
                          UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
-              SELECT n_regionkey, COUNT(*) AS n FROM t GROUP BY 1 ORDER BY 1"""))
+              SELECT n_regionkey, COUNT(*) AS n FROM t GROUP BY 1 ORDER BY 1""")),
+    Q("ic57_rest_sql_catalog", restSqlCatalogQ,
+      Some("""WITH t AS (SELECT * FROM nation
+                         UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
+              SELECT n_regionkey, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_extra
+              FROM t GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.icelite.{FsCatalog, IceTable}
+import graft.icelite.{FsCatalog, IceCatalog, IceTable, RestCatalog}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
@@ -11,12 +11,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
-/** Spark catalog plugin over the IceLite warehouse — the last mile of the
-  * SQL surface: register once with
+/** Spark catalog plugin over an IceLite catalog backend — the last mile of
+  * the SQL surface. Two bindings:
   *
   * {{{
+  * // filesystem warehouse (registry = directory layout):
   * spark.conf.set("spark.sql.catalog.icelite", "graft.sources.IceLiteCatalog")
   * spark.conf.set("spark.sql.catalog.icelite.warehouse", "/warehouse")
+  *
+  * // Iceberg REST catalog service (the role the reference fills with
+  * // Nessie — bot_iceberg_loader.py:245-262, query_iceberg.ipynb:110-125):
+  * spark.conf.set("spark.sql.catalog.icerest", "graft.sources.IceLiteCatalog")
+  * spark.conf.set("spark.sql.catalog.icerest.uri", "http://127.0.0.1:<port>")
   * }}}
   *
   * and every table in the warehouse is addressable from PLAIN SQL:
@@ -27,21 +33,51 @@ import scala.jdk.CollectionConverters._
   * skipping, storage-partitioned joins, metadata-only counts, DPP, the
   * CAS write path and planner statistics apply unchanged to SQL-by-name
   * access. (The reference reaches its tables by name through DuckDB
-  * `ATTACH`; this is the Spark-native equivalent.) */
+  * `ATTACH` / PyIceberg's RestCatalog; these are the Spark-native
+  * equivalents.)
+  *
+  * REST binding semantics: table data/metadata is written straight into
+  * the service-advertised warehouse (the catalog never carries data — at
+  * 100 TB only pointers cross this wire); CREATE registers the metadata
+  * pointer, and every write's FS commit is published by a CAS pointer
+  * swap ([[RestCatalog.advancePointer]]) — the PyIceberg/Nessie commit
+  * order, so concurrent writers race on the pointer, not on files. */
 final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var fsCatalog: FsCatalog = _
+  private var backend: IceCatalog = _
+  private var rest: Option[RestCatalog] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    val wh = Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException(
-        s"catalog $name: set spark.sql.catalog.$name.warehouse"))
-    fsCatalog = new FsCatalog(SparkSession.active, wh)
+    backend = Option(options.get("uri")) match {
+      case Some(uri) =>
+        val rc = new RestCatalog(SparkSession.active, uri)
+        rest = Some(rc)
+        rc
+      case None =>
+        val wh = Option(options.get("warehouse")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name: set spark.sql.catalog.$name.warehouse (filesystem) " +
+              s"or spark.sql.catalog.$name.uri (REST service)"))
+        new FsCatalog(SparkSession.active, wh)
+    }
   }
 
   override def name(): String = catalogName
+
+  /** Warehouse root new table dirs go under: configured (FS) or
+    * service-advertised (REST `GET /v1/config`). */
+  private def warehouseRoot: String = backend match {
+    case fs: FsCatalog  => fs.warehouse
+    case rc: RestCatalog => rc.warehouse
+  }
+
+  /** Post-commit publication hook for a named table: REST-bound tables
+    * must CAS the catalog pointer to the fresh metadata after every FS
+    * commit; FS-bound tables resolve through version-hint, no hook. */
+  private def publishHook(ns: String, table: String): Option[IceTable => Unit] =
+    rest.map(rc => (ice: IceTable) => rc.advancePointer(ns, table, ice.metadataLocation))
 
   private def ns1(namespace: Array[String]): String = {
     require(namespace.length == 1,
@@ -52,18 +88,19 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
   // ------------------------------------------------------------- tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    fsCatalog.listTables(ns1(namespace))
+    backend.listTables(ns1(namespace))
       .map(t => Identifier.of(namespace, t)).toArray
 
   override def loadTable(ident: Identifier): Table = {
+    val ns = ns1(ident.namespace())
     val ice =
-      try fsCatalog.loadTable(ns1(ident.namespace()), ident.name())
+      try backend.loadTable(ns, ident.name())
       catch {
         case _: NoSuchElementException =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             Seq(catalogName) ++ ident.namespace() :+ ident.name())
       }
-    new IceLiteV2Table(ice, ice.metadata.currentSnapshot)
+    new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
   }
 
   override def createTable(
@@ -72,7 +109,7 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     val ns = ns1(ident.namespace())
-    if (fsCatalog.tableExists(ns, ident.name()))
+    if (backend.tableExists(ns, ident.name()))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName, ns, ident.name()))
     val partCols = partitions.map { t =>
@@ -80,13 +117,15 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
         s"icelite supports identity partitioning only, got ${t.describe()}")
       t.references()(0).fieldNames().mkString(".")
     }
-    fsCatalog.createNamespace(ns)
+    backend.createNamespace(ns)
     val loc = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(fsCatalog.warehouse, ns),
+      new org.apache.hadoop.fs.Path(warehouseRoot, ns),
       s"${ident.name()}_${java.util.UUID.randomUUID().toString.take(8)}")
     val ice = IceTable.create(SparkSession.active, loc.toString,
       ident.name(), ns, schema, partCols.toIndexedSeq)
-    new IceLiteV2Table(ice, ice.metadata.currentSnapshot)
+    // REST: adopt the new table by its metadata pointer (spec registerTable)
+    rest.foreach(_.registerTable(ns, ident.name(), ice.metadataLocation))
+    new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
   }
 
   /** ALTER TABLE ADD COLUMN(S): metadata-only additive evolution through
@@ -103,25 +142,28 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"icelite ALTER TABLE supports ADD COLUMN only, got $other")
     }
-    val ice = fsCatalog.loadTable(ns1(ident.namespace()), ident.name())
+    val ns  = ns1(ident.namespace())
+    val ice = backend.loadTable(ns, ident.name())
     ice.addColumns(adds)
-    val reloaded = fsCatalog.loadTable(ns1(ident.namespace()), ident.name())
-    new IceLiteV2Table(reloaded, reloaded.metadata.currentSnapshot)
+    val reloaded = backend.loadTable(ns, ident.name())
+    publishHook(ns, ident.name()).foreach(_(reloaded))
+    new IceLiteV2Table(reloaded, reloaded.metadata.currentSnapshot,
+      publishHook(ns, ident.name()))
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    fsCatalog.dropTable(ns1(ident.namespace()), ident.name())
+    backend.dropTable(ns1(ident.namespace()), ident.name())
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("icelite RENAME TABLE not supported")
 
   override def tableExists(ident: Identifier): Boolean =
-    fsCatalog.tableExists(ns1(ident.namespace()), ident.name())
+    backend.tableExists(ns1(ident.namespace()), ident.name())
 
   // --------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
-    fsCatalog.listNamespaces().map(n => Array(n)).toArray
+    backend.listNamespaces().map(n => Array(n)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -133,7 +175,7 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && fsCatalog.listNamespaces().contains(namespace.head)
+    namespace.length == 1 && backend.listNamespaces().contains(namespace.head)
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace))
@@ -144,7 +186,7 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(
       namespace: Array[String], metadata: JMap[String, String]): Unit =
-    fsCatalog.createNamespace(ns1(namespace))
+    backend.createNamespace(ns1(namespace))
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("icelite namespaces carry no metadata")

@@ -124,8 +124,15 @@ object IceLiteSource {
   private[graft] val filesOpened = new java.util.concurrent.atomic.LongAdder()
 }
 
-/** V2 Table over one resolved IceLite snapshot (None = empty, pre-commit). */
-final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
+/** V2 Table over one resolved IceLite snapshot (None = empty, pre-commit).
+  * `onCommit` is the catalog-publication hook: a REST-catalog-bound table
+  * must advance the catalog's metadata pointer after each write's FS
+  * commit (pointer publication is what makes the commit visible to other
+  * catalog users); path-addressed tables need no hook. */
+final class IceLiteV2Table(
+    ice: IceTable,
+    snap: Option[Snapshot],
+    onCommit: Option[IceTable => Unit] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -155,7 +162,7 @@ final class IceLiteV2Table(ice: IceTable, snap: Option[Snapshot])
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new IceLiteWriteBuilder(ice, info)
+    new IceLiteWriteBuilder(ice, info, onCommit)
 }
 
 final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
@@ -361,11 +368,38 @@ final class IceLiteScan(
       runtimeKept.get(c).forall(_.contains(IceLiteScan.unescapePath(raw)))
     }
 
-  private def survivors: Seq[String] = staticSurvivors.filter(runtimeHit)
+  // planning-state memoization: description()/estimateStatistics()/
+  // outputPartitioning()/planInputPartitions() each consult the survivor
+  // set, and Spark calls them several times per query — without caching
+  // that's O(files) path work repeated per call. The static portion never
+  // changes; re-filter only when a NEW runtime filter map arrives
+  // (runtimeKept is written at most once, before planInputPartitions).
+  @volatile private var survivorsCache: (AnyRef, Seq[String]) = null
+  private def survivors: Seq[String] = {
+    val rk = runtimeKept
+    val c  = survivorsCache
+    if (c != null && (c._1 eq rk)) c._2
+    else {
+      val s = if (rk.isEmpty) staticSurvivors else staticSurvivors.filter(runtimeHit)
+      survivorsCache = (rk, s)
+      s
+    }
+  }
 
+  @volatile private var partitionsCache: (AnyRef, Array[InputPartition]) = null
   private def partitions: Array[InputPartition] = {
-    val loc  = ice.location.toString
-    val surv = survivors
+    val rk = runtimeKept
+    val c  = partitionsCache
+    if (c != null && (c._1 eq rk)) c._2
+    else {
+      val p = buildPartitions(survivors)
+      partitionsCache = (rk, p)
+      p
+    }
+  }
+
+  private def buildPartitions(surv: Seq[String]): Array[InputPartition] = {
+    val loc = ice.location.toString
     if (partCols.isEmpty)
       surv.map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition).toArray
     else {
@@ -521,8 +555,21 @@ object IceLiteScan {
       case FloatType     => v.toFloat
       case BooleanType   => v.toBoolean
       case DateType      => java.time.LocalDate.parse(v).toEpochDay.toInt
-      case TimestampType | TimestampNTZType =>
-        java.sql.Timestamp.valueOf(v).getTime * 1000L
+      case TimestampType =>
+        // session-timezone, microsecond-precision semantics (Spark's own
+        // partition-value parsing) — java.sql.Timestamp.valueOf would use
+        // the JVM default zone at millis, shifting keys on non-UTC JVMs
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+          UTF8String.fromString(v),
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unparseable timestamp partition value '$v'"))
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestampWithoutTimeZone(UTF8String.fromString(v))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unparseable timestamp_ntz partition value '$v'"))
       case other => throw new UnsupportedOperationException(s"partition type $other")
     }
   }

@@ -28,7 +28,10 @@ import org.apache.spark.sql.types._
   *
   * Unpartitioned flat-primitive tables (the format surface); `overwrite`
   * maps to replace semantics via SupportsTruncate. */
-final class IceLiteWriteBuilder(ice: IceTable, info: LogicalWriteInfo)
+final class IceLiteWriteBuilder(
+    ice: IceTable,
+    info: LogicalWriteInfo,
+    onCommit: Option[IceTable => Unit] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var replace = false
@@ -41,32 +44,46 @@ final class IceLiteWriteBuilder(ice: IceTable, info: LogicalWriteInfo)
       "icelite V2 write supports unpartitioned tables; use the catalog append for hive layouts")
     require(info.schema().catalogString == md.schema.catalogString,
       s"write schema ${info.schema().catalogString} != table schema ${md.schema.catalogString}")
-    new IceLiteWrite(ice.location.toString, md.schema, replace)
+    new IceLiteWrite(ice.location.toString, md.schema, replace, info.queryId(), onCommit)
   }
 }
 
-final class IceLiteWrite(location: String, schema: StructType, replace: Boolean)
+final class IceLiteWrite(
+    location: String,
+    schema: StructType,
+    replace: Boolean,
+    queryId: String,
+    onCommit: Option[IceTable => Unit] = None)
     extends Write {
   override def toBatch: BatchWrite =
     new IceLiteBatchWrite(location, schema, replace,
-      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      onCommit)
 
   /** `df.writeStream.format("icelite")`: every epoch commits one snapshot
-    * through the CAS protocol with the epoch id as the commit token, so a
-    * replayed epoch (restart, at-least-once redelivery) is absorbed
-    * EXACTLY ONCE — the V2-native twin of the st05 foreachBatch +
-    * appendOnce recipe. */
+    * through the CAS protocol with `(queryId, epochId)` as the commit
+    * token, so a replayed epoch (restart, at-least-once redelivery) is
+    * absorbed EXACTLY ONCE — the V2-native twin of the st05 foreachBatch
+    * + appendOnce recipe. The token MUST be query-scoped: a second
+    * streaming query into the same table (or a restart with a fresh
+    * checkpoint) restarts epochs at 0, and an epoch-only token would make
+    * commitStagedEntries swallow its first commits as replays — silent
+    * data loss. Iceberg's own Spark streaming writer dedupes by
+    * (queryId, epochId) for exactly this reason. */
   override def toStreaming: streaming.StreamingWrite = {
     require(!replace, "icelite streaming write supports append output mode only")
-    new IceLiteStreamingWrite(location, schema,
-      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+    new IceLiteStreamingWrite(location, schema, queryId,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      onCommit)
   }
 }
 
 final class IceLiteStreamingWrite(
     location: String,
     schema: StructType,
-    conf: SerializableHadoopConf)
+    queryId: String,
+    conf: SerializableHadoopConf,
+    onCommit: Option[IceTable => Unit] = None)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -78,8 +95,9 @@ final class IceLiteStreamingWrite(
       val w = m.asInstanceOf[IceLiteWriteMessage]
       ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
     }
-    IceTable.load(SparkSession.active, location)
-      .commitStagedEntries(entries, replace = false, token = Some(s"v2-epoch-$epochId"))
+    val t = IceTable.load(SparkSession.active, location)
+    t.commitStagedEntries(entries, replace = false, token = Some(s"v2-$queryId-epoch-$epochId"))
+    onCommit.foreach(_(t))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -95,7 +113,8 @@ final class IceLiteBatchWrite(
     location: String,
     schema: StructType,
     replace: Boolean,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    onCommit: Option[IceTable => Unit] = None)
     extends BatchWrite {
 
   // staging dir fixed at the driver; every task writes beneath it
@@ -109,8 +128,9 @@ final class IceLiteBatchWrite(
       val w = m.asInstanceOf[IceLiteWriteMessage]
       ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
     }
-    IceTable.load(SparkSession.active, location)
-      .commitStagedEntries(entries, replace)
+    val t = IceTable.load(SparkSession.active, location)
+    t.commitStagedEntries(entries, replace)
+    onCommit.foreach(_(t))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

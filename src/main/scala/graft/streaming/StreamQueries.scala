@@ -584,10 +584,15 @@ object StreamQueries {
   /** st15: `writeStream.format("icelite")` — the V2-NATIVE exactly-once
     * streaming sink (st05 hand-rolls the same guarantee with foreachBatch
     * + appendOnce; this is the connector doing it: every epoch commits
-    * one CAS snapshot carrying `v2-epoch-N` as its token, so a replayed
-    * epoch is absorbed exactly once). The gate streams events into the
-    * table, REPLAYS epoch 0's commit by hand, asserts the table ignored
-    * it, and returns the per-type aggregate the oracle recomputes. */
+    * one CAS snapshot carrying `v2-<queryId>-epoch-N` as its token —
+    * query-scoped, because a SECOND query into the same table restarts
+    * epochs at 0 and an epoch-only token would silently swallow its first
+    * commits as replays; queryId is the stable checkpoint-persisted id,
+    * so a RESTART of the same query still dedupes. The gate streams
+    * events into the table, REPLAYS epoch 0's commit by hand with the
+    * real token, asserts the table ignored it, asserts a DIFFERENT
+    * query's epoch-0 token is NOT absorbed, and returns the per-type
+    * aggregate the oracle recomputes. */
   private def streamTableSink(s: SparkSession, d: String): DataFrame = {
     import graft.icelite.FsCatalog
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -600,7 +605,7 @@ object StreamQueries {
     val ev  = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
     val cat = new FsCatalog(s, wh)
     val t   = cat.createOrReplaceTable("graft", "events_sink", ev.limit(0))
-    eventsStream(s, d)
+    val q = eventsStream(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value").cast("double").as("value"))
       .writeStream.format("icelite")
@@ -609,13 +614,26 @@ object StreamQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-      .awaitTermination()
-    // exactly-once: replaying epoch 0's commit must be a no-op
+    q.awaitTermination()
+    val token0 = s"v2-${q.id}-epoch-0"
+    // exactly-once: replaying THIS query's epoch 0 must be a no-op
     val before = t.scan().count()
-    t.appendOnce(ev, "v2-epoch-0")
+    t.appendOnce(ev.limit(1), token0)
     require(t.scan().count() == before, "replayed epoch was double-committed")
-    require(t.snapshots().exists(_.commit_token.contains("v2-epoch-0")),
+    require(t.snapshots().exists(_.commit_token.contains(token0)),
       "epoch token missing from the snapshot log")
+    // query-scoping: a DIFFERENT query's epoch 0 is a genuinely new commit
+    // (the silent-data-loss mode an unscoped token would reintroduce).
+    // Probe with a sentinel row, assert it landed, then delete it so the
+    // aggregate below still matches the oracle.
+    val sentinel = ev.limit(1).select(
+      lit(-1L).as("event_id"), col("user_id"), col("event_type"),
+      col("value").cast("double").as("value"))
+    t.appendOnce(sentinel, s"v2-${java.util.UUID.randomUUID()}-epoch-0")
+    require(t.scan().count() == before + 1,
+      "a second query's epoch-0 commit was wrongly absorbed as a replay")
+    t.deleteWhere(col("event_id") === -1L)
+    require(t.scan().count() == before, "sentinel cleanup failed")
     s.read.format("icelite").option("location", t.location.toString).load()
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),

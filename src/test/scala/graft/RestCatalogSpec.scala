@@ -133,6 +133,37 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL TableCatalog bound to the REST service: CTAS/INSERT/ALTER publish CAS commits") {
+    spark.conf.set("spark.sql.catalog.rspec", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.rspec.uri", server.uri)
+    try {
+      demo(10).createOrReplaceTempView("rspec_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS rspec.sqlns")
+      spark.sql("CREATE TABLE rspec.sqlns.t AS SELECT * FROM rspec_src")
+      // the SERVER must have observed each commit as a pointer move:
+      // v1 (create/register) -> v2 (CTAS rows) -> v3 (INSERT) -> v4 (ALTER)
+      val p1 = catalog.metadataLocation("sqlns", "t")
+      assert(p1.endsWith("v2.json"), s"CTAS did not publish to the catalog: $p1")
+      spark.sql("INSERT INTO rspec.sqlns.t SELECT id + 100, name FROM rspec_src WHERE id <= 3")
+      val p2 = catalog.metadataLocation("sqlns", "t")
+      assert(p2.endsWith("v3.json"), s"INSERT did not publish to the catalog: $p2")
+      spark.sql("ALTER TABLE rspec.sqlns.t ADD COLUMN extra DOUBLE")
+      val p3 = catalog.metadataLocation("sqlns", "t")
+      assert(p3.endsWith("v4.json"), s"ALTER did not publish to the catalog: $p3")
+      // by-name SELECT resolves through the pointer the server holds
+      assert(spark.sql("SELECT COUNT(*) FROM rspec.sqlns.t").head().getLong(0) == 13L)
+      assert(spark.sql("SELECT COUNT(extra) FROM rspec.sqlns.t").head().getLong(0) == 0L)
+      // a racing out-of-band pointer move is respected: advancePointer
+      // adopts a fresher pointer rather than clobbering it
+      val ice = catalog.loadTable("sqlns", "t")
+      catalog.advancePointer("sqlns", "t", ice.metadataLocation)
+      assert(catalog.metadataLocation("sqlns", "t") == p3)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rspec")
+      spark.conf.unset("spark.sql.catalog.rspec.uri")
+    }
+  }
+
   test("dropping a non-empty namespace is rejected; empty namespace drops") {
     catalog.createNamespace("tmpns")
     catalog.createOrReplaceTable("tmpns", "t", demo(2))
