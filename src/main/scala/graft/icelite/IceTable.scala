@@ -287,6 +287,66 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       s"staged commit to $location lost the commit race 10 times — giving up")
   }
 
+  /** Commit for group-based (copy-on-write) ROW-LEVEL SQL operations
+    * (`DELETE FROM` / `UPDATE` / `MERGE INTO` through the V2 connector):
+    * the row-level scan read exactly `removed` (the affected file set —
+    * files that MAY contain matching rows, after manifest min/max
+    * pruning), executors staged the surviving+new rows as `entries`, and
+    * this commit atomically swaps the two. Manifest-granular carry, as in
+    * [[deleteRange]]: a manifest touching no removed file carries by
+    * POINTER (zero IO); a partially-affected one is rewritten minus the
+    * removed entries — so commit cost tracks the operation's blast
+    * radius, never table size. Rebase-and-retry like every other commit:
+    * a racing APPEND's new manifests carry straight through (they cannot
+    * reference `removed`, which existed before the scan). */
+  private[graft] def commitReplaceScanned(
+      removed: Set[String],
+      entries: Seq[ManifestEntry],
+      operation: String): IceTable = {
+    val md0 = metadata
+    val newManifest =
+      if (entries.isEmpty) None
+      else {
+        val rel = s"metadata/manifests/m-rl-${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = new Path(location, rel)
+        fs.mkdirs(dir)
+        writeFileAtomic(new Path(dir, "part-0.json"), entries.map(_.toJson).mkString("\n"))
+        Some(rel -> summarize(md0.schema, entries))
+      }
+    var attempt = 0
+    while (attempt < 10) {
+      val v        = currentVersion
+      val md       = metadataAt(v)
+      val baseSnap = md.currentSnapshot
+      val carried = baseSnap.toSeq.flatMap(sn => sn.manifests.zipWithIndex.flatMap {
+        case (m, i) =>
+          val summary = sn.summaryAt(i).getOrElse(Map.empty[String, ColRange])
+          val es      = readManifest(m)
+          if (!es.exists(e => removed(e.file))) Some(m -> summary)
+          else {
+            val remaining = es.filterNot(e => removed(e.file))
+            if (remaining.isEmpty) None
+            else Some(writeFilteredManifest(remaining) -> summarize(md.schema, remaining))
+          }
+      })
+      val all    = carried ++ newManifest.toSeq
+      val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(
+        snapshot_id = snapId,
+        timestamp_ms = System.currentTimeMillis(),
+        operation = operation,
+        manifests = all.map(_._1).toList,
+        manifest_summaries = Some(all.map(_._2).toList),
+        parent_snapshot_id = baseSnap.map(_.snapshot_id),
+        commit_token = None)
+      val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
+      if (commitCasAt(v + 1, newMd)) return this
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"row-level commit to $location lost the commit race 10 times — giving up")
+  }
+
   /** `data/snap-N-x` prefix of a snapshot-relative file path. */
   private def snapDirOf(relPath: String): String = relPath.split('/').take(2).mkString("/")
 

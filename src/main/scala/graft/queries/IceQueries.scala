@@ -1337,6 +1337,148 @@ object IceQueries {
     } finally server.stop()
   }
 
+  /** Register a throwaway `ice_dml` SQL catalog over a fresh warehouse,
+    * run `body`, then unset — shared plumbing for the row-level SQL
+    * gates (ic58/ic59/ic60). */
+  private def withDmlCatalog(s: SparkSession, tag: String)(body: String => DataFrame): DataFrame = {
+    val wh = freshDir(s, tag)
+    s.conf.set("spark.sql.catalog.ice_dml", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_dml.warehouse", wh)
+    try {
+      val out = body(wh)
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_dml")
+      s.conf.unset("spark.sql.catalog.ice_dml.warehouse")
+    }
+  }
+
+  /** Plain-SQL `DELETE FROM` through the connector
+    * (`SupportsRowLevelOperations`, group-based copy-on-write — the SQL a
+    * lakehouse user types first, reference surface
+    * `query_iceberg_minio.ipynb:1119-1180`). The table is committed as
+    * two snapshots so low/high key ranges land in separate files; the
+    * DELETE's condition reaches the row-level scan via
+    * GroupBasedRowLevelOperationScanPlanning, manifest min/max pruning
+    * bounds the rewrite to the low file, and the requires prove BOTH
+    * halves of the copy-on-write contract: the untouched file carried BY
+    * THE SAME PHYSICAL PATH (zero IO), and the affected file was
+    * rewritten (old path gone). At 100 TB a keyed delete rewrites its
+    * blast radius, never the table. */
+  private def sqlDeleteQ(s: SparkSession, d: String): DataFrame =
+    withDmlCatalog(s, "sqldel") { wh =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("orders_dml_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_dml.graft")
+      s.sql("""CREATE TABLE ice_dml.graft.orders_del AS
+               SELECT * FROM orders_dml_src WHERE o_orderkey < 7500""")
+      val cat  = new FsCatalog(s, wh)
+      def files() = { val t = cat.loadTable("graft", "orders_del")
+                      t.filesOf(t.metadata.currentSnapshot.get).toSet }
+      val fLow = files() // CTAS commit: every file's o_orderkey range starts < 500
+      s.sql("""INSERT INTO ice_dml.graft.orders_del
+               SELECT * FROM orders_dml_src WHERE o_orderkey >= 7500""")
+      val fHigh = files() -- fLow // INSERT commit: min o_orderkey >= 15000 everywhere
+      require(fLow.nonEmpty && fHigh.nonEmpty, "expected files from both commits")
+      s.sql("DELETE FROM ice_dml.graft.orders_del WHERE o_orderkey < 500")
+      val t2    = cat.loadTable("graft", "orders_del")
+      val after = t2.filesOf(t2.metadata.currentSnapshot.get).toSet
+      require(t2.metadata.currentSnapshot.get.operation == "delete",
+        "SQL DELETE did not land a delete snapshot")
+      // the pruned high-range files carry by identical physical path (zero IO)...
+      require(fHigh.subsetOf(after),
+        s"pruned high-range files were rewritten: ${fHigh -- after}")
+      // ...and every affected low-range file was rewritten out
+      require((fLow & after).isEmpty,
+        s"low-range files survived the copy-on-write rewrite: ${fLow & after}")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+               FROM ice_dml.graft.orders_del ORDER BY o_orderkey""")
+    }
+
+  private val sqlDeleteOracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       FROM orders WHERE NOT (o_orderkey < 500) ORDER BY o_orderkey"""
+
+  /** Plain-SQL `UPDATE` through the connector: same group-based rewrite,
+    * with Spark's RewriteUpdateTable planning the assignment. */
+  private def sqlUpdateQ(s: SparkSession, d: String): DataFrame =
+    withDmlCatalog(s, "sqlupd") { _ =>
+      Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .createOrReplaceTempView("cust_upd_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_dml.graft")
+      s.sql("CREATE TABLE ice_dml.graft.cust_upd AS SELECT * FROM cust_upd_src")
+      s.sql("""UPDATE ice_dml.graft.cust_upd
+               SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'BOOSTED'
+               WHERE c_acctbal < 0""")
+      s.sql("""SELECT c_custkey, c_nationkey,
+                      CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+               FROM ice_dml.graft.cust_upd ORDER BY c_custkey""")
+    }
+
+  private val sqlUpdateOracle =
+    """SELECT c_custkey, c_nationkey,
+              CAST(ROUND(CASE WHEN c_acctbal < 0 THEN c_acctbal + 100.0 ELSE c_acctbal END, 2) AS DOUBLE) AS bal,
+              CASE WHEN c_acctbal < 0 THEN 'BOOSTED' ELSE c_mktsegment END AS c_mktsegment
+       FROM customer ORDER BY c_custkey"""
+
+  /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
+    * RewriteMergeIntoTable plans the full-outer matching against the
+    * row-level scan; the write replaces only files the source key range
+    * could touch. Clauses: conditional DELETE, catch-all UPDATE,
+    * NOT MATCHED INSERT — the upsert SQL every lakehouse pipeline runs. */
+  private def sqlMergeQ(s: SparkSession, d: String): DataFrame =
+    withDmlCatalog(s, "sqlmrg") { _ =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      cust.createOrReplaceTempView("cust_mrg_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_dml.graft")
+      s.sql("CREATE TABLE ice_dml.graft.cust_mrg AS SELECT * FROM cust_mrg_src")
+      // source: every 7th key updated (negatives deleted), new keys inserted
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW mrg_updates AS
+               SELECT c_custkey, c_nationkey, c_acctbal - 1000.0 AS c_acctbal,
+                      'MERGED' AS c_mktsegment
+               FROM cust_mrg_src WHERE c_custkey % 7 = 0
+               UNION ALL
+               SELECT c_custkey + 1000000, c_nationkey, c_acctbal, 'NEWROW'
+               FROM cust_mrg_src WHERE c_custkey % 97 = 0""")
+      s.sql("""MERGE INTO ice_dml.graft.cust_mrg t
+               USING mrg_updates s
+               ON t.c_custkey = s.c_custkey
+               WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+               WHEN MATCHED THEN UPDATE SET
+                 c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""SELECT c_custkey, c_nationkey,
+                      CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+               FROM ice_dml.graft.cust_mrg ORDER BY c_custkey""")
+    }
+
+  private val sqlMergeOracle =
+    """WITH src AS (
+         SELECT c_custkey, c_nationkey, c_acctbal - 1000.0 AS c_acctbal,
+                'MERGED' AS c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0
+         UNION ALL
+         SELECT c_custkey + 1000000, c_nationkey, c_acctbal, 'NEWROW'
+         FROM customer WHERE c_custkey % 97 = 0),
+       merged AS (
+         SELECT t.c_custkey, t.c_nationkey,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+                (s.c_custkey IS NOT NULL AND s.c_acctbal < 0) AS deleted
+         FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey),
+       inserted AS (
+         SELECT s.c_custkey, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+         FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+         WHERE t.c_custkey IS NULL)
+       SELECT c_custkey, c_nationkey, CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+       FROM (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM merged WHERE NOT deleted
+             UNION ALL SELECT * FROM inserted)
+       ORDER BY c_custkey"""
+
   /** Nested types through the REAL Iceberg v2 metadata path (struct +
     * list + map — the spec's composite JSON type objects): build a nested
     * view of orders, commit it as an Iceberg table whose schema JSON
@@ -1520,7 +1662,10 @@ object IceQueries {
       Some("""WITH t AS (SELECT * FROM nation
                          UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
               SELECT n_regionkey, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_extra
-              FROM t GROUP BY 1 ORDER BY 1"""))
+              FROM t GROUP BY 1 ORDER BY 1""")),
+    Q("ic58_sql_delete", sqlDeleteQ, Some(sqlDeleteOracle)),
+    Q("ic59_sql_merge", sqlMergeQ, Some(sqlMergeOracle)),
+    Q("ic60_sql_update", sqlUpdateQ, Some(sqlUpdateOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -134,7 +134,8 @@ final class IceLiteV2Table(
     snap: Option[Snapshot],
     onCommit: Option[IceTable => Unit] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private val md = ice.metadata
 
@@ -163,9 +164,19 @@ final class IceLiteV2Table(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new IceLiteWriteBuilder(ice, info, onCommit)
+
+  /** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO`, group-based
+    * copy-on-write (see [[IceLiteRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new IceLiteRowLevelBuilder(ice, snap, info, onCommit)
 }
 
-final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
+final class IceLiteScanBuilder(
+    ice: IceTable,
+    snap: Option[Snapshot],
+    onBuild: Scan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -231,8 +242,11 @@ final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
     required = requiredSchema
 
   override def build(): Scan = {
-    if (countPushed)
-      return new IceLiteCountScan(ice, snap.get)
+    if (countPushed) {
+      val cs = new IceLiteCountScan(ice, snap.get)
+      onBuild(cs)
+      return cs
+    }
     // fold pushed filters into per-column [lower, upper] bounds (first
     // bound per column wins; later ones stay row-level residuals — sound
     // because pruning only ever widens what survives)
@@ -247,7 +261,9 @@ final class IceLiteScanBuilder(ice: IceTable, snap: Option[Snapshot])
       case LessThanOrEqual(c, v)    => add(c, None, Some(v.toString))
       case _                        =>
     }
-    new IceLiteScan(ice, snap, required, bounds.toMap, pushed, limit)
+    val s = new IceLiteScan(ice, snap, required, bounds.toMap, pushed, limit)
+    onBuild(s)
+    s
   }
 }
 
@@ -412,6 +428,13 @@ final class IceLiteScan(
         }.toArray
     }
   }
+
+  /** The table-relative paths this scan reads — for a row-level (ReplaceData)
+    * operation these ARE the replaced groups: the write's commit swaps
+    * exactly this set for the staged rewrite. Evaluated at COMMIT time so
+    * any runtime group filtering that narrowed the scan narrows the
+    * replacement identically. */
+  private[sources] def replacedFiles: Set[String] = survivors.toSet
 
   override def readSchema(): StructType = required
 

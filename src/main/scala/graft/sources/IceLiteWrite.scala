@@ -91,10 +91,12 @@ final class IceLiteStreamingWrite(
     IceLiteStreamingWriterFactory(conf, location, schema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // zero-row task outputs add no files: a stats-less empty file would be
+    // unprunable forever (no recorded range = conservative keep)
     val entries = messages.toSeq.map { m =>
       val w = m.asInstanceOf[IceLiteWriteMessage]
       ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
-    }
+    }.filter(_.rows.exists(_ > 0L))
     val t = IceTable.load(SparkSession.active, location)
     t.commitStagedEntries(entries, replace = false, token = Some(s"v2-$queryId-epoch-$epochId"))
     onCommit.foreach(_(t))
@@ -124,10 +126,11 @@ final class IceLiteBatchWrite(
     new IceLiteWriterFactory(conf, location, dataRel, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // zero-row task outputs add no files (see streaming commit note)
     val entries = messages.toSeq.map { m =>
       val w = m.asInstanceOf[IceLiteWriteMessage]
       ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
-    }
+    }.filter(_.rows.exists(_ > 0L))
     val t = IceTable.load(SparkSession.active, location)
     t.commitStagedEntries(entries, replace)
     onCommit.foreach(_(t))

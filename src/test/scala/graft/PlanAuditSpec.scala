@@ -89,6 +89,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("SQL DELETE is a bounded copy-on-write: the pruned file is never even read") {
+    // SupportsRowLevelOperations, group-based: the DELETE condition is
+    // pushed into the row-level scan (GroupBasedRowLevelOperationScanPlanning),
+    // manifest min/max pruning keeps the high-range file out of the scan,
+    // and the commit carries it by IDENTICAL physical path. The
+    // filesOpened counter proves the plan claim at the IO level: the
+    // whole DELETE opens exactly the files it rewrites.
+    val wh = scratch("rl_audit") // scratch() wipes — resolve once
+    spark.conf.set("spark.sql.catalog.rl_audit", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.rl_audit.warehouse", wh)
+    try {
+      spark.range(1000).selectExpr("id AS k", "concat('v', id) AS v")
+        .coalesce(1).createOrReplaceTempView("rl_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS rl_audit.ns")
+      spark.sql("CREATE TABLE rl_audit.ns.t AS SELECT * FROM rl_src WHERE k < 500")
+      spark.sql("INSERT INTO rl_audit.ns.t SELECT * FROM rl_src WHERE k >= 500")
+      val cat = new graft.icelite.FsCatalog(spark, wh)
+      def files() = { val t = cat.loadTable("ns", "t")
+                      t.filesOf(t.metadata.currentSnapshot.get).toSet }
+      val all0 = files()
+      assert(all0.size == 2, s"expected 2 files, got $all0")
+      val highFiles = {
+        val t  = cat.loadTable("ns", "t")
+        val st = t.statsOf(t.metadata.currentSnapshot.get)
+        all0.filter(f => st.get(f).flatMap(_.get("k")).exists(_.min.exists(_.toLong >= 500L)))
+      }
+      assert(highFiles.size == 1, s"stats did not separate the two files: $highFiles")
+      graft.sources.IceLiteSource.filesOpened.reset()
+      spark.sql("DELETE FROM rl_audit.ns.t WHERE k < 100")
+      val opened = graft.sources.IceLiteSource.filesOpened.sum()
+      assert(opened == 1L, s"row-level scan opened $opened files; expected only the affected one")
+      val after = files()
+      assert(highFiles.subsetOf(after), "pruned file did not carry by physical path")
+      assert(spark.sql("SELECT COUNT(*) FROM rl_audit.ns.t").head().getLong(0) == 900L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rl_audit")
+      spark.conf.unset("spark.sql.catalog.rl_audit.warehouse")
+    }
+  }
+
   test("V2 scan reports manifest row counts into planner statistics") {
     import graft.icelite.FsCatalog
     val cat = new FsCatalog(spark, scratch("v2stats"))
