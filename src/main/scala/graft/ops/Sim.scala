@@ -1532,17 +1532,33 @@ object Sim {
   private def ivfIndexMetadata(s: SparkSession, d: String): String =
     ivfIndexCache.computeIfAbsent(d, _ => buildIvfIndex(s, d))
 
-  private def buildIvfIndex(s: SparkSession, d: String): String = {
+  /** SINGLE-JOB index write: one `repartition(cell)` shuffle +
+    * `partitionBy` write lands every cell's file in one pass (the driver
+    * never loops over cells — round 7's per-cell filter/coalesce/write
+    * loop was 1 + 2×cells jobs; this is one logical shuffle-write at any
+    * cell count, plus fixed bookkeeping: the centroid collect, parquet
+    * footer reads, and AQE's per-stage jobs — OpsSpec pins the total at
+    * ≤6, cell-count-free). The manifest comes from
+    * the LISTING: per-cell row counts are read from the parquet footers —
+    * O(cells) driver-side metadata reads, no extra Spark job. Hash
+    * repartitioning on `cell` puts each cell wholly in one task, so the
+    * one-file-per-cell layout (and the manifest cell bounds sm26 prunes
+    * by) is structural, not a coalesce accident. Sorting carries the
+    * partition column as prefix so the dynamic-partition writer reuses
+    * our sort instead of inserting its own. */
+  private[graft] def buildIvfIndex(s: SparkSession, d: String): String = {
     import s.implicits._
     import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
     val root = "/root/repo/target/scratch/ivfidx_" +
       java.lang.Integer.toHexString(d.hashCode)
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    val conf  = s.sparkContext.hadoopConfiguration
+    val fs    = rootP.getFileSystem(conf)
     if (fs.exists(rootP)) fs.delete(rootP, true)
     fs.mkdirs(rootP)
     val loc   = s"$root/ivf_index"
-    val cents = collectMatrix(s, d, idBound = ivfCells)
+    val cents = collectMatrix(s, d, idBound = ivfCells) // job 1: k×64 doubles
     val bc    = s.sparkContext.broadcast(cents)
     val assigned = Tables.spread(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
@@ -1552,33 +1568,41 @@ object Sim {
         it.map { case (id, vf) => (assignCell(vf.map(_.toDouble), cs), id, vf) }
       }
       .toDF("cell", "vec_id", "embedding")
-      .persist() // materialized once; per-cell writes read the cache
-    try {
-      val w = new IcebergFormat.Writer(s, loc, assigned.schema)
-      // one grouped count replaces 8 isEmpty probes + 8 per-file counts
-      val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val fsL = new org.apache.hadoop.fs.Path(loc)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val infos = counts.toSeq.sortBy(_._1).map { case (cid, n) =>
-        val tmp = s"$root/stage_c$cid"
-        assigned.filter(col("cell") === cid).coalesce(1)
-          .sortWithinPartitions("vec_id")
-          .write.mode("overwrite").parquet(tmp)
-        val part = fsL.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val dest = new org.apache.hadoop.fs.Path(s"$loc/data/cell$cid.parquet")
-        fsL.mkdirs(dest.getParent)
-        require(fsL.rename(part, dest), s"stage rename failed for cell$cid")
-        fsL.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        val enc = IcebergFormat
-          .encodeBound(org.apache.spark.sql.types.LongType, cid.toString).get
-        IcebergFormat.DataFileInfo(dest.toString, n, fsL.getFileStatus(dest).getLen)
-          .copy(bounds = Map(1 -> (enc, enc))) // field 1 = cell: min = max = cid
+    val stage = s"$root/stage"
+    assigned.withColumn("cellp", col("cell")) // keep cell IN the data files too
+      .repartition(col("cell"))
+      .sortWithinPartitions("cellp", "vec_id")
+      .write.partitionBy("cellp").mode("overwrite").parquet(stage) // job 2
+    val w   = new IcebergFormat.Writer(s, loc, assigned.schema)
+    val fsL = new Path(loc).getFileSystem(conf)
+    val enc0 = (cid: Long) =>
+      IcebergFormat.encodeBound(org.apache.spark.sql.types.LongType, cid.toString).get
+    val infos = fsL.listStatus(new Path(stage)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cellp="))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val cid   = st.getPath.getName.stripPrefix("cellp=").toLong
+        val parts = fsL.listStatus(st.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        require(parts.length == 1,
+          s"cell $cid split across ${parts.length} files — hash repartition broken")
+        parts.zipWithIndex.map { case (part, i) =>
+          val dest = new Path(s"$loc/data/cell$cid-$i.parquet")
+          fsL.mkdirs(dest.getParent)
+          require(fsL.rename(part, dest), s"stage rename failed for cell$cid")
+          // row count from the parquet footer: driver-side metadata read,
+          // no Spark job
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, conf))
+          val n   = try rdr.getRecordCount finally rdr.close()
+          val e   = enc0(cid)
+          IcebergFormat.DataFileInfo(dest.toString, n, fsL.getFileStatus(dest).getLen)
+            .copy(bounds = Map(1 -> (e, e))) // field 1 = cell: min = max = cid
+        }
       }
-      w.commit(infos)
-      w.currentMetadataPath
-    } finally assigned.unpersist(blocking = false)
+    fs.delete(new Path(stage), true)
+    w.commit(infos)
+    w.currentMetadataPath
   }
 
   /** sm25: the index-build job's audit — read BACK the persisted Iceberg

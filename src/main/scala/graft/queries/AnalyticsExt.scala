@@ -82,19 +82,27 @@ object AnalyticsExt {
         GROUP BY n_name ORDER BY n_name""")),
 
     // ---- ANALYZE-style column statistics: per-column row count, null
-    //      count, exact NDV, min and max (as strings) for four lineitem
+    //      count, NDV, min and max (as strings) for four lineitem
     //      columns — the stats a cost-based optimizer or a data-quality
-    //      monitor collects. ONE scan computes all 14 aggregates (the
-    //      multi-distinct plans as one Expand + shuffle); the melt to one
-    //      row per column is a constant-size projection. At 100 TB the
-    //      exact NDVs would swap to approx_count_distinct (gated separately
-    //      as an33_hll_distinct) — the plan shape is otherwise identical.
+    //      monitor collects. ONE scan computes all 14 aggregates; the melt
+    //      to one row per column is a constant-size projection. NDV is
+    //      SCALE-GATED: exact countDistinct under the row bound (the
+    //      4-way multi-distinct plans as one Expand — a 4x row blow-up
+    //      through the shuffle that is fine at oracle scale and ruinous at
+    //      100 TB), approx_count_distinct (HLL sketch, one pass, fixed
+    //      state) above it. The bound rides a conf key so PlanAuditSpec
+    //      can assert BOTH plan shapes; the row count that drives the gate
+    //      is a footer-stats parquet count — milliseconds at any scale.
     Q("an39_column_stats",
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .withColumn("l_shipday", col("l_shipdate").cast("date"))
+        val bound = s.conf.get("graft.an39.exactNdvRowBound", "1000000").toLong
+        val exact = Tables.lineitem(s, d).count() <= bound
+        def ndv(c: String): Column =
+          if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
         def stats(c: String): Seq[Column] = Seq(
-          countDistinct(col(c)).as(s"ndv_$c"),
+          ndv(c).as(s"ndv_$c"),
           sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
           min(col(c)).cast("string").as(s"min_$c"),
           max(col(c)).cast("string").as(s"max_$c"))

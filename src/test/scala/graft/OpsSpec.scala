@@ -277,6 +277,27 @@ class OpsSpec extends SparkSpec {
     assert(recall.forall(r => r.getAs[Long]("n_hits") >= 0 && r.getAs[Long]("n_hits") <= 5))
   }
 
+  test("sm25 index build is a constant number of Spark jobs, independent of cell count") {
+    // round 7's build looped filter/coalesce/write per cell (1 + 2*cells
+    // jobs = 17 at 8 cells); the single-pass rewrite is ONE logical
+    // shuffle-write whatever the cell count. Measured fixed overhead: 2
+    // parquet-footer reads (one per embeddings DataFrame), the centroid
+    // collect, and AQE materializing the write as <=3 stage jobs — 6
+    // total, none scaling with cells. Manifest row counts come from
+    // parquet footers, not a Spark job. Job-group ids make the count
+    // exact without racing the async listener bus.
+    spark.sparkContext.setJobGroup("sm25-build-audit", "ivf index build", false)
+    val meta =
+      try graft.ops.Sim.buildIvfIndex(spark, sfDir)
+      finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("sm25-build-audit")
+    assert(jobs.length <= 6, s"index build ran ${jobs.length} driver jobs: not cell-count-free")
+    // the committed layout still serves sm26: one file per cell, bounds intact
+    val idx = graft.icelite.IcebergFormat.scanRange(spark, meta, "cell", Some("0"), Some("0"))
+    assert(idx.inputFiles.length == 1, "cell bounds no longer prune to one file")
+    assert(idx.count() > 0)
+  }
+
   test("st12 transformWithState count equals the batch GROUP BY under any batching") {
     val streamed = SparkEntry.registry.find(_.name == "st12_transform_with_state").get
       .run(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap

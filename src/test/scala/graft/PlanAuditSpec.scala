@@ -129,6 +129,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("an39 NDV is scale-gated: above the row bound the plan drops the multi-distinct Expand") {
+    // under the bound (oracle scale): exact countDistinct, whose 4-way
+    // multi-distinct plans as an Expand (4x rows through the shuffle).
+    // Above it (sf1sim and beyond): approx_count_distinct — HLL sketch,
+    // no Expand anywhere in the plan. The conf key stands in for data
+    // volume so both shapes are assertable at test scale.
+    def planOf(): String = {
+      val df = SparkEntry.queries("an39_column_stats")(spark, sfDir)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    }
+    val exactPlan = planOf()
+    assert(exactPlan.contains("Expand"), "exact multi-distinct should plan an Expand:\n" +
+      exactPlan.take(600))
+    spark.conf.set("graft.an39.exactNdvRowBound", "1")
+    try {
+      val approxPlan = planOf()
+      assert(!approxPlan.contains("Expand"),
+        "scale-gated NDV still plans the 4-way-distinct Expand:\n" + approxPlan.take(900))
+      assert(approxPlan.contains("approx_count_distinct"), approxPlan.take(600))
+    } finally spark.conf.unset("graft.an39.exactNdvRowBound")
+  }
+
   test("V2 scan reports manifest row counts into planner statistics") {
     import graft.icelite.FsCatalog
     val cat = new FsCatalog(spark, scratch("v2stats"))
