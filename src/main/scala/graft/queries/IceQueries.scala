@@ -1354,6 +1354,73 @@ object IceQueries {
     }
   }
 
+  /** NESTED types through the V2 WRITE path (ic51's reader twin): a
+    * struct + list + map view of orders is written with
+    * `df.write.format("icelite").option("iceberg", "true")` — executors
+    * write nested parquet with Iceberg field ids, the driver commits real
+    * v2 metadata — and read back through the METADATA by the v2 reader.
+    * The requires prove (a) the nested schema round-tripped through the
+    * committed schema JSON and (b) the parquet footers carry the SAME
+    * field ids the schema assigns (id-based column identity, the spec's
+    * rename-safety contract). Flattened for the DuckDB nested-parquet
+    * oracle. */
+  private def icebergV2WriteNestedQ(s: SparkSession, d: String): DataFrame = {
+    val root = freshDir(s, "icev2w")
+    val loc  = s"$root/orders_nested_w"
+    val base = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total")).as("info"),
+        split(col("o_orderpriority"), "-").as("prio_parts"),
+        map(lit("cust"), col("o_custkey")).as("attrs"))
+    base.write.format("icelite").option("iceberg", "true")
+      .option("location", loc).mode("overwrite").save()
+    val fs   = new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hint = new Path(loc, "metadata/version-hint.text")
+    val ver  = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(hint)),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val meta = f"$loc/metadata/v${ver.toInt}%05d.metadata.json"
+    val scanned = new Engine(s, new FsCatalog(s, freshDir(s, "icev2w_wh")))
+      .scanIcebergMetadata(meta)
+    require(scanned.schema.catalogString == base.schema.catalogString,
+      s"nested schema did not round-trip through the V2 write: " +
+        s"${scanned.schema.catalogString} vs ${base.schema.catalogString}")
+    // field-id audit: the parquet footer's ids must equal the schema's
+    // assignment (top-level 1..n, nested continuing after n)
+    val dataFile = {
+      val it = fs.listFiles(new Path(loc, "data"), true)
+      var p: Path = null
+      while (it.hasNext && p == null) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) p = f
+      }
+      require(p != null, "V2 iceberg write staged no parquet")
+      p
+    }
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        dataFile, s.sparkContext.hadoopConfiguration))
+    val msg = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+    def idOf(t: org.apache.parquet.schema.Type): Int = Option(t.getId).map(_.intValue).getOrElse(-1)
+    def top(n: String): org.apache.parquet.schema.Type = msg.getFields.get(msg.getFieldIndex(n))
+    require(idOf(top("o_orderkey")) == 1 && idOf(top("info")) == 2 &&
+      idOf(top("prio_parts")) == 3 && idOf(top("attrs")) == 4,
+      s"top-level parquet field ids diverged from the Iceberg schema: $msg")
+    locally {
+      val info = top("info").asGroupType
+      require(idOf(info.getFields.get(info.getFieldIndex("status"))) == 5,
+        s"nested parquet field ids diverged from the Iceberg schema: $msg")
+    }
+    scanned.select(
+      col("o_orderkey"),
+      col("info.status").as("status"),
+      col("info.total").as("total"),
+      concat_ws("-", col("prio_parts")).as("prio"),
+      element_at(col("attrs"), "cust").as("custkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Plain-SQL `DELETE FROM` through the connector
     * (`SupportsRowLevelOperations`, group-based copy-on-write — the SQL a
     * lakehouse user types first, reference surface
@@ -1665,7 +1732,11 @@ object IceQueries {
               FROM t GROUP BY 1 ORDER BY 1""")),
     Q("ic58_sql_delete", sqlDeleteQ, Some(sqlDeleteOracle)),
     Q("ic59_sql_merge", sqlMergeQ, Some(sqlMergeOracle)),
-    Q("ic60_sql_update", sqlUpdateQ, Some(sqlUpdateOracle))
+    Q("ic60_sql_update", sqlUpdateQ, Some(sqlUpdateOracle)),
+    Q("ic61_iceberg_v2_write_nested", icebergV2WriteNestedQ,
+      Some("""SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+                     o_orderpriority AS prio, o_custkey AS custkey
+              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

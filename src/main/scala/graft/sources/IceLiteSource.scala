@@ -87,17 +87,31 @@ final class IceLiteSource extends TableProvider with DataSourceRegister {
   private def loadIce(options: CaseInsensitiveStringMap): IceTable =
     IceTable.load(SparkSession.active, resolveLocation(options))
 
+  private def isIceberg(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("iceberg", false)
+
+  /** The df schema rides into getTable for writes — required for the
+    * iceberg nested-write path, where the table may not exist yet. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    loadIce(options).metadata.schema
+    if (isIceberg(options))
+      throw new UnsupportedOperationException(
+        "option(\"iceberg\") is the nested WRITE surface (schema comes from the " +
+          "DataFrame); read Iceberg tables via Engine.scanIcebergMetadata")
+    else loadIce(options).metadata.schema
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
-    loadIce(options).metadata.partitionCols.map(Expressions.identity(_)).toArray
+    if (isIceberg(options)) Array.empty
+    else loadIce(options).metadata.partitionCols.map(Expressions.identity(_)).toArray
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    if (isIceberg(opts))
+      return new IcebergV2Table(resolveLocation(opts), schema)
     val ice  = loadIce(opts)
     val snap = resolveSnapshot(ice, opts)
     new IceLiteV2Table(ice, snap)

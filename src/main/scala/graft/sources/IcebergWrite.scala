@@ -1,0 +1,346 @@
+package graft.sources
+
+import graft.icelite.IcebergFormat
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.Type.Repetition
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => PType, Types}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NESTED-TYPE write path into a REAL Iceberg v2 table through the V2
+  * connector: `df.write.format("icelite").option("iceberg", "true")
+  * .option("location", dir).mode("overwrite").save()` — executors write
+  * nested parquet (struct / list / map over the primitive surface)
+  * row-at-a-time via the parquet-mr Group API, with every parquet field
+  * carrying the SAME field id the committed Iceberg schema JSON assigns
+  * (the spec's name-independent column identity — id-based projection is
+  * what makes rename/evolution safe), and the driver commit is pure
+  * metadata through [[IcebergFormat.Writer]] (Avro manifests, snapshot
+  * log, version-hint). Top-level primitive columns collect inline min/max
+  * stats so the committed manifests file-skip exactly like the flat path.
+  *
+  * Round-trips against the v2 READER (`Engine.scanIcebergMetadata`, ic51)
+  * and DuckDB's nested-parquet reader (the ic61 oracle). Scope: table
+  * CREATE (empty or absent location) or full REPLACE (`overwrite`);
+  * appending to a pre-existing Iceberg table needs the library
+  * [[IcebergFormat.Writer]] session, which owns the snapshot lineage. */
+final class IcebergV2Table(location: String, providedSchema: StructType) extends Table
+    with SupportsWrite {
+
+  override def name(): String = s"iceberg.$location"
+  override def schema(): StructType = providedSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // no SupportsRead: iceberg V2 reads go through Engine.scanIcebergMetadata
+  // (ic21/ic51); this table is the WRITE surface
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write =
+        new IcebergV2Write(location, info.schema(), replace)
+    }
+}
+
+final class IcebergV2Write(location: String, schema: StructType, replace: Boolean)
+    extends Write {
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val conf =
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration)
+    private val dataRel = s"data/snap-w-${java.util.UUID.randomUUID().toString.take(8)}"
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new IcebergWriterFactory(conf, location, dataRel, schema)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val s    = SparkSession.active
+      val loc  = new Path(location)
+      val fs   = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val hint = new Path(location, "metadata/version-hint.text")
+      if (fs.exists(hint)) {
+        require(replace,
+          s"$location already holds an Iceberg table; the V2 writer supports " +
+            "mode(\"overwrite\") (full replace) — use IcebergFormat.Writer to append")
+        // replace: drop old metadata and every data child except our stage
+        fs.delete(new Path(location, "metadata"), true)
+        val dataDir = new Path(location, "data")
+        if (fs.exists(dataDir))
+          fs.listStatus(dataDir).map(_.getPath)
+            .filterNot(p => s"data/${p.getName}" == dataRel)
+            .foreach(p => fs.delete(p, true))
+      }
+      val infos = messages.toSeq.collect {
+        case m: IcebergWriteMessage if m.rows > 0 =>
+          IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = m.bounds)
+      }
+      val w = new IcebergFormat.Writer(s, location, schema)
+      w.commit(infos)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(location).getFileSystem(conf.value)
+      fs.delete(new Path(location, dataRel), true)
+    }
+  }
+}
+
+final case class IcebergWriteMessage(
+    absPath: String,
+    rows: Long,
+    sizeBytes: Long,
+    bounds: Map[Int, (Array[Byte], Array[Byte])])
+    extends WriterCommitMessage
+
+final class IcebergWriterFactory(
+    conf: SerializableHadoopConf,
+    location: String,
+    dataRel: String,
+    schema: StructType)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IcebergNestedDataWriter(conf, location, dataRel, schema, partitionId, taskId)
+}
+
+/** Row-at-a-time nested parquet writer (parquet-mr Group API) with inline
+  * top-level primitive stats. The physical layout matches what Spark's
+  * own writer emits (3-level LIST, key_value MAP), so Spark's vectorized
+  * reader, our v2 reader and DuckDB all read these files identically. */
+final class IcebergNestedDataWriter(
+    conf: SerializableHadoopConf,
+    location: String,
+    dataRel: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val relPath = f"$dataRel/part-$partitionId%05d-$taskId.parquet"
+  private val path    = new Path(location, relPath)
+  private val msgType = IcebergWriteSchema.messageTypeFor(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+  private val writer  = ExampleParquetWriter
+    .builder(HadoopOutputFile.fromPath(path, conf.value))
+    .withType(msgType)
+    .withConf(conf.value)
+    .build()
+
+  private var rows = 0L
+  // inline min/max for top-level rangeable primitives, keyed by POSITION;
+  // converted to field-id-keyed Iceberg bounds at commit (top-level field
+  // ids are 1..n by construction — IcebergFormat.icebergSchemaJson)
+  private val statCols: Array[(Int, DataType)] = schema.fields.zipWithIndex.collect {
+    case (f, i) if IceLiteWriteSchema.rangeable(f.dataType) => (i, f.dataType)
+  }
+  private val mins = new Array[Any](statCols.length)
+  private val maxs = new Array[Any](statCols.length)
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema.fields(i)
+        IcebergWriteSchema.appendValue(g, f.name, f.dataType, row.get(i, f.dataType))
+      }
+      i += 1
+    }
+    var s = 0
+    while (s < statCols.length) {
+      val (idx, dt) = statCols(s)
+      if (!row.isNullAt(idx)) {
+        val v: Any = dt match {
+          case StringType  => row.getUTF8String(idx).toString
+          case IntegerType => row.getInt(idx).toLong
+          case LongType    => row.getLong(idx)
+          case FloatType   => row.getFloat(idx).toDouble
+          case DoubleType  => row.getDouble(idx)
+          case _           => null
+        }
+        if (v != null) {
+          if (mins(s) == null || lt(v, mins(s))) mins(s) = v
+          if (maxs(s) == null || lt(maxs(s), v)) maxs(s) = v
+        }
+      }
+      s += 1
+    }
+    writer.write(g)
+    rows += 1L
+  }
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x.compareTo(y) < 0
+    case _                      => false
+  }
+
+  private def statStr(dt: DataType, v: Any): String = (dt, v) match {
+    case (IntegerType, x: Long) => x.toInt.toString
+    case (FloatType, x: Double) => x.toFloat.toString
+    case (_, x)                 => x.toString
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val bounds = statCols.indices.flatMap { s =>
+      val (idx, dt) = statCols(s)
+      if (mins(s) == null) None
+      else for {
+        lo <- IcebergFormat.encodeBound(dt, statStr(dt, mins(s)))
+        hi <- IcebergFormat.encodeBound(dt, statStr(dt, maxs(s)))
+      } yield (idx + 1) -> (lo, hi) // field id = position + 1 at top level
+    }.toMap
+    val fs = path.getFileSystem(conf.value)
+    IcebergWriteMessage(path.toString, rows,
+      if (rows > 0) fs.getFileStatus(path).getLen else 0L, bounds)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val fs = path.getFileSystem(conf.value)
+    fs.delete(path, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+object IcebergWriteSchema {
+
+  /** Nested-capable parquet MessageType whose every field carries the
+    * Iceberg field id — assigned by the SAME traversal
+    * [[IcebergFormat.icebergSchemaJson]] uses (top-level fields 1..n,
+    * nested ids continuing after n in declaration order; struct children
+    * pre-order; list element-id before its element's nested ids; map
+    * key-id then value-id before either side's nested ids), so parquet
+    * metadata and table schema agree on column identity. */
+  def messageTypeFor(schema: StructType): MessageType = {
+    var lastId = schema.fields.length
+    val nextId = () => { lastId += 1; lastId }
+    val b = Types.buildMessage()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      b.addField(typeFor(f.name, f.dataType, i + 1, Repetition.OPTIONAL, nextId))
+    }
+    b.named("spark_schema")
+  }
+
+  private def typeFor(
+      name: String,
+      dt: DataType,
+      id: Int,
+      rep: Repetition,
+      nextId: () => Int): PType = dt match {
+    case st: StructType =>
+      // mirror typeJson: each child takes its id, then its nested ids
+      val children = st.fields.map { f =>
+        val cid = nextId()
+        typeFor(f.name, f.dataType, cid, Repetition.OPTIONAL, nextId)
+      }
+      children.foldLeft(Types.buildGroup(rep))(_.addField(_))
+        .id(id).named(name)
+    case at: ArrayType =>
+      val elemId = nextId()
+      val elem   = typeFor("element", at.elementType, elemId, Repetition.OPTIONAL, nextId)
+      Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+        .addField(Types.repeatedGroup().addField(elem).named("list"))
+        .id(id).named(name)
+    case mt: MapType =>
+      val keyId = nextId()
+      val valId = nextId()
+      val k     = typeFor("key", mt.keyType, keyId, Repetition.REQUIRED, nextId)
+      val v     = typeFor("value", mt.valueType, valId, Repetition.OPTIONAL, nextId)
+      Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+        .addField(Types.repeatedGroup().addField(k).addField(v).named("key_value"))
+        .id(id).named(name)
+    case p => primitiveFor(name, p, id, rep)
+  }
+
+  private def primitiveFor(name: String, dt: DataType, id: Int, rep: Repetition): PType = {
+    val b = dt match {
+      case StringType =>
+        Types.primitive(BINARY, rep).as(LogicalTypeAnnotation.stringType())
+      case BinaryType       => Types.primitive(BINARY, rep)
+      case IntegerType      => Types.primitive(INT32, rep)
+      case LongType         => Types.primitive(INT64, rep)
+      case FloatType        => Types.primitive(FLOAT, rep)
+      case DoubleType       => Types.primitive(DOUBLE, rep)
+      case BooleanType      => Types.primitive(BOOLEAN, rep)
+      case DateType         => Types.primitive(INT32, rep).as(LogicalTypeAnnotation.dateType())
+      case TimestampType    => Types.primitive(INT64, rep).as(
+        LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+      case TimestampNTZType => Types.primitive(INT64, rep).as(
+        LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
+      case other => throw new UnsupportedOperationException(
+        s"iceberg V2 write: unsupported type $other for column $name")
+    }
+    b.id(id).named(name)
+  }
+
+  /** Append one non-null Catalyst value into `g` under `name`, recursing
+    * through struct/list/map. Null HANDLING is by omission, parquet-mr
+    * style: a null field is simply never appended (optional repetition). */
+  def appendValue(g: Group, name: String, dt: DataType, v: Any): Unit = dt match {
+    case st: StructType =>
+      val row = v.asInstanceOf[InternalRow]
+      val sub = g.addGroup(name)
+      var i = 0
+      while (i < st.fields.length) {
+        if (!row.isNullAt(i)) {
+          val f = st.fields(i)
+          appendValue(sub, f.name, f.dataType, row.get(i, f.dataType))
+        }
+        i += 1
+      }
+    case at: ArrayType =>
+      val arr = v.asInstanceOf[ArrayData]
+      val lg  = g.addGroup(name)
+      var i = 0
+      while (i < arr.numElements()) {
+        val item = lg.addGroup("list") // one repeated "list" group per element
+        if (!arr.isNullAt(i))
+          appendValue(item, "element", at.elementType, arr.get(i, at.elementType))
+        i += 1
+      }
+    case mt: MapType =>
+      val map  = v.asInstanceOf[MapData]
+      val keys = map.keyArray()
+      val vals = map.valueArray()
+      val mg   = g.addGroup(name)
+      var i = 0
+      while (i < map.numElements()) {
+        val kv = mg.addGroup("key_value")
+        appendValue(kv, "key", mt.keyType, keys.get(i, mt.keyType))
+        if (!vals.isNullAt(i))
+          appendValue(kv, "value", mt.valueType, vals.get(i, mt.valueType))
+        i += 1
+      }
+    case StringType  => g.append(name, Binary.fromString(v.asInstanceOf[UTF8String].toString))
+    case BinaryType  => g.append(name, Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+    case IntegerType | DateType => g.append(name, v.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType => g.append(name, v.asInstanceOf[Long])
+    case FloatType   => g.append(name, v.asInstanceOf[Float])
+    case DoubleType  => g.append(name, v.asInstanceOf[Double])
+    case BooleanType => g.append(name, v.asInstanceOf[Boolean])
+    case other => throw new UnsupportedOperationException(
+      s"iceberg V2 write: unsupported type $other for column $name")
+  }
+}
