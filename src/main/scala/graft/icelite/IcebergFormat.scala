@@ -499,6 +499,51 @@ object IcebergFormat {
     scanFiles(spark, p, p.files)
   }
 
+  /** Snapshot ids of the metadata file in APPEND ORDER (the order the
+    * `snapshots` array records them — real Iceberg ids are random longs,
+    * so order must come from the log, never from id magnitude). The
+    * streaming source's offset space. */
+  def snapshotLog(spark: SparkSession, metadataPath: String): Seq[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    (md \ "snapshots") match {
+      case JArray(ss) => ss.map(s => (s \ "snapshot-id").extract[Long])
+      case _          => Nil
+    }
+  }
+
+  /** Absolute paths of data files ADDED between two snapshots of the log
+    * (`fromId` None = table genesis) — the Iceberg streaming-read window.
+    * Computed as the file-set difference of the two snapshots' plans, so
+    * it is exact under appends; a window that introduces row-level
+    * DELETE files is rejected loudly (a CDC consumer must not silently
+    * miss retractions). */
+  def incrementalFiles(
+      spark: SparkSession,
+      metadataPath: String,
+      fromId: Option[Long],
+      toId: Long): Seq[String] = {
+    val to      = plan(spark, metadataPath, Some(toId))
+    val from    = fromId.map(id => plan(spark, metadataPath, Some(id)))
+    val fromDel = from.map(_.deletes.map(_.path.toString).toSet).getOrElse(Set.empty)
+    val newDel  = to.deletes.map(_.path.toString).toSet -- fromDel
+    require(newDel.isEmpty,
+      s"incremental window crosses row-level deletes: ${newDel.take(3).mkString(",")}")
+    val fromFiles = from.map(_.files.map(_.path.toString).toSet).getOrElse(Set.empty)
+    to.files.map(_.path.toString).filterNot(fromFiles)
+  }
+
+  /** Current metadata file of an Iceberg table directory, resolved through
+    * `version-hint.text` (the writer's commit protocol). */
+  def currentMetadataPath(spark: SparkSession, location: String): String = {
+    val hint = new Path(location, "metadata/version-hint.text")
+    val fs   = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v    = readText(fs, hint).trim.toInt
+    new Path(location, f"metadata/v$v%05d.metadata.json").toString
+  }
+
   /** Time travel: scan the table as of snapshot `snapshotId` from the
     * metadata's snapshot list — the other half of the `iceberg_scan`
     * contract (`FOR VERSION AS OF`). Row-level deletes are applied with

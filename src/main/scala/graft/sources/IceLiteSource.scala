@@ -95,11 +95,20 @@ final class IceLiteSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (isIceberg(options))
-      throw new UnsupportedOperationException(
-        "option(\"iceberg\") is the nested WRITE surface (schema comes from the " +
-          "DataFrame); read Iceberg tables via Engine.scanIcebergMetadata")
-    else loadIce(options).metadata.schema
+    if (isIceberg(options)) {
+      // an EXISTING table infers from its committed metadata (the
+      // streaming-read path); an absent one has no schema to infer — the
+      // write path hands the DataFrame schema to getTable directly
+      val loc  = resolveLocation(options)
+      val hint = new org.apache.hadoop.fs.Path(loc, "metadata/version-hint.text")
+      val fs   = hint.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hint))
+        throw new UnsupportedOperationException(
+          s"no Iceberg table at $loc to infer a schema from; writes pass the " +
+            "DataFrame schema, batch reads go through Engine.scanIcebergMetadata")
+      graft.icelite.IcebergFormat.scan(SparkSession.active,
+        graft.icelite.IcebergFormat.currentMetadataPath(SparkSession.active, loc)).schema
+    } else loadIce(options).metadata.schema
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
     if (isIceberg(options)) Array.empty

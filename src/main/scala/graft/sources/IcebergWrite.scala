@@ -40,16 +40,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * appending to a pre-existing Iceberg table needs the library
   * [[IcebergFormat.Writer]] session, which owns the snapshot lineage. */
 final class IcebergV2Table(location: String, providedSchema: StructType) extends Table
-    with SupportsWrite {
+    with SupportsWrite with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"iceberg.$location"
   override def schema(): StructType = providedSchema
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
-  // no SupportsRead: iceberg V2 reads go through Engine.scanIcebergMetadata
-  // (ic21/ic51); this table is the WRITE surface
+  /** `spark.readStream.format("icelite").option("iceberg", "true")`: tail
+    * the Iceberg v2 snapshot log as a Structured Streaming source (st17).
+    * BATCH reads stay on `Engine.scanIcebergMetadata` (ic21/ic51) — it
+    * applies MoR deletes, nested projection and time travel that this
+    * streaming surface deliberately rejects. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = providedSchema
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new UnsupportedOperationException(
+              "iceberg batch reads go through Engine.scanIcebergMetadata; " +
+                "this V2 surface serves readStream")
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+            providedSchema.fields.foreach(f => require(
+              IceLiteWriteSchema.rangeable(f.dataType) || f.dataType == BooleanType ||
+                f.dataType == DateType || f.dataType == TimestampType ||
+                f.dataType == TimestampNTZType,
+              s"iceberg streaming read supports flat primitive schemas; got ${f.dataType} for ${f.name}"))
+            new IcebergMicroBatchStream(location, providedSchema,
+              new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+          }
+        }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -101,6 +128,57 @@ final class IcebergV2Write(location: String, schema: StructType, replace: Boolea
       fs.delete(new Path(location, dataRel), true)
     }
   }
+}
+
+/** Snapshot-log tailing micro-batch stream over REAL Iceberg v2 metadata
+  * (st14's IceLite source re-expressed on the spec's metadata/manifest
+  * layer): offsets are POSITIONS in the snapshot log (Iceberg snapshot
+  * ids are random longs, so ordering comes from the log, never id
+  * magnitude); each batch's input is the manifest file-DIFF of its
+  * (from, to] window — planning cost O(window's manifests), reading cost
+  * O(new files), never O(table). Commits are tracked by Spark's
+  * checkpoint; `commit` is a no-op because snapshots are immutable. A
+  * window crossing row-level deletes fails loudly (incrementalFiles). */
+final class IcebergMicroBatchStream(
+    location: String,
+    schema: StructType,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+  private def meta  = IcebergFormat.currentMetadataPath(spark, location)
+
+  override def initialOffset(): Offset = IceLiteOffset(0L)
+
+  override def latestOffset(): Offset =
+    IceLiteOffset(IcebergFormat.snapshotLog(spark, meta).size.toLong)
+
+  override def deserializeOffset(json: String): Offset =
+    IceLiteOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val from = start.asInstanceOf[IceLiteOffset].snapshotId.toInt
+    val to   = end.asInstanceOf[IceLiteOffset].snapshotId.toInt
+    if (to <= from) return Array.empty
+    val m   = meta
+    val log = IcebergFormat.snapshotLog(spark, m)
+    require(to <= log.size, s"offset $to beyond the snapshot log (${log.size})")
+    val fromId = if (from == 0) None else Some(log(from - 1))
+    IcebergFormat.incrementalFiles(spark, m, fromId, log(to - 1))
+      .map(p => IceLitePartition(Array(p), null)
+        : org.apache.spark.sql.connector.read.InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new IceLiteReaderFactory(conf, schema, Array.empty, schema)
+
+  override def commit(end: Offset): Unit = () // snapshots are immutable
+  override def stop(): Unit = ()
 }
 
 final case class IcebergWriteMessage(

@@ -643,6 +643,56 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** st17: `readStream.format("icelite").option("iceberg", "true")` — the
+    * st14 snapshot-tailing source over REAL Iceberg v2 metadata: offsets
+    * are snapshot-log positions, each micro-batch reads exactly the
+    * manifest file-diff of its window, and a RESUMED run (same
+    * checkpoint, one new snapshot committed in between) must open ONLY
+    * the delta file — counter-gated, the O(new commits) planning contract
+    * a CDC consumer needs on a 100 TB table. */
+  private def streamIcebergSource(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val root = "/root/repo/target/scratch/st17"
+    val ckpt = "/root/repo/target/scratch/st17_ckpt"
+    Seq(root, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val ev  = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val loc = s"$root/events_ice"
+    val w   = new IcebergFormat.Writer(s, loc, ev.schema)
+    def snap(n: Int): Unit = w.commit(Seq(IcebergFormat.writeSingleFile(
+      s, root, loc, s"b$n", ev.filter(col("event_id") % 4 === n))))
+    snap(0); snap(1); snap(2) // three committed snapshots
+    def run(): Unit = {
+      s.catalog.dropTempView("st17_sink")
+      s.readStream.format("icelite").option("iceberg", "true")
+        .option("location", loc).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).as("sv"))
+        .writeStream.format("memory").queryName("st17_sink").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    graft.sources.IceLiteSource.filesOpened.reset()
+    run()
+    val firstOpened = graft.sources.IceLiteSource.filesOpened.sum()
+    snap(3) // snapshot 4, committed between runs
+    graft.sources.IceLiteSource.filesOpened.reset()
+    run() // resume: same checkpoint — only the delta file may be read
+    val resumedOpened = graft.sources.IceLiteSource.filesOpened.sum()
+    require(firstOpened >= 3,
+      s"first pass read $firstOpened files, expected the 3 committed snapshots")
+    require(resumedOpened == 1,
+      s"resumed pass must open exactly the delta file, opened $resumedOpened")
+    s.table("st17_sink")
+      .select(col("event_type"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   private val streamTableSinkOracle =
     """SELECT event_type, COUNT(*) AS n,
       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
@@ -715,7 +765,8 @@ object StreamQueries {
     Q("st13_map_state", mapStateQ, Some(mapStateOracle)),
     Q("st14_stream_table_source", streamTableSource, Some(streamTableSourceOracle)),
     Q("st15_stream_table_sink", streamTableSink, Some(streamTableSinkOracle)),
-    Q("st16_stream_table_to_table", streamTableToTable, Some(streamTableToTableOracle))
+    Q("st16_stream_table_to_table", streamTableToTable, Some(streamTableToTableOracle)),
+    Q("st17_stream_iceberg_source", streamIcebergSource, Some(streamTableSinkOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
