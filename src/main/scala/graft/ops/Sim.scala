@@ -1560,14 +1560,17 @@ object Sim {
     val loc   = s"$root/ivf_index"
     val cents = collectMatrix(s, d, idBound = ivfCells) // job 1: k×64 doubles
     val bc    = s.sparkContext.broadcast(cents)
+    // label rides along as in-index metadata: filtered search (sm29) must
+    // prune candidates INSIDE the probed cells' scan, not via a join back
+    // to the source table (which at 100 TB would re-shuffle the corpus)
     val assigned = Tables.spread(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-      .as[(Long, Array[Float])]
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, vf) => (assignCell(vf.map(_.toDouble), cs), id, vf) }
+        it.map { case (id, vf, lab) => (assignCell(vf.map(_.toDouble), cs), id, vf, lab) }
       }
-      .toDF("cell", "vec_id", "embedding")
+      .toDF("cell", "vec_id", "embedding", "label")
     val stage = s"$root/stage"
     assigned.withColumn("cellp", col("cell")) // keep cell IN the data files too
       .repartition(col("cell"))
@@ -1857,6 +1860,90 @@ object Sim {
              CAST(ABS(n_even * 10000 // t_even - n_odd * 10000 // t_odd) AS BIGINT) AS drift_bp
       FROM cnt, t ORDER BY cell"""
 
+  // ------------------------------------------------ filtered (hybrid) ANN
+
+  /** sm29: FILTERED vector search over the persisted IVF index — the
+    * metadata-predicate ANN every vector store serves ("top-k among rows
+    * WHERE label IN (...)"). The predicate column was written INTO the
+    * index rows at build time (sm25), so it evaluates inside the probed
+    * cells' parquet scan as an ordinary pushed filter — candidates are
+    * pruned BEFORE any distance math, and at 100 TB the filter costs
+    * footer-stats checks on the probed cells' files, never a join back
+    * to the corpus (which would re-shuffle the table the index exists to
+    * avoid scanning). Pre-filtering (filter, then rank) rather than
+    * post-filtering keeps k stable under selective predicates — the
+    * standard hybrid-search failure mode. The require proves the
+    * predicate reached the scan (`PushedFilters ... In(label`). */
+  private val annFilterLabels = Seq(1, 3, 5, 7)
+
+  private def filteredAnnSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.icelite.IcebergFormat
+    val meta  = ivfIndexMetadata(s, d)
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    def probeCells(v: Array[Double]): Set[Long] =
+      cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
+        .sortBy(_._2).take(ivfProbes).map(_._1).toSet
+    val queries = collectMatrix(s, d, idBound = ivfSearchQueries)
+      .map { case (qid, v, n) => (qid, v, n, probeCells(v)) }
+    val idx = queries.flatMap(_._4).toSet.toSeq.sorted
+      .map(c => IcebergFormat.scanRange(s, meta, "cell", Some(c.toString), Some(c.toString)))
+      .reduce(_ unionByName _)
+    val filtered = idx.filter(col("label").isin(annFilterLabels: _*))
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    require(plan.contains("In(label"),
+      "label predicate did not reach the index scan as a pushed filter:\n" + plan.take(800))
+    val bc  = s.sparkContext.broadcast(queries)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    filtered.select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (cell, nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          qs.iterator
+            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
+            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  private lazy val filteredAnnSearchOracle =
+    s"""WITH $duckVecs,
+      ce AS (SELECT vec_id AS cid, d, x FROM e WHERE vec_id < $ivfCells),
+      d2 AS (
+        SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+        FROM e v JOIN ce c USING (d) GROUP BY 1, 2),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2),
+      cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS pcell FROM rk
+                 WHERE vec_id < $ivfSearchQueries AND rn <= $ivfProbes),
+      cand AS (
+        SELECT p.qid, a.vec_id AS nid
+        FROM probes p
+        JOIN cell a ON a.cell = p.pcell AND a.vec_id <> p.qid
+        JOIN embeddings l ON l.vec_id = a.vec_id
+          AND l.label IN (${annFilterLabels.mkString(", ")})),
+      dots AS (
+        SELECT cand.qid, cand.nid, SUM(a.x * b.x) AS dot
+        FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid AND a.d = b.d
+        GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, nid, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
+      SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1885,7 +1972,8 @@ object Sim {
     Q("sm25_ivf_index_build", ivfIndexBuild, Some(ivfIndexBuildOracle)),
     Q("sm26_ivf_index_search", ivfPersistedSearch, Some(ivfPersistedSearchOracle)),
     Q("sm27_nprobe_curve", nprobeCurve, Some(nprobeCurveOracle)),
-    Q("sm28_centroid_drift", centroidDrift, Some(centroidDriftOracle))
+    Q("sm28_centroid_drift", centroidDrift, Some(centroidDriftOracle)),
+    Q("sm29_filtered_ann", filteredAnnSearch, Some(filteredAnnSearchOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS

@@ -1491,6 +1491,70 @@ object IceQueries {
               CASE WHEN c_acctbal < 0 THEN 'BOOSTED' ELSE c_mktsegment END AS c_mktsegment
        FROM customer ORDER BY c_custkey"""
 
+  /** SQL time travel by snapshot id through the catalog plugin:
+    * `SELECT ... FROM cat.ns.t VERSION AS OF 1` — the TableCatalog
+    * `loadTable(ident, version)` overload pins the scan to snapshot 1
+    * (pre-INSERT), so the query sees the table as of the CTAS commit
+    * while the current-version count proves the INSERT landed. The
+    * reference exposes the same via DuckDB's
+    * `iceberg_scan(..., version=...)` / PyIceberg snapshot reads. */
+  private def sqlVersionAsOfQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlvao")
+    s.conf.set("spark.sql.catalog.ice_vao", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_vao.warehouse", wh)
+    try {
+      Tables.nation(s, d).createOrReplaceTempView("nation_tt_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_vao.graft")
+      s.sql("CREATE TABLE ice_vao.graft.nation_vao AS SELECT * FROM nation_tt_src")
+      s.sql("""INSERT INTO ice_vao.graft.nation_vao
+               SELECT * FROM nation_tt_src WHERE n_regionkey = 0""")
+      val v1  = s.sql("SELECT * FROM ice_vao.graft.nation_vao VERSION AS OF 1")
+      val cur = s.sql("SELECT COUNT(*) AS n FROM ice_vao.graft.nation_vao")
+        .collect()(0).getLong(0)
+      require(cur > v1.count(),
+        s"current version ($cur rows) should see the second append past v1 (${v1.count()})")
+      val out = v1.orderBy("n_nationkey")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_vao")
+      s.conf.unset("spark.sql.catalog.ice_vao.warehouse")
+    }
+  }
+
+  /** SQL time travel by wall clock through the catalog plugin:
+    * `TIMESTAMP AS OF` — Spark folds the pin expression to MICROseconds
+    * and calls `loadTable(ident, timestamp)`; the catalog resolves the
+    * latest snapshot at-or-before. Pinned via `timestamp_millis(<snap1
+    * commit ms>)` so the query is timezone-independent, and the require
+    * proves wall-clock travel agrees with snapshot-id travel. */
+  private def sqlTimestampAsOfQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqltao")
+    s.conf.set("spark.sql.catalog.ice_tao", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_tao.warehouse", wh)
+    try {
+      Tables.nation(s, d).createOrReplaceTempView("nation_tt_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_tao.graft")
+      s.sql("CREATE TABLE ice_tao.graft.nation_tao AS SELECT * FROM nation_tt_src")
+      Thread.sleep(15) // strictly later wall clock so the ms pin is unambiguous
+      s.sql("""INSERT INTO ice_tao.graft.nation_tao
+               SELECT * FROM nation_tt_src WHERE n_regionkey = 0""")
+      val snap1Ts = new FsCatalog(s, wh).loadTable("graft", "nation_tao")
+        .snapshots().find(_.snapshot_id == 1L).get.timestamp_ms
+      val byTs = s.sql(
+        s"SELECT * FROM ice_tao.graft.nation_tao TIMESTAMP AS OF timestamp_millis(${snap1Ts}L)")
+      val byV  = s.sql("SELECT * FROM ice_tao.graft.nation_tao VERSION AS OF 1")
+      require(byTs.count() == byV.count(),
+        "TIMESTAMP AS OF travel diverged from VERSION AS OF travel")
+      val out = byTs.orderBy("n_nationkey")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_tao")
+      s.conf.unset("spark.sql.catalog.ice_tao.warehouse")
+    }
+  }
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -1736,7 +1800,9 @@ object IceQueries {
     Q("ic61_iceberg_v2_write_nested", icebergV2WriteNestedQ,
       Some("""SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
                      o_orderpriority AS prio, o_custkey AS custkey
-              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+    Q("ic62_sql_version_asof", sqlVersionAsOfQ, Some(nationOracle)),
+    Q("ic63_sql_timestamp_asof", sqlTimestampAsOfQ, Some(nationOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

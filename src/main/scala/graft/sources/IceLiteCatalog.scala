@@ -91,16 +91,47 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     backend.listTables(ns1(namespace))
       .map(t => Identifier.of(namespace, t)).toArray
 
+  private def loadIce(ns: String, ident: Identifier): IceTable =
+    try backend.loadTable(ns, ident.name())
+    catch {
+      case _: NoSuchElementException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    }
+
   override def loadTable(ident: Identifier): Table = {
-    val ns = ns1(ident.namespace())
-    val ice =
-      try backend.loadTable(ns, ident.name())
-      catch {
-        case _: NoSuchElementException =>
-          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-            Seq(catalogName) ++ ident.namespace() :+ ident.name())
-      }
+    val ns  = ns1(ident.namespace())
+    val ice = loadIce(ns, ident)
     new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
+  }
+
+  /** SQL time travel by snapshot id: `SELECT ... FROM cat.ns.t VERSION AS
+    * OF <id>`. Pins the V2 table to one immutable snapshot; no publish
+    * hook — Spark routes only reads through time-travel relations. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ns  = ns1(ident.namespace())
+    val ice = loadIce(ns, ident)
+    val id = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"icelite VERSION AS OF takes a numeric snapshot id, got '$version'")
+    }
+    val snap = ice.metadata.snapshot(id).getOrElse(
+      throw new NoSuchElementException(s"snapshot $id of ${ident.name()}"))
+    new IceLiteV2Table(ice, Some(snap))
+  }
+
+  /** SQL time travel by wall clock: `TIMESTAMP AS OF <ts>`. Spark hands
+    * the pin in MICROseconds since epoch; snapshots stamp milliseconds —
+    * floor-divide so the pin lands on the latest snapshot at-or-before. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ns  = ns1(ident.namespace())
+    val ice = loadIce(ns, ident)
+    val ms  = Math.floorDiv(timestamp, 1000L)
+    val snap = ice.metadata.snapshots.filter(_.timestamp_ms <= ms)
+      .sortBy(sn => (sn.timestamp_ms, sn.snapshot_id)).lastOption.getOrElse(
+        throw new NoSuchElementException(
+          s"no snapshot of ${ident.name()} at or before ${ms} ms"))
+    new IceLiteV2Table(ice, Some(snap))
   }
 
   override def createTable(

@@ -749,6 +749,93 @@ object StreamQueries {
       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       FROM events WHERE value >= 0 GROUP BY 1 ORDER BY 1"""
 
+  /** st18: streaming CDC-APPLY — each micro-batch is folded into a keyed
+    * aggregate table with plain-SQL `MERGE INTO` through the catalog
+    * plugin (the foreachBatch+MERGE recipe every lakehouse runs for
+    * incremental materialized views), made EXACTLY-ONCE by a batch-id
+    * high-watermark table: a batch at-or-below the recorded watermark is
+    * skipped wholesale, so foreachBatch's at-least-once replays cannot
+    * double-count (proven here by replaying batch 0 by hand and requiring
+    * the state unchanged). Increments are integer cents, so the folded
+    * state is bit-identical to a single-pass aggregate regardless of how
+    * the stream was batched. At 100 TB each batch's MERGE rewrites only
+    * the files its keys touch (group-based copy-on-write, ic59), and the
+    * watermark read is O(1) — a singleton table. */
+  private def streamCdcApply(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.FsCatalog
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val wh   = "/root/repo/target/scratch/st18_wh"
+    val ckpt = "/root/repo/target/scratch/st18_ckpt"
+    Seq(wh, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.ice_cdc", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_cdc.warehouse", wh)
+    try {
+      val ev  = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val cat = new FsCatalog(s, wh)
+      val src = cat.createOrReplaceTable("graft", "cdc_changes",
+        ev.filter(col("event_id") % 2 === 0).coalesce(1))
+      s.sql("""CREATE TABLE ice_cdc.graft.user_agg
+               (user_id BIGINT, n_events BIGINT, cents BIGINT)""")
+      s.sql("CREATE TABLE ice_cdc.graft.applied (batch_id BIGINT)")
+      def applyBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val ss = batch.sparkSession
+        val hw = ss.sql("SELECT COALESCE(MAX(batch_id), -1) FROM ice_cdc.graft.applied")
+          .collect()(0).getLong(0)
+        if (batchId > hw) {
+          batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum("cents").as("sv"))
+            .createOrReplaceTempView("st18_batch")
+          ss.sql("""MERGE INTO ice_cdc.graft.user_agg t
+                    USING st18_batch s ON t.user_id = s.user_id
+                    WHEN MATCHED THEN UPDATE SET
+                      n_events = t.n_events + s.n, cents = t.cents + s.sv
+                    WHEN NOT MATCHED THEN INSERT (user_id, n_events, cents)
+                      VALUES (s.user_id, s.n, s.sv)""")
+          ss.sql(s"INSERT INTO ice_cdc.graft.applied VALUES (${batchId}L)")
+        }
+      }
+      def drain(): Unit =
+        s.readStream.format("icelite").option("location", src.location.toString).load()
+          .writeStream
+          .foreachBatch(applyBatch _)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      drain()
+      val afterFirst = s.sql("SELECT COALESCE(SUM(n_events), 0) FROM ice_cdc.graft.user_agg")
+        .collect()(0).getLong(0)
+      src.append(ev.filter(col("event_id") % 2 === 1).coalesce(1))
+      drain() // resume from the checkpoint: only the delta snapshot flows
+      val afterSecond = s.sql("SELECT SUM(n_events) FROM ice_cdc.graft.user_agg")
+        .collect()(0).getLong(0)
+      require(afterSecond > afterFirst, "resumed drain folded no delta rows")
+      // replay batch 0 by hand: the high-watermark must reject it wholesale
+      applyBatch(ev.filter(col("event_id") % 2 === 0), 0L)
+      val afterReplay = s.sql("SELECT SUM(n_events) FROM ice_cdc.graft.user_agg")
+        .collect()(0).getLong(0)
+      require(afterReplay == afterSecond,
+        s"replayed batch was double-applied: $afterSecond -> $afterReplay")
+      val out = s.sql("""SELECT user_id, n_events, cents
+                         FROM ice_cdc.graft.user_agg ORDER BY user_id""")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_cdc")
+      s.conf.unset("spark.sql.catalog.ice_cdc.warehouse")
+    }
+  }
+
+  private val streamCdcApplyOracle =
+    """SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY user_id"""
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -766,7 +853,8 @@ object StreamQueries {
     Q("st14_stream_table_source", streamTableSource, Some(streamTableSourceOracle)),
     Q("st15_stream_table_sink", streamTableSink, Some(streamTableSinkOracle)),
     Q("st16_stream_table_to_table", streamTableToTable, Some(streamTableToTableOracle)),
-    Q("st17_stream_iceberg_source", streamIcebergSource, Some(streamTableSinkOracle))
+    Q("st17_stream_iceberg_source", streamIcebergSource, Some(streamTableSinkOracle)),
+    Q("st18_stream_cdc_apply", streamCdcApply, Some(streamCdcApplyOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]

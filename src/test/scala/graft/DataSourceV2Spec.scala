@@ -120,4 +120,35 @@ class DataSourceV2Spec extends SparkSpec {
     assert(p.contains("files=1/2"), "pushdown lost when filter column is pruned:\n" + p.take(600))
     assert(df.count() == orders.filter(col("o_orderkey") <= 999).count())
   }
+
+  test("SQL time travel through the catalog: VERSION/TIMESTAMP AS OF pin and error paths") {
+    val wh = scratch("v2sqltt")
+    spark.conf.set("spark.sql.catalog.tt_spec", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.tt_spec.warehouse", wh)
+    try {
+      Tables.nation(spark, sfDir).createOrReplaceTempView("tt_spec_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tt_spec.ns")
+      spark.sql("CREATE TABLE tt_spec.ns.n AS SELECT * FROM tt_spec_src")
+      spark.sql("INSERT INTO tt_spec.ns.n SELECT * FROM tt_spec_src WHERE n_regionkey = 0")
+      val full = Tables.nation(spark, sfDir).count()
+      assert(spark.sql("SELECT * FROM tt_spec.ns.n VERSION AS OF 1").count() == full)
+      assert(spark.sql("SELECT * FROM tt_spec.ns.n").count() > full)
+      // wall-clock pin at snapshot 1's commit time agrees with version pin
+      val snap1Ts = new FsCatalog(spark, wh).loadTable("ns", "n")
+        .snapshots().find(_.snapshot_id == 1L).get.timestamp_ms
+      assert(spark.sql(
+        s"SELECT * FROM tt_spec.ns.n TIMESTAMP AS OF timestamp_millis(${snap1Ts}L)")
+        .count() == full)
+      // error paths: unknown snapshot id, pin earlier than the first commit
+      val e1 = intercept[Exception](
+        spark.sql("SELECT * FROM tt_spec.ns.n VERSION AS OF 99").collect())
+      assert(e1.getMessage.contains("snapshot 99"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("SELECT * FROM tt_spec.ns.n TIMESTAMP AS OF timestamp_millis(0L)").collect())
+      assert(e2.getMessage.contains("no snapshot"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tt_spec")
+      spark.conf.unset("spark.sql.catalog.tt_spec.warehouse")
+    }
+  }
 }
