@@ -1571,12 +1571,29 @@ object Sim {
         it.map { case (id, vf, lab) => (assignCell(vf.map(_.toDouble), cs), id, vf, lab) }
       }
       .toDF("cell", "vec_id", "embedding", "label")
-    val stage = s"$root/stage"
+    val w = new IcebergFormat.Writer(s, loc, assigned.schema)
+    w.commit(stageIndexCells(s, assigned, s"$root/stage", loc, "f"))
+    w.currentMetadataPath
+  }
+
+  /** One single-job staged write of cell-assigned vectors: hash
+    * repartition on `cell` (one task = one whole cell), dynamic-partition
+    * write to `stageDir`, rename each cell file into `loc/data/`, and
+    * return manifest entries whose field-1 (cell) bounds are min=max=cid
+    * — the structural one-file-per-cell-per-commit layout that makes the
+    * probed-cell pruning of sm26/sm29/sm30 a manifest-bounds lookup. Row
+    * counts come from parquet footers: O(cells) driver-side metadata
+    * reads, no extra Spark job. */
+  private def stageIndexCells(
+      s: SparkSession, assigned: org.apache.spark.sql.DataFrame,
+      stage: String, loc: String, tag: String): Seq[graft.icelite.IcebergFormat.DataFileInfo] = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
     assigned.withColumn("cellp", col("cell")) // keep cell IN the data files too
       .repartition(col("cell"))
       .sortWithinPartitions("cellp", "vec_id")
-      .write.partitionBy("cellp").mode("overwrite").parquet(stage) // job 2
-    val w   = new IcebergFormat.Writer(s, loc, assigned.schema)
+      .write.partitionBy("cellp").mode("overwrite").parquet(stage)
     val fsL = new Path(loc).getFileSystem(conf)
     val enc0 = (cid: Long) =>
       IcebergFormat.encodeBound(org.apache.spark.sql.types.LongType, cid.toString).get
@@ -1590,7 +1607,7 @@ object Sim {
         require(parts.length == 1,
           s"cell $cid split across ${parts.length} files — hash repartition broken")
         parts.zipWithIndex.map { case (part, i) =>
-          val dest = new Path(s"$loc/data/cell$cid-$i.parquet")
+          val dest = new Path(s"$loc/data/cell$cid-$tag$i.parquet")
           fsL.mkdirs(dest.getParent)
           require(fsL.rename(part, dest), s"stage rename failed for cell$cid")
           // row count from the parquet footer: driver-side metadata read,
@@ -1603,9 +1620,8 @@ object Sim {
             .copy(bounds = Map(1 -> (e, e))) // field 1 = cell: min = max = cid
         }
       }
-    fs.delete(new Path(stage), true)
-    w.commit(infos)
-    w.currentMetadataPath
+    fsL.delete(new Path(stage), true)
+    infos
   }
 
   /** sm25: the index-build job's audit — read BACK the persisted Iceberg
@@ -1944,6 +1960,85 @@ object Sim {
       r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims)
       SELECT qid, rn, nid, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  // -------------------------------------------- incremental index append
+
+  /** sm30: INCREMENTAL index maintenance — the freshness path a served
+    * ANN index needs: a new vector batch is assigned to cells with the
+    * FROZEN coarse quantizer (re-clustering would invalidate every
+    * stored assignment; sm28 is the drift monitor that decides when to
+    * rebuild) and lands as one append snapshot whose per-cell DELTA
+    * files carry the same min=max=cell manifest bounds — so a probed
+    * search reads base+delta files of its cells and nothing else, and
+    * the index stays queryable throughout (readers on the old snapshot
+    * see the old index; the commit is atomic). Cost of an append at
+    * 100 TB: one shuffle of the NEW batch only — never touches the
+    * existing index files. The requires prove (a) two snapshots, (b)
+    * each probed cell contributed exactly base+delta = 2 files, and the
+    * oracle proves merged-index search == full-corpus IVF search. */
+  private def ivfIndexAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val root  = "/root/repo/target/scratch/ivfinc_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    fs.mkdirs(rootP)
+    val loc   = s"$root/ivf_index"
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    val bc    = s.sparkContext.broadcast(cents)
+    val maxId = Tables.embeddings(s, d).agg(max("vec_id")).collect()(0).getLong(0)
+    val mid   = maxId / 2 // batch boundary: base = [0, mid], delta = (mid, maxId]
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Tables.spread(df.select(col("vec_id"), col("embedding")))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, vf) => (assignCell(vf.map(_.toDouble), cs), id, vf) }
+        }
+        .toDF("cell", "vec_id", "embedding")
+    val emb = Tables.embeddings(s, d)
+    val w   = new IcebergFormat.Writer(s, loc,
+      assign(emb.limit(0)).schema)
+    w.commit(stageIndexCells(s, assign(emb.filter(col("vec_id") <= mid)),
+      s"$root/stage_b", loc, "b"))
+    w.commit(stageIndexCells(s, assign(emb.filter(col("vec_id") > mid)),
+      s"$root/stage_d", loc, "d"))
+    val meta = w.currentMetadataPath
+    def probeCells(v: Array[Double]): Set[Long] =
+      cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
+        .sortBy(_._2).take(ivfProbes).map(_._1).toSet
+    val queries = collectMatrix(s, d, idBound = ivfSearchQueries)
+      .map { case (qid, v, n) => (qid, v, n, probeCells(v)) }
+    val cellsToRead = queries.flatMap(_._4).toSet
+    val idx = cellsToRead.toSeq.sorted
+      .map(c => IcebergFormat.scanRange(s, meta, "cell", Some(c.toString), Some(c.toString)))
+      .reduce(_ unionByName _)
+    require(idx.inputFiles.length == 2 * cellsToRead.size,
+      s"expected base+delta per probed cell (${2 * cellsToRead.size} files), " +
+        s"scan planned ${idx.inputFiles.length}")
+    val bq  = s.sparkContext.broadcast(queries)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    idx.select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        it.flatMap { case (cell, nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          qs.iterator
+            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
+            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -1973,7 +2068,8 @@ object Sim {
     Q("sm26_ivf_index_search", ivfPersistedSearch, Some(ivfPersistedSearchOracle)),
     Q("sm27_nprobe_curve", nprobeCurve, Some(nprobeCurveOracle)),
     Q("sm28_centroid_drift", centroidDrift, Some(centroidDriftOracle)),
-    Q("sm29_filtered_ann", filteredAnnSearch, Some(filteredAnnSearchOracle))
+    Q("sm29_filtered_ann", filteredAnnSearch, Some(filteredAnnSearchOracle)),
+    Q("sm30_ivf_index_append", ivfIndexAppend, Some(ivfPersistedSearchOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS

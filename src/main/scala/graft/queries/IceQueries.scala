@@ -1555,6 +1555,52 @@ object IceQueries {
     }
   }
 
+  /** SQL metadata tables through the catalog plugin:
+    * `SELECT ... FROM cat.ns.t.snapshots` joined with `.history` — the
+    * Iceberg inspection surface by name ([[graft.sources.IceLiteMetaTable]],
+    * a LocalScan over planning-sized metadata, zero data IO; the reference
+    * reads the same via PyIceberg's `table.inspect`/DuckDB metadata
+    * functions). Deterministic because each commit is a single write task
+    * (1-file source view), so file counts are structural. */
+  private def sqlMetaTablesQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlmeta")
+    s.conf.set("spark.sql.catalog.ice_meta", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_meta.warehouse", wh)
+    try {
+      Tables.nation(s, d).coalesce(1).createOrReplaceTempView("nation_meta_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_meta.graft")
+      s.sql("CREATE TABLE ice_meta.graft.nation_meta AS SELECT * FROM nation_meta_src")
+      s.sql("""INSERT INTO ice_meta.graft.nation_meta
+               SELECT * FROM nation_meta_src WHERE n_regionkey = 0""")
+      val refs = s.sql("SELECT * FROM ice_meta.graft.nation_meta.refs").count()
+      require(refs >= 1, "refs metadata table returned no rows")
+      val parts = s.sql("SELECT * FROM ice_meta.graft.nation_meta.partitions").count()
+      require(parts == 1, s"unpartitioned table should report 1 partition row, got $parts")
+      val out = s.sql(
+        """SELECT s.snapshot_id, s.parent_id, s.operation, s.n_files, s.is_current,
+                  h.is_current_ancestor
+           FROM ice_meta.graft.nation_meta.snapshots s
+           JOIN ice_meta.graft.nation_meta.history h ON s.snapshot_id = h.snapshot_id
+           ORDER BY s.snapshot_id""")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_meta")
+      s.conf.unset("spark.sql.catalog.ice_meta.warehouse")
+    }
+  }
+
+  private val sqlMetaTablesOracle =
+    """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+              CAST(parent_id AS BIGINT) AS parent_id,
+              operation,
+              CAST(n_files AS BIGINT) AS n_files,
+              is_current, is_current_ancestor
+       FROM (VALUES (1, 0, 'append', 1, false, true),
+                    (2, 1, 'append', 2, true, true))
+         t(snapshot_id, parent_id, operation, n_files, is_current, is_current_ancestor)
+       ORDER BY snapshot_id"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -1802,7 +1848,8 @@ object IceQueries {
                      o_orderpriority AS prio, o_custkey AS custkey
               FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
     Q("ic62_sql_version_asof", sqlVersionAsOfQ, Some(nationOracle)),
-    Q("ic63_sql_timestamp_asof", sqlTimestampAsOfQ, Some(nationOracle))
+    Q("ic63_sql_timestamp_asof", sqlTimestampAsOfQ, Some(nationOracle)),
+    Q("ic64_sql_meta_tables", sqlMetaTablesQ, Some(sqlMetaTablesOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

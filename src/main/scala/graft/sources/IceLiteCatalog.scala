@@ -42,6 +42,47 @@ import scala.jdk.CollectionConverters._
   * pointer, and every write's FS commit is published by a CAS pointer
   * swap ([[RestCatalog.advancePointer]]) — the PyIceberg/Nessie commit
   * order, so concurrent writers race on the pointer, not on files. */
+/** Read-only SQL metadata tables — `SELECT * FROM cat.ns.t.snapshots`
+  * (and `.history`, `.files`, `.manifests`, `.partitions`, `.refs`), the
+  * Iceberg inspection surface by name. Each is planning-sized — O(commits)
+  * or O(files) rows derived from metadata JSON + manifests with zero data
+  * IO — so it is served as a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * (driver-local rows, Spark plans a LocalTableScan): correct at any table
+  * size because the row count scales with METADATA, not data. */
+private[sources] object IceLiteMetaTable {
+  val kinds: Set[String] =
+    Set("snapshots", "history", "files", "manifests", "partitions", "refs")
+}
+
+private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, LocalScan}
+
+  private lazy val resolved: org.apache.spark.sql.DataFrame = kind match {
+    case "snapshots"  => ice.snapshotsTable()
+    case "history"    => ice.historyTable()
+    case "files"      => ice.filesTable()
+    case "manifests"  => ice.manifestsTable()
+    case "partitions" => ice.partitionsTable()
+    case "refs"       => ice.refsTable()
+  }
+
+  override def name(): String =
+    s"${ice.metadata.namespace}.${ice.metadata.name}.$kind"
+  override def schema(): StructType = resolved.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          resolved.queryExecution.executedPlan.executeCollect()
+        override def readSchema(): StructType = resolved.schema
+        override def description(): String = s"IceLiteMetaTable(${name()})"
+      }
+    }
+}
+
 final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -100,7 +141,15 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     }
 
   override def loadTable(ident: Identifier): Table = {
-    val ns  = ns1(ident.namespace())
+    val nsArr = ident.namespace()
+    // Iceberg-style SQL metadata tables: `cat.ns.t.snapshots` resolves as
+    // Identifier(ns = [ns, t], name = "snapshots") — intercept before the
+    // single-level-namespace rule
+    if (nsArr.length == 2 && IceLiteMetaTable.kinds.contains(ident.name().toLowerCase) &&
+        backend.tableExists(nsArr(0), nsArr(1)))
+      return new IceLiteMetaTable(backend.loadTable(nsArr(0), nsArr(1)),
+        ident.name().toLowerCase)
+    val ns  = ns1(nsArr)
     val ice = loadIce(ns, ident)
     new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
   }
