@@ -1601,6 +1601,90 @@ object IceQueries {
          t(snapshot_id, parent_id, operation, n_files, is_current, is_current_ancestor)
        ORDER BY snapshot_id"""
 
+  /** SQL `INSERT OVERWRITE` through the catalog: Spark plans the static
+    * full-table overwrite as truncate+append against the V2 write
+    * (SupportsTruncate), which lands ONE atomic replace snapshot — the
+    * previous snapshot stays time-travelable (require below), nothing is
+    * deleted in place. */
+  private def sqlInsertOverwriteQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlovw")
+    s.conf.set("spark.sql.catalog.ice_ovw", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_ovw.warehouse", wh)
+    try {
+      Tables.nation(s, d).createOrReplaceTempView("nation_ovw_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_ovw.graft")
+      s.sql("CREATE TABLE ice_ovw.graft.nation_ovw AS SELECT * FROM nation_ovw_src")
+      s.sql("""INSERT OVERWRITE ice_ovw.graft.nation_ovw
+               SELECT * FROM nation_ovw_src WHERE n_regionkey = 0""")
+      val full = s.sql("SELECT COUNT(*) AS n FROM ice_ovw.graft.nation_ovw VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      val cur = s.sql("SELECT COUNT(*) AS n FROM ice_ovw.graft.nation_ovw")
+        .collect()(0).getLong(0)
+      require(cur < full,
+        s"overwrite did not replace ($full -> $cur rows); pre-overwrite snapshot must remain readable")
+      val out = s.sql("SELECT * FROM ice_ovw.graft.nation_ovw ORDER BY n_nationkey")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_ovw")
+      s.conf.unset("spark.sql.catalog.ice_ovw.warehouse")
+    }
+  }
+
+  private val sqlInsertOverwriteOracle =
+    "SELECT * FROM nation WHERE n_regionkey = 0 ORDER BY n_nationkey"
+
+  /** SQL DDL + DML on a PARTITIONED table: `CREATE TABLE ... PARTITIONED
+    * BY (identity)` through the catalog, then a plain `INSERT INTO` that
+    * exercises the V2 partitioned write — rows are clustered+sorted on
+    * the partition column by the write's required distribution, the
+    * rolling writer lands ONE file per partition value (structural, not a
+    * coalesce accident), partition values ride the escaped hive path
+    * ('4-NOT SPECIFIED' has a space — the round-7 stats-loss regression
+    * surface), and per-file min=max partition stats make a partition
+    * predicate prune files from plain SQL (files=1/5 required in-plan).
+    * At 100 TB: one shuffle keyed on the partition column, writers never
+    * hold more than one open file, commit is O(files) metadata. */
+  private def sqlPartitionedInsertQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlpdl")
+    s.conf.set("spark.sql.catalog.ice_pdl", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_pdl.warehouse", wh)
+    try {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("orders_pdl_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_pdl.graft")
+      s.sql("""CREATE TABLE ice_pdl.graft.orders_pdl
+               (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+               PARTITIONED BY (o_orderpriority)""")
+      s.sql("INSERT INTO ice_pdl.graft.orders_pdl SELECT * FROM orders_pdl_src")
+      val parts = s.sql(
+        "SELECT partition, n_files FROM ice_pdl.graft.orders_pdl.partitions").collect()
+      require(parts.length == 5 && parts.forall(_.getLong(1) == 1L),
+        s"expected 5 partitions x 1 file, got ${parts.mkString(",")}")
+      val pruned = s.sql("""SELECT COUNT(*) AS n FROM ice_pdl.graft.orders_pdl
+                            WHERE o_orderpriority = '1-URGENT'""")
+      val plan = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      require(plan.contains("files=1/5"),
+        "partition predicate did not prune files from SQL:\n" + plan.take(800))
+      val out = s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM ice_pdl.graft.orders_pdl GROUP BY 1 ORDER BY 1""")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_pdl")
+      s.conf.unset("spark.sql.catalog.ice_pdl.warehouse")
+    }
+  }
+
+  private val sqlPartitionedInsertOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -1849,7 +1933,9 @@ object IceQueries {
               FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
     Q("ic62_sql_version_asof", sqlVersionAsOfQ, Some(nationOracle)),
     Q("ic63_sql_timestamp_asof", sqlTimestampAsOfQ, Some(nationOracle)),
-    Q("ic64_sql_meta_tables", sqlMetaTablesQ, Some(sqlMetaTablesOracle))
+    Q("ic64_sql_meta_tables", sqlMetaTablesQ, Some(sqlMetaTablesOracle)),
+    Q("ic65_sql_insert_overwrite", sqlInsertOverwriteQ, Some(sqlInsertOverwriteOracle)),
+    Q("ic66_sql_partitioned_insert", sqlPartitionedInsertQ, Some(sqlPartitionedInsertOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

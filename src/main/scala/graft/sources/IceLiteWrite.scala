@@ -40,23 +40,40 @@ final class IceLiteWriteBuilder(
 
   override def build(): Write = {
     val md = ice.metadata
-    require(md.partitionCols.isEmpty,
-      "icelite V2 write supports unpartitioned tables; use the catalog append for hive layouts")
     require(info.schema().catalogString == md.schema.catalogString,
       s"write schema ${info.schema().catalogString} != table schema ${md.schema.catalogString}")
-    new IceLiteWrite(ice.location.toString, md.schema, replace, info.queryId(), onCommit)
+    new IceLiteWrite(ice.location.toString, md.schema, md.partitionCols, replace,
+      info.queryId(), onCommit)
   }
 }
 
 final class IceLiteWrite(
     location: String,
     schema: StructType,
+    partCols: Seq[String],
     replace: Boolean,
     queryId: String,
     onCommit: Option[IceTable => Unit] = None)
-    extends Write {
+    extends Write with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+
+  /** Hive-layout writes request rows CLUSTERED on the partition columns
+    * (each value lands wholly in one task — one file per value per
+    * commit, the compaction-friendly layout) and SORTED by them within
+    * tasks (the rolling writer keeps exactly one file open at a time).
+    * Unpartitioned writes request nothing — no shuffle is inserted. */
+  override def requiredDistribution(): Distribution =
+    if (partCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(partCols.map(c => Expressions.identity(c)).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    partCols.map(c => Expressions.sort(
+      Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+
   override def toBatch: BatchWrite =
-    new IceLiteBatchWrite(location, schema, replace,
+    new IceLiteBatchWrite(location, schema, partCols, replace,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       onCommit)
 
@@ -72,6 +89,9 @@ final class IceLiteWrite(
     * (queryId, epochId) for exactly this reason. */
   override def toStreaming: streaming.StreamingWrite = {
     require(!replace, "icelite streaming write supports append output mode only")
+    require(partCols.isEmpty,
+      "icelite streaming write supports unpartitioned tables; " +
+        "use foreachBatch + the batch write for hive layouts")
     new IceLiteStreamingWrite(location, schema, queryId,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       onCommit)
@@ -114,6 +134,7 @@ final class IceLiteStreamingWrite(
 final class IceLiteBatchWrite(
     location: String,
     schema: StructType,
+    partCols: Seq[String],
     replace: Boolean,
     conf: SerializableHadoopConf,
     onCommit: Option[IceTable => Unit] = None)
@@ -123,14 +144,16 @@ final class IceLiteBatchWrite(
   private val dataRel = s"data/snap-w-${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new IceLiteWriterFactory(conf, location, dataRel, schema)
+    if (partCols.isEmpty) new IceLiteWriterFactory(conf, location, dataRel, schema)
+    else new IceLitePartitionedWriterFactory(conf, location, dataRel, schema, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // zero-row task outputs add no files (see streaming commit note)
-    val entries = messages.toSeq.map { m =>
-      val w = m.asInstanceOf[IceLiteWriteMessage]
-      ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
-    }.filter(_.rows.exists(_ > 0L))
+    val entries = messages.toSeq.flatMap {
+      case p: IceLitePartitionedWriteMessage => p.entries
+      case m: IceLiteWriteMessage            => Seq(m)
+    }.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows)))
+      .filter(_.rows.exists(_ > 0L))
     val t = IceTable.load(SparkSession.active, location)
     t.commitStagedEntries(entries, replace)
     onCommit.foreach(_(t))
@@ -147,6 +170,115 @@ final case class IceLiteWriteMessage(
     rows: Long,
     stats: Map[String, ColRange])
     extends WriterCommitMessage
+
+/** One partitioned task's output: one file entry per partition value the
+  * task held (clustering makes that set disjoint across tasks). */
+final case class IceLitePartitionedWriteMessage(entries: Seq[IceLiteWriteMessage])
+    extends WriterCommitMessage
+
+final case class IceLitePartitionedWriterFactory(
+    conf: SerializableHadoopConf,
+    location: String,
+    dataRel: String,
+    schema: StructType,
+    partCols: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IceLitePartitionedDataWriter(conf, location, dataRel, schema, partCols,
+      partitionId, taskId)
+}
+
+/** Hive-layout V2 writer: rows arrive clustered+sorted on the partition
+  * columns (requested via RequiresDistributionAndOrdering), so this
+  * writer keeps exactly ONE parquet file open, rolling to a new
+  * `pc=v/...` file when the partition key changes. Each rolled file's
+  * entry carries (a) the data-column min/max collected inline by the
+  * wrapped [[IceLiteDataWriter]] and (b) min=max=value ranges for the
+  * partition columns — the same per-file stats the library's hive-layout
+  * manifest pass records, so partition-predicate file pruning, DPP,
+  * storage-partitioned joins and metadata COUNT(*) behave identically
+  * for SQL-INSERTed data. Partition values ride the PATH (Spark's
+  * escaping; data files do not repeat the columns — the read path
+  * restores them, DataSourceV2Spec's round-trip contract). */
+final class IceLitePartitionedDataWriter(
+    conf: SerializableHadoopConf,
+    location: String,
+    dataRel: String,
+    schema: StructType,
+    partCols: Seq[String],
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val partIdx: IndexedSeq[Int] = partCols.map(schema.fieldIndex).toIndexedSeq
+  private val dataIdx: IndexedSeq[Int] =
+    schema.fields.indices.filterNot(partIdx.contains).toIndexedSeq
+  private val dataSchema = StructType(dataIdx.map(schema.fields))
+  private val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(dataSchema, dataIdx)
+
+  private var curKey: Seq[String] = null // cast-to-string partition values (null = SQL NULL)
+  private var cur: IceLiteDataWriter = _
+  private val done = scala.collection.mutable.ListBuffer.empty[IceLiteWriteMessage]
+
+  /** Partition value -> its `CAST(v AS STRING)` form (what the library's
+    * stats pass records and the path carries pre-escaping). */
+  private def valueStr(i: Int, row: InternalRow): String = {
+    val idx = partIdx(i)
+    if (row.isNullAt(idx)) null
+    else schema.fields(idx).dataType match {
+      case StringType  => row.getUTF8String(idx).toString
+      case IntegerType => row.getInt(idx).toString
+      case LongType    => row.getLong(idx).toString
+      case BooleanType => row.getBoolean(idx).toString
+      case DateType    => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).toString
+      case other => throw new UnsupportedOperationException(
+        s"icelite V2 partitioned write: unsupported partition type $other " +
+          s"for column ${schema.fields(idx).name}")
+    }
+  }
+
+  private def roll(): Unit = if (cur != null) {
+    val m = cur.commit().asInstanceOf[IceLiteWriteMessage]
+    // min=max=value partition-column ranges (null value -> omitted:
+    // conservative keep, matching the library's null-group stats)
+    val partStats = partCols.indices.flatMap { i =>
+      Option(curKey(i)).map(v => partCols(i) -> ColRange(Some(v), Some(v)))
+    }.toMap
+    done += m.copy(stats = m.stats ++ partStats)
+    cur = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = partCols.indices.map(i => valueStr(i, row))
+    if (key != curKey) {
+      roll()
+      curKey = key
+      val segs = partCols.indices.map { i =>
+        val seg = Option(key(i))
+          .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
+          .getOrElse(IceLiteScan.HiveNullPart)
+        s"${partCols(i)}=$seg"
+      }
+      cur = new IceLiteDataWriter(conf, location,
+        s"$dataRel/${segs.mkString("/")}", dataSchema, partitionId, taskId)
+    }
+    proj.project(row)
+    cur.write(proj)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    roll()
+    IceLitePartitionedWriteMessage(done.toList)
+  }
+
+  override def abort(): Unit = {
+    if (cur != null) cur.abort()
+    val fs = new Path(location).getFileSystem(conf.value)
+    done.foreach(m => fs.delete(new Path(location, m.relPath), false))
+  }
+
+  override def close(): Unit = if (cur != null) cur.close()
+}
 
 final case class IceLiteStreamingWriterFactory(
     conf: SerializableHadoopConf,

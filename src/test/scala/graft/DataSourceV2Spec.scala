@@ -121,6 +121,43 @@ class DataSourceV2Spec extends SparkSpec {
     assert(df.count() == orders.filter(col("o_orderkey") <= 999).count())
   }
 
+  test("partitioned V2 SQL INSERT: null values, multi-column layout, overwrite") {
+    import spark.implicits._
+    val wh = scratch("v2pins")
+    spark.conf.set("spark.sql.catalog.pi_spec", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.pi_spec.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS pi_spec.ns")
+      spark.sql("""CREATE TABLE pi_spec.ns.p (k BIGINT, a STRING, b INT)
+                   PARTITIONED BY (a, b)""")
+      Seq((1L, "x", 1), (2L, "with space", 1), (3L, null.asInstanceOf[String], 2),
+        (4L, "x", 2), (5L, "x", 1))
+        .toDF("k", "a", "b").createOrReplaceTempView("pi_src")
+      spark.sql("INSERT INTO pi_spec.ns.p SELECT * FROM pi_src")
+      // round trip: typed restoration incl. the NULL and the escaped value
+      val got = spark.sql("SELECT k, a, b FROM pi_spec.ns.p ORDER BY k")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getInt(2)))
+      assert(got.toSeq == Seq((1L, "x", 1), (2L, "with space", 1), (3L, null, 2),
+        (4L, "x", 2), (5L, "x", 1)))
+      // one file per (a, b) value pair — 4 distinct pairs
+      val parts = spark.sql("SELECT partition, n_files FROM pi_spec.ns.p.partitions").collect()
+      assert(parts.length == 4 && parts.forall(_.getLong(1) == 1L),
+        s"expected 4 partitions x 1 file, got ${parts.mkString(",")}")
+      // partition predicate prunes to the single matching file
+      val pruned = spark.sql("SELECT k FROM pi_spec.ns.p WHERE a = 'with space' AND b = 1")
+      val plan = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("files=1/4"), "escaped-value partition did not prune:\n" + plan.take(600))
+      assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // INSERT OVERWRITE replaces the partitioned table atomically
+      spark.sql("INSERT OVERWRITE pi_spec.ns.p SELECT * FROM pi_src WHERE b = 1")
+      assert(spark.sql("SELECT COUNT(*) FROM pi_spec.ns.p").collect()(0).getLong(0) == 3L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.pi_spec")
+      spark.conf.unset("spark.sql.catalog.pi_spec.warehouse")
+    }
+  }
+
   test("SQL time travel through the catalog: VERSION/TIMESTAMP AS OF pin and error paths") {
     val wh = scratch("v2sqltt")
     spark.conf.set("spark.sql.catalog.tt_spec", "graft.sources.IceLiteCatalog")
