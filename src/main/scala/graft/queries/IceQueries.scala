@@ -1685,6 +1685,63 @@ object IceQueries {
               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** DYNAMIC partition overwrite through SQL
+    * (`spark.sql.sources.partitionOverwriteMode=dynamic` +
+    * `INSERT OVERWRITE`): only the partitions the query writes are
+    * replaced — every other partition's files carry BY IDENTICAL
+    * PHYSICAL PATH (zero IO, proven below), the Iceberg
+    * dynamic-overwrite contract. At 100 TB this is how a daily
+    * restatement rewrites one day, not the table. */
+  private def sqlDynamicOverwriteQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqldyn")
+    s.conf.set("spark.sql.catalog.ice_dyn", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_dyn.warehouse", wh)
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("orders_dyn_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_dyn.graft")
+      s.sql("""CREATE TABLE ice_dyn.graft.orders_dyn
+               (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+               PARTITIONED BY (o_orderpriority)""")
+      s.sql("INSERT INTO ice_dyn.graft.orders_dyn SELECT * FROM orders_dyn_src")
+      val cat = new FsCatalog(s, wh)
+      def files() = { val t = cat.loadTable("graft", "orders_dyn")
+                      t.filesOf(t.metadata.currentSnapshot.get).toSet }
+      val before = files()
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.sql("""INSERT OVERWRITE ice_dyn.graft.orders_dyn
+               SELECT o_orderkey, o_orderpriority, 0.0D
+               FROM orders_dyn_src WHERE o_orderpriority = '1-URGENT'""")
+      val after = files()
+      val untouchedBefore = before.filterNot(_.contains("o_orderpriority=1-URGENT"))
+      require(untouchedBefore.subsetOf(after),
+        s"untouched partitions were rewritten: ${untouchedBefore -- after}")
+      require((before -- untouchedBefore -- after) == (before -- untouchedBefore),
+        "the overwritten partition's old file survived")
+      val out = s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM ice_dyn.graft.orders_dyn GROUP BY 1 ORDER BY 1""")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      prevMode match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.conf.unset("spark.sql.catalog.ice_dyn")
+      s.conf.unset("spark.sql.catalog.ice_dyn.warehouse")
+    }
+  }
+
+  private val sqlDynamicOverwriteOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0
+                                      ELSE o_totalprice END AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -1935,7 +1992,8 @@ object IceQueries {
     Q("ic63_sql_timestamp_asof", sqlTimestampAsOfQ, Some(nationOracle)),
     Q("ic64_sql_meta_tables", sqlMetaTablesQ, Some(sqlMetaTablesOracle)),
     Q("ic65_sql_insert_overwrite", sqlInsertOverwriteQ, Some(sqlInsertOverwriteOracle)),
-    Q("ic66_sql_partitioned_insert", sqlPartitionedInsertQ, Some(sqlPartitionedInsertOracle))
+    Q("ic66_sql_partitioned_insert", sqlPartitionedInsertQ, Some(sqlPartitionedInsertOracle)),
+    Q("ic67_sql_dynamic_overwrite", sqlDynamicOverwriteQ, Some(sqlDynamicOverwriteOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

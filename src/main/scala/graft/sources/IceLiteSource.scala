@@ -175,13 +175,15 @@ final class IceLiteV2Table(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
     md.partitionCols.map(Expressions.identity(_)).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IceLiteScanBuilder(ice, snap)
+    new IceLiteScanBuilder(ice, snap,
+      maxSnaps = Option(options.get("maxsnapshotspertrigger")).map(_.toInt))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -199,7 +201,8 @@ final class IceLiteV2Table(
 final class IceLiteScanBuilder(
     ice: IceTable,
     snap: Option[Snapshot],
-    onBuild: Scan => Unit = _ => ())
+    onBuild: Scan => Unit = _ => (),
+    maxSnaps: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -284,7 +287,7 @@ final class IceLiteScanBuilder(
       case LessThanOrEqual(c, v)    => add(c, None, Some(v.toString))
       case _                        =>
     }
-    val s = new IceLiteScan(ice, snap, required, bounds.toMap, pushed, limit)
+    val s = new IceLiteScan(ice, snap, required, bounds.toMap, pushed, limit, maxSnaps)
     onBuild(s)
     s
   }
@@ -325,7 +328,8 @@ final class IceLiteScan(
     required: StructType,
     bounds: Map[String, (Option[String], Option[String])],
     pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    maxSnaps: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -519,7 +523,8 @@ final class IceLiteScan(
     require(partCols.isEmpty,
       "icelite streaming read supports unpartitioned tables")
     new IceLiteMicroBatchStream(ice, required,
-      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      maxSnaps)
   }
 }
 
@@ -532,18 +537,42 @@ final case class IceLiteOffset(snapshotId: Long)
   * table metadata (O(1) version walk), planInputPartitions is the
   * manifest DELTA of the window — planning cost O(new commits), never
   * O(table). Commits are tracked by Spark's checkpoint; `commit` is a
-  * no-op because snapshots are immutable. */
+  * no-op because snapshots are immutable.
+  *
+  * Admission control: `option("maxSnapshotsPerTrigger", k)` caps each
+  * micro-batch at k snapshot windows — the backfill knob that keeps a
+  * catch-up read from planning one giant batch over months of commits.
+  * `Trigger.AvailableNow` is supported natively: the target snapshot is
+  * pinned at query start, batches advance (rate-limited) to exactly
+  * that pin and the query stops — later concurrent commits are left for
+  * the next run, as the contract requires. */
 final class IceLiteMicroBatchStream(
     ice: IceTable,
     required: StructType,
-    conf: SerializableHadoopConf)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    conf: SerializableHadoopConf,
+    maxSnaps: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private val tableSchema = ice.metadata.schema
+  @volatile private var availableNowTarget: Option[Long] = None
 
   override def initialOffset(): Offset = IceLiteOffset(0L)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(ice.metadata.current_snapshot_id)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[IceLiteOffset].snapshotId
+    val head = availableNowTarget.getOrElse(ice.metadata.current_snapshot_id)
+    val end  = maxSnaps.map(k => math.min(head, from + k)).getOrElse(head)
+    IceLiteOffset(math.max(end, from))
+  }
 
   override def latestOffset(): Offset =
     IceLiteOffset(ice.metadata.current_snapshot_id)

@@ -32,17 +32,26 @@ final class IceLiteWriteBuilder(
     ice: IceTable,
     info: LogicalWriteInfo,
     onCommit: Option[IceTable => Unit] = None)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var replace = false
+  private var dynamic = false
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
+  /** `INSERT OVERWRITE` under partitionOverwriteMode=dynamic: replace
+    * ONLY the partitions the query writes, carry every other file by
+    * manifest pointer (Iceberg's dynamic-overwrite semantics). */
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
+
   override def build(): Write = {
     val md = ice.metadata
+    require(!(replace && dynamic), "conflicting overwrite modes requested")
+    require(!dynamic || md.partitionCols.nonEmpty,
+      "dynamic partition overwrite requires a partitioned table")
     require(info.schema().catalogString == md.schema.catalogString,
       s"write schema ${info.schema().catalogString} != table schema ${md.schema.catalogString}")
-    new IceLiteWrite(ice.location.toString, md.schema, md.partitionCols, replace,
+    new IceLiteWrite(ice.location.toString, md.schema, md.partitionCols, replace, dynamic,
       info.queryId(), onCommit)
   }
 }
@@ -52,6 +61,7 @@ final class IceLiteWrite(
     schema: StructType,
     partCols: Seq[String],
     replace: Boolean,
+    dynamic: Boolean,
     queryId: String,
     onCommit: Option[IceTable => Unit] = None)
     extends Write with RequiresDistributionAndOrdering {
@@ -73,7 +83,7 @@ final class IceLiteWrite(
       Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
 
   override def toBatch: BatchWrite =
-    new IceLiteBatchWrite(location, schema, partCols, replace,
+    new IceLiteBatchWrite(location, schema, partCols, replace, dynamic,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       onCommit)
 
@@ -136,6 +146,7 @@ final class IceLiteBatchWrite(
     schema: StructType,
     partCols: Seq[String],
     replace: Boolean,
+    dynamic: Boolean,
     conf: SerializableHadoopConf,
     onCommit: Option[IceTable => Unit] = None)
     extends BatchWrite {
@@ -155,7 +166,17 @@ final class IceLiteBatchWrite(
     }.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows)))
       .filter(_.rows.exists(_ > 0L))
     val t = IceTable.load(SparkSession.active, location)
-    t.commitStagedEntries(entries, replace)
+    if (dynamic) {
+      // replace exactly the partitions this query wrote: both sides keyed
+      // by the hive path segments (`a=x/b=1`), which the rolling writer
+      // put in every staged relPath and every committed file carries
+      def partPath(rel: String): String =
+        rel.split('/').filter(_.contains("=")).mkString("/")
+      val touched = entries.map(e => partPath(e.file)).toSet
+      val victims = t.metadata.currentSnapshot.toSeq.flatMap(t.filesOf)
+        .filter(f => touched.contains(partPath(f))).toSet
+      t.commitReplaceScanned(victims, entries, "overwrite")
+    } else t.commitStagedEntries(entries, replace)
     onCommit.foreach(_(t))
   }
 

@@ -831,6 +831,52 @@ object StreamQueries {
     }
   }
 
+  /** st19: RATE-LIMITED BACKFILL — `option("maxSnapshotsPerTrigger", 1)`
+    * + native `Trigger.AvailableNow` (SupportsAdmissionControl /
+    * SupportsTriggerAvailableNow on the micro-batch stream). A 3-commit
+    * table catches up in exactly 3 batches, one snapshot window each (no
+    * single giant batch over the whole history — the knob that keeps a
+    * months-behind consumer from planning one monster batch), the target
+    * is pinned at query start, and the query STOPS at the pin. The
+    * batch_id -> row-count map IS the query output: each batch must
+    * carry exactly its snapshot's rows, which the oracle replays as the
+    * event_id % 3 thirds the commits were built from. */
+  private def streamRateLimitedBackfill(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.FsCatalog
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val wh   = "/root/repo/target/scratch/st19_wh"
+    val ckpt = "/root/repo/target/scratch/st19_ckpt"
+    Seq(wh, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val ev  = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val cat = new FsCatalog(s, wh)
+    val src = cat.createOrReplaceTable("graft", "ev_backfill",
+      ev.filter(col("event_id") % 3 === 0).coalesce(1)) // snapshot 1
+    src.append(ev.filter(col("event_id") % 3 === 1).coalesce(1)) // snapshot 2
+    src.append(ev.filter(col("event_id") % 3 === 2).coalesce(1)) // snapshot 3
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    s.readStream.format("icelite")
+      .option("location", src.location.toString)
+      .option("maxSnapshotsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => batches += ((id, b.count())); () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    require(batches.size == 3,
+      s"expected 3 one-snapshot batches from the rate limit, got ${batches.size}: $batches")
+    import s.implicits._
+    batches.toSeq.toDF("batch_id", "n_rows").orderBy("batch_id")
+  }
+
+  private val streamRateLimitedBackfillOracle =
+    """SELECT CAST(event_id % 3 AS BIGINT) AS batch_id, COUNT(*) AS n_rows
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   private val streamCdcApplyOracle =
     """SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
@@ -854,7 +900,9 @@ object StreamQueries {
     Q("st15_stream_table_sink", streamTableSink, Some(streamTableSinkOracle)),
     Q("st16_stream_table_to_table", streamTableToTable, Some(streamTableToTableOracle)),
     Q("st17_stream_iceberg_source", streamIcebergSource, Some(streamTableSinkOracle)),
-    Q("st18_stream_cdc_apply", streamCdcApply, Some(streamCdcApplyOracle))
+    Q("st18_stream_cdc_apply", streamCdcApply, Some(streamCdcApplyOracle)),
+    Q("st19_stream_rate_limited_backfill", streamRateLimitedBackfill,
+      Some(streamRateLimitedBackfillOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
