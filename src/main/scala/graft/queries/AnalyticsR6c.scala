@@ -155,19 +155,28 @@ object AnalyticsR6c {
     //      represent identically, so comparing doubles here is safe (the
     //      registry's one sanctioned double comparison). Shape: two
     //      grouped exact-percentile passes + a broadcast join of the
-    //      3-row stats frame — the standard two-scan robust-stats plan;
-    //      at 100 TB exact percentile becomes a sketch (t-digest) but the
-    //      plan and the audit columns are unchanged.
+    //      3-row stats frame — the standard two-scan robust-stats plan.
+    //      SCALE-GATED like an39: above `graft.an74.exactMedianRowBound`
+    //      rows (default 1M — sf1 and beyond) both medians switch to
+    //      `approx_percentile` (GK sketch, bounded memory per group, no
+    //      exact percentile buffer holding a group's full value set);
+    //      under it the exact path keeps the DuckDB oracle bit-exact at
+    //      sf0.01. The audit columns are identical either way.
     Q("an74_mad_outliers",
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_returnflag"), cents(col("l_extendedprice")).as("yq"))
+        val bound = s.conf.get("graft.an74.exactMedianRowBound", "1000000").toLong
+        val exact = Tables.lineitem(s, d).count() <= bound
+        def med50(c: String): Column =
+          if (exact) expr(s"percentile($c, 0.5D)")
+          else expr(s"approx_percentile($c, 0.5D, 10000)").cast("double")
         val med = li.groupBy("l_returnflag")
-          .agg(expr("percentile(yq, 0.5D)").as("med"), count(lit(1)).as("n"))
+          .agg(med50("yq").as("med"), count(lit(1)).as("n"))
         val dev = li.join(broadcast(med), "l_returnflag")
           .withColumn("dev", abs(col("yq") - col("med")))
         val mad = dev.groupBy("l_returnflag")
-          .agg(expr("percentile(dev, 0.5D)").as("mad"))
+          .agg(med50("dev").as("mad"))
         dev.join(broadcast(mad), "l_returnflag")
           .groupBy(col("l_returnflag"), col("n"), col("med"), col("mad"))
           .agg(sum(when(col("dev") > col("mad") * 1.5, 1L).otherwise(0L)).as("n_outliers"))

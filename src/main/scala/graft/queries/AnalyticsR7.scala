@@ -154,20 +154,36 @@ object AnalyticsR7 {
     //      documented there) + a 3-row broadcast of clip points.
     Q("an79_winsorized",
       (s, d) => {
-        val byV = Window.partitionBy("l_returnflag")
-          .orderBy("vc", "l_orderkey", "l_linenumber")
-        val byF = Window.partitionBy("l_returnflag")
-        val ranked = Tables.lineitem(s, d)
+        // SCALE-GATED like an39/an74: the exact path ranks each group with
+        // a total per-group sort window to pick bit-exact 5%/95% clip
+        // bounds (the DuckDB-oracle discipline, deterministic tie-break);
+        // above `graft.an79.exactRankRowBound` rows the bounds come from a
+        // GK sketch instead and the SORT WINDOW DISAPPEARS ENTIRELY — one
+        // grouped sketch pass + one clipped-mean pass, no per-group total
+        // ordering anywhere, which is the only winsorization shape that
+        // survives 100 TB. Identical output schema either way.
+        val li = Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             cents(col("l_extendedprice")).as("vc"))
-          .withColumn("rn", row_number().over(byV).cast("long"))
-          .withColumn("n", count(lit(1)).over(byF))
-          .withColumn("r05", expr("(n + 19) DIV 20"))
-          .withColumn("r95", expr("(19 * n + 19) DIV 20"))
-        val clips = ranked.groupBy("l_returnflag")
-          .agg(max(when(col("rn") === col("r05"), col("vc"))).as("p05_c"),
-            max(when(col("rn") === col("r95"), col("vc"))).as("p95_c"))
-        ranked.join(broadcast(clips), Seq("l_returnflag"))
+        val bound = s.conf.get("graft.an79.exactRankRowBound", "1000000").toLong
+        val exact = Tables.lineitem(s, d).count() <= bound
+        val clips =
+          if (exact) {
+            val byV = Window.partitionBy("l_returnflag")
+              .orderBy("vc", "l_orderkey", "l_linenumber")
+            val byF = Window.partitionBy("l_returnflag")
+            li.withColumn("rn", row_number().over(byV).cast("long"))
+              .withColumn("n", count(lit(1)).over(byF))
+              .withColumn("r05", expr("(n + 19) DIV 20"))
+              .withColumn("r95", expr("(19 * n + 19) DIV 20"))
+              .groupBy("l_returnflag")
+              .agg(max(when(col("rn") === col("r05"), col("vc"))).as("p05_c"),
+                max(when(col("rn") === col("r95"), col("vc"))).as("p95_c"))
+          } else
+            li.groupBy("l_returnflag")
+              .agg(expr("approx_percentile(vc, 0.05D, 10000)").as("p05_c"),
+                expr("approx_percentile(vc, 0.95D, 10000)").as("p95_c"))
+        li.join(broadcast(clips), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("p05_c"), col("p95_c"),
             greatest(col("p05_c"), least(col("p95_c"), col("vc"))).as("wc"))
           .groupBy("l_returnflag", "p05_c", "p95_c")

@@ -152,6 +152,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("graft.an39.exactNdvRowBound")
   }
 
+  test("an74 medians are scale-gated: above the row bound both passes use the GK sketch") {
+    def planOf(): String = {
+      val df = SparkEntry.queries("an74_mad_outliers")(spark, sfDir)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    }
+    val exactPlan = planOf()
+    assert(exactPlan.contains("percentile") && !exactPlan.contains("approx_percentile"),
+      "under the bound the medians should be exact percentiles:\n" + exactPlan.take(600))
+    spark.conf.set("graft.an74.exactMedianRowBound", "1")
+    try {
+      val approxPlan = planOf()
+      assert(approxPlan.contains("approx_percentile"),
+        "scale-gated medians still plan exact percentile:\n" + approxPlan.take(900))
+    } finally spark.conf.unset("graft.an74.exactMedianRowBound")
+  }
+
+  test("an79 clip bounds are scale-gated: above the row bound the per-group sort window disappears") {
+    def planOf(): String = {
+      val df = SparkEntry.queries("an79_winsorized")(spark, sfDir)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    }
+    val exactPlan = planOf()
+    assert(exactPlan.contains("row_number"),
+      "under the bound the clip bounds should come from the exact rank window:\n" +
+        exactPlan.take(600))
+    spark.conf.set("graft.an79.exactRankRowBound", "1")
+    try {
+      val approxPlan = planOf()
+      assert(!approxPlan.contains("row_number") && !approxPlan.contains("Window"),
+        "scale-gated winsorization still plans a per-group sort window:\n" + approxPlan.take(900))
+      assert(approxPlan.contains("approx_percentile"), approxPlan.take(600))
+    } finally spark.conf.unset("graft.an79.exactRankRowBound")
+  }
+
   test("V2 scan reports manifest row counts into planner statistics") {
     import graft.icelite.FsCatalog
     val cat = new FsCatalog(spark, scratch("v2stats"))
