@@ -519,13 +519,10 @@ final class IceLiteScan(
     * read). Offsets are snapshot ids, so recovery replays a committed
     * window bit-identically. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(partCols.isEmpty,
-      "icelite streaming read supports unpartitioned tables")
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new IceLiteMicroBatchStream(ice, required,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       maxSnaps)
-  }
 }
 
 final case class IceLiteOffset(snapshotId: Long)
@@ -584,13 +581,35 @@ final class IceLiteMicroBatchStream(
     val from = start.asInstanceOf[IceLiteOffset].snapshotId
     val to   = end.asInstanceOf[IceLiteOffset].snapshotId
     val loc  = ice.location.toString
-    ice.incrementalFiles(from, to)
-      .map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition)
-      .toArray
+    val partCols = ice.metadata.partitionCols
+    val delta = ice.incrementalFiles(from, to)
+    if (partCols.isEmpty)
+      delta.map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition).toArray
+    else {
+      // hive-layout tables stream too: each delta file's partition values
+      // come off its path (the same parsing the batch scan uses), so the
+      // reader restores the partition columns the data files omit
+      val partTypes = partCols.map(c => tableSchema.fields.find(_.name == c).get.dataType)
+      def valsOf(rel: String): Seq[String] = {
+        val kv = rel.split('/').iterator.filter(_.contains('=')).map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> seg.substring(i + 1)
+        }.toMap
+        partCols.map(c => kv.getOrElse(c,
+          throw new IllegalStateException(s"partition column $c missing from path $rel")))
+      }
+      delta.groupBy(valsOf).toSeq.sortBy(_._1.mkString("/"))
+        .map { case (vals, files) =>
+          val key = new GenericInternalRow(
+            vals.zip(partTypes).map { case (v, dt) => IceLiteScan.partToCatalyst(v, dt) }.toArray)
+          IceLitePartition(files.map(f => s"$loc/$f").toArray, key): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IceLiteReaderFactory(conf, required, Array.empty, tableSchema)
+    new IceLiteReaderFactory(conf, required,
+      ice.metadata.partitionCols.toArray, tableSchema)
 
   override def commit(end: Offset): Unit = () // snapshots are immutable
   override def stop(): Unit = ()

@@ -877,6 +877,55 @@ object StreamQueries {
     """SELECT CAST(event_id % 3 AS BIGINT) AS batch_id, COUNT(*) AS n_rows
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** st20: streaming FROM A PARTITIONED (hive-layout) table — the
+    * snapshot-tailing source now restores partition-column values from
+    * the delta files' paths (the data files omit them), grouped one
+    * input partition per partition value exactly like the batch scan.
+    * The resumed drain flows only the post-checkpoint snapshot. The
+    * oracle's o_orderpriority grouping proves value restoration incl.
+    * the escaped '4-NOT SPECIFIED'. */
+  private def streamPartitionedSource(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.FsCatalog
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val wh   = "/root/repo/target/scratch/st20_wh"
+    val ckpt = "/root/repo/target/scratch/st20_ckpt"
+    Seq(wh, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val cat = new FsCatalog(s, wh)
+    val src = cat.createOrReplaceTable("graft", "orders_pstream",
+      ord.filter(col("o_orderkey") % 2 === 0).coalesce(1), Seq("o_orderpriority"))
+    val sink = cat.createOrReplaceTable("graft", "orders_pstream_out", ord.limit(0))
+    def drain(): Unit =
+      s.readStream.format("icelite").option("location", src.location.toString).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          sink.append(b.select("o_orderkey", "o_orderpriority", "o_totalprice").coalesce(1))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    drain()
+    val afterFirst = sink.scan().count()
+    src.append(ord.filter(col("o_orderkey") % 2 === 1).coalesce(1))
+    drain() // resume: only the delta snapshot's files flow
+    require(sink.scan().count() > afterFirst, "resumed drain moved no delta rows")
+    sink.scan()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val streamPartitionedSourceOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   private val streamCdcApplyOracle =
     """SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
@@ -902,7 +951,9 @@ object StreamQueries {
     Q("st17_stream_iceberg_source", streamIcebergSource, Some(streamTableSinkOracle)),
     Q("st18_stream_cdc_apply", streamCdcApply, Some(streamCdcApplyOracle)),
     Q("st19_stream_rate_limited_backfill", streamRateLimitedBackfill,
-      Some(streamRateLimitedBackfillOracle))
+      Some(streamRateLimitedBackfillOracle)),
+    Q("st20_stream_partitioned_source", streamPartitionedSource,
+      Some(streamPartitionedSourceOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
