@@ -1742,6 +1742,67 @@ object IceQueries {
                                       ELSE o_totalprice END AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** SQL maintenance procedures through the catalog plugin
+    * (`CALL cat.system.<proc>(...)` — Spark's V2 ProcedureCatalog, the
+    * Iceberg `CALL` idiom): a 3-commit/3-file table is compacted to one
+    * file (`rewrite_data_files`), its history GC'd to one snapshot
+    * (`expire_snapshots` — which also reclaims the now-unreferenced
+    * pre-compaction files, so the subsequent `remove_orphan_files` sweep
+    * must find NOTHING), and each call's audit rows come back as the
+    * statement's result set. Scale: maintenance is metadata + targeted
+    * file IO; results are O(1) rows. */
+  private def sqlCallProceduresQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlcall")
+    s.conf.set("spark.sql.catalog.ice_call", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_call.warehouse", wh)
+    try {
+      Tables.nation(s, d).coalesce(1).createOrReplaceTempView("nation_call_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_call.graft")
+      s.sql("CREATE TABLE ice_call.graft.nation_call AS SELECT * FROM nation_call_src")
+      s.sql("""INSERT INTO ice_call.graft.nation_call
+               SELECT * FROM nation_call_src WHERE n_regionkey = 0""")
+      s.sql("""INSERT INTO ice_call.graft.nation_call
+               SELECT * FROM nation_call_src WHERE n_regionkey = 1""")
+      val shown = s.sql("SHOW PROCEDURES IN ice_call.system").collect()
+      require(shown.length == 4, s"SHOW PROCEDURES listed ${shown.length} entries")
+      val rw = s.sql("CALL ice_call.system.rewrite_data_files('graft', 'nation_call', 1)")
+        .collect()(0)
+      val ex = s.sql("CALL ice_call.system.expire_snapshots('graft', 'nation_call', 1)")
+        .collect()(0)
+      val orphans = s.sql("CALL ice_call.system.remove_orphan_files('graft', 'nation_call', 0L)")
+        .count()
+      require(orphans == 0,
+        s"expire should have reclaimed the pre-compaction files, sweep found $orphans")
+      val rows = s.sql("SELECT COUNT(*) FROM ice_call.graft.nation_call").collect()(0).getLong(0)
+      import s.implicits._
+      val out = Seq(
+        ("expire_snapshots", ex.getLong(0), ex.getLong(1)),
+        ("post_maintenance_rows", rows, rows),
+        ("remove_orphan_files", orphans, orphans),
+        ("rewrite_data_files", rw.getLong(0), rw.getLong(1)))
+        .toDF("proc", "before", "after").orderBy("proc")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_call")
+      s.conf.unset("spark.sql.catalog.ice_call.warehouse")
+    }
+  }
+
+  private val sqlCallProceduresOracle =
+    """WITH n AS (SELECT COUNT(*) AS full_n FROM nation),
+         r0 AS (SELECT COUNT(*) AS r0_n FROM nation WHERE n_regionkey = 0),
+         r1 AS (SELECT COUNT(*) AS r1_n FROM nation WHERE n_regionkey = 1)
+       SELECT proc, before, after FROM (
+         SELECT 'expire_snapshots' AS proc, CAST(4 AS BIGINT) AS before, CAST(1 AS BIGINT) AS after
+         UNION ALL
+         SELECT 'post_maintenance_rows', full_n + r0_n + r1_n, full_n + r0_n + r1_n FROM n, r0, r1
+         UNION ALL
+         SELECT 'remove_orphan_files', 0, 0
+         UNION ALL
+         SELECT 'rewrite_data_files', 3, 1)
+       ORDER BY proc"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -1993,7 +2054,8 @@ object IceQueries {
     Q("ic64_sql_meta_tables", sqlMetaTablesQ, Some(sqlMetaTablesOracle)),
     Q("ic65_sql_insert_overwrite", sqlInsertOverwriteQ, Some(sqlInsertOverwriteOracle)),
     Q("ic66_sql_partitioned_insert", sqlPartitionedInsertQ, Some(sqlPartitionedInsertOracle)),
-    Q("ic67_sql_dynamic_overwrite", sqlDynamicOverwriteQ, Some(sqlDynamicOverwriteOracle))
+    Q("ic67_sql_dynamic_overwrite", sqlDynamicOverwriteQ, Some(sqlDynamicOverwriteOracle)),
+    Q("ic68_sql_call_procedures", sqlCallProceduresQ, Some(sqlCallProceduresOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -83,7 +83,7 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
     }
 }
 
-final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
+final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var backend: IceCatalog = _
@@ -274,4 +274,23 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException(
       "icelite DROP NAMESPACE: use FsCatalog.cleanupWarehouse (double-confirmed)")
+
+  // --------------------------------------------------------- procedures
+
+  /** `CALL cat.system.<proc>('ns', 'table', ...)` — the Iceberg-style SQL
+    * maintenance surface ([[IceLiteProcedures]]): compaction, snapshot
+    * expiry, orphan sweep, rollback. Maintenance commits new metadata, so
+    * the REST binding republishes the catalog pointer after each call. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    IceLiteProcedures.load(backend, ident,
+      (ns, tbl, ice) => publishHook(ns, tbl).foreach(_(ice))).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure: ${(ident.namespace() :+ ident.name()).mkString(".")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      IceLiteProcedures.names.toSeq.sorted
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 }

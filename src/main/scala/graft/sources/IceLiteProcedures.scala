@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.icelite.{IceCatalog, IceTable}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance PROCEDURES for the SQL surface — the Iceberg
+  * `CALL cat.system.<proc>(...)` idiom, bound through Spark's V2
+  * ProcedureCatalog (Analyzer ResolveProcedures/InvokeProcedures):
+  *
+  * {{{
+  * CALL cat.system.rewrite_data_files('ns', 't', 1)   -- compaction
+  * CALL cat.system.expire_snapshots('ns', 't', 2)     -- history GC
+  * CALL cat.system.remove_orphan_files('ns', 't', 0)  -- orphan sweep
+  * CALL cat.system.rollback_to_snapshot('ns', 't', 3) -- pointer move
+  * }}}
+  *
+  * Each call runs the library maintenance op and returns its audit as a
+  * driver-local result scan (rows are O(1) or O(removed paths) — never
+  * data-sized). `onDone` republishes the catalog pointer for REST-bound
+  * catalogs, since expire/compact/rollback all commit new metadata. */
+private[sources] object IceLiteProcedures {
+
+  val names: Set[String] =
+    Set("rewrite_data_files", "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot")
+
+  private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+
+  private def resultScan(schema: StructType, resultRows: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = resultRows.toArray
+      override def readSchema(): StructType = schema
+      override def description(): String = "IceLiteProcedureResult"
+    }).iterator()
+
+  def load(
+      backend: IceCatalog,
+      ident: Identifier,
+      onDone: (String, String, IceTable) => Unit): Option[UnboundProcedure] = {
+    if (!(ident.namespace().sameElements(Array("system")) && names(ident.name()))) return None
+    val proc = ident.name()
+    Some(new UnboundProcedure {
+      override def name(): String = proc
+      override def description(): String = s"icelite maintenance procedure $proc"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = proc
+        override def description(): String = s"icelite maintenance procedure $proc"
+        override def isDeterministic: Boolean = false // mutates table state
+
+        override def parameters(): Array[ProcedureParameter] = proc match {
+          case "rewrite_data_files" =>
+            Array(p("ns", StringType), p("table", StringType), p("target_files", IntegerType))
+          case "expire_snapshots" =>
+            Array(p("ns", StringType), p("table", StringType), p("keep_last", IntegerType))
+          case "remove_orphan_files" =>
+            Array(p("ns", StringType), p("table", StringType), p("older_than_ms", LongType))
+          case "rollback_to_snapshot" =>
+            Array(p("ns", StringType), p("table", StringType), p("snapshot_id", LongType))
+        }
+
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val ns  = input.getUTF8String(0).toString
+          val tbl = input.getUTF8String(1).toString
+          val t   = backend.loadTable(ns, tbl)
+          def reload(): IceTable = {
+            val r = backend.loadTable(ns, tbl)
+            onDone(ns, tbl, r)
+            r
+          }
+          proc match {
+            case "rewrite_data_files" =>
+              val before = t.metadata.currentSnapshot.toSeq.flatMap(t.filesOf).size.toLong
+              t.compact(input.getInt(2))
+              val after = { val r = reload()
+                r.metadata.currentSnapshot.toSeq.flatMap(r.filesOf).size.toLong }
+              resultScan(
+                StructType(Seq(StructField("files_before", LongType),
+                  StructField("files_after", LongType))),
+                Seq(new GenericInternalRow(Array[Any](before, after))))
+            case "expire_snapshots" =>
+              val before = t.metadata.snapshots.size.toLong
+              t.expireSnapshots(input.getInt(2))
+              val after = reload().metadata.snapshots.size.toLong
+              resultScan(
+                StructType(Seq(StructField("snapshots_before", LongType),
+                  StructField("snapshots_after", LongType))),
+                Seq(new GenericInternalRow(Array[Any](before, after))))
+            case "remove_orphan_files" =>
+              val removed = t.removeOrphans(input.getLong(2))
+              reload()
+              resultScan(
+                StructType(Seq(StructField("orphan_path", StringType))),
+                removed.sorted.map(r =>
+                  new GenericInternalRow(Array[Any](UTF8String.fromString(r)))))
+            case "rollback_to_snapshot" =>
+              val prev = t.metadata.current_snapshot_id
+              t.rollback(input.getLong(2))
+              val cur = reload().metadata.current_snapshot_id
+              resultScan(
+                StructType(Seq(StructField("previous_snapshot_id", LongType),
+                  StructField("current_snapshot_id", LongType))),
+                Seq(new GenericInternalRow(Array[Any](prev, cur))))
+          }
+        }
+      }
+    })
+  }
+}
