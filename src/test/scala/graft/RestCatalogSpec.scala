@@ -164,6 +164,29 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL maintenance procedure through the REST binding republishes the pointer") {
+    spark.conf.set("spark.sql.catalog.rproc", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.rproc.uri", server.uri)
+    try {
+      demo(10).createOrReplaceTempView("rproc_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS rproc.mns")
+      spark.sql("CREATE TABLE rproc.mns.m AS SELECT * FROM rproc_src")
+      spark.sql("INSERT INTO rproc.mns.m SELECT id + 100, name FROM rproc_src")
+      val before = catalog.metadataLocation("mns", "m")
+      val beforeV = before.split('/').last.stripPrefix("v").stripSuffix(".json").toInt
+      val res = spark.sql("CALL rproc.system.rewrite_data_files('mns', 'm', 1)").head()
+      assert(res.getLong(1) == 1L, s"compaction did not land one file: $res")
+      val after = catalog.metadataLocation("mns", "m")
+      assert(after.endsWith(s"v${beforeV + 1}.json"),
+        s"maintenance commit not republished to the catalog: $before -> $after")
+      // by-name reads through the republished pointer see the compacted table
+      assert(spark.sql("SELECT COUNT(*) FROM rproc.mns.m").head().getLong(0) == 20L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rproc")
+      spark.conf.unset("spark.sql.catalog.rproc.uri")
+    }
+  }
+
   test("dropping a non-empty namespace is rejected; empty namespace drops") {
     catalog.createNamespace("tmpns")
     catalog.createOrReplaceTable("tmpns", "t", demo(2))
