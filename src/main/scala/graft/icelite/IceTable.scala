@@ -299,6 +299,142 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * radius, never table size. Rebase-and-retry like every other commit:
     * a racing APPEND's new manifests carry straight through (they cannot
     * reference `removed`, which existed before the scan). */
+  /** METADATA-ONLY DELETE planning: classify every current data file
+    * against a pushed filter conjunction as all-match (droppable), no-match
+    * (carried untouched) or mixed. Returns the droppable set, or None if
+    * ANY file is mixed / any filter unsupported — the caller (the V2
+    * table's `SupportsDelete.canDeleteWhere`) then refuses, and Spark
+    * falls back to the row-level copy-on-write rewrite. Soundness rules:
+    *  - no-match claims use min/max alone (a NULL never satisfies a
+    *    comparison, so an out-of-range file truly has no matching row);
+    *  - all-match claims additionally need a NO-NULLS guarantee for the
+    *    column, because min/max ignore nulls: the field is declared
+    *    required, or it is a hive partition column with recorded stats
+    *    (one uniform non-null value per file by construction).
+    * At 100 TB this is Iceberg's partition-aligned DELETE: dropping a
+    * day's files is an O(manifests) metadata commit, zero data IO. */
+  private[graft] def metadataDeletePlan(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Set[String]] = {
+    import org.apache.spark.sql.sources._
+    val md   = metadata
+    val snap = md.currentSnapshot.getOrElse(return Some(Set.empty))
+    val fieldOf  = md.schema.fields.map(f => f.name -> f).toMap
+    val partSet  = md.partitionCols.toSet
+    val ALL = 1; val NONE = 0; val MIXED = -1
+
+    def noNulls(c: String, stats: Map[String, ColRange]): Boolean =
+      fieldOf.get(c).exists(!_.nullable) || (partSet(c) && stats.contains(c))
+
+    def statsRecordable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
+    /** A hive NULL-partition file: the partition value is uniformly NULL
+      * (stats absent for a col whose type WOULD have been recorded), so
+      * every comparison predicate on it is false for every row. */
+    def isNullPartFile(c: String, stats: Map[String, ColRange]): Boolean =
+      partSet(c) && !stats.contains(c) &&
+        fieldOf.get(c).exists(f => statsRecordable(f.dataType))
+
+    def range(c: String, stats: Map[String, ColRange]): Option[(String, String, (String, String) => Int)] =
+      for {
+        f  <- fieldOf.get(c)
+        r  <- stats.get(c)
+        lo <- r.min
+        hi <- r.max
+      } yield (lo, hi, cmpFor(f.dataType))
+
+    def eval(f: Filter, stats: Map[String, ColRange]): Int = f match {
+      case And(l, r) =>
+        (eval(l, stats), eval(r, stats)) match {
+          case (NONE, _) | (_, NONE) => NONE
+          case (ALL, ALL)            => ALL
+          case _                     => MIXED
+        }
+      case Or(l, r) =>
+        (eval(l, stats), eval(r, stats)) match {
+          case (ALL, _) | (_, ALL) => ALL
+          case (NONE, NONE)        => NONE
+          case _                   => MIXED
+        }
+      case EqualTo(c, v) if isNullPartFile(c, stats) => NONE
+      case EqualTo(c, v) => range(c, stats) match {
+        case Some((lo, hi, cmp)) =>
+          val s = String.valueOf(v)
+          if (cmp(s, lo) < 0 || cmp(s, hi) > 0) NONE
+          else if (cmp(lo, hi) == 0 && cmp(s, lo) == 0 && noNulls(c, stats)) ALL
+          else MIXED
+        case None => MIXED
+      }
+      case In(c, vs) if isNullPartFile(c, stats) => NONE
+      case In(c, vs) => range(c, stats) match {
+        case Some((lo, hi, cmp)) =>
+          val ss = vs.map(String.valueOf)
+          if (ss.forall(s => cmp(s, lo) < 0 || cmp(s, hi) > 0)) NONE
+          else if (cmp(lo, hi) == 0 && ss.exists(cmp(_, lo) == 0) && noNulls(c, stats)) ALL
+          else MIXED
+        case None => MIXED
+      }
+      case GreaterThan(c, v) if isNullPartFile(c, stats) => NONE
+      case GreaterThan(c, v) => range(c, stats) match {
+        case Some((lo, hi, cmp)) =>
+          val s = String.valueOf(v)
+          if (cmp(hi, s) <= 0) NONE
+          else if (cmp(lo, s) > 0 && noNulls(c, stats)) ALL
+          else MIXED
+        case None => MIXED
+      }
+      case GreaterThanOrEqual(c, v) if isNullPartFile(c, stats) => NONE
+      case GreaterThanOrEqual(c, v) => range(c, stats) match {
+        case Some((lo, hi, cmp)) =>
+          val s = String.valueOf(v)
+          if (cmp(hi, s) < 0) NONE
+          else if (cmp(lo, s) >= 0 && noNulls(c, stats)) ALL
+          else MIXED
+        case None => MIXED
+      }
+      case LessThan(c, v) if isNullPartFile(c, stats) => NONE
+      case LessThan(c, v) => range(c, stats) match {
+        case Some((lo, hi, cmp)) =>
+          val s = String.valueOf(v)
+          if (cmp(lo, s) >= 0) NONE
+          else if (cmp(hi, s) < 0 && noNulls(c, stats)) ALL
+          else MIXED
+        case None => MIXED
+      }
+      case LessThanOrEqual(c, v) if isNullPartFile(c, stats) => NONE
+      case LessThanOrEqual(c, v) => range(c, stats) match {
+        case Some((lo, hi, cmp)) =>
+          val s = String.valueOf(v)
+          if (cmp(lo, s) > 0) NONE
+          else if (cmp(hi, s) <= 0 && noNulls(c, stats)) ALL
+          else MIXED
+        case None => MIXED
+      }
+      case IsNotNull(c) =>
+        if (isNullPartFile(c, stats)) NONE
+        else if (noNulls(c, Map.empty) || (partSet(c) && stats.contains(c))) ALL
+        else MIXED
+      case AlwaysTrue() => ALL
+      case _ => MIXED
+    }
+
+    val removable = Set.newBuilder[String]
+    for (m <- snap.manifests; e <- readManifest(m)) {
+      if (!e.rows.contains(0L)) { // a zero-row file has nothing to classify
+        val stats = e.stats.getOrElse(Map.empty)
+        // the conjunction of all pushed filters, evaluated per file
+        val verdicts = filters.map(eval(_, stats))
+        if (verdicts.contains(MIXED)) return None
+        if (!verdicts.contains(NONE)) removable += e.file
+      }
+    }
+    Some(removable.result())
+  }
+
   private[graft] def commitReplaceScanned(
       removed: Set[String],
       entries: Seq[ManifestEntry],

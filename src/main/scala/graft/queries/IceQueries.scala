@@ -1803,6 +1803,61 @@ object IceQueries {
          SELECT 'rewrite_data_files', 3, 1)
        ORDER BY proc"""
 
+  /** METADATA-ONLY SQL DELETE: on a partitioned table, `DELETE FROM t
+    * WHERE <partition predicate>` is provable file-by-file from manifest
+    * stats (each file carries min=max partition values and hive
+    * partition values are uniform per file), so Spark's
+    * OptimizeMetadataOnlyDeleteFromTable swaps the copy-on-write rewrite
+    * for the table's `SupportsDelete.deleteWhere` — ONE snapshot commit
+    * dropping the matching files, ZERO data files read or written
+    * (proven below by path identity: survivors carry by the same
+    * physical path and no new file appears). Iceberg's partition-aligned
+    * DELETE; at 100 TB dropping a day is O(manifests) metadata. */
+  private def sqlMetadataDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlmdd")
+    s.conf.set("spark.sql.catalog.ice_mdd", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_mdd.warehouse", wh)
+    try {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("orders_mdd_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_mdd.graft")
+      s.sql("""CREATE TABLE ice_mdd.graft.orders_mdd
+               (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+               PARTITIONED BY (o_orderpriority)""")
+      s.sql("INSERT INTO ice_mdd.graft.orders_mdd SELECT * FROM orders_mdd_src")
+      val cat = new FsCatalog(s, wh)
+      def state() = { val t = cat.loadTable("graft", "orders_mdd")
+                      (t.metadata.currentSnapshot.get,
+                        t.filesOf(t.metadata.currentSnapshot.get).toSet) }
+      val (_, before) = state()
+      require(before.size == 5, s"expected 5 partition files, got ${before.size}")
+      s.sql("""DELETE FROM ice_mdd.graft.orders_mdd
+               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""")
+      val (snap, after) = state()
+      require(snap.operation == "delete", s"expected a delete snapshot, got ${snap.operation}")
+      // metadata-only: survivors carry by IDENTICAL path, nothing new written
+      require(after.subsetOf(before) && (before -- after).size == 2,
+        s"expected exactly the 2 matching partition files dropped by path;" +
+          s" before=${before.size} after=${after.size} new=${after -- before}")
+      val out = s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM ice_mdd.graft.orders_mdd GROUP BY 1 ORDER BY 1""")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_mdd")
+      s.conf.unset("spark.sql.catalog.ice_mdd.warehouse")
+    }
+  }
+
+  private val sqlMetadataDeleteOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       GROUP BY 1 ORDER BY 1"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -2055,7 +2110,8 @@ object IceQueries {
     Q("ic65_sql_insert_overwrite", sqlInsertOverwriteQ, Some(sqlInsertOverwriteOracle)),
     Q("ic66_sql_partitioned_insert", sqlPartitionedInsertQ, Some(sqlPartitionedInsertOracle)),
     Q("ic67_sql_dynamic_overwrite", sqlDynamicOverwriteQ, Some(sqlDynamicOverwriteOracle)),
-    Q("ic68_sql_call_procedures", sqlCallProceduresQ, Some(sqlCallProceduresOracle))
+    Q("ic68_sql_call_procedures", sqlCallProceduresQ, Some(sqlCallProceduresOracle)),
+    Q("ic69_sql_metadata_delete", sqlMetadataDeleteQ, Some(sqlMetadataDeleteOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

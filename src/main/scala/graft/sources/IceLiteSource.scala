@@ -158,9 +158,31 @@ final class IceLiteV2Table(
     onCommit: Option[IceTable => Unit] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val md = ice.metadata
+
+  /** METADATA-ONLY DELETE (Spark's OptimizeMetadataOnlyDeleteFromTable
+    * rewrites the copy-on-write plan back to this when the condition is
+    * fully file-provable): accepted only when EVERY current file is
+    * all-match or no-match under [[IceTable.metadataDeletePlan]]'s sound
+    * tri-state rules — then the delete is one snapshot commit dropping
+    * the all-match files, zero data IO (Iceberg's partition-aligned
+    * DELETE). Any mixed file → refuse → Spark runs the row-level
+    * rewrite instead. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    ice.metadataDeletePlan(filters.toIndexedSeq).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val removed = ice.metadataDeletePlan(filters.toIndexedSeq).getOrElse(
+      throw new IllegalStateException(
+        "deleteWhere invoked on a condition canDeleteWhere rejected"))
+    if (removed.nonEmpty) {
+      val t = ice.commitReplaceScanned(removed, Nil, "delete")
+      onCommit.foreach(_(t))
+    }
+  }
 
   override def name(): String = s"icelite.${md.namespace}.${md.name}"
   // file-source read semantics: every column is nullable at read time —

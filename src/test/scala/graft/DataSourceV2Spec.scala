@@ -158,6 +158,42 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("metadata-only DELETE: null-partition soundness and SQL TRUNCATE") {
+    import spark.implicits._
+    val wh = scratch("v2mdd")
+    spark.conf.set("spark.sql.catalog.md_spec", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.md_spec.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS md_spec.ns")
+      spark.sql("CREATE TABLE md_spec.ns.p (k BIGINT, d STRING) PARTITIONED BY (d)")
+      Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "x"))
+        .toDF("k", "d").createOrReplaceTempView("mdd_src")
+      spark.sql("INSERT INTO md_spec.ns.p SELECT * FROM mdd_src")
+      // partition-aligned delete drops only the 'x' file; the NULL-partition
+      // file is provably no-match (its value is uniformly NULL), so the
+      // metadata path stays available and the null row SURVIVES
+      spark.sql("DELETE FROM md_spec.ns.p WHERE d = 'x'")
+      val left = spark.sql("SELECT k FROM md_spec.ns.p ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(left == Seq(2L, 3L), s"expected the y row and the NULL row to survive, got $left")
+      val cat = new graft.icelite.FsCatalog(spark, wh)
+      val t = cat.loadTable("ns", "p")
+      assert(t.metadata.currentSnapshot.get.operation == "delete")
+      // TRUNCATE TABLE = the same metadata path with an always-true match
+      spark.sql("TRUNCATE TABLE md_spec.ns.p")
+      assert(spark.sql("SELECT COUNT(*) FROM md_spec.ns.p").collect()(0).getLong(0) == 0L)
+      // history intact: the pre-truncate snapshot still reads
+      val t2 = cat.loadTable("ns", "p")
+      val preTruncate = t2.metadata.snapshots.map(_.snapshot_id).sorted.takeRight(2).head
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM md_spec.ns.p VERSION AS OF $preTruncate")
+        .collect()(0).getLong(0) == 2L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.md_spec")
+      spark.conf.unset("spark.sql.catalog.md_spec.warehouse")
+    }
+  }
+
   test("SQL time travel through the catalog: VERSION/TIMESTAMP AS OF pin and error paths") {
     val wh = scratch("v2sqltt")
     spark.conf.set("spark.sql.catalog.tt_spec", "graft.sources.IceLiteCatalog")
