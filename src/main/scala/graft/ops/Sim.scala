@@ -2039,6 +2039,85 @@ object Sim {
       .orderBy("qid", "rn")
   }
 
+  /** sm31: INDEX COMPACTION — closes the served-index lifecycle
+    * (sm25 build → sm30 append → compact): after an append, each probed
+    * cell costs base+delta file opens; one re-clustering job
+    * (the same single-shuffle stageIndexCells write) folds every cell
+    * back to ONE file and commits it as a REWRITE snapshot
+    * ([[graft.icelite.IcebergFormat.Writer.rewriteDataFiles]]) — readers
+    * on pre-compaction snapshots are untouched (time travel intact), new
+    * searches open exactly one file per probed cell (required below),
+    * and results are bit-identical to the pre-compaction index (same
+    * oracle as sm26/sm30). At 100 TB compaction cost is one shuffle of
+    * the INDEX (not the corpus), amortized across every later search. */
+  private def ivfIndexCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val root  = "/root/repo/target/scratch/ivfcmp_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    fs.mkdirs(rootP)
+    val loc   = s"$root/ivf_index"
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    val bc    = s.sparkContext.broadcast(cents)
+    val maxId = Tables.embeddings(s, d).agg(max("vec_id")).collect()(0).getLong(0)
+    val mid   = maxId / 2
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Tables.spread(df.select(col("vec_id"), col("embedding")))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, vf) => (assignCell(vf.map(_.toDouble), cs), id, vf) }
+        }
+        .toDF("cell", "vec_id", "embedding")
+    val emb = Tables.embeddings(s, d)
+    val w   = new IcebergFormat.Writer(s, loc, assign(emb.limit(0)).schema)
+    w.commit(stageIndexCells(s, assign(emb.filter(col("vec_id") <= mid)),
+      s"$root/stage_b", loc, "b"))
+    w.commit(stageIndexCells(s, assign(emb.filter(col("vec_id") > mid)),
+      s"$root/stage_d", loc, "d"))
+    // COMPACT: re-cluster the fragmented index (base+delta per cell) into
+    // one file per cell, committed as a rewrite snapshot
+    val fragmented = IcebergFormat.scan(s, w.currentMetadataPath)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    w.rewriteDataFiles(stageIndexCells(s, fragmented, s"$root/stage_c", loc, "c"))
+    val meta = w.currentMetadataPath
+    def probeCells(v: Array[Double]): Set[Long] =
+      cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
+        .sortBy(_._2).take(ivfProbes).map(_._1).toSet
+    val queries = collectMatrix(s, d, idBound = ivfSearchQueries)
+      .map { case (qid, v, n) => (qid, v, n, probeCells(v)) }
+    val cellsToRead = queries.flatMap(_._4).toSet
+    val idx = cellsToRead.toSeq.sorted
+      .map(c => IcebergFormat.scanRange(s, meta, "cell", Some(c.toString), Some(c.toString)))
+      .reduce(_ unionByName _)
+    require(idx.inputFiles.length == cellsToRead.size,
+      s"post-compaction search should open ONE file per probed cell " +
+        s"(${cellsToRead.size}), planned ${idx.inputFiles.length}")
+    val bq  = s.sparkContext.broadcast(queries)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    idx.select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        it.flatMap { case (cell, nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          qs.iterator
+            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
+            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
   def all: Seq[Q] = Seq(
     Q("sm01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     Q("sm02_nearest_neighbor", nearestNeighbor, Some(nearestNeighborOracle)),
@@ -2069,7 +2148,8 @@ object Sim {
     Q("sm27_nprobe_curve", nprobeCurve, Some(nprobeCurveOracle)),
     Q("sm28_centroid_drift", centroidDrift, Some(centroidDriftOracle)),
     Q("sm29_filtered_ann", filteredAnnSearch, Some(filteredAnnSearchOracle)),
-    Q("sm30_ivf_index_append", ivfIndexAppend, Some(ivfPersistedSearchOracle))
+    Q("sm30_ivf_index_append", ivfIndexAppend, Some(ivfPersistedSearchOracle)),
+    Q("sm31_ivf_index_compact", ivfIndexCompact, Some(ivfPersistedSearchOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS
