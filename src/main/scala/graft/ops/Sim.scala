@@ -1652,6 +1652,38 @@ object Sim {
       SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
       FROM cell GROUP BY 1 ORDER BY 1"""
 
+  /** Shared probed-search kernel for the persisted-index family
+    * (sm26/sm29/sm30/sm31): exact cosine rank of each broadcast query's
+    * candidates from the probed cells' (cell, vec_id, embedding) rows,
+    * top-5 per query with (sim DESC, nid ASC) ties. The index side
+    * streams map-side; the only shuffle is the tiny top-k window over
+    * |candidates| rows — never the corpus. */
+  private def probedTopK(
+      s: SparkSession,
+      idx: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Array[Double], Double, Set[Long])]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bq  = s.sparkContext.broadcast(queries)
+    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    idx.select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        it.flatMap { case (cell, nid, vf) =>
+          lazy val v = vf.map(_.toDouble)
+          lazy val n = normv(v)
+          qs.iterator
+            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
+            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
   /** sm26: search FROM the persisted index — no raw-embeddings scan at
     * all. 3 query vectors probe their 2 nearest cells; only those cells'
     * data files are read (manifest `cell` bounds prune the rest, proven
@@ -1679,25 +1711,7 @@ object Sim {
     require(idx.inputFiles.length <= cellsToRead.size,
       s"index scan read ${idx.inputFiles.length} files for ${cellsToRead.size} cells — " +
         "manifest cell bounds failed to prune")
-    val bc  = s.sparkContext.broadcast(queries)
-    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    idx.select(col("cell"), col("vec_id"), col("embedding"))
-      .as[(Long, Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = bc.value
-        it.flatMap { case (cell, nid, vf) =>
-          lazy val v = vf.map(_.toDouble)
-          lazy val n = normv(v)
-          qs.iterator
-            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
-            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
-        }
-      }
-      .toDF("qid", "nid", "sim")
-      .withColumn("rn", row_number().over(byQ).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
-      .orderBy("qid", "rn")
+    probedTopK(s, idx, queries)
   }
 
   private lazy val ivfPersistedSearchOracle =
@@ -1910,25 +1924,7 @@ object Sim {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     require(plan.contains("In(label"),
       "label predicate did not reach the index scan as a pushed filter:\n" + plan.take(800))
-    val bc  = s.sparkContext.broadcast(queries)
-    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    filtered.select(col("cell"), col("vec_id"), col("embedding"))
-      .as[(Long, Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = bc.value
-        it.flatMap { case (cell, nid, vf) =>
-          lazy val v = vf.map(_.toDouble)
-          lazy val n = normv(v)
-          qs.iterator
-            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
-            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
-        }
-      }
-      .toDF("qid", "nid", "sim")
-      .withColumn("rn", row_number().over(byQ).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
-      .orderBy("qid", "rn")
+    probedTopK(s, filtered, queries)
   }
 
   private lazy val filteredAnnSearchOracle =
@@ -2018,25 +2014,7 @@ object Sim {
     require(idx.inputFiles.length == 2 * cellsToRead.size,
       s"expected base+delta per probed cell (${2 * cellsToRead.size} files), " +
         s"scan planned ${idx.inputFiles.length}")
-    val bq  = s.sparkContext.broadcast(queries)
-    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    idx.select(col("cell"), col("vec_id"), col("embedding"))
-      .as[(Long, Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = bq.value
-        it.flatMap { case (cell, nid, vf) =>
-          lazy val v = vf.map(_.toDouble)
-          lazy val n = normv(v)
-          qs.iterator
-            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
-            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
-        }
-      }
-      .toDF("qid", "nid", "sim")
-      .withColumn("rn", row_number().over(byQ).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
-      .orderBy("qid", "rn")
+    probedTopK(s, idx, queries)
   }
 
   /** sm31: INDEX COMPACTION — closes the served-index lifecycle
@@ -2097,25 +2075,7 @@ object Sim {
     require(idx.inputFiles.length == cellsToRead.size,
       s"post-compaction search should open ONE file per probed cell " +
         s"(${cellsToRead.size}), planned ${idx.inputFiles.length}")
-    val bq  = s.sparkContext.broadcast(queries)
-    val byQ = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    idx.select(col("cell"), col("vec_id"), col("embedding"))
-      .as[(Long, Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = bq.value
-        it.flatMap { case (cell, nid, vf) =>
-          lazy val v = vf.map(_.toDouble)
-          lazy val n = normv(v)
-          qs.iterator
-            .filter { case (qid, _, _, probes) => qid != nid && probes.contains(cell) }
-            .map { case (qid, qv, qn, _) => (qid, nid, dotv(qv, v) / (qn * n)) }
-        }
-      }
-      .toDF("qid", "nid", "sim")
-      .withColumn("rn", row_number().over(byQ).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 4).as("sim"))
-      .orderBy("qid", "rn")
+    probedTopK(s, idx, queries)
   }
 
   def all: Seq[Q] = Seq(
