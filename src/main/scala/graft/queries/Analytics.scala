@@ -284,14 +284,23 @@ object Analytics {
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
     // ---- exact percentiles (sort-based; DuckDB quantile_cont is the twin)
+    // SCALE-GATED like an39/an74: above `graft.exactPercentileRowBound`
+    // rows both quantiles switch to the GK sketch (bounded per-group
+    // memory); exact under the bound keeps the oracle bit-exact.
     Q("an15_percentiles",
-      (s, d) =>
+      (s, d) => {
+        val bound = s.conf.get("graft.exactPercentileRowBound", "1000000").toLong
+        val exact = Tables.orders(s, d).count() <= bound
+        def pct(q: String): Column =
+          if (exact) expr(s"percentile(o_totalprice, $q)")
+          else expr(s"approx_percentile(o_totalprice, $q, 10000)").cast("double")
         Tables.orders(s, d)
           .groupBy("o_orderpriority")
           .agg(
-            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
-          .orderBy("o_orderpriority"),
+            round(pct("0.5"), 4).as("p50"),
+            round(pct("0.9"), 4).as("p90"))
+          .orderBy("o_orderpriority")
+      },
       Some("""SELECT o_orderpriority,
           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90

@@ -180,16 +180,28 @@ object AnalyticsExt {
     //      percentile_cont. One shuffle on the group key; per-group state
     //      for exact percentiles is the sorted run — at 100 TB this swaps
     //      to approx_percentile, same plan shape.
+    // SCALE-GATED like an39/an74: above `graft.exactPercentileRowBound`
+    // rows the discrete percentiles come from the GK sketch
+    // (approx_percentile also returns an ACTUAL element of the group, so
+    // disc semantics carry; per-group memory is bounded by the accuracy
+    // knob instead of the group's full value set). Exact under the bound
+    // keeps the DuckDB oracle bit-exact at sf0.01.
     Q("an42_percentile_disc",
-      (s, d) =>
+      (s, d) => {
+        val bound = s.conf.get("graft.exactPercentileRowBound", "1000000").toLong
+        val exact = Tables.orders(s, d).count() <= bound
+        def disc(q: String): Column =
+          if (exact) expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)")
+          else expr(s"approx_percentile(o_totalprice, ${q}D, 10000)")
         Tables.orders(s, d)
           .groupBy("o_orderpriority")
           .agg(
-            expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25_disc"),
-            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
-            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+            disc("0.25").as("p25_disc"),
+            disc("0.5").as("p50_disc"),
+            disc("0.9").as("p90_disc"),
             count(lit(1)).as("n"))
-          .orderBy("o_orderpriority"),
+          .orderBy("o_orderpriority")
+      },
       Some("""SELECT o_orderpriority,
           quantile_disc(o_totalprice, 0.25) AS p25_disc,
           quantile_disc(o_totalprice, 0.5) AS p50_disc,
@@ -251,11 +263,18 @@ object AnalyticsExt {
       (s, d) => {
         val o = Tables.orders(s, d)
           .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("x"))
-        val med = o.groupBy("prio").agg(expr("percentile(x, 0.5D)").as("med"))
+        // SCALE-GATED like an74: both median passes use the GK sketch
+        // above `graft.exactPercentileRowBound` rows
+        val bound = s.conf.get("graft.exactPercentileRowBound", "1000000").toLong
+        val exact = Tables.orders(s, d).count() <= bound
+        def med50(c: String): Column =
+          if (exact) expr(s"percentile($c, 0.5D)")
+          else expr(s"approx_percentile($c, 0.5D, 10000)").cast("double")
+        val med = o.groupBy("prio").agg(med50("x").as("med"))
         val dev = o.join(broadcast(med), Seq("prio"))
           .withColumn("adev", abs(col("x") - col("med")))
         val mad = dev.groupBy("prio")
-          .agg(min("med").as("med"), expr("percentile(adev, 0.5D)").as("mad"))
+          .agg(min("med").as("med"), med50("adev").as("mad"))
         dev.select("prio", "adev")
           .join(broadcast(mad), Seq("prio"))
           .groupBy("prio")

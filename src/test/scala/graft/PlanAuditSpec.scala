@@ -188,6 +188,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("graft.an79.exactRankRowBound")
   }
 
+  test("an15/an42/an44 percentiles share the scale gate: above the bound all plans use the GK sketch") {
+    def planOf(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    }
+    val qs = Seq("an15_percentiles", "an42_percentile_disc", "an44_robust_stats")
+    for (q <- qs) {
+      val exactPlan = planOf(q)
+      assert(exactPlan.contains("percentile") && !exactPlan.contains("approx_percentile"),
+        s"$q under the bound should plan exact percentiles:\n" + exactPlan.take(400))
+    }
+    spark.conf.set("graft.exactPercentileRowBound", "1")
+    try {
+      for (q <- qs) {
+        val approxPlan = planOf(q)
+        assert(approxPlan.contains("approx_percentile"),
+          s"$q above the bound still plans exact percentile:\n" + approxPlan.take(600))
+      }
+    } finally spark.conf.unset("graft.exactPercentileRowBound")
+  }
+
   test("V2 scan reports manifest row counts into planner statistics") {
     import graft.icelite.FsCatalog
     val cat = new FsCatalog(spark, scratch("v2stats"))
