@@ -39,6 +39,63 @@ class MaintenanceSpec extends SparkSpec {
       s"history is not a linear rebase chain: $parents")
   }
 
+  test("racing metadata-delete and append BOTH land; the append's rows survive the delete") {
+    import spark.implicits._
+    val wh = scratch("mddrace")
+    spark.conf.set("spark.sql.catalog.race_mdd", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.race_mdd.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS race_mdd.ns")
+      spark.sql("CREATE TABLE race_mdd.ns.p (k BIGINT, d STRING) PARTITIONED BY (d)")
+      Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "z"))
+        .toDF("k", "d").createOrReplaceTempView("mddrace_src")
+      spark.sql("INSERT INTO race_mdd.ns.p SELECT * FROM mddrace_src")
+      val cat = new FsCatalog(spark, wh)
+      val t   = cat.loadTable("ns", "p")
+      // thread A: metadata-delete the 'x' partition (file drop, zero IO);
+      // thread B: append fresh 'x' rows via the library path. The CAS
+      // rebase must land BOTH: the delete removes only PRE-EXISTING 'x'
+      // files (it classified a fixed snapshot), the append's new file
+      // cannot be referenced by the delete's removed set, so its rows
+      // survive regardless of commit order.
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val pool    = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val del = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            barrier.await()
+            spark.sql("DELETE FROM race_mdd.ns.p WHERE d = 'x'")
+          }
+        })
+        val app = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val fresh = Seq((10L, "x"), (11L, "x")).toDF("k", "d")
+            barrier.await()
+            t.append(fresh)
+          }
+        })
+        del.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        app.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      } finally pool.shutdown()
+      val left = spark.sql("SELECT k FROM race_mdd.ns.p ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      // BOTH serializations are legal outcomes of the race — what must
+      // hold regardless: the pre-existing x-rows are gone, y/z survive,
+      // NO commit was lost (3 snapshots), and the appended rows either
+      // fully survive (append serialized after the delete's plan) or
+      // were fully deleted (delete re-planned after the append landed) —
+      // never a partial application.
+      assert(left == Seq(2L, 4L, 10L, 11L) || left == Seq(2L, 4L),
+        s"expected a clean serialization of delete vs append; got $left")
+      val t2 = cat.loadTable("ns", "p")
+      assert(t2.metadata.snapshots.size == 3,
+        s"expected 3 snapshots (insert + both racers), got ${t2.metadata.snapshots.size}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.race_mdd")
+      spark.conf.unset("spark.sql.catalog.race_mdd.warehouse")
+    }
+  }
+
   test("IceTable.create rejects nested/unsupported column types with a clear error") {
     import org.apache.spark.sql.types._
     val ex = intercept[IllegalArgumentException] {
