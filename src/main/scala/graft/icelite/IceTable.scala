@@ -360,6 +360,15 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
           case (NONE, NONE)        => NONE
           case _                   => MIXED
         }
+      // null-safe equality (what static PARTITION (c = v) overwrites
+      // produce): for a non-null literal it matches exactly like EqualTo
+      // (NULL <=> v is false); a null literal matches exactly the
+      // null-partition file and provably misses no-nulls files
+      case EqualNullSafe(c, v) if v != null => eval(EqualTo(c, v), stats)
+      case EqualNullSafe(c, _) =>
+        if (isNullPartFile(c, stats)) ALL
+        else if (noNulls(c, stats)) NONE
+        else MIXED
       case EqualTo(c, v) if isNullPartFile(c, stats) => NONE
       case EqualTo(c, v) => range(c, stats) match {
         case Some((lo, hi, cmp)) =>

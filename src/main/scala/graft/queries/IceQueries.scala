@@ -1858,6 +1858,65 @@ object IceQueries {
        FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
        GROUP BY 1 ORDER BY 1"""
 
+  /** STATIC-partition overwrite (`INSERT OVERWRITE ... PARTITION (c = v)`
+    * — SupportsOverwrite): Spark folds the static partition value into
+    * both the written rows and the overwrite condition; the condition is
+    * file-provable (metadata-DELETE classification), so the statement is
+    * ONE atomic snapshot — the matching partition's old file dropped, the
+    * staged rows appended, every other file carried by identical physical
+    * path (proven below). The restated partition carries modified values
+    * so the oracle distinguishes overwrite from append. */
+  private def sqlStaticPartitionOverwriteQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlspo")
+    s.conf.set("spark.sql.catalog.ice_spo", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_spo.warehouse", wh)
+    try {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("orders_spo_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_spo.graft")
+      s.sql("""CREATE TABLE ice_spo.graft.orders_spo
+               (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+               PARTITIONED BY (o_orderpriority)""")
+      s.sql("INSERT INTO ice_spo.graft.orders_spo SELECT * FROM orders_spo_src")
+      val cat = new FsCatalog(s, wh)
+      def files() = { val t = cat.loadTable("graft", "orders_spo")
+                      t.filesOf(t.metadata.currentSnapshot.get).toSet }
+      val before = files()
+      s.sql("""INSERT OVERWRITE ice_spo.graft.orders_spo
+               PARTITION (o_orderpriority = '1-URGENT')
+               SELECT o_orderkey, 0.0D
+               FROM orders_spo_src
+               WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0""")
+      val after = files()
+      val untouched = before.filterNot(_.contains("o_orderpriority=1-URGENT"))
+      require(untouched.subsetOf(after),
+        s"untouched partitions were rewritten: ${untouched -- after}")
+      require(!(before -- untouched).exists(after),
+        "the overwritten partition's old file survived")
+      val out = s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM ice_spo.graft.orders_spo GROUP BY 1 ORDER BY 1""")
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_spo")
+      s.conf.unset("spark.sql.catalog.ice_spo.warehouse")
+    }
+  }
+
+  private val sqlStaticPartitionOverwriteOracle =
+    """WITH t AS (
+         SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         WHERE o_orderpriority <> '1-URGENT'
+         UNION ALL
+         SELECT o_orderkey, o_orderpriority, 0.0 FROM orders
+         WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)
+       SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM t GROUP BY 1 ORDER BY 1"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -2111,7 +2170,9 @@ object IceQueries {
     Q("ic66_sql_partitioned_insert", sqlPartitionedInsertQ, Some(sqlPartitionedInsertOracle)),
     Q("ic67_sql_dynamic_overwrite", sqlDynamicOverwriteQ, Some(sqlDynamicOverwriteOracle)),
     Q("ic68_sql_call_procedures", sqlCallProceduresQ, Some(sqlCallProceduresOracle)),
-    Q("ic69_sql_metadata_delete", sqlMetadataDeleteQ, Some(sqlMetadataDeleteOracle))
+    Q("ic69_sql_metadata_delete", sqlMetadataDeleteQ, Some(sqlMetadataDeleteOracle)),
+    Q("ic70_sql_static_partition_overwrite", sqlStaticPartitionOverwriteQ,
+      Some(sqlStaticPartitionOverwriteOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -32,10 +32,11 @@ final class IceLiteWriteBuilder(
     ice: IceTable,
     info: LogicalWriteInfo,
     onCommit: Option[IceTable => Unit] = None)
-    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var replace = false
   private var dynamic = false
+  private var byFilter: Option[Array[org.apache.spark.sql.sources.Filter]] = None
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
@@ -44,15 +45,33 @@ final class IceLiteWriteBuilder(
     * manifest pointer (Iceberg's dynamic-overwrite semantics). */
   override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
 
+  /** Filter-based overwrite (`INSERT OVERWRITE ... PARTITION (c = v)` /
+    * DataFrame `overwrite(condition)`): the victims come from the same
+    * sound tri-state file classification metadata DELETE uses, so the
+    * whole statement is ONE atomic snapshot — drop the provably-matching
+    * files, append the staged rows. Accepted only when every file is
+    * all-match or no-match (`canOverwrite` below); an unprovable
+    * condition is a loud analysis error, never a partial overwrite. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) replace = true
+    else byFilter = Some(filters)
+    this
+  }
+
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue) ||
+      ice.metadataDeletePlan(filters.toIndexedSeq).isDefined
+
   override def build(): Write = {
     val md = ice.metadata
-    require(!(replace && dynamic), "conflicting overwrite modes requested")
+    require(Seq(replace, dynamic, byFilter.isDefined).count(identity) <= 1,
+      "conflicting overwrite modes requested")
     require(!dynamic || md.partitionCols.nonEmpty,
       "dynamic partition overwrite requires a partitioned table")
     require(info.schema().catalogString == md.schema.catalogString,
       s"write schema ${info.schema().catalogString} != table schema ${md.schema.catalogString}")
     new IceLiteWrite(ice.location.toString, md.schema, md.partitionCols, replace, dynamic,
-      info.queryId(), onCommit)
+      info.queryId(), onCommit, byFilter)
   }
 }
 
@@ -63,7 +82,8 @@ final class IceLiteWrite(
     replace: Boolean,
     dynamic: Boolean,
     queryId: String,
-    onCommit: Option[IceTable => Unit] = None)
+    onCommit: Option[IceTable => Unit] = None,
+    byFilter: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -85,7 +105,7 @@ final class IceLiteWrite(
   override def toBatch: BatchWrite =
     new IceLiteBatchWrite(location, schema, partCols, replace, dynamic,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      onCommit)
+      onCommit, byFilter)
 
   /** `df.writeStream.format("icelite")`: every epoch commits one snapshot
     * through the CAS protocol with `(queryId, epochId)` as the commit
@@ -148,7 +168,8 @@ final class IceLiteBatchWrite(
     replace: Boolean,
     dynamic: Boolean,
     conf: SerializableHadoopConf,
-    onCommit: Option[IceTable => Unit] = None)
+    onCommit: Option[IceTable => Unit] = None,
+    byFilter: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends BatchWrite {
 
   // staging dir fixed at the driver; every task writes beneath it
@@ -166,7 +187,14 @@ final class IceLiteBatchWrite(
     }.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows)))
       .filter(_.rows.exists(_ > 0L))
     val t = IceTable.load(SparkSession.active, location)
-    if (dynamic) {
+    if (byFilter.isDefined) {
+      // filter-based overwrite: atomically swap the provably-matching
+      // files for the staged rows (same classification as metadata DELETE)
+      val removed = t.metadataDeletePlan(byFilter.get.toIndexedSeq).getOrElse(
+        throw new IllegalStateException(
+          "overwrite committed with a condition canOverwrite rejected"))
+      t.commitReplaceScanned(removed, entries, "overwrite")
+    } else if (dynamic) {
       // replace exactly the partitions this query wrote: both sides keyed
       // by the hive path segments (`a=x/b=1`), which the rolling writer
       // put in every staged relPath and every committed file carries
