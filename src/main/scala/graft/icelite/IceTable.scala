@@ -227,7 +227,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         manifests = (base.map(_._1) :+ newManifest).toList,
         manifest_summaries = Some((base.map(_._2) :+ newSummary).toList),
         parent_snapshot_id = baseSnap.map(_.snapshot_id),
-        commit_token = token
+        commit_token = token,
+        delete_manifests = carriedDeletes(baseSnap, base.nonEmpty)
       )
       val withSnap = md.copy(snapshots = md.snapshots :+ snap)
       val newMd = ref match {
@@ -278,7 +279,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         manifests = (base.map(_._1) :+ rel).toList,
         manifest_summaries = Some((base.map(_._2) :+ newSummary).toList),
         parent_snapshot_id = baseSnap.map(_.snapshot_id),
-        commit_token = token)
+        commit_token = token,
+        delete_manifests = carriedDeletes(baseSnap, base.nonEmpty))
       val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
       if (commitCasAt(v + 1, newMd)) return this
       attempt += 1
@@ -483,7 +485,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         manifests = all.map(_._1).toList,
         manifest_summaries = Some(all.map(_._2).toList),
         parent_snapshot_id = baseSnap.map(_.snapshot_id),
-        commit_token = None)
+        commit_token = None,
+        delete_manifests = carriedDeletes(baseSnap, carried.nonEmpty))
       val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
       if (commitCasAt(v + 1, newMd)) return this
       attempt += 1
@@ -597,19 +600,111 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   def filesOf(snap: Snapshot): Seq[String] =
     snap.manifests.flatMap(readManifest(_).map(_.file))
 
+  // ------------------------------------------ merge-on-read position deletes
+
+  /** Position-delete file entries of `snap` (merge-on-read): each entry's
+    * `file` is a parquet of `(file_path STRING, pos BIGINT)` rows marking
+    * deleted positions, its `stats("file_path")` range bounds WHICH data
+    * files it touches (the reader prunes on it), and `rows` counts the
+    * delete records. Empty for copy-on-write-only tables. */
+  def deleteEntriesOf(snap: Snapshot): Seq[ManifestEntry] =
+    snap.deleteManifests.flatMap(readManifest)
+
+  /** Whether `snap` has live position deletes — the gate that turns OFF
+    * every metadata-only row-count shortcut (manifest counts bound the
+    * PHYSICAL rows; MoR deletes make live rows a strict subset, and racing
+    * delta commits may even record the same position twice, so subtraction
+    * is unsound — reads must apply the deletes). */
+  def hasDeletes(snap: Snapshot): Boolean = snap.deleteManifests.nonEmpty
+
+  /** Delete-manifest carry rule shared by every snapshot-building commit:
+    * a commit that RETAINS any of the parent's data manifests must retain
+    * the parent's delete manifests too (untouched files keep their deleted
+    * positions invisible); a full replacement (compact / truncate /
+    * rewrite-everything) starts clean — its rows were produced by a scan
+    * that already applied the deletes. Entries referencing files absent
+    * from the new snapshot are ignored at read time, so over-carrying is
+    * sound; dropping on full replacement is exact. */
+  private def carriedDeletes(baseSnap: Option[Snapshot], retainsParentData: Boolean)
+      : Option[List[String]] =
+    baseSnap.map(_.deleteManifests).filter(_.nonEmpty && retainsParentData)
+
+  /** Commit a merge-on-read row delta (the V2 `SupportsDelta` write path —
+    * SQL `DELETE`/`UPDATE`/`MERGE` without rewriting any data file):
+    * `deletes` are staged position-delete files, `dataEntries` staged
+    * inserts (MERGE's NOT MATCHED rows / UPDATE's rewritten rows). The new
+    * snapshot carries ALL parent data manifests by pointer, appends the
+    * delta manifests, and lands through the same CAS rebase-and-retry
+    * protocol as appends — a racing append's files commute (its positions
+    * can't be targeted by a delete planned before they existed), and a
+    * racing delta targeting the same positions is harmless because the
+    * read path applies deletes as a SET. At 100 TB this is the Iceberg v2
+    * MoR shape: commit cost is O(delta files) metadata, zero data IO. */
+  private[graft] def commitRowDeltas(
+      deletes: Seq[ManifestEntry],
+      dataEntries: Seq[ManifestEntry],
+      operation: String): IceTable = {
+    if (deletes.isEmpty && dataEntries.isEmpty) return this // no-op delta
+    val md0 = metadata
+    def stage(prefix: String, es: Seq[ManifestEntry]): Option[String] =
+      if (es.isEmpty) None
+      else {
+        val rel = s"metadata/manifests/$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = new Path(location, rel)
+        fs.mkdirs(dir)
+        writeFileAtomic(new Path(dir, "part-0.json"), es.map(_.toJson).mkString("\n"))
+        Some(rel)
+      }
+    val delManifest  = stage("m-del", deletes)
+    val dataManifest = stage("m-w", dataEntries)
+    val dataSummary  = summarize(md0.schema, dataEntries)
+    var attempt = 0
+    while (attempt < 10) {
+      val v        = currentVersion
+      val md       = metadataAt(v)
+      val baseSnap = md.currentSnapshot
+      val base: Seq[(String, Map[String, ColRange])] =
+        baseSnap.toSeq.flatMap(sn => sn.manifests.zipWithIndex.map { case (m, i) =>
+          m -> sn.summaryAt(i).getOrElse(Map.empty[String, ColRange])
+        })
+      val all = base ++ dataManifest.map(_ -> dataSummary).toSeq
+      val allDeletes = baseSnap.toSeq.flatMap(_.deleteManifests) ++ delManifest.toSeq
+      val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(
+        snapshot_id = snapId,
+        timestamp_ms = System.currentTimeMillis(),
+        operation = operation,
+        manifests = all.map(_._1).toList,
+        manifest_summaries = Some(all.map(_._2).toList),
+        parent_snapshot_id = baseSnap.map(_.snapshot_id),
+        commit_token = None,
+        delete_manifests = if (allDeletes.isEmpty) None else Some(allDeletes.toList))
+      val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
+      if (commitCasAt(v + 1, newMd)) return this
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"row-delta commit to $location lost the commit race 10 times — giving up")
+  }
+
   /** COUNT(*) of `snap` answered from manifest metadata alone — no data
     * file is opened (planning-sized work: O(#manifests) JSON reads, all
     * cached). None if any entry predates the `rows` field, so a stale
-    * manifest can never silently undercount. */
+    * manifest can never silently undercount — and None whenever the
+    * snapshot carries merge-on-read deletes (manifest counts are physical
+    * rows; live rows are a subset only a delete-applying scan can count). */
   def statsRowCount(snap: Snapshot): Option[Long] = {
+    if (hasDeletes(snap)) return None
     val rs = snap.manifests.flatMap(readManifest(_).map(_.rows))
     if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
   }
 
   /** Row count of a SUBSET of `snap`'s files from manifest metadata (None
-    * if any matching entry predates the `rows` field) — feeds the V2
-    * scan's planner statistics after pruning. */
+    * if any matching entry predates the `rows` field, or if MoR deletes
+    * make physical counts over-counts) — feeds the V2 scan's planner
+    * statistics after pruning. */
   def statsRowCountForFiles(snap: Snapshot, files: Set[String]): Option[Long] = {
+    if (hasDeletes(snap)) return None
     val es = snap.manifests.flatMap(readManifest).filter(e => files.contains(e.file))
     if (es.exists(_.rows.isEmpty)) None else Some(es.flatMap(_.rows).sum)
   }
@@ -785,7 +880,40 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val snap = md
       .snapshot(id)
       .getOrElse(throw new NoSuchElementException(s"snapshot $id of table ${md.name}"))
-    readFiles(md, filesOf(snap))
+    readFilesOf(md, snap, filesOf(snap))
+  }
+
+  /** Read `files` of `snap`, applying the snapshot's merge-on-read
+    * position deletes when present (the library-path twin of the V2
+    * reader's per-file bitmap skip). */
+  private[icelite] def readFilesOf(md: TableMetadata, snap: Snapshot, files: Seq[String]): DataFrame =
+    if (!hasDeletes(snap)) readFiles(md, files)
+    else {
+      val delPaths = deleteEntriesOf(snap).map(e => new Path(location, e.file).toString)
+      readFiles(md, files, Some(delPaths))
+    }
+
+  /** Anti-join one LEAF parquet read against the snapshot's position
+    * deletes: `_metadata.file_path` (URI-encoded, like input_file_name)
+    * is decoded and anchored at the `data/snap-` segment to recover the
+    * manifest-relative path, `_metadata.row_index` is the in-file
+    * position — exactly the `(file_path, pos)` key the delete files
+    * store. Applied PER LEAF because `_metadata` resolves only on a file
+    * scan, not through a union. Fully distributed: Spark broadcasts the
+    * delete side when it is small (the common case), and a mass-delete
+    * falls back to a shuffled anti-join — never a driver loop. */
+  private def applyPositionDeletes(leaf: DataFrame, deleteDF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val keep = leaf.columns
+    leaf
+      .withColumn("__graft_fp", expr(
+        "url_decode(replace(substring(_metadata.file_path, " +
+          "instr(_metadata.file_path, '/data/snap-') + 1), '+', '%2B'))"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(deleteDF,
+        col("__graft_fp") === deleteDF("file_path") && col("__graft_pos") === deleteDF("pos"),
+        "left_anti")
+      .select(keep.map(col).toIndexedSeq: _*)
   }
 
   /** Time travel by wall clock (`FOR TIMESTAMP AS OF`): scan the latest
@@ -809,20 +937,30 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * basePath per snapshot dir (intermediate snap-N segments aren't k=v,
     * ruling out a single table-root basePath) — commits union, and
     * compaction collapses them when the union grows long. */
-  private[icelite] def readFiles(md: TableMetadata, files: Seq[String]): DataFrame =
+  private[icelite] def readFiles(
+      md: TableMetadata,
+      files: Seq[String],
+      deletePaths: Option[Seq[String]] = None): DataFrame = {
+    val deleteDF = deletePaths.filter(_.nonEmpty).map { ps =>
+      spark.read.schema(IceTable.PositionDeleteSchema).parquet(ps: _*)
+    }
+    def leafDone(leaf: DataFrame): DataFrame =
+      deleteDF.map(applyPositionDeletes(leaf, _)).getOrElse(leaf)
     if (files.isEmpty) emptyFrame(md)
     else if (md.partitionCols.nonEmpty) {
       files
         .groupBy(snapDirOf)
         .toSeq.sortBy(_._1)
         .map { case (rel, fs) =>
-          spark.read
+          leafDone(spark.read
             .schema(md.schema)
             .option("basePath", new Path(location, rel).toString)
-            .parquet(fs.map(f => new Path(location, f).toString): _*)
+            .parquet(fs.map(f => new Path(location, f).toString): _*))
         }
         .reduce(_ unionByName _)
-    } else spark.read.schema(md.schema).parquet(files.map(f => new Path(location, f).toString): _*)
+    } else leafDone(
+      spark.read.schema(md.schema).parquet(files.map(f => new Path(location, f).toString): _*))
+  }
 
   def snapshots(): Seq[Snapshot] = metadata.snapshots
 
@@ -874,6 +1012,23 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         }
       }
     }.toDF("file", "manifest", "n_stat_cols", "stats")
+  }
+
+  /** `t.position_deletes`-style metadata table: one row per live
+    * position-delete FILE of the current snapshot with its record count
+    * and the data-file path range it can touch — the visibility surface
+    * for MoR maintenance planning ("how much delete debt does compaction
+    * clear?"). Planning-sized: O(delete files) manifest reads, data never
+    * touched. */
+  def deletesTable(): DataFrame = {
+    import spark.implicits._
+    metadata.currentSnapshot.toSeq.flatMap { sn =>
+      deleteEntriesOf(sn).map { e =>
+        val fp = e.stats.flatMap(_.get("file_path"))
+        (e.file, e.rows.getOrElse(-1L),
+          fp.flatMap(_.min).getOrElse(""), fp.flatMap(_.max).getOrElse(""))
+      }
+    }.toDF("delete_file", "n_deletes", "min_data_file", "max_data_file")
   }
 
   /** `t.refs`-style metadata table: named branches/tags plus the implicit
@@ -1069,7 +1224,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     })
     val colType  = md.schema(colName).dataType
     val hit      = col(colName) >= lit(lower).cast(colType) && col(colName) <= lit(upper).cast(colType)
-    val survivors = readFiles(md, affected).filter(not(coalesce(hit, lit(false))))
+    val survivors = snap.map(readFilesOf(md, _, affected)).getOrElse(readFiles(md, affected))
+      .filter(not(coalesce(hit, lit(false))))
     appendInternal(survivors, replace = true, operation = "delete", carry = carried)
   }
 
@@ -1149,7 +1305,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         else Some(writeFilteredManifest(remaining) -> summarize(md.schema, remaining))
       }
     })
-    val t      = readFiles(md, affected).alias("t")
+    val t      = snap.map(readFilesOf(md, _, affected)).getOrElse(readFiles(md, affected)).alias("t")
     val srcA   = aligned.alias("s")
     val tKey   = col(s"t.$keyCol")
     val sKey   = col(s"s.$keyCol")
@@ -1352,8 +1508,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     // batch must stay a no-op even after maintenance expired its commit
     val dropped       = md.snapshots.filterNot(s => keptIds.contains(s.snapshot_id))
     val retiredTokens = (md.retired_tokens.getOrElse(Nil) ++ dropped.flatMap(_.commit_token)).distinct
-    val referenced = keep.flatMap(filesOf).toSet
-    val orphaned   = md.snapshots.flatMap(filesOf).toSet -- referenced
+    // delete files (MoR) are live exactly like data files: a kept snapshot's
+    // position deletes must survive or its reads resurrect deleted rows
+    val referenced = (keep.flatMap(filesOf) ++ keep.flatMap(deleteEntriesOf).map(_.file)).toSet
+    val orphaned = (md.snapshots.flatMap(filesOf) ++
+      md.snapshots.flatMap(deleteEntriesOf).map(_.file)).toSet -- referenced
     commit(md.copy(snapshots = spliced,
       retired_tokens = if (retiredTokens.isEmpty) None else Some(retiredTokens)))
     // snapshot dirs with no referenced file left are removed recursively
@@ -1367,8 +1526,10 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       if (fs.exists(dir)) fs.delete(dir, true)
     }
     // manifests only expired snapshots referenced are reclaimed too
-    val liveManifests = keep.flatMap(_.manifests).toSet
-    (md.snapshots.flatMap(_.manifests).toSet -- liveManifests).foreach { rel =>
+    // (delete manifests alike)
+    val liveManifests = (keep.flatMap(_.manifests) ++ keep.flatMap(_.deleteManifests)).toSet
+    ((md.snapshots.flatMap(_.manifests) ++ md.snapshots.flatMap(_.deleteManifests)).toSet --
+      liveManifests).foreach { rel =>
       val dir = new Path(location, rel)
       if (fs.exists(dir)) fs.delete(dir, true)
     }
@@ -1392,7 +1553,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * executor-parallelizable, and it touches zero committed data. */
   def removeOrphans(olderThanMillis: Long = IceTable.DefaultOrphanAgeMs): Seq[String] = {
     val md         = metadata
-    val referenced = md.snapshots.flatMap(filesOf).toSet
+    val referenced = (md.snapshots.flatMap(filesOf) ++
+      md.snapshots.flatMap(deleteEntriesOf).map(_.file)).toSet
     val dataDir    = new Path(location, "data")
     if (!fs.exists(dataDir)) return Nil
     val cutoff  = System.currentTimeMillis() - olderThanMillis
@@ -1418,6 +1580,16 @@ object IceTable {
     * remove_orphan_files default): younger unreferenced files are treated
     * as possibly-in-flight staged writes, never swept. */
   val DefaultOrphanAgeMs: Long = 3L * 24 * 60 * 60 * 1000
+
+  /** Schema of merge-on-read position-delete files (Iceberg v2's
+    * position-delete spec shape): the manifest-relative DATA file path and
+    * the 0-based row position within it. */
+  val PositionDeleteSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Create a new table directory with a v1 metadata (no data yet). */
   def create(

@@ -73,11 +73,18 @@ final case class Snapshot(
     manifests: List[String], // manifest dirs (relative), one per contributing commit
     manifest_summaries: Option[List[Map[String, ColRange]]] = None, // per-manifest col ranges
     parent_snapshot_id: Option[Long] = None, // commit DAG edge; None/0 = table root
-    commit_token: Option[String] = None // idempotency key (streaming batch id)
+    commit_token: Option[String] = None, // idempotency key (streaming batch id)
+    delete_manifests: Option[List[String]] = None // merge-on-read position-delete manifests
 ) {
   /** Summary for manifest index `i`, or None when unrecorded (conservative). */
   def summaryAt(i: Int): Option[Map[String, ColRange]] =
     manifest_summaries.flatMap(_.lift(i)).filter(_.nonEmpty)
+
+  /** Position-delete manifests of this snapshot (Iceberg v2 merge-on-read:
+    * each manifest lists parquet files of `(file_path, pos)` rows marking
+    * data-file positions as deleted). Absent on pre-MoR metadata — json4s
+    * extracts the missing field as None, so old tables parse unchanged. */
+  def deleteManifests: List[String] = delete_manifests.getOrElse(Nil)
 }
 
 final case class TableMetadata(

@@ -1917,6 +1917,210 @@ object IceQueries {
               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
        FROM t GROUP BY 1 ORDER BY 1"""
 
+  /** Like [[withDmlCatalog]] but in MERGE-ON-READ mode and with a
+    * per-query catalog name (`ice_<tag>`): Spark's CatalogManager caches
+    * plugin instances BY NAME, so reusing a name across queries would
+    * silently pin the first query's warehouse. */
+  private def withMorCatalog(s: SparkSession, tag: String)(body: (String, String) => DataFrame)
+      : DataFrame = {
+    val wh  = freshDir(s, tag)
+    val cat = s"ice_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.conf.set("graft.delete.mode", "merge-on-read")
+    try {
+      val out = body(cat, wh)
+      out.queryExecution.assertAnalyzed()
+      out
+    } finally {
+      s.conf.unset("graft.delete.mode")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  /** MERGE-ON-READ SQL DELETE (`SupportsDelta` + position-delete files —
+    * Iceberg v2's `write.delete.mode = merge-on-read`): the delete commits
+    * in O(matched rows) with ZERO data files rewritten; readers apply the
+    * deleted positions from range-pruned bitmaps. The requires prove the
+    * physical contract the mode exists for: the data file set is
+    * BYTE-IDENTICAL before and after, the commit added only position
+    * deletes, the plan was a WriteDelta (not a group rewrite), and the
+    * metadata-count shortcut turned itself off (physical counts would
+    * over-count under live deletes). At 100 TB this is the low-latency
+    * delete path: a 10-row GDPR erasure on a 10-TB table writes a few-KB
+    * delete file and one metadata CAS. */
+  private def sqlMorDeleteQ(s: SparkSession, d: String): DataFrame =
+    withMorCatalog(s, "mordel") { (cat, wh) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("orders_mor_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      s.sql(s"CREATE TABLE $cat.graft.orders_mordel AS SELECT * FROM orders_mor_src")
+      val fsCat = new FsCatalog(s, wh)
+      def t()   = fsCat.loadTable("graft", "orders_mordel")
+      val before = { val x = t(); x.filesOf(x.metadata.currentSnapshot.get).toSet }
+      val plan = s.sql(
+        s"EXPLAIN EXTENDED DELETE FROM $cat.graft.orders_mordel WHERE o_orderkey < 500")
+        .head().getString(0)
+      require(plan.contains("WriteDelta"),
+        s"merge-on-read DELETE did not plan a WriteDelta:\n$plan")
+      s.sql(s"DELETE FROM $cat.graft.orders_mordel WHERE o_orderkey < 500")
+      val t2    = t()
+      val snap  = t2.metadata.currentSnapshot.get
+      val after = t2.filesOf(snap).toSet
+      require(after == before,
+        s"merge-on-read DELETE rewrote data files: ${(before -- after) ++ (after -- before)}")
+      require(t2.deleteEntriesOf(snap).nonEmpty, "no position-delete files committed")
+      require(snap.operation == "delete", s"unexpected snapshot operation ${snap.operation}")
+      require(t2.statsRowCount(snap).isEmpty,
+        "metadata COUNT(*) stayed on despite live position deletes")
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM $cat.graft.orders_mordel ORDER BY o_orderkey""")
+    }
+
+  private val sqlMorDeleteOracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       FROM orders WHERE NOT (o_orderkey < 500) ORDER BY o_orderkey"""
+
+  /** MERGE-ON-READ SQL UPDATE: `representUpdateAsDeleteAndInsert` splits
+    * each matched row into a position delete + a fresh insert row, so the
+    * original files stay untouched (they gain delete debt) and one new
+    * data file lands with the updated rows — write cost O(updated rows),
+    * not O(affected files). The read stitches both plus the deletes. */
+  private def sqlMorUpdateQ(s: SparkSession, d: String): DataFrame =
+    withMorCatalog(s, "morupd") { (cat, wh) =>
+      Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .createOrReplaceTempView("cust_morupd_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      s.sql(s"CREATE TABLE $cat.graft.cust_morupd AS SELECT * FROM cust_morupd_src")
+      val fsCat  = new FsCatalog(s, wh)
+      def t()    = fsCat.loadTable("graft", "cust_morupd")
+      val before = { val x = t(); x.filesOf(x.metadata.currentSnapshot.get).toSet }
+      s.sql(s"""UPDATE $cat.graft.cust_morupd
+                SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'BOOSTED'
+                WHERE c_acctbal < 0""")
+      val t2   = t()
+      val snap = t2.metadata.currentSnapshot.get
+      require(before.subsetOf(t2.filesOf(snap).toSet),
+        "merge-on-read UPDATE rewrote the original data files")
+      require(t2.deleteEntriesOf(snap).nonEmpty, "UPDATE committed no position deletes")
+      require((t2.filesOf(snap).toSet -- before).nonEmpty, "UPDATE staged no insert file")
+      s.sql(s"""SELECT c_custkey, c_nationkey,
+                       CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+                FROM $cat.graft.cust_morupd ORDER BY c_custkey""")
+    }
+
+  private val sqlMorUpdateOracle =
+    """SELECT c_custkey, c_nationkey,
+              CAST(ROUND(CASE WHEN c_acctbal < 0 THEN c_acctbal + 100.0 ELSE c_acctbal END, 2) AS DOUBLE) AS bal,
+              CASE WHEN c_acctbal < 0 THEN 'BOOSTED' ELSE c_mktsegment END AS c_mktsegment
+       FROM customer ORDER BY c_custkey"""
+
+  /** MERGE-ON-READ multi-clause `MERGE INTO`: matched deletes and matched
+    * updates both become position deletes (updates also reinsert), NOT
+    * MATCHED rows insert — one delta commit, zero data rewrite. Different
+    * key moduli than the copy-on-write twin ic59 so the two results
+    * diverge if either mode's clause routing is wrong. */
+  private def sqlMorMergeQ(s: SparkSession, d: String): DataFrame =
+    withMorCatalog(s, "mormrg") { (cat, wh) =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      cust.createOrReplaceTempView("cust_mormrg_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      s.sql(s"CREATE TABLE $cat.graft.cust_mormrg AS SELECT * FROM cust_mormrg_src")
+      val fsCat  = new FsCatalog(s, wh)
+      def t()    = fsCat.loadTable("graft", "cust_mormrg")
+      val before = { val x = t(); x.filesOf(x.metadata.currentSnapshot.get).toSet }
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW mormrg_updates AS
+                SELECT c_custkey, c_nationkey, c_acctbal - 500.0 AS c_acctbal,
+                       'MORMERGED' AS c_mktsegment
+                FROM cust_mormrg_src WHERE c_custkey % 5 = 0
+                UNION ALL
+                SELECT c_custkey + 2000000, c_nationkey, c_acctbal, 'MORNEW'
+                FROM cust_mormrg_src WHERE c_custkey % 89 = 0""")
+      s.sql(s"""MERGE INTO $cat.graft.cust_mormrg t
+                USING mormrg_updates s
+                ON t.c_custkey = s.c_custkey
+                WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET
+                  c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+                WHEN NOT MATCHED THEN INSERT *""")
+      val t2   = t()
+      val snap = t2.metadata.currentSnapshot.get
+      require(before.subsetOf(t2.filesOf(snap).toSet),
+        "merge-on-read MERGE rewrote the original data files")
+      require(t2.deleteEntriesOf(snap).nonEmpty, "MERGE committed no position deletes")
+      s.sql(s"""SELECT c_custkey, c_nationkey,
+                       CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+                FROM $cat.graft.cust_mormrg ORDER BY c_custkey""")
+    }
+
+  private val sqlMorMergeOracle =
+    """WITH src AS (
+         SELECT c_custkey, c_nationkey, c_acctbal - 500.0 AS c_acctbal,
+                'MORMERGED' AS c_mktsegment
+         FROM customer WHERE c_custkey % 5 = 0
+         UNION ALL
+         SELECT c_custkey + 2000000, c_nationkey, c_acctbal, 'MORNEW'
+         FROM customer WHERE c_custkey % 89 = 0),
+       merged AS (
+         SELECT t.c_custkey, t.c_nationkey,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+                (s.c_custkey IS NOT NULL AND s.c_acctbal < 0) AS deleted
+         FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey),
+       inserted AS (
+         SELECT s.c_custkey, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+         FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+         WHERE t.c_custkey IS NULL)
+       SELECT c_custkey, c_nationkey, CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+       FROM (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM merged WHERE NOT deleted
+             UNION ALL
+             SELECT * FROM inserted)
+       ORDER BY c_custkey"""
+
+  /** The MoR maintenance loop closed: accumulate delete debt with two MoR
+    * DELETEs, observe it in the `position_deletes`-style metadata table,
+    * then COMPACT — the rewrite scans delete-applied, the new snapshot
+    * starts with zero delete files, and the metadata-count shortcut
+    * switches back on (asserted equal to the scan count). This is the
+    * serve-side contract: MoR keeps writes cheap, compaction restores
+    * read-optimal layout, and correctness holds at every point. */
+  private def sqlMorCompactQ(s: SparkSession, d: String): DataFrame =
+    withMorCatalog(s, "morcmp") { (cat, wh) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("orders_morcmp_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      s.sql(s"CREATE TABLE $cat.graft.orders_morcmp AS SELECT * FROM orders_morcmp_src")
+      s.sql(s"DELETE FROM $cat.graft.orders_morcmp WHERE o_orderkey % 3 = 0")
+      s.sql(s"DELETE FROM $cat.graft.orders_morcmp WHERE o_orderpriority = '1-URGENT'")
+      val fsCat = new FsCatalog(s, wh)
+      val t1    = fsCat.loadTable("graft", "orders_morcmp")
+      val debt  = t1.deletesTable().count()
+      require(debt >= 2L, s"expected accumulated delete files, saw $debt")
+      t1.compact(2)
+      val t2   = fsCat.loadTable("graft", "orders_morcmp")
+      val snap = t2.metadata.currentSnapshot.get
+      require(t2.deleteEntriesOf(snap).isEmpty, "compaction carried delete debt forward")
+      val metaCount = t2.statsRowCount(snap).getOrElse(
+        sys.error("metadata COUNT(*) did not return after compaction cleared deletes"))
+      require(metaCount == t2.scan().count(),
+        "post-compaction metadata count diverged from the scan")
+      s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                FROM $cat.graft.orders_morcmp GROUP BY 1 ORDER BY 1""")
+    }
+
+  private val sqlMorCompactOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM orders
+       WHERE NOT (o_orderkey % 3 = 0) AND NOT (o_orderpriority = '1-URGENT')
+       GROUP BY 1 ORDER BY 1"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -2172,7 +2376,11 @@ object IceQueries {
     Q("ic68_sql_call_procedures", sqlCallProceduresQ, Some(sqlCallProceduresOracle)),
     Q("ic69_sql_metadata_delete", sqlMetadataDeleteQ, Some(sqlMetadataDeleteOracle)),
     Q("ic70_sql_static_partition_overwrite", sqlStaticPartitionOverwriteQ,
-      Some(sqlStaticPartitionOverwriteOracle))
+      Some(sqlStaticPartitionOverwriteOracle)),
+    Q("ic71_sql_mor_delete", sqlMorDeleteQ, Some(sqlMorDeleteOracle)),
+    Q("ic72_sql_mor_update", sqlMorUpdateQ, Some(sqlMorUpdateOracle)),
+    Q("ic73_sql_mor_merge", sqlMorMergeQ, Some(sqlMorMergeOracle)),
+    Q("ic74_sql_mor_compact", sqlMorCompactQ, Some(sqlMorCompactOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

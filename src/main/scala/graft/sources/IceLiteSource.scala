@@ -123,7 +123,7 @@ final class IceLiteSource extends TableProvider with DataSourceRegister {
       return new IcebergV2Table(resolveLocation(opts), schema)
     val ice  = loadIce(opts)
     val snap = resolveSnapshot(ice, opts)
-    new IceLiteV2Table(ice, snap)
+    new IceLiteV2Table(ice, snap, None, Option(opts.get("delete-mode")))
   }
 
   private def resolveSnapshot(ice: IceTable, opts: CaseInsensitiveStringMap): Option[Snapshot] = {
@@ -155,13 +155,26 @@ object IceLiteSource {
 final class IceLiteV2Table(
     ice: IceTable,
     snap: Option[Snapshot],
-    onCommit: Option[IceTable => Unit] = None)
+    onCommit: Option[IceTable => Unit] = None,
+    deleteMode: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private val md = ice.metadata
+
+  /** Row-lineage metadata columns (Iceberg's `_file`/`_pos`): the
+    * manifest-relative data file path and the 0-based row position within
+    * it — queryable like any column (`SELECT _file, _pos FROM t`) and the
+    * ROW ID the merge-on-read delta operation below keys its position
+    * deletes by. Non-nullable by construction (every physical row has
+    * both), which `RewriteRowLevelCommand.resolveRowIdAttrs` requires of
+    * row-id attributes. Hidden when the user schema declares a column of
+    * the same name (Spark's standard conflict rule). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(IceLiteMetaColumn("_file", StringType), IceLiteMetaColumn("_pos", LongType))
 
   /** METADATA-ONLY DELETE (Spark's OptimizeMetadataOnlyDeleteFromTable
     * rewrites the copy-on-write plan back to this when the condition is
@@ -213,12 +226,39 @@ final class IceLiteV2Table(
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new IceLiteWriteBuilder(ice, info, onCommit)
 
-  /** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO`, group-based
-    * copy-on-write (see [[IceLiteRowLevelOperation]]). */
+  /** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO`. Two execution modes,
+    * chosen per-operation (Iceberg's `write.delete.mode` concept):
+    *  - `copy-on-write` (default): group-based rewrite of affected FILES
+    *    (see [[IceLiteRowLevelOperation]]) — read-optimized, write cost
+    *    proportional to affected data.
+    *  - `merge-on-read`: a [[SupportsDelta]] operation that writes only
+    *    POSITION DELETE files keyed by the `_file`/`_pos` metadata
+    *    columns (see [[IceLiteDeltaOperation]]) — write cost proportional
+    *    to affected ROWS, readers apply the deletes until compaction.
+    * Mode resolves from the table load option `delete-mode`, else the
+    * session conf `graft.delete.mode`, else copy-on-write. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new IceLiteRowLevelBuilder(ice, snap, info, onCommit)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val mode = deleteMode
+      .orElse(Option(SparkSession.active.conf.get("graft.delete.mode", null)))
+      .getOrElse("copy-on-write")
+    mode match {
+      case "merge-on-read" => new IceLiteDeltaBuilder(ice, snap, info, onCommit)
+      case "copy-on-write" => new IceLiteRowLevelBuilder(ice, snap, info, onCommit)
+      case other => throw new IllegalArgumentException(
+        s"unknown delete mode '$other' (expected copy-on-write | merge-on-read)")
+    }
+  }
+}
+
+/** One `_file`-style metadata column (named param avoids the anonymous-
+  * impl name-shadowing trap with interface accessors). */
+final case class IceLiteMetaColumn(colName: String, dt: DataType)
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = colName
+  override def dataType(): DataType = dt
+  override def isNullable: Boolean = false
 }
 
 final class IceLiteScanBuilder(
@@ -531,10 +571,20 @@ final class IceLiteScan(
     }
   }
 
+  /** Live position-delete files of the scanned snapshot, each with its
+    * data-file path range: readers open a delete file only for data files
+    * inside that range (manifest-stat pruning, reader-side). */
+  private lazy val deleteFiles: Seq[PositionDeleteFile] =
+    snap.toSeq.flatMap(ice.deleteEntriesOf).map { e =>
+      val fp = e.stats.flatMap(_.get("file_path"))
+      PositionDeleteFile(new org.apache.hadoop.fs.Path(ice.location, e.file).toString,
+        fp.flatMap(_.min), fp.flatMap(_.max))
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteReaderFactory(
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      required, partCols.toArray, md.schema, limit)
+      required, partCols.toArray, md.schema, limit, deleteFiles)
 
   /** `spark.readStream.format("icelite")`: tail the snapshot log as a
     * Structured Streaming source — each micro-batch is exactly the files
@@ -720,14 +770,24 @@ final class IceLiteReaderFactory(
     required: StructType,
     partCols: Array[String],
     tableSchema: StructType,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    deletes: Seq[PositionDeleteFile] = Nil)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IceLitePartition]
-    new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema, limit)
+    new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema, limit, deletes)
   }
 }
+
+/** One live merge-on-read position-delete file with the data-file path
+  * range it can touch (from its manifest stats): a reader opens it only
+  * for data files inside the range, so delete-application IO tracks the
+  * deletes' blast radius, never the table. */
+final case class PositionDeleteFile(
+    path: String,
+    minFp: Option[String],
+    maxFp: Option[String])
 
 final class IceLitePartitionReader(
     conf: Configuration,
@@ -735,17 +795,40 @@ final class IceLitePartitionReader(
     required: StructType,
     partCols: Array[String],
     tableSchema: StructType,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    deletes: Seq[PositionDeleteFile] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val partIdx: Map[String, Int] = partCols.zipWithIndex.toMap
   private var emitted = 0L
 
+  // metadata-column ordinals in the required schema (`_file`/`_pos` are
+  // metadata only when the user schema doesn't declare them — Spark hides
+  // the metadata column on conflict, so a physical column of that name
+  // must decode normally)
+  private def isMetaName(n: String): Boolean =
+    (n == "_file" || n == "_pos") && !tableSchema.fieldNames.contains(n)
+  private val fileOrds: Array[Int] =
+    required.fields.indices.filter(i =>
+      required.fields(i).name == "_file" && isMetaName("_file")).toArray
+  private val posOrds: Array[Int] =
+    required.fields.indices.filter(i =>
+      required.fields(i).name == "_pos" && isMetaName("_pos")).toArray
+  private val hasMeta = fileOrds.nonEmpty || posOrds.nonEmpty
+
   private var fileIdx: Int = 0
   private var reader: ParquetReader[Group] = _
-  private var rowFns: Array[Group => Any] = _ // one per required field; null fn = from partition/missing
+  private var rowFns: Array[Group => Any] = _ // one per required field; null fn = filled post-hoc (_pos)
   private var constRow: InternalRow = _ // when no data columns are projected
   private var constRemaining: Long = 0L
+  // synthetic-position mode: no data column decodes, but positions matter
+  // (metadata columns requested and/or deletes to apply)
+  private var synthActive = false
+  private var synthTotal: Long = 0L
+  private var synthBase: Array[Any] = _
+  private var curPos: Long = 0L
+  private var curRelUtf8: UTF8String = _
+  private var delSet: java.util.BitSet = _ // null = no deletes touch this file
   private var current: InternalRow = _
 
   /** Partition-column constant for required field `name` (parsed from the
@@ -758,11 +841,53 @@ final class IceLitePartitionReader(
       case _ => null
     }
 
+  /** Manifest-relative path of an absolute data-file path (anchored at the
+    * `data/snap-` segment every committed file lives under) — the `_file`
+    * value, and the key position-delete files match on. */
+  private def relOf(full: String): String = {
+    val i = full.indexOf("/data/snap-")
+    if (i >= 0) full.substring(i + 1) else full
+  }
+
+  /** Deleted positions of data file `rel` as a bitmap, or null when no
+    * delete file's path range covers it. Bounded work: only covering
+    * delete files are opened (range-pruned), and the bitmap holds only
+    * this file's deleted positions — the per-task "delete index" shape
+    * Iceberg MoR readers use. */
+  private def loadDeletes(rel: String): java.util.BitSet = {
+    val covering = deletes.filter(d =>
+      d.minFp.forall(_.compareTo(rel) <= 0) && d.maxFp.forall(rel.compareTo(_) <= 0))
+    if (covering.isEmpty) return null
+    val bs = new java.util.BitSet()
+    covering.foreach { d =>
+      val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
+        .withConf(conf).build()
+      try {
+        var g = rdr.read()
+        while (g != null) {
+          if (g.getString("file_path", 0) == rel) {
+            val p = g.getLong("pos", 0)
+            require(p >= 0 && p <= Int.MaxValue.toLong, s"delete position $p out of bitmap range")
+            bs.set(p.toInt)
+          }
+          g = rdr.read()
+        }
+      } finally rdr.close()
+    }
+    if (bs.isEmpty) null else bs
+  }
+
   private def openNextFile(): Boolean = {
     if (fileIdx >= partition.files.length) return false
-    val path = new Path(partition.files(fileIdx))
+    val full = partition.files(fileIdx)
+    val path = new Path(full)
     fileIdx += 1
     IceLiteSource.filesOpened.increment()
+
+    val rel = relOf(full)
+    curRelUtf8 = UTF8String.fromString(rel)
+    curPos = 0L
+    delSet = loadDeletes(rel)
 
     val inFile  = HadoopInputFile.fromPath(path, conf)
     val fr      = ParquetFileReader.open(inFile)
@@ -772,13 +897,22 @@ final class IceLitePartitionReader(
       !partIdx.contains(f.name) && fileMsg.containsField(f.name))
 
     if (dataFields.isEmpty) {
-      // nothing to decode (count over partition cols, or pure-partition
-      // projection): row count from the footer, constants for the rest
+      // nothing to decode from the row groups: row count from the footer;
+      // plain constants when positions are irrelevant, position iteration
+      // when metadata columns are requested or deletes must be applied
       val fr2 = ParquetFileReader.open(inFile)
       val n   = try fr2.getRecordCount finally fr2.close()
-      constRow = new GenericInternalRow(required.fields.map(f => partConst(f.name)): Array[Any])
-      constRemaining = n
       reader = null
+      if (!hasMeta && delSet == null) {
+        constRow = new GenericInternalRow(required.fields.map(f => partConst(f.name)): Array[Any])
+        constRemaining = n
+        synthActive = false
+      } else {
+        constRow = null
+        synthActive = true
+        synthTotal = n
+        synthBase = required.fields.map(f => partConst(f.name): Any)
+      }
       true
     } else {
       val projection = new MessageType("spark_schema",
@@ -787,18 +921,24 @@ final class IceLitePartitionReader(
       c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       reader = ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
       val posOf = dataFields.map(_.name).zipWithIndex.toMap
+      val relU  = curRelUtf8
       rowFns = required.fields.map { f =>
         posOf.get(f.name) match {
           case Some(i) =>
             val fn = IceLiteConverters.fieldReader(
               projection.getType(i).asPrimitiveType(), f.dataType, i)
             (g: Group) => fn(g)
+          case None if f.name == "_file" && isMetaName("_file") =>
+            (_: Group) => relU
+          case None if f.name == "_pos" && isMetaName("_pos") =>
+            null // filled per-row from the position counter
           case None =>
             val const = partConst(f.name) // partition col, or evolved-in column absent from this file
             (_: Group) => const
         }
       }
       constRow = null
+      synthActive = false
       true
     }
   }
@@ -811,13 +951,31 @@ final class IceLitePartitionReader(
           constRemaining -= 1; current = constRow; emitted += 1; return true
         }
         constRow = null
-      } else if (reader != null) {
-        val g = reader.read()
-        if (g != null) {
-          current = new GenericInternalRow(rowFns.map(_(g)): Array[Any])
-          emitted += 1
-          return true
+      } else if (synthActive) {
+        while (curPos < synthTotal) {
+          val p = curPos; curPos += 1
+          if (delSet == null || p > Int.MaxValue.toLong || !delSet.get(p.toInt)) {
+            val vals = synthBase.clone()
+            fileOrds.foreach(i => vals(i) = curRelUtf8)
+            posOrds.foreach(i => vals(i) = p)
+            current = new GenericInternalRow(vals); emitted += 1; return true
+          }
         }
+        synthActive = false
+      } else if (reader != null) {
+        var g = reader.read()
+        var emittedOne = false
+        while (g != null && !emittedOne) {
+          val p = curPos; curPos += 1
+          if (delSet == null || p > Int.MaxValue.toLong || !delSet.get(p.toInt)) {
+            val vals: Array[Any] = rowFns.map(fn => if (fn == null) null else fn(g))
+            posOrds.foreach(i => vals(i) = p)
+            current = new GenericInternalRow(vals)
+            emitted += 1
+            emittedOne = true
+          } else g = reader.read()
+        }
+        if (emittedOne) return true
         reader.close(); reader = null
       }
       if (!openNextFile()) return false

@@ -1,0 +1,253 @@
+package graft
+
+import graft.icelite.{FsCatalog, IceTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read row-level operations: `_file`/`_pos` metadata columns,
+  * SupportsDelta SQL DELETE/UPDATE/MERGE writing position deletes, the
+  * delete-aware read paths (V2 reader bitmap skip + library `_metadata`
+  * anti-join), and the maintenance interplay (compaction clears delete
+  * debt, expire/orphans treat delete files as live). */
+class MorSpec extends SparkSpec {
+
+  private def v2(location: String) =
+    spark.read.format("icelite").option("location", location).load()
+
+  /** Register a throwaway SQL catalog (unique name per test — Spark's
+    * CatalogManager caches plugin instances BY NAME) in merge-on-read
+    * mode, run `body`, restore the mode. */
+  private def withMorCatalog[A](tag: String)(body: (String, String) => A): A = {
+    val wh  = scratch(s"mor_$tag")
+    val cat = s"ice_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("graft.delete.mode", "merge-on-read")
+    try body(cat, wh)
+    finally {
+      spark.conf.unset("graft.delete.mode")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private def iceOf(wh: String, name: String): IceTable =
+    new FsCatalog(spark, wh).loadTable("graft", name)
+
+  private def dataFiles(t: IceTable): Set[String] =
+    t.filesOf(t.metadata.currentSnapshot.get).toSet
+
+  private def deleteFiles(t: IceTable): Seq[String] =
+    t.deleteEntriesOf(t.metadata.currentSnapshot.get).map(_.file)
+
+  test("_file/_pos metadata columns: per-file positions are dense from 0") {
+    val cat = new FsCatalog(spark, scratch("morcols"))
+    val t = cat.createOrReplaceTable("ns", "nation_m",
+      Tables.nation(spark, sfDir).repartition(2))
+    val rows = v2(t.location.toString)
+      .select(col("_file"), col("_pos"), col("n_nationkey"))
+      .collect()
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile.size == dataFiles(t).size, "distinct _file != committed file count")
+    byFile.foreach { case (f, rs) =>
+      assert(f.startsWith("data/snap-"), s"_file not manifest-relative: $f")
+      val ps = rs.map(_.getLong(1)).sorted
+      assert(ps.sameElements(0L until ps.length), s"positions not dense in $f")
+    }
+  }
+
+  test("SQL DELETE in merge-on-read mode writes position deletes, zero data rewrite") {
+    withMorCatalog("del") { (cat, wh) =>
+      Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("orders_mor_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.orders_mor AS SELECT * FROM orders_mor_src")
+      val before = dataFiles(iceOf(wh, "orders_mor"))
+
+      // the rewrite must be the DELTA plan, not a group-based rewrite
+      val plan = spark.sql(
+        s"EXPLAIN EXTENDED DELETE FROM $cat.graft.orders_mor WHERE o_orderkey < 100")
+        .head().getString(0)
+      assert(plan.contains("WriteDelta"), s"expected a WriteDelta plan, got:\n$plan")
+
+      spark.sql(s"DELETE FROM $cat.graft.orders_mor WHERE o_orderkey < 100")
+      val t = iceOf(wh, "orders_mor")
+      assert(dataFiles(t) == before, "merge-on-read DELETE rewrote data files")
+      assert(deleteFiles(t).nonEmpty, "no position-delete files committed")
+      assert(t.metadata.currentSnapshot.get.operation == "delete")
+
+      val expect = Tables.orders(spark, sfDir)
+        .filter(!(col("o_orderkey") < 100))
+        .count()
+      // V2 reader path (bitmap skip) and library path (_metadata anti-join)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.graft.orders_mor").head().getLong(0)
+        == expect, "V2 read did not apply position deletes")
+      assert(t.scan().count() == expect, "library scan did not apply position deletes")
+      assert(t.scan().filter(col("o_orderkey") < 100).count() == 0L)
+
+      // metadata-only COUNT(*) must be OFF: physical counts over-count
+      assert(t.statsRowCount(t.metadata.currentSnapshot.get).isEmpty,
+        "stats row count claimed exactness despite live deletes")
+
+      // time travel to the pre-delete snapshot still sees every row
+      val preDelete = t.metadata.snapshots.init.last.snapshot_id
+      assert(t.scanSnapshot(preDelete).count() ==
+        Tables.orders(spark, sfDir).count())
+    }
+  }
+
+  test("second DELETE accumulates deletes; appends stay visible under them") {
+    withMorCatalog("del2") { (cat, wh) =>
+      Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("nation_mor_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.nation_mor AS SELECT * FROM nation_mor_src")
+      spark.sql(s"DELETE FROM $cat.graft.nation_mor WHERE n_nationkey < 5")
+      spark.sql(s"DELETE FROM $cat.graft.nation_mor WHERE n_nationkey >= 20")
+      val t1 = iceOf(wh, "nation_mor")
+      assert(deleteFiles(t1).size >= 2, "second delete did not accumulate")
+      // append AFTER deletes: new rows with previously-deleted keys live
+      spark.sql(s"INSERT INTO $cat.graft.nation_mor VALUES (2, 'REBORN', 99)")
+      val out = spark.sql(
+        s"SELECT n_nationkey, n_name FROM $cat.graft.nation_mor ORDER BY n_nationkey, n_name")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      val expect = (Tables.nation(spark, sfDir)
+        .filter(col("n_nationkey") >= 5 && col("n_nationkey") < 20)
+        .select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+        :+ (2, "REBORN")).sortBy(identity)
+      assert(out.sameElements(expect), "append under live deletes diverged")
+    }
+  }
+
+  test("SQL UPDATE in merge-on-read mode = position deletes + insert files") {
+    withMorCatalog("upd") { (cat, wh) =>
+      Tables.customer(spark, sfDir).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("cust_mor_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.cust_mor AS SELECT * FROM cust_mor_src")
+      val before = dataFiles(iceOf(wh, "cust_mor"))
+      spark.sql(s"UPDATE $cat.graft.cust_mor SET c_acctbal = 0.0 WHERE c_acctbal < 0")
+      val t = iceOf(wh, "cust_mor")
+      assert(before.subsetOf(dataFiles(t)), "UPDATE rewrote original data files")
+      assert(deleteFiles(t).nonEmpty, "UPDATE committed no position deletes")
+      assert((dataFiles(t) -- before).nonEmpty, "UPDATE staged no insert files")
+      val got = t.scan().agg(
+        sum(when(col("c_acctbal") === 0.0, 1).otherwise(0)).cast("long"),
+        count(lit(1))).head()
+      val src = Tables.customer(spark, sfDir)
+      val expectZero = src.filter(col("c_acctbal") < 0).count() +
+        src.filter(col("c_acctbal") === 0.0).count()
+      assert(got.getLong(1) == src.count(), "UPDATE changed row count")
+      assert(got.getLong(0) == expectZero, "UPDATE zeroed the wrong rows")
+    }
+  }
+
+  test("SQL MERGE in merge-on-read mode: matched update + unmatched insert") {
+    withMorCatalog("mrg") { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.t_mor AS SELECT * FROM VALUES " +
+        "(1L, 'a'), (2L, 'b'), (3L, 'c') AS v(k, s)")
+      spark.sql("CREATE OR REPLACE TEMP VIEW mor_updates AS SELECT * FROM VALUES " +
+        "(2L, 'B'), (4L, 'D') AS v(k, s)")
+      spark.sql(
+        s"""MERGE INTO $cat.graft.t_mor t USING mor_updates s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET t.s = s.s
+            WHEN NOT MATCHED THEN INSERT *""")
+      val t = iceOf(wh, "t_mor")
+      assert(deleteFiles(t).nonEmpty, "MERGE matched-update wrote no position deletes")
+      val out = t.scan().orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.sameElements(Array((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"))),
+        s"MERGE result diverged: ${out.mkString(",")}")
+    }
+  }
+
+  test("merge-on-read DELETE works on partitioned tables") {
+    withMorCatalog("pdel") { (cat, wh) =>
+      val fsCat = new FsCatalog(spark, wh)
+      val t0 = fsCat.createOrReplaceTable("graft", "orders_pmor",
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"))
+      spark.sql(
+        s"DELETE FROM $cat.graft.orders_pmor WHERE o_orderkey % 2 = 0")
+      val t = iceOf(wh, "orders_pmor")
+      assert(deleteFiles(t).nonEmpty, "partitioned MoR DELETE wrote no deletes")
+      val expect = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 2 =!= 0).count()
+      assert(t.scan().count() == expect, "library read after partitioned MoR delete")
+      assert(v2(t.location.toString).count() == expect, "V2 read after partitioned MoR delete")
+    }
+  }
+
+  test("compaction applies and clears delete debt; library ops respect deletes") {
+    withMorCatalog("cmp") { (cat, wh) =>
+      Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+        .createOrReplaceTempView("nation_cmp_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.nation_cmp AS SELECT * FROM nation_cmp_src")
+      spark.sql(s"DELETE FROM $cat.graft.nation_cmp WHERE n_nationkey < 10")
+      val t      = iceOf(wh, "nation_cmp")
+      val expect = t.scan().orderBy("n_nationkey").collect().toSeq
+      assert(deleteFiles(t).nonEmpty)
+      t.compact(1)
+      val t2 = iceOf(wh, "nation_cmp")
+      assert(deleteFiles(t2).isEmpty, "compaction carried delete debt forward")
+      assert(t2.statsRowCount(t2.metadata.currentSnapshot.get).isDefined,
+        "metadata counts should return after compaction clears deletes")
+      assert(t2.scan().orderBy("n_nationkey").collect().toSeq == expect,
+        "compaction changed the visible rows")
+    }
+  }
+
+  test("copy-on-write rewrite on a MoR table carries deletes for untouched files") {
+    withMorCatalog("cow") { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      // two commits -> two file sets with disjoint key ranges
+      spark.sql(s"CREATE TABLE $cat.graft.mix AS SELECT * FROM VALUES " +
+        "(1L, 'lo'), (2L, 'lo') AS v(k, s)")
+      spark.sql(s"INSERT INTO $cat.graft.mix VALUES (100L, 'hi'), (101L, 'hi')")
+      // MoR delete one row of the LOW file
+      spark.sql(s"DELETE FROM $cat.graft.mix WHERE k = 1")
+      // switch to copy-on-write and rewrite only the HIGH file
+      spark.conf.set("graft.delete.mode", "copy-on-write")
+      spark.sql(s"DELETE FROM $cat.graft.mix WHERE k = 101")
+      val t = iceOf(wh, "mix")
+      assert(deleteFiles(t).nonEmpty,
+        "CoW rewrite of an untouched-file commit dropped the live delete manifests")
+      val out = t.scan().orderBy("k").collect().map(_.getLong(0))
+      assert(out.sameElements(Array(2L, 100L)),
+        s"mixed CoW-over-MoR state diverged: ${out.mkString(",")}")
+    }
+  }
+
+  test("expireSnapshots keeps live delete files; removeOrphans never sweeps them") {
+    withMorCatalog("exp") { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.keep AS SELECT * FROM VALUES " +
+        "(1L), (2L), (3L), (4L) AS v(k)")
+      spark.sql(s"DELETE FROM $cat.graft.keep WHERE k <= 2")
+      val t = iceOf(wh, "keep")
+      val swept = t.removeOrphans(olderThanMillis = 0L)
+      assert(!swept.exists(_.contains("deletes-")),
+        s"removeOrphans swept live delete files: $swept")
+      t.expireSnapshots(keepLast = 1)
+      val t2 = iceOf(wh, "keep")
+      assert(deleteFiles(t2).nonEmpty, "expire dropped the current snapshot's deletes")
+      assert(t2.scan().collect().map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)),
+        "read after expire resurrected deleted rows")
+    }
+  }
+
+  test("deletesTable reports live delete files with their ranges") {
+    withMorCatalog("meta") { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.dmeta AS SELECT * FROM VALUES " +
+        "(1L), (2L), (3L) AS v(k)")
+      spark.sql(s"DELETE FROM $cat.graft.dmeta WHERE k = 2")
+      val t  = iceOf(wh, "dmeta")
+      val dt = t.deletesTable().collect()
+      assert(dt.length == deleteFiles(t).size && dt.forall(_.getLong(1) > 0L))
+      assert(dt.forall(r => r.getString(2).startsWith("data/snap-")))
+    }
+  }
+}
