@@ -893,16 +893,19 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       readFiles(md, files, Some(delPaths))
     }
 
-  /** Anti-join one LEAF parquet read against the snapshot's position
-    * deletes: `_metadata.file_path` (URI-encoded, like input_file_name)
-    * is decoded and anchored at the `data/snap-` segment to recover the
+  /** Join one LEAF parquet read against position deletes:
+    * `_metadata.file_path` (URI-encoded, like input_file_name) is decoded
+    * and anchored at the `data/snap-` segment to recover the
     * manifest-relative path, `_metadata.row_index` is the in-file
     * position — exactly the `(file_path, pos)` key the delete files
     * store. Applied PER LEAF because `_metadata` resolves only on a file
     * scan, not through a union. Fully distributed: Spark broadcasts the
     * delete side when it is small (the common case), and a mass-delete
-    * falls back to a shuffled anti-join — never a driver loop. */
-  private def applyPositionDeletes(leaf: DataFrame, deleteDF: DataFrame): DataFrame = {
+    * falls back to a shuffled join — never a driver loop.
+    * `left_anti` = live rows (delete application); `left_semi` = exactly
+    * the deleted rows (the changelog's -D side). */
+  private def joinPositionDeletes(
+      leaf: DataFrame, deleteDF: DataFrame, joinType: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val keep = leaf.columns
     leaf
@@ -912,7 +915,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       .withColumn("__graft_pos", col("_metadata.row_index"))
       .join(deleteDF,
         col("__graft_fp") === deleteDF("file_path") && col("__graft_pos") === deleteDF("pos"),
-        "left_anti")
+        joinType)
       .select(keep.map(col).toIndexedSeq: _*)
   }
 
@@ -940,12 +943,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   private[icelite] def readFiles(
       md: TableMetadata,
       files: Seq[String],
-      deletePaths: Option[Seq[String]] = None): DataFrame = {
+      deletePaths: Option[Seq[String]] = None,
+      deleteJoin: String = "left_anti"): DataFrame = {
     val deleteDF = deletePaths.filter(_.nonEmpty).map { ps =>
       spark.read.schema(IceTable.PositionDeleteSchema).parquet(ps: _*)
     }
     def leafDone(leaf: DataFrame): DataFrame =
-      deleteDF.map(applyPositionDeletes(leaf, _)).getOrElse(leaf)
+      deleteDF.map(joinPositionDeletes(leaf, _, deleteJoin)).getOrElse(leaf)
     if (files.isEmpty) emptyFrame(md)
     else if (md.partitionCols.nonEmpty) {
       files
@@ -1451,6 +1455,75 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     readFiles(md, delta.flatMap(readManifest(_).map(_.file)))
   }
 
+  /** Row-level CHANGELOG of the snapshot window (from, to] — the CDC feed
+    * Iceberg exposes as `create_changelog_view`: one row per changed row,
+    * with `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`.
+    * Appends and MERGE/UPDATE insert files emit +I rows; merge-on-read
+    * delta commits emit -D rows by SEMI-joining the parent's data files
+    * against exactly the delete files that commit ADDED (earlier deletes
+    * aren't re-emitted, and a delta scan only ever targets live rows, so
+    * the feed is exact). UPDATE appears as delete+insert, the standard
+    * MoR changelog shape.
+    *
+    * Scale: per commit, the -D side reads ONLY parent files inside the
+    * new delete entries' recorded path ranges (manifest-stat pruning,
+    * driver does O(files) string compares), and the +I side reads only
+    * the added files — a day's CDC costs a day's changes. Rewrite-style
+    * snapshots (compact / copy-on-write DML / overwrite) are rejected:
+    * they rewrite history rather than change rows, and diffing them
+    * row-wise would cost two full scans. */
+  def scanChangelog(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val md = metadata
+    require(fromSnapshotId <= toSnapshotId, s"from $fromSnapshotId > to $toSnapshotId")
+    val byId = md.snapshots.map(s => s.snapshot_id -> s).toMap
+    // walk the parent chain to -> from (rollbacks fork history: only a
+    // true ancestor path is a valid CDC window), then restore commit order
+    var cur = toSnapshotId
+    var chain: List[Snapshot] = Nil
+    while (cur != fromSnapshotId && cur != 0L) {
+      val sn = byId.getOrElse(cur, throw new NoSuchElementException(s"snapshot $cur"))
+      chain = sn :: chain
+      cur = sn.parent_snapshot_id.getOrElse(0L)
+    }
+    require(cur == fromSnapshotId,
+      s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId — not a changelog window")
+    val parts = chain.flatMap { sn =>
+      val parent          = sn.parent_snapshot_id.flatMap(byId.get)
+      val parentManifests = parent.toSeq.flatMap(_.manifests).toSet
+      val parentDeletes   = parent.toSeq.flatMap(_.deleteManifests).toSet
+      require(parentManifests.subsetOf(sn.manifests.toSet),
+        s"changelog window crosses a rewrite snapshot " +
+          s"(${sn.operation} ${sn.snapshot_id}) — rewrites restate files, not rows")
+      val newDataFiles =
+        sn.manifests.filterNot(parentManifests).flatMap(readManifest(_).map(_.file))
+      val inserted =
+        if (newDataFiles.isEmpty) None
+        else Some(readFiles(md, newDataFiles).withColumn("_change_type", lit("insert")))
+      val newDelEntries = sn.deleteManifests.filterNot(parentDeletes).flatMap(readManifest)
+      val deleted =
+        if (newDelEntries.isEmpty) None
+        else {
+          val ranges = newDelEntries.map(_.stats.flatMap(_.get("file_path")))
+          def covered(f: String): Boolean = ranges.exists {
+            case Some(r) => r.min.forall(_.compareTo(f) <= 0) && r.max.forall(f.compareTo(_) <= 0)
+            case None    => true // statless delete file: conservative keep
+          }
+          val cands    = parent.toSeq.flatMap(filesOf).filter(covered)
+          val delPaths = newDelEntries.map(e => new Path(location, e.file).toString)
+          Some(readFiles(md, cands, Some(delPaths), "left_semi")
+            .withColumn("_change_type", lit("delete")))
+        }
+      (inserted.toSeq ++ deleted.toSeq)
+        .map(_.withColumn("_commit_snapshot_id", lit(sn.snapshot_id)))
+    }
+    if (parts.isEmpty)
+      emptyFrame(md)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_snapshot_id", lit(0L))
+    else parts.reduce(_ unionByName _)
+  }
+
   /** File paths ADDED in the append-only snapshot window (from, to] — the
     * planning primitive behind both scanIncremental and the V2 streaming
     * source's micro-batches. from = 0 means everything up to `to`. */
@@ -1534,6 +1607,92 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       if (fs.exists(dir)) fs.delete(dir, true)
     }
     this
+  }
+
+  /** Rewrite-position-deletes maintenance (Iceberg's
+    * `rewrite_position_delete_files`): fold the current snapshot's delete
+    * files into a few range-sorted ones, dropping (a) entries that
+    * reference data files no longer in the snapshot (debris carried by
+    * CoW rewrites — harmless but paid for on every read-plan) and (b)
+    * positions recorded twice by racing delta commits. Data manifests are
+    * untouched; the commit swaps ONLY the delete-manifest list. Sorting
+    * by `file_path` gives each output file a tight path range, so
+    * reader-side delete-file pruning stays selective as debt grows — the
+    * knob that keeps MoR read amplification bounded between compactions.
+    *
+    * All row work is one distributed semi-join + distinct + range
+    * repartition; the driver handles O(delete files) metadata. Racing
+    * DELTA commits are detected, not absorbed: if the delete-manifest
+    * list moved since planning, the commit aborts with
+    * ConcurrentModificationException (rerun the maintenance) — silently
+    * dropping a racer's delete files would resurrect its deleted rows. */
+  def rewritePositionDeletes(): IceTable = {
+    import org.apache.spark.sql.functions.col
+    val md0   = metadata
+    val snap0 = md0.currentSnapshot.getOrElse(return this)
+    val planned = snap0.deleteManifests
+    if (planned.isEmpty) return this
+    val dels = deleteEntriesOf(snap0)
+    val delDF = spark.read.schema(IceTable.PositionDeleteSchema)
+      .parquet(dels.map(e => new Path(location, e.file).toString): _*)
+    val liveDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(filesOf(snap0).map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val cleaned = delDF.join(liveDF, Seq("file_path"), "left_semi").distinct()
+    val kept = cleaned.count() // maintenance-sized extra pass; exact file sizing below
+    val snapId0 = md0.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+    val newManifest: Option[String] =
+      if (kept == 0L) None
+      else {
+        val nFiles = math.max(1, math.ceil(kept / 4000000.0).toInt)
+        val rel = s"data/deletes-rw-${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = new Path(location, rel)
+        cleaned.repartitionByRange(nFiles, col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(dir.toString)
+        val files = {
+          val it  = fs.listFiles(dir, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val p = it.next().getPath
+            if (p.getName.endsWith(".parquet")) buf += relativize(p.toString, rel)
+          }
+          buf.sorted.toIndexedSeq
+        }
+        val m = writeManifest(IceTable.PositionDeleteSchema, dir, rel, files, snapId0)
+        // drop zero-row part files from the manifest (a skewed range split
+        // can leave empty partitions; a statless delete file would defeat
+        // reader-side pruning forever)
+        val nonEmpty = readManifest(m).filter(_.rows.exists(_ > 0L))
+        if (nonEmpty.isEmpty) None
+        else if (nonEmpty.size == readManifest(m).size) Some(m)
+        else Some(writeFilteredManifest(nonEmpty))
+      }
+    var attempt = 0
+    while (attempt < 10) {
+      val v    = currentVersion
+      val md   = metadataAt(v)
+      val base = md.currentSnapshot.getOrElse(
+        throw new IllegalStateException("table lost its current snapshot mid-maintenance"))
+      if (base.deleteManifests != planned)
+        throw new java.util.ConcurrentModificationException(
+          s"delete manifests of $location moved during rewritePositionDeletes — rerun")
+      val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+      val snap = base.copy(
+        snapshot_id = snapId,
+        timestamp_ms = System.currentTimeMillis(),
+        operation = "rewrite-deletes",
+        parent_snapshot_id = Some(base.snapshot_id),
+        commit_token = None,
+        delete_manifests = newManifest.map(List(_)))
+      val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
+      if (commitCasAt(v + 1, newMd)) return this
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"rewrite-deletes commit to $location lost the commit race 10 times — giving up")
   }
 
   /** Orphan-file cleanup (Iceberg's `remove_orphan_files`): delete parquet

@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL cat.system.expire_snapshots('ns', 't', 2)     -- history GC
   * CALL cat.system.remove_orphan_files('ns', 't', 0)  -- orphan sweep
   * CALL cat.system.rollback_to_snapshot('ns', 't', 3) -- pointer move
+  * CALL cat.system.rewrite_position_deletes('ns', 't') -- MoR debt fold
   * }}}
   *
   * Each call runs the library maintenance op and returns its audit as a
@@ -28,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object IceLiteProcedures {
 
   val names: Set[String] =
-    Set("rewrite_data_files", "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot")
+    Set("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
+      "rollback_to_snapshot", "rewrite_position_deletes")
 
   private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -62,6 +64,8 @@ private[sources] object IceLiteProcedures {
             Array(p("ns", StringType), p("table", StringType), p("older_than_ms", LongType))
           case "rollback_to_snapshot" =>
             Array(p("ns", StringType), p("table", StringType), p("snapshot_id", LongType))
+          case "rewrite_position_deletes" =>
+            Array(p("ns", StringType), p("table", StringType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -98,6 +102,22 @@ private[sources] object IceLiteProcedures {
                 StructType(Seq(StructField("orphan_path", StringType))),
                 removed.sorted.map(r =>
                   new GenericInternalRow(Array[Any](UTF8String.fromString(r)))))
+            case "rewrite_position_deletes" =>
+              def debt(x: IceTable): (Long, Long) = {
+                val es = x.metadata.currentSnapshot.toSeq.flatMap(x.deleteEntriesOf)
+                (es.size.toLong, es.flatMap(_.rows).sum)
+              }
+              val (filesBefore, rowsBefore) = debt(t)
+              t.rewritePositionDeletes()
+              val (filesAfter, rowsAfter) = debt(reload())
+              resultScan(
+                StructType(Seq(
+                  StructField("delete_files_before", LongType),
+                  StructField("delete_files_after", LongType),
+                  StructField("delete_rows_before", LongType),
+                  StructField("delete_rows_after", LongType))),
+                Seq(new GenericInternalRow(
+                  Array[Any](filesBefore, filesAfter, rowsBefore, rowsAfter))))
             case "rollback_to_snapshot" =>
               val prev = t.metadata.current_snapshot_id
               t.rollback(input.getLong(2))
