@@ -1763,8 +1763,17 @@ object IceQueries {
                SELECT * FROM nation_call_src WHERE n_regionkey = 0""")
       s.sql("""INSERT INTO ice_call.graft.nation_call
                SELECT * FROM nation_call_src WHERE n_regionkey = 1""")
+      // Assert the NAME SET (not a count): adding a procedure to
+      // IceLiteProcedures.names can then never silently re-break this
+      // query the way round 8's fifth procedure did.
       val shown = s.sql("SHOW PROCEDURES IN ice_call.system").collect()
-      require(shown.length == 4, s"SHOW PROCEDURES listed ${shown.length} entries")
+      val shownNames = shown.map { r =>
+        val i = r.schema.fields.indexWhere(f => f.dataType == org.apache.spark.sql.types.StringType && f.name.toLowerCase.contains("name"))
+        require(i >= 0, s"SHOW PROCEDURES row has no name column: ${r.schema.fieldNames.mkString(",")}")
+        r.getString(i)
+      }.toSet
+      require(shownNames == graft.sources.IceLiteProcedures.names,
+        s"SHOW PROCEDURES mismatch: listed=$shownNames expected=${graft.sources.IceLiteProcedures.names}")
       val rw = s.sql("CALL ice_call.system.rewrite_data_files('graft', 'nation_call', 1)")
         .collect()(0)
       val ex = s.sql("CALL ice_call.system.expire_snapshots('graft', 'nation_call', 1)")

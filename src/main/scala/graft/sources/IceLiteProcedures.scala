@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver-local result scan (rows are O(1) or O(removed paths) — never
   * data-sized). `onDone` republishes the catalog pointer for REST-bound
   * catalogs, since expire/compact/rollback all commit new metadata. */
-private[sources] object IceLiteProcedures {
+private[graft] object IceLiteProcedures {
 
   val names: Set[String] =
     Set("rewrite_data_files", "expire_snapshots", "remove_orphan_files",

@@ -10,6 +10,27 @@ class MaintenanceSpec extends SparkSpec {
 
   private def orders = Tables.orders(spark, sfDir)
 
+  test("SHOW PROCEDURES lists exactly IceLiteProcedures.names (rot guard)") {
+    // Round-8 postmortem: ic68 asserted a COUNT of procedures and broke
+    // when a fifth was added after the last sweep. This pins the SQL
+    // surface to the canonical name set, so adding a procedure without
+    // updating the set (and the registry query) fails here first.
+    val wh = scratch("procguard")
+    spark.conf.set("spark.sql.catalog.proc_guard", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.proc_guard.warehouse", wh)
+    try {
+      val rows = spark.sql("SHOW PROCEDURES IN proc_guard.system").collect()
+      val nameIdx = rows.head.schema.fields.indexWhere(f => f.dataType == org.apache.spark.sql.types.StringType && f.name.toLowerCase.contains("name"))
+      assert(nameIdx >= 0, s"no name column in ${rows.head.schema.fieldNames.mkString(",")}")
+      val listed = rows.map(_.getString(nameIdx)).toSet
+      assert(listed == graft.sources.IceLiteProcedures.names,
+        s"SHOW PROCEDURES drifted: listed=$listed canonical=${graft.sources.IceLiteProcedures.names}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.proc_guard")
+      spark.conf.unset("spark.sql.catalog.proc_guard.warehouse")
+    }
+  }
+
   test("racing concurrent appends BOTH land via rename-as-CAS rebase") {
     val cat  = new FsCatalog(spark, scratch("race"))
     val t    = cat.createOrReplaceTable("ns", "nation_race", Tables.nation(spark, sfDir))
