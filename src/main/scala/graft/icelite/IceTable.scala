@@ -371,6 +371,17 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         if (isNullPartFile(c, stats)) ALL
         else if (noNulls(c, stats)) NONE
         else MIXED
+      // a NULL literal in a comparison is never true in SQL (unknown), so
+      // it provably matches NO row of any file — and must not reach the
+      // String.valueOf below, where it would become the string "null"
+      // (NumberFormatException inside cmpFor on numeric columns, and a
+      // false match on a string column whose value is literally "null")
+      case EqualTo(_, null) => NONE
+      case GreaterThan(_, null) | GreaterThanOrEqual(_, null) => NONE
+      case LessThan(_, null) | LessThanOrEqual(_, null) => NONE
+      case In(c, vs) if vs != null && vs.contains(null) =>
+        val nonNull = vs.filter(_ != null)
+        if (nonNull.isEmpty) NONE else eval(In(c, nonNull), stats)
       case EqualTo(c, v) if isNullPartFile(c, stats) => NONE
       case EqualTo(c, v) => range(c, stats) match {
         case Some((lo, hi, cmp)) =>
@@ -658,11 +669,32 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val delManifest  = stage("m-del", deletes)
     val dataManifest = stage("m-w", dataEntries)
     val dataSummary  = summarize(md0.schema, dataEntries)
+    // Exact target set of the planned position deletes (distinct file_path
+    // over the staged delete parquets — O(affected files) driver rows, one
+    // small job). Validated against EVERY rebase below: a concurrent
+    // compact/CoW rewrite between delta planning and commit replaces the
+    // targeted data files, and deletes referencing absent files are
+    // IGNORED at read time — committing them would silently resurrect the
+    // rows. Iceberg's RowDelta makes the same validation and aborts.
+    val plannedTargets: Set[String] =
+      if (deletes.isEmpty) Set.empty
+      else spark.read.schema(IceTable.PositionDeleteSchema)
+        .parquet(deletes.map(e => new Path(location, e.file).toString): _*)
+        .select("file_path").distinct().collect().map(_.getString(0)).toSet
     var attempt = 0
     while (attempt < 10) {
       val v        = currentVersion
       val md       = metadataAt(v)
       val baseSnap = md.currentSnapshot
+      if (plannedTargets.nonEmpty) {
+        val present = baseSnap.toSeq.flatMap(filesOf).toSet
+        val missing = plannedTargets -- present
+        if (missing.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"row-delta commit to $location aborted: position deletes target " +
+              s"${missing.size} data file(s) no longer in the current snapshot " +
+              s"(concurrent rewrite?): ${missing.take(3).mkString(", ")}")
+      }
       val base: Seq[(String, Map[String, ColRange])] =
         baseSnap.toSeq.flatMap(sn => sn.manifests.zipWithIndex.map { case (m, i) =>
           m -> sn.summaryAt(i).getOrElse(Map.empty[String, ColRange])
@@ -1129,8 +1161,17 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * predicate (pruning is file-granular, like Iceberg manifests +
     * parquet row-group stats below it). Partition columns are restored
     * exactly as in a full scan. */
-  def scanRange(colName: String, lower: Option[String], upper: Option[String]): DataFrame =
-    readFiles(metadata, planFiles(colName, lower, upper))
+  def scanRange(colName: String, lower: Option[String], upper: Option[String]): DataFrame = {
+    val md = metadata
+    md.currentSnapshot match {
+      case None => emptyFrame(md)
+      case Some(snap) =>
+        // route through readFilesOf so a merge-on-read snapshot's position
+        // deletes are applied — a pruned scan must never resurrect rows a
+        // full scan hides
+        readFilesOf(md, snap, planFilesBounds(snap, Map(colName -> (lower, upper))))
+    }
+  }
 
   /** Export the current snapshot as a STANDARD Apache Iceberg v2 table at
     * `destLocation` — metadata only, zero data copy: the Iceberg manifests
@@ -1532,7 +1573,17 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val md = metadata
     val to = md.snapshot(toSnapshotId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $toSnapshotId"))
-    if (fromSnapshotId == 0L) return filesOf(to)
+    if (fromSnapshotId == 0L) {
+      // the everything-up-to-`to` initial window must fail as loudly as
+      // the from>0 non-append guard does: emitting the file list of a
+      // merge-on-read snapshot would resurrect its deleted rows (this
+      // planning primitive returns bare files — no delete application)
+      require(!hasDeletes(to),
+        s"incremental window (0, $toSnapshotId] covers a snapshot with " +
+          "merge-on-read position deletes; compact the table first or start " +
+          "the stream from a delete-free snapshot")
+      return filesOf(to)
+    }
     val from = md.snapshot(fromSnapshotId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $fromSnapshotId"))
     val between = md.snapshots
@@ -1807,7 +1858,9 @@ object IceTable {
     val t  = new IceTable(spark, p.getParent.getParent)
     val md = t.metadataAt(version.toInt)
     md.currentSnapshot match {
-      case Some(snap) => t.readFiles(md, t.filesOf(snap))
+      // readFilesOf, not readFiles: the pinned snapshot's merge-on-read
+      // position deletes apply here exactly as in scan()/scanSnapshot
+      case Some(snap) => t.readFilesOf(md, snap, t.filesOf(snap))
       case None       => t.emptyFrame(md)
     }
   }

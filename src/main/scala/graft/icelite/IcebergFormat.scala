@@ -934,7 +934,15 @@ object IcebergFormat {
       val location: String,
       schema: StructType,
       partitionBy: Seq[String] = Nil, // identity-transform partition columns
-      tableUuid: String = "11111111-2222-3333-4444-555555555555") {
+      tableUuid: String = "11111111-2222-3333-4444-555555555555",
+      // in-place REPLACE support: number new metadata JSONs above the old
+      // table's versions and tag manifest/list names so nothing the old
+      // snapshot references is overwritten before the hint flips — the
+      // superseded files are deleted only AFTER the new hint is live
+      startVersion: Int = 0,
+      fileTag: String = "") {
+
+    private val tagSuffix = if (fileTag.isEmpty) "" else s"-$fileTag"
 
     private val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
     private val metadataDir = new Path(location, "metadata")
@@ -999,7 +1007,7 @@ object IcebergFormat {
       specs = specs :+ parseSpec(newPartitionBy, currentSchema, nextBase)
     }
 
-    private var version = 0
+    private var version = startVersion
     // historical schemas, index = schema-id; commits use the last (current)
     private var allSchemas = List(schema)
     private def currentSchema: StructType = allSchemas.last
@@ -1096,7 +1104,7 @@ object IcebergFormat {
       val byKind = files.groupBy(f => if (f.content == 0) 0 else 1).toSeq.sortBy(_._1)
       byKind.foreach { case (kind, group) =>
         val suffix       = if (kind == 0) "" else "-deletes"
-        val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix.avro")
+        val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix$tagSuffix.avro")
         val manifestLen = writeAvroFile(manifestPath, commitEntrySchema,
           group.map(buildEntry), Map(
             "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1),
@@ -1150,7 +1158,7 @@ object IcebergFormat {
             e
           }
         }
-        val path = new Path(metadataDir, f"m-$snapId%05d-rw$sid.avro")
+        val path = new Path(metadataDir, f"m-$snapId%05d-rw$sid$tagSuffix.avro")
         val len = writeAvroFile(path, schema, entries, Map(
           "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1),
           "partition-spec" -> s"[${specJson(specs(sid))}]",
@@ -1213,7 +1221,7 @@ object IcebergFormat {
         r.put("deleted_rows_count", 0L)
         r
       }
-      val listPath = new Path(metadataDir, f"snap-$snapId%d-manifest-list.avro")
+      val listPath = new Path(metadataDir, f"snap-$snapId%d-manifest-list$tagSuffix.avro")
       writeAvroFile(listPath, manifestFileSchema, listRecords, Map(
         "format-version" -> "2",
         "snapshot-id" -> snapId.toString,

@@ -102,25 +102,42 @@ final class IcebergV2Write(location: String, schema: StructType, replace: Boolea
       val s    = SparkSession.active
       val loc  = new Path(location)
       val fs   = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val hint = new Path(location, "metadata/version-hint.text")
-      if (fs.exists(hint)) {
-        require(replace,
-          s"$location already holds an Iceberg table; the V2 writer supports " +
-            "mode(\"overwrite\") (full replace) — use IcebergFormat.Writer to append")
-        // replace: drop old metadata and every data child except our stage
-        fs.delete(new Path(location, "metadata"), true)
+      val metaDir = new Path(location, "metadata")
+      val hint = new Path(metaDir, "version-hint.text")
+      val existed = fs.exists(hint)
+      if (existed) require(replace,
+        s"$location already holds an Iceberg table; the V2 writer supports " +
+          "mode(\"overwrite\") (full replace) — use IcebergFormat.Writer to append")
+      // replace is commit-THEN-delete: the new metadata is written under
+      // names the old snapshot can't collide with (version numbered past
+      // the old hint, tag-suffixed manifests), the hint flip publishes it,
+      // and only then is the superseded state reclaimed — a failure at any
+      // point leaves a readable table (old before the flip, new after),
+      // never a destroyed one.
+      val (oldVersion, oldMetaFiles, oldDataDirs) = if (existed) {
+        val v = {
+          val in = fs.open(hint)
+          try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+        }
+        val metas = fs.listStatus(metaDir).map(_.getPath)
+          .filterNot(_.getName == "version-hint.text").toSeq
         val dataDir = new Path(location, "data")
-        if (fs.exists(dataDir))
+        val datas = if (fs.exists(dataDir))
           fs.listStatus(dataDir).map(_.getPath)
-            .filterNot(p => s"data/${p.getName}" == dataRel)
-            .foreach(p => fs.delete(p, true))
-      }
+            .filterNot(p => s"data/${p.getName}" == dataRel).toSeq
+        else Nil
+        (v, metas, datas)
+      } else (0, Nil, Nil)
       val infos = messages.toSeq.collect {
         case m: IcebergWriteMessage if m.rows > 0 =>
           IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = m.bounds)
       }
-      val w = new IcebergFormat.Writer(s, location, schema)
+      val w = new IcebergFormat.Writer(s, location, schema,
+        startVersion = oldVersion, fileTag = dataRel.stripPrefix("data/snap-w-"))
       w.commit(infos)
+      // new hint is live — reclaim the old snapshot's files
+      oldMetaFiles.foreach(p => fs.delete(p, true))
+      oldDataDirs.foreach(p => fs.delete(p, true))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

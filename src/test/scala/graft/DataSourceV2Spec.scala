@@ -224,4 +224,40 @@ class DataSourceV2Spec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.tt_spec.warehouse")
     }
   }
+
+  test("iceberg V2 overwrite commits new metadata BEFORE reclaiming the old state") {
+    import spark.implicits._
+    val loc = scratch("v2icereplace")
+    val fs  = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hintVersion: Int = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(loc, "metadata/version-hint.text"))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("icelite").option("iceberg", "true")
+      .option("location", loc).mode("overwrite").save()
+    val v1 = hintVersion
+    Seq((10L, "x")).toDF("k", "v")
+      .write.format("icelite").option("iceberg", "true")
+      .option("location", loc).mode("overwrite").save()
+    val v2ver = hintVersion
+    // the replace NUMBERED its metadata past the old table's versions
+    // (proof nothing was wiped before the new hint landed) and the old
+    // metadata files are reclaimed only after the flip
+    assert(v2ver > v1, s"replace must bump the version past the old table ($v1 -> $v2ver)")
+    val metaFiles = fs.listStatus(new org.apache.hadoop.fs.Path(loc, "metadata"))
+      .map(_.getPath.getName).toSet
+    assert(!metaFiles.contains(f"v$v1%05d.metadata.json"),
+      s"old metadata not reclaimed after publish: $metaFiles")
+    assert(metaFiles.contains(f"v$v2ver%05d.metadata.json"))
+    // the replaced table reads the NEW rows through the v2 reader
+    val md = f"$loc/metadata/v$v2ver%05d.metadata.json"
+    val eng = new graft.icelite.Engine(spark, new FsCatalog(spark, scratch("v2icereplace_wh")))
+    val got = eng.scanIcebergMetadata(md).as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "x")), s"replaced table read $got")
+    // exactly one data dir remains (the new stage)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(loc, "data")).map(_.getPath.getName)
+    assert(dataDirs.length == 1, s"old data dirs not reclaimed: ${dataDirs.mkString(",")}")
+  }
 }

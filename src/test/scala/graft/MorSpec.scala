@@ -250,4 +250,92 @@ class MorSpec extends SparkSpec {
       assert(dt.forall(r => r.getString(2).startsWith("data/snap-")))
     }
   }
+
+  test("scanRange and scanMetadataFile apply position deletes (no resurrection)") {
+    withMorCatalog("advscan") { (cat, wh) =>
+      Tables.nation(spark, sfDir).createOrReplaceTempView("nat_advscan_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.nat_adv AS SELECT * FROM nat_advscan_src")
+      spark.sql(s"DELETE FROM $cat.graft.nat_adv WHERE n_nationkey < 5")
+      val t = iceOf(wh, "nat_adv")
+      assert(deleteFiles(t).nonEmpty, "precondition: MoR deletes committed")
+      val live = t.scan().count()
+      // library range scan: same live rows as the full scan, deleted keys gone
+      val ranged = t.scanRange("n_nationkey", Some("0"), Some("99"))
+      assert(ranged.count() == live, "scanRange resurrected deleted rows")
+      val keys = ranged.select("n_nationkey").collect().map(_.getAs[Number](0).longValue)
+      assert(!keys.exists(_ < 5L), s"deleted keys visible via scanRange: ${keys.filter(_ < 5L).toSeq}")
+      // pinned metadata-file scan (iceberg_scan-style entry) applies them too
+      val metaDir = new org.apache.hadoop.fs.Path(t.location, "metadata")
+      val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ver = fs.listStatus(metaDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json") && n.stripPrefix("v").stripSuffix(".json").forall(_.isDigit))
+        .map(_.stripPrefix("v").stripSuffix(".json").toInt).max
+      val viaMeta = IceTable.scanMetadataFile(spark, new org.apache.hadoop.fs.Path(metaDir, s"v$ver.json").toString)
+      assert(viaMeta.count() == live, "scanMetadataFile resurrected deleted rows")
+    }
+  }
+
+  test("incrementalFiles initial window fails loudly on a MoR snapshot") {
+    withMorCatalog("advinc") { (cat, wh) =>
+      Tables.nation(spark, sfDir).createOrReplaceTempView("nat_advinc_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      spark.sql(s"CREATE TABLE $cat.graft.nat_inc AS SELECT * FROM nat_advinc_src")
+      spark.sql(s"DELETE FROM $cat.graft.nat_inc WHERE n_nationkey < 5")
+      val t = iceOf(wh, "nat_inc")
+      val to = t.metadata.current_snapshot_id
+      // the (0, to] window returns BARE files (the streaming source cannot
+      // apply deletes in its first batch) — it must refuse, not resurrect
+      val ex = intercept[IllegalArgumentException] { t.incrementalFiles(0L, to) }
+      assert(ex.getMessage.contains("merge-on-read"), ex.getMessage)
+    }
+  }
+
+  test("delta commit aborts when a concurrent rewrite replaced its target files") {
+    import spark.implicits._
+    val cat = new FsCatalog(spark, scratch("advrace"))
+    val t = cat.createOrReplaceTable("ns", "nat_race",
+      Tables.nation(spark, sfDir).repartition(2))
+    val target = t.filesOf(t.metadata.currentSnapshot.get).head
+    // stage a position-delete file targeting a CURRENT data file
+    val stage = new org.apache.hadoop.fs.Path(t.location, "data/deletes-advrace")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((target, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val entry = graft.icelite.ManifestEntry(
+      s"data/deletes-advrace/${part.getName}", rows = Some(1L))
+    // the race: a compaction lands between delta planning and commit
+    t.compact(1)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.commitRowDeltas(Seq(entry), Nil, "delete")
+    }
+    assert(ex.getMessage.contains("no longer in the current snapshot"), ex.getMessage)
+    // control: a delete planned against the POST-compact file commits fine
+    val fresh = t.filesOf(t.metadata.currentSnapshot.get).head
+    val stage2 = new org.apache.hadoop.fs.Path(t.location, "data/deletes-advrace2")
+    Seq((fresh, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(stage2.toString)
+    val part2 = fs.listStatus(stage2).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val before = t.scan().count()
+    t.commitRowDeltas(Seq(graft.icelite.ManifestEntry(
+      s"data/deletes-advrace2/${part2.getName}", rows = Some(1L))), Nil, "delete")
+    assert(t.scan().count() == before - 1, "valid delta did not apply")
+  }
+
+  test("metadata-delete classification treats NULL literals as never-matching") {
+    import org.apache.spark.sql.sources._
+    val cat = new FsCatalog(spark, scratch("advnull"))
+    val t = cat.createOrReplaceTable("ns", "ord_null",
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus"))
+    // numeric column: a NULL literal used to become the STRING "null" and
+    // blow up in the numeric comparator; it must classify NONE (no-op plan)
+    val eqNull = t.metadataDeletePlan(Seq(EqualTo("o_orderkey", null)))
+    assert(eqNull == Some(Set.empty[String]), s"EqualTo(col, null) should delete nothing, got $eqNull")
+    val inNull = t.metadataDeletePlan(Seq(In("o_orderkey", Array(null))))
+    assert(inNull == Some(Set.empty[String]), s"In(col, [null]) should delete nothing, got $inNull")
+    // a null mixed into IN keeps the non-null matching semantics
+    val gtNull = t.metadataDeletePlan(Seq(GreaterThan("o_orderkey", null)))
+    assert(gtNull == Some(Set.empty[String]), s"GreaterThan(col, null) should delete nothing, got $gtNull")
+  }
 }
