@@ -77,14 +77,12 @@ final class IceLiteDeltaOperation(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = {
         val md = ice.metadata
-        // DELETE-only deltas work on ANY layout (position deletes don't
-        // care about partitioning); insert-bearing commands (UPDATE/MERGE)
-        // stage plain data files, which the hive layout can't absorb yet
-        require(command() == RowLevelOperation.Command.DELETE || md.partitionCols.isEmpty,
-          "icelite merge-on-read UPDATE/MERGE supports unpartitioned tables; " +
-            "partitioned tables take merge-on-read DELETE or the copy-on-write path")
-        new IceLiteDeltaWrite(ice.location.toString, md.schema,
-          command().toString.toLowerCase(Locale.ROOT), onCommit)
+        // insert-bearing commands (UPDATE/MERGE) on a hive-partitioned
+        // table stage their insert files through the same rolling
+        // partitioned writer SQL INSERT uses (ic66); position deletes are
+        // layout-agnostic either way
+        new IceLiteDeltaWrite(ice.location.toString, md.schema, md.partitionCols,
+          command(), onCommit)
       }
     }
 }
@@ -92,13 +90,39 @@ final class IceLiteDeltaOperation(
 /** The WriteDelta write: executors stage position-delete files and (for
   * UPDATE/MERGE) insert data files; the driver commit is one CAS snapshot
   * appending the delta manifests — no data manifest is rewritten, no data
-  * file is touched. */
+  * file is touched. On a hive-partitioned table the insert rows are
+  * requested CLUSTERED + SORTED on the partition columns (same contract
+  * as SQL INSERT's [[IceLiteWrite]]) so the rolling partitioned writer
+  * stages one file per touched value per task — no small-file sprawl
+  * when a 100 TB MERGE upserts into thousands of partitions. */
 final class IceLiteDeltaWrite(
     location: String,
     schema: StructType,
-    operation: String,
+    partCols: Seq[String],
+    command: RowLevelOperation.Command,
     onCommit: Option[IceTable => Unit])
-    extends DeltaWrite {
+    extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+
+  private val operation = command.toString.toLowerCase(Locale.ROOT)
+
+  /** DELETE rows carry no data columns (row-id projection only) — a
+    * distribution over partition columns would not even resolve; inserts
+    * exist only for UPDATE/MERGE, where the delta plan's row schema keeps
+    * the table columns, so identity(partCol) resolves and delete rows
+    * (null data columns) simply cluster into the NULLS FIRST bucket. */
+  private def wantsClustering = partCols.nonEmpty && command != RowLevelOperation.Command.DELETE
+
+  override def requiredDistribution(): Distribution =
+    if (!wantsClustering) Distributions.unspecified()
+    else Distributions.clustered(partCols.map(c => Expressions.identity(c)).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    if (!wantsClustering) Array.empty
+    else partCols.map(c => Expressions.sort(
+      Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val conf =
@@ -108,7 +132,7 @@ final class IceLiteDeltaWrite(
     private val dataRel   = s"data/snap-d-$tag"
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-      new IceLiteDeltaWriterFactory(conf, location, deleteRel, dataRel, schema)
+      new IceLiteDeltaWriterFactory(conf, location, deleteRel, dataRel, schema, partCols)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val msgs = messages.toSeq.map(_.asInstanceOf[IceLiteDeltaMessage])
@@ -116,7 +140,7 @@ final class IceLiteDeltaWrite(
         ws.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows)))
           .filter(_.rows.exists(_ > 0L)) // empty task outputs add no files
       val dels = entries(msgs.flatMap(_.deleteFile))
-      val ins  = entries(msgs.flatMap(_.dataFile))
+      val ins  = entries(msgs.flatMap(_.dataFiles))
       if (dels.isEmpty && ins.isEmpty) return // nothing matched: no snapshot
       val t = IceTable.load(SparkSession.active, location)
       t.commitRowDeltas(dels, ins, operation)
@@ -133,7 +157,7 @@ final class IceLiteDeltaWrite(
 
 final case class IceLiteDeltaMessage(
     deleteFile: Option[IceLiteWriteMessage],
-    dataFile: Option[IceLiteWriteMessage])
+    dataFiles: Seq[IceLiteWriteMessage])
     extends WriterCommitMessage
 
 final class IceLiteDeltaWriterFactory(
@@ -141,11 +165,13 @@ final class IceLiteDeltaWriterFactory(
     location: String,
     deleteRel: String,
     dataRel: String,
-    schema: StructType)
+    schema: StructType,
+    partCols: Seq[String])
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new IceLiteDeltaWriter(conf, location, deleteRel, dataRel, schema, partitionId, taskId)
+    new IceLiteDeltaWriter(conf, location, deleteRel, dataRel, schema, partCols,
+      partitionId, taskId)
 }
 
 /** Executor-side delta writer. `delete` receives the projected row ID
@@ -163,12 +189,16 @@ final class IceLiteDeltaWriter(
     deleteRel: String,
     dataRel: String,
     schema: StructType,
+    partCols: Seq[String],
     partitionId: Int,
     taskId: Long)
     extends DeltaWriter[InternalRow] {
 
   private var delWriter: IceLiteDataWriter = _
-  private var insWriter: IceLiteDataWriter = _
+  // inserts on a hive layout stage through the SAME rolling partitioned
+  // writer SQL INSERT uses (one `pc=v/` file per value per task, min=max
+  // partition stats); flat tables keep the single-file writer
+  private var insWriter: DataWriter[InternalRow] = _
   private val delRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
@@ -186,7 +216,12 @@ final class IceLiteDeltaWriter(
 
   override def insert(row: InternalRow): Unit = {
     if (insWriter == null)
-      insWriter = new IceLiteDataWriter(conf, location, dataRel, schema, partitionId, taskId)
+      insWriter =
+        if (partCols.isEmpty)
+          new IceLiteDataWriter(conf, location, dataRel, schema, partitionId, taskId)
+        else
+          new IceLitePartitionedDataWriter(conf, location, dataRel, schema, partCols,
+            partitionId, taskId)
     insWriter.write(row)
   }
 
@@ -199,7 +234,10 @@ final class IceLiteDeltaWriter(
 
   override def commit(): WriterCommitMessage = IceLiteDeltaMessage(
     Option(delWriter).map(_.commit().asInstanceOf[IceLiteWriteMessage]),
-    Option(insWriter).map(_.commit().asInstanceOf[IceLiteWriteMessage]))
+    Option(insWriter).map(_.commit()).toSeq.flatMap {
+      case p: IceLitePartitionedWriteMessage => p.entries
+      case m: IceLiteWriteMessage            => Seq(m)
+    })
 
   override def abort(): Unit = {
     if (delWriter != null) delWriter.abort()

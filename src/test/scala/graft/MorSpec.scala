@@ -338,4 +338,64 @@ class MorSpec extends SparkSpec {
     val gtNull = t.metadataDeletePlan(Seq(GreaterThan("o_orderkey", null)))
     assert(gtNull == Some(Set.empty[String]), s"GreaterThan(col, null) should delete nothing, got $gtNull")
   }
+
+  test("merge-on-read UPDATE and MERGE work on partitioned tables") {
+    withMorCatalog("pupd") { (cat, wh) =>
+      val fsCat = new FsCatalog(spark, wh)
+      val t0 = fsCat.createOrReplaceTable("graft", "orders_pud",
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"))
+      val untouched = dataFiles(t0)
+
+      // the rewrite must be a WriteDelta plan, not the CoW group rewrite
+      val plan = spark.sql(
+        s"EXPLAIN EXTENDED UPDATE $cat.graft.orders_pud " +
+          "SET o_totalprice = o_totalprice + 1 WHERE o_orderkey < 100")
+        .head().getString(0)
+      assert(plan.contains("WriteDelta"), s"expected a WriteDelta plan, got:\n$plan")
+
+      spark.sql(s"UPDATE $cat.graft.orders_pud " +
+        "SET o_totalprice = o_totalprice + 1 WHERE o_orderkey < 100")
+      val t = iceOf(wh, "orders_pud")
+      assert(untouched.subsetOf(dataFiles(t)), "MoR UPDATE rewrote pre-existing data files")
+      assert(deleteFiles(t).nonEmpty, "no position deletes from partitioned MoR UPDATE")
+      // insert files landed in hive layout under the delta stage
+      val inserted = dataFiles(t) -- untouched
+      assert(inserted.nonEmpty && inserted.forall(_.contains("o_orderpriority=")),
+        s"insert files not hive-partitioned: $inserted")
+      val expect = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("o_totalprice",
+          org.apache.spark.sql.functions.when(col("o_orderkey") < 100, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      val got = t.scan()
+      assert(got.count() == expect.count())
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "partitioned MoR UPDATE produced wrong rows")
+      // V2 read agrees (partition restoration over the delta files)
+      assert(v2(t.location.toString).except(expect).isEmpty, "V2 read diverged")
+
+      // MERGE: matched update + unmatched insert into a fresh partition value
+      import spark.implicits._
+      Seq((1L, "9-NEW", 1.0), (2L, "9-NEW", 2.0))
+        .toDF("k", "prio", "price").createOrReplaceTempView("pud_merge_src")
+      spark.sql(
+        s"""MERGE INTO $cat.graft.orders_pud t USING pud_merge_src s
+           ON t.o_orderkey = s.k
+           WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+           WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+             VALUES (s.k, s.prio, s.price)""")
+      val t2 = iceOf(wh, "orders_pud")
+      val merged = t2.scan().filter(col("o_orderkey").isin(1L, 2L))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val src = Tables.orders(spark, sfDir).filter(col("o_orderkey").isin(1L, 2L))
+        .select("o_orderkey", "o_orderpriority").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      val want = Seq(1L, 2L).map(k =>
+        src.get(k).map(p => (k, p, k.toDouble)).getOrElse((k, "9-NEW", k.toDouble)))
+      assert(merged == want, s"MERGE result $merged != $want")
+    }
+  }
 }
