@@ -668,6 +668,12 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       }
     val delManifest  = stage("m-del", deletes)
     val dataManifest = stage("m-w", dataEntries)
+    // an aborted commit (concurrent-rewrite validation, lost race) must
+    // not leave the just-staged manifest dirs as metadata orphans — the
+    // V2 abort path only sweeps the data/deletes staging dirs
+    def unstage(): Unit =
+      (delManifest.toSeq ++ dataManifest.toSeq).foreach(rel =>
+        fs.delete(new Path(location, rel), true))
     val dataSummary  = summarize(md0.schema, dataEntries)
     // Exact target set of the planned position deletes (distinct file_path
     // over the staged delete parquets — O(affected files) driver rows, one
@@ -689,11 +695,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       if (plannedTargets.nonEmpty) {
         val present = baseSnap.toSeq.flatMap(filesOf).toSet
         val missing = plannedTargets -- present
-        if (missing.nonEmpty)
+        if (missing.nonEmpty) {
+          unstage()
           throw new java.util.ConcurrentModificationException(
             s"row-delta commit to $location aborted: position deletes target " +
               s"${missing.size} data file(s) no longer in the current snapshot " +
               s"(concurrent rewrite?): ${missing.take(3).mkString(", ")}")
+        }
       }
       val base: Seq[(String, Map[String, ColRange])] =
         baseSnap.toSeq.flatMap(sn => sn.manifests.zipWithIndex.map { case (m, i) =>
@@ -715,6 +723,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       if (commitCasAt(v + 1, newMd)) return this
       attempt += 1
     }
+    unstage()
     throw new java.util.ConcurrentModificationException(
       s"row-delta commit to $location lost the commit race 10 times — giving up")
   }
@@ -994,6 +1003,10 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
             .parquet(fs.map(f => new Path(location, f).toString): _*))
         }
         .reduce(_ unionByName _)
+        // a user schema + hive dirs comes back with the partition columns
+        // APPENDED (data-column order first), not in the declared order;
+        // positional consumers (union/except/writers) need md.schema order
+        .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     } else leafDone(
       spark.read.schema(md.schema).parquet(files.map(f => new Path(location, f).toString): _*))
   }

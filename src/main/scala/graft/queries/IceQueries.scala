@@ -1768,7 +1768,8 @@ object IceQueries {
       // query the way round 8's fifth procedure did.
       val shown = s.sql("SHOW PROCEDURES IN ice_call.system").collect()
       val shownNames = shown.map { r =>
-        val i = r.schema.fields.indexWhere(f => f.dataType == org.apache.spark.sql.types.StringType && f.name.toLowerCase.contains("name"))
+        // endsWith, not contains: "namespace" also contains "name"
+        val i = r.schema.fields.indexWhere(f => f.dataType == org.apache.spark.sql.types.StringType && f.name.toLowerCase.endsWith("name"))
         require(i >= 0, s"SHOW PROCEDURES row has no name column: ${r.schema.fieldNames.mkString(",")}")
         r.getString(i)
       }.toSet
@@ -2130,6 +2131,97 @@ object IceQueries {
        WHERE NOT (o_orderkey % 3 = 0) AND NOT (o_orderpriority = '1-URGENT')
        GROUP BY 1 ORDER BY 1"""
 
+  /** MERGE-ON-READ multi-clause MERGE on a HIVE-PARTITIONED table — the
+    * round-9 gap: the delta write's insert rows flow through the same
+    * rolling partitioned writer SQL INSERT uses, so updated rows reinsert
+    * into their `pc=v/` directory and NOT-MATCHED rows open a brand-new
+    * partition value, while matched rows become position deletes against
+    * files that stay BYTE-IDENTICAL (length + mtime asserted, not just
+    * path-set). At 100 TB this is the partitioned-upsert shape: cost is
+    * O(touched rows), clustered one-file-per-partition-per-task, with the
+    * original partition layout (and its pruning stats) untouched. */
+  private def sqlMorPartitionedMergeQ(s: SparkSession, d: String): DataFrame =
+    withMorCatalog(s, "morpmg") { (cat, wh) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("orders_morpmg_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      s.sql(s"""CREATE TABLE $cat.graft.orders_morpmg
+                (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+                PARTITIONED BY (o_orderpriority)""")
+      s.sql(s"INSERT INTO $cat.graft.orders_morpmg SELECT * FROM orders_morpmg_src")
+      val fsCat = new FsCatalog(s, wh)
+      def t()   = fsCat.loadTable("graft", "orders_morpmg")
+      val t0    = t()
+      val fs = new org.apache.hadoop.fs.Path(t0.location.toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def stat(rel: String): (Long, Long) = {
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(t0.location.toString, rel))
+        (st.getLen, st.getModificationTime)
+      }
+      val before      = t0.filesOf(t0.metadata.currentSnapshot.get).toSet
+      val beforeStats = before.map(f => f -> stat(f)).toMap
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW morpmg_updates AS
+                SELECT o_orderkey AS k, o_orderpriority AS p,
+                       o_totalprice - 10.0 AS price
+                FROM orders_morpmg_src WHERE o_orderkey % 4 = 0
+                UNION ALL
+                SELECT o_orderkey + 9000000, '9-SYNTH', 1.5
+                FROM orders_morpmg_src WHERE o_orderkey % 101 = 0""")
+      val merge =
+        s"""MERGE INTO $cat.graft.orders_morpmg t
+            USING morpmg_updates s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED AND s.k % 16 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+            WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+              VALUES (s.k, s.p, s.price)"""
+      val plan = s.sql(s"EXPLAIN EXTENDED $merge").head().getString(0)
+      require(plan.contains("WriteDelta"),
+        s"partitioned merge-on-read MERGE did not plan a WriteDelta:\n$plan")
+      s.sql(merge)
+      val t2   = t()
+      val snap = t2.metadata.currentSnapshot.get
+      val after = t2.filesOf(snap).toSet
+      require(before.subsetOf(after), "partitioned MoR MERGE rewrote original data files")
+      before.foreach { f =>
+        require(stat(f) == beforeStats(f), s"original data file mutated in place: $f")
+      }
+      require(t2.deleteEntriesOf(snap).nonEmpty, "MERGE committed no position deletes")
+      val inserted = after -- before
+      require(inserted.nonEmpty && inserted.forall(_.contains("o_orderpriority=")),
+        s"delta insert files not in hive layout: ${inserted.take(3)}")
+      require(inserted.exists(_.contains("o_orderpriority=9-SYNTH")),
+        "NOT MATCHED inserts did not open the new partition value")
+      s.sql(s"""SELECT o_orderkey, o_orderpriority,
+                       CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+                FROM $cat.graft.orders_morpmg ORDER BY o_orderkey""")
+    }
+
+  private val sqlMorPartitionedMergeOracle =
+    """WITH src AS (
+         SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice - 10.0 AS price
+         FROM orders WHERE o_orderkey % 4 = 0
+         UNION ALL
+         SELECT o_orderkey + 9000000, '9-SYNTH', 1.5
+         FROM orders WHERE o_orderkey % 101 = 0),
+       merged AS (
+         SELECT t.o_orderkey, t.o_orderpriority,
+                CASE WHEN s.k IS NOT NULL THEN s.price ELSE t.o_totalprice END AS o_totalprice,
+                (s.k IS NOT NULL AND s.k % 16 = 0) AS deleted
+         FROM orders t JOIN src s ON t.o_orderkey = s.k
+         UNION ALL
+         SELECT t.o_orderkey, t.o_orderpriority, t.o_totalprice, FALSE
+         FROM orders t WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = t.o_orderkey)),
+       inserted AS (
+         SELECT s.k AS o_orderkey, s.p AS o_orderpriority, s.price AS o_totalprice
+         FROM src s WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = s.k))
+       SELECT o_orderkey, o_orderpriority,
+              CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM (SELECT o_orderkey, o_orderpriority, o_totalprice FROM merged WHERE NOT deleted
+             UNION ALL SELECT * FROM inserted)
+       ORDER BY o_orderkey"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -2389,7 +2481,9 @@ object IceQueries {
     Q("ic71_sql_mor_delete", sqlMorDeleteQ, Some(sqlMorDeleteOracle)),
     Q("ic72_sql_mor_update", sqlMorUpdateQ, Some(sqlMorUpdateOracle)),
     Q("ic73_sql_mor_merge", sqlMorMergeQ, Some(sqlMorMergeOracle)),
-    Q("ic74_sql_mor_compact", sqlMorCompactQ, Some(sqlMorCompactOracle))
+    Q("ic74_sql_mor_compact", sqlMorCompactQ, Some(sqlMorCompactOracle)),
+    Q("ic75_sql_mor_partitioned_merge", sqlMorPartitionedMergeQ,
+      Some(sqlMorPartitionedMergeOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

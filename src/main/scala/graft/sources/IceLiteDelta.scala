@@ -77,6 +77,14 @@ final class IceLiteDeltaOperation(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = {
         val md = ice.metadata
+        // insert-bearing commands (UPDATE/MERGE) must hand rows in table
+        // schema order — partIdx/dataIdx in the partitioned writer are
+        // derived from it; DELETE's row schema is empty (row-id only)
+        require(
+          command() == RowLevelOperation.Command.DELETE ||
+            StructType(writeInfo.schema().fields.map(_.copy(nullable = true))).catalogString ==
+            StructType(md.schema.fields.map(_.copy(nullable = true))).catalogString,
+          s"delta write schema ${writeInfo.schema().catalogString} != table schema ${md.schema.catalogString}")
         // insert-bearing commands (UPDATE/MERGE) on a hive-partitioned
         // table stage their insert files through the same rolling
         // partitioned writer SQL INSERT uses (ic66); position deletes are

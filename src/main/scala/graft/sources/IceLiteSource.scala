@@ -655,9 +655,26 @@ final class IceLiteMicroBatchStream(
     val to   = end.asInstanceOf[IceLiteOffset].snapshotId
     val loc  = ice.location.toString
     val partCols = ice.metadata.partitionCols
-    val delta = ice.incrementalFiles(from, to)
+    // The INITIAL batch of a merge-on-read table applies the pinned
+    // snapshot's position deletes reader-side (per-file range-pruned
+    // bitmaps — same machinery as the batch scan) instead of failing:
+    // batch 0 is a snapshot read, so delete application is well-defined.
+    // Mid-stream windows crossing a delta snapshot still fail the
+    // non-append guard — row-level changes mid-stream are CDC, served by
+    // the changelog reader, not a files-appended source.
+    val (delta, deletes) =
+      ice.metadata.snapshot(to).filter(_ => from == 0L && to > 0L) match {
+        case Some(toSnap) if ice.hasDeletes(toSnap) =>
+          val dels = ice.deleteEntriesOf(toSnap).map { e =>
+            val fp = e.stats.flatMap(_.get("file_path"))
+            PositionDeleteFile(new org.apache.hadoop.fs.Path(ice.location, e.file).toString,
+              fp.flatMap(_.min), fp.flatMap(_.max))
+          }
+          (ice.filesOf(toSnap), dels)
+        case _ => (ice.incrementalFiles(from, to), Nil)
+      }
     if (partCols.isEmpty)
-      delta.map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition).toArray
+      delta.map(rel => IceLitePartition(Array(s"$loc/$rel"), null, deletes): InputPartition).toArray
     else {
       // hive-layout tables stream too: each delta file's partition values
       // come off its path (the same parsing the batch scan uses), so the
@@ -675,7 +692,7 @@ final class IceLiteMicroBatchStream(
         .map { case (vals, files) =>
           val key = new GenericInternalRow(
             vals.zip(partTypes).map { case (v, dt) => IceLiteScan.partToCatalyst(v, dt) }.toArray)
-          IceLitePartition(files.map(f => s"$loc/$f").toArray, key): InputPartition
+          IceLitePartition(files.map(f => s"$loc/$f").toArray, key, deletes): InputPartition
         }.toArray
     }
   }
@@ -744,8 +761,14 @@ object IceLiteScan {
 
 /** All files of one partition value (or one file, unpartitioned). The key
   * makes storage-partitioned joins possible (HasPartitionKey contract:
-  * distinct keys across partitions, rows grouped by key). */
-final case class IceLitePartition(files: Array[String], key: InternalRow)
+  * distinct keys across partitions, rows grouped by key). `deletes`
+  * carries partition-scoped position-delete files for plans whose reader
+  * factory can't know them up front (the streaming initial batch of a
+  * merge-on-read table); batch scans pass them factory-wide instead. */
+final case class IceLitePartition(
+    files: Array[String],
+    key: InternalRow,
+    deletes: Seq[PositionDeleteFile] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -776,7 +799,8 @@ final class IceLiteReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IceLitePartition]
-    new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema, limit, deletes)
+    new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema, limit,
+      deletes ++ p.deletes) // set-union semantics: factory-wide + partition-scoped
   }
 }
 

@@ -926,6 +926,73 @@ object StreamQueries {
        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** st21: streaming a MERGE-ON-READ table FROM SCRATCH — the initial
+    * micro-batch is a snapshot read, so the source applies the pinned
+    * snapshot's position deletes reader-side (per-file range-pruned
+    * bitmaps, the batch scan's machinery) instead of `require`-failing
+    * (the round-9 hole: CDC-heavy tables couldn't bootstrap a stream).
+    * The gate proves live delete debt exists at stream start, that batch
+    * 0 excluded exactly the deleted rows, and that a later append still
+    * resumes as a plain manifest-delta window. */
+  private def streamMorSource(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.FsCatalog
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val wh   = "/root/repo/target/scratch/st21_wh"
+    val ckpt = "/root/repo/target/scratch/st21_ckpt"
+    Seq(wh, ckpt).foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val ev  = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val cat = new FsCatalog(s, wh)
+    val t = cat.createOrReplaceTable("graft", "events_mor_stream",
+      ev.filter(col("event_id") % 4 =!= 3).coalesce(1))
+    s.conf.set("spark.sql.catalog.ice_st21", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_st21.warehouse", wh)
+    s.conf.set("graft.delete.mode", "merge-on-read")
+    try {
+      s.sql("DELETE FROM ice_st21.graft.events_mor_stream WHERE event_id % 3 = 0")
+      val t1   = cat.loadTable("graft", "events_mor_stream")
+      val snap = t1.metadata.currentSnapshot.get
+      require(t1.deleteEntriesOf(snap).nonEmpty,
+        "setup failed: no live position deletes at stream start")
+      def drain(): Unit = {
+        s.catalog.dropTempView("st21_sink")
+        s.readStream.format("icelite").option("location", t1.location.toString).load()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("cents"))
+          .writeStream.format("memory").queryName("st21_sink").outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
+      drain() // batch 0: snapshot read WITH delete application
+      val batch0 = s.table("st21_sink").agg(sum("n")).head().getLong(0)
+      val expect0 = t1.scan().count()
+      require(batch0 == expect0,
+        s"MoR initial batch streamed $batch0 rows, snapshot scan has $expect0")
+      t1.append(ev.filter(col("event_id") % 4 === 3).coalesce(1))
+      drain() // resume: plain append window on top of the MoR bootstrap
+      s.table("st21_sink")
+        .select(col("event_type"), col("n"), col("cents"))
+        .orderBy("event_type")
+    } finally {
+      s.conf.unset("graft.delete.mode")
+      s.conf.unset("spark.sql.catalog.ice_st21")
+      s.conf.unset("spark.sql.catalog.ice_st21.warehouse")
+    }
+  }
+
+  private val streamMorSourceOracle =
+    """WITH live AS (
+         SELECT event_type, value FROM events
+         WHERE event_id % 4 <> 3 AND NOT (event_id % 3 = 0)
+         UNION ALL
+         SELECT event_type, value FROM events WHERE event_id % 4 = 3)
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM live GROUP BY 1 ORDER BY 1"""
+
   private val streamCdcApplyOracle =
     """SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
@@ -953,7 +1020,8 @@ object StreamQueries {
     Q("st19_stream_rate_limited_backfill", streamRateLimitedBackfill,
       Some(streamRateLimitedBackfillOracle)),
     Q("st20_stream_partitioned_source", streamPartitionedSource,
-      Some(streamPartitionedSourceOracle))
+      Some(streamPartitionedSourceOracle)),
+    Q("st21_stream_mor_source", streamMorSource, Some(streamMorSourceOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]

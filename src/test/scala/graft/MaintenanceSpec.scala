@@ -20,7 +20,8 @@ class MaintenanceSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.proc_guard.warehouse", wh)
     try {
       val rows = spark.sql("SHOW PROCEDURES IN proc_guard.system").collect()
-      val nameIdx = rows.head.schema.fields.indexWhere(f => f.dataType == org.apache.spark.sql.types.StringType && f.name.toLowerCase.contains("name"))
+      // endsWith, not contains: "namespace" also contains "name"
+      val nameIdx = rows.head.schema.fields.indexWhere(f => f.dataType == org.apache.spark.sql.types.StringType && f.name.toLowerCase.endsWith("name"))
       assert(nameIdx >= 0, s"no name column in ${rows.head.schema.fieldNames.mkString(",")}")
       val listed = rows.map(_.getString(nameIdx)).toSet
       assert(listed == graft.sources.IceLiteProcedures.names,

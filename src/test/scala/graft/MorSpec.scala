@@ -369,6 +369,11 @@ class MorSpec extends SparkSpec {
           org.apache.spark.sql.functions.when(col("o_orderkey") < 100, col("o_totalprice") + 1)
             .otherwise(col("o_totalprice")))
       val got = t.scan()
+      // the scan must present columns in DECLARED order even though hive
+      // restoration appends partition columns (the round-9 transposition:
+      // positional except() cast '3-MEDIUM' to DOUBLE)
+      assert(got.schema.fieldNames.toSeq == Seq("o_orderkey", "o_orderpriority", "o_totalprice"),
+        s"scan column order ${got.schema.fieldNames.toSeq} != declared order")
       assert(got.count() == expect.count())
       assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
         "partitioned MoR UPDATE produced wrong rows")
