@@ -164,7 +164,7 @@ object IcebergFormat {
     * `equalityIds` columns). */
   final case class PlannedDelete(path: Path, seq: Long, content: Int, equalityIds: Seq[Int])
 
-  private final case class TablePlan(
+  private[graft] final case class TablePlan(
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
       deletes: Seq[PlannedDelete])
 
@@ -339,7 +339,7 @@ object IcebergFormat {
     }
   }
 
-  private def plan(spark: SparkSession, metadataPath: String,
+  private[graft] def plan(spark: SparkSession, metadataPath: String,
       snapshotId: Option[Long] = None): TablePlan = {
     implicit val fmts: Formats = DefaultFormats
     val mPath = new Path(metadataPath)
@@ -1267,5 +1267,70 @@ object IcebergFormat {
 
     def currentMetadataPath: String =
       new Path(metadataDir, f"v$version%05d.metadata.json").toString
+
+    /** Rehydrate a session over an EXISTING table (see
+      * [[IcebergFormat.resumeWriter]]): the snapshot log and the current
+      * snapshot's manifest pointers, exactly as a fresh commit would have
+      * left them in memory. */
+    private[icelite] def restore(
+        committed0: List[(Long, String)],
+        manifests0: List[(String, Long, Long, Long, Int, Int, Long, Int, Boolean)]): Unit = {
+      committed = committed0
+      manifests = manifests0.map { case (p, len, addedBy, seq, content, nFiles, nRows, specId, ex) =>
+        ManifestRec(p, len, addedBy, seq, content, nFiles, nRows, specId, existing = ex)
+      }
+    }
+  }
+
+  /** Reopen an existing Iceberg v2 table directory as a live [[Writer]]
+    * session — the missing half of the writer's "single session owns the
+    * lineage" design, and what lets SQL row-level operations commit DELTA
+    * snapshots onto tables loaded from disk (ic76). State is rebuilt from
+    * public metadata only: version from `version-hint.text`, the snapshot
+    * log from the metadata JSON's `snapshots` array, and the carried
+    * manifest pointers from the current snapshot's manifest list avro
+    * (every field the list schema records). Scope matches the resumed
+    * commit surface: format v2, single schema, unpartitioned default spec
+    * — anything else must keep its original session. */
+  def resumeWriter(spark: SparkSession, location: String): Writer = {
+    implicit val fmts: Formats = DefaultFormats
+    val metaPath = currentMetadataPath(spark, location)
+    val mPath    = new Path(metaPath)
+    val fs       = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md       = JsonMethods.parse(readText(fs, mPath))
+    require((md \ "format-version").extract[Int] == 2,
+      "resumeWriter supports format-version 2 only")
+    require((md \ "current-schema-id").extractOpt[Int].getOrElse(0) == 0,
+      "resumeWriter supports single-schema tables (no prior evolution)")
+    val specsJ = (md \ "partition-specs").extract[List[JObject]]
+    require((md \ "default-spec-id").extractOpt[Int].getOrElse(0) == 0 &&
+      specsJ.headOption.forall(s => (s \ "fields") == JArray(Nil)),
+      "resumeWriter supports unpartitioned tables")
+    val uuid    = (md \ "table-uuid").extract[String]
+    val version = readText(fs,
+      new Path(location, "metadata/version-hint.text")).trim.toInt
+    val p = plan(spark, metaPath)
+    val committed = (md \ "snapshots").extract[List[JObject]].map { s =>
+      ((s \ "snapshot-id").extract[Long], (s \ "manifest-list").extract[String])
+    }
+    val curList = committed.lastOption.map(_._2).getOrElse(
+      throw new IllegalStateException(s"no snapshots to resume at $location"))
+    val manifests = readAvro(fs, new Path(curList)).map { r =>
+      val added    = r.get("added_files_count").asInstanceOf[Int]
+      val existing = r.get("existing_files_count").asInstanceOf[Int]
+      (r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        r.get("added_snapshot_id").asInstanceOf[Long],
+        r.get("sequence_number").asInstanceOf[Long],
+        r.get("content").asInstanceOf[Int],
+        added + existing,
+        r.get("added_rows_count").asInstanceOf[Long] +
+          r.get("existing_rows_count").asInstanceOf[Long],
+        r.get("partition_spec_id").asInstanceOf[Int],
+        existing > 0)
+    }.toList
+    val w = new Writer(spark, location, p.schema, Nil, uuid, startVersion = version)
+    w.restore(committed, manifests)
+    w
   }
 }

@@ -2222,6 +2222,86 @@ object IceQueries {
              UNION ALL SELECT * FROM inserted)
        ORDER BY o_orderkey"""
 
+  /** MERGE-ON-READ SQL DELETE over a STANDARD Iceberg v2-format table
+    * (Avro manifests + metadata JSON — the ic21-family layout external
+    * readers consume): the catalog detects the format, the
+    * [[graft.sources.IcebergMorV2Table]] delta operation writes spec
+    * content-1 position-delete files, and
+    * [[graft.icelite.IcebergFormat.resumeWriter]] commits them as ONE
+    * delta snapshot carrying every data manifest by pointer. The requires
+    * prove the physical contract: WriteDelta plan (not a group rewrite),
+    * data files BYTE-IDENTICAL (length + mtime), a content-1 delete
+    * planned after commit, deletes ACCUMULATE across two DELETEs, and
+    * the library reader (`IcebergFormat.scan` — the DuckDB-parity
+    * surface) agrees with the SQL read row-for-row. */
+  private def sqlIcebergMorDeleteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val wh = freshDir(s, "i76")
+    s.conf.set("spark.sql.catalog.ice_i76", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i76.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/orders_i76"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")
+      val w = new IcebergFormat.Writer(s, loc, ord.schema)
+      // two data files over two snapshots: the delete must span both
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1",
+        ord.filter(col("o_orderkey") % 2 === 0))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
+        ord.filter(col("o_orderkey") % 2 === 1))))
+      val fs = new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
+      def planNow() = IcebergFormat.plan(s, IcebergFormat.currentMetadataPath(s, loc))
+      def stat(p: String) = {
+        val st = fs.getFileStatus(new Path(p)); (st.getLen, st.getModificationTime)
+      }
+      val before      = planNow()
+      val beforeStats = before.files.map(f => f.path.toString -> stat(f.path.toString)).toMap
+      require(before.files.size == 2 && before.deletes.isEmpty, "fixture shape drifted")
+      val plan = s.sql(
+        "EXPLAIN EXTENDED DELETE FROM ice_i76.graft.orders_i76 WHERE o_orderkey % 7 = 0")
+        .head().getString(0)
+      require(plan.contains("WriteDelta"),
+        s"iceberg-format DELETE did not plan a WriteDelta:\n$plan")
+      s.sql("DELETE FROM ice_i76.graft.orders_i76 WHERE o_orderkey % 7 = 0")
+      val mid = planNow()
+      require(mid.files.map(_.path.toString).toSet == beforeStats.keySet,
+        "delta DELETE changed the data file set")
+      beforeStats.foreach { case (p, st0) =>
+        require(stat(p) == st0, s"data file mutated in place: $p")
+      }
+      require(mid.deletes.nonEmpty && mid.deletes.forall(_.content == 1),
+        s"expected content-1 position deletes, got ${mid.deletes}")
+      // deletes compose: a second DELETE adds another delta snapshot
+      s.sql("DELETE FROM ice_i76.graft.orders_i76 " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey < 1000")
+      require(planNow().deletes.size > mid.deletes.size, "second DELETE added no delete file")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM ice_i76.graft.orders_i76 ORDER BY o_orderkey""")
+      // DuckDB-parity surface: the library scan of the same metadata must
+      // match the SQL (V2 bitmap) read row-for-row
+      val lib = IcebergFormat.scan(s, IcebergFormat.currentMetadataPath(s, loc))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      require(out.count() == lib.count() && out.except(lib).isEmpty && lib.except(out).isEmpty,
+        "library reader and SQL read diverged on the delete-applied table")
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i76")
+      s.conf.unset("spark.sql.catalog.ice_i76.warehouse")
+    }
+  }
+
+  private val sqlIcebergMorDeleteOracle =
+    """SELECT o_orderkey, o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM orders
+       WHERE NOT (o_orderkey % 7 = 0)
+         AND NOT (o_orderstatus = 'F' AND o_orderkey < 1000)
+       ORDER BY o_orderkey"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -2483,7 +2563,9 @@ object IceQueries {
     Q("ic73_sql_mor_merge", sqlMorMergeQ, Some(sqlMorMergeOracle)),
     Q("ic74_sql_mor_compact", sqlMorCompactQ, Some(sqlMorCompactOracle)),
     Q("ic75_sql_mor_partitioned_merge", sqlMorPartitionedMergeQ,
-      Some(sqlMorPartitionedMergeOracle))
+      Some(sqlMorPartitionedMergeOracle)),
+    Q("ic76_sql_iceberg_mor_delete", sqlIcebergMorDeleteQ,
+      Some(sqlIcebergMorDeleteOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

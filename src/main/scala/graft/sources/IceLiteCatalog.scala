@@ -149,7 +149,17 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
         backend.tableExists(nsArr(0), nsArr(1)))
       return new IceLiteMetaTable(backend.loadTable(nsArr(0), nsArr(1)),
         ident.name().toLowerCase)
-    val ns  = ns1(nsArr)
+    val ns = ns1(nsArr)
+    // a table directory holding STANDARD Iceberg v2 metadata
+    // (vNNNNN.metadata.json, Avro manifests) loads as the
+    // standard-format table: batch reads + merge-on-read SQL DELETE
+    // through spec-shaped position deletes (ic76). FS warehouses only —
+    // REST tables resolve through the catalog's metadata pointer.
+    if (rest.isEmpty) {
+      val loc = s"$warehouseRoot/$ns/${ident.name()}"
+      if (IcebergMorV2Table.isIcebergDir(SparkSession.active, loc))
+        return new IcebergMorV2Table(SparkSession.active, loc)
+    }
     val ice = loadIce(ns, ident)
     new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
   }

@@ -403,4 +403,50 @@ class MorSpec extends SparkSpec {
       assert(merged == want, s"MERGE result $merged != $want")
     }
   }
+
+  test("iceberg-format SQL DELETE: resumed delta commit, time travel intact") {
+    import graft.icelite.IcebergFormat
+    val wh  = scratch("i76spec")
+    val loc = s"$wh/graft/nat_i76"
+    spark.conf.set("spark.sql.catalog.ice_i76s", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_i76s.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "a",
+        nat.filter(col("n_nationkey") < 12))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "b",
+        nat.filter(col("n_nationkey") >= 12))))
+      val full = nat.count()
+      // metadata columns resolve on the standard-format table
+      val withMeta = spark.sql(
+        "SELECT _file, _pos, n_nationkey FROM ice_i76s.graft.nat_i76")
+      assert(withMeta.select("_file").distinct().count() == 2)
+      spark.sql("DELETE FROM ice_i76s.graft.nat_i76 WHERE n_nationkey % 5 = 0")
+      val meta = IcebergFormat.currentMetadataPath(spark, loc)
+      // post-delete reads agree on both surfaces
+      val want = nat.filter(!(col("n_nationkey") % 5 === 0))
+      val sqlRead = spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM ice_i76s.graft.nat_i76")
+      assert(sqlRead.except(want).isEmpty && want.except(sqlRead).isEmpty,
+        "SQL read wrong after iceberg-format DELETE")
+      val lib = IcebergFormat.scan(spark, meta)
+      assert(lib.count() == want.count(), "library scan diverged")
+      // time travel to the pre-delete snapshot still sees every row,
+      // through the resumed writer's metadata (snapshot log preserved)
+      val log = IcebergFormat.snapshotLog(spark, meta)
+      assert(log.size == 3, s"expected 3 snapshots after resume-commit, got $log")
+      assert(IcebergFormat.scanAt(spark, meta, log(1)).count() == full,
+        "pre-delete time travel lost rows after the resumed commit")
+      // a second resumed commit composes (fresh resume each time)
+      spark.sql("DELETE FROM ice_i76s.graft.nat_i76 WHERE n_regionkey = 0")
+      val want2 = want.filter(col("n_regionkey") =!= 0)
+      assert(spark.sql("SELECT * FROM ice_i76s.graft.nat_i76").count() == want2.count(),
+        "second resumed DELETE wrong")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ice_i76s")
+      spark.conf.unset("spark.sql.catalog.ice_i76s.warehouse")
+    }
+  }
 }
