@@ -25,6 +25,21 @@ import scala.collection.mutable.ArrayBuffer
   * observes a half-committed version. Single-writer per table, like the
   * reference's drop-and-recreate loader.
   *
+  * STORE CONTRACT. The protocol needs exactly two guarantees from the
+  * underlying store: (1) per-object atomic visibility — a written file is
+  * either fully visible or absent, never partial (every object store's
+  * PUT; local FS via temp+rename); (2) an atomic PUBLISH-IF-ABSENT for
+  * the `v<N>.json` CAS. On rename-atomic filesystems (file://, HDFS) that
+  * is exists+rename under a commit lock; on object stores — which have NO
+  * atomic rename (rename is copy+delete and silently overwrites) — it is
+  * conditional create (`PUT If-None-Match`, Hadoop `create(p,
+  * overwrite=false)`), selected by URI scheme via
+  * [[IceTable.conditionalPutSchemes]]. Nothing else in the protocol
+  * renames at commit time, so eventual-consistency of LIST (S3-classic)
+  * only delays the walk-forward hint, never correctness.
+  * ObjectStoreCommitSpec runs the CAS, racing-append, row-delta and
+  * orphan flows over an in-process shim with exactly those semantics.
+  *
   * Scans hand Spark the snapshot's file list with the frozen schema —
   * filters/projections push into the parquet reader exactly as for a plain
   * `spark.read.parquet`, and partition-parallelism follows file/row-group
@@ -69,17 +84,42 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * a per-location JVM lock + existence check makes same-process racers
     * (the realistic local case, incl. the MaintenanceSpec race) fully
     * safe. Returns false when the version was taken — caller rebases. */
-  private def writeFileIfAbsent(p: Path, content: String): Boolean = {
-    val tmp = new Path(p.getParent, p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val won = IceTable.commitLock(p.toString).synchronized {
-      !fs.exists(p) && fs.rename(tmp, p)
+  /** Publish `content` at `p` iff nothing is there — the ONE primitive the
+    * whole commit protocol reduces to. Two arms, by what the store can
+    * promise (see the class-header contract):
+    *  - object stores (no atomic rename, but conditional create — S3/GCS/
+    *    R2 `PUT If-None-Match`, mapped to `fs.create(p, overwrite=false)`):
+    *    write the final object conditionally; the store arbitrates races.
+    *    Rename-as-CAS would be UNSAFE here: object-store rename is
+    *    copy+delete and silently overwrites (ObjectStoreCommitSpec proves
+    *    the hazard on the shim).
+    *  - rename-atomic filesystems (file://, HDFS): temp write + exists/
+    *    rename under a per-path JVM lock (single-writer-process per table,
+    *    or an external lock service, is the documented requirement there).
+    */
+  private def writeFileIfAbsent(p: Path, content: String): Boolean =
+    if (IceTable.conditionalPutSchemes.contains(
+        Option(location.toUri.getScheme).getOrElse("file"))) {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException        => false
+      }
+    } else {
+      val tmp = new Path(p.getParent, p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = IceTable.commitLock(p.toString).synchronized {
+        !fs.exists(p) && fs.rename(tmp, p)
+      }
+      if (!won) fs.delete(tmp, false)
+      won
     }
-    if (!won) fs.delete(tmp, false)
-    won
-  }
 
   /** Latest committed version. The hint file is a HINT, not truth: a
     * concurrent writer may have advanced past it (its update is
@@ -1907,6 +1947,16 @@ object IceTable {
   /** Count of actual manifest parses (cache misses) — observability for
     * specs asserting summary-level skipping never opens a pruned manifest. */
   private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** URI schemes whose stores offer CONDITIONAL CREATE (`PUT
+    * If-None-Match`, surfaced by Hadoop as `create(p, overwrite=false)`)
+    * but NOT atomic rename — the object-store commit contract. The CAS
+    * commit publishes metadata through conditional create on these;
+    * everything else (data/manifest writes) only needs atomic-visibility
+    * PUTs, which every object store gives per object. `objstore` is the
+    * test shim (ObjectStoreCommitSpec). */
+  private[graft] val conditionalPutSchemes: Set[String] =
+    Set("objstore", "s3", "s3a", "gs", "abfs", "r2")
 
   /** Per-destination JVM lock backing writeFileIfAbsent's exists+rename
     * CAS on filesystems whose rename overwrites (local FS). Keyed by the
