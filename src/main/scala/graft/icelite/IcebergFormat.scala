@@ -157,16 +157,27 @@ object IcebergFormat {
       path: Path, bounds: Map[Int, (Array[Byte], Array[Byte])], seq: Long = 0L,
       partition: Map[Int, Any] = Map.empty, // identity values by SOURCE field id
       buckets: Map[Int, (Int, Int)] = Map.empty, // source id -> (bucket value, modulus)
-      transforms: Map[Int, (String, Any)] = Map.empty) // source id -> (transform, value)
+      transforms: Map[Int, (String, Any)] = Map.empty, // source id -> (transform, value)
+      sizeBytes: Long = 0L, // manifest file_size_in_bytes (0 when absent)
+      rowCount: Long = 0L) // manifest record_count (0 when absent)
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
-    * `equalityIds` columns). */
-  final case class PlannedDelete(path: Path, seq: Long, content: Int, equalityIds: Seq[Int])
+    * `equalityIds` columns). `pathBounds` is the manifest's [min, max] of
+    * the position-delete `file_path` column (spec field 2147483546) — it
+    * bounds which data files the delete can touch, so a reader opens the
+    * delete file only for data files inside the range. */
+  final case class PlannedDelete(path: Path, seq: Long, content: Int, equalityIds: Seq[Int],
+      pathBounds: Option[(String, String)] = None)
 
   private[graft] final case class TablePlan(
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
       deletes: Seq[PlannedDelete])
+
+  /** Spec-reserved field ids of the position-delete schema (Iceberg spec
+    * "Position Delete Files"): 2147483546 = file_path, 2147483545 = pos. */
+  private[graft] val PosDeletePathFieldId = 2147483546
+  private[graft] val PosDeletePosFieldId  = 2147483545
 
   // --------------------------------------- spec 32-bit hash (Appendix B)
 
@@ -400,6 +411,8 @@ object IcebergFormat {
           // entry seq may be null for ADDED entries — inherit the manifest's
           val seq = Option(entry.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(listSeq)
           val path = resolve(location, df.get("file_path").toString)
+          val fSize = Option(df.get("file_size_in_bytes")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          val fRows = Option(df.get("record_count")).map(_.asInstanceOf[Long]).getOrElse(0L)
           // v2 data_file.content: 0 data, 1 position deletes, 2 equality deletes
           Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0) match {
             case 0 =>
@@ -445,7 +458,7 @@ object IcebergFormat {
                   }.toMap
                 case _ => Map.empty
               }
-              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals)))
+              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -454,7 +467,17 @@ object IcebergFormat {
                   case _                    => Seq.empty[Int]
                 }
               }
-              Some(Right(PlannedDelete(path, seq, c, eqIds)))
+              // position-delete file_path [min, max] — bounds the delete's
+              // data-file blast radius for the reader's range pruning
+              val pb = if (c != 1) None else {
+                val lo = boundsMap(df.getSchema.getField("lower_bounds") != null, df, "lower_bounds")
+                val hi = boundsMap(df.getSchema.getField("upper_bounds") != null, df, "upper_bounds")
+                for {
+                  l <- lo.get(PosDeletePathFieldId)
+                  h <- hi.get(PosDeletePathFieldId)
+                } yield (new String(l, "UTF-8"), new String(h, "UTF-8"))
+              }
+              Some(Right(PlannedDelete(path, seq, c, eqIds, pb)))
             case other =>
               throw new UnsupportedOperationException(s"unknown data_file content $other")
           }
@@ -654,6 +677,18 @@ object IcebergFormat {
   def planFiles(spark: SparkSession, metadataPath: String, colName: String,
       lower: Option[String], upper: Option[String]): Seq[String] = {
     val p = plan(spark, metadataPath)
+    p.files.filter(fileCanMatch(p, _, colName, lower, upper)).map(_.path.toString)
+  }
+
+  /** Can `f` hold rows with `colName` in [lower, upper]? The single
+    * per-file pruning predicate behind both [[planFiles]] (library scans)
+    * and the standard-format V2 scan's `SupportsPushDownFilters`
+    * (IcebergMorScanBuilder): identity partition values prune exactly,
+    * order-preserving transforms prune ranges, bucket transforms prune
+    * point lookups, column bounds prune conservatively, and a file with
+    * no evidence is always kept. */
+  private[graft] def fileCanMatch(p: TablePlan, f: PlannedFile, colName: String,
+      lower: Option[String], upper: Option[String]): Boolean = {
     val idx = p.schema.fieldNames.indexOf(colName)
     require(idx >= 0, s"no column $colName")
     val fieldId = p.fieldIds(idx) // the spec's id attribute, not position
@@ -662,11 +697,10 @@ object IcebergFormat {
       case IntegerType | LongType | FloatType | DoubleType => BigDecimal(a).compare(BigDecimal(b))
       case _                                               => a.compareTo(b)
     }
-    p.files.filter { f =>
-      // identity partition value first: for a partitioned table it prunes
-      // exactly (the file holds ONLY rows with that value), even when the
-      // writer recorded no column bounds
-      f.partition.get(fieldId) match {
+    // identity partition value first: for a partitioned table it prunes
+    // exactly (the file holds ONLY rows with that value), even when the
+    // writer recorded no column bounds
+    f.partition.get(fieldId) match {
         case Some(v) =>
           val s = v.toString
           lower.forall(l => cmp(s, l) >= 0) && upper.forall(u => cmp(s, u) <= 0)
@@ -710,9 +744,8 @@ object IcebergFormat {
             case None => true // no bounds recorded -> cannot skip
           }
         }
-        }
       }
-    }.map(_.path.toString)
+    }
   }
 
   /** Range-pruned scan over a standard Iceberg table: reads only files

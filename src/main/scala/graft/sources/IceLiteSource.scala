@@ -768,10 +768,18 @@ object IceLiteScan {
 final case class IceLitePartition(
     files: Array[String],
     key: InternalRow,
-    deletes: Seq[PositionDeleteFile] = Nil)
+    deletes: Seq[PositionDeleteFile] = Nil,
+    ranges: Seq[IceLiteFileRange] = Nil) // aligned with `files` when non-empty
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
+
+/** A row-group-aligned byte slice of one parquet file: the reader opens
+  * only row groups whose midpoint falls in [start, end) and numbers rows
+  * from `startRow`, so `_pos` (and therefore position-delete application)
+  * stays file-global across splits. Lets one oversized file fan out to
+  * many tasks instead of serializing on a single reader. */
+final case class IceLiteFileRange(start: Long, end: Long, startRow: Long, rows: Long)
 
 /** Hadoop Configuration isn't Serializable; standard writable-based wrapper. */
 final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
@@ -903,14 +911,15 @@ final class IceLitePartitionReader(
 
   private def openNextFile(): Boolean = {
     if (fileIdx >= partition.files.length) return false
-    val full = partition.files(fileIdx)
-    val path = new Path(full)
+    val full  = partition.files(fileIdx)
+    val path  = new Path(full)
+    val range = if (partition.ranges.nonEmpty) partition.ranges(fileIdx) else null
     fileIdx += 1
     IceLiteSource.filesOpened.increment()
 
     val rel = relOf(full)
     curRelUtf8 = UTF8String.fromString(rel)
-    curPos = 0L
+    curPos = if (range != null) range.startRow else 0L
     delSet = loadDeletes(rel)
 
     val inFile  = HadoopInputFile.fromPath(path, conf)
@@ -921,11 +930,14 @@ final class IceLitePartitionReader(
       !partIdx.contains(f.name) && fileMsg.containsField(f.name))
 
     if (dataFields.isEmpty) {
-      // nothing to decode from the row groups: row count from the footer;
-      // plain constants when positions are irrelevant, position iteration
-      // when metadata columns are requested or deletes must be applied
-      val fr2 = ParquetFileReader.open(inFile)
-      val n   = try fr2.getRecordCount finally fr2.close()
+      // nothing to decode from the row groups: row count from the range
+      // (or the footer for a whole file); plain constants when positions
+      // are irrelevant, position iteration when metadata columns are
+      // requested or deletes must be applied
+      val n = if (range != null) range.rows else {
+        val fr2 = ParquetFileReader.open(inFile)
+        try fr2.getRecordCount finally fr2.close()
+      }
       reader = null
       if (!hasMeta && delSet == null) {
         constRow = new GenericInternalRow(required.fields.map(f => partConst(f.name)): Array[Any])
@@ -934,7 +946,7 @@ final class IceLitePartitionReader(
       } else {
         constRow = null
         synthActive = true
-        synthTotal = n
+        synthTotal = curPos + n
         synthBase = required.fields.map(f => partConst(f.name): Any)
       }
       true
@@ -943,7 +955,8 @@ final class IceLitePartitionReader(
         dataFields.map(f => fileMsg.getType(fileMsg.getFieldIndex(f.name))): _*)
       val c = new Configuration(conf)
       c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-      reader = ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+      val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(c)
+      reader = (if (range != null) b.withFileRange(range.start, range.end) else b).build()
       val posOf = dataFields.map(_.name).zipWithIndex.toMap
       val relU  = curRelUtf8
       rowFns = required.fields.map { f =>
