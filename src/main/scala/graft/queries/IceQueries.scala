@@ -2302,6 +2302,154 @@ object IceQueries {
          AND NOT (o_orderstatus = 'F' AND o_orderkey < 1000)
        ORDER BY o_orderkey"""
 
+  /** MERGE-ON-READ SQL UPDATE over a STANDARD Iceberg v2-format table:
+    * `representUpdateAsDeleteAndInsert` splits each matched row into a
+    * spec content-1 position delete plus a fresh insert row staged as a
+    * v2-layout data parquet (field-id'd columns, inline min/max stats →
+    * manifest bounds), and ONE resumed delta commit publishes both — the
+    * original data files stay byte-identical. The read stitches deletes +
+    * originals + delta files, and the library reader (the DuckDB-parity
+    * `IcebergFormat.scan` surface) must agree row-for-row. Write cost is
+    * O(updated rows), never O(affected files) — the shape that matters
+    * when a 100 TB table takes a pointed correction. */
+  private def sqlIcebergMorUpdateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val wh = freshDir(s, "i77")
+    s.conf.set("spark.sql.catalog.ice_i77", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i77.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/orders_i77"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")
+      val w = new IcebergFormat.Writer(s, loc, ord.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1",
+        ord.filter(col("o_orderkey") % 2 === 0))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
+        ord.filter(col("o_orderkey") % 2 === 1))))
+      val fs = new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
+      def planNow() = IcebergFormat.plan(s, IcebergFormat.currentMetadataPath(s, loc))
+      val before = planNow().files.map { f =>
+        val st = fs.getFileStatus(f.path)
+        f.path.toString -> (st.getLen, st.getModificationTime)
+      }.toMap
+      s.sql("""UPDATE ice_i77.graft.orders_i77
+               SET o_orderstatus = 'U', o_totalprice = o_totalprice + 1000.0
+               WHERE o_orderkey % 9 = 0""")
+      val mid = planNow()
+      before.foreach { case (p, st0) =>
+        val st = fs.getFileStatus(new Path(p))
+        require((st.getLen, st.getModificationTime) == st0, s"UPDATE mutated data file $p")
+      }
+      require(mid.files.size > before.size, "UPDATE staged no delta insert file")
+      require(mid.deletes.nonEmpty && mid.deletes.forall(_.content == 1),
+        "UPDATE committed no position deletes")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM ice_i77.graft.orders_i77 ORDER BY o_orderkey""")
+      val lib = IcebergFormat.scan(s, IcebergFormat.currentMetadataPath(s, loc))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      require(out.count() == lib.count() && out.except(lib).isEmpty && lib.except(out).isEmpty,
+        "library reader and SQL read diverged after iceberg-format UPDATE")
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i77")
+      s.conf.unset("spark.sql.catalog.ice_i77.warehouse")
+    }
+  }
+
+  private val sqlIcebergMorUpdateOracle =
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 9 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+              CAST(CAST(CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1000.0
+                             ELSE o_totalprice END AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM orders ORDER BY o_orderkey"""
+
+  /** Multi-clause `MERGE INTO` a STANDARD Iceberg v2-format table,
+    * merge-on-read: matched-DELETE and matched-UPDATE rows become position
+    * deletes (updates also reinsert through the v2-layout delta writer),
+    * NOT MATCHED rows insert — all published by ONE resumed delta commit
+    * with zero data-file rewrite. Key moduli differ from the IceLite-format
+    * twin ic73 so clause-routing bugs in either surface diverge. */
+  private def sqlIcebergMorMergeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val wh = freshDir(s, "i78")
+    s.conf.set("spark.sql.catalog.ice_i78", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i78.warehouse", wh)
+    try {
+      val loc  = s"$wh/graft/cust_i78"
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal").orderBy("c_custkey")
+      val w = new IcebergFormat.Writer(s, loc, cust.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1", cust)))
+      Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .filter(col("c_custkey") % 6 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") - 250.0)
+        .unionAll(Tables.customer(s, d)
+          .select((col("c_custkey") + 3000000).as("c_custkey"),
+            col("c_nationkey"), col("c_acctbal"))
+          .filter(col("c_custkey") % 83 === 0))
+        .createOrReplaceTempView("i78_src")
+      val fs = new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
+      def planNow() = IcebergFormat.plan(s, IcebergFormat.currentMetadataPath(s, loc))
+      val before = planNow().files.map { f =>
+        val st = fs.getFileStatus(f.path)
+        f.path.toString -> (st.getLen, st.getModificationTime)
+      }.toMap
+      s.sql("""MERGE INTO ice_i78.graft.cust_i78 t
+               USING i78_src s ON t.c_custkey = s.c_custkey
+               WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+               WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+               WHEN NOT MATCHED THEN INSERT *""")
+      val mid = planNow()
+      before.foreach { case (p, st0) =>
+        val st = fs.getFileStatus(new Path(p))
+        require((st.getLen, st.getModificationTime) == st0, s"MERGE mutated data file $p")
+      }
+      require(mid.deletes.nonEmpty && mid.deletes.forall(_.content == 1),
+        "MERGE committed no position deletes")
+      val out = s.sql(
+        """SELECT c_custkey, c_nationkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM ice_i78.graft.cust_i78 ORDER BY c_custkey""")
+      val lib = IcebergFormat.scan(s, IcebergFormat.currentMetadataPath(s, loc))
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      require(out.count() == lib.count() && out.except(lib).isEmpty && lib.except(out).isEmpty,
+        "library reader and SQL read diverged after iceberg-format MERGE")
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i78")
+      s.conf.unset("spark.sql.catalog.ice_i78.warehouse")
+    }
+  }
+
+  private val sqlIcebergMorMergeOracle =
+    """WITH src AS (
+         SELECT c_custkey, c_nationkey, c_acctbal - 250.0 AS c_acctbal
+         FROM customer WHERE c_custkey % 6 = 0
+         UNION ALL
+         SELECT c_custkey + 3000000, c_nationkey, c_acctbal
+         FROM customer WHERE (c_custkey + 3000000) % 83 = 0),
+       merged AS (
+         SELECT t.c_custkey, t.c_nationkey,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+                (s.c_custkey IS NOT NULL AND s.c_acctbal < 0) AS deleted
+         FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey),
+       inserted AS (
+         SELECT s.c_custkey, s.c_nationkey, s.c_acctbal
+         FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+         WHERE t.c_custkey IS NULL)
+       SELECT c_custkey, c_nationkey,
+              CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM (SELECT c_custkey, c_nationkey, c_acctbal FROM merged WHERE NOT deleted
+             UNION ALL SELECT * FROM inserted)
+       ORDER BY c_custkey"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -2565,7 +2713,11 @@ object IceQueries {
     Q("ic75_sql_mor_partitioned_merge", sqlMorPartitionedMergeQ,
       Some(sqlMorPartitionedMergeOracle)),
     Q("ic76_sql_iceberg_mor_delete", sqlIcebergMorDeleteQ,
-      Some(sqlIcebergMorDeleteOracle))
+      Some(sqlIcebergMorDeleteOracle)),
+    Q("ic77_sql_iceberg_mor_update", sqlIcebergMorUpdateQ,
+      Some(sqlIcebergMorUpdateOracle)),
+    Q("ic78_sql_iceberg_mor_merge", sqlIcebergMorMergeQ,
+      Some(sqlIcebergMorMergeOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -145,6 +145,10 @@ object IceLiteSource {
     * specs asserting that runtime/static pruning really avoided IO
     * (meaningful in local mode, where executors share the JVM). */
   private[graft] val filesOpened = new java.util.concurrent.atomic.LongAdder()
+  /** Position-delete files actually OPENED by readers (post range-pruning)
+    * — the counter specs use to prove a delete file is never read for a
+    * data file outside its manifest `file_path` range. Test-only observability. */
+  private[graft] val deleteFilesOpened = new java.util.concurrent.atomic.LongAdder()
 }
 
 /** V2 Table over one resolved IceLite snapshot (None = empty, pre-commit).
@@ -859,6 +863,7 @@ final class IceLitePartitionReader(
   private var synthTotal: Long = 0L
   private var synthBase: Array[Any] = _
   private var curPos: Long = 0L
+  private var curRange: IceLiteFileRange = _ // active byte-range split, or null
   private var curRelUtf8: UTF8String = _
   private var delSet: java.util.BitSet = _ // null = no deletes touch this file
   private var current: InternalRow = _
@@ -892,6 +897,7 @@ final class IceLitePartitionReader(
     if (covering.isEmpty) return null
     val bs = new java.util.BitSet()
     covering.foreach { d =>
+      IceLiteSource.deleteFilesOpened.increment()
       val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
         .withConf(conf).build()
       try {
@@ -914,6 +920,7 @@ final class IceLitePartitionReader(
     val full  = partition.files(fileIdx)
     val path  = new Path(full)
     val range = if (partition.ranges.nonEmpty) partition.ranges(fileIdx) else null
+    curRange = range
     fileIdx += 1
     IceLiteSource.filesOpened.increment()
 
@@ -1014,6 +1021,14 @@ final class IceLitePartitionReader(
         }
         if (emittedOne) return true
         reader.close(); reader = null
+        // ranged split invariant: the row groups parquet's midpoint filter
+        // selected must hold EXACTLY the rows the planner counted from the
+        // footer — otherwise `_pos` drifts file-globally and position
+        // deletes would hit the wrong rows. Fail loudly, never silently.
+        if (curRange != null)
+          require(curPos - curRange.startRow == curRange.rows,
+            s"ranged split consumed ${curPos - curRange.startRow} rows, " +
+              s"planner counted ${curRange.rows} (range $curRange)")
       }
       if (!openNextFile()) return false
     }

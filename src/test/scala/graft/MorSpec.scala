@@ -449,4 +449,194 @@ class MorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.ice_i76s.warehouse")
     }
   }
+
+  /** Build a two-file standard-Iceberg-format nation table with explicit
+    * per-file n_nationkey bounds in the manifests (file "a" holds keys
+    * < 12, file "b" the rest) and register `cat` over its warehouse. */
+  private def icebergNationFixture(tag: String): (String, String, DataFrame) = {
+    import graft.icelite.IcebergFormat
+    val wh  = scratch(s"ifmt_$tag")
+    val loc = s"$wh/graft/nat_$tag"
+    val cat = s"ice_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val nat = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    val kt = nat.schema("n_nationkey").dataType
+    def b(v: Int) = IcebergFormat.encodeBound(kt, v.toString).get
+    val w = new IcebergFormat.Writer(spark, loc, nat.schema)
+    w.commit(Seq(
+      IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "a",
+        nat.filter(col("n_nationkey") < 12)).copy(bounds = Map(1 -> (b(0), b(11)))),
+      IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "b",
+        nat.filter(col("n_nationkey") >= 12)).copy(bounds = Map(1 -> (b(12), b(24))))))
+    (cat, loc, nat)
+  }
+
+  private def dropIcebergFixture(cat: String): Unit = {
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+  }
+
+  test("iceberg-format scan: pushed filters skip files by manifest bounds") {
+    import graft.sources.IceLiteSource
+    val (cat, _, nat) = icebergNationFixture("prune")
+    try {
+      // predicate outside file "a"'s recorded [0, 11]: only "b" is read
+      IceLiteSource.filesOpened.reset()
+      val hi = spark.sql(
+        s"SELECT n_nationkey FROM $cat.graft.nat_prune WHERE n_nationkey >= 12")
+        .collect().map(_.getInt(0)).sorted
+      assert(hi.sameElements(12 to 24), "pruned read returned wrong rows")
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"expected 1 data file opened after manifest pruning, got ${IceLiteSource.filesOpened.sum()}")
+      // point lookup prunes to one file and is re-checked row-level
+      IceLiteSource.filesOpened.reset()
+      val one = spark.sql(
+        s"SELECT n_name FROM $cat.graft.nat_prune WHERE n_nationkey = 3").collect()
+      assert(one.length == 1)
+      assert(IceLiteSource.filesOpened.sum() == 1)
+      // unpushable predicate keeps every file (residual-only, still correct)
+      IceLiteSource.filesOpened.reset()
+      val mod = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.graft.nat_prune WHERE n_nationkey % 5 = 0")
+        .head().getLong(0)
+      assert(mod == 5 && IceLiteSource.filesOpened.sum() == 2)
+      ()
+    } finally dropIcebergFixture(cat)
+  }
+
+  test("iceberg-format DELETE blast radius: delete files are path-range pruned") {
+    import graft.sources.IceLiteSource
+    val (cat, _, nat) = icebergNationFixture("blast")
+    try {
+      // matches only rows in file "a" -> ONE delete file whose manifest
+      // file_path bounds name only "a"
+      spark.sql(s"DELETE FROM $cat.graft.nat_blast WHERE n_nationkey = 3")
+      IceLiteSource.deleteFilesOpened.reset()
+      IceLiteSource.filesOpened.reset()
+      val keys = spark.sql(s"SELECT n_nationkey FROM $cat.graft.nat_blast")
+        .collect().map(_.getInt(0)).sorted
+      assert(keys.sameElements((0 to 24).filterNot(_ == 3)), "DELETE applied wrong rows")
+      assert(IceLiteSource.filesOpened.sum() == 2)
+      assert(IceLiteSource.deleteFilesOpened.sum() == 1,
+        s"delete file opened ${IceLiteSource.deleteFilesOpened.sum()} times — " +
+          "path-range pruning should confine it to data file a")
+      ()
+    } finally dropIcebergFixture(cat)
+  }
+
+  test("iceberg-format UPDATE and MERGE: delta commit, originals byte-untouched") {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val (cat, loc, nat) = icebergNationFixture("dml")
+    try {
+      val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def planNow() = IcebergFormat.plan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      val before = planNow().files.map { f =>
+        val st = fs.getFileStatus(f.path); f.path.toString -> (st.getLen, st.getModificationTime)
+      }.toMap
+      spark.sql(s"""UPDATE $cat.graft.nat_dml
+                    SET n_name = concat(n_name, '_U') WHERE n_nationkey % 4 = 0""")
+      val mid = planNow()
+      before.foreach { case (p, st0) =>
+        val st = fs.getFileStatus(new Path(p))
+        assert((st.getLen, st.getModificationTime) == st0, s"UPDATE mutated data file $p")
+      }
+      assert(mid.files.map(_.path.toString).toSet.size > before.size,
+        "UPDATE staged no delta insert file")
+      assert(mid.deletes.nonEmpty && mid.deletes.forall(_.content == 1),
+        "UPDATE committed no position deletes")
+      val wantU = nat.withColumn("n_name",
+        when(col("n_nationkey") % 4 === 0, concat(col("n_name"), lit("_U")))
+          .otherwise(col("n_name")))
+      val gotU = spark.sql(s"SELECT * FROM $cat.graft.nat_dml")
+      assert(gotU.count() == 25 && gotU.except(wantU).isEmpty && wantU.except(gotU).isEmpty,
+        "UPDATE result wrong")
+      // library reader (DuckDB-parity surface) agrees with the SQL read
+      val lib = IcebergFormat.scan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      assert(lib.except(wantU).isEmpty && wantU.except(lib).isEmpty,
+        "library scan diverged after UPDATE")
+
+      // MERGE: matched rows update, unmatched insert, one delta commit
+      wantU.filter(col("n_nationkey") % 3 === 0)
+        .select(col("n_nationkey"), lit("MERGED").as("n_name"),
+          (col("n_regionkey") + 100).as("n_regionkey"))
+        .unionAll(Seq((100, "NEW_A", 7), (101, "NEW_B", 8))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+          .select(col("n_nationkey").cast(nat.schema("n_nationkey").dataType),
+            col("n_name"), col("n_regionkey").cast(nat.schema("n_regionkey").dataType)))
+        .createOrReplaceTempView("nat_dml_src")
+      spark.sql(s"""MERGE INTO $cat.graft.nat_dml t
+                    USING nat_dml_src s ON t.n_nationkey = s.n_nationkey
+                    WHEN MATCHED THEN UPDATE SET n_name = s.n_name, n_regionkey = s.n_regionkey
+                    WHEN NOT MATCHED THEN INSERT *""")
+      val src   = spark.table("nat_dml_src")
+      val wantM = wantU.join(src, Seq("n_nationkey"), "left_anti").unionAll(src)
+      val gotM  = spark.sql(s"SELECT * FROM $cat.graft.nat_dml")
+      assert(gotM.count() == 27 && gotM.except(wantM).isEmpty && wantM.except(gotM).isEmpty,
+        "MERGE result wrong")
+      before.foreach { case (p, st0) =>
+        val st = fs.getFileStatus(new Path(p))
+        assert((st.getLen, st.getModificationTime) == st0, s"MERGE mutated data file $p")
+      }
+      val lib2 = IcebergFormat.scan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      assert(lib2.except(wantM).isEmpty && wantM.except(lib2).isEmpty,
+        "library scan diverged after MERGE")
+    } finally dropIcebergFixture(cat)
+  }
+
+  test("iceberg-format scan: oversized files split into row-group-aligned ranges") {
+    import graft.icelite.IcebergFormat
+    import graft.sources.IceLiteSource
+    val wh  = scratch("ifmt_split")
+    val loc = s"$wh/graft/ord_split"
+    val cat = "ice_split"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    hconf.setInt("parquet.block.size", 4 * 1024) // many row groups in one file
+    try {
+      val ord = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")
+      val total = ord.count()
+      val w = new IcebergFormat.Writer(spark, loc, ord.schema)
+      val info = IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "big", ord)
+      w.commit(Seq(info))
+      // fixture guard: the file really has multiple row groups and is
+      // oversized relative to the split target below
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$loc/data/big.parquet"), hconf))
+      val nBlocks = try fr.getFooter.getBlocks.size finally fr.close()
+      assert(nBlocks >= 2, s"fixture: expected multiple row groups, got $nBlocks")
+      spark.conf.set("graft.split.size", "8192")
+      assert(info.sizeBytes >= 2 * 8192, s"fixture: file too small to split (${info.sizeBytes}B)")
+
+      IceLiteSource.filesOpened.reset()
+      val n0 = spark.sql(s"SELECT count(*) AS n FROM $cat.graft.ord_split").head().getLong(0)
+      assert(n0 == total, "split read lost rows")
+      val splits = IceLiteSource.filesOpened.sum()
+      assert(splits >= 2, s"oversized file planned $splits partition(s); expected ranged splits")
+
+      // position deletes stay file-global across splits (the reader's
+      // range invariant is live here): delete every 10th order, re-read
+      spark.sql(s"DELETE FROM $cat.graft.ord_split WHERE o_orderkey % 10 = 0")
+      val want = ord.filter(!(col("o_orderkey") % 10 === 0))
+      val got  = spark.sql(s"SELECT * FROM $cat.graft.ord_split")
+      assert(got.count() == want.count() && got.except(want).isEmpty && want.except(got).isEmpty,
+        "split read wrong under position deletes")
+      // ordered spot-check: _pos numbering is file-global, so the delete
+      // hit exactly the intended keys
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $cat.graft.ord_split WHERE o_orderkey % 10 = 0")
+        .head().getLong(0) == 0L)
+    } finally {
+      hconf.unset("parquet.block.size")
+      spark.conf.unset("graft.split.size")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }
