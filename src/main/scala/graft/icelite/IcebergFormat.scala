@@ -1302,29 +1302,54 @@ object IcebergFormat {
       new Path(metadataDir, f"v$version%05d.metadata.json").toString
 
     /** Rehydrate a session over an EXISTING table (see
-      * [[IcebergFormat.resumeWriter]]): the snapshot log and the current
-      * snapshot's manifest pointers, exactly as a fresh commit would have
-      * left them in memory. */
+      * [[IcebergFormat.resumeWriter]]): the snapshot log, the current
+      * snapshot's manifest pointers, the FULL schema history, and every
+      * historical partition spec (as (name, source-id, field-id,
+      * transform) tuples — avro types are re-derived from the current
+      * schema), exactly as a fresh commit would have left them in memory.
+      * The next writeMetadata re-emits schemas/specs from this state, so
+      * callers must have validated id layouts first. */
     private[icelite] def restore(
         committed0: List[(Long, String)],
-        manifests0: List[(String, Long, Long, Long, Int, Int, Long, Int, Boolean)]): Unit = {
+        manifests0: List[(String, Long, Long, Long, Int, Int, Long, Int, Boolean)],
+        schemas0: List[StructType],
+        specs0: List[Seq[(String, Int, Int, String)]]): Unit = {
       committed = committed0
       manifests = manifests0.map { case (p, len, addedBy, seq, content, nFiles, nRows, specId, ex) =>
         ManifestRec(p, len, addedBy, seq, content, nFiles, nRows, specId, existing = ex)
       }
+      allSchemas = schemas0 // before specs: identity avro types resolve here
+      val BucketTr = raw"bucket\[(\d+)\]".r
+      val TruncTr  = raw"truncate\[(\d+)\]".r
+      specs = specs0.map(_.map { case (name, sid, fid, tr) =>
+        val avroT = tr match {
+          case "identity" => avroPrimitive(currentSchema.fields(sid - 1).dataType)
+          case "year" | "month" | "day" | "hour" => "int"
+          case BucketTr(_) => "int"
+          case TruncTr(_) => avroPrimitive(currentSchema.fields(sid - 1).dataType)
+          case other =>
+            throw new UnsupportedOperationException(s"cannot resume partition transform $other")
+        }
+        SpecField(name, sid, fid, tr, avroT)
+      })
     }
   }
 
   /** Reopen an existing Iceberg v2 table directory as a live [[Writer]]
     * session — the missing half of the writer's "single session owns the
     * lineage" design, and what lets SQL row-level operations commit DELTA
-    * snapshots onto tables loaded from disk (ic76). State is rebuilt from
-    * public metadata only: version from `version-hint.text`, the snapshot
-    * log from the metadata JSON's `snapshots` array, and the carried
+    * snapshots onto tables loaded from disk (ic76–ic79). State is rebuilt
+    * from public metadata only: version from `version-hint.text`, the
+    * snapshot log from the metadata JSON's `snapshots` array, the carried
     * manifest pointers from the current snapshot's manifest list avro
-    * (every field the list schema records). Scope matches the resumed
-    * commit surface: format v2, single schema, unpartitioned default spec
-    * — anything else must keep its original session. */
+    * (every field the list schema records), and the FULL schema + spec
+    * histories — evolved and partitioned tables resume too. The resumed
+    * session re-emits schemas verbatim-by-value, so field ids must be the
+    * positional 1..n layout this writer produces (what every conforming
+    * engine reads back; sparse externally-renumbered ids are refused
+    * loudly rather than silently rewritten). The current schema/spec must
+    * be the LATEST of each history (the writer always commits with the
+    * last). Format v2 only. */
   def resumeWriter(spark: SparkSession, location: String): Writer = {
     implicit val fmts: Formats = DefaultFormats
     val metaPath = currentMetadataPath(spark, location)
@@ -1333,16 +1358,42 @@ object IcebergFormat {
     val md       = JsonMethods.parse(readText(fs, mPath))
     require((md \ "format-version").extract[Int] == 2,
       "resumeWriter supports format-version 2 only")
-    require((md \ "current-schema-id").extractOpt[Int].getOrElse(0) == 0,
-      "resumeWriter supports single-schema tables (no prior evolution)")
+    // schema history, ordered by schema-id; ids contiguous-from-0, current = last
+    val schemasJ = (md \ "schemas") match {
+      case JArray(ss) => ss.sortBy(s => (s \ "schema-id").extractOpt[Int].getOrElse(0))
+      case _          => List(md \ "schema")
+    }
+    require(schemasJ.zipWithIndex.forall { case (s, i) =>
+      (s \ "schema-id").extractOpt[Int].getOrElse(0) == i },
+      "resumeWriter requires contiguous schema ids from 0")
+    require((md \ "current-schema-id").extractOpt[Int].getOrElse(0) == schemasJ.size - 1,
+      "resumeWriter requires the current schema to be the latest")
+    val allSchemas = schemasJ.map { sj =>
+      val (st, ids) = schemaFields(sj)
+      require(ids == (1 to st.fields.length),
+        s"resumeWriter requires positional field ids 1..n, got $ids")
+      st
+    }
+    // spec history, same shape rules
     val specsJ = (md \ "partition-specs").extract[List[JObject]]
-    require((md \ "default-spec-id").extractOpt[Int].getOrElse(0) == 0 &&
-      specsJ.headOption.forall(s => (s \ "fields") == JArray(Nil)),
-      "resumeWriter supports unpartitioned tables")
+      .sortBy(sp => (sp \ "spec-id").extractOpt[Int].getOrElse(0))
+    require(specsJ.zipWithIndex.forall { case (sp, i) =>
+      (sp \ "spec-id").extractOpt[Int].getOrElse(0) == i },
+      "resumeWriter requires contiguous spec ids from 0")
+    require((md \ "default-spec-id").extractOpt[Int].getOrElse(0) ==
+      math.max(0, specsJ.size - 1),
+      "resumeWriter requires the default spec to be the latest")
+    val specTuples: List[Seq[(String, Int, Int, String)]] =
+      if (specsJ.isEmpty) List(Seq.empty)
+      else specsJ.map { sp =>
+        (sp \ "fields").extract[List[JObject]].map { f =>
+          ((f \ "name").extract[String], (f \ "source-id").extract[Int],
+            (f \ "field-id").extract[Int], (f \ "transform").extract[String])
+        }: Seq[(String, Int, Int, String)]
+      }
     val uuid    = (md \ "table-uuid").extract[String]
     val version = readText(fs,
       new Path(location, "metadata/version-hint.text")).trim.toInt
-    val p = plan(spark, metaPath)
     val committed = (md \ "snapshots").extract[List[JObject]].map { s =>
       ((s \ "snapshot-id").extract[Long], (s \ "manifest-list").extract[String])
     }
@@ -1362,8 +1413,8 @@ object IcebergFormat {
         r.get("partition_spec_id").asInstanceOf[Int],
         existing > 0)
     }.toList
-    val w = new Writer(spark, location, p.schema, Nil, uuid, startVersion = version)
-    w.restore(committed, manifests)
+    val w = new Writer(spark, location, allSchemas.head, Nil, uuid, startVersion = version)
+    w.restore(committed, manifests, allSchemas, specTuples)
     w
   }
 }

@@ -933,8 +933,12 @@ final class IceLitePartitionReader(
     val fr      = ParquetFileReader.open(inFile)
     val fileMsg = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
 
-    val dataFields = required.fields.filter(f =>
-      !partIdx.contains(f.name) && fileMsg.containsField(f.name))
+    // physical presence wins: a partition-listed column decodes from the
+    // file when the file actually holds it (e.g. a delta insert file on a
+    // partitioned iceberg-format table, committed with null partition
+    // metadata); partConst fills it only for files that omit the column
+    // (hive layout / spec Column Projection).
+    val dataFields = required.fields.filter(f => fileMsg.containsField(f.name))
 
     if (dataFields.isEmpty) {
       // nothing to decode from the row groups: row count from the range

@@ -33,9 +33,13 @@ import scala.jdk.CollectionConverters._
   * spec's sequence-numbered anti-join.
   *
   * Scope mirrors the resumed-commit surface: flat primitive schemas,
-  * unpartitioned, single-schema. 100 TB shape: the delta writes O(matched
-  * rows), the commit is O(manifests) metadata, the scan prunes files by
-  * manifest bounds before reading, and delete application stays a
+  * including identity/bucket/temporal-partitioned and additively
+  * schema-evolved tables (the resumed session restores the full schema +
+  * spec histories; delta files commit under the current spec with null
+  * partition values — readable everywhere, conservatively unpruned).
+  * 100 TB shape: the delta writes O(matched rows), the commit is
+  * O(manifests) metadata, the scan prunes files by manifest bounds and
+  * partition values before reading, and delete application stays a
   * range-pruned per-file bitmap — never a table rewrite. */
 object IcebergMorV2Table {
   /** True when `location` holds standard Iceberg v2 metadata (the
@@ -154,9 +158,10 @@ object IcebergMorScan {
     * per-task); acceptable because covering deletes are range-pruned and
     * a delete's blast radius is small next to an oversized data file. */
   private[graft] def partitionsFor(
-      f: IcebergFormat.PlannedFile, conf: Configuration, target: Long): Seq[InputPartition] = {
+      f: IcebergFormat.PlannedFile, conf: Configuration, target: Long,
+      key: InternalRow = null): Seq[InputPartition] = {
     val path = f.path.toString
-    def whole = Seq(IceLitePartition(Array(path), null): InputPartition)
+    def whole = Seq(IceLitePartition(Array(path), key): InputPartition)
     if (target <= 0 || f.sizeBytes < 2 * target) return whole
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(f.path, conf))
     val blocks = try fr.getFooter.getBlocks.asScala.toVector finally fr.close()
@@ -180,7 +185,7 @@ object IcebergMorScan {
       val start = if (i == 0) 0L else c.head.getStartingPos
       val end   = if (i == chunks.size - 1) Long.MaxValue else chunks(i + 1).head.getStartingPos
       val rows  = c.map(_.getRowCount).sum
-      val part  = IceLitePartition(Array(path), null,
+      val part  = IceLitePartition(Array(path), key,
         ranges = Seq(IceLiteFileRange(start, end, startRow, rows))): InputPartition
       startRow += rows
       part
@@ -217,12 +222,37 @@ final class IcebergMorScan(
       IcebergFormat.fileCanMatch(p, f, c, lo, hi)
     })
 
+  // identity-partition columns any surviving file records a value for:
+  // the reader rebuilds these from the per-file partition key when a data
+  // file physically omits the column (spec "Column Projection" — the
+  // layout identity-partitioned writers commonly produce). Files that DO
+  // hold the column decode it normally; the key is inert then.
+  private val partCols: Array[String] =
+    survivors.flatMap(_.partition.keys).distinct.sorted
+      .flatMap { id =>
+        val i = p.fieldIds.indexOf(id)
+        if (i >= 0) Some(p.schema.fieldNames(i)) else None
+      }.toArray
+
+  /** Catalyst-typed partition key for `f`, ordered like `partCols`
+    * (strings → UTF8String; avro numerics are Catalyst-compatible). */
+  private def keyFor(f: IcebergFormat.PlannedFile): InternalRow =
+    if (partCols.isEmpty) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      partCols.map { c =>
+        val fieldId = p.fieldIds(p.schema.fieldNames.indexOf(c))
+        f.partition.get(fieldId).map {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case v         => v
+        }.orNull: Any
+      })
+
   private lazy val partitions: Array[InputPartition] = {
     val spark  = SparkSession.active
     val target = spark.conf.get("graft.split.size",
       IcebergMorScan.DefaultSplitBytes.toString).toLong
     val conf = spark.sparkContext.hadoopConfiguration
-    survivors.flatMap(IcebergMorScan.partitionsFor(_, conf, target)).toArray
+    survivors.flatMap(f => IcebergMorScan.partitionsFor(f, conf, target, keyFor(f))).toArray
   }
 
   override def readSchema(): StructType = required
@@ -231,7 +261,7 @@ final class IcebergMorScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteReaderFactory(
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      required, Array.empty, tableSchema, None, deleteFiles)
+      required, partCols, tableSchema, None, deleteFiles)
   override def description(): String = {
     val push = if (pushed.isEmpty) "" else s", pushed=[${pushed.mkString(", ")}]"
     val split = partitions.length - survivors.length

@@ -587,6 +587,118 @@ class MorSpec extends SparkSpec {
     } finally dropIcebergFixture(cat)
   }
 
+  test("iceberg-format partitioned table: column projection, pruning, resumed DML") {
+    import graft.icelite.IcebergFormat
+    import graft.sources.IceLiteSource
+    import org.apache.hadoop.fs.Path
+    val wh  = scratch("ifmt_part")
+    val loc = s"$wh/graft/nat_part"
+    val cat = "ice_part"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      // identity-partitioned by n_regionkey, one file per region, and the
+      // data files OMIT the partition column (spec Column Projection —
+      // readers must rebuild it from partition metadata)
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema, Seq("n_regionkey"))
+      val regions = nat.select("n_regionkey").distinct()
+        .collect().map(_.getInt(0)).sorted
+      w.commit(regions.toSeq.map { r =>
+        IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, s"r$r",
+          nat.filter(col("n_regionkey") === r).drop("n_regionkey"))
+          .copy(partitionValues = Map("n_regionkey" -> r))
+      })
+      // full read reconstructs the omitted column from partition metadata
+      val got = spark.sql(s"SELECT * FROM $cat.graft.nat_part")
+      assert(got.count() == 25 && got.except(nat).isEmpty && nat.except(got).isEmpty,
+        "partitioned read wrong (column projection)")
+      // a partition-valued predicate prunes to one file
+      IceLiteSource.filesOpened.reset()
+      val r2 = spark.sql(
+        s"SELECT n_nationkey FROM $cat.graft.nat_part WHERE n_regionkey = 2")
+        .collect().map(_.getInt(0)).sorted
+      assert(r2.sameElements(
+        nat.filter(col("n_regionkey") === 2).select("n_nationkey")
+          .collect().map(_.getInt(0)).sorted))
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"partition pruning opened ${IceLiteSource.filesOpened.sum()} files, expected 1")
+      // resumed delta DML on the PARTITIONED table (previously refused):
+      // DELETE then UPDATE, one delta snapshot each, originals untouched
+      val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def planNow() = IcebergFormat.plan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      val before = planNow().files.map { f =>
+        val st = fs.getFileStatus(f.path)
+        f.path.toString -> (st.getLen, st.getModificationTime)
+      }.toMap
+      spark.sql(s"DELETE FROM $cat.graft.nat_part WHERE n_nationkey % 5 = 0")
+      spark.sql(s"""UPDATE $cat.graft.nat_part
+                    SET n_name = concat(n_name, '_P') WHERE n_regionkey = 1""")
+      before.foreach { case (p, st0) =>
+        val st = fs.getFileStatus(new Path(p))
+        assert((st.getLen, st.getModificationTime) == st0, s"DML mutated data file $p")
+      }
+      val want = nat.filter(!(col("n_nationkey") % 5 === 0))
+        .withColumn("n_name",
+          when(col("n_regionkey") === 1, concat(col("n_name"), lit("_P")))
+            .otherwise(col("n_name")))
+      val after = spark.sql(s"SELECT * FROM $cat.graft.nat_part")
+      assert(after.except(want).isEmpty && want.except(after).isEmpty,
+        "partitioned resumed DELETE+UPDATE read wrong")
+      // library reader agrees (the DuckDB-parity surface)
+      val lib = IcebergFormat.scan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+        .select("n_nationkey", "n_name", "n_regionkey")
+      assert(lib.except(want).isEmpty && want.except(lib).isEmpty,
+        "library scan diverged on the partitioned MoR table")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("iceberg-format schema-evolved table: resumed delta DML preserves history") {
+    import graft.icelite.IcebergFormat
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh  = scratch("ifmt_evo")
+    val loc = s"$wh/graft/nat_evo"
+    val cat = "ice_evo"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "old",
+        nat.filter(col("n_nationkey") < 12))))
+      val evolved = StructType(nat.schema.fields :+
+        StructField("n_extra", LongType, nullable = true))
+      w.evolveSchema(evolved)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "new",
+        nat.filter(col("n_nationkey") >= 12)
+          .withColumn("n_extra", col("n_nationkey").cast("long") * 10))))
+      // resumed DELETE on the two-schema table (previously refused)
+      spark.sql(s"DELETE FROM $cat.graft.nat_evo WHERE n_nationkey % 6 = 0")
+      val meta = IcebergFormat.currentMetadataPath(spark, loc)
+      // re-resume must still parse the re-emitted two-schema metadata
+      spark.sql(s"DELETE FROM $cat.graft.nat_evo WHERE n_nationkey = 1")
+      val want = nat.filter(!(col("n_nationkey") % 6 === 0) && col("n_nationkey") =!= 1)
+        .withColumn("n_extra",
+          when(col("n_nationkey") >= 12, col("n_nationkey").cast("long") * 10)
+            .otherwise(lit(null).cast("long")))
+      val got = spark.sql(s"SELECT * FROM $cat.graft.nat_evo")
+      assert(got.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey", "n_extra"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        "evolved-table resumed DELETE read wrong (old files must null-fill)")
+      val lib = IcebergFormat.scan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      assert(lib.except(want).isEmpty && want.except(lib).isEmpty,
+        "library scan diverged on the evolved MoR table")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("iceberg-format scan: oversized files split into row-group-aligned ranges") {
     import graft.icelite.IcebergFormat
     import graft.sources.IceLiteSource
