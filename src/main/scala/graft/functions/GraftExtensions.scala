@@ -19,10 +19,17 @@ import org.apache.spark.sql.graft.bridge
   * `graft_minhash_sig(arr)`, `graft_word_shingles(s[, n])`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // persistent SQL views over IceLiteCatalog warehouses (vanilla Spark
+    // ships the V2 ViewCatalog API but wires neither DDL nor reads — see
+    // IceViewSupport): DDL reroutes at parse time, reads resolve by rule
+    ext.injectParser((session, delegate) =>
+      new graft.sources.IceViewParser(session, delegate))
+    ext.injectResolutionRule(session => new graft.sources.ResolveIceViews(session))
+  }
 }
 
 object GraftExtensions {

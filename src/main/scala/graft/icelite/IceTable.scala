@@ -216,16 +216,18 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val parts   = md0.partitionCols
     if (parts.isEmpty) df.write.parquet(dataDir.toString)
     else df.write.partitionBy(parts: _*).parquet(dataDir.toString)
-    val files = {
+    val (files, fileSizes) = {
       val it  = fs.listFiles(dataDir, true) // recursive: partition subdirs
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       while (it.hasNext) {
-        val p = it.next().getPath
-        if (p.getName.endsWith(".parquet")) buf += relativize(p.toString, dataRel)
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          buf += ((relativize(st.getPath.toString, dataRel), st.getLen))
       }
-      buf.sorted.toIndexedSeq
+      val sorted = buf.sortBy(_._1).toIndexedSeq
+      (sorted.map(_._1), sorted.toMap)
     }
-    val newManifest = writeManifest(md0.schema, dataDir, dataRel, files, snapId0)
+    val newManifest = writeManifest(md0.schema, dataDir, dataRel, files, snapId0, fileSizes)
     // the new manifest's summary folds its per-file stats (the delta was
     // just written, so this driver read is O(delta) and warms the cache)
     val newSummary = summarize(md0.schema, readManifest(newManifest))
@@ -580,15 +582,19 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       dataDir: Path,
       dataRel: String,
       files: Seq[String],
-      snapId: Long): String = {
+      snapId: Long,
+      fileSizes: Map[String, Long] = Map.empty): String = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rel  = s"metadata/manifests/m-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir  = new Path(location, rel)
     val cols = schema.fields.filter(f => rangeable(f.dataType)).map(_.name)
     // the file inventory comes from the O(delta) listing (a zero-row file
-    // has no groupBy row but must still be tracked), stats from the scan
-    val filesDF = spark.createDataset(files.toIndexedSeq).toDF("file")
+    // has no groupBy row but must still be tracked), stats from the scan;
+    // file lengths ride the listing for free (split gating needs them)
+    val filesDF = spark.createDataset(
+      files.toIndexedSeq.map(f => (f, fileSizes.get(f).filter(_ > 0))))
+      .toDF("file", "sizeBytes")
     val statsType = "map<string,struct<min:string,max:string>>"
     val entries =
       if (files.isEmpty)
@@ -650,6 +656,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * manifest internally sorted). */
   def filesOf(snap: Snapshot): Seq[String] =
     snap.manifests.flatMap(readManifest(_).map(_.file))
+
+  /** Full data-file manifest entries of `snap` (stats, row counts, sizes,
+    * split offsets) — what ranged-split planning consumes. */
+  def entriesOf(snap: Snapshot): Seq[ManifestEntry] =
+    snap.manifests.flatMap(readManifest)
 
   // ------------------------------------------ merge-on-read position deletes
 

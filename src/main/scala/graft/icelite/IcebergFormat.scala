@@ -159,7 +159,8 @@ object IcebergFormat {
       buckets: Map[Int, (Int, Int)] = Map.empty, // source id -> (bucket value, modulus)
       transforms: Map[Int, (String, Any)] = Map.empty, // source id -> (transform, value)
       sizeBytes: Long = 0L, // manifest file_size_in_bytes (0 when absent)
-      rowCount: Long = 0L) // manifest record_count (0 when absent)
+      rowCount: Long = 0L, // manifest record_count (0 when absent)
+      splitOffsets: Seq[Long] = Nil) // manifest split_offsets (row-group starts; may be absent)
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
@@ -458,7 +459,14 @@ object IcebergFormat {
                   }.toMap
                 case _ => Map.empty
               }
-              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows)))
+              val so: Seq[Long] = df.getSchema.getField("split_offsets") match {
+                case null => Nil
+                case _ => df.get("split_offsets") match {
+                  case l: java.util.List[_] => l.toArray.toSeq.map(_.asInstanceOf[Long])
+                  case _                    => Nil
+                }
+              }
+              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows, so)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -694,8 +702,13 @@ object IcebergFormat {
     val fieldId = p.fieldIds(idx) // the spec's id attribute, not position
     val dt      = p.schema.fields(idx).dataType
     def cmp(a: String, b: String): Int = dt match {
-      case IntegerType | LongType | FloatType | DoubleType => BigDecimal(a).compare(BigDecimal(b))
-      case _                                               => a.compareTo(b)
+      // parseDouble handles NaN/Infinity literals (BigDecimal would throw
+      // at planning); non-finite literals are additionally excluded from
+      // pushdown at the filter-translation layer
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
+      case IntegerType | LongType => BigDecimal(a).compare(BigDecimal(b))
+      case _                      => a.compareTo(b)
     }
     // identity partition value first: for a partitioned table it prunes
     // exactly (the file holds ONLY rows with that value), even when the
@@ -854,7 +867,8 @@ object IcebergFormat {
       bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
       content: Int = 0,
       equalityIds: Seq[Int] = Nil,
-      partitionValues: Map[String, Any] = Map.empty) // by partition field name
+      partitionValues: Map[String, Any] = Map.empty, // by partition field name
+      splitOffsets: Seq[Long] = Nil) // spec field 132: row-group start offsets, ascending
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
@@ -890,6 +904,8 @@ object IcebergFormat {
           {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
             {"name":"key","type":"int","field-id":129},
             {"name":"value","type":"bytes","field-id":130}]}}]},
+        {"name":"split_offsets","field-id":132,"default":null,"type":["null",
+          {"type":"array","items":"long","element-id":133}]},
         {"name":"equality_ids","field-id":135,"default":null,"type":["null",
           {"type":"array","items":"int","element-id":136}]}
       ]}}]}""".replaceAll("\n\\s*", "")
@@ -912,14 +928,20 @@ object IcebergFormat {
       {"name":"deleted_rows_count","type":"long","field-id":514}
     ]}""".replaceAll("\n\\s*", ""))
 
-  /** Iceberg schema JSON for a flat Spark schema (1-based field ids). */
-  private def icebergSchemaJson(schema: StructType, schemaId: Int = 0): String = {
-    // top-level fields keep ids 1..n (historical flat layout, bounds maps
-    // key by these); nested ids continue after n
-    var lastId = schema.fields.length
+  /** Iceberg schema JSON for a flat Spark schema. Top-level ids default to
+    * the positional 1..n layout this writer historically produced; a
+    * restored externally-written table passes its REAL (possibly sparse —
+    * dropped-column history) ids and they re-emit verbatim. Nested ids
+    * continue after the max top-level id. */
+  private def icebergSchemaJson(
+      schema: StructType, schemaId: Int = 0, topIds: Seq[Int] = Nil): String = {
+    val ids = if (topIds.nonEmpty) topIds else 1 to schema.fields.length
+    require(ids.length == schema.fields.length,
+      s"field id count ${ids.length} != column count ${schema.fields.length}")
+    var lastId = ids.maxOption.getOrElse(0)
     val nextId = () => { lastId += 1; lastId }
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, nextId)}}"""
+      s"""{"id":${ids(i)},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, nextId)}}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
@@ -945,8 +967,19 @@ object IcebergFormat {
     fs.mkdirs(dest.getParent)
     require(fs.rename(part, dest), s"stage rename failed for $name")
     fs.delete(new Path(tmp), true)
+    // record split_offsets at write time (one footer read on a file just
+    // written) so later planners can range-split without any IO
+    val offsets = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(dest,
+        spark.sparkContext.hadoopConfiguration))
+      try fr.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq
+      finally fr.close()
+    }
     DataFileInfo(dest.toString, df.count(), fs.getFileStatus(dest).getLen,
-      content = content, equalityIds = equalityIds)
+      content = content, equalityIds = equalityIds, splitOffsets = offsets)
   }
 
   /** Avro primitive for an identity partition value in the manifest's
@@ -973,7 +1006,11 @@ object IcebergFormat {
       // snapshot references is overwritten before the hint flips — the
       // superseded files are deleted only AFTER the new hint is live
       startVersion: Int = 0,
-      fileTag: String = "") {
+      fileTag: String = "",
+      // REAL top-level field ids (possibly SPARSE — a dropped-column
+      // history leaves gaps); empty = the positional 1..n layout this
+      // writer produces for fresh tables
+      topLevelFieldIds: Seq[Int] = Nil) {
 
     private val tagSuffix = if (fileTag.isEmpty) "" else s"-$fileTag"
 
@@ -993,13 +1030,16 @@ object IcebergFormat {
     private val BucketPat   = raw"bucket\((\d+)\s*,\s*(\w+)\)".r
     private val TemporalPat = raw"(years|months|days|hours)\((\w+)\)".r
     private val TruncPat    = raw"truncate\((\d+)\s*,\s*(\w+)\)".r
-    private def parseSpec(pb: Seq[String], against: StructType, baseFieldId: Int): Seq[SpecField] =
+    private def parseSpec(pb: Seq[String], against: StructType, againstIds: Seq[Int],
+        baseFieldId: Int): Seq[SpecField] =
       pb.zipWithIndex.map { case (c, i) =>
-        def src(colName: String): Int = {
+        def colIdx(colName: String): Int = {
           val idx = against.fieldNames.indexOf(colName)
           require(idx >= 0, s"partition column $colName not in schema")
-          idx + 1
+          idx
         }
+        // source-id = the column's REAL field id (sparse after drops)
+        def src(colName: String): Int = againstIds(colIdx(colName))
         c match {
           case BucketPat(n, colName) =>
             SpecField(s"${colName}_bucket", src(colName), baseFieldId + i, s"bucket[$n]", "int")
@@ -1007,25 +1047,36 @@ object IcebergFormat {
             val tr = unit.stripSuffix("s") // spec transform names are singular
             SpecField(s"${colName}_$tr", src(colName), baseFieldId + i, tr, "int")
           case TruncPat(w, colName) =>
-            val srcType = against.fields(src(colName) - 1).dataType
+            val srcType = against.fields(colIdx(colName)).dataType
             require(Seq(IntegerType, LongType, StringType).contains(srcType),
               s"truncate[$w] unsupported on $srcType")
             SpecField(s"${colName}_trunc", src(colName), baseFieldId + i, s"truncate[$w]",
               avroPrimitive(srcType))
           case colName =>
             SpecField(colName, src(colName), baseFieldId + i, "identity",
-              avroPrimitive(against.fields(src(colName) - 1).dataType))
+              avroPrimitive(against.fields(colIdx(colName)).dataType))
         }
       }
-    // all partition specs ever active, index = spec-id; commits use the last
-    private var specs: List[Seq[SpecField]] = List(parseSpec(partitionBy, schema, 1000))
-    private def defaultSpecId: Int = specs.size - 1
-    private def currentSpecFields: Seq[SpecField] = specs.last
+    // per-schema top-level field ids, index = schema-id (positional 1..n
+    // for writer-born tables; verbatim — possibly sparse — for restored
+    // externally-written ones). MUST initialize before `specs`: parseSpec
+    // resolves source ids through it.
+    private var allFieldIds: List[Seq[Int]] = List(
+      if (topLevelFieldIds.nonEmpty) topLevelFieldIds else 1 to schema.fields.length)
+    private def currentFieldIds: Seq[Int] = allFieldIds.last
+    // all partition specs ever active, index = spec-id; commits use the
+    // DEFAULT spec (tracked separately — commitDelta may append an
+    // auxiliary unpartitioned spec past it without changing the default)
+    private var specs: List[Seq[SpecField]] =
+      List(parseSpec(partitionBy, schema, allFieldIds.head, 1000))
+    private var defaultSpec: Int = specs.size - 1
+    private def defaultSpecId: Int = defaultSpec
+    private def currentSpecFields: Seq[SpecField] = specs(defaultSpec)
     private def specJson(sf: Seq[SpecField]): String = sf.map(f =>
       s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${f.sourceId},"field-id":${f.fieldId}}""")
       .mkString(",")
-    private def entrySchema: Schema = manifestEntrySchemaFor(
-      currentSpecFields.map(f => (f.name, f.avroType, f.fieldId)))
+    private def entrySchemaOf(specId: Int): Schema = manifestEntrySchemaFor(
+      specs(specId).map(f => (f.name, f.avroType, f.fieldId)))
 
     /** Partition-spec evolution, the spec way: the metadata keeps EVERY
       * historical spec in `partition-specs` and bumps `default-spec-id`;
@@ -1036,8 +1087,11 @@ object IcebergFormat {
       * spec's). Sources resolve against the CURRENT schema, so a column
       * added by evolveSchema can become a partition source. */
     def evolveSpec(newPartitionBy: Seq[String]): Unit = {
-      val nextBase = 1000 + specs.map(_.size).sum
-      specs = specs :+ parseSpec(newPartitionBy, currentSchema, nextBase)
+      // fresh ids continue past the MAX existing field id (not a count —
+      // restored externally-written specs may be sparse)
+      val nextBase = (specs.flatten.map(_.fieldId) :+ 999).max + 1
+      specs = specs :+ parseSpec(newPartitionBy, currentSchema, currentFieldIds, nextBase)
+      defaultSpec = specs.size - 1
     }
 
     private var version = startVersion
@@ -1078,27 +1132,51 @@ object IcebergFormat {
         case (n, o) => n.name == o.name && n.dataType == o.dataType
       } && newSchema.fields.length >= cur.fields.length,
         "only additive (append-at-end) schema evolution is supported")
+      // appended columns take fresh ids past the MAX existing (sparse
+      // histories keep their gaps; new ids never collide)
+      val maxId = allFieldIds.flatten.maxOption.getOrElse(0)
+      val fresh = (1 to (newSchema.fields.length - cur.fields.length)).map(_ + maxId)
+      allFieldIds = allFieldIds :+ (currentFieldIds ++ fresh)
       allSchemas = allSchemas :+ newSchema
     }
 
     /** Commit `files` as snapshot N+1 (append semantics). Files with
       * `content` > 0 go into a separate DELETE manifest, listed with
       * content 1 in the manifest list, exactly as the spec splits them. */
-    def commit(files: Seq[DataFileInfo]): Unit = {
+    def commit(files: Seq[DataFileInfo]): Unit = commitWith(files, defaultSpec)
+
+    /** Commit DELTA files (row-level DML output) that carry NO partition
+      * values. On a partitioned table these must NOT land under the
+      * partitioned spec — the spec requires a file's partition tuple to
+      * reflect its rows, and conforming engines prune by it (null !=
+      * literal → silently skipped files). Instead they commit under an
+      * auxiliary UNPARTITIONED spec entry (appended to `partition-specs`
+      * once, default-spec-id untouched), which every conforming reader
+      * treats as global/unpruned — conservative and correct. Unpartitioned
+      * tables take the ordinary path. */
+    def commitDelta(files: Seq[DataFileInfo]): Unit = {
+      if (currentSpecFields.isEmpty) return commitWith(files, defaultSpec)
+      val existing = specs.indexWhere(_.isEmpty)
+      val sid = if (existing >= 0) existing else { specs = specs :+ Seq.empty; specs.size - 1 }
+      commitWith(files, sid)
+    }
+
+    private def commitWith(files: Seq[DataFileInfo], specId: Int): Unit = {
       val snapId = committed.size + 1L
       val seq    = snapId // one sequence number per commit
       fs.mkdirs(metadataDir)
+      val specFields = specs(specId)
 
       // 1. the commit's manifest(s): one ADDED entry per file; data and
       // delete files may not share a manifest
-      val commitEntrySchema = entrySchema // current spec's shape, fixed for this commit
+      val commitEntrySchema = entrySchemaOf(specId) // fixed for this commit
       def buildEntry(f: DataFileInfo): GenericRecord = {
         val dataFile = new GenericData.Record(commitEntrySchema.getField("data_file").schema())
         dataFile.put("content", f.content)
         dataFile.put("file_path", f.path)
         dataFile.put("file_format", "PARQUET")
         val partRec = new GenericData.Record(dataFile.getSchema.getField("partition").schema())
-        currentSpecFields.foreach { sf =>
+        specFields.foreach { sf =>
           f.partitionValues.get(sf.name).foreach(v => partRec.put(sf.name, v))
         }
         dataFile.put("partition", partRec)
@@ -1120,6 +1198,14 @@ object IcebergFormat {
           dataFile.put("lower_bounds", boundList("lower_bounds", _._1))
           dataFile.put("upper_bounds", boundList("upper_bounds", _._2))
         }
+        if (f.splitOffsets.nonEmpty) {
+          // spec field 132: recorded at write time so planners can range-
+          // split oversized files with ZERO footer IO
+          val arraySchema = dataFile.getSchema.getField("split_offsets").schema().getTypes.get(1)
+          val l = new java.util.ArrayList[java.lang.Long]()
+          f.splitOffsets.foreach(o => l.add(o))
+          dataFile.put("split_offsets", new GenericData.Array[java.lang.Long](arraySchema, l))
+        }
         if (f.equalityIds.nonEmpty) {
           val arraySchema = dataFile.getSchema.getField("equality_ids").schema().getTypes.get(1)
           val l = new java.util.ArrayList[Integer]()
@@ -1140,13 +1226,13 @@ object IcebergFormat {
         val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix$tagSuffix.avro")
         val manifestLen = writeAvroFile(manifestPath, commitEntrySchema,
           group.map(buildEntry), Map(
-            "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1),
-            "partition-spec" -> s"[${specJson(currentSpecFields)}]",
-            "partition-spec-id" -> defaultSpecId.toString,
+            "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1, currentFieldIds),
+            "partition-spec" -> s"[${specJson(specFields)}]",
+            "partition-spec-id" -> specId.toString,
             "format-version" -> "2",
             "content" -> (if (kind == 0) "data" else "deletes")))
         manifests = manifests :+ ManifestRec(manifestPath.toString, manifestLen, snapId, seq,
-          kind, group.size, group.map(_.recordCount).sum, defaultSpecId)
+          kind, group.size, group.map(_.recordCount).sum, specId)
       }
 
       // 2+3. the snapshot's manifest list + metadata JSON
@@ -1193,7 +1279,7 @@ object IcebergFormat {
         }
         val path = new Path(metadataDir, f"m-$snapId%05d-rw$sid$tagSuffix.avro")
         val len = writeAvroFile(path, schema, entries, Map(
-          "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1),
+          "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1, currentFieldIds),
           "partition-spec" -> s"[${specJson(specs(sid))}]",
           "partition-spec-id" -> sid.toString,
           "format-version" -> "2",
@@ -1280,9 +1366,9 @@ object IcebergFormat {
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$tableUuid","location":"$location",
            "last-sequence-number":$seq,"last-updated-ms":${ts0 + snapId},
-           "last-column-id":${currentSchema.fields.length},
+           "last-column-id":${allFieldIds.flatten.maxOption.getOrElse(0)},
            "current-schema-id":${allSchemas.size - 1},
-           "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i) }.mkString(",")}],
+           "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i, allFieldIds(i)) }.mkString(",")}],
            "default-spec-id":$defaultSpecId,
            "partition-specs":[${specs.zipWithIndex.map { case (sf, i) => s"""{"spec-id":$i,"fields":[${specJson(sf)}]}""" }.mkString(",")}],
            "last-partition-id":${specs.flatten.map(_.fieldId).maxOption.getOrElse(999)},
@@ -1313,25 +1399,36 @@ object IcebergFormat {
         committed0: List[(Long, String)],
         manifests0: List[(String, Long, Long, Long, Int, Int, Long, Int, Boolean)],
         schemas0: List[StructType],
-        specs0: List[Seq[(String, Int, Int, String)]]): Unit = {
+        specs0: List[Seq[(String, Int, Int, String)]],
+        defaultSpec0: Int,
+        fieldIds0: List[Seq[Int]]): Unit = {
       committed = committed0
       manifests = manifests0.map { case (p, len, addedBy, seq, content, nFiles, nRows, specId, ex) =>
         ManifestRec(p, len, addedBy, seq, content, nFiles, nRows, specId, existing = ex)
       }
-      allSchemas = schemas0 // before specs: identity avro types resolve here
+      allSchemas  = schemas0 // before specs: identity avro types resolve here
+      allFieldIds = fieldIds0
       val BucketTr = raw"bucket\[(\d+)\]".r
       val TruncTr  = raw"truncate\[(\d+)\]".r
+      // partition source ids index through the REAL (possibly sparse)
+      // field-id table, never by position
+      def typeOf(sid: Int): DataType = {
+        val idx = currentFieldIds.indexOf(sid)
+        require(idx >= 0, s"partition source id $sid not in the current schema")
+        currentSchema.fields(idx).dataType
+      }
       specs = specs0.map(_.map { case (name, sid, fid, tr) =>
         val avroT = tr match {
-          case "identity" => avroPrimitive(currentSchema.fields(sid - 1).dataType)
+          case "identity" => avroPrimitive(typeOf(sid))
           case "year" | "month" | "day" | "hour" => "int"
           case BucketTr(_) => "int"
-          case TruncTr(_) => avroPrimitive(currentSchema.fields(sid - 1).dataType)
+          case TruncTr(_) => avroPrimitive(typeOf(sid))
           case other =>
             throw new UnsupportedOperationException(s"cannot resume partition transform $other")
         }
         SpecField(name, sid, fid, tr, avroT)
       })
+      defaultSpec = defaultSpec0
     }
   }
 
@@ -1343,13 +1440,11 @@ object IcebergFormat {
     * snapshot log from the metadata JSON's `snapshots` array, the carried
     * manifest pointers from the current snapshot's manifest list avro
     * (every field the list schema records), and the FULL schema + spec
-    * histories — evolved and partitioned tables resume too. The resumed
-    * session re-emits schemas verbatim-by-value, so field ids must be the
-    * positional 1..n layout this writer produces (what every conforming
-    * engine reads back; sparse externally-renumbered ids are refused
-    * loudly rather than silently rewritten). The current schema/spec must
-    * be the LATEST of each history (the writer always commits with the
-    * last). Format v2 only. */
+    * histories — evolved and partitioned tables resume too. Top-level
+    * field ids re-emit VERBATIM, so sparse layouts (a dropped+re-added
+    * column history) resume and take SQL DML; only duplicate/non-positive
+    * ids are refused. The current schema must be the LATEST of the
+    * history (the writer always commits with the last). Format v2 only. */
   def resumeWriter(spark: SparkSession, location: String): Writer = {
     implicit val fmts: Formats = DefaultFormats
     val metaPath = currentMetadataPath(spark, location)
@@ -1368,21 +1463,28 @@ object IcebergFormat {
       "resumeWriter requires contiguous schema ids from 0")
     require((md \ "current-schema-id").extractOpt[Int].getOrElse(0) == schemasJ.size - 1,
       "resumeWriter requires the current schema to be the latest")
-    val allSchemas = schemasJ.map { sj =>
-      val (st, ids) = schemaFields(sj)
-      require(ids == (1 to st.fields.length),
-        s"resumeWriter requires positional field ids 1..n, got $ids")
-      st
+    // top-level field ids re-emit VERBATIM — sparse layouts (a
+    // dropped-column history leaves gaps) resume fine; only duplicate or
+    // non-positive ids are refused
+    val parsedSchemas = schemasJ.map(schemaFields)
+    parsedSchemas.foreach { case (st, ids) =>
+      require(ids.length == st.fields.length &&
+        ids.distinct.length == ids.length && ids.forall(_ > 0),
+        s"resumeWriter requires distinct positive field ids, got $ids")
     }
+    val allSchemas  = parsedSchemas.map(_._1)
+    val allFieldIds = parsedSchemas.map(_._2)
     // spec history, same shape rules
     val specsJ = (md \ "partition-specs").extract[List[JObject]]
       .sortBy(sp => (sp \ "spec-id").extractOpt[Int].getOrElse(0))
     require(specsJ.zipWithIndex.forall { case (sp, i) =>
       (sp \ "spec-id").extractOpt[Int].getOrElse(0) == i },
       "resumeWriter requires contiguous spec ids from 0")
-    require((md \ "default-spec-id").extractOpt[Int].getOrElse(0) ==
-      math.max(0, specsJ.size - 1),
-      "resumeWriter requires the default spec to be the latest")
+    // the default spec may point anywhere in the history (commitDelta
+    // appends an auxiliary unpartitioned spec PAST the default)
+    val defaultSpecId0 = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    require(defaultSpecId0 >= 0 && defaultSpecId0 < math.max(1, specsJ.size),
+      s"default-spec-id $defaultSpecId0 out of range")
     val specTuples: List[Seq[(String, Int, Int, String)]] =
       if (specsJ.isEmpty) List(Seq.empty)
       else specsJ.map { sp =>
@@ -1414,7 +1516,7 @@ object IcebergFormat {
         existing > 0)
     }.toList
     val w = new Writer(spark, location, allSchemas.head, Nil, uuid, startVersion = version)
-    w.restore(committed, manifests, allSchemas, specTuples)
+    w.restore(committed, manifests, allSchemas, specTuples, defaultSpecId0, allFieldIds)
     w
   }
 }

@@ -40,7 +40,9 @@ final case class ColRange(min: Option[String], max: Option[String])
 final case class ManifestEntry(
     file: String,
     stats: Option[Map[String, ColRange]] = None,
-    rows: Option[Long] = None) {
+    rows: Option[Long] = None,
+    sizeBytes: Option[Long] = None, // file length (split gating; absent pre-r13)
+    splitOffsets: Option[List[Long]] = None) { // row-group starts (zero-IO ranged splits)
   def toJson: String = {
     implicit val fmts: Formats = TableMetadata.formats
     Serialization.write(this)

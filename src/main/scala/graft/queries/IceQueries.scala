@@ -2450,6 +2450,170 @@ object IceQueries {
              UNION ALL SELECT * FROM inserted)
        ORDER BY c_custkey"""
 
+  /** SQL catalog reads over a standard-format v2 table with EQUALITY
+    * deletes (content 2) — the CDC shape Flink-style writers (and our own
+    * st07) emit: a plain `SELECT` through the catalog applies the deletes
+    * reader-side under the spec's strictly-older sequence rule, so a key
+    * re-inserted AFTER its delete survives while older matches vanish.
+    * Gated row-for-row against the library scan's sequence-numbered
+    * anti-join ([[IcebergFormat.scan]], ic24's machinery). Reference
+    * surface: SQL over any catalog table,
+    * `query_iceberg_minio.ipynb:274-277,1119-1180`. */
+  private def sqlIcebergEqDeleteReadQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i79")
+    s.conf.set("spark.sql.catalog.ice_i79", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i79.warehouse", wh)
+    try {
+      val loc  = s"$wh/graft/cust_i79"
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal").orderBy("c_custkey")
+      val w = new IcebergFormat.Writer(s, loc, cust.schema)
+      // snapshot 1: the full base data
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1", cust)))
+      // snapshot 2: CDC-style equality delete keyed on c_custkey (field 1)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "del1",
+        cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+        content = 2, equalityIds = Seq(1))))
+      // snapshot 3: a subset of the deleted keys RESTATED — strictly newer
+      // than the delete, so the spec's ordering keeps these rows
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
+        cust.filter(col("c_custkey") % 14 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 500.0))))
+
+      val out = s.sql(
+        """SELECT c_custkey, c_nationkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM ice_i79.graft.cust_i79 ORDER BY c_custkey""")
+      require(out.filter(col("c_custkey") % 14 === 0).count() ==
+        cust.filter(col("c_custkey") % 14 === 0).count(),
+        "restated rows did not survive the equality delete")
+      require(
+        out.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 14 =!= 0).count() == 0,
+        "equality-deleted rows leaked through the SQL read")
+      val lib = IcebergFormat.scan(s, IcebergFormat.currentMetadataPath(s, loc))
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      require(out.count() == lib.count() && out.except(lib).isEmpty && lib.except(out).isEmpty,
+        "library reader and SQL read diverged on an equality-delete table")
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i79")
+      s.conf.unset("spark.sql.catalog.ice_i79.warehouse")
+    }
+  }
+
+  private val sqlIcebergEqDeleteReadOracle =
+    """SELECT c_custkey, c_nationkey,
+              CAST(CAST(CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END
+                   AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM customer
+       WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
+       ORDER BY c_custkey"""
+
+  /** SQL UPDATE over a standard-format table with SPARSE field ids (ic81)
+    * — the metadata layout a dropped+re-added column history leaves
+    * behind (ids 1,3,4: id 2 retired). resumeWriter re-emits the id table
+    * VERBATIM, the delta insert files stamp the REAL ids, and bounds
+    * remap through them — so externally-evolved tables take row-level DML
+    * exactly like writer-born ones (ic77's flow replayed over a sparse
+    * table, per the spec's name-independent column identity). */
+  private def sqlIcebergSparseIdUpdateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i81")
+    s.conf.set("spark.sql.catalog.ice_i81", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i81.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/orders_i81"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")
+      // sparse top-level ids — the shape a conforming engine leaves after
+      // ALTER TABLE DROP COLUMN (id 2) + ADD COLUMN (fresh ids 3, 4)
+      val w = new IcebergFormat.Writer(s, loc, ord.schema,
+        topLevelFieldIds = Seq(1, 3, 4))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1",
+        ord.filter(col("o_orderkey") % 2 === 0))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
+        ord.filter(col("o_orderkey") % 2 === 1))))
+      // the published metadata really is sparse
+      val ids = IcebergFormat.plan(s,
+        IcebergFormat.currentMetadataPath(s, loc)).fieldIds
+      require(ids == Seq(1, 3, 4), s"fixture ids $ids not sparse")
+      s.sql("""UPDATE ice_i81.graft.orders_i81
+               SET o_orderstatus = 'S', o_totalprice = o_totalprice + 77.0
+               WHERE o_orderkey % 11 = 0""")
+      // the resumed commit re-emitted the sparse ids verbatim
+      val ids2 = IcebergFormat.plan(s,
+        IcebergFormat.currentMetadataPath(s, loc)).fieldIds
+      require(ids2 == Seq(1, 3, 4), s"resumed commit rewrote field ids: $ids2")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM ice_i81.graft.orders_i81 ORDER BY o_orderkey""")
+      val lib = IcebergFormat.scan(s, IcebergFormat.currentMetadataPath(s, loc))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      require(out.count() == lib.count() && out.except(lib).isEmpty && lib.except(out).isEmpty,
+        "library reader and SQL read diverged after sparse-id UPDATE")
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i81")
+      s.conf.unset("spark.sql.catalog.ice_i81.warehouse")
+    }
+  }
+
+  private val sqlIcebergSparseIdUpdateOracle =
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 11 = 0 THEN 'S' ELSE o_orderstatus END AS o_orderstatus,
+              CAST(CAST(CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 77.0
+                             ELSE o_totalprice END AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM orders ORDER BY o_orderkey"""
+
+  /** PERSISTENT named SQL views through Spark's V2 ViewCatalog (ic80):
+    * the reference registers named views over its tables
+    * (`query_iceberg_minio.ipynb:274-277` `CREATE OR REPLACE VIEW ... AS
+    * SELECT * FROM iceberg_scan(...)`); ours persist the view TEXT as
+    * warehouse metadata (`<ns>/_views/<name>.json`), so any session over
+    * the warehouse resolves them by name — gated here by resolving the
+    * view through a SECOND catalog instance bound to the same warehouse
+    * (fresh plugin, nothing session-cached). */
+  private def sqlPersistentViewQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "i80")
+    s.conf.set("spark.sql.catalog.ice_i80", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i80.warehouse", wh)
+    s.conf.set("spark.sql.catalog.ice_i80b", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i80b.warehouse", wh)
+    try {
+      new graft.icelite.FsCatalog(s, wh).createOrReplaceTable("graft", "orders_i80",
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
+      s.sql("""CREATE VIEW ice_i80.graft.big_orders AS
+               SELECT o_custkey, count(*) AS n,
+                      CAST(CAST(max(o_totalprice) AS DECIMAL(14,2)) * 100 AS BIGINT) AS maxcents
+               FROM ice_i80.graft.orders_i80
+               WHERE o_totalprice > 100000
+               GROUP BY o_custkey""")
+      // the definition is durable warehouse METADATA, not session state
+      require(new java.io.File(s"$wh/graft/_views/big_orders.json").isFile,
+        "CREATE VIEW persisted no view file")
+      // resolve by name through a DIFFERENT catalog instance over the
+      // same warehouse — what a fresh session would do
+      val out = s.sql(
+        "SELECT * FROM ice_i80b.graft.big_orders ORDER BY o_custkey")
+      require(out.count() > 0, "persistent view resolved to zero rows")
+      out
+    } finally {
+      Seq("spark.sql.catalog.ice_i80", "spark.sql.catalog.ice_i80.warehouse",
+        "spark.sql.catalog.ice_i80b", "spark.sql.catalog.ice_i80b.warehouse")
+        .foreach(s.conf.unset)
+    }
+  }
+
+  private val sqlPersistentViewOracle =
+    """SELECT o_custkey, count(*) AS n,
+              CAST(CAST(max(o_totalprice) AS DECIMAL(14,2)) * 100 AS BIGINT) AS maxcents
+       FROM orders WHERE o_totalprice > 100000
+       GROUP BY o_custkey ORDER BY o_custkey"""
+
   /** Plain-SQL multi-clause `MERGE INTO` through the connector: Spark's
     * RewriteMergeIntoTable plans the full-outer matching against the
     * row-level scan; the write replaces only files the source key range
@@ -2717,7 +2881,13 @@ object IceQueries {
     Q("ic77_sql_iceberg_mor_update", sqlIcebergMorUpdateQ,
       Some(sqlIcebergMorUpdateOracle)),
     Q("ic78_sql_iceberg_mor_merge", sqlIcebergMorMergeQ,
-      Some(sqlIcebergMorMergeOracle))
+      Some(sqlIcebergMorMergeOracle)),
+    Q("ic79_sql_iceberg_eq_delete_read", sqlIcebergEqDeleteReadQ,
+      Some(sqlIcebergEqDeleteReadOracle)),
+    Q("ic80_sql_persistent_view", sqlPersistentViewQ,
+      Some(sqlPersistentViewOracle)),
+    Q("ic81_sql_iceberg_sparse_id_update", sqlIcebergSparseIdUpdateQ,
+      Some(sqlIcebergSparseIdUpdateOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -83,7 +83,8 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
     }
 }
 
-final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with ViewCatalog {
 
   private var catalogName: String = _
   private var backend: IceCatalog = _
@@ -303,4 +304,117 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
       IceLiteProcedures.names.toSeq.sorted
         .map(n => Identifier.of(namespace, n)).toArray
     else Array.empty
+
+  // -------------------------------------------------------------- views
+
+  /** PERSISTENT SQL views (Spark's V2 ViewCatalog): `CREATE VIEW
+    * cat.ns.v AS SELECT ...` persists the view TEXT as one JSON file at
+    * `<warehouse>/<ns>/_views/<name>.json`, and any later session over the
+    * same warehouse resolves `SELECT * FROM cat.ns.v` through it — the
+    * named-view surface the reference registers in DuckDB
+    * (`query_iceberg_minio.ipynb:274-277` `CREATE OR REPLACE VIEW ... AS
+    * SELECT * FROM iceberg_scan(...)`), durable instead of
+    * session-scoped. Views are metadata-only (the text re-plans against
+    * current table state, Iceberg-view semantics); storage is O(bytes of
+    * SQL), nothing scales with data. */
+  private def hfs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def viewsDir(ns: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouseRoot/$ns/_views")
+
+  private def viewFile(ident: Identifier) =
+    new org.apache.hadoop.fs.Path(viewsDir(ns1(ident.namespace())), s"${ident.name()}.json")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    require(namespace.length == 1,
+      s"icelite namespaces are single-level, got ${namespace.mkString(".")}")
+    val dir = viewsDir(namespace.head)
+    val fs  = hfs(dir)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).sorted
+      .map(n => Identifier.of(namespace.toArray, n.stripSuffix(".json")))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && hfs(viewFile(ident)).exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p  = viewFile(ident)
+    val fs = hfs(p)
+    if (!fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val in   = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val j    = JsonMethods.parse(text)
+    new View {
+      override def name(): String = (Seq(catalogName) ++ ident.namespace() :+ ident.name()).mkString(".")
+      override def query(): String = (j \ "sql").extract[String]
+      override def currentCatalog(): String = (j \ "currentCatalog").extract[String]
+      override def currentNamespace(): Array[String] =
+        (j \ "currentNamespace").extract[List[String]].toArray
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson((j \ "schemaJson").extract[String])
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        (j \ "queryColumnNames").extract[List[String]].toArray
+      override def columnAliases(): Array[String] =
+        (j \ "columnAliases").extract[List[String]].toArray
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): JMap[String, String] =
+        (j \ "properties").extract[Map[String, String]].asJava
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val ident = info.ident()
+    val p     = viewFile(ident)
+    val fs    = hfs(p)
+    if (fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    backend.createNamespace(ns1(ident.namespace()))
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("sql" -> info.sql()) ~
+        ("currentCatalog" -> info.currentCatalog()) ~
+        ("currentNamespace" -> info.currentNamespace().toList) ~
+        ("schemaJson" -> info.schema().json) ~
+        ("queryColumnNames" -> info.queryColumnNames().toList) ~
+        ("columnAliases" -> info.columnAliases().toList) ~
+        ("properties" -> info.properties().asScala.toMap)))
+    // tmp + rename: a reader never sees a half-written view definition
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, p), s"view publish rename failed: $p")
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "icelite ALTER VIEW not supported; CREATE OR REPLACE VIEW instead")
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p  = viewFile(ident)
+    val fs = hfs(p)
+    fs.exists(p) && fs.delete(p, false)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = viewFile(oldIdent)
+    val to   = viewFile(newIdent)
+    val fs   = hfs(from)
+    if (!fs.exists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (fs.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to), s"view rename failed: $from -> $to")
+  }
 }

@@ -145,7 +145,8 @@ final class IceLiteDeltaWrite(
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val msgs = messages.toSeq.map(_.asInstanceOf[IceLiteDeltaMessage])
       def entries(ws: Seq[IceLiteWriteMessage]): Seq[ManifestEntry] =
-        ws.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows)))
+        ws.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows),
+        Some(w.sizeBytes).filter(_ > 0), Some(w.splitOffsets.toList).filter(_.nonEmpty)))
           .filter(_.rows.exists(_ > 0L)) // empty task outputs add no files
       val dels = entries(msgs.flatMap(_.deleteFile))
       val ins  = entries(msgs.flatMap(_.dataFiles))

@@ -112,7 +112,8 @@ final class IceLiteReplaceDataWrite(
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val entries = messages.toSeq.map { m =>
         val w = m.asInstanceOf[IceLiteWriteMessage]
-        ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
+        ManifestEntry(w.relPath, Some(w.stats), Some(w.rows),
+        Some(w.sizeBytes).filter(_ > 0), Some(w.splitOffsets.toList).filter(_.nonEmpty))
       }.filter(_.rows.exists(_ > 0L)) // empty task outputs add no files
       val t = IceTable.load(SparkSession.active, location)
       t.commitReplaceScanned(scannedFiles(), entries, operation)

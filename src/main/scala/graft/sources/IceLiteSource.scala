@@ -149,6 +149,10 @@ object IceLiteSource {
     * — the counter specs use to prove a delete file is never read for a
     * data file outside its manifest `file_path` range. Test-only observability. */
   private[graft] val deleteFilesOpened = new java.util.concurrent.atomic.LongAdder()
+  /** Parquet footers opened DURING PLANNING (driver-side, serial — the
+    * 100 TB anti-pattern). Stays 0 for files whose manifests carry
+    * `split_offsets`; only externally-written oversized files pay it. */
+  private[graft] val planningFootersOpened = new java.util.concurrent.atomic.LongAdder()
 }
 
 /** V2 Table over one resolved IceLite snapshot (None = empty, pre-commit).
@@ -508,11 +512,33 @@ final class IceLiteScan(
     }
   }
 
+  // manifest entry lookup for ranged-split gating (sizes + split offsets
+  // recorded at write time — zero planning IO)
+  private lazy val entryByFile =
+    snap.toSeq.flatMap(ice.entriesOf).map(e => e.file -> e).toMap
+
   private def buildPartitions(surv: Seq[String]): Array[InputPartition] = {
     val loc = ice.location.toString
-    if (partCols.isEmpty)
-      surv.map(rel => IceLitePartition(Array(s"$loc/$rel"), null): InputPartition).toArray
-    else {
+    if (partCols.isEmpty) {
+      // oversized files whose manifests recorded size + split offsets fan
+      // out into row-group-aligned ranged partitions (reader resolves row
+      // numbering from its own footer open — `_pos` stays file-global, so
+      // position deletes apply split-invariantly). Restricted to the
+      // unpartitioned path: HasPartitionKey requires distinct keys across
+      // partitions, which splitting a keyed partition would violate.
+      val target = SparkSession.active.conf.get("graft.split.size",
+        IcebergMorScan.DefaultSplitBytes.toString).toLong
+      surv.flatMap { rel =>
+        val abs = s"$loc/$rel"
+        val split = for {
+          e    <- entryByFile.get(rel)
+          sz   <- e.sizeBytes if target > 0 && sz >= 2 * target
+          offs <- e.splitOffsets
+          ps   <- IcebergMorScan.rangedFromOffsets(abs, sz, offs, target, null, 0L)
+        } yield ps
+        split.getOrElse(Seq(IceLitePartition(Array(abs), null): InputPartition))
+      }.toArray
+    } else {
       val partTypes = partCols.map(c => md.schema.fields.find(_.name == c).get.dataType)
       surv.groupBy(partValuesOf).toSeq.sortBy(_._1.mkString("/"))
         .map { case (vals, files) =>
@@ -773,7 +799,8 @@ final case class IceLitePartition(
     files: Array[String],
     key: InternalRow,
     deletes: Seq[PositionDeleteFile] = Nil,
-    ranges: Seq[IceLiteFileRange] = Nil) // aligned with `files` when non-empty
+    ranges: Seq[IceLiteFileRange] = Nil, // aligned with `files` when non-empty
+    seqs: Seq[Long] = Nil) // per-file data sequence numbers (equality-delete ordering)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -806,13 +833,15 @@ final class IceLiteReaderFactory(
     partCols: Array[String],
     tableSchema: StructType,
     limit: Option[Int] = None,
-    deletes: Seq[PositionDeleteFile] = Nil)
+    deletes: Seq[PositionDeleteFile] = Nil,
+    eqDeletes: Seq[EqualityDeleteFile] = Nil)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IceLitePartition]
     new IceLitePartitionReader(conf.value, p, required, partCols, tableSchema, limit,
-      deletes ++ p.deletes) // set-union semantics: factory-wide + partition-scoped
+      deletes ++ p.deletes, // set-union semantics: factory-wide + partition-scoped
+      eqDeletes)
   }
 }
 
@@ -825,6 +854,17 @@ final case class PositionDeleteFile(
     minFp: Option[String],
     maxFp: Option[String])
 
+/** One live merge-on-read EQUALITY-delete file (spec content 2): its rows
+  * are delete KEYS over `keyCols`, applied to data files whose data
+  * sequence number is STRICTLY older than `seq` (the spec's ordering —
+  * a row re-inserted after the delete survives). Column names are
+  * resolved from `equality_ids` at planning, so the executor never needs
+  * the field-id table. */
+final case class EqualityDeleteFile(
+    path: String,
+    seq: Long,
+    keyCols: Seq[String])
+
 final class IceLitePartitionReader(
     conf: Configuration,
     partition: IceLitePartition,
@@ -832,7 +872,8 @@ final class IceLitePartitionReader(
     partCols: Array[String],
     tableSchema: StructType,
     limit: Option[Int] = None,
-    deletes: Seq[PositionDeleteFile] = Nil)
+    deletes: Seq[PositionDeleteFile] = Nil,
+    eqDeletes: Seq[EqualityDeleteFile] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val partIdx: Map[String, Int] = partCols.zipWithIndex.toMap
@@ -866,7 +907,44 @@ final class IceLitePartitionReader(
   private var curRange: IceLiteFileRange = _ // active byte-range split, or null
   private var curRelUtf8: UTF8String = _
   private var delSet: java.util.BitSet = _ // null = no deletes touch this file
+  // per-group row predicates of the equality deletes applicable to the
+  // current file (strictly-newer deletes only); null = none apply
+  private var eqChecks: Array[Group => Boolean] = _
   private var current: InternalRow = _
+
+  // equality-delete key sets, loaded at most once per task and shared
+  // across the partition's data files (the per-task "delete index")
+  private val eqKeyCache = scala.collection.mutable.Map.empty[String, Set[List[Any]]]
+
+  /** Key rows of equality-delete file `d` as Catalyst-typed tuples (types
+    * from the TABLE schema, decoded with the same converters as data rows
+    * so membership compares exactly; null keys match null values, the
+    * spec's null-safe equality). */
+  private def loadEqKeys(d: EqualityDeleteFile): Set[List[Any]] =
+    eqKeyCache.getOrElseUpdate(d.path, {
+      IceLiteSource.deleteFilesOpened.increment()
+      val dPath  = new Path(d.path)
+      val inFile = HadoopInputFile.fromPath(dPath, conf)
+      val fr     = ParquetFileReader.open(inFile)
+      val msg    = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val proj = new MessageType("spark_schema",
+        d.keyCols.map(c => msg.getType(msg.getFieldIndex(c))): _*)
+      val c2 = new Configuration(conf)
+      c2.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+      val fns = d.keyCols.zipWithIndex.map { case (kc, i) =>
+        val dt = tableSchema.fields.find(_.name == kc).getOrElse(
+          throw new NoSuchElementException(s"equality-delete key column $kc not in table schema")
+        ).dataType
+        IceLiteConverters.fieldReader(proj.getType(i).asPrimitiveType(), dt, i)
+      }
+      val rdr = ParquetReader.builder(new GroupReadSupport(), dPath).withConf(c2).build()
+      val out = scala.collection.mutable.HashSet.empty[List[Any]]
+      try {
+        var g = rdr.read()
+        while (g != null) { out += fns.map(_(g)).toList; g = rdr.read() }
+      } finally rdr.close()
+      out.toSet
+    })
 
   /** Partition-column constant for required field `name` (parsed from the
     * partition key row — already Catalyst-typed), or null if absent. */
@@ -915,23 +993,52 @@ final class IceLitePartitionReader(
     if (bs.isEmpty) null else bs
   }
 
+  /** Is the current decoded row removed by an applicable equality delete? */
+  private def eqDeleted(g: Group): Boolean = {
+    if (eqChecks == null) return false
+    var i = 0
+    while (i < eqChecks.length) { if (eqChecks(i)(g)) return true; i += 1 }
+    false
+  }
+
   private def openNextFile(): Boolean = {
     if (fileIdx >= partition.files.length) return false
     val full  = partition.files(fileIdx)
     val path  = new Path(full)
     val range = if (partition.ranges.nonEmpty) partition.ranges(fileIdx) else null
+    // data sequence number gates equality-delete application: only deletes
+    // STRICTLY newer than the file apply (a restated row survives). Files
+    // planned without seqs (non-MoR paths) never see equality deletes.
+    val fileSeq = if (partition.seqs.nonEmpty) partition.seqs(fileIdx) else Long.MaxValue
+    val eqApplicable = eqDeletes.filter(_.seq > fileSeq)
     curRange = range
     fileIdx += 1
     IceLiteSource.filesOpened.increment()
 
     val rel = relOf(full)
     curRelUtf8 = UTF8String.fromString(rel)
-    curPos = if (range != null) range.startRow else 0L
     delSet = loadDeletes(rel)
 
     val inFile  = HadoopInputFile.fromPath(path, conf)
     val fr      = ParquetFileReader.open(inFile)
-    val fileMsg = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val fileMsg = try {
+      if (range != null && range.startRow < 0) {
+        // planner-deferred range (manifest split_offsets, zero planning
+        // IO): resolve startRow/rows from the footer THIS open already
+        // paid for — blocks whose midpoint falls in [start, end) are
+        // exactly what parquet's range filter will read
+        var startRow = 0L
+        var rows     = 0L
+        fr.getFooter.getBlocks.forEach { b =>
+          val mid = b.getStartingPos + b.getCompressedSize / 2
+          if (mid < range.start) startRow += b.getRowCount
+          else if (mid < range.end) rows += b.getRowCount
+        }
+        curRange = IceLiteFileRange(range.start, range.end, startRow, rows)
+      }
+      fr.getFooter.getFileMetaData.getSchema
+    } finally fr.close()
+    curPos = if (curRange != null) curRange.startRow else 0L
 
     // physical presence wins: a partition-listed column decodes from the
     // file when the file actually holds it (e.g. a delta insert file on a
@@ -940,12 +1047,29 @@ final class IceLitePartitionReader(
     // (hive layout / spec Column Projection).
     val dataFields = required.fields.filter(f => fileMsg.containsField(f.name))
 
-    if (dataFields.isEmpty) {
+    // equality-delete key columns the file physically holds beyond the
+    // required projection — decoded alongside (never emitted) so delete
+    // keys compare against real row values
+    val eqExtraCols: Array[String] = eqApplicable.flatMap(_.keyCols).distinct
+      .filter(c => fileMsg.containsField(c) && !dataFields.exists(_.name == c)).toArray
+
+    eqChecks = null
+    if (dataFields.isEmpty && eqExtraCols.isEmpty) {
+      // no column decodes at all: any applicable equality delete keys on
+      // per-file CONSTANTS (partition value / evolved-in null) — one
+      // membership test decides the whole file
+      val allDeleted = eqApplicable.exists { d =>
+        loadEqKeys(d).contains(d.keyCols.map(partConst).toList)
+      }
+      if (allDeleted) { reader = null; constRow = null; synthActive = false; return true }
+    }
+
+    if (dataFields.isEmpty && eqExtraCols.isEmpty) {
       // nothing to decode from the row groups: row count from the range
       // (or the footer for a whole file); plain constants when positions
       // are irrelevant, position iteration when metadata columns are
       // requested or deletes must be applied
-      val n = if (range != null) range.rows else {
+      val n = if (curRange != null) curRange.rows else {
         val fr2 = ParquetFileReader.open(inFile)
         try fr2.getRecordCount finally fr2.close()
       }
@@ -962,13 +1086,30 @@ final class IceLitePartitionReader(
       }
       true
     } else {
+      val projNames = dataFields.map(_.name) ++ eqExtraCols
       val projection = new MessageType("spark_schema",
-        dataFields.map(f => fileMsg.getType(fileMsg.getFieldIndex(f.name))): _*)
+        projNames.map(n => fileMsg.getType(fileMsg.getFieldIndex(n))): _*)
       val c = new Configuration(conf)
       c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(c)
       reader = (if (range != null) b.withFileRange(range.start, range.end) else b).build()
-      val posOf = dataFields.map(_.name).zipWithIndex.toMap
+      val posOf = projNames.zipWithIndex.toMap
+      if (eqApplicable.nonEmpty) {
+        eqChecks = eqApplicable.map { d =>
+          val keys = loadEqKeys(d)
+          val fns: Seq[Group => Any] = d.keyCols.map { kc =>
+            posOf.get(kc) match {
+              case Some(i) =>
+                val dt = tableSchema.fields.find(_.name == kc).get.dataType
+                IceLiteConverters.fieldReader(projection.getType(i).asPrimitiveType(), dt, i)
+              case None =>
+                val const = partConst(kc)
+                (_: Group) => const
+            }
+          }
+          (g: Group) => keys.contains(fns.map(_(g)).toList)
+        }.toArray
+      }
       val relU  = curRelUtf8
       rowFns = required.fields.map { f =>
         posOf.get(f.name) match {
@@ -1015,7 +1156,8 @@ final class IceLitePartitionReader(
         var emittedOne = false
         while (g != null && !emittedOne) {
           val p = curPos; curPos += 1
-          if (delSet == null || p > Int.MaxValue.toLong || !delSet.get(p.toInt)) {
+          if ((delSet == null || p > Int.MaxValue.toLong || !delSet.get(p.toInt)) &&
+              !eqDeleted(g)) {
             val vals: Array[Any] = rowFns.map(fn => if (fn == null) null else fn(g))
             posOrds.foreach(i => vals(i) = p)
             current = new GenericInternalRow(vals)

@@ -145,7 +145,8 @@ final class IceLiteStreamingWrite(
     // unprunable forever (no recorded range = conservative keep)
     val entries = messages.toSeq.map { m =>
       val w = m.asInstanceOf[IceLiteWriteMessage]
-      ManifestEntry(w.relPath, Some(w.stats), Some(w.rows))
+      ManifestEntry(w.relPath, Some(w.stats), Some(w.rows),
+        Some(w.sizeBytes).filter(_ > 0), Some(w.splitOffsets.toList).filter(_.nonEmpty))
     }.filter(_.rows.exists(_ > 0L))
     val t = IceTable.load(SparkSession.active, location)
     t.commitStagedEntries(entries, replace = false, token = Some(s"v2-$queryId-epoch-$epochId"))
@@ -184,7 +185,8 @@ final class IceLiteBatchWrite(
     val entries = messages.toSeq.flatMap {
       case p: IceLitePartitionedWriteMessage => p.entries
       case m: IceLiteWriteMessage            => Seq(m)
-    }.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows)))
+    }.map(w => ManifestEntry(w.relPath, Some(w.stats), Some(w.rows),
+        Some(w.sizeBytes).filter(_ > 0), Some(w.splitOffsets.toList).filter(_.nonEmpty)))
       .filter(_.rows.exists(_ > 0L))
     val t = IceTable.load(SparkSession.active, location)
     if (byFilter.isDefined) {
@@ -217,7 +219,9 @@ final class IceLiteBatchWrite(
 final case class IceLiteWriteMessage(
     relPath: String,
     rows: Long,
-    stats: Map[String, ColRange])
+    stats: Map[String, ColRange],
+    sizeBytes: Long = 0L, // file length, read executor-side at close
+    splitOffsets: Seq[Long] = Nil) // row-group starts (zero-IO ranged splits)
     extends WriterCommitMessage
 
 /** One partitioned task's output: one file entry per partition value the
@@ -375,6 +379,10 @@ final class IceLiteDataWriter(
     .builder(HadoopOutputFile.fromPath(path, conf.value))
     .withType(msgType)
     .withConf(conf.value)
+    // honor the standard row-group size knob (the builder ignores the
+    // hadoop conf, unlike ParquetOutputFormat) — row-group granularity is
+    // what ranged splits parallelize over
+    .withRowGroupSize(conf.value.getLong("parquet.block.size", 128L * 1024 * 1024))
     .build()
 
   private var rows = 0L
@@ -451,7 +459,20 @@ final class IceLiteDataWriter(
       else Some(schema.fields(idx).name ->
         ColRange(Some(statStr(dt, mins(s))), Some(statStr(dt, maxs(s)))))
     }.toMap
-    IceLiteWriteMessage(relPath, rows, stats)
+    // size + split_offsets from the just-written footer (executor-side,
+    // file still hot) — manifests carry them so an oversized file can be
+    // range-split at plan time with zero IO
+    val (size, offsets) = if (rows == 0) (0L, Nil) else {
+      import scala.jdk.CollectionConverters._
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf.value))
+      try {
+        val blocks = fr.getFooter.getBlocks.asScala
+        (path.getFileSystem(conf.value).getFileStatus(path).getLen,
+          blocks.map(_.getStartingPos).toSeq)
+      } finally fr.close()
+    }
+    IceLiteWriteMessage(relPath, rows, stats, size, offsets)
   }
 
   override def abort(): Unit = {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOpe
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -35,8 +35,11 @@ import scala.jdk.CollectionConverters._
   * Scope mirrors the resumed-commit surface: flat primitive schemas,
   * including identity/bucket/temporal-partitioned and additively
   * schema-evolved tables (the resumed session restores the full schema +
-  * spec histories; delta files commit under the current spec with null
-  * partition values — readable everywhere, conservatively unpruned).
+  * spec histories; delta files carry no partition values, so on a
+  * partitioned table they commit under an auxiliary UNPARTITIONED spec
+  * entry — [[IcebergFormat.Writer.commitDelta]] — which conforming
+  * external engines treat as global/unpruned rather than mispruning a
+  * null tuple against the partitioned spec).
   * 100 TB shape: the delta writes O(matched rows), the commit is
   * O(manifests) metadata, the scan prunes files by manifest bounds and
   * partition values before reading, and delete application stays a
@@ -107,13 +110,12 @@ final class IcebergMorScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  /** Accept single-column comparisons on table columns for FILE-granular
-    * pruning; everything is returned as residual (manifest ranges skip
-    * what can't match, Spark re-checks what might). */
+  /** Accept filters translatable to FILE-granular pruning predicates
+    * (comparisons, IN-lists, string prefixes, AND/OR compositions);
+    * everything is returned as residual (manifest ranges skip what can't
+    * match, Spark re-checks what might). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => IcebergMorScan.pruningRange(f).exists {
-      case (c, _, _) => p.schema.fieldNames.contains(c)
-    })
+    pushed = filters.filter(f => IcebergMorScan.filePredicate(p, f).isDefined)
     filters
   }
 
@@ -123,8 +125,8 @@ final class IcebergMorScanBuilder(
 }
 
 object IcebergMorScan {
-  /** The [column, lower, upper] range a pushable filter implies, or None
-    * when the filter can't prune at file granularity. */
+  /** The [column, lower, upper] range a pushable comparison implies, or
+    * None when the filter isn't a single-column comparison. */
   private[graft] def pruningRange(f: Filter): Option[(String, Option[String], Option[String])] =
     f match {
       case EqualTo(c, v) if isLit(v)            => Some((c, Some(v.toString), Some(v.toString)))
@@ -135,10 +137,60 @@ object IcebergMorScan {
       case _                                    => None
     }
 
+  /** Translate a pushed filter to a per-file pruning predicate over the
+    * plan's manifest evidence, or None when the filter can't prune at
+    * file granularity (it then stays residual-only). Beyond single
+    * comparisons: IN-lists (union of point ranges — a file survives if
+    * ANY value can match), string prefixes (a prefix is a range on string
+    * bounds: [prefix, successor(prefix)]), and AND/OR composition. All
+    * translations are conservative — a file is only dropped when the
+    * evidence PROVES no row can match. */
+  private[graft] def filePredicate(
+      p: IcebergFormat.TablePlan, f: Filter): Option[IcebergFormat.PlannedFile => Boolean] = {
+    def known(c: String) = p.schema.fieldNames.contains(c)
+    f match {
+      case In(c, vs) if known(c) =>
+        val lits = vs.filter(isLit).map(_.toString)
+        if (lits.isEmpty) None
+        else Some(pf => lits.exists(v => IcebergFormat.fileCanMatch(p, pf, c, Some(v), Some(v))))
+      case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
+        val hi = prefixSuccessor(prefix)
+        Some(pf => IcebergFormat.fileCanMatch(p, pf, c, Some(prefix), hi))
+      case And(l, r) =>
+        (filePredicate(p, l), filePredicate(p, r)) match {
+          case (Some(a), Some(b)) => Some(pf => a(pf) && b(pf))
+          case (Some(a), None)    => Some(a)
+          case (None, Some(b))    => Some(b)
+          case _                  => None
+        }
+      case Or(l, r) => // both sides must prune, else the disjunction can't
+        for { a <- filePredicate(p, l); b <- filePredicate(p, r) }
+          yield (pf: IcebergFormat.PlannedFile) => a(pf) || b(pf)
+      case other =>
+        pruningRange(other).filter { case (c, _, _) => known(c) }.map {
+          case (c, lo, hi) => (pf: IcebergFormat.PlannedFile) =>
+            IcebergFormat.fileCanMatch(p, pf, c, lo, hi)
+        }
+    }
+  }
+
+  /** Smallest string no `prefix`-prefixed string can reach: increment the
+    * last non-U+FFFF char, dropping the tail (None for all-U+FFFF — no
+    * finite upper bound exists). Inclusive use stays conservative. */
+  private def prefixSuccessor(prefix: String): Option[String] = {
+    val trimmed = prefix.reverse.dropWhile(_ == '\uffff').reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  }
+
   private def isLit(v: Any): Boolean = v match {
     case null => false
-    case _: String | _: java.lang.Integer | _: java.lang.Long | _: java.lang.Double |
-        _: java.lang.Float | _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
+    // non-finite float literals don't push: writers exclude NaN from
+    // min/max stats, so bounds can't prune them soundly
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case fl: java.lang.Float => !fl.isNaN && !fl.isInfinite
+    case _: String | _: java.lang.Integer | _: java.lang.Long |
+        _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
     case _ => false
   }
 
@@ -147,12 +199,47 @@ object IcebergMorScan {
     * ~128 MB tasks instead of serializing on a single reader. */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
+  /** Ranged partitions for one file from RECORDED split offsets (the
+    * zero-planning-IO path, shared by the standard-format and IceLite V2
+    * scans): per-block byte weight = distance to the next offset (file
+    * tail for the last), greedy ~target chunks over those weights.
+    * `startRow`/`rows` stay -1 sentinels the READER resolves from the
+    * footer it opens anyway. None when the offsets don't justify >= 2
+    * chunks. */
+  private[graft] def rangedFromOffsets(
+      path: String, sizeBytes: Long, offs: Seq[Long],
+      target: Long, key: InternalRow, seq: Long): Option[Seq[InputPartition]] = {
+    if (offs.size < 2) return None
+    val sizes = offs.indices.map(i =>
+      (if (i == offs.size - 1) sizeBytes else offs(i + 1)) - offs(i))
+    val chunkStarts = scala.collection.mutable.ArrayBuffer(0) // indices into offs
+    var accB = sizes.head
+    (1 until offs.size).foreach { i =>
+      if (accB + sizes(i) > target) { chunkStarts += i; accB = sizes(i) }
+      else accB += sizes(i)
+    }
+    if (chunkStarts.size < 2) return None
+    Some(chunkStarts.toSeq.zipWithIndex.map { case (ci, i) =>
+      val start = if (i == 0) 0L else offs(ci)
+      val end   = if (i == chunkStarts.size - 1) Long.MaxValue
+                  else offs(chunkStarts(i + 1))
+      IceLitePartition(Array(path), key,
+        ranges = Seq(IceLiteFileRange(start, end, -1L, -1L)),
+        seqs = Seq(seq)): InputPartition
+    })
+  }
+
   /** Partition(s) for one planned file: whole-file normally; files at
-    * least 2× the split target (by manifest `sizeBytes` — no IO unless a
-    * file is actually oversized) are split into row-group-aligned byte
-    * ranges from the FOOTER's block offsets/row counts, so each range's
-    * `startRow`/`rows` exactly match the row groups parquet's midpoint
-    * filter selects for [start, end) and `_pos` stays file-global
+    * least 2× the split target (by manifest `sizeBytes`) split into
+    * row-group-aligned byte ranges. The ZERO-IO path uses the manifest's
+    * `split_offsets` (recorded at write time, the spec's field 132) to
+    * chunk by row-group starts, leaving `startRow`/`rows` as -1 sentinels
+    * the READER resolves from the footer it opens anyway — planning never
+    * touches the file. Only externally-written files without recorded
+    * offsets fall back to one driver-side footer read (counter-gated),
+    * whose exact block row counts fill the range eagerly. Either way each
+    * range's rows exactly match the row groups parquet's midpoint filter
+    * selects for [start, end) and `_pos` stays file-global
     * (position-delete application is split-invariant). Cost note: each
     * split re-opens the delete files covering the file (bitmaps are
     * per-task); acceptable because covering deletes are range-pruned and
@@ -161,8 +248,12 @@ object IcebergMorScan {
       f: IcebergFormat.PlannedFile, conf: Configuration, target: Long,
       key: InternalRow = null): Seq[InputPartition] = {
     val path = f.path.toString
-    def whole = Seq(IceLitePartition(Array(path), key): InputPartition)
+    def whole = Seq(IceLitePartition(Array(path), key, seqs = Seq(f.seq)): InputPartition)
     if (target <= 0 || f.sizeBytes < 2 * target) return whole
+    if (f.splitOffsets.size >= 2)
+      return rangedFromOffsets(path, f.sizeBytes, f.splitOffsets, target, key, f.seq)
+        .getOrElse(whole)
+    IceLiteSource.planningFootersOpened.increment()
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(f.path, conf))
     val blocks = try fr.getFooter.getBlocks.asScala.toVector finally fr.close()
     if (blocks.size < 2) return whole
@@ -186,7 +277,8 @@ object IcebergMorScan {
       val end   = if (i == chunks.size - 1) Long.MaxValue else chunks(i + 1).head.getStartingPos
       val rows  = c.map(_.getRowCount).sum
       val part  = IceLitePartition(Array(path), key,
-        ranges = Seq(IceLiteFileRange(start, end, startRow, rows))): InputPartition
+        ranges = Seq(IceLiteFileRange(start, end, startRow, rows)),
+        seqs = Seq(f.seq)): InputPartition
       startRow += rows
       part
     }.toSeq
@@ -200,27 +292,35 @@ final class IcebergMorScan(
     pushed: Array[Filter])
     extends Scan with Batch {
 
-  require(p.deletes.forall(_.content == 1),
-    "iceberg-format SQL surface supports position deletes only " +
-      "(equality deletes read through IcebergFormat.scan)")
-
   // position deletes name files by path, so (unlike equality deletes)
   // sequence-number filtering is redundant under never-reused paths — a
   // bitmap simply has no bits for files the delete never named. The
   // manifest's file_path [min, max] rides along so the reader opens a
   // delete file only for data files inside its range.
   private val deleteFiles: Seq[PositionDeleteFile] =
-    p.deletes.map(d =>
+    p.deletes.filter(_.content == 1).map(d =>
       PositionDeleteFile(d.path.toString, d.pathBounds.map(_._1), d.pathBounds.map(_._2)))
 
+  // equality deletes (content 2 — the shape CDC writers like Flink emit)
+  // apply reader-side per data file, gated by the spec's strictly-older
+  // sequence rule; `equality_ids` resolve to column names HERE, where the
+  // field-id table lives, so executors stay id-free
+  private val eqDeleteFiles: Seq[EqualityDeleteFile] = {
+    val idToName = p.fieldIds.zip(p.schema.fieldNames).toMap
+    p.deletes.filter(_.content == 2).map { d =>
+      require(d.equalityIds.nonEmpty, "equality delete file without equality_ids")
+      EqualityDeleteFile(d.path.toString, d.seq,
+        d.equalityIds.map(id => idToName.getOrElse(id,
+          throw new NoSuchElementException(s"equality_id $id not in schema"))))
+    }
+  }
+
   // manifest-level file skipping: a file survives only if EVERY pushed
-  // filter's implied range can match its recorded bounds / partition
+  // filter's pruning predicate can match its recorded bounds / partition
   // values (conjunction semantics; a file with no evidence is kept)
-  private val ranges = pushed.flatMap(IcebergMorScan.pruningRange)
+  private val filePreds = pushed.flatMap(IcebergMorScan.filePredicate(p, _))
   private[graft] val survivors: Seq[IcebergFormat.PlannedFile] =
-    p.files.filter(f => ranges.forall { case (c, lo, hi) =>
-      IcebergFormat.fileCanMatch(p, f, c, lo, hi)
-    })
+    p.files.filter(f => filePreds.forall(_(f)))
 
   // identity-partition columns any surviving file records a value for:
   // the reader rebuilds these from the per-file partition key when a data
@@ -247,12 +347,16 @@ final class IcebergMorScan(
         }.orNull: Any
       })
 
+  @volatile private var partitionsComputed: Option[Int] = None
   private lazy val partitions: Array[InputPartition] = {
     val spark  = SparkSession.active
     val target = spark.conf.get("graft.split.size",
       IcebergMorScan.DefaultSplitBytes.toString).toLong
     val conf = spark.sparkContext.hadoopConfiguration
-    survivors.flatMap(f => IcebergMorScan.partitionsFor(f, conf, target, keyFor(f))).toArray
+    val ps = survivors.flatMap(f =>
+      IcebergMorScan.partitionsFor(f, conf, target, keyFor(f))).toArray
+    partitionsComputed = Some(ps.length)
+    ps
   }
 
   override def readSchema(): StructType = required
@@ -261,11 +365,16 @@ final class IcebergMorScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteReaderFactory(
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      required, partCols, tableSchema, None, deleteFiles)
+      required, partCols, tableSchema, None, deleteFiles, eqDeleteFiles)
+  // IO-free by contract: EXPLAIN must never force `partitions` (ranged
+  // splits may open parquet footers); split counts print only if planning
+  // already ran
   override def description(): String = {
     val push = if (pushed.isEmpty) "" else s", pushed=[${pushed.mkString(", ")}]"
-    val split = partitions.length - survivors.length
-    val sp    = if (split > 0) s", splits=${partitions.length}" else ""
+    val sp = partitionsComputed match {
+      case Some(n) if n > survivors.length => s", splits=$n"
+      case _                               => ""
+    }
     s"IcebergMorScan(files=${survivors.length}/${p.files.length}$push$sp)"
   }
 }
@@ -316,7 +425,8 @@ final class IcebergMorDeltaOperation(
             private val dataRel   = s"data/delta-$tag"
 
             override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-              new IcebergMorDeltaWriterFactory(conf, location, deleteRel, dataRel, tableSchema)
+              new IcebergMorDeltaWriterFactory(conf, location, deleteRel, dataRel, tableSchema,
+                p.fieldIds) // insert files stamp the table's REAL field ids
 
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               val msgs = messages.toSeq.map(_.asInstanceOf[IcebergMorDeltaMessage])
@@ -346,10 +456,14 @@ final class IcebergMorDeltaOperation(
                   if (idx >= 0 && idx < p.fieldIds.length) Some(p.fieldIds(idx) -> lohi)
                   else None
                 }
-                IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = bounds)
+                IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = bounds,
+                  splitOffsets = m.splitOffsets)
               }
               if (delInfos.isEmpty && dataInfos.isEmpty) return // nothing matched: no snapshot
-              IcebergFormat.resumeWriter(s, location).commit(dataInfos ++ delInfos)
+              // delta files carry no partition values → commitDelta routes
+              // them under an unpartitioned spec on partitioned tables so
+              // conforming external engines never prune them away
+              IcebergFormat.resumeWriter(s, location).commitDelta(dataInfos ++ delInfos)
             }
 
             override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -376,10 +490,12 @@ final class IcebergMorDeltaWriterFactory(
     location: String,
     deleteRel: String,
     dataRel: String,
-    schema: StructType)
+    schema: StructType,
+    fieldIds: Seq[Int] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new IcebergMorDeltaWriter(conf, location, deleteRel, dataRel, schema, partitionId, taskId)
+    new IcebergMorDeltaWriter(conf, location, deleteRel, dataRel, schema, partitionId, taskId,
+      fieldIds)
 }
 
 /** Executor-side delta writer: streams `(_file, _pos)` row ids into one
@@ -395,7 +511,8 @@ final class IcebergMorDeltaWriter(
     dataRel: String,
     schema: StructType,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    fieldIds: Seq[Int] = Nil)
     extends DeltaWriter[InternalRow] {
 
   private var delWriter: IceLiteDataWriter = _
@@ -415,7 +532,7 @@ final class IcebergMorDeltaWriter(
   override def insert(row: InternalRow): Unit = {
     if (insWriter == null)
       insWriter = new IcebergNestedDataWriter(conf, location, dataRel, schema,
-        partitionId, taskId)
+        partitionId, taskId, fieldIds)
     insWriter.write(row)
   }
 

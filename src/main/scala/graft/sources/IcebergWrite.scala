@@ -130,7 +130,8 @@ final class IcebergV2Write(location: String, schema: StructType, replace: Boolea
       } else (0, Nil, Nil)
       val infos = messages.toSeq.collect {
         case m: IcebergWriteMessage if m.rows > 0 =>
-          IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = m.bounds)
+          IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = m.bounds,
+            splitOffsets = m.splitOffsets)
       }
       val w = new IcebergFormat.Writer(s, location, schema,
         startVersion = oldVersion, fileTag = dataRel.stripPrefix("data/snap-w-"))
@@ -202,7 +203,8 @@ final case class IcebergWriteMessage(
     absPath: String,
     rows: Long,
     sizeBytes: Long,
-    bounds: Map[Int, (Array[Byte], Array[Byte])])
+    bounds: Map[Int, (Array[Byte], Array[Byte])],
+    splitOffsets: Seq[Long] = Nil) // row-group starts, read executor-side at close
     extends WriterCommitMessage
 
 final class IcebergWriterFactory(
@@ -226,17 +228,22 @@ final class IcebergNestedDataWriter(
     dataRel: String,
     schema: StructType,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    fieldIds: Seq[Int] = Nil) // real top-level ids (sparse tables); Nil = 1..n
     extends DataWriter[InternalRow] {
 
   private val relPath = f"$dataRel/part-$partitionId%05d-$taskId.parquet"
   private val path    = new Path(location, relPath)
-  private val msgType = IcebergWriteSchema.messageTypeFor(schema)
+  private val msgType = IcebergWriteSchema.messageTypeFor(schema, fieldIds)
   private val factory = new SimpleGroupFactory(msgType)
   private val writer  = ExampleParquetWriter
     .builder(HadoopOutputFile.fromPath(path, conf.value))
     .withType(msgType)
     .withConf(conf.value)
+    // honor the standard row-group size knob (the builder ignores the
+    // hadoop conf, unlike ParquetOutputFormat) — row-group granularity is
+    // what ranged splits parallelize over
+    .withRowGroupSize(conf.value.getLong("parquet.block.size", 128L * 1024 * 1024))
     .build()
 
   private var rows = 0L
@@ -305,9 +312,18 @@ final class IcebergNestedDataWriter(
         hi <- IcebergFormat.encodeBound(dt, statStr(dt, maxs(s)))
       } yield (idx + 1) -> (lo, hi) // field id = position + 1 at top level
     }.toMap
+    // split_offsets from the just-written footer (executor-side, file
+    // still hot) — manifests carry them so planners range-split with no IO
+    val offsets = if (rows == 0) Nil else {
+      import scala.jdk.CollectionConverters._
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf.value))
+      try fr.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq
+      finally fr.close()
+    }
     val fs = path.getFileSystem(conf.value)
     IcebergWriteMessage(path.toString, rows,
-      if (rows > 0) fs.getFileStatus(path).getLen else 0L, bounds)
+      if (rows > 0) fs.getFileStatus(path).getLen else 0L, bounds, offsets)
   }
 
   override def abort(): Unit = {
@@ -323,17 +339,21 @@ object IcebergWriteSchema {
 
   /** Nested-capable parquet MessageType whose every field carries the
     * Iceberg field id — assigned by the SAME traversal
-    * [[IcebergFormat.icebergSchemaJson]] uses (top-level fields 1..n,
-    * nested ids continuing after n in declaration order; struct children
-    * pre-order; list element-id before its element's nested ids; map
-    * key-id then value-id before either side's nested ids), so parquet
-    * metadata and table schema agree on column identity. */
-  def messageTypeFor(schema: StructType): MessageType = {
-    var lastId = schema.fields.length
+    * [[IcebergFormat.icebergSchemaJson]] uses (top-level fields 1..n by
+    * default, or the caller's REAL ids for sparse externally-evolved
+    * tables; nested ids continuing after the max in declaration order;
+    * struct children pre-order; list element-id before its element's
+    * nested ids; map key-id then value-id before either side's nested
+    * ids), so parquet metadata and table schema agree on column
+    * identity. */
+  def messageTypeFor(schema: StructType, topIds: Seq[Int] = Nil): MessageType = {
+    val ids = if (topIds.nonEmpty) topIds else 1 to schema.fields.length
+    require(ids.length == schema.fields.length, "field id count != column count")
+    var lastId = ids.maxOption.getOrElse(0)
     val nextId = () => { lastId += 1; lastId }
     val b = Types.buildMessage()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      b.addField(typeFor(f.name, f.dataType, i + 1, Repetition.OPTIONAL, nextId))
+      b.addField(typeFor(f.name, f.dataType, ids(i), Repetition.OPTIONAL, nextId))
     }
     b.named("spark_schema")
   }

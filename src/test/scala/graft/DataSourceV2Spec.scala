@@ -260,4 +260,51 @@ class DataSourceV2Spec extends SparkSpec {
     val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(loc, "data")).map(_.getPath.getName)
     assert(dataDirs.length == 1, s"old data dirs not reclaimed: ${dataDirs.mkString(",")}")
   }
+
+  test("persistent SQL views: full lifecycle through the ViewCatalog") {
+    import org.apache.spark.sql.connector.catalog.ViewCatalog
+    val wh = scratch("views")
+    spark.conf.set("spark.sql.catalog.ice_vw", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_vw.warehouse", wh)
+    try {
+      val fsc = new FsCatalog(spark, wh)
+      fsc.createOrReplaceTable("graft", "nat_v", Tables.nation(spark, sfDir))
+      spark.sql("""CREATE VIEW ice_vw.graft.big AS
+                   SELECT n_regionkey, count(*) AS n
+                   FROM ice_vw.graft.nat_v GROUP BY n_regionkey""")
+      // the definition is a durable warehouse file, not session state
+      assert(new java.io.File(s"$wh/graft/_views/big.json").isFile)
+      val got = spark.sql("SELECT * FROM ice_vw.graft.big ORDER BY n_regionkey").collect()
+      assert(got.length == 5 && got.map(_.getLong(1)).sum == 25, s"view read wrong: ${got.toSeq}")
+      // Iceberg-view TEXT semantics: each read re-plans against CURRENT
+      // table state — an append is visible through the existing view
+      fsc.loadTable("graft", "nat_v").append(
+        Tables.nation(spark, sfDir).limit(3))
+      assert(spark.sql("SELECT sum(n) AS s FROM ice_vw.graft.big").head().getLong(0) == 28)
+      // duplicate-create semantics
+      intercept[Exception](
+        spark.sql("CREATE VIEW ice_vw.graft.big AS SELECT 1 AS one"))
+      spark.sql("CREATE VIEW IF NOT EXISTS ice_vw.graft.big AS SELECT 1 AS one") // no-op
+      assert(spark.sql("SELECT * FROM ice_vw.graft.big").columns.length == 2)
+      spark.sql("""CREATE OR REPLACE VIEW ice_vw.graft.big AS
+                   SELECT n_name FROM ice_vw.graft.nat_v WHERE n_regionkey = 0""")
+      assert(spark.sql("SELECT * FROM ice_vw.graft.big").columns.toSeq == Seq("n_name"))
+      // a view referencing ANOTHER view resolves transitively
+      spark.sql("""CREATE VIEW ice_vw.graft.big2 AS
+                   SELECT count(*) AS c FROM ice_vw.graft.big""")
+      assert(spark.sql("SELECT c FROM ice_vw.graft.big2").head().getLong(0) >= 5)
+      // catalog API surface: list + rename
+      val cat = spark.sessionState.catalogManager.catalog("ice_vw").asInstanceOf[ViewCatalog]
+      assert(cat.listViews("graft").map(_.name()).toSet == Set("big", "big2"))
+      spark.sql("DROP VIEW ice_vw.graft.big2")
+      spark.sql("DROP VIEW ice_vw.graft.big")
+      assert(!new java.io.File(s"$wh/graft/_views/big.json").exists)
+      intercept[Exception](spark.sql("SELECT * FROM ice_vw.graft.big").collect())
+      intercept[Exception](spark.sql("DROP VIEW ice_vw.graft.big"))
+      spark.sql("DROP VIEW IF EXISTS ice_vw.graft.big") // no-op, no throw
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ice_vw")
+      spark.conf.unset("spark.sql.catalog.ice_vw.warehouse")
+    }
+  }
 }

@@ -651,6 +651,19 @@ class MorSpec extends SparkSpec {
         .select("n_nationkey", "n_name", "n_regionkey")
       assert(lib.except(want).isEmpty && want.except(lib).isEmpty,
         "library scan diverged on the partitioned MoR table")
+      // spec conformance: delta files carry NO partition values, so they
+      // must NOT land under the partitioned spec (external engines would
+      // prune null tuples away) — commitDelta routes them under an
+      // auxiliary unpartitioned spec while the default stays partitioned
+      val mdText = {
+        val p  = new Path(IcebergFormat.currentMetadataPath(spark, loc))
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      assert(mdText.contains("\"default-spec-id\":0"),
+        "delta DML must not change the table's default (partitioned) spec")
+      assert(mdText.contains("{\"spec-id\":1,\"fields\":[]}"),
+        "delta DML must register an auxiliary unpartitioned spec for its files")
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
@@ -726,11 +739,23 @@ class MorSpec extends SparkSpec {
       spark.conf.set("graft.split.size", "8192")
       assert(info.sizeBytes >= 2 * 8192, s"fixture: file too small to split (${info.sizeBytes}B)")
 
+      // fixture really recorded split offsets at write time (spec field 132)
+      val planned0 = IcebergFormat.plan(
+        spark, IcebergFormat.currentMetadataPath(spark, loc)).files.head
+      assert(planned0.splitOffsets.size >= 2,
+        s"manifest carries ${planned0.splitOffsets.size} split offsets; expected >= 2")
+
       IceLiteSource.filesOpened.reset()
+      IceLiteSource.planningFootersOpened.reset()
       val n0 = spark.sql(s"SELECT count(*) AS n FROM $cat.graft.ord_split").head().getLong(0)
       assert(n0 == total, "split read lost rows")
       val splits = IceLiteSource.filesOpened.sum()
       assert(splits >= 2, s"oversized file planned $splits partition(s); expected ranged splits")
+      // the 100 TB property: with manifest split_offsets, planning opened
+      // ZERO parquet footers on the driver (ranges resolve executor-side)
+      assert(IceLiteSource.planningFootersOpened.sum() == 0,
+        s"planning opened ${IceLiteSource.planningFootersOpened.sum()} footers " +
+          "despite recorded split_offsets")
 
       // position deletes stay file-global across splits (the reader's
       // range invariant is live here): delete every 10th order, re-read
@@ -744,9 +769,133 @@ class MorSpec extends SparkSpec {
       assert(spark.sql(
         s"SELECT count(*) AS n FROM $cat.graft.ord_split WHERE o_orderkey % 10 = 0")
         .head().getLong(0) == 0L)
+
+      // FALLBACK path: an externally-written table whose manifests lack
+      // split_offsets still range-splits — via exactly one driver-side
+      // footer read — and reads identically
+      val loc2 = s"$wh/graft/ord_nooff"
+      val w2   = new IcebergFormat.Writer(spark, loc2, ord.schema)
+      w2.commit(Seq(
+        IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc2, "big", ord)
+          .copy(splitOffsets = Nil)))
+      IceLiteSource.filesOpened.reset()
+      IceLiteSource.planningFootersOpened.reset()
+      val n2 = spark.sql(s"SELECT count(*) AS n FROM $cat.graft.ord_nooff").head().getLong(0)
+      assert(n2 == total, "fallback split read lost rows")
+      assert(IceLiteSource.filesOpened.sum() >= 2, "fallback path did not split")
+      assert(IceLiteSource.planningFootersOpened.sum() == 1,
+        s"fallback planning opened ${IceLiteSource.planningFootersOpened.sum()} footers; expected 1")
     } finally {
       hconf.unset("parquet.block.size")
       spark.conf.unset("graft.split.size")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("icelite V2 scan: oversized V2-written files split via recorded offsets, zero planning IO") {
+    import graft.sources.IceLiteSource
+    val wh    = scratch("il_split")
+    val cat   = "ice_ilsp"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("graft.delete.mode", "merge-on-read")
+    hconf.setInt("parquet.block.size", 4 * 1024) // many row groups per file
+    try {
+      val ord = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")
+      val fsc = new FsCatalog(spark, wh)
+      val t0  = fsc.createOrReplaceTable("graft", "ord_il",
+        ord.filter(col("o_orderkey") < 40).coalesce(1))
+      // the V2 write path records size + split_offsets executor-side
+      ord.filter(col("o_orderkey") >= 40).coalesce(1)
+        .write.format("icelite").option("location", t0.location.toString)
+        .mode("append").save()
+      val t   = fsc.loadTable("graft", "ord_il")
+      val big = t.entriesOf(t.metadata.currentSnapshot.get)
+        .filter(_.rows.exists(_ > 0)).maxBy(_.rows.get)
+      assert(big.splitOffsets.exists(_.size >= 2),
+        s"V2 write recorded no split offsets: $big")
+      assert(big.sizeBytes.exists(_ >= 2 * 8192), "fixture: file too small to split")
+      spark.conf.set("graft.split.size", "8192")
+      IceLiteSource.filesOpened.reset()
+      IceLiteSource.planningFootersOpened.reset()
+      val total = ord.count()
+      // a DATA-reading query (count(*) answers from manifest metadata and
+      // would open nothing)
+      val n0 = spark.sql(
+        s"SELECT count(DISTINCT o_orderkey) AS n FROM $cat.graft.ord_il").head().getLong(0)
+      assert(n0 == total, "icelite split read lost rows")
+      assert(IceLiteSource.filesOpened.sum() >= 3, // 1 small + >=2 ranged splits
+        s"icelite oversized file did not split (${IceLiteSource.filesOpened.sum()} opens)")
+      assert(IceLiteSource.planningFootersOpened.sum() == 0,
+        "icelite planning opened parquet footers (offsets were recorded)")
+      // MoR deletes stay split-invariant (_pos is file-global across ranges)
+      spark.sql(s"DELETE FROM $cat.graft.ord_il WHERE o_orderkey % 10 = 0")
+      val want = ord.filter(!(col("o_orderkey") % 10 === 0))
+      val got  = spark.sql(s"SELECT * FROM $cat.graft.ord_il")
+      assert(got.count() == want.count() &&
+        got.except(want).isEmpty && want.except(got).isEmpty,
+        "icelite split read wrong under position deletes")
+    } finally {
+      hconf.unset("parquet.block.size")
+      spark.conf.unset("graft.split.size")
+      spark.conf.unset("graft.delete.mode")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("iceberg-format SQL read applies EQUALITY deletes; restated rows survive") {
+    import graft.icelite.IcebergFormat
+    val wh  = scratch("ifmt_eq")
+    val loc = s"$wh/graft/nat_eq"
+    val cat = "ice_eq"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema)
+      // snapshot 1: base data; snapshot 2: CDC equality delete on keys
+      // 3/7/11; snapshot 3: key 7 RESTATED (newer than the delete)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f1", nat)))
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "del1",
+        nat.filter(col("n_nationkey").isin(3, 7, 11)).select("n_nationkey"),
+        content = 2, equalityIds = Seq(1))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f2",
+        nat.filter(col("n_nationkey") === 7).withColumn("n_name", lit("RESTATED")))))
+
+      val want = nat.filter(!col("n_nationkey").isin(3, 11))
+        .withColumn("n_name",
+          when(col("n_nationkey") === 7, lit("RESTATED")).otherwise(col("n_name")))
+      val got = spark.sql(s"SELECT * FROM $cat.graft.nat_eq")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        "equality-delete SQL read wrong")
+      // the spec's strictly-older rule: the ORIGINAL key-7 row died, the
+      // restated one (seq 3 > delete seq 2) survived — exactly one row
+      val k7 = got.filter(col("n_nationkey") === 7).collect()
+      assert(k7.length == 1 && k7(0).getString(1) == "RESTATED",
+        s"restated row handling wrong: ${k7.toSeq}")
+      // projected read that EXCLUDES the equality key column still applies
+      // the delete (the reader decodes key columns alongside the projection)
+      val nNames = spark.sql(s"SELECT n_name FROM $cat.graft.nat_eq").count()
+      assert(nNames == want.count(), "projection-only read ignored equality deletes")
+      // count(*) (no data columns at all) is delete-aware too
+      val n = spark.sql(s"SELECT count(*) AS n FROM $cat.graft.nat_eq").head().getLong(0)
+      assert(n == want.count(), "count(*) ignored equality deletes")
+      // library reader (sequence-numbered anti-join) agrees row-for-row
+      val lib = IcebergFormat.scan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      assert(lib.except(want).isEmpty && want.except(lib).isEmpty,
+        "library scan diverged on the equality-delete table")
+      // position-delete DML still composes ON TOP of equality deletes
+      spark.sql(s"DELETE FROM $cat.graft.nat_eq WHERE n_nationkey = 2")
+      val afterWant = want.filter(col("n_nationkey") =!= 2)
+      val after = spark.sql(s"SELECT * FROM $cat.graft.nat_eq")
+      assert(after.except(afterWant).isEmpty && afterWant.except(after).isEmpty,
+        "position-delete DML on an equality-delete table read wrong")
+    } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
