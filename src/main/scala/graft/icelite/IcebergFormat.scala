@@ -160,7 +160,8 @@ object IcebergFormat {
       transforms: Map[Int, (String, Any)] = Map.empty, // source id -> (transform, value)
       sizeBytes: Long = 0L, // manifest file_size_in_bytes (0 when absent)
       rowCount: Long = 0L, // manifest record_count (0 when absent)
-      splitOffsets: Seq[Long] = Nil) // manifest split_offsets (row-group starts; may be absent)
+      splitOffsets: Seq[Long] = Nil, // manifest split_offsets (row-group starts; may be absent)
+      nullCounts: Map[Int, Long] = Map.empty) // manifest null_value_counts by field id
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
@@ -466,7 +467,23 @@ object IcebergFormat {
                   case _                    => Nil
                 }
               }
-              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows, so)))
+              // null_value_counts (spec field 110): both map encodings,
+              // same shapes as bounds
+              val nc: Map[Int, Long] = df.getSchema.getField("null_value_counts") match {
+                case null => Map.empty
+                case _ => df.get("null_value_counts") match {
+                  case l: java.util.List[_] =>
+                    l.toArray.collect { case r: GenericRecord =>
+                      r.get("key").asInstanceOf[Int] -> r.get("value").asInstanceOf[Long]
+                    }.toMap
+                  case m: java.util.Map[_, _] =>
+                    import scala.jdk.CollectionConverters._
+                    m.asScala.map { case (k, v) =>
+                      k.toString.toInt -> v.asInstanceOf[Long] }.toMap
+                  case _ => Map.empty
+                }
+              }
+              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows, so, nc)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -868,7 +885,8 @@ object IcebergFormat {
       content: Int = 0,
       equalityIds: Seq[Int] = Nil,
       partitionValues: Map[String, Any] = Map.empty, // by partition field name
-      splitOffsets: Seq[Long] = Nil) // spec field 132: row-group start offsets, ascending
+      splitOffsets: Seq[Long] = Nil, // spec field 132: row-group start offsets, ascending
+      nullCounts: Map[Int, Long] = Map.empty) // spec field 110: null counts by field id
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
@@ -904,6 +922,10 @@ object IcebergFormat {
           {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
             {"name":"key","type":"int","field-id":129},
             {"name":"value","type":"bytes","field-id":130}]}}]},
+        {"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+          {"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+            {"name":"key","type":"int","field-id":121},
+            {"name":"value","type":"long","field-id":122}]}}]},
         {"name":"split_offsets","field-id":132,"default":null,"type":["null",
           {"type":"array","items":"long","element-id":133}]},
         {"name":"equality_ids","field-id":135,"default":null,"type":["null",
@@ -957,7 +979,8 @@ object IcebergFormat {
     * sort order, which makes file positions deterministic — the property
     * position deletes address. */
   def writeSingleFile(spark: SparkSession, stagingDir: String, loc: String, name: String,
-      df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil): DataFileInfo = {
+      df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil,
+      fieldIds: Seq[Int] = Nil): DataFileInfo = {
     val fs  = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$stagingDir/stage_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -978,8 +1001,22 @@ object IcebergFormat {
       try fr.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq
       finally fr.close()
     }
-    DataFileInfo(dest.toString, df.count(), fs.getFileStatus(dest).getLen,
-      content = content, equalityIds = equalityIds, splitOffsets = offsets)
+    // one agg pass: row count + per-column null counts (spec field 110,
+    // what IS [NOT] NULL predicates prune on). Keys default to the
+    // positional 1..n id layout; sparse-id callers pass their real ids.
+    import org.apache.spark.sql.functions.{count, lit, sum, when, col}
+    val ids = if (fieldIds.nonEmpty) fieldIds else 1 to df.schema.fields.length
+    require(ids.length == df.schema.fields.length, "field id count != column count")
+    val aggRow = df.select(count(lit(1)).as("__n") +:
+      df.schema.fieldNames.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$i")
+      }: _*).head()
+    val rows = aggRow.getLong(0)
+    val nullCounts = (if (content == 0) df.schema.fields.indices else Nil)
+      .map(i => ids(i) -> (if (aggRow.isNullAt(i + 1)) 0L else aggRow.getLong(i + 1))).toMap
+    DataFileInfo(dest.toString, rows, fs.getFileStatus(dest).getLen,
+      content = content, equalityIds = equalityIds, splitOffsets = offsets,
+      nullCounts = nullCounts)
   }
 
   /** Avro primitive for an identity partition value in the manifest's
@@ -1197,6 +1234,18 @@ object IcebergFormat {
           }
           dataFile.put("lower_bounds", boundList("lower_bounds", _._1))
           dataFile.put("upper_bounds", boundList("upper_bounds", _._2))
+        }
+        if (f.nullCounts.nonEmpty) {
+          // spec field 110: what IS NULL / IS NOT NULL predicates prune on
+          val arraySchema =
+            dataFile.getSchema.getField("null_value_counts").schema().getTypes.get(1)
+          val items = arraySchema.getElementType
+          val l = new java.util.ArrayList[GenericRecord]()
+          f.nullCounts.toSeq.sortBy(_._1).foreach { case (id, n) =>
+            val r = new GenericData.Record(items)
+            r.put("key", id); r.put("value", n); l.add(r)
+          }
+          dataFile.put("null_value_counts", new GenericData.Array(arraySchema, l))
         }
         if (f.splitOffsets.nonEmpty) {
           // spec field 132: recorded at write time so planners can range-

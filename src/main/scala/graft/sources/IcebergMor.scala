@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOpe
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or, StringStartsWith}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -156,6 +156,14 @@ object IcebergMorScan {
       case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
         val hi = prefixSuccessor(prefix)
         Some(pf => IcebergFormat.fileCanMatch(p, pf, c, Some(prefix), hi))
+      case IsNull(c) if known(c) =>
+        // droppable only when the manifest RECORDS zero nulls for the file
+        val fid = p.fieldIds(p.schema.fieldNames.indexOf(c))
+        Some(pf => pf.nullCounts.get(fid).forall(_ > 0))
+      case IsNotNull(c) if known(c) =>
+        // droppable only when every recorded row is null
+        val fid = p.fieldIds(p.schema.fieldNames.indexOf(c))
+        Some(pf => !pf.nullCounts.get(fid).exists(n => pf.rowCount > 0 && n >= pf.rowCount))
       case And(l, r) =>
         (filePredicate(p, l), filePredicate(p, r)) match {
           case (Some(a), Some(b)) => Some(pf => a(pf) && b(pf))
@@ -451,13 +459,14 @@ final class IcebergMorDeltaOperation(
               // position+1 — remap to the table's REAL field ids (sparse
               // after evolution) so pruning keys match the metadata
               val dataInfos = msgs.flatMap(_.dataFiles).filter(_.rows > 0L).map { m =>
-                val bounds = m.bounds.flatMap { case (id, lohi) =>
+                def remap[A](byPos: Map[Int, A]): Map[Int, A] = byPos.flatMap { case (id, v) =>
                   val idx = id - 1
-                  if (idx >= 0 && idx < p.fieldIds.length) Some(p.fieldIds(idx) -> lohi)
+                  if (idx >= 0 && idx < p.fieldIds.length) Some(p.fieldIds(idx) -> v)
                   else None
                 }
-                IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = bounds,
-                  splitOffsets = m.splitOffsets)
+                IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes,
+                  bounds = remap(m.bounds), splitOffsets = m.splitOffsets,
+                  nullCounts = remap(m.nullCounts))
               }
               if (delInfos.isEmpty && dataInfos.isEmpty) return // nothing matched: no snapshot
               // delta files carry no partition values → commitDelta routes

@@ -131,7 +131,7 @@ final class IcebergV2Write(location: String, schema: StructType, replace: Boolea
       val infos = messages.toSeq.collect {
         case m: IcebergWriteMessage if m.rows > 0 =>
           IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes, bounds = m.bounds,
-            splitOffsets = m.splitOffsets)
+            splitOffsets = m.splitOffsets, nullCounts = m.nullCounts)
       }
       val w = new IcebergFormat.Writer(s, location, schema,
         startVersion = oldVersion, fileTag = dataRel.stripPrefix("data/snap-w-"))
@@ -204,7 +204,8 @@ final case class IcebergWriteMessage(
     rows: Long,
     sizeBytes: Long,
     bounds: Map[Int, (Array[Byte], Array[Byte])],
-    splitOffsets: Seq[Long] = Nil) // row-group starts, read executor-side at close
+    splitOffsets: Seq[Long] = Nil, // row-group starts, read executor-side at close
+    nullCounts: Map[Int, Long] = Map.empty) // keyed by POSITION+1, remapped at commit
     extends WriterCommitMessage
 
 final class IcebergWriterFactory(
@@ -256,6 +257,8 @@ final class IcebergNestedDataWriter(
   private val mins = new Array[Any](statCols.length)
   private val maxs = new Array[Any](statCols.length)
 
+  private val nullCounters = new Array[Long](schema.fields.length)
+
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
@@ -263,7 +266,7 @@ final class IcebergNestedDataWriter(
       if (!row.isNullAt(i)) {
         val f = schema.fields(i)
         IcebergWriteSchema.appendValue(g, f.name, f.dataType, row.get(i, f.dataType))
-      }
+      } else nullCounters(i) += 1L
       i += 1
     }
     var s = 0
@@ -323,7 +326,8 @@ final class IcebergNestedDataWriter(
     }
     val fs = path.getFileSystem(conf.value)
     IcebergWriteMessage(path.toString, rows,
-      if (rows > 0) fs.getFileStatus(path).getLen else 0L, bounds, offsets)
+      if (rows > 0) fs.getFileStatus(path).getLen else 0L, bounds, offsets,
+      nullCounters.indices.map(i => (i + 1) -> nullCounters(i)).toMap)
   }
 
   override def abort(): Unit = {

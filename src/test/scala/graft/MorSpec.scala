@@ -506,6 +506,80 @@ class MorSpec extends SparkSpec {
     } finally dropIcebergFixture(cat)
   }
 
+  test("iceberg-format scan: IN-list, prefix, and null-count pruning") {
+    import graft.icelite.IcebergFormat
+    import graft.sources.IceLiteSource
+    val (cat, _, _) = icebergNationFixture("prune2")
+    try {
+      // IN-list inside file a's [0, 11] bounds: union of point ranges
+      // prunes file b entirely
+      IceLiteSource.filesOpened.reset()
+      val in = spark.sql(
+        s"SELECT n_nationkey FROM $cat.graft.nat_prune2 WHERE n_nationkey IN (1, 5, 9)")
+        .collect().map(_.getInt(0)).sorted
+      assert(in.sameElements(Seq(1, 5, 9)))
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"IN-list probe opened ${IceLiteSource.filesOpened.sum()} files, expected 1")
+      // an IN-list spanning both bounds keeps both
+      IceLiteSource.filesOpened.reset()
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $cat.graft.nat_prune2 WHERE n_nationkey IN (1, 20)")
+        .head().getLong(0) == 2 && IceLiteSource.filesOpened.sum() == 2)
+    } finally dropIcebergFixture(cat)
+
+    // prefix + null-count pruning on a purpose-built two-file table:
+    // disjoint string ranges; `maybe_null` is ALL-null in lo, no-null in hi
+    val wh  = scratch("ifmt_prune3")
+    val loc = s"$wh/graft/str_prune"
+    val cat3 = "ice_prune3"
+    spark.conf.set(s"spark.sql.catalog.$cat3", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat3.warehouse", wh)
+    try {
+      import spark.implicits._
+      val lo = Seq((1, "apple", Option.empty[Int]), (2, "grape", Option.empty[Int]),
+        (3, "melon", Option.empty[Int])).toDF("k", "s", "maybe_null")
+      val hi = Seq((4, "nectarine", Some(40)), (5, "peach", Some(50)),
+        (6, "zebra", Some(60))).toDF("k", "s", "maybe_null")
+      def sb(v: String) = IcebergFormat.encodeBound(
+        org.apache.spark.sql.types.StringType, v).get
+      val w = new IcebergFormat.Writer(spark, loc, lo.schema)
+      w.commit(Seq(
+        IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "lo", lo)
+          .copy(bounds = Map(2 -> (sb("apple"), sb("melon")))),
+        IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "hi", hi)
+          .copy(bounds = Map(2 -> (sb("nectarine"), sb("zebra"))))))
+      // fixture really recorded null counts (spec field 110)
+      val planned = IcebergFormat.plan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      assert(planned.files.forall(_.nullCounts.get(3).isDefined),
+        s"null counts missing: ${planned.files.map(_.nullCounts)}")
+      // LIKE 'z%' pushes as StringStartsWith: a prefix is a range on the
+      // string bounds -> only hi read
+      IceLiteSource.filesOpened.reset()
+      assert(spark.sql(s"SELECT k FROM $cat3.graft.str_prune WHERE s LIKE 'z%'")
+        .collect().map(_.getInt(0)).toSeq == Seq(6))
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"prefix probe opened ${IceLiteSource.filesOpened.sum()} files, expected 1")
+      // IS NOT NULL prunes the all-null file
+      IceLiteSource.filesOpened.reset()
+      assert(spark.sql(
+        s"SELECT count(k) AS n FROM $cat3.graft.str_prune WHERE maybe_null IS NOT NULL")
+        .head().getLong(0) == 3)
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"IS NOT NULL opened ${IceLiteSource.filesOpened.sum()} files, expected 1")
+      // IS NULL prunes the zero-null file
+      IceLiteSource.filesOpened.reset()
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $cat3.graft.str_prune WHERE maybe_null IS NULL")
+        .head().getLong(0) == 3)
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"IS NULL opened ${IceLiteSource.filesOpened.sum()} files, expected 1")
+      ()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat3")
+      spark.conf.unset(s"spark.sql.catalog.$cat3.warehouse")
+    }
+  }
+
   test("iceberg-format DELETE blast radius: delete files are path-range pruned") {
     import graft.sources.IceLiteSource
     val (cat, _, nat) = icebergNationFixture("blast")
