@@ -176,6 +176,36 @@ object IcebergFormat {
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
       deletes: Seq[PlannedDelete])
 
+  /** One partition field's summary from a manifest-LIST entry (spec field
+    * 507 `partitions`, ordered like the manifest's spec fields): whether
+    * any file in the manifest has a null partition value, and the
+    * single-value-serialized [lower, upper] of the non-null values. The
+    * evidence that lets a planner skip a whole manifest — thousands of
+    * file entries — without reading it. */
+  private[graft] final case class FieldSummary(
+      containsNull: Boolean, lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
+  /** A manifest as the manifest LIST describes it — everything known
+    * BEFORE the manifest avro is read. `keepManifest` predicates decide
+    * from this alone. */
+  private[graft] final case class ManifestHandle(
+      path: String, seq: Long, specId: Int, content: Int,
+      summaries: Option[Seq[FieldSummary]])
+
+  /** Planning metadata that costs ONE metadata-JSON read: the schema, its
+    * field ids, and per-spec identity axes — (source column name, position
+    * among the spec's fields, i.e. the `summaries` index) for each
+    * identity-transform partition field. What a scan needs to translate
+    * pushed filters into manifest-level keep predicates before ANY
+    * manifest is read. */
+  private[graft] final case class PlanHeader(
+      schema: StructType, fieldIds: Seq[Int],
+      identityAxes: Map[Int, Seq[(String, Int)]])
+
+  /** Manifest avro files read by [[plan]] — the planning-cost observable
+    * manifest-list pruning is gated on (MorSpec). */
+  private[graft] val manifestReadsAtPlanning = new java.util.concurrent.atomic.LongAdder()
+
   /** Spec-reserved field ids of the position-delete schema (Iceberg spec
     * "Position Delete Files"): 2147483546 = file_path, 2147483545 = pos. */
   private[graft] val PosDeletePathFieldId = 2147483546
@@ -352,8 +382,46 @@ object IcebergFormat {
     }
   }
 
+  /** Stage-1 planning: ONE metadata-JSON read, no manifest (or even
+    * manifest-list) IO. Gives a scan the schema plus the identity
+    * partition axes each spec's manifest summaries are ordered by, so
+    * pushed filters can become [[ManifestHandle]] keep predicates before
+    * [[plan]] touches any manifest. */
+  private[graft] def planHeader(spark: SparkSession, metadataPath: String): PlanHeader = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    val schemaObj = (md \ "schemas") match {
+      case JArray(ss) =>
+        val cur = (md \ "current-schema-id").extractOpt[Int].getOrElse(0)
+        ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
+          .orElse(ss.headOption)
+          .getOrElse(throw new IllegalArgumentException("no schema in metadata"))
+      case _ => md \ "schema"
+    }
+    val (sparkSchema, fieldIds) = schemaFields(schemaObj)
+    val axes: Map[Int, Seq[(String, Int)]] = (md \ "partition-specs") match {
+      case JArray(specsJ) =>
+        specsJ.map { sp =>
+          val sid = (sp \ "spec-id").extractOpt[Int].getOrElse(0)
+          val fields = (sp \ "fields").extract[List[JObject]]
+          sid -> fields.zipWithIndex.flatMap { case (f, i) =>
+            if (!(f \ "transform").extractOpt[String].contains("identity")) None
+            else {
+              val idx = fieldIds.indexOf((f \ "source-id").extract[Int])
+              if (idx >= 0) Some((sparkSchema.fieldNames(idx), i)) else None
+            }
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+    PlanHeader(sparkSchema, fieldIds, axes)
+  }
+
   private[graft] def plan(spark: SparkSession, metadataPath: String,
-      snapshotId: Option[Long] = None): TablePlan = {
+      snapshotId: Option[Long] = None,
+      keepManifest: ManifestHandle => Boolean = _ => true): TablePlan = {
     implicit val fmts: Formats = DefaultFormats
     val mPath = new Path(metadataPath)
     val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -390,18 +458,31 @@ object IcebergFormat {
       .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
 
     // v2: snapshot → manifest-list avro (data AND delete manifests, each
-    // carrying its sequence number); v1 fallback: inline "manifests"
-    val manifestPaths: Seq[(String, Long, Int)] = (snapshot \ "manifest-list") match {
+    // carrying its sequence number AND its partition summaries — spec
+    // field 507); v1 fallback: inline "manifests"
+    val handles: Seq[ManifestHandle] = (snapshot \ "manifest-list") match {
       case JString(listPath) =>
         readAvro(fs, resolve(location, listPath)).map { rec =>
           val seq = Option(rec.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
           val sid = Option(rec.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(defaultSpecId)
-          (rec.get("manifest_path").toString, seq, sid)
+          val content = Option(rec.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          ManifestHandle(rec.get("manifest_path").toString, seq, sid, content,
+            parseSummaries(rec))
         }
-      case _ => (snapshot \ "manifests").extract[List[String]].map((_, 0L, defaultSpecId))
+      case _ => (snapshot \ "manifests").extract[List[String]]
+        .map(ManifestHandle(_, 0L, defaultSpecId, 0, None))
     }
 
-    val planned = manifestPaths.flatMap { case (mp, listSeq, manifestSpecId) =>
+    // manifest-LIST pruning: a data manifest whose partition summaries
+    // prove no file inside can match is never even read — at 100 TB the
+    // planning cost of a selective query is O(surviving manifests), not
+    // O(all manifests). Delete manifests are always read (extra delete
+    // evidence is dead weight, never wrong).
+    val planned = handles.flatMap { h =>
+      if (h.content == 0 && !keepManifest(h)) Nil
+      else {
+      manifestReadsAtPlanning.increment()
+      val (mp, listSeq, manifestSpecId) = (h.path, h.seq, h.specId)
       val (identityFields, bucketFields, transformFields) = specFieldsOf(manifestSpecId)
       readAvro(fs, resolve(location, mp)).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int] // 0 existing, 1 added, 2 deleted
@@ -508,10 +589,34 @@ object IcebergFormat {
           }
         }
       }
+      }
     }
     TablePlan(sparkSchema, fieldIds,
       planned.collect { case Left(f) => f }, planned.collect { case Right(d) => d })
   }
+
+  /** Parse a manifest-list entry's `partitions` summaries (spec field 507)
+    * into [[FieldSummary]]s, None when absent/empty — shared by [[plan]]
+    * and [[resumeWriter]] so restored tables keep their pruning evidence. */
+  private def parseSummaries(rec: GenericRecord): Option[Seq[FieldSummary]] =
+    if (rec.getSchema.getField("partitions") == null) None
+    else rec.get("partitions") match {
+      case l: java.util.List[_] if !l.isEmpty =>
+        Some(l.toArray.toIndexedSeq.map { case r: GenericRecord =>
+          def bytes(n: String): Option[Array[Byte]] =
+            if (r.getSchema.getField(n) == null) None
+            else Option(r.get(n)).map {
+              case bb: java.nio.ByteBuffer =>
+                val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+              case ab: Array[Byte] => ab
+              case other => other.toString.getBytes("UTF-8")
+            }
+          FieldSummary(
+            Option(r.get("contains_null")).exists(_.asInstanceOf[Boolean]),
+            bytes("lower_bound"), bytes("upper_bound"))
+        })
+      case _ => None
+    }
 
   /** Parse a bounds field in either spec encoding: the array-of-records
     * map (non-string keys) or a plain Avro string-keyed map. */
@@ -947,7 +1052,14 @@ object IcebergFormat {
       {"name":"deleted_files_count","type":"int","field-id":506},
       {"name":"added_rows_count","type":"long","field-id":512},
       {"name":"existing_rows_count","type":"long","field-id":513},
-      {"name":"deleted_rows_count","type":"long","field-id":514}
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","field-id":507,"default":null,"type":["null",
+        {"type":"array","element-id":508,"items":{"type":"record","name":"field_summary","fields":[
+          {"name":"contains_null","type":"boolean","field-id":509},
+          {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+          {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+          {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+        ]}}]}
     ]}""".replaceAll("\n\\s*", ""))
 
   /** Iceberg schema JSON for a flat Spark schema. Top-level ids default to
@@ -1137,8 +1249,59 @@ object IcebergFormat {
     private def currentSchema: StructType = allSchemas.last
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
     private case class ManifestRec(path: String, len: Long, addedBy: Long, seq: Long,
-        content: Int, nFiles: Int, nRows: Long, specId: Int, existing: Boolean = false)
+        content: Int, nFiles: Int, nRows: Long, specId: Int, existing: Boolean = false,
+        summaries: Option[Seq[FieldSummary]] = None)
     private var manifests = List.empty[ManifestRec]
+
+    // -------- partition summaries (manifest-list field 507): fold a
+    // manifest's per-file partition values into per-spec-field
+    // (contains_null, lower, upper) so planners skip whole manifests
+    private def partCmp(avroType: String, a: Any, b: Any): Int = avroType match {
+      case "int" | "long" =>
+        java.lang.Long.compare(a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+      case "float" | "double" =>
+        java.lang.Double.compare(a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+      case "boolean" =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case _ => a.toString.compareTo(b.toString)
+    }
+
+    /** Single-value serialization of a partition value (spec Appendix D —
+      * same encoding as column bounds). None for unencodable types: the
+      * summary then records no bound and the manifest is never pruned. */
+    private def encodePartValue(avroType: String, v: Any): Option[Array[Byte]] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      def le(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+        val bb = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN); f(bb); bb.array()
+      }
+      avroType match {
+        case "int"     => Some(le(4)(_.putInt(v.asInstanceOf[Number].intValue)))
+        case "long"    => Some(le(8)(_.putLong(v.asInstanceOf[Number].longValue)))
+        case "float"   => Some(le(4)(_.putFloat(v.asInstanceOf[Number].floatValue)))
+        case "double"  => Some(le(8)(_.putDouble(v.asInstanceOf[Number].doubleValue)))
+        case "string"  => Some(v.toString.getBytes("UTF-8"))
+        case "boolean" => Some(Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+        case _         => None
+      }
+    }
+
+    /** Summaries for one manifest from each file's partition-value lookup
+      * (None result = null partition value). None overall when the spec is
+      * unpartitioned — field 507 is then omitted. */
+    private def summarize(
+        specFields: Seq[SpecField], values: Seq[String => Option[Any]]): Option[Seq[FieldSummary]] =
+      if (specFields.isEmpty) None
+      else Some(specFields.map { sf =>
+        val vs = values.map(_(sf.name))
+        val present = vs.flatten
+        val containsNull = present.size < vs.size
+        if (present.isEmpty) FieldSummary(containsNull, None, None)
+        else FieldSummary(containsNull,
+          encodePartValue(sf.avroType, present.minBy(identity)(Ordering.fromLessThan(
+            (a: Any, b: Any) => partCmp(sf.avroType, a, b) < 0))),
+          encodePartValue(sf.avroType, present.maxBy(identity)(Ordering.fromLessThan(
+            (a: Any, b: Any) => partCmp(sf.avroType, a, b) < 0))))
+      })
 
     private def writeAvroFile(p: Path, schema: Schema, records: Seq[GenericRecord],
         meta: Map[String, String]): Long = {
@@ -1281,7 +1444,8 @@ object IcebergFormat {
             "format-version" -> "2",
             "content" -> (if (kind == 0) "data" else "deletes")))
         manifests = manifests :+ ManifestRec(manifestPath.toString, manifestLen, snapId, seq,
-          kind, group.size, group.map(_.recordCount).sum, specId)
+          kind, group.size, group.map(_.recordCount).sum, specId,
+          summaries = summarize(specFields, group.map(f => f.partitionValues.get _)))
       }
 
       // 2+3. the snapshot's manifest list + metadata JSON
@@ -1326,6 +1490,19 @@ object IcebergFormat {
             e
           }
         }
+        // merged summaries recomputed from the carried entries' partition
+        // records (the union of the source manifests' summaries)
+        val entryValues: Seq[String => Option[Any]] = entries.map { e =>
+          e.get("data_file").asInstanceOf[GenericRecord].get("partition") match {
+            case pr: GenericRecord =>
+              (n: String) =>
+                Option(pr.getSchema.getField(n)).flatMap(_ => Option(pr.get(n))).map {
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case v                            => v
+                }
+            case _ => (_: String) => None
+          }
+        }
         val path = new Path(metadataDir, f"m-$snapId%05d-rw$sid$tagSuffix.avro")
         val len = writeAvroFile(path, schema, entries, Map(
           "schema" -> icebergSchemaJson(currentSchema, allSchemas.size - 1, currentFieldIds),
@@ -1336,7 +1513,8 @@ object IcebergFormat {
         // list seq = the group's MIN so a null-seq entry can never be
         // treated as newer than it was (entries carry explicit seqs anyway)
         ManifestRec(path.toString, len, snapId, group.map(_.seq).min, 0,
-          group.map(_.nFiles).sum, group.map(_.nRows).sum, sid, existing = true)
+          group.map(_.nFiles).sum, group.map(_.nRows).sum, sid, existing = true,
+          summaries = summarize(specs(sid), entryValues))
       }
       manifests = merged.toList ++ delM
       publishSnapshot(snapId, seq)
@@ -1387,6 +1565,21 @@ object IcebergFormat {
         r.put("added_rows_count", if (added) m.nRows else 0L)
         r.put("existing_rows_count", if (m.existing) m.nRows else 0L)
         r.put("deleted_rows_count", 0L)
+        m.summaries.foreach { ss =>
+          // spec field 507: what manifest-LIST pruning reads
+          val arraySchema =
+            manifestFileSchema.getField("partitions").schema().getTypes.get(1)
+          val items = arraySchema.getElementType
+          val l = new java.util.ArrayList[GenericRecord]()
+          ss.foreach { s =>
+            val fr = new GenericData.Record(items)
+            fr.put("contains_null", s.containsNull)
+            s.lower.foreach(b => fr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+            s.upper.foreach(b => fr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+            l.add(fr)
+          }
+          r.put("partitions", new GenericData.Array(arraySchema, l))
+        }
         r
       }
       val listPath = new Path(metadataDir, f"snap-$snapId%d-manifest-list$tagSuffix.avro")
@@ -1446,14 +1639,17 @@ object IcebergFormat {
       * callers must have validated id layouts first. */
     private[icelite] def restore(
         committed0: List[(Long, String)],
-        manifests0: List[(String, Long, Long, Long, Int, Int, Long, Int, Boolean)],
+        manifests0: List[(String, Long, Long, Long, Int, Int, Long, Int, Boolean,
+          Option[Seq[FieldSummary]])],
         schemas0: List[StructType],
         specs0: List[Seq[(String, Int, Int, String)]],
         defaultSpec0: Int,
         fieldIds0: List[Seq[Int]]): Unit = {
       committed = committed0
-      manifests = manifests0.map { case (p, len, addedBy, seq, content, nFiles, nRows, specId, ex) =>
-        ManifestRec(p, len, addedBy, seq, content, nFiles, nRows, specId, existing = ex)
+      manifests = manifests0.map {
+        case (p, len, addedBy, seq, content, nFiles, nRows, specId, ex, sums) =>
+          ManifestRec(p, len, addedBy, seq, content, nFiles, nRows, specId, existing = ex,
+            summaries = sums)
       }
       allSchemas  = schemas0 // before specs: identity avro types resolve here
       allFieldIds = fieldIds0
@@ -1562,7 +1758,8 @@ object IcebergFormat {
         r.get("added_rows_count").asInstanceOf[Long] +
           r.get("existing_rows_count").asInstanceOf[Long],
         r.get("partition_spec_id").asInstanceOf[Int],
-        existing > 0)
+        existing > 0,
+        parseSummaries(r)) // carried pruning evidence survives the resume
     }.toList
     val w = new Writer(spark, location, allSchemas.head, Nil, uuid, startVersion = version)
     w.restore(committed, manifests, allSchemas, specTuples, defaultSpecId0, allFieldIds)

@@ -2511,6 +2511,56 @@ object IceQueries {
        WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
        ORDER BY c_custkey"""
 
+  /** Manifest-LIST pruning (ic82): each commit's manifest-list entry
+    * records per-partition-field summaries (spec field 507 — contains_null
+    * + value bounds), and a selective SQL query's planner skips whole
+    * manifests from the LIST alone — the step before file-level skipping,
+    * and the one that matters most at 100 TB where a streaming-ingested
+    * table holds thousands of manifests: planning IO is O(surviving
+    * manifests), not O(all manifests). Counter-gated inline. */
+  private def sqlManifestPruneQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i82")
+    s.conf.set("spark.sql.catalog.ice_i82", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i82.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/ord_i82"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      val w = new IcebergFormat.Writer(s, loc, ord.schema, Seq("o_orderpriority"))
+      val prios = ord.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted
+      // one commit per priority -> one data manifest per priority, each
+      // with a single-value partition summary in the manifest list
+      prios.foreach { p =>
+        w.commit(Seq(
+          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"p${p.take(1)}",
+            ord.filter(col("o_orderpriority") === p))
+            .copy(partitionValues = Map("o_orderpriority" -> p))))
+      }
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      val out = s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+           FROM ice_i82.graft.ord_i82
+           WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+           ORDER BY o_orderkey""")
+      val rows = out.collect() // force planning + execution, then audit
+      require(IcebergFormat.manifestReadsAtPlanning.sum() == 2,
+        s"manifest-list pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} " +
+          s"of ${prios.length} manifests, expected 2")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i82")
+      s.conf.unset("spark.sql.catalog.ice_i82.warehouse")
+    }
+  }
+
+  private val sqlManifestPruneOracle =
+    """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+       FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+       ORDER BY o_orderkey"""
+
   /** SQL UPDATE over a standard-format table with SPARSE field ids (ic81)
     * — the metadata layout a dropped+re-added column history leaves
     * behind (ids 1,3,4: id 2 retired). resumeWriter re-emits the id table
@@ -2887,7 +2937,8 @@ object IceQueries {
     Q("ic80_sql_persistent_view", sqlPersistentViewQ,
       Some(sqlPersistentViewOracle)),
     Q("ic81_sql_iceberg_sparse_id_update", sqlIcebergSparseIdUpdateQ,
-      Some(sqlIcebergSparseIdUpdateOracle))
+      Some(sqlIcebergSparseIdUpdateOracle)),
+    Q("ic82_sql_manifest_prune", sqlManifestPruneQ, Some(sqlManifestPruneOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

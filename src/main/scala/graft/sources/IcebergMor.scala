@@ -62,12 +62,16 @@ final class IcebergMorV2Table(spark: SparkSession, location: String)
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private val metaPath = IcebergFormat.currentMetadataPath(spark, location)
-  private[sources] val tablePlan = IcebergFormat.plan(spark, metaPath)
+  // stage-1: ONE metadata-JSON read — schema + identity axes; the full
+  // manifest walk is deferred until a scan (which prunes whole manifests
+  // by the pushed filters) or a DML op (which needs every file) forces it
+  private val header = IcebergFormat.planHeader(spark, metaPath)
+  private[sources] lazy val tablePlan = IcebergFormat.plan(spark, metaPath)
 
   override def name(): String = s"iceberg.$location"
   // read-time nullable coercion, same reasoning as IceLiteV2Table
   override def schema(): StructType =
-    StructType(tablePlan.schema.fields.map(_.copy(nullable = true)))
+    StructType(header.schema.fields.map(_.copy(nullable = true)))
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -76,7 +80,8 @@ final class IcebergMorV2Table(spark: SparkSession, location: String)
     Array(IceLiteMetaColumn("_file", StringType), IceLiteMetaColumn("_pos", LongType))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IcebergMorScanBuilder(schema(), tablePlan)
+    new IcebergMorScanBuilder(schema(), header,
+      keep => IcebergFormat.plan(spark, metaPath, keepManifest = keep))
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -102,8 +107,19 @@ final class IcebergMorV2Table(spark: SparkSession, location: String)
   * opens a delete file only for data files inside its range. */
 final class IcebergMorScanBuilder(
     tableSchema: StructType,
-    p: IcebergFormat.TablePlan)
+    header: IcebergFormat.PlanHeader,
+    loadPlan: (IcebergFormat.ManifestHandle => Boolean) => IcebergFormat.TablePlan)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  /** Pre-planned compatibility entry (the row-level-operation scan, which
+    * needs every file anyway): no manifest-list pruning, same behavior as
+    * handing the full plan directly. */
+  def this(tableSchema: StructType, p: IcebergFormat.TablePlan) =
+    this(tableSchema, IcebergFormat.PlanHeader(p.schema, p.fieldIds, Map.empty), _ => p)
+
+  // filter translation needs only schema + field ids — no files
+  private val predPlan =
+    IcebergFormat.TablePlan(header.schema, header.fieldIds, Nil, Nil)
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -115,13 +131,21 @@ final class IcebergMorScanBuilder(
     * everything is returned as residual (manifest ranges skip what can't
     * match, Spark re-checks what might). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => IcebergMorScan.filePredicate(p, f).isDefined)
+    pushed = filters.filter(f => IcebergMorScan.filePredicate(predPlan, f).isDefined)
     filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new IcebergMorScan(required, tableSchema, p, pushed)
+  /** Materialize the plan NOW, with manifest-LIST pruning: a data manifest
+    * is read only if every pushed filter's summary predicate says its
+    * partition summaries (field 507) can match — planning IO on a
+    * selective query is O(surviving manifests). */
+  override def build(): Scan = {
+    val keeps = pushed.flatMap(IcebergMorScan.manifestPredicate(header, _))
+    new IcebergMorScan(required, tableSchema,
+      loadPlan(mh => keeps.forall(_(mh))), pushed)
+  }
 }
 
 object IcebergMorScan {
@@ -178,6 +202,76 @@ object IcebergMorScan {
         pruningRange(other).filter { case (c, _, _) => known(c) }.map {
           case (c, lo, hi) => (pf: IcebergFormat.PlannedFile) =>
             IcebergFormat.fileCanMatch(p, pf, c, lo, hi)
+        }
+    }
+  }
+
+  /** Translate a pushed filter to a MANIFEST-granular keep predicate over
+    * the manifest list's partition summaries (spec field 507), or None
+    * when it can't prune at that granularity. A manifest is dropped only
+    * when its summary for an IDENTITY partition axis of the filter column
+    * PROVES no file inside can match: comparisons/IN-lists/prefixes test
+    * bound overlap, IS NULL tests `contains_null`. Manifests without
+    * summaries, non-identity axes, and undecodable bounds always survive —
+    * the file-level predicates re-check everything that gets read. */
+  private[graft] def manifestPredicate(
+      h: IcebergFormat.PlanHeader, f: Filter): Option[IcebergFormat.ManifestHandle => Boolean] = {
+    def known(c: String) = h.schema.fieldNames.contains(c)
+    // the summary covering column c under mh's spec, if c is an identity axis
+    def axisOf(mh: IcebergFormat.ManifestHandle, c: String): Option[IcebergFormat.FieldSummary] =
+      for {
+        ss  <- mh.summaries
+        ax  <- h.identityAxes.get(mh.specId)
+        pos <- ax.collectFirst { case (`c`, p) => p }
+        s   <- ss.lift(pos)
+      } yield s
+    def cmp(c: String)(a: Any, b: String): Int = {
+      val dt = h.schema.fields(h.schema.fieldNames.indexOf(c)).dataType
+      dt match {
+        case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+          java.lang.Double.compare(
+            java.lang.Double.parseDouble(a.toString), java.lang.Double.parseDouble(b))
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+          BigDecimal(a.toString).compare(BigDecimal(b))
+        case _ => a.toString.compareTo(b)
+      }
+    }
+    // can a summary's [lower, upper] overlap the filter range [lo, hi]?
+    def overlaps(c: String, s: IcebergFormat.FieldSummary,
+        lo: Option[String], hi: Option[String]): Boolean = {
+      val dt = h.schema.fields(h.schema.fieldNames.indexOf(c)).dataType
+      (s.lower.flatMap(IcebergFormat.decodeBound(dt, _)),
+        s.upper.flatMap(IcebergFormat.decodeBound(dt, _))) match {
+        case (Some(mn), Some(mx)) =>
+          lo.forall(l => cmp(c)(mx, l) >= 0) && hi.forall(u => cmp(c)(mn, u) <= 0)
+        case _ => true // undecodable/absent bounds -> keep
+      }
+    }
+    def rangeKeep(c: String, lo: Option[String], hi: Option[String]) =
+      (mh: IcebergFormat.ManifestHandle) => axisOf(mh, c).forall(overlaps(c, _, lo, hi))
+    f match {
+      case In(c, vs) if known(c) =>
+        val lits = vs.filter(isLit).map(_.toString)
+        if (lits.isEmpty) None
+        else Some(mh => lits.exists(v => rangeKeep(c, Some(v), Some(v))(mh)))
+      case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
+        Some(rangeKeep(c, Some(prefix), prefixSuccessor(prefix)))
+      case IsNull(c) if known(c) =>
+        // droppable when the summary PROVES no file has a null value
+        Some(mh => axisOf(mh, c).forall(_.containsNull))
+      case And(l, r) =>
+        (manifestPredicate(h, l), manifestPredicate(h, r)) match {
+          case (Some(a), Some(b)) => Some(mh => a(mh) && b(mh))
+          case (Some(a), None)    => Some(a)
+          case (None, Some(b))    => Some(b)
+          case _                  => None
+        }
+      case Or(l, r) =>
+        for { a <- manifestPredicate(h, l); b <- manifestPredicate(h, r) }
+          yield (mh: IcebergFormat.ManifestHandle) => a(mh) || b(mh)
+      case other =>
+        pruningRange(other).filter { case (c, _, _) => known(c) }.map {
+          case (c, lo, hi) => rangeKeep(c, lo, hi)
         }
     }
   }

@@ -974,4 +974,66 @@ class MorSpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
+
+  test("iceberg-format scan: manifest-list partition summaries skip whole manifests") {
+    import graft.icelite.IcebergFormat
+    val wh  = scratch("ifmt_msum")
+    val loc = s"$wh/graft/nat_msum"
+    val cat = "ice_msum"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema, Seq("n_regionkey"))
+      val regions = nat.select("n_regionkey").distinct().collect().map(_.getInt(0)).sorted
+      // one COMMIT per region -> one data manifest per region, each
+      // carrying a single-value partition summary (spec field 507)
+      regions.foreach { r =>
+        w.commit(Seq(
+          IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, s"r$r",
+            nat.filter(col("n_regionkey") === r))
+            .copy(partitionValues = Map("n_regionkey" -> r))))
+      }
+      // unfiltered read: every data manifest is read at planning
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      assert(spark.sql(s"SELECT * FROM $cat.graft.nat_msum").count() == 25)
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == regions.length,
+        s"unfiltered plan read ${IcebergFormat.manifestReadsAtPlanning.sum()} manifests, " +
+          s"expected ${regions.length}")
+      // selective read: ONLY region 2's manifest is read — the other four
+      // are skipped from their manifest-LIST summaries without any IO
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      val got = spark.sql(
+        s"SELECT n_nationkey FROM $cat.graft.nat_msum WHERE n_regionkey = 2")
+        .collect().map(_.getInt(0)).sorted
+      assert(got.sameElements(nat.filter(col("n_regionkey") === 2)
+        .select("n_nationkey").collect().map(_.getInt(0)).sorted))
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 1,
+        s"filtered plan read ${IcebergFormat.manifestReadsAtPlanning.sum()} manifests, expected 1")
+      // IN-list prunes to its member manifests
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.graft.nat_msum WHERE n_regionkey IN (0, 4)")
+        .head().getLong(0) == nat.filter(col("n_regionkey").isin(0, 4)).count())
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 2,
+        s"IN-list plan read ${IcebergFormat.manifestReadsAtPlanning.sum()} manifests, expected 2")
+      // summaries survive a resumed delta commit (restore re-publishes
+      // field 507 for carried manifests): after a DELETE, a filtered plan
+      // reads one surviving data manifest + the delta's delete manifest
+      spark.sql(s"DELETE FROM $cat.graft.nat_msum WHERE n_nationkey = 8") // region 2
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      val after = spark.sql(
+        s"SELECT n_nationkey FROM $cat.graft.nat_msum WHERE n_regionkey = 2")
+        .collect().map(_.getInt(0)).sorted
+      assert(after.sameElements(nat.filter(col("n_regionkey") === 2 && col("n_nationkey") =!= 8)
+        .select("n_nationkey").collect().map(_.getInt(0)).sorted))
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 2,
+        s"post-DML filtered plan read ${IcebergFormat.manifestReadsAtPlanning.sum()} " +
+          "manifests, expected 2 (one data + the delete manifest)")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }
