@@ -1102,30 +1102,48 @@ object IcebergFormat {
     fs.mkdirs(dest.getParent)
     require(fs.rename(part, dest), s"stage rename failed for $name")
     fs.delete(new Path(tmp), true)
-    // record split_offsets at write time (one footer read on a file just
-    // written) so later planners can range-split without any IO
-    val offsets = {
+    // ONE footer read on the file just written yields split_offsets (spec
+    // field 132), the exact row count, and per-column null counts (spec
+    // field 110 — parquet chunk statistics record numNulls exactly): no
+    // second pass over `df` for stats, ever. Null-count keys default to
+    // the positional 1..n id layout; sparse-id callers pass real ids.
+    val ids = if (fieldIds.nonEmpty) fieldIds else 1 to df.schema.fields.length
+    require(ids.length == df.schema.fields.length, "field id count != column count")
+    val (offsets, rows, nullCounts) = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(dest,
         spark.sparkContext.hadoopConfiguration))
-      try fr.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq
-      finally fr.close()
+      try {
+        val blocks = fr.getFooter.getBlocks.asScala.toSeq
+        val offs   = blocks.map(_.getStartingPos)
+        val nRows  = blocks.map(_.getRowCount).sum
+        // only FLAT (primitive) columns: a leaf chunk's numNulls equals
+        // the column's null count exactly then; nested columns record no
+        // stat (absent = conservative for the IS [NOT] NULL pruner)
+        val flat = df.schema.fields.zipWithIndex.collect {
+          case (f, i) if !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+            f.name -> i
+        }.toMap
+        val acc  = new Array[Long](df.schema.fields.length)
+        val seen = new Array[Boolean](df.schema.fields.length)
+        java.util.Arrays.fill(seen, true)
+        blocks.foreach(_.getColumns.asScala.foreach { c =>
+          val path = c.getPath.toArray
+          if (path.length == 1) flat.get(path(0)).foreach { i =>
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) seen(i) = false
+            else acc(i) += st.getNumNulls
+          }
+        })
+        val ncs = (if (content == 0) flat.values.toSeq else Nil)
+          .filter(seen(_)).map(i => ids(i) -> acc(i)).toMap
+        (offs, nRows, ncs)
+      } finally fr.close()
     }
-    // one agg pass: row count + per-column null counts (spec field 110,
-    // what IS [NOT] NULL predicates prune on). Keys default to the
-    // positional 1..n id layout; sparse-id callers pass their real ids.
-    import org.apache.spark.sql.functions.{count, lit, sum, when, col}
-    val ids = if (fieldIds.nonEmpty) fieldIds else 1 to df.schema.fields.length
-    require(ids.length == df.schema.fields.length, "field id count != column count")
-    val aggRow = df.select(count(lit(1)).as("__n") +:
-      df.schema.fieldNames.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$i")
-      }: _*).head()
-    val rows = aggRow.getLong(0)
-    val nullCounts = (if (content == 0) df.schema.fields.indices else Nil)
-      .map(i => ids(i) -> (if (aggRow.isNullAt(i + 1)) 0L else aggRow.getLong(i + 1))).toMap
     DataFileInfo(dest.toString, rows, fs.getFileStatus(dest).getLen,
       content = content, equalityIds = equalityIds, splitOffsets = offsets,
       nullCounts = nullCounts)
