@@ -193,14 +193,14 @@ object IcebergFormat {
       summaries: Option[Seq[FieldSummary]])
 
   /** Planning metadata that costs ONE metadata-JSON read: the schema, its
-    * field ids, and per-spec identity axes — (source column name, position
-    * among the spec's fields, i.e. the `summaries` index) for each
-    * identity-transform partition field. What a scan needs to translate
-    * pushed filters into manifest-level keep predicates before ANY
-    * manifest is read. */
+    * field ids, and per-spec partition axes — (source column name,
+    * position among the spec's fields i.e. the `summaries` index, and the
+    * transform) for every partition field whose source column resolves.
+    * What a scan needs to translate pushed filters into manifest-level
+    * keep predicates before ANY manifest is read. */
   private[graft] final case class PlanHeader(
       schema: StructType, fieldIds: Seq[Int],
-      identityAxes: Map[Int, Seq[(String, Int)]])
+      axes: Map[Int, Seq[(String, Int, String)]])
 
   /** Manifest avro files read by [[plan]] — the planning-cost observable
     * manifest-list pruning is gated on (MorSpec). */
@@ -265,9 +265,12 @@ object IcebergFormat {
     * no spec bucket serialization here (no pruning then). */
   private[graft] def bucketOf(dt: DataType, v: String, n: Int): Option[Int] = {
     val h = dt match {
-      case IntegerType | LongType | DateType => Some(specHashLong(v.toLong))
-      case StringType                        => Some(specHashString(v))
-      case _                                 => None
+      case IntegerType | LongType => Some(specHashLong(v.toLong))
+      // spec: date buckets hash the epoch-day int; accept either the
+      // number or an ISO literal (what SQL pushes)
+      case DateType               => epochDay(v).map(specHashLong)
+      case StringType             => Some(specHashString(v))
+      case _                      => None
     }
     h.map(x => (x & Integer.MAX_VALUE) % n)
   }
@@ -288,6 +291,15 @@ object IcebergFormat {
     }
   }
 
+  /** Epoch-day of a DATE literal in either surface form: the epoch-day
+    * number itself ("9204") or an ISO date / datetime string. None when
+    * unparseable — callers keep the file conservatively. */
+  private[graft] def epochDay(v: String): Option[Long] = {
+    val t = v.trim
+    if (t.matches("-?\\d+")) Some(t.toLong)
+    else parseTemporal(t).map(_.toLocalDate.toEpochDay)
+  }
+
   private val TruncatePat = raw"truncate\[(\d+)\]".r
 
   /** Apply an ORDER-PRESERVING partition transform (year/month/day/hour —
@@ -297,8 +309,12 @@ object IcebergFormat {
     * Monotonicity is what makes these range-prunable, unlike bucket. */
   private[graft] def applyTransform(transform: String, dt: DataType, v: String): Option[Any] = {
     def temporal(f: java.time.LocalDateTime => Int): Option[Any] = dt match {
-      case DateType | TimestampType | TimestampNTZType => parseTemporal(v).map(f(_))
-      case _                                           => None
+      // DATE also accepts its epoch-day numeric form (what fileCanMatch's
+      // date normalization and stored partition values carry)
+      case DateType =>
+        epochDay(v).map(d => f(java.time.LocalDate.ofEpochDay(d).atStartOfDay()))
+      case TimestampType | TimestampNTZType => parseTemporal(v).map(f(_))
+      case _                                => None
     }
     transform match {
       case "year"  => temporal(_.getYear - 1970)
@@ -401,17 +417,17 @@ object IcebergFormat {
       case _ => md \ "schema"
     }
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
-    val axes: Map[Int, Seq[(String, Int)]] = (md \ "partition-specs") match {
+    val axes: Map[Int, Seq[(String, Int, String)]] = (md \ "partition-specs") match {
       case JArray(specsJ) =>
         specsJ.map { sp =>
           val sid = (sp \ "spec-id").extractOpt[Int].getOrElse(0)
           val fields = (sp \ "fields").extract[List[JObject]]
           sid -> fields.zipWithIndex.flatMap { case (f, i) =>
-            if (!(f \ "transform").extractOpt[String].contains("identity")) None
-            else {
-              val idx = fieldIds.indexOf((f \ "source-id").extract[Int])
-              if (idx >= 0) Some((sparkSchema.fieldNames(idx), i)) else None
-            }
+            val tr  = (f \ "transform").extractOpt[String].getOrElse("")
+            val idx = fieldIds.indexOf((f \ "source-id").extract[Int])
+            if (idx >= 0 && tr.nonEmpty && tr != "void")
+              Some((sparkSchema.fieldNames(idx), i, tr))
+            else None
           }
         }.toMap
       case _ => Map.empty
@@ -830,6 +846,14 @@ object IcebergFormat {
       case FloatType | DoubleType =>
         java.lang.Double.compare(java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
       case IntegerType | LongType => BigDecimal(a).compare(BigDecimal(b))
+      // dates compare in epoch-day space: stored partition values /
+      // decoded bounds are epoch-day ints, pushed literals are ISO
+      // strings; an unparseable side reads as EQUAL (file kept)
+      case DateType =>
+        (epochDay(a), epochDay(b)) match {
+          case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+          case _                  => 0
+        }
       case _                      => a.compareTo(b)
     }
     // identity partition value first: for a partitioned table it prunes
@@ -950,6 +974,7 @@ object IcebergFormat {
       case DoubleType if b.length == 8  => Some(bb.getDouble)
       case StringType                   => Some(new String(b, "UTF-8"))
       case BooleanType if b.length == 1 => Some(b(0) != 0)
+      case DateType if b.length == 4    => Some(bb.getInt) // epoch days
       case _                            => None
     }
   }

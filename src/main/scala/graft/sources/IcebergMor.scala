@@ -206,49 +206,99 @@ object IcebergMorScan {
     }
   }
 
+  private val TruncateTr = raw"truncate\[(\d+)\]".r
+  private val BucketTr   = raw"bucket\[(\d+)\]".r
+
   /** Translate a pushed filter to a MANIFEST-granular keep predicate over
     * the manifest list's partition summaries (spec field 507), or None
     * when it can't prune at that granularity. A manifest is dropped only
-    * when its summary for an IDENTITY partition axis of the filter column
-    * PROVES no file inside can match: comparisons/IN-lists/prefixes test
-    * bound overlap, IS NULL tests `contains_null`. Manifests without
-    * summaries, non-identity axes, and undecodable bounds always survive —
-    * the file-level predicates re-check everything that gets read. */
+    * when a summary for a partition axis of the filter column PROVES no
+    * file inside can match: identity axes test value-bound overlap,
+    * order-preserving transforms (year/month/day/hour, truncate[W]) test
+    * overlap in transformed space, bucket axes test point lookups against
+    * the bucket-id bounds, IS NULL tests `contains_null`. Manifests
+    * without summaries, unresolvable axes, and undecodable bounds always
+    * survive — the file-level predicates re-check everything read. */
   private[graft] def manifestPredicate(
       h: IcebergFormat.PlanHeader, f: Filter): Option[IcebergFormat.ManifestHandle => Boolean] = {
     def known(c: String) = h.schema.fieldNames.contains(c)
-    // the summary covering column c under mh's spec, if c is an identity axis
-    def axisOf(mh: IcebergFormat.ManifestHandle, c: String): Option[IcebergFormat.FieldSummary] =
-      for {
-        ss  <- mh.summaries
-        ax  <- h.identityAxes.get(mh.specId)
-        pos <- ax.collectFirst { case (`c`, p) => p }
-        s   <- ss.lift(pos)
-      } yield s
-    def cmp(c: String)(a: Any, b: String): Int = {
-      val dt = h.schema.fields(h.schema.fieldNames.indexOf(c)).dataType
-      dt match {
-        case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
-          java.lang.Double.compare(
-            java.lang.Double.parseDouble(a.toString), java.lang.Double.parseDouble(b))
-        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-          BigDecimal(a.toString).compare(BigDecimal(b))
-        case _ => a.toString.compareTo(b)
-      }
+    def dtOf(c: String) = h.schema.fields(h.schema.fieldNames.indexOf(c)).dataType
+    // the (transform, summary) axes covering column c under mh's spec
+    def axesOf(mh: IcebergFormat.ManifestHandle, c: String): Seq[(String, IcebergFormat.FieldSummary)] =
+      (for {
+        ss <- mh.summaries.toSeq
+        ax <- h.axes.get(mh.specId).toSeq
+        (`c`, pos, tr) <- ax
+        s <- ss.lift(pos).toSeq
+      } yield (tr, s))
+    def cmpIdentity(c: String)(a: Any, b: String): Int = dtOf(c) match {
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+        java.lang.Double.compare(
+          java.lang.Double.parseDouble(a.toString), java.lang.Double.parseDouble(b))
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        BigDecimal(a.toString).compare(BigDecimal(b))
+      case org.apache.spark.sql.types.DateType =>
+        // decoded bounds are epoch-day ints, literals ISO strings;
+        // unparseable reads as EQUAL (manifest kept)
+        (IcebergFormat.epochDay(a.toString), IcebergFormat.epochDay(b)) match {
+          case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+          case _                  => 0
+        }
+      case _ => a.toString.compareTo(b)
     }
-    // can a summary's [lower, upper] overlap the filter range [lo, hi]?
-    def overlaps(c: String, s: IcebergFormat.FieldSummary,
+    // transformed-space compare (ints from temporal/bucket, source-typed
+    // truncate); incomparable pairs read as overlap (keep)
+    def cmpT(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Number, y: Number) => Some(java.lang.Long.compare(x.longValue, y.longValue))
+      case _                      => None
+    }
+    /** Can the axis's summary overlap the SOURCE-value range [lo, hi]? */
+    def axisOverlap(c: String, tr: String, s: IcebergFormat.FieldSummary,
         lo: Option[String], hi: Option[String]): Boolean = {
-      val dt = h.schema.fields(h.schema.fieldNames.indexOf(c)).dataType
-      (s.lower.flatMap(IcebergFormat.decodeBound(dt, _)),
-        s.upper.flatMap(IcebergFormat.decodeBound(dt, _))) match {
-        case (Some(mn), Some(mx)) =>
-          lo.forall(l => cmp(c)(mx, l) >= 0) && hi.forall(u => cmp(c)(mn, u) <= 0)
-        case _ => true // undecodable/absent bounds -> keep
+      val dt = dtOf(c)
+      tr match {
+        case "identity" =>
+          (s.lower.flatMap(IcebergFormat.decodeBound(dt, _)),
+            s.upper.flatMap(IcebergFormat.decodeBound(dt, _))) match {
+            case (Some(mn), Some(mx)) =>
+              lo.forall(l => cmpIdentity(c)(mx, l) >= 0) &&
+                hi.forall(u => cmpIdentity(c)(mn, u) <= 0)
+            case _ => true
+          }
+        case "year" | "month" | "day" | "hour" | TruncateTr(_) =>
+          // order-preserving: overlap holds in transformed space
+          val boundDt = tr match {
+            case TruncateTr(_) => dt
+            case _             => org.apache.spark.sql.types.IntegerType
+          }
+          (s.lower.flatMap(IcebergFormat.decodeBound(boundDt, _)),
+            s.upper.flatMap(IcebergFormat.decodeBound(boundDt, _))) match {
+            case (Some(mn), Some(mx)) =>
+              lo.flatMap(IcebergFormat.applyTransform(tr, dt, _))
+                .flatMap(t => cmpT(mx, t)).forall(_ >= 0) &&
+              hi.flatMap(IcebergFormat.applyTransform(tr, dt, _))
+                .flatMap(t => cmpT(mn, t)).forall(_ <= 0)
+            case _ => true
+          }
+        case BucketTr(nS) if lo.nonEmpty && lo == hi =>
+          // bucket prunes POINT lookups: the literal's bucket id must sit
+          // inside the summary's bucket-id bounds
+          (IcebergFormat.bucketOf(dt, lo.get, nS.toInt),
+            s.lower.flatMap(IcebergFormat.decodeBound(
+              org.apache.spark.sql.types.IntegerType, _)),
+            s.upper.flatMap(IcebergFormat.decodeBound(
+              org.apache.spark.sql.types.IntegerType, _))) match {
+            case (Some(bk), Some(mn: Int), Some(mx: Int)) => bk >= mn && bk <= mx
+            case _ => true
+          }
+        case _ => true // unknown/unusable transform -> keep
       }
     }
+    // a manifest survives only if EVERY axis of the column says "possible"
     def rangeKeep(c: String, lo: Option[String], hi: Option[String]) =
-      (mh: IcebergFormat.ManifestHandle) => axisOf(mh, c).forall(overlaps(c, _, lo, hi))
+      (mh: IcebergFormat.ManifestHandle) =>
+        axesOf(mh, c).forall { case (tr, s) => axisOverlap(c, tr, s, lo, hi) }
     f match {
       case In(c, vs) if known(c) =>
         val lits = vs.filter(isLit).map(_.toString)
@@ -257,8 +307,9 @@ object IcebergMorScan {
       case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
         Some(rangeKeep(c, Some(prefix), prefixSuccessor(prefix)))
       case IsNull(c) if known(c) =>
-        // droppable when the summary PROVES no file has a null value
-        Some(mh => axisOf(mh, c).forall(_.containsNull))
+        // droppable when any summary PROVES no file has a null value
+        // (transforms of null are null, so every axis witnesses nulls)
+        Some(mh => axesOf(mh, c).forall(_._2.containsNull))
       case And(l, r) =>
         (manifestPredicate(h, l), manifestPredicate(h, r)) match {
           case (Some(a), Some(b)) => Some(mh => a(mh) && b(mh))
@@ -293,6 +344,11 @@ object IcebergMorScan {
     case fl: java.lang.Float => !fl.isNaN && !fl.isInfinite
     case _: String | _: java.lang.Integer | _: java.lang.Long |
         _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
+    // DATE literals push (toString is ISO yyyy-MM-dd; DateType has no
+    // timezone, so epoch-day comparison is exact). TIMESTAMP literals do
+    // NOT: their toString renders in session time while stored micros are
+    // UTC-anchored — a boundary skew could prune wrongly.
+    case _: java.sql.Date | _: java.time.LocalDate => true
     case _ => false
   }
 

@@ -1036,4 +1036,79 @@ class MorSpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
+
+  test("iceberg-format scan: transform-axis manifest pruning (day, truncate, bucket, DATE)") {
+    import graft.icelite.IcebergFormat
+    val wh  = scratch("ifmt_taxes")
+    val cat = "ice_tax"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      // ---- day-transform axis over a DATE column: the canonical 100 TB
+      // time-partitioned shape; dates push as literals now
+      val days = spark.sql(
+        """SELECT d, CAST(10 * m + v AS BIGINT) AS v FROM
+             (SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-03')) AS d),
+             (SELECT explode(sequence(0, 9)) AS v),
+             (SELECT explode(array(0)) AS m)""").select("d", "v")
+      val dLoc = s"$wh/graft/t_day"
+      val wd = new IcebergFormat.Writer(spark, dLoc, days.schema, Seq("days(d)"))
+      Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { day =>
+        val ed = java.time.LocalDate.parse(day).toEpochDay.toInt
+        wd.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", dLoc, s"d$ed",
+          days.filter(col("d") === lit(java.sql.Date.valueOf(day))))
+          .copy(partitionValues = Map("d_day" -> ed))))
+      }
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      assert(spark.sql(s"SELECT count(*) FROM $cat.graft.t_day WHERE d = DATE'2024-01-02'")
+        .head().getLong(0) == 10)
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 1,
+        s"day-axis pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} manifests, expected 1")
+      // date RANGE prunes too (order-preserving transform)
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.graft.t_day WHERE d >= DATE'2024-01-03'")
+        .head().getLong(0) == 10)
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 1,
+        s"day-range pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} manifests, expected 1")
+
+      // ---- truncate[10] axis over a long column
+      val nums = spark.range(0, 30).select(col("id").as("k"), (col("id") * 7).as("w"))
+      val tLoc = s"$wh/graft/t_trunc"
+      val wt = new IcebergFormat.Writer(spark, tLoc, nums.schema, Seq("truncate(10, k)"))
+      Seq(0L, 10L, 20L).foreach { g =>
+        wt.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", tLoc, s"g$g",
+          nums.filter(col("k") >= g && col("k") < g + 10))
+          .copy(partitionValues = Map("k_trunc" -> g))))
+      }
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      assert(spark.sql(s"SELECT count(*) FROM $cat.graft.t_trunc WHERE k = 13")
+        .head().getLong(0) == 1)
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 1,
+        s"truncate-axis pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} manifests, expected 1")
+
+      // ---- bucket[4] axis over a string column (point lookups)
+      val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      val bLoc = s"$wh/graft/t_bkt"
+      val wb = new IcebergFormat.Writer(spark, bLoc, nat.schema, Seq("bucket(4, n_name)"))
+      val names = nat.select("n_name").collect().map(_.getString(0))
+      val byBucket = names.groupBy(n =>
+        IcebergFormat.bucketOf(org.apache.spark.sql.types.StringType, n, 4).get)
+      byBucket.toSeq.sortBy(_._1).foreach { case (b, ns) =>
+        wb.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", bLoc, s"b$b",
+          nat.filter(col("n_name").isin(ns.toSeq: _*)))
+          .copy(partitionValues = Map("n_name_bucket" -> b))))
+      }
+      val probe = names.sorted.head
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      assert(spark.sql(s"SELECT n_nationkey FROM $cat.graft.t_bkt WHERE n_name = '$probe'")
+        .count() == 1)
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 1,
+        s"bucket-axis pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} " +
+          s"manifests, expected 1 of ${byBucket.size}")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }
