@@ -2561,6 +2561,55 @@ object IceQueries {
        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
        ORDER BY o_orderkey"""
 
+  /** Temporal manifest pruning (ic83): the canonical 100 TB shape — a
+    * time-partitioned table queried by a date range. The table is
+    * year-partitioned (`years(o_odate)`, one commit per year), DATE
+    * literals push through the V2 scan (epoch-day space, timezone-free),
+    * and the planner drops whole manifests whose transformed-space
+    * summaries sit outside the range — counter-gated inline: a `>= 1998`
+    * predicate reads exactly the 1998+ manifests. */
+  private def sqlTemporalPruneQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i83")
+    s.conf.set("spark.sql.catalog.ice_i83", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i83.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/ord_i83"
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_odate"), col("o_totalprice"))
+      val w = new IcebergFormat.Writer(s, loc, ord.schema, Seq("years(o_odate)"))
+      val years = ord.select(year(col("o_odate")).as("y")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.foreach { y =>
+        w.commit(Seq(
+          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"y$y",
+            ord.filter(year(col("o_odate")) === y))
+            .copy(partitionValues = Map("o_odate_year" -> (y - 1970)))))
+      }
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      val out = s.sql(
+        """SELECT o_orderkey, o_odate, o_totalprice
+           FROM ice_i83.graft.ord_i83
+           WHERE o_odate >= DATE'1998-01-01'
+           ORDER BY o_orderkey""")
+      val rows = out.collect() // force planning + execution, then audit
+      val expect = years.count(_ >= 1998)
+      require(IcebergFormat.manifestReadsAtPlanning.sum() == expect,
+        s"temporal pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} " +
+          s"of ${years.length} manifests, expected $expect")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i83")
+      s.conf.unset("spark.sql.catalog.ice_i83.warehouse")
+    }
+  }
+
+  private val sqlTemporalPruneOracle =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_odate, o_totalprice
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+       ORDER BY o_orderkey"""
+
   /** SQL UPDATE over a standard-format table with SPARSE field ids (ic81)
     * — the metadata layout a dropped+re-added column history leaves
     * behind (ids 1,3,4: id 2 retired). resumeWriter re-emits the id table
@@ -2938,7 +2987,8 @@ object IceQueries {
       Some(sqlPersistentViewOracle)),
     Q("ic81_sql_iceberg_sparse_id_update", sqlIcebergSparseIdUpdateQ,
       Some(sqlIcebergSparseIdUpdateOracle)),
-    Q("ic82_sql_manifest_prune", sqlManifestPruneQ, Some(sqlManifestPruneOracle))
+    Q("ic82_sql_manifest_prune", sqlManifestPruneQ, Some(sqlManifestPruneOracle)),
+    Q("ic83_sql_temporal_prune", sqlTemporalPruneQ, Some(sqlTemporalPruneOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file
