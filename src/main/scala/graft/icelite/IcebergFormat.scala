@@ -266,9 +266,10 @@ object IcebergFormat {
   private[graft] def bucketOf(dt: DataType, v: String, n: Int): Option[Int] = {
     val h = dt match {
       case IntegerType | LongType => Some(specHashLong(v.toLong))
-      // spec: date buckets hash the epoch-day int; accept either the
-      // number or an ISO literal (what SQL pushes)
-      case DateType               => epochDay(v).map(specHashLong)
+      // spec: date/timestamp buckets hash the epoch-day int / epoch-micros
+      // long; accept either the number or an ISO literal (what SQL pushes)
+      case DateType                         => epochDay(v).map(specHashLong)
+      case TimestampType | TimestampNTZType => epochMicros(v).map(specHashLong)
       case StringType             => Some(specHashString(v))
       case _                      => None
     }
@@ -298,6 +299,17 @@ object IcebergFormat {
     val t = v.trim
     if (t.matches("-?\\d+")) Some(t.toLong)
     else parseTemporal(t).map(_.toLocalDate.toEpochDay)
+  }
+
+  /** Epoch-micros of a TIMESTAMP literal in either surface form: the
+    * micros number itself or an ISO datetime (interpreted as UTC wall
+    * time — the scan layer normalizes instants to UTC ISO before pushing,
+    * so this is timezone-exact). None when unparseable. */
+  private[graft] def epochMicros(v: String): Option[Long] = {
+    val t = v.trim
+    if (t.matches("-?\\d+")) Some(t.toLong)
+    else parseTemporal(t).map(ldt =>
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
   }
 
   private val TruncatePat = raw"truncate\[(\d+)\]".r
@@ -846,11 +858,17 @@ object IcebergFormat {
       case FloatType | DoubleType =>
         java.lang.Double.compare(java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
       case IntegerType | LongType => BigDecimal(a).compare(BigDecimal(b))
-      // dates compare in epoch-day space: stored partition values /
-      // decoded bounds are epoch-day ints, pushed literals are ISO
-      // strings; an unparseable side reads as EQUAL (file kept)
+      // dates/timestamps compare in epoch-day/micros space: stored
+      // partition values / decoded bounds are the numeric encodings,
+      // pushed literals are (UTC-normalized) ISO strings; an unparseable
+      // side reads as EQUAL (file kept)
       case DateType =>
         (epochDay(a), epochDay(b)) match {
+          case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+          case _                  => 0
+        }
+      case TimestampType | TimestampNTZType =>
+        (epochMicros(a), epochMicros(b)) match {
           case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
           case _                  => 0
         }
@@ -975,6 +993,8 @@ object IcebergFormat {
       case StringType                   => Some(new String(b, "UTF-8"))
       case BooleanType if b.length == 1 => Some(b(0) != 0)
       case DateType if b.length == 4    => Some(bb.getInt) // epoch days
+      case TimestampType | TimestampNTZType if b.length == 8 =>
+        Some(bb.getLong) // epoch micros
       case _                            => None
     }
   }

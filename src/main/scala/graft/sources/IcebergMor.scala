@@ -149,15 +149,28 @@ final class IcebergMorScanBuilder(
 }
 
 object IcebergMorScan {
+  /** Stringify a pushed literal for the format layer's pruning compares.
+    * Instants (java.sql.Timestamp / java.time.Instant) normalize to UTC
+    * ISO — NEVER toString, which renders in session time and could skew a
+    * partition boundary; everything else's toString is already canonical
+    * (java.sql.Date is ISO, numerics are plain). */
+  private[graft] def litStr(v: Any): String = v match {
+    case ts: java.sql.Timestamp =>
+      java.time.LocalDateTime.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC).toString
+    case i: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC).toString
+    case other => other.toString
+  }
+
   /** The [column, lower, upper] range a pushable comparison implies, or
     * None when the filter isn't a single-column comparison. */
   private[graft] def pruningRange(f: Filter): Option[(String, Option[String], Option[String])] =
     f match {
-      case EqualTo(c, v) if isLit(v)            => Some((c, Some(v.toString), Some(v.toString)))
-      case GreaterThan(c, v) if isLit(v)        => Some((c, Some(v.toString), None))
-      case GreaterThanOrEqual(c, v) if isLit(v) => Some((c, Some(v.toString), None))
-      case LessThan(c, v) if isLit(v)           => Some((c, None, Some(v.toString)))
-      case LessThanOrEqual(c, v) if isLit(v)    => Some((c, None, Some(v.toString)))
+      case EqualTo(c, v) if isLit(v)            => Some((c, Some(litStr(v)), Some(litStr(v))))
+      case GreaterThan(c, v) if isLit(v)        => Some((c, Some(litStr(v)), None))
+      case GreaterThanOrEqual(c, v) if isLit(v) => Some((c, Some(litStr(v)), None))
+      case LessThan(c, v) if isLit(v)           => Some((c, None, Some(litStr(v))))
+      case LessThanOrEqual(c, v) if isLit(v)    => Some((c, None, Some(litStr(v))))
       case _                                    => None
     }
 
@@ -174,7 +187,7 @@ object IcebergMorScan {
     def known(c: String) = p.schema.fieldNames.contains(c)
     f match {
       case In(c, vs) if known(c) =>
-        val lits = vs.filter(isLit).map(_.toString)
+        val lits = vs.filter(isLit).map(litStr)
         if (lits.isEmpty) None
         else Some(pf => lits.exists(v => IcebergFormat.fileCanMatch(p, pf, c, Some(v), Some(v))))
       case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
@@ -244,6 +257,13 @@ object IcebergMorScan {
           case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
           case _                  => 0
         }
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
+        // decoded bounds are epoch-micros longs, literals UTC ISO strings
+        (IcebergFormat.epochMicros(a.toString), IcebergFormat.epochMicros(b)) match {
+          case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+          case _                  => 0
+        }
       case _ => a.toString.compareTo(b)
     }
     // transformed-space compare (ints from temporal/bucket, source-typed
@@ -301,7 +321,7 @@ object IcebergMorScan {
         axesOf(mh, c).forall { case (tr, s) => axisOverlap(c, tr, s, lo, hi) }
     f match {
       case In(c, vs) if known(c) =>
-        val lits = vs.filter(isLit).map(_.toString)
+        val lits = vs.filter(isLit).map(litStr)
         if (lits.isEmpty) None
         else Some(mh => lits.exists(v => rangeKeep(c, Some(v), Some(v))(mh)))
       case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
@@ -345,10 +365,12 @@ object IcebergMorScan {
     case _: String | _: java.lang.Integer | _: java.lang.Long |
         _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
     // DATE literals push (toString is ISO yyyy-MM-dd; DateType has no
-    // timezone, so epoch-day comparison is exact). TIMESTAMP literals do
-    // NOT: their toString renders in session time while stored micros are
-    // UTC-anchored — a boundary skew could prune wrongly.
+    // timezone, so epoch-day comparison is exact). TIMESTAMP literals
+    // push through litStr's INSTANT normalization to UTC ISO — never
+    // toString, which renders in session time and could skew a partition
+    // boundary. LocalDateTime covers TimestampNTZ (wall time, no zone).
     case _: java.sql.Date | _: java.time.LocalDate => true
+    case _: java.sql.Timestamp | _: java.time.Instant | _: java.time.LocalDateTime => true
     case _ => false
   }
 

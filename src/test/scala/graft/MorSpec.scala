@@ -1106,6 +1106,34 @@ class MorSpec extends SparkSpec {
       assert(IcebergFormat.manifestReadsAtPlanning.sum() == 1,
         s"bucket-axis pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} " +
           s"manifests, expected 1 of ${byBucket.size}")
+
+      // ---- day-transform axis over a TIMESTAMP column: literals push
+      // through the instant (UTC-normalized), never session-TZ toString
+      val evs = spark.sql(
+        """SELECT to_timestamp(concat('2024-01-0', d, ' 0', h, ':30:00')) AS ts,
+                  CAST(d * 100 + h AS BIGINT) AS v
+           FROM (SELECT explode(sequence(1, 3)) AS d),
+                (SELECT explode(sequence(0, 5)) AS h)""")
+      val sLoc = s"$wh/graft/t_ts"
+      val ws = new IcebergFormat.Writer(spark, sLoc, evs.schema, Seq("days(ts)"))
+      (1 to 3).foreach { dd =>
+        val ed = java.time.LocalDate.parse(f"2024-01-0$dd").toEpochDay.toInt
+        ws.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", sLoc, s"ts$dd",
+          evs.filter(dayofmonth(col("ts")) === dd))
+          .copy(partitionValues = Map("ts_day" -> ed))))
+      }
+      // bounds inside one day -> exactly that day's manifest (a `< next
+      // midnight` upper bound would conservatively keep the next day too:
+      // range translation is inclusive, and day() is coarse)
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      assert(spark.sql(
+        s"""SELECT count(*) FROM $cat.graft.t_ts
+            WHERE ts >= TIMESTAMP'2024-01-02 00:00:00'
+              AND ts <= TIMESTAMP'2024-01-02 05:30:00'""")
+        .head().getLong(0) == 6)
+      assert(IcebergFormat.manifestReadsAtPlanning.sum() == 1,
+        s"timestamp day-axis pruning read ${IcebergFormat.manifestReadsAtPlanning.sum()} " +
+          "manifests, expected 1")
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
