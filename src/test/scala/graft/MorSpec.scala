@@ -1139,4 +1139,31 @@ class MorSpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
+
+  test("iceberg-format scan reports statistics: small tables broadcast in joins") {
+    import graft.icelite.IcebergFormat
+    val wh  = scratch("ifmt_stats")
+    val loc = s"$wh/graft/nat_stats"
+    val cat = "ice_stats"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f1", nat)))
+      val big = spark.range(0, 100000)
+        .selectExpr("id", "CAST(id % 25 AS INT) AS k")
+      big.createOrReplaceTempView("big_stats")
+      val joined = spark.sql(
+        s"""SELECT b.id, n.n_name FROM big_stats b
+            JOIN $cat.graft.nat_stats n ON b.k = n.n_nationkey""")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "25-row standard-format table did not broadcast: " + plan.take(500))
+      assert(joined.count() == 100000)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }
