@@ -470,7 +470,8 @@ final class IcebergMorScan(
     tableSchema: StructType,
     p: IcebergFormat.TablePlan,
     pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // position deletes name files by path, so (unlike equality deletes)
   // sequence-number filtering is redundant under never-reused paths — a
@@ -527,15 +528,64 @@ final class IcebergMorScan(
         }.orNull: Any
       })
 
+  // ------------------------------------------------ runtime (join) pruning
+  // (SupportsRuntimeFiltering): at execution Spark hands back In/EqualTo
+  // filters on identity-partition columns derived from the OTHER join
+  // side's actual keys — DPP over standard-format manifest metadata.
+  // Values normalize like pushed literals (dates → epoch days,
+  // timestamps → micros) to match the stored partition encodings.
+  @volatile private var runtimeKept: Map[String, Set[String]] = Map.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    partCols.map(c => Expressions.column(c))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def norm(c: String, v: Any): String = {
+      val s  = IcebergMorScan.litStr(v)
+      val dt = p.schema.fields(p.schema.fieldNames.indexOf(c)).dataType
+      dt match {
+        case org.apache.spark.sql.types.DateType =>
+          IcebergFormat.epochDay(s).map(_.toString).getOrElse(s)
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          IcebergFormat.epochMicros(s).map(_.toString).getOrElse(s)
+        case _ => s
+      }
+    }
+    val kept = filters.flatMap {
+      case In(c, vs) if partCols.contains(c) =>
+        Some(c -> vs.filter(_ != null).map(norm(c, _)).toSet)
+      case EqualTo(c, v) if partCols.contains(c) && v != null =>
+        Some(c -> Set(norm(c, v)))
+      case _ => None
+    }.toMap
+    if (kept.nonEmpty) runtimeKept = kept
+  }
+
+  private def runtimeHit(f: IcebergFormat.PlannedFile): Boolean =
+    runtimeKept.forall { case (c, keep) =>
+      val fid = p.fieldIds(p.schema.fieldNames.indexOf(c))
+      // a file without a recorded value for the column stays (conservative)
+      f.partition.get(fid).forall(v => keep.contains(v.toString))
+    }
+
   @volatile private var partitionsComputed: Option[Int] = None
-  private lazy val partitions: Array[InputPartition] = {
+  // memoized per runtime-filter map: Spark consults partitions several
+  // times, and filter() arrives (at most once) before planInputPartitions
+  @volatile private var partitionsCache: (AnyRef, Array[InputPartition]) = null
+  private def partitions: Array[InputPartition] = {
+    val rk = runtimeKept
+    val c  = partitionsCache
+    if (c != null && (c._1 eq rk)) return c._2
     val spark  = SparkSession.active
     val target = spark.conf.get("graft.split.size",
       IcebergMorScan.DefaultSplitBytes.toString).toLong
     val conf = spark.sparkContext.hadoopConfiguration
-    val ps = survivors.flatMap(f =>
+    val surv = if (rk.isEmpty) survivors else survivors.filter(runtimeHit)
+    val ps = surv.flatMap(f =>
       IcebergMorScan.partitionsFor(f, conf, target, keyFor(f))).toArray
     partitionsComputed = Some(ps.length)
+    partitionsCache = (rk, ps)
     ps
   }
 

@@ -1166,4 +1166,40 @@ class MorSpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
+
+  test("iceberg-format scan: runtime (join) filtering prunes partitioned files") {
+    import graft.icelite.IcebergFormat
+    import graft.sources.IceLiteSource
+    val wh  = scratch("ifmt_dpp")
+    val loc = s"$wh/graft/nat_dpp"
+    val cat = "ice_dpp"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema, Seq("n_regionkey"))
+      val regions = nat.select("n_regionkey").distinct().collect().map(_.getInt(0)).sorted
+      w.commit(regions.toSeq.map { r =>
+        IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, s"r$r",
+          nat.filter(col("n_regionkey") === r))
+          .copy(partitionValues = Map("n_regionkey" -> r))
+      })
+      // dim restricted to ONE region; the fact side has no static filter,
+      // so only runtime filtering can prune its files
+      val dim = nat.select(col("n_regionkey").as("rk")).distinct()
+        .filter(col("rk") === 2)
+      val fact = spark.sql(s"SELECT * FROM $cat.graft.nat_dpp")
+      val joined = fact.join(broadcast(dim), col("n_regionkey") === col("rk"))
+        .select("n_nationkey", "n_name")
+      IceLiteSource.filesOpened.reset()
+      val n = joined.count()
+      val opened = IceLiteSource.filesOpened.sum()
+      assert(n == nat.filter(col("n_regionkey") === 2).count())
+      assert(opened < regions.length,
+        s"runtime filtering pruned nothing: opened $opened of ${regions.length} files")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }
