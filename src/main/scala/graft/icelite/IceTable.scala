@@ -142,15 +142,20 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   private def listVersions(): Seq[Int] =
     if (!fs.exists(metadataDir)) Seq.empty
     else {
-      // a racing writer's staging tmp can vanish between the directory
-      // read and the per-entry stat (RawLocalFileSystem shells out for
-      // permissions and throws RuntimeException, and object-store listings
-      // are similarly non-atomic) — retry; the vN.json files we are after
-      // are immutable once committed, so a clean listing always converges
+      // a racing writer's staging tmp — or the hint file mid-update (its
+      // rewrite is delete+rename on local FS) — can vanish between the
+      // directory read and the per-entry stat (RawLocalFileSystem shells
+      // out for permissions and throws RuntimeException, and object-store
+      // listings are similarly non-atomic) — retry with backoff past the
+      // racer's window; the vN.json files we are after are immutable once
+      // committed, so a clean listing always converges
       def attempt(left: Int): Seq[org.apache.hadoop.fs.FileStatus] =
         try fs.listStatus(metadataDir).toIndexedSeq
-        catch { case _: RuntimeException if left > 0 => attempt(left - 1) }
-      attempt(3)
+        catch {
+          case _: RuntimeException if left > 0 =>
+            Thread.sleep(5L << (6 - left)); attempt(left - 1)
+        }
+      attempt(6)
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.endsWith(".json") => n.stripPrefix("v").stripSuffix(".json") }
         .flatMap(s => scala.util.Try(s.toInt).toOption)

@@ -2610,6 +2610,42 @@ object IceQueries {
        WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
        ORDER BY o_orderkey"""
 
+  /** Metadata-only COUNT(*) on a STANDARD-format table (ic84): the count
+    * comes from the manifests' required `record_count` sums — zero data IO
+    * at any table size (a 100 TB count costs O(manifests) metadata).
+    * Plan-audited and counter-required inline; the shortcut disables
+    * itself while row-level deletes are live (MorSpec gates that arm). */
+  private def sqlIcebergCountQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i84")
+    s.conf.set("spark.sql.catalog.ice_i84", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i84.warehouse", wh)
+    try {
+      val loc  = s"$wh/graft/cust_i84"
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+      val w = new IcebergFormat.Writer(s, loc, cust.schema)
+      // two commits -> the count sums across manifests
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1",
+        cust.filter(col("c_custkey") % 2 === 0))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
+        cust.filter(col("c_custkey") % 2 =!= 0))))
+      val q = s.sql("SELECT count(*) AS n_rows FROM ice_i84.graft.cust_i84")
+      require(q.queryExecution.executedPlan.toString.contains("metadata-only count"),
+        "COUNT(*) did not push to the metadata scan")
+      graft.sources.IceLiteSource.filesOpened.reset()
+      val out = q.collect()
+      require(graft.sources.IceLiteSource.filesOpened.sum() == 0,
+        s"metadata count opened ${graft.sources.IceLiteSource.filesOpened.sum()} data files")
+      s.createDataFrame(java.util.Arrays.asList(out: _*), q.schema)
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i84")
+      s.conf.unset("spark.sql.catalog.ice_i84.warehouse")
+    }
+  }
+
+  private val sqlIcebergCountOracle =
+    "SELECT count(*) AS n_rows FROM customer"
+
   /** SQL UPDATE over a standard-format table with SPARSE field ids (ic81)
     * — the metadata layout a dropped+re-added column history leaves
     * behind (ids 1,3,4: id 2 retired). resumeWriter re-emits the id table
@@ -2988,7 +3024,8 @@ object IceQueries {
     Q("ic81_sql_iceberg_sparse_id_update", sqlIcebergSparseIdUpdateQ,
       Some(sqlIcebergSparseIdUpdateOracle)),
     Q("ic82_sql_manifest_prune", sqlManifestPruneQ, Some(sqlManifestPruneOracle)),
-    Q("ic83_sql_temporal_prune", sqlTemporalPruneQ, Some(sqlTemporalPruneOracle))
+    Q("ic83_sql_temporal_prune", sqlTemporalPruneQ, Some(sqlTemporalPruneOracle)),
+    Q("ic84_sql_iceberg_count", sqlIcebergCountQ, Some(sqlIcebergCountOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -109,7 +109,8 @@ final class IcebergMorScanBuilder(
     tableSchema: StructType,
     header: IcebergFormat.PlanHeader,
     loadPlan: (IcebergFormat.ManifestHandle => Boolean) => IcebergFormat.TablePlan)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   /** Pre-planned compatibility entry (the row-level-operation scan, which
     * needs every file anyway): no manifest-list pruning, same behavior as
@@ -121,8 +122,13 @@ final class IcebergMorScanBuilder(
   private val predPlan =
     IcebergFormat.TablePlan(header.schema, header.fieldIds, Nil, Nil)
 
+  // the unpruned plan, materialized at most once (count pushdown checks
+  // and unfiltered scans share it)
+  private lazy val fullPlan = loadPlan(_ => true)
+
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -137,15 +143,62 @@ final class IcebergMorScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Metadata-only COUNT(*): the sum of the manifests' required
+    * `record_count`s — zero data IO at ANY table size. Sound only when no
+    * row-level delete is live (physical counts would over-count) and
+    * every file records a positive count; filtered counts never push
+    * (bounds can't prove row predicates). Same interlocks as the IceLite
+    * scan's ic52 path. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countPushed = pushed.isEmpty &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] && {
+        val p = fullPlan
+        p.deletes.isEmpty && p.files.forall(_.rowCount > 0)
+      }
+    countPushed
+  }
+
   /** Materialize the plan NOW, with manifest-LIST pruning: a data manifest
     * is read only if every pushed filter's summary predicate says its
     * partition summaries (field 507) can match — planning IO on a
     * selective query is O(surviving manifests). */
   override def build(): Scan = {
+    if (countPushed) return new IcebergMorCountScan(fullPlan.files.map(_.rowCount).sum)
     val keeps = pushed.flatMap(IcebergMorScan.manifestPredicate(header, _))
     new IcebergMorScan(required, tableSchema,
-      loadPlan(mh => keeps.forall(_(mh))), pushed)
+      if (keeps.isEmpty) fullPlan else loadPlan(mh => keeps.forall(_(mh))), pushed)
   }
+}
+
+/** Metadata-only COUNT(*) over a standard-format table: one row from the
+  * manifests' record_count sums, no data file opened (mirrors
+  * [[IceLiteCountScan]]; the builder's interlocks guarantee no live
+  * deletes and full counts). */
+final class IcebergMorCountScan(rows: Long) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)", LongType, nullable = false)))
+  override def description(): String =
+    s"iceberg metadata-only count rows=$rows (no data files read)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IceLiteCountPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](p.asInstanceOf[IceLiteCountPartition].rows))
+          override def close(): Unit = ()
+        }
+    }
 }
 
 object IcebergMorScan {

@@ -821,7 +821,11 @@ class MorSpec extends SparkSpec {
 
       IceLiteSource.filesOpened.reset()
       IceLiteSource.planningFootersOpened.reset()
-      val n0 = spark.sql(s"SELECT count(*) AS n FROM $cat.graft.ord_split").head().getLong(0)
+      // count(col), NOT count(*): the metadata-only count shortcut would
+      // answer count(*) without planning any partition — this test is
+      // about the ranged-split DATA path
+      val n0 = spark.sql(s"SELECT count(o_orderkey) AS n FROM $cat.graft.ord_split")
+        .head().getLong(0)
       assert(n0 == total, "split read lost rows")
       val splits = IceLiteSource.filesOpened.sum()
       assert(splits >= 2, s"oversized file planned $splits partition(s); expected ranged splits")
@@ -854,7 +858,10 @@ class MorSpec extends SparkSpec {
           .copy(splitOffsets = Nil)))
       IceLiteSource.filesOpened.reset()
       IceLiteSource.planningFootersOpened.reset()
-      val n2 = spark.sql(s"SELECT count(*) AS n FROM $cat.graft.ord_nooff").head().getLong(0)
+      // count(col) again: the metadata-only count(*) shortcut would skip
+      // the data path this fallback test exists to exercise
+      val n2 = spark.sql(s"SELECT count(o_orderkey) AS n FROM $cat.graft.ord_nooff")
+        .head().getLong(0)
       assert(n2 == total, "fallback split read lost rows")
       assert(IceLiteSource.filesOpened.sum() >= 2, "fallback path did not split")
       assert(IceLiteSource.planningFootersOpened.sum() == 1,
@@ -1197,6 +1204,38 @@ class MorSpec extends SparkSpec {
       assert(n == nat.filter(col("n_regionkey") === 2).count())
       assert(opened < regions.length,
         s"runtime filtering pruned nothing: opened $opened of ${regions.length} files")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("iceberg-format COUNT(*): metadata-only while clean, disabled under live deletes") {
+    import graft.icelite.IcebergFormat
+    import graft.sources.IceLiteSource
+    val wh  = scratch("ifmt_cnt")
+    val loc = s"$wh/graft/nat_cnt"
+    val cat = "ice_cnt"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f1", nat)))
+      val q = spark.sql(s"SELECT count(*) FROM $cat.graft.nat_cnt")
+      assert(q.queryExecution.executedPlan.toString.contains("metadata-only count"),
+        "COUNT(*) did not push to the metadata scan")
+      IceLiteSource.filesOpened.reset()
+      assert(q.head().getLong(0) == 25)
+      assert(IceLiteSource.filesOpened.sum() == 0,
+        s"metadata count opened ${IceLiteSource.filesOpened.sum()} data files")
+      // a live position delete disables the shortcut (physical counts
+      // over-count) — and the fallback scan counts right
+      spark.sql(s"DELETE FROM $cat.graft.nat_cnt WHERE n_nationkey = 3")
+      val q2 = spark.sql(s"SELECT count(*) FROM $cat.graft.nat_cnt")
+      assert(!q2.queryExecution.executedPlan.toString.contains("metadata-only count"),
+        "COUNT(*) stayed metadata-only with live deletes")
+      assert(q2.head().getLong(0) == 24)
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
