@@ -110,7 +110,8 @@ final class IcebergMorScanBuilder(
     header: IcebergFormat.PlanHeader,
     loadPlan: (IcebergFormat.ManifestHandle => Boolean) => IcebergFormat.TablePlan)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   /** Pre-planned compatibility entry (the row-level-operation scan, which
     * needs every file anyway): no manifest-list pruning, same behavior as
@@ -129,6 +130,12 @@ final class IcebergMorScanBuilder(
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var limit: Option[Int] = None
+
+  /** Partial limit pushdown: readers stop emitting after `n`
+    * delete-applied rows per partition; returning false keeps Spark's own
+    * global LIMIT above (same contract as the IceLite scan). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -170,7 +177,7 @@ final class IcebergMorScanBuilder(
     if (countPushed) return new IcebergMorCountScan(fullPlan.files.map(_.rowCount).sum)
     val keeps = pushed.flatMap(IcebergMorScan.manifestPredicate(header, _))
     new IcebergMorScan(required, tableSchema,
-      if (keeps.isEmpty) fullPlan else loadPlan(mh => keeps.forall(_(mh))), pushed)
+      if (keeps.isEmpty) fullPlan else loadPlan(mh => keeps.forall(_(mh))), pushed, limit)
   }
 }
 
@@ -522,7 +529,8 @@ final class IcebergMorScan(
     required: StructType,
     tableSchema: StructType,
     p: IcebergFormat.TablePlan,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -677,7 +685,7 @@ final class IcebergMorScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteReaderFactory(
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      required, partCols, tableSchema, None, deleteFiles, eqDeleteFiles)
+      required, partCols, tableSchema, limit, deleteFiles, eqDeleteFiles)
   // IO-free by contract: EXPLAIN must never force `partitions` (ranged
   // splits may open parquet footers); split counts print only if planning
   // already ran

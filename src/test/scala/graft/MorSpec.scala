@@ -1236,6 +1236,11 @@ class MorSpec extends SparkSpec {
       assert(!q2.queryExecution.executedPlan.toString.contains("metadata-only count"),
         "COUNT(*) stayed metadata-only with live deletes")
       assert(q2.head().getLong(0) == 24)
+      // pushed partial LIMIT under live deletes: the reader's early-stop
+      // counts DELETE-APPLIED rows, so a limit spanning the whole live
+      // set still sees every survivor
+      assert(spark.sql(s"SELECT n_nationkey FROM $cat.graft.nat_cnt LIMIT 24").count() == 24,
+        "pushed limit under-emitted on a table with live deletes")
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
