@@ -100,37 +100,94 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash lsh
 
-  /** Verified near-dup pairs (doc_a < doc_b, exact Jaccard over hashed
-    * shingle sets) found via MinHash banding — shared by dd03 and the
-    * dd06 clustering pass. */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Hot-bucket cap for LSH band buckets. A (band_id, band-signature)
+    * bucket of k members emits O(k²) candidate pairs from the band
+    * self-join; organic buckets are tiny (measured max 4 at sf0.1, max 3
+    * at sf0.01) but boilerplate-heavy crawls carry million-copy groups
+    * whose single bucket would dominate the whole job (measured: dd03 ran
+    * 89.8× at 100× rows on a dup-saturated corpus before the cap). Bucket
+    * members are ranked by doc_id; only the first `bucketCap` take part in
+    * pairwise candidate generation, and the overflow is COUNTED into
+    * [[lastBucketDrop]] and logged — never silently truncated. The
+    * CLUSTERING path ([[ccLabels]]) drops nothing: overflow buckets emit
+    * STAR edges (every member → the bucket-min doc, O(k) edges), which
+    * keeps the same connected components for the everything-alike buckets
+    * the cap exists for. The default sits far above any organic
+    * sf0.01/sf0.1 bucket, so oracle runs are byte-identical with or
+    * without the cap; override with spark.graft.dedup.bucketCap (specs set
+    * it tiny to exercise both paths). */
+  private[graft] def bucketCap(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.bucketCap").map(_.toInt).getOrElse(64)
+
+  /** Band-bucket members dropped from pairwise candidate generation by the
+    * most recent hot-bucket cap application (driver-side counter gate). */
+  private[graft] val lastBucketDrop = new java.util.concurrent.atomic.LongAdder()
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
+  /** The banded-signature frame (doc_id, band_id, bsig) with per-bucket
+    * rank/size/min columns, PERSISTED: it feeds both self-join sides and
+    * the overflow audit, so signatures compute once. Both windows share
+    * the bucket-key partitioning — one shuffle total. */
+  private def rankedBand(band: DataFrame): DataFrame = {
+    val byBucket = Window.partitionBy("band_id", "bsig")
+    band
+      .withColumn("rk", row_number().over(byBucket.orderBy("doc_id")))
+      .withColumn("k", count(lit(1)).over(byBucket))
+      .withColumn("bmin", min(col("doc_id")).over(byBucket))
+      .persist()
+  }
+
+  /** Capped pairwise candidates (doc_a < doc_b, distinct across bands)
+    * from a ranked band frame. The count() also materializes the ranked
+    * cache, so the join sides read it instead of recomputing signatures. */
+  private def cappedCandidates(s: SparkSession, ranked: DataFrame): DataFrame = {
+    val cap = bucketCap(s)
+    val dropped = ranked.filter(col("rk") > cap).count()
+    lastBucketDrop.reset()
+    lastBucketDrop.add(dropped)
+    if (dropped > 0) log.warn(
+      s"LSH hot-bucket cap $cap dropped $dropped band-bucket members from pairwise mining " +
+        "(boilerplate-class buckets; clustering still covers them via star edges)")
+    val kept = ranked.filter(col("rk") <= cap)
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** doc_id + distinct hashed shingle sets (codegen'd rolling hash),
+    * persisted — feeds the signature path and the verify joins. */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame = {
     import graft.functions.hashfns
-    // distinct integer shingle-hash sets per doc (codegen'd rolling hash)
-    val hs = shingles(s, d).select(
+    shingles(s, d).select(
       col("doc_id"),
       array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
-      .persist() // feeds the signature path and the verify joins
-    // whole 16-value signature in one map-side pass (no explode/crossJoin/
-    // shuffled min-agg), then band signatures by slicing the array — the
-    // sliced array itself is the equi-join key (no csv-string building)
-    val band = hs
-      .select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
+      .persist()
+  }
+
+  /** Band the 16-value MinHash signature by slicing the array — the sliced
+    * array itself is the equi-join key (no csv-string building). The whole
+    * signature computes in one map-side pass (no explode/crossJoin/
+    * shuffled min-agg). */
+  private def bandOfHs(hs: DataFrame): DataFrame = {
+    import graft.functions.hashfns
+    hs.select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
           s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bsig")
-    val cand = band.as("x")
-      .join(band.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // verify candidates with exact jaccard, computed map-side from the two
-    // hset arrays (array_intersect) — no explode + re-join + shuffled count.
-    // The hset frame is per-doc (tiny next to the corpus text), so AQE
-    // broadcasts it; at 100 TB these become shuffle joins on doc_id, still
-    // proportional to the candidate count, not the corpus.
+  }
+
+  /** Exact Jaccard over candidate pairs, computed map-side from the two
+    * hset arrays (array_intersect) — no explode + re-join + shuffled
+    * count. The hset frame is per-doc (tiny next to the corpus text), so
+    * AQE broadcasts it; at 100 TB these become shuffle joins on doc_id,
+    * still proportional to the candidate count, not the corpus. */
+  private def verifyJaccard(cand: DataFrame, hs: DataFrame): DataFrame = {
     val c = size(array_intersect(col("ha"), col("hb"))).cast("long")
     val jac = c.cast("double") /
       (size(col("ha")) + size(col("hb")) - c).cast("double")
@@ -138,6 +195,14 @@ object Dedup {
       .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), Seq("doc_a"))
       .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Verified near-dup pairs (doc_a < doc_b, exact Jaccard over hashed
+    * shingle sets) found via MinHash banding, hot buckets capped — shared
+    * by dd03 and the pair-audit family. */
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hs = hashedShingles(s, d)
+    verifyJaccard(cappedCandidates(s, rankedBand(bandOfHs(hs))), hs)
   }
 
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
@@ -154,23 +219,9 @@ object Dedup {
     * probes (map-side zip_with), never a second corpus pass. */
   private def minhashEst(s: SparkSession, d: String): DataFrame = {
     import graft.functions.hashfns
-    val hs = shingles(s, d).select(
-      col("doc_id"),
-      array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
-      .persist()
+    val hs   = hashedShingles(s, d)
     val sigs = hs.select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
-    val band = sigs
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
-          s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "bsig")
-    val cand = band.as("x")
-      .join(band.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = cappedCandidates(s, rankedBand(bandOfHs(hs)))
     val c   = size(array_intersect(col("ha"), col("hb"))).cast("long")
     val jac = c.cast("double") / (size(col("ha")) + size(col("hb")) - c).cast("double")
     cand
@@ -211,24 +262,8 @@ object Dedup {
     * in both engines); rounding is output-only. Same bounded candidate
     * join as dd03 — no new scale surface. */
   private def containment(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.hashfns
-    val hs = shingles(s, d).select(
-      col("doc_id"),
-      array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
-      .persist()
-    val band = hs
-      .select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
-          s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "bsig")
-    val cand = band.as("x")
-      .join(band.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val hs   = hashedShingles(s, d)
+    val cand = cappedCandidates(s, rankedBand(bandOfHs(hs)))
     val c  = size(array_intersect(col("ha"), col("hb"))).cast("double")
     val ca = c / size(col("ha"))
     val cb = c / size(col("hb"))
@@ -321,7 +356,27 @@ object Dedup {
     * the pp07 canonicalization pipeline. Only documents that appear in at
     * least one verified pair get a row. */
   private[graft] def ccLabels(s: SparkSession, d: String): DataFrame = {
-    val edges = minhashPairs(s, d).filter(col("jaccard") >= 0.5)
+    // Hybrid edge mining: buckets at or under the hot-bucket cap emit the
+    // usual pairwise candidates; OVERFLOW buckets emit STAR edges — every
+    // member connects to the bucket-min doc, O(k) edges instead of O(k²).
+    // For the boilerplate buckets the cap targets (near-identical members)
+    // the star graph has the same connected components as the clique, and
+    // unlike the pair-audit surface nothing is dropped here. Below the cap
+    // (all organic sf0.01/sf0.1 buckets) this is byte-identical to
+    // pairwise mining, so the recursive-CTE oracle still matches.
+    val hs     = hashedShingles(s, d)
+    val ranked = rankedBand(bandOfHs(hs))
+    val cap    = bucketCap(s)
+    val small  = ranked.filter(col("k") <= cap)
+    val candSmall = small.as("x")
+      .join(small.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candStar = ranked.filter(col("k") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    val cand = candSmall.unionByName(candStar).distinct()
+    val edges = verifyJaccard(cand, hs).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .persist()
     val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -843,7 +898,11 @@ object Dedup {
     * this is the number an index operator reads before picking (b, r) at
     * 100 TB, where each extra candidate pair is a real verification join
     * row. Signatures compute once (persisted); each plan is one
-    * band-bucket equi-join + a count — bounded exactly like dd03. */
+    * band-bucket equi-join + a count. Deliberately UNCAPPED, unlike dd03:
+    * the whole point is the true candidate volume each (b, r) would
+    * produce — a capped count would underreport exactly the hot buckets
+    * the tuning decision hinges on. At 100 TB this audit runs on a sample,
+    * not the corpus. */
   private def bandTuning(s: SparkSession, d: String): DataFrame = {
     import graft.functions.hashfns
     val sigs = shingles(s, d).select(
@@ -1051,17 +1110,14 @@ object Dedup {
     * candidates × len² — independent of corpus size; similarity is
     * reported as half-up integer basis points of (1 - lev/maxlen). */
   private def editDistanceDup(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.hashfns
-    val hs = shingles(s, d).select(
-      col("doc_id"),
-      array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
-    val band = hs
-      .select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${16 / Hashing.bandRows - 1}), " +
-          s"b -> slice(sig, b * ${Hashing.bandRows} + 1, ${Hashing.bandRows}))")))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "bsig")
+    // hot-bucket capped like dd03: members ranked by doc_id within each
+    // (band_id, bsig) bucket, only the first `cap` join — bounds the DP
+    // verify input on boilerplate-heavy corpora; below the cap (all
+    // organic buckets) the candidate set and n_bands counts are unchanged
+    val hs     = hashedShingles(s, d)
+    val ranked = rankedBand(bandOfHs(hs))
+    val cap    = bucketCap(s)
+    val band   = ranked.filter(col("rk") <= cap)
     // Per-doc candidate cap (top-16 by band-collision count, ties to the
     // smaller id): the O(len²) DP cost per doc stays BOUNDED even on a
     // pathologically duplicate-heavy corpus where every doc has dozens of

@@ -298,6 +298,47 @@ class OpsSpec extends SparkSpec {
     assert(idx.count() > 0)
   }
 
+  test("LSH hot-bucket cap bounds pair mining; star edges keep cluster components") {
+    import graft.ops.Dedup
+    // corpus: organic sf0.001 docs + a 13-copy hot group with a text no
+    // organic doc shares a shingle with (the boilerplate-class bucket the
+    // cap exists for: identical signatures -> one bucket per band)
+    val base = Tables.documents(spark, sfDir)
+    val hotText = (1 to 40).map(i => s"graftcapfixture$i").mkString(" ")
+    val hotIds  = (1 to 13).map(k => 9000000L + k)
+    val hot = spark.createDataFrame(
+      spark.sparkContext.parallelize(hotIds.map(id =>
+        org.apache.spark.sql.Row(id, hotText, "en", "srccap", hotText.length.toLong))),
+      base.schema)
+    val dir = scratch("bucket_cap")
+    base.unionByName(hot).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def hotOnly(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_a") >= 9000000L && col("doc_b") >= 9000000L)
+
+    // default cap (64) far above the group: NOTHING dropped, full clique
+    Dedup.lastBucketDrop.reset()
+    val fullPairs = hotOnly(Dedup.minhashPairs(spark, dir)).count()
+    assert(fullPairs == 13L * 12 / 2, s"expected full clique, got $fullPairs")
+    assert(Dedup.lastBucketDrop.sum() == 0, "default cap dropped members on a tiny group")
+
+    spark.conf.set("spark.graft.dedup.bucketCap", "4")
+    try {
+      // capped: only the 4 lowest-id members pair up -> C(4,2) per bucket,
+      // and the identical signatures put the same 4 first in every band
+      val capped = hotOnly(Dedup.minhashPairs(spark, dir)).count()
+      assert(capped == 6, s"hot bucket not capped: $capped pairs")
+      // 9 overflow members x 4 bands, counted — never silent
+      assert(Dedup.lastBucketDrop.sum() == 36,
+        s"drop counter: ${Dedup.lastBucketDrop.sum()} (expected 36)")
+      // clustering drops NOTHING: star edges keep all 13 in one component
+      val lbl = Dedup.ccLabels(spark, dir).filter(col("doc_id") >= 9000000L)
+      val clusters = lbl.select("cluster").distinct().count()
+      assert(lbl.count() == 13 && clusters == 1,
+        s"star edges broke the hot component: ${lbl.count()} members, $clusters clusters")
+    } finally spark.conf.unset("spark.graft.dedup.bucketCap")
+  }
+
   test("st12 transformWithState count equals the batch GROUP BY under any batching") {
     val streamed = SparkEntry.registry.find(_.name == "st12_transform_with_state").get
       .run(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
