@@ -68,13 +68,25 @@ object Bench {
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
+    // min-of-two per query, escalating to a THIRD run when the two
+    // disagree >1.5× — a bursty-noise hit on both runs is what produced
+    // r13's 34 phantom >2× movers (empty intersection with the same-day
+    // controlled map); the extra run costs only the unstable tail.
+    val unstable = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { q =>
       val a = force(q.name)
       val b = force(q.name)
-      val best = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      val best2 = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      val noisy = a > 0 && b > 0 && math.max(a, b) > 1.5 * math.min(a, b) && best2 > 0.5
+      val best = if (noisy) {
+        unstable += q.name
+        val c = force(q.name)
+        if (c < 0) best2 else math.min(best2, c)
+      } else best2
       // stderr progress so a long run (or a hung query) is diagnosable
       // mid-flight; the JSON contract line on stdout is unchanged
-      System.err.println(f"[bench] ${q.name} $best%.2fs (runs $a%.2f/$b%.2f)")
+      System.err.println(f"[bench] ${q.name} $best%.2fs (runs $a%.2f/$b%.2f" +
+        (if (noisy) " +retry" else "") + ")")
       q.name -> best
     }
     // failed queries surface as null entries + a failed count, so a
@@ -95,8 +107,9 @@ object Bench {
           (if (v < 0) "null" else f"${math.max(0.0, v - streamOverheadSec)}%.3f")
       }
       .mkString("{", ",", "}")
+    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"streaming_overhead":$streamOverheadSec%.3f,"streaming_net":$streamingNet,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableJson,"streaming_net":$streamingNet,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's stdout capture truncates long output from the FRONT
     // (round 5 kept only the tail ~75 of 175 timings, leaving the JSON
     // line unparseable). Persist the full record to a file in the repo so
