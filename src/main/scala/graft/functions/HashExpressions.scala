@@ -396,6 +396,36 @@ case class WinnowExpr(child: Expression, k: Int, w: Int, m: Long)
     copy(child = newChild)
 }
 
+/** Static targets for the bound-truncation columns ([[boundfns]]) —
+  * Iceberg truncate(16) semantics live in
+  * [[graft.icelite.IcebergFormat.truncateLowerBound]]/`truncateUpperBound`;
+  * these adapt them to Spark's internal UTF8String for codegen
+  * StaticInvoke (a direct static call in generated code — no row-at-a-time
+  * Scala-function UDF). */
+object BoundStatics {
+  def truncLower(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(graft.icelite.IcebergFormat.truncateLowerBound(s.toString))
+  def truncUpper(s: UTF8String): UTF8String =
+    if (s == null) null
+    else graft.icelite.IcebergFormat.truncateUpperBound(s.toString)
+      .map(UTF8String.fromString).orNull
+}
+
+/** Column wrappers for manifest string-bound truncation. */
+object boundfns {
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  private def wrap(name: String, c: Column, nullable: Boolean): Column =
+    bridge.column(StaticInvoke(
+      BoundStatics.getClass, StringType, name, Seq(bridge.expression(c)),
+      inputTypes = Seq(StringType), propagateNull = true, returnNullable = nullable))
+  /** 16-code-point prefix — a valid Iceberg lower bound. */
+  def truncLower(c: Column): Column = wrap("truncLower", c, nullable = false)
+  /** Incremented 16-cp prefix (strictly ≥ the value) — NULL when no code
+    * point could bump, read as unbounded by every pruner. */
+  def truncUpper(c: Column): Column = wrap("truncUpper", c, nullable = true)
+}
+
 /** Column-API wrappers. */
 object hashfns {
   private def expr(c: Column): Expression = bridge.expression(c)

@@ -149,10 +149,24 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       // listings are similarly non-atomic) — retry with backoff past the
       // racer's window; the vN.json files we are after are immutable once
       // committed, so a clean listing always converges
+      // only the RACE shapes retry: an entry that vanished between the
+      // directory read and the per-entry stat (FileNotFound cause, or the
+      // shell-stat message RawLocalFileSystem wraps it in). A persistent
+      // failure (permissions, bad config) surfaces immediately.
+      def isVanishedEntry(e: Throwable): Boolean = {
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+        chain.exists {
+          case _: java.io.FileNotFoundException => true
+          case t =>
+            val m = Option(t.getMessage).getOrElse("")
+            m.contains("No such file") || m.contains("does not exist") ||
+              m.contains("Error while running command to get file permissions")
+        }
+      }
       def attempt(left: Int): Seq[org.apache.hadoop.fs.FileStatus] =
         try fs.listStatus(metadataDir).toIndexedSeq
         catch {
-          case _: RuntimeException if left > 0 =>
+          case e: RuntimeException if left > 0 && isVanishedEntry(e) =>
             Thread.sleep(5L << (6 - left)); attempt(left - 1)
         }
       attempt(6)
@@ -241,7 +255,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       val sorted = buf.sortBy(_._1).toIndexedSeq
       (sorted.map(_._1), sorted.toMap)
     }
-    val newManifest = writeManifest(md0.schema, dataDir, dataRel, files, snapId0, fileSizes)
+    val newManifest =
+      writeManifest(md0.schema, dataDir, dataRel, files, snapId0, fileSizes, parts.toSet)
     // the new manifest's summary folds its per-file stats (the delta was
     // just written, so this driver read is O(delta) and warms the cache)
     val newSummary = summarize(md0.schema, readManifest(newManifest))
@@ -597,7 +612,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       dataRel: String,
       files: Seq[String],
       snapId: Long,
-      fileSizes: Map[String, Long] = Map.empty): String = {
+      fileSizes: Map[String, Long] = Map.empty,
+      // string columns whose bounds stay FULL: partition columns (their
+      // min=max IS the partition value — exactness feeds metadata deletes)
+      // and a position-delete manifest's file_path (delete-applies-to-file
+      // pruning is useless on truncated paths; Iceberg keeps full metrics
+      // there too)
+      exactCols: Set[String] = Set.empty): String = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rel  = s"metadata/manifests/m-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -617,8 +638,21 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       else {
         // row count always rides the stats pass (Iceberg's required
         // record_count) — COUNT(*)/snapshot sizes answer from metadata
-        val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c =>
-          Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
+        // string bounds land TRUNCATED (Iceberg truncate(16): prefix
+        // lower, incremented-prefix upper — a NULL upper reads as
+        // unbounded): long-text columns must not put document-sized
+        // strings in every manifest entry
+        val strCols = schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+        }.toSet
+        val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+          if (strCols(c) && !exactCols(c))
+            Seq(graft.functions.boundfns.truncLower(min(col(c)).cast("string")).as(s"min_$c"),
+              graft.functions.boundfns.truncUpper(max(col(c)).cast("string")).as(s"max_$c"))
+          else
+            Seq(min(col(c)).cast("string").as(s"min_$c"),
+              max(col(c)).cast("string").as(s"max_$c"))
+        }
         val statsMap =
           if (cols.isEmpty) lit(null).cast(statsType)
           else map(cols.flatMap(c =>
@@ -1790,7 +1824,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
           }
           buf.sorted.toIndexedSeq
         }
-        val m = writeManifest(IceTable.PositionDeleteSchema, dir, rel, files, snapId0)
+        val m = writeManifest(IceTable.PositionDeleteSchema, dir, rel, files, snapId0,
+          exactCols = Set("file_path"))
         // drop zero-row part files from the manifest (a skewed range split
         // can leave empty partitions; a statless delete file would defeat
         // reader-side pruning forever)

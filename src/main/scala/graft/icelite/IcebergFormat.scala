@@ -170,7 +170,8 @@ object IcebergFormat {
     * bounds which data files the delete can touch, so a reader opens the
     * delete file only for data files inside the range. */
   final case class PlannedDelete(path: Path, seq: Long, content: Int, equalityIds: Seq[Int],
-      pathBounds: Option[(String, String)] = None)
+      pathBounds: Option[(String, String)] = None,
+      rows: Long = 0L) // manifest record_count: the visible delete debt
 
   private[graft] final case class TablePlan(
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
@@ -447,6 +448,73 @@ object IcebergFormat {
     PlanHeader(sparkSchema, fieldIds, axes)
   }
 
+  /** `position_deletes`-style metadata table for a STANDARD-format table:
+    * one row per LIVE delete file — position (content 1) AND equality
+    * (content 2) — with its record count (the visible merge-on-read debt),
+    * equality key ids, and the position deletes' data-file path bounds.
+    * Planning-sized: rows come from manifests, zero data IO. The
+    * maintenance loop reads this to see debt, `rewrite_data_files` clears
+    * it, and this goes back to empty. */
+  def deletesTable(spark: SparkSession, metadataPath: String): DataFrame = {
+    import spark.implicits._
+    val p = plan(spark, metadataPath)
+    p.deletes.sortBy(_.path.toString).map { d =>
+      (d.path.toString,
+        if (d.content == 1) "position" else "equality",
+        d.rows,
+        d.equalityIds.mkString(","),
+        d.pathBounds.map(_._1).orNull,
+        d.pathBounds.map(_._2).orNull)
+    }.toDF("delete_file", "content", "n_records", "equality_ids",
+      "min_data_file", "max_data_file")
+  }
+
+  /** Source column names of the DEFAULT partition spec when EVERY field is
+    * an identity transform over a type the delta writer can stamp —
+    * otherwise Nil. Row-level DML uses this to route insert files through
+    * the partitioned rolling writer with REAL partition tuples (external
+    * engines then prune delta files like any other); transform specs
+    * (bucket/temporal/truncate) fall back to the auxiliary unpartitioned
+    * spec, which is conservative and correct. */
+  private[graft] def defaultSpecIdentityCols(
+      spark: SparkSession, metadataPath: String): Seq[String] = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    val schemaObj = (md \ "schemas") match {
+      case JArray(ss) =>
+        val cur = (md \ "current-schema-id").extractOpt[Int].getOrElse(0)
+        ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
+          .orElse(ss.headOption).getOrElse(return Nil)
+      case _ => md \ "schema"
+    }
+    val (sparkSchema, fieldIds) = schemaFields(schemaObj)
+    val defaultSpecId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val fields = (md \ "partition-specs") match {
+      case JArray(specsJ) =>
+        specsJ.find(sp => (sp \ "spec-id").extractOpt[Int].getOrElse(0) == defaultSpecId)
+          .map(sp => (sp \ "fields").extract[List[JObject]]).getOrElse(Nil)
+      case _ => Nil
+    }
+    if (fields.isEmpty) return Nil
+    val cols = fields.map { f =>
+      if ((f \ "transform").extractOpt[String].getOrElse("") != "identity") return Nil
+      val idx = fieldIds.indexOf((f \ "source-id").extract[Int])
+      if (idx < 0) return Nil
+      val dt = sparkSchema.fields(idx).dataType
+      val stampable = dt match {
+        case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.BooleanType |
+            org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+      if (!stampable) return Nil
+      sparkSchema.fieldNames(idx)
+    }
+    cols
+  }
+
   private[graft] def plan(spark: SparkSession, metadataPath: String,
       snapshotId: Option[Long] = None,
       keepManifest: ManifestHandle => Boolean = _ => true): TablePlan = {
@@ -611,7 +679,7 @@ object IcebergFormat {
                   h <- hi.get(PosDeletePathFieldId)
                 } yield (new String(l, "UTF-8"), new String(h, "UTF-8"))
               }
-              Some(Right(PlannedDelete(path, seq, c, eqIds, pb)))
+              Some(Right(PlannedDelete(path, seq, c, eqIds, pb, fRows)))
             case other =>
               throw new UnsupportedOperationException(s"unknown data_file content $other")
           }
@@ -965,6 +1033,39 @@ object IcebergFormat {
   /** Encode a stringified column value in Iceberg's single-value binary
     * form (little-endian fixed width for numerics, UTF-8 for strings).
     * Types outside the supported set record no bound (None). */
+  /** Iceberg string-bound truncation (spec: `truncate(16)` on string
+    * lower/upper bounds). Without it, every manifest entry of a long-text
+    * column carries two full document-sized strings — metadata bloat that
+    * defeats manifest pruning at exactly the scale it targets. Lower bound
+    * = 16-code-point prefix (a prefix is ≤ the value in any consistent
+    * order). Upper bound = the prefix with its last incrementable code
+    * point bumped — strictly greater than the value. Only code points
+    * below the surrogate block (U+D7FF) are bumped, so the result compares
+    * identically in UTF-16 (the pruner's String.compareTo) and code-point
+    * (the spec's UTF-8 byte) order; when no position can bump (wildly
+    * unlikely outside adversarial input) the upper bound is dropped
+    * entirely, which every pruner treats as unbounded — conservative. */
+  private[graft] val boundTruncWidth = 16
+
+  private[graft] def truncateLowerBound(s: String, w: Int = boundTruncWidth): String =
+    if (s.codePointCount(0, s.length) <= w) s
+    else s.substring(0, s.offsetByCodePoints(0, w))
+
+  private[graft] def truncateUpperBound(s: String, w: Int = boundTruncWidth): Option[String] =
+    if (s.codePointCount(0, s.length) <= w) Some(s)
+    else {
+      val prefix = s.substring(0, s.offsetByCodePoints(0, w))
+      var i = prefix.length
+      var out: Option[String] = None
+      while (i > 0 && out.isEmpty) {
+        val cp    = prefix.codePointBefore(i)
+        val start = i - Character.charCount(cp)
+        if (cp < 0xD7FF) out = Some(prefix.substring(0, start) + (cp + 1).toChar)
+        i = start
+      }
+      out
+    }
+
   private[graft] def encodeBound(dt: DataType, v: String): Option[Array[Byte]] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
@@ -1147,13 +1248,21 @@ object IcebergFormat {
     fs.mkdirs(dest.getParent)
     require(fs.rename(part, dest), s"stage rename failed for $name")
     fs.delete(new Path(tmp), true)
-    // ONE footer read on the file just written yields split_offsets (spec
-    // field 132), the exact row count, and per-column null counts (spec
-    // field 110 — parquet chunk statistics record numNulls exactly): no
-    // second pass over `df` for stats, ever. Null-count keys default to
-    // the positional 1..n id layout; sparse-id callers pass real ids.
-    val ids = if (fieldIds.nonEmpty) fieldIds else 1 to df.schema.fields.length
-    require(ids.length == df.schema.fields.length, "field id count != column count")
+    fileInfoFromFooter(spark, dest, df.schema, content, equalityIds, fieldIds)
+  }
+
+  /** Manifest entry for an already-written parquet file: ONE footer read
+    * yields split_offsets (spec field 132), the exact row count, and
+    * per-column null counts (spec field 110 — parquet chunk statistics
+    * record numNulls exactly): no second pass over the data for stats,
+    * ever. Null-count keys default to the positional 1..n id layout;
+    * sparse-id callers pass real ids. */
+  private[graft] def fileInfoFromFooter(spark: SparkSession, dest: Path, schema: StructType,
+      content: Int = 0, equalityIds: Seq[Int] = Nil,
+      fieldIds: Seq[Int] = Nil): DataFileInfo = {
+    val fs  = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = if (fieldIds.nonEmpty) fieldIds else 1 to schema.fields.length
+    require(ids.length == schema.fields.length, "field id count != column count")
     val (offsets, rows, nullCounts) = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1167,14 +1276,14 @@ object IcebergFormat {
         // only FLAT (primitive) columns: a leaf chunk's numNulls equals
         // the column's null count exactly then; nested columns record no
         // stat (absent = conservative for the IS [NOT] NULL pruner)
-        val flat = df.schema.fields.zipWithIndex.collect {
+        val flat = schema.fields.zipWithIndex.collect {
           case (f, i) if !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
             !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
             !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
             f.name -> i
         }.toMap
-        val acc  = new Array[Long](df.schema.fields.length)
-        val seen = new Array[Boolean](df.schema.fields.length)
+        val acc  = new Array[Long](schema.fields.length)
+        val seen = new Array[Boolean](schema.fields.length)
         java.util.Arrays.fill(seen, true)
         blocks.foreach(_.getColumns.asScala.foreach { c =>
           val path = c.getPath.toArray
@@ -1284,6 +1393,10 @@ object IcebergFormat {
     private var defaultSpec: Int = specs.size - 1
     private def defaultSpecId: Int = defaultSpec
     private def currentSpecFields: Seq[SpecField] = specs(defaultSpec)
+
+    /** Whether the default spec partitions — a rewrite that stages files
+      * without partition tuples must refuse a partitioned table. */
+    def defaultSpecIsPartitioned: Boolean = currentSpecFields.nonEmpty
     private def specJson(sf: Seq[SpecField]): String = sf.map(f =>
       s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${f.sourceId},"field-id":${f.fieldId}}""")
       .mkString(",")
@@ -1424,10 +1537,61 @@ object IcebergFormat {
       commitWith(files, sid)
     }
 
-    private def commitWith(files: Seq[DataFileInfo], specId: Int): Unit = {
+    private def commitWith(files: Seq[DataFileInfo], specId: Int): Unit =
+      commitGroups(Seq(files -> specId))
+
+    /** Row-delta commit in ONE snapshot with PER-GROUP partition specs:
+      * insert files that carry real partition tuples land under the
+      * DEFAULT (partitioned) spec — external engines prune them like any
+      * other data file — while position/equality deletes (global by
+      * nature) land under the auxiliary unpartitioned spec. The old
+      * all-unpartitioned routing ([[commitDelta]]) remains the fallback
+      * for transform specs the delta writer can't stamp. */
+    def commitRowDelta(inserts: Seq[DataFileInfo], deletes: Seq[DataFileInfo]): Unit = {
+      if (currentSpecFields.isEmpty) return commitWith(inserts ++ deletes, defaultSpec)
+      val delSpec = {
+        val existing = specs.indexWhere(_.isEmpty)
+        if (existing >= 0) existing else { specs = specs :+ Seq.empty; specs.size - 1 }
+      }
+      commitGroups(Seq(inserts -> defaultSpec, deletes -> delSpec))
+    }
+
+    private def commitGroups(groups: Seq[(Seq[DataFileInfo], Int)]): Unit = {
+      val files = groups.flatMap(_._1)
+      // stats keys MUST be real field ids of the current schema: a sparse-id
+      // table (dropped-column history) whose stats arrive keyed positionally
+      // (1..n from a writeSingleFile call that omitted fieldIds) would
+      // publish counts under retired/nonexistent ids, and null-aware file
+      // pruning (IsNull/IsNotNull) would misprune on them. Fail the commit
+      // rather than publish spec-noncompliant metadata.
+      // DELETE files (content != 0) are exempt: position deletes key their
+      // stats by the spec's RESERVED ids (2147483546 file_path /
+      // 2147483545 pos), which are never in the table schema.
+      val idSet = currentFieldIds.toSet
+      files.filter(_.content == 0).foreach { f =>
+        val bad = (f.nullCounts.keySet ++ f.bounds.keySet).filterNot(idSet)
+        require(bad.isEmpty,
+          s"stats keyed by non-schema field ids ${bad.toSeq.sorted.mkString(",")} " +
+            s"(schema ids: ${currentFieldIds.mkString(",")}) — pass fieldIds to the stage writer")
+      }
       val snapId = committed.size + 1L
       val seq    = snapId // one sequence number per commit
       fs.mkdirs(metadataDir)
+      val seenManifestNames = scala.collection.mutable.Set.empty[String]
+      groups.filter(_._1.nonEmpty).foreach { case (groupFiles, specId) =>
+        writeGroupManifests(groupFiles, specId, snapId, seq, seenManifestNames)
+      }
+
+      // 2+3. the snapshot's manifest list + metadata JSON
+      publishSnapshot(snapId, seq)
+    }
+
+    /** One ADDED manifest per content kind for `files` under `specId` —
+      * the manifest-writing half of a commit (data and delete files may
+      * not share a manifest, nor may two specs). */
+    private def writeGroupManifests(files: Seq[DataFileInfo], specId: Int,
+        snapId: Long, seq: Long,
+        seenNames: scala.collection.mutable.Set[String]): Unit = {
       val specFields = specs(specId)
 
       // 1. the commit's manifest(s): one ADDED entry per file; data and
@@ -1497,7 +1661,12 @@ object IcebergFormat {
       }
       val byKind = files.groupBy(f => if (f.content == 0) 0 else 1).toSeq.sortBy(_._1)
       byKind.foreach { case (kind, group) =>
-        val suffix       = if (kind == 0) "" else "-deletes"
+        val base   = if (kind == 0) "" else "-deletes"
+        // same-kind manifests from ANOTHER spec group in this commit get a
+        // spec-id suffix — names must stay unique within the snapshot
+        val suffix =
+          if (seenNames.add(f"m-$snapId%05d$base$tagSuffix.avro")) base
+          else s"$base-s$specId"
         val manifestPath = new Path(metadataDir, f"m-$snapId%05d$suffix$tagSuffix.avro")
         val manifestLen = writeAvroFile(manifestPath, commitEntrySchema,
           group.map(buildEntry), Map(
@@ -1510,9 +1679,6 @@ object IcebergFormat {
           kind, group.size, group.map(_.recordCount).sum, specId,
           summaries = summarize(specFields, group.map(f => f.partitionValues.get _)))
       }
-
-      // 2+3. the snapshot's manifest list + metadata JSON
-      publishSnapshot(snapId, seq)
     }
 
     /** Data-file compaction (Iceberg `rewrite_data_files`, bin-pack with

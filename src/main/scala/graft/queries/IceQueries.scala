@@ -2503,6 +2503,86 @@ object IceQueries {
     }
   }
 
+  /** The equality-delete MAINTENANCE loop closed (ic85) — ic79 reads the
+    * debt, this clears it: an st07-shape CDC table (base append → content-2
+    * equality delete keyed on c_custkey → restated newer rows) surfaces
+    * its delete debt in the `position_deletes` metadata table (equality
+    * files included, with record counts and key ids), then
+    * `CALL rewrite_data_files` stages the delete-applied state and
+    * replaces every manifest — debt drops to zero, visible row counts are
+    * byte-stable, and pre-compaction time travel still applies the
+    * original deletes from its own manifest list. */
+  private def sqlEqDeleteMaintenanceQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i85")
+    s.conf.set("spark.sql.catalog.ice_i85", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i85.warehouse", wh)
+    try {
+      val loc  = s"$wh/graft/cust_i85"
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal").orderBy("c_custkey")
+      val w = new IcebergFormat.Writer(s, loc, cust.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1", cust)))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "del1",
+        cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+        content = 2, equalityIds = Seq(1))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
+        cust.filter(col("c_custkey") % 14 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 500.0))))
+      val nDeleted = cust.filter(col("c_custkey") % 7 === 0).count()
+
+      // 1. debt VISIBLE: the metadata table lists the live equality delete
+      val debt = s.sql(
+        "SELECT content, n_records FROM ice_i85.graft.cust_i85.position_deletes").collect()
+      require(debt.length == 1 && debt(0).getString(0) == "equality" &&
+        debt(0).getLong(1) == nDeleted,
+        s"delete debt not visible: ${debt.mkString("; ")}")
+
+      val beforeRows = s.sql(
+        """SELECT c_custkey, c_nationkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM ice_i85.graft.cust_i85 ORDER BY c_custkey""").collect().toSeq
+      val snapPre = IcebergFormat.currentMetadataPath(s, loc)
+
+      // 2. CALL clears the debt (content-2 applied in the rewrite scan)
+      val audit = s.sql(
+        "CALL ice_i85.system.rewrite_data_files('graft', 'cust_i85', 1)").collect()(0)
+      require(audit.getLong(2) == 1L && audit.getLong(3) == 0L,
+        s"delete debt not cleared: $audit")
+      require(s.sql(
+        "SELECT count(*) AS n FROM ice_i85.graft.cust_i85.position_deletes")
+        .head().getLong(0) == 0L, "position_deletes still lists debt after rewrite")
+      val planAfter = IcebergFormat.plan(s, IcebergFormat.currentMetadataPath(s, loc))
+      require(planAfter.deletes.isEmpty && planAfter.files.size == 1,
+        s"rewrite left ${planAfter.files.size} files / ${planAfter.deletes.size} deletes")
+
+      // 3. counts STABLE: the compacted read equals the pre-compaction one
+      val out = s.sql(
+        """SELECT c_custkey, c_nationkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM ice_i85.graft.cust_i85 ORDER BY c_custkey""")
+      require(out.collect().toSeq == beforeRows, "rewrite changed visible rows")
+
+      // 4. pre-compaction travel INTACT: the old metadata still applies
+      // the equality delete (restated rows survive, deleted ones do not)
+      val pre = IcebergFormat.scan(s, snapPre)
+      require(pre.count() == beforeRows.length.toLong,
+        "pre-compaction snapshot no longer applies its deletes")
+      out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i85")
+      s.conf.unset("spark.sql.catalog.ice_i85.warehouse")
+    }
+  }
+
+  private val sqlEqDeleteMaintenanceOracle =
+    """SELECT c_custkey, c_nationkey,
+              CAST(CAST(CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END
+                   AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM customer
+       WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
+       ORDER BY c_custkey"""
+
   private val sqlIcebergEqDeleteReadOracle =
     """SELECT c_custkey, c_nationkey,
               CAST(CAST(CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END
@@ -2666,10 +2746,13 @@ object IceQueries {
       // ALTER TABLE DROP COLUMN (id 2) + ADD COLUMN (fresh ids 3, 4)
       val w = new IcebergFormat.Writer(s, loc, ord.schema,
         topLevelFieldIds = Seq(1, 3, 4))
+      // fieldIds MUST match the sparse layout: stats (null counts, bounds)
+      // are keyed by field id, and positional 1..n keys would publish
+      // counts under the retired id 2 — Writer.commit now rejects that.
       w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1",
-        ord.filter(col("o_orderkey") % 2 === 0))))
+        ord.filter(col("o_orderkey") % 2 === 0), fieldIds = Seq(1, 3, 4))))
       w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
-        ord.filter(col("o_orderkey") % 2 === 1))))
+        ord.filter(col("o_orderkey") % 2 === 1), fieldIds = Seq(1, 3, 4))))
       // the published metadata really is sparse
       val ids = IcebergFormat.plan(s,
         IcebergFormat.currentMetadataPath(s, loc)).fieldIds
@@ -3025,7 +3108,9 @@ object IceQueries {
       Some(sqlIcebergSparseIdUpdateOracle)),
     Q("ic82_sql_manifest_prune", sqlManifestPruneQ, Some(sqlManifestPruneOracle)),
     Q("ic83_sql_temporal_prune", sqlTemporalPruneQ, Some(sqlTemporalPruneOracle)),
-    Q("ic84_sql_iceberg_count", sqlIcebergCountQ, Some(sqlIcebergCountOracle))
+    Q("ic84_sql_iceberg_count", sqlIcebergCountQ, Some(sqlIcebergCountOracle)),
+    Q("ic85_sql_eq_delete_maintenance", sqlEqDeleteMaintenanceQ,
+      Some(sqlEqDeleteMaintenanceOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

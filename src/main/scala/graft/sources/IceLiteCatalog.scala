@@ -51,7 +51,8 @@ import scala.jdk.CollectionConverters._
   * size because the row count scales with METADATA, not data. */
 private[sources] object IceLiteMetaTable {
   val kinds: Set[String] =
-    Set("snapshots", "history", "files", "manifests", "partitions", "refs")
+    Set("snapshots", "history", "files", "manifests", "partitions", "refs",
+      "position_deletes")
 }
 
 private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
@@ -65,6 +66,8 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
     case "manifests"  => ice.manifestsTable()
     case "partitions" => ice.partitionsTable()
     case "refs"       => ice.refsTable()
+    // live MoR delete-file debt (icelite carries position deletes only)
+    case "position_deletes" => ice.deletesTable()
   }
 
   override def name(): String =
@@ -79,6 +82,27 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
           resolved.queryExecution.executedPlan.executeCollect()
         override def readSchema(): StructType = resolved.schema
         override def description(): String = s"IceLiteMetaTable(${name()})"
+      }
+    }
+}
+
+/** A read-only V2 table over a driver-local DataFrame — the standard-
+  * format twin of [[IceLiteMetaTable]] (metadata-sized rows, LocalScan). */
+private[sources] final class LocalDataFrameTable(
+    tableName: String, df: org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, LocalScan}
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+        override def readSchema(): StructType = df.schema
+        override def description(): String = s"LocalDataFrameTable($tableName)"
       }
     }
 }
@@ -146,10 +170,22 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     // Iceberg-style SQL metadata tables: `cat.ns.t.snapshots` resolves as
     // Identifier(ns = [ns, t], name = "snapshots") — intercept before the
     // single-level-namespace rule
-    if (nsArr.length == 2 && IceLiteMetaTable.kinds.contains(ident.name().toLowerCase) &&
-        backend.tableExists(nsArr(0), nsArr(1)))
-      return new IceLiteMetaTable(backend.loadTable(nsArr(0), nsArr(1)),
-        ident.name().toLowerCase)
+    if (nsArr.length == 2 && IceLiteMetaTable.kinds.contains(ident.name().toLowerCase)) {
+      // standard-format dirs take precedence like the base-table dispatch
+      // below: `t.position_deletes` over one surfaces the live MoR debt
+      // (position AND equality delete files) from its Avro manifests
+      val stdLoc = s"$warehouseRoot/${nsArr(0)}/${nsArr(1)}"
+      if (rest.isEmpty && ident.name().equalsIgnoreCase("position_deletes") &&
+          IcebergMorV2Table.isIcebergDir(SparkSession.active, stdLoc)) {
+        val spark = SparkSession.active
+        return new LocalDataFrameTable(s"iceberg.$stdLoc.position_deletes",
+          graft.icelite.IcebergFormat.deletesTable(spark,
+            graft.icelite.IcebergFormat.currentMetadataPath(spark, stdLoc)))
+      }
+      if (backend.tableExists(nsArr(0), nsArr(1)))
+        return new IceLiteMetaTable(backend.loadTable(nsArr(0), nsArr(1)),
+          ident.name().toLowerCase)
+    }
     val ns = ns1(nsArr)
     // a table directory holding STANDARD Iceberg v2 metadata
     // (vNNNNN.metadata.json, Avro manifests) loads as the
@@ -370,14 +406,12 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     }
   }
 
-  override def createView(info: ViewInfo): View = {
+  private def writeViewFile(info: ViewInfo, overwrite: Boolean): View = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val ident = info.ident()
     val p     = viewFile(ident)
     val fs    = hfs(p)
-    if (fs.exists(p))
-      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     backend.createNamespace(ns1(ident.namespace()))
     val json = JsonMethods.compact(JsonMethods.render(
       ("sql" -> info.sql()) ~
@@ -387,13 +421,31 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
         ("queryColumnNames" -> info.queryColumnNames().toList) ~
         ("columnAliases" -> info.columnAliases().toList) ~
         ("properties" -> info.properties().asScala.toMap)))
-    // tmp + rename: a reader never sees a half-written view definition
+    // tmp + rename: a reader never sees a half-written view definition. For
+    // replace, rename over the live file — the old definition stays readable
+    // until the instant the new one lands; a crash before the rename leaves
+    // the old view intact (no drop-then-create window).
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
     fs.mkdirs(p.getParent)
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (overwrite && fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p), s"view publish rename failed: $p")
     loadView(ident)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (hfs(viewFile(ident)).exists(viewFile(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    writeViewFile(info, overwrite = false)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (!orCreate && !hfs(viewFile(ident)).exists(viewFile(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    writeViewFile(info, overwrite = true)
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View =

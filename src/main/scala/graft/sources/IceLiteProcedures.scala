@@ -71,6 +71,16 @@ private[graft] object IceLiteProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val ns  = input.getUTF8String(0).toString
           val tbl = input.getUTF8String(1).toString
+          // a STANDARD-format dir under an FS warehouse takes the
+          // spec-metadata rewrite path (same precedence as table loads)
+          val stdLoc = backend match {
+            case f: graft.icelite.FsCatalog => Some(s"${f.warehouse}/$ns/$tbl")
+              .filter(l => IcebergMorV2Table.isIcebergDir(
+                org.apache.spark.sql.SparkSession.active, l))
+            case _ => None
+          }
+          if (proc == "rewrite_data_files" && stdLoc.isDefined)
+            return rewriteStandardFormat(stdLoc.get, input.getInt(2))
           val t   = backend.loadTable(ns, tbl)
           def reload(): IceTable = {
             val r = backend.loadTable(ns, tbl)
@@ -130,5 +140,57 @@ private[graft] object IceLiteProcedures {
         }
       }
     })
+  }
+
+  /** Standard-format `rewrite_data_files` — the maintenance op that CLEARS
+    * merge-on-read delete debt, equality deletes (content 2) included: the
+    * compacted files are staged from a scan of the CURRENT state (which
+    * applies position AND equality deletes, ic79's read path), and the
+    * commit replaces every manifest — data and delete — so afterwards the
+    * table is pure data files again. Older snapshots keep their own
+    * manifest lists, so pre-compaction time travel still sees (and still
+    * applies) the original deletes. Unpartitioned default specs only: the
+    * staged files carry no partition tuples, and committing tuple-less
+    * files under a partitioned spec is the exact spec violation the delta
+    * writer refuses. */
+  private def rewriteStandardFormat(loc: String, targetFiles: Int): java.util.Iterator[Scan] = {
+    import graft.icelite.IcebergFormat
+    val spark    = org.apache.spark.sql.SparkSession.active
+    val metaPath = IcebergFormat.currentMetadataPath(spark, loc)
+    val plan0    = IcebergFormat.plan(spark, metaPath)
+    val before   = plan0.files.size.toLong
+    val debt     = plan0.deletes.size.toLong
+    val w        = IcebergFormat.resumeWriter(spark, loc)
+    require(!w.defaultSpecIsPartitioned,
+      "standard-format rewrite_data_files supports unpartitioned default specs " +
+        "(staged files carry no partition tuples)")
+    val n   = math.max(1, targetFiles)
+    val cur = IcebergFormat.scan(spark, metaPath) // deletes applied here
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fs  = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage n files in ONE distributed write, then register each from its
+    // own footer (rows/split_offsets/null counts — no second data pass)
+    val tmp = new org.apache.hadoop.fs.Path(loc, s"stage-rw-$tag")
+    cur.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    val staged = parts.zipWithIndex.map { case (p, i) =>
+      val dest = new org.apache.hadoop.fs.Path(s"$loc/data/compact-$tag-$i.parquet")
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(p, dest), s"compaction stage rename failed: $p")
+      IcebergFormat.fileInfoFromFooter(spark, dest, cur.schema, fieldIds = plan0.fieldIds)
+    }.filter(_.recordCount > 0L)
+    fs.delete(tmp, true)
+    w.rewriteDataFiles(staged)
+    val planAfter = IcebergFormat.plan(spark,
+      IcebergFormat.currentMetadataPath(spark, loc))
+    resultScan(
+      StructType(Seq(
+        StructField("files_before", LongType), StructField("files_after", LongType),
+        StructField("delete_files_before", LongType),
+        StructField("delete_files_after", LongType))),
+      Seq(new GenericInternalRow(Array[Any](before, planAfter.files.size.toLong,
+        debt, planAfter.deletes.size.toLong))))
   }
 }

@@ -325,6 +325,10 @@ final class IceLiteScanBuilder(
     case GreaterThanOrEqual(_, v) => isLit(v)
     case LessThan(_, v)           => isLit(v)
     case LessThanOrEqual(_, v)    => isLit(v)
+    // a prefix is a range on string bounds: [prefix, successor(prefix)] —
+    // sound on TRUNCATED manifest bounds too (truncation only widens the
+    // recorded range, so the overlap test stays conservative)
+    case StringStartsWith(_, p)   => p != null && p.nonEmpty
     case _                        => false
   }
 
@@ -356,6 +360,9 @@ final class IceLiteScanBuilder(
       case GreaterThanOrEqual(c, v) => add(c, Some(v.toString), None)
       case LessThan(c, v)           => add(c, None, Some(v.toString))
       case LessThanOrEqual(c, v)    => add(c, None, Some(v.toString))
+      // successor(p) is an EXCLUSIVE upper bound; the scan treats hi
+      // inclusively, which keeps at most one extra boundary file — sound
+      case StringStartsWith(c, p)   => add(c, Some(p), IcebergMorScan.prefixSuccessor(p))
       case _                        =>
     }
     val s = new IceLiteScan(ice, snap, required, bounds.toMap, pushed, limit, maxSnaps)

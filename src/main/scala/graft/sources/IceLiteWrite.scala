@@ -456,8 +456,26 @@ final class IceLiteDataWriter(
     val stats = statCols.indices.flatMap { s =>
       val (idx, dt) = statCols(s)
       if (mins(s) == null) None
-      else Some(schema.fields(idx).name ->
-        ColRange(Some(statStr(dt, mins(s))), Some(statStr(dt, maxs(s)))))
+      else {
+        val lo = statStr(dt, mins(s))
+        val hi = statStr(dt, maxs(s))
+        // string bounds land TRUNCATED (Iceberg truncate(16): prefix lower,
+        // incremented-prefix upper) — a long-text column must never put two
+        // document-sized strings in every manifest entry. A missing upper
+        // (no code point could bump) reads as unbounded — conservative.
+        // EXEMPT: a position-delete file's file_path bounds stay FULL
+        // (Iceberg keeps full metrics there — truncated path bounds are
+        // useless for delete-applies-to-file pruning, since every path in
+        // a table shares a long prefix).
+        val exempt = schema.fieldNames.sameElements(IceTable.PositionDeleteSchema.fieldNames)
+        val range = dt match {
+          case StringType if !exempt => ColRange(
+            Some(graft.icelite.IcebergFormat.truncateLowerBound(lo)),
+            graft.icelite.IcebergFormat.truncateUpperBound(hi))
+          case _ => ColRange(Some(lo), Some(hi))
+        }
+        Some(schema.fields(idx).name -> range)
+      }
     }.toMap
     // size + split_offsets from the just-written footer (executor-side,
     // file still hot) — manifests carry them so an oversized file can be

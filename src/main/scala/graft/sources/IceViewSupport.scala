@@ -138,16 +138,19 @@ final case class CreateIceViewCommand(
     val cm  = spark.sessionState.catalogManager
     val cat = cm.catalog(catName).asInstanceOf[ViewCatalog]
     val ident = Identifier.of(Array(ns), viewName)
-    if (cat.viewExists(ident)) {
-      if (allowExisting) return Nil
-      if (replace) { cat.dropView(ident); () }
-      else throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
-    }
+    if (cat.viewExists(ident) && allowExisting && !replace) return Nil
+    if (cat.viewExists(ident) && !allowExisting && !replace)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val schema = spark.sql(viewSql).schema // analysis only — nothing runs
-    cat.createView(new ViewInfo(ident, viewSql,
+    val info = new ViewInfo(ident, viewSql,
       cm.currentCatalog.name(), cm.currentNamespace,
       schema, schema.fieldNames, schema.fieldNames,
-      schema.fieldNames.map(_ => null: String), properties.asJava))
+      schema.fieldNames.map(_ => null: String), properties.asJava)
+    // replace is ATOMIC (rename-over in the catalog) — never drop+create,
+    // which would expose a missing-view window and lose the old definition
+    // on a crash between the two calls
+    if (replace) cat.replaceView(info, /* orCreate = */ true)
+    else cat.createView(info)
     Nil
   }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or, StringStartsWith}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DateType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.Locale
@@ -247,9 +247,16 @@ object IcebergMorScan {
     def known(c: String) = p.schema.fieldNames.contains(c)
     f match {
       case In(c, vs) if known(c) =>
-        val lits = vs.filter(isLit).map(litStr)
-        if (lits.isEmpty) None
-        else Some(pf => lits.exists(v => IcebergFormat.fileCanMatch(p, pf, c, Some(v), Some(v))))
+        // ALL elements must be pushable literals: a non-pushable member
+        // (NaN/Infinity — excluded from parquet/Iceberg bounds) could match
+        // rows in a file whose bounds reject every pushable member, so
+        // pruning on the literal subset would drop live rows.
+        if (!vs.forall(isLit)) None
+        else {
+          val lits = vs.map(litStr)
+          if (lits.isEmpty) None
+          else Some(pf => lits.exists(v => IcebergFormat.fileCanMatch(p, pf, c, Some(v), Some(v))))
+        }
       case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
         val hi = prefixSuccessor(prefix)
         Some(pf => IcebergFormat.fileCanMatch(p, pf, c, Some(prefix), hi))
@@ -381,9 +388,15 @@ object IcebergMorScan {
         axesOf(mh, c).forall { case (tr, s) => axisOverlap(c, tr, s, lo, hi) }
     f match {
       case In(c, vs) if known(c) =>
-        val lits = vs.filter(isLit).map(litStr)
-        if (lits.isEmpty) None
-        else Some(mh => lits.exists(v => rangeKeep(c, Some(v), Some(v))(mh)))
+        // same all-or-nothing rule as filePredicate: a non-pushable member
+        // (NaN/Infinity) may live in a manifest whose summaries reject every
+        // pushable member — pruning on the subset would be unsound.
+        if (!vs.forall(isLit)) None
+        else {
+          val lits = vs.map(litStr)
+          if (lits.isEmpty) None
+          else Some(mh => lits.exists(v => rangeKeep(c, Some(v), Some(v))(mh)))
+        }
       case StringStartsWith(c, prefix) if known(c) && prefix != null && prefix.nonEmpty =>
         Some(rangeKeep(c, Some(prefix), prefixSuccessor(prefix)))
       case IsNull(c) if known(c) =>
@@ -410,7 +423,7 @@ object IcebergMorScan {
   /** Smallest string no `prefix`-prefixed string can reach: increment the
     * last non-U+FFFF char, dropping the tail (None for all-U+FFFF — no
     * finite upper bound exists). Inclusive use stays conservative. */
-  private def prefixSuccessor(prefix: String): Option[String] = {
+  private[graft] def prefixSuccessor(prefix: String): Option[String] = {
     val trimmed = prefix.reverse.dropWhile(_ == '\uffff').reverse
     if (trimmed.isEmpty) None
     else Some(trimmed.init + (trimmed.last + 1).toChar)
@@ -736,67 +749,111 @@ final class IcebergMorDeltaOperation(
             StructType(writeInfo.schema().fields.map(_.copy(nullable = true))).catalogString ==
             tableSchema.catalogString,
           s"delta write schema ${writeInfo.schema().catalogString} != table schema ${tableSchema.catalogString}")
-        new DeltaWrite {
-          override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
-            private val conf =
-              new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration)
-            private val tag       = java.util.UUID.randomUUID().toString.take(8)
-            private val deleteRel = s"data/deletes-$tag"
-            private val dataRel   = s"data/delta-$tag"
-
-            override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-              new IcebergMorDeltaWriterFactory(conf, location, deleteRel, dataRel, tableSchema,
-                p.fieldIds) // insert files stamp the table's REAL field ids
-
-            override def commit(messages: Array[WriterCommitMessage]): Unit = {
-              val msgs = messages.toSeq.map(_.asInstanceOf[IcebergMorDeltaMessage])
-              val s    = SparkSession.active
-              val fs   = new Path(location).getFileSystem(s.sparkContext.hadoopConfiguration)
-              // content-1 position deletes, each with the spec-reserved
-              // file_path field's [min, max] from the writer's inline
-              // stats — what lets every reader range-prune this delete
-              val delInfos = msgs.flatMap(_.deleteFile).filter(_.rows > 0L).map { m =>
-                val abs = new Path(location, m.relPath)
-                val pathBounds = m.stats.get("file_path").toSeq.flatMap { r =>
-                  for {
-                    lo <- r.min; hi <- r.max
-                    loB <- IcebergFormat.encodeBound(StringType, lo)
-                    hiB <- IcebergFormat.encodeBound(StringType, hi)
-                  } yield IcebergFormat.PosDeletePathFieldId -> (loB, hiB)
-                }.toMap
-                IcebergFormat.DataFileInfo(abs.toString, m.rows,
-                  fs.getFileStatus(abs).getLen, bounds = pathBounds, content = 1)
-              }
-              // content-0 insert files: bounds arrive keyed by schema
-              // position+1 — remap to the table's REAL field ids (sparse
-              // after evolution) so pruning keys match the metadata
-              val dataInfos = msgs.flatMap(_.dataFiles).filter(_.rows > 0L).map { m =>
-                def remap[A](byPos: Map[Int, A]): Map[Int, A] = byPos.flatMap { case (id, v) =>
-                  val idx = id - 1
-                  if (idx >= 0 && idx < p.fieldIds.length) Some(p.fieldIds(idx) -> v)
-                  else None
-                }
-                IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes,
-                  bounds = remap(m.bounds), splitOffsets = m.splitOffsets,
-                  nullCounts = remap(m.nullCounts))
-              }
-              if (delInfos.isEmpty && dataInfos.isEmpty) return // nothing matched: no snapshot
-              // delta files carry no partition values → commitDelta routes
-              // them under an unpartitioned spec on partitioned tables so
-              // conforming external engines never prune them away
-              IcebergFormat.resumeWriter(s, location).commitDelta(dataInfos ++ delInfos)
-            }
-
-            override def abort(messages: Array[WriterCommitMessage]): Unit = {
-              val fs = new Path(location).getFileSystem(conf.value)
-              fs.delete(new Path(location, deleteRel), true)
-              fs.delete(new Path(location, dataRel), true)
-              ()
-            }
-          }
-        }
+        // identity default-spec columns the rolling writer can stamp —
+        // empty for transform specs, which keep the unpartitioned fallback
+        val partCols = IcebergFormat.defaultSpecIdentityCols(
+          SparkSession.active, IcebergFormat.currentMetadataPath(SparkSession.active, location))
+        new IcebergMorDeltaWrite(location, tableSchema, p, command(), partCols)
       }
     }
+}
+
+/** The standard-format WriteDelta write. On an identity-partitioned
+  * default spec the insert rows are requested CLUSTERED + SORTED on the
+  * partition columns (same contract as the icelite delta write, ic75), so
+  * the rolling writer stages one file per touched value per task, each
+  * stamped with its REAL partition tuple and committed under the
+  * PARTITIONED spec — external engines prune post-DML insert files by
+  * partition value instead of treating them as global. Deletes stay on
+  * the auxiliary unpartitioned spec (position deletes are global). */
+final class IcebergMorDeltaWrite(
+    location: String,
+    tableSchema: StructType,
+    p: IcebergFormat.TablePlan,
+    command: RowLevelOperation.Command,
+    partCols: Seq[String])
+    extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
+
+  /** DELETE rows carry no data columns (row-id projection only) — a
+    * distribution over partition columns would not resolve there. */
+  private def wantsClustering =
+    partCols.nonEmpty && command != RowLevelOperation.Command.DELETE
+
+  override def requiredDistribution(): Distribution =
+    if (!wantsClustering) Distributions.unspecified()
+    else Distributions.clustered(partCols.map(c => Expressions.identity(c)).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    if (!wantsClustering) Array.empty
+    else partCols.map(c => Expressions.sort(
+      Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val conf =
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration)
+    private val tag       = java.util.UUID.randomUUID().toString.take(8)
+    private val deleteRel = s"data/deletes-$tag"
+    private val dataRel   = s"data/delta-$tag"
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+      new IcebergMorDeltaWriterFactory(conf, location, deleteRel, dataRel, tableSchema,
+        p.fieldIds, // insert files stamp the table's REAL field ids
+        if (wantsClustering) partCols else Nil)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.toSeq.map(_.asInstanceOf[IcebergMorDeltaMessage])
+      val s    = SparkSession.active
+      val fs   = new Path(location).getFileSystem(s.sparkContext.hadoopConfiguration)
+      // content-1 position deletes, each with the spec-reserved
+      // file_path field's [min, max] from the writer's inline
+      // stats — what lets every reader range-prune this delete
+      val delInfos = msgs.flatMap(_.deleteFile).filter(_.rows > 0L).map { m =>
+        val abs = new Path(location, m.relPath)
+        val pathBounds = m.stats.get("file_path").toSeq.flatMap { r =>
+          for {
+            lo <- r.min; hi <- r.max
+            loB <- IcebergFormat.encodeBound(StringType, lo)
+            hiB <- IcebergFormat.encodeBound(StringType, hi)
+          } yield IcebergFormat.PosDeletePathFieldId -> (loB, hiB)
+        }.toMap
+        IcebergFormat.DataFileInfo(abs.toString, m.rows,
+          fs.getFileStatus(abs).getLen, bounds = pathBounds, content = 1)
+      }
+      // content-0 insert files: bounds arrive keyed by schema
+      // position+1 — remap to the table's REAL field ids (sparse
+      // after evolution) so pruning keys match the metadata
+      val dataInfos = msgs.flatMap(_.dataFiles).filter(_.rows > 0L).map { m =>
+        def remap[A](byPos: Map[Int, A]): Map[Int, A] = byPos.flatMap { case (id, v) =>
+          val idx = id - 1
+          if (idx >= 0 && idx < p.fieldIds.length) Some(p.fieldIds(idx) -> v)
+          else None
+        }
+        IcebergFormat.DataFileInfo(m.absPath, m.rows, m.sizeBytes,
+          bounds = remap(m.bounds), splitOffsets = m.splitOffsets,
+          nullCounts = remap(m.nullCounts), partitionValues = m.partitionValues)
+      }
+      if (delInfos.isEmpty && dataInfos.isEmpty) return // nothing matched: no snapshot
+      val w = IcebergFormat.resumeWriter(s, location)
+      if (wantsClustering)
+        // partition-stamped inserts under the DEFAULT spec (prunable by
+        // every engine); deletes under the auxiliary unpartitioned spec
+        w.commitRowDelta(dataInfos, delInfos)
+      else
+        // no stampable spec → everything routes unpartitioned (global)
+        w.commitDelta(dataInfos ++ delInfos)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(location).getFileSystem(conf.value)
+      fs.delete(new Path(location, deleteRel), true)
+      fs.delete(new Path(location, dataRel), true)
+      ()
+    }
+  }
 }
 
 final case class IcebergMorDeltaMessage(
@@ -812,19 +869,25 @@ final class IcebergMorDeltaWriterFactory(
     deleteRel: String,
     dataRel: String,
     schema: StructType,
-    fieldIds: Seq[Int] = Nil)
+    fieldIds: Seq[Int] = Nil,
+    partCols: Seq[String] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new IcebergMorDeltaWriter(conf, location, deleteRel, dataRel, schema, partitionId, taskId,
-      fieldIds)
+      fieldIds, partCols)
 }
 
 /** Executor-side delta writer: streams `(_file, _pos)` row ids into one
   * position-delete parquet per task (spec content-1 shape: `file_path`
   * string + `pos` long, the exact columns [[IcebergFormat.scanFiles]] and
-  * DuckDB anti-join on), and UPDATE/MERGE insert rows into one v2-layout
-  * data parquet per task via the field-id-preserving
-  * [[IcebergNestedDataWriter]] (inline min/max stats → manifest bounds). */
+  * DuckDB anti-join on), and UPDATE/MERGE insert rows into v2-layout data
+  * parquets via the field-id-preserving [[IcebergNestedDataWriter]]
+  * (inline min/max stats → manifest bounds). On an identity-partitioned
+  * default spec (`partCols` non-empty; rows arrive CLUSTERED + SORTED on
+  * them per RequiresDistributionAndOrdering) the insert path ROLLS one
+  * file per partition value per task and stamps the REAL partition tuple
+  * on its commit message — the files then commit under the partitioned
+  * spec and every conforming engine prunes them. */
 final class IcebergMorDeltaWriter(
     conf: SerializableHadoopConf,
     location: String,
@@ -833,13 +896,40 @@ final class IcebergMorDeltaWriter(
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    fieldIds: Seq[Int] = Nil)
+    fieldIds: Seq[Int] = Nil,
+    partCols: Seq[String] = Nil)
     extends DeltaWriter[InternalRow] {
 
   private var delWriter: IceLiteDataWriter = _
   private var insWriter: IcebergNestedDataWriter = _
   private val delRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+  private val partIdx: IndexedSeq[Int] = partCols.map(schema.fieldIndex).toIndexedSeq
+  private var curKey: IndexedSeq[Any] = null // boxed identity values (null = SQL NULL)
+  private var rollSeq = 0
+  private val rolled = scala.collection.mutable.ListBuffer.empty[IcebergWriteMessage]
+
+  /** Boxed identity partition value in the manifest's avro type. */
+  private def partValue(i: Int, row: InternalRow): Any = {
+    val idx = partIdx(i)
+    if (row.isNullAt(idx)) null
+    else schema.fields(idx).dataType match {
+      case StringType              => row.getUTF8String(idx).toString
+      case IntegerType | DateType  => Int.box(row.getInt(idx))
+      case LongType                => Long.box(row.getLong(idx))
+      case BooleanType             => Boolean.box(row.getBoolean(idx))
+      case other => throw new UnsupportedOperationException(
+        s"identity partition type $other for ${schema.fields(idx).name}")
+    }
+  }
+
+  private def rollInsert(): Unit = if (insWriter != null) {
+    val m = insWriter.commit().asInstanceOf[IcebergWriteMessage]
+    rolled += m.copy(partitionValues =
+      partCols.zip(curKey).filter(_._2 != null).toMap)
+    insWriter = null
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     if (delWriter == null)
@@ -851,7 +941,16 @@ final class IcebergMorDeltaWriter(
   }
 
   override def insert(row: InternalRow): Unit = {
-    if (insWriter == null)
+    if (partCols.nonEmpty) {
+      val key = partIdx.indices.map(i => partValue(i, row))
+      if (insWriter == null || key != curKey) {
+        rollInsert()
+        curKey = key
+        insWriter = new IcebergNestedDataWriter(conf, location, dataRel, schema,
+          partitionId, taskId, fieldIds, nameSuffix = f"-p$rollSeq%04d")
+        rollSeq += 1
+      }
+    } else if (insWriter == null)
       insWriter = new IcebergNestedDataWriter(conf, location, dataRel, schema,
         partitionId, taskId, fieldIds)
     insWriter.write(row)
@@ -863,9 +962,13 @@ final class IcebergMorDeltaWriter(
       "iceberg-format delta updates are represented as delete+insert")
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
 
-  override def commit(): WriterCommitMessage = IcebergMorDeltaMessage(
-    Option(delWriter).map(_.commit().asInstanceOf[IceLiteWriteMessage]),
-    Option(insWriter).map(_.commit().asInstanceOf[IcebergWriteMessage]).toSeq)
+  override def commit(): WriterCommitMessage = {
+    val inserts =
+      if (partCols.nonEmpty) { rollInsert(); rolled.toSeq }
+      else Option(insWriter).map(_.commit().asInstanceOf[IcebergWriteMessage]).toSeq
+    IcebergMorDeltaMessage(
+      Option(delWriter).map(_.commit().asInstanceOf[IceLiteWriteMessage]), inserts)
+  }
 
   override def abort(): Unit = {
     if (delWriter != null) delWriter.abort()

@@ -205,7 +205,11 @@ final case class IcebergWriteMessage(
     sizeBytes: Long,
     bounds: Map[Int, (Array[Byte], Array[Byte])],
     splitOffsets: Seq[Long] = Nil, // row-group starts, read executor-side at close
-    nullCounts: Map[Int, Long] = Map.empty) // keyed by POSITION+1, remapped at commit
+    nullCounts: Map[Int, Long] = Map.empty, // keyed by POSITION+1, remapped at commit
+    // REAL partition tuple (identity values by spec field name), stamped by
+    // the rolling delta writer so DML insert files commit under the
+    // partitioned spec and external engines prune them
+    partitionValues: Map[String, Any] = Map.empty)
     extends WriterCommitMessage
 
 final class IcebergWriterFactory(
@@ -230,10 +234,11 @@ final class IcebergNestedDataWriter(
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    fieldIds: Seq[Int] = Nil) // real top-level ids (sparse tables); Nil = 1..n
+    fieldIds: Seq[Int] = Nil, // real top-level ids (sparse tables); Nil = 1..n
+    nameSuffix: String = "") // rolling partitioned writes: one file per value
     extends DataWriter[InternalRow] {
 
-  private val relPath = f"$dataRel/part-$partitionId%05d-$taskId.parquet"
+  private val relPath = f"$dataRel/part-$partitionId%05d-$taskId$nameSuffix.parquet"
   private val path    = new Path(location, relPath)
   private val msgType = IcebergWriteSchema.messageTypeFor(schema, fieldIds)
   private val factory = new SimpleGroupFactory(msgType)
@@ -310,10 +315,26 @@ final class IcebergNestedDataWriter(
     val bounds = statCols.indices.flatMap { s =>
       val (idx, dt) = statCols(s)
       if (mins(s) == null) None
-      else for {
-        lo <- IcebergFormat.encodeBound(dt, statStr(dt, mins(s)))
-        hi <- IcebergFormat.encodeBound(dt, statStr(dt, maxs(s)))
-      } yield (idx + 1) -> (lo, hi) // field id = position + 1 at top level
+      else {
+        // string bounds land TRUNCATED (Iceberg truncate(16) semantics):
+        // prefix lower bound, incremented-prefix upper. A string whose
+        // upper can't increment drops the whole pair — the format stores
+        // lower/upper together and an unpaired bound would be
+        // spec-ambiguous; absent bounds are conservative for every pruner.
+        val loS = statStr(dt, mins(s))
+        val hiS = statStr(dt, maxs(s))
+        val pair = dt match {
+          case StringType =>
+            IcebergFormat.truncateUpperBound(hiS)
+              .map(hi => (IcebergFormat.truncateLowerBound(loS), hi))
+          case _ => Some((loS, hiS))
+        }
+        for {
+          (loT, hiT) <- pair
+          lo <- IcebergFormat.encodeBound(dt, loT)
+          hi <- IcebergFormat.encodeBound(dt, hiT)
+        } yield (idx + 1) -> (lo, hi) // field id = position + 1 at top level
+      }
     }.toMap
     // split_offsets from the just-written footer (executor-side, file
     // still hot) — manifests carry them so planners range-split with no IO

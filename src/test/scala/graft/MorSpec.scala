@@ -738,6 +738,35 @@ class MorSpec extends SparkSpec {
         "delta DML must not change the table's default (partitioned) spec")
       assert(mdText.contains("{\"spec-id\":1,\"fields\":[]}"),
         "delta DML must register an auxiliary unpartitioned spec for its files")
+      // the UPDATE's insert files carry REAL partition tuples under the
+      // DEFAULT spec (identity spec → rolling writer stamps them): the
+      // planner sees n_regionkey = 1 on every delta insert file
+      val deltaFiles = planNow().files.filter(_.path.toString.contains("/delta-"))
+      assert(deltaFiles.nonEmpty, "UPDATE left no delta insert files")
+      val rkId = 3 // n_regionkey is the third top-level field (ids 1..n)
+      assert(deltaFiles.forall(_.partition.get(rkId).contains(1)),
+        s"delta insert files missing real partition tuples: ${deltaFiles.map(_.partition)}")
+      // counter gate: a partition-filtered read of ANOTHER region prunes
+      // the delta insert files by their partition value — without the
+      // tuples they planned as global and every such read opened them
+      IceLiteSource.filesOpened.reset()
+      val r2after = spark.sql(
+        s"SELECT n_nationkey FROM $cat.graft.nat_part WHERE n_regionkey = 2")
+        .collect().map(_.getInt(0)).sorted
+      assert(r2after.sameElements(
+        want.filter(col("n_regionkey") === 2).select("n_nationkey")
+          .collect().map(_.getInt(0)).sorted))
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"post-UPDATE partition read opened ${IceLiteSource.filesOpened.sum()} files " +
+          "(delta inserts not pruned by partition value)")
+      // ...while the UPDATED region reads its original file AND the delta
+      IceLiteSource.filesOpened.reset()
+      val r1after = spark.sql(
+        s"SELECT n_name FROM $cat.graft.nat_part WHERE n_regionkey = 1")
+        .collect().map(_.getString(0))
+      assert(r1after.nonEmpty && r1after.forall(_.endsWith("_P")))
+      assert(IceLiteSource.filesOpened.sum() == 2,
+        s"updated-region read opened ${IceLiteSource.filesOpened.sum()} files, expected 2")
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
@@ -1244,6 +1273,67 @@ class MorSpec extends SparkSpec {
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("string bounds land truncated (Iceberg truncate 16); pruning stays sound") {
+    import graft.icelite.IcebergFormat
+    import graft.sources.IceLiteSource
+    // the spec rules themselves
+    assert(IcebergFormat.truncateLowerBound("a" * 40) == "a" * 16)
+    assert(IcebergFormat.truncateLowerBound("short") == "short")
+    assert(IcebergFormat.truncateUpperBound("a" * 40).contains("a" * 15 + "b"))
+    assert(IcebergFormat.truncateUpperBound("short").contains("short"))
+    // un-bumpable tail: bump an earlier position; all-unbumpable: no upper
+    assert(IcebergFormat.truncateUpperBound("ab" + "￿" * 20).contains("ac"))
+    assert(IcebergFormat.truncateUpperBound("￿" * 20).isEmpty)
+
+    withMorCatalog("trunc") { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      import spark.implicits._
+      // two single-file commits of 200+-char texts with disjoint prefixes —
+      // the documents.text shape the truncation exists for
+      val f1 = (0 until 50).map(i => (i.toLong, s"apple$i" + "x" * 200))
+      val f2 = (50 until 100).map(i => (i.toLong, s"zebra$i" + "y" * 200))
+      spark.createDataset(f1).toDF("id", "txt").coalesce(1)
+        .createOrReplaceTempView("trunc_src1")
+      spark.createDataset(f2).toDF("id", "txt").coalesce(1)
+        .createOrReplaceTempView("trunc_src2")
+      spark.sql(s"CREATE TABLE $cat.graft.txt_trunc AS SELECT * FROM trunc_src1")
+      spark.sql(s"INSERT INTO $cat.graft.txt_trunc SELECT * FROM trunc_src2")
+
+      val t = iceOf(wh, "txt_trunc")
+      val entries = t.entriesOf(t.metadata.currentSnapshot.get)
+      assert(entries.size == 2, s"fixture wrote ${entries.size} files, wanted 2")
+      entries.foreach { e =>
+        val r = e.stats.flatMap(_.get("txt")).getOrElse(fail(s"no txt stats on ${e.file}"))
+        assert(r.min.exists(_.length <= 16), s"untruncated lower bound: ${r.min}")
+        assert(r.max.forall(_.length <= 16), s"untruncated upper bound: ${r.max}")
+        assert(e.toJson.length < 400,
+          s"manifest entry carries ${e.toJson.length} bytes — long-text bloat is back")
+      }
+
+      // pruning still counter-correct on the truncated bounds
+      IceLiteSource.filesOpened.reset()
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.graft.txt_trunc WHERE txt >= 'z'")
+        .head().getLong(0) == 50)
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"range pruning broke: ${IceLiteSource.filesOpened.sum()} files opened")
+      IceLiteSource.filesOpened.reset()
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $cat.graft.txt_trunc WHERE txt LIKE 'apple%'")
+        .head().getLong(0) == 50)
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"prefix pruning broke: ${IceLiteSource.filesOpened.sum()} files opened")
+      // full-length equality: truncated bounds keep the right file, the
+      // row-level filter finds the exact row
+      IceLiteSource.filesOpened.reset()
+      val full = s"apple7" + "x" * 200
+      val hit = spark.sql(
+        s"SELECT id FROM $cat.graft.txt_trunc WHERE txt = '$full'").collect()
+      assert(hit.map(_.getLong(0)).toSeq == Seq(7L))
+      assert(IceLiteSource.filesOpened.sum() == 1,
+        s"equality pruning broke: ${IceLiteSource.filesOpened.sum()} files opened")
     }
   }
 }
