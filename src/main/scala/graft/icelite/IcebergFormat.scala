@@ -1028,6 +1028,20 @@ object IcebergFormat {
     scanFiles(spark, p, p.files.filter(f => keep(f.path.toString)))
   }
 
+  /** IN-list-pruned scan in ONE plan: keeps files that can match ANY of
+    * `values` as a point lookup (identity partitions / bucket ids / bounds
+    * via [[fileCanMatch]]) instead of unioning per-value [[scanRange]]s —
+    * the served-index probe shape where a batch's key set selects a file
+    * subset. Returns (dataframe, filesKept, filesTotal) so callers can
+    * counter-gate the pruning. */
+  def scanPoints(spark: SparkSession, metadataPath: String, colName: String,
+      values: Seq[String]): (DataFrame, Int, Int) = {
+    val p    = plan(spark, metadataPath)
+    val keep = p.files.filter(f =>
+      values.exists(v => fileCanMatch(p, f, colName, Some(v), Some(v))))
+    (scanFiles(spark, p, keep), keep.size, p.files.size)
+  }
+
   // ----------------------------------- single-value serialization (spec D)
 
   /** Encode a stringified column value in Iceberg's single-value binary

@@ -61,7 +61,8 @@ object RestProtocol {
   * State is the `(ns, table) -> metadata-location` registry; data and
   * metadata files live wherever the writers put them (the shared
   * warehouse), as with a real Nessie deployment. */
-final class RestCatalogServer(val warehouse: String) {
+final class RestCatalogServer(val warehouse: String,
+    requiredToken: Option[String] = None) {
   import RestProtocol._
 
   private val namespaces = ConcurrentHashMap.newKeySet[String]()
@@ -86,10 +87,17 @@ final class RestCatalogServer(val warehouse: String) {
 
   private def handle(ex: HttpExchange): Unit = {
     try {
+      // bearer-token gate: a secured deployment rejects EVERY route —
+      // config included — without the exact token (spec 401 envelope)
+      val authorized = requiredToken.forall(t =>
+        Option(ex.getRequestHeaders.getFirst("Authorization")).contains(s"Bearer $t"))
       val segs = ex.getRequestURI.getPath.stripPrefix("/v1").stripPrefix("/").split("/").toList
         .filter(_.nonEmpty).map(URLDecoder.decode(_, "UTF-8"))
       val method = ex.getRequestMethod
-      (method, segs) match {
+      if (!authorized)
+        send(ex, 401,
+          errorJson("missing or invalid bearer token", "NotAuthorizedException", 401))
+      else (method, segs) match {
         case ("GET", "config" :: Nil)      => config(ex)
         case ("GET", "namespaces" :: Nil)  => listNamespaces(ex)
         case ("POST", "namespaces" :: Nil) => createNamespace(ex)
@@ -244,10 +252,19 @@ final class RestCatalogServer(val warehouse: String) {
   * table creation writes data to the warehouse directly (data never moves
   * through the catalog) and then registers the metadata pointer, the
   * PyIceberg RestCatalog flow the reference configures. */
-final class RestCatalog(spark: SparkSession, val uri: String) extends IceCatalog {
+final class RestCatalog(spark: SparkSession, val uri: String,
+    token: Option[String] = None) extends IceCatalog {
   import RestProtocol._
 
   private val http = HttpClient.newHttpClient()
+
+  /** Every request carries the bearer token when one is configured — the
+    * Iceberg REST catalog's `token` property (what a secured Nessie/REST
+    * deployment checks before any pointer read or CAS). */
+  private def builder(url: String): HttpRequest.Builder = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    token.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+  }
 
   /** Warehouse root advertised by the service (`GET /v1/config`). */
   lazy val warehouse: String =
@@ -418,19 +435,19 @@ final class RestCatalog(spark: SparkSession, val uri: String) extends IceCatalog
     extractString(j \ "error", "message").getOrElse("")
 
   private def get(url: String): (Int, JValue) =
-    exchange(HttpRequest.newBuilder(URI.create(url)).GET().build())
+    exchange(builder(url).GET().build())
 
   private def head(url: String): Int =
-    http.send(HttpRequest.newBuilder(URI.create(url))
+    http.send(builder(url)
       .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.discarding()).statusCode()
 
   private def delete(url: String): Int =
-    http.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
+    http.send(builder(url).DELETE().build(),
       HttpResponse.BodyHandlers.discarding()).statusCode()
 
   private def post(url: String, body: String): (Int, JValue) =
-    exchange(HttpRequest.newBuilder(URI.create(url))
+    exchange(builder(url)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body)).build())
 

@@ -1142,13 +1142,23 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
       .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      // length-difference pre-gate: |len_a - len_b| lower-bounds the edit
+      // distance, so a pair that can't pass the 20% ratio skips the DP
+      // entirely — free rejection for the mismatched-length candidates
+      .filter(abs(length(col("ta")) - length(col("tb"))).cast("long") * 5 <= col("maxlen"))
+      // THRESHOLDED levenshtein (Spark's banded DP): cost O(threshold·len)
+      // instead of O(len²), early-exit -1 when the distance exceeds the
+      // ratio bound — identical survivors to the unthresholded compute
+      // (lev ≤ floor(maxlen/5) ⟺ lev·5 ≤ maxlen on integers), so the
+      // DuckDB oracle's plain levenshtein agrees row-for-row
+      .withColumn("lev",
+        expr("levenshtein(ta, tb, CAST(maxlen DIV 5 AS INT))").cast("long"))
       // maxlen > 0 guard: two empty candidate texts give lev=0, maxlen=0 —
       // the ratio gate passes but edit_sim_bp would be null-on-/0 in Spark
       // vs a division-by-zero ERROR in DuckDB. Drop degenerate pairs in
       // both twins so the engines agree.
-      .filter(col("lev") * 5 <= col("maxlen") && col("maxlen") > 0)
+      .filter(col("lev") >= 0 && col("lev") * 5 <= col("maxlen") && col("maxlen") > 0)
       .select(col("doc_a"), col("doc_b"), col("lev"),
         expr("10000 - ((2 * lev * 10000 + maxlen) DIV (2 * maxlen))").as("edit_sim_bp"))
       .orderBy("doc_a", "doc_b")
@@ -1245,6 +1255,134 @@ object Dedup {
       FROM documents dc LEFT JOIN hits h ON dc.doc_id = h.doc_id
       WHERE dc.source = 'src19' ORDER BY dc.doc_id"""
 
+  // -------------------------- served band index (dd23): probe IO ∝ batch
+
+  /** Bucket count per band for the persisted index's file layout. The
+    * (band_id, bucket) space is FIXED at bands × 64 cells regardless of
+    * corpus size — files grow with data, file COUNT stays O(cells ×
+    * commits) and compaction owns the rest, the same contract as the IVF
+    * index (sm25). */
+  private val bandCellBuckets = 64L
+
+  /** Physical cell of a band row: band-local bucket of the band signature.
+    * Equal (band_id, bsig) pairs land in the SAME cell by construction
+    * (equal arrays hash equally), so probing only the batch's cells loses
+    * no candidate — the layout is a pure IO optimization, invisible to the
+    * logical result (and to the oracle, which replays band equality only). */
+  private def bandCell: Column =
+    (col("band_id").cast("long") * bandCellBuckets +
+      pmod(xxhash64(col("bsig")), lit(bandCellBuckets))).cast("long")
+
+  /** dd23: incremental dedup against a SERVED MinHash band index — the
+    * missing half of dd21, which re-derives the index side per run. Here
+    * the corpus index (every source except the incoming batch) is COMMITTED
+    * once as a standard Iceberg table — (cell, doc_id, band_id, bsig, sig),
+    * one file per cell per commit with manifest cell bounds, sm25's layout —
+    * and the daily probe reads ONLY the cells the batch's band signatures
+    * hash into (require-gated below): at 100 TB the index is maintained by
+    * appends + compaction while each incoming shard's dedup IO is
+    * proportional to the shard's bucket coverage, never the corpus. Matches
+    * are verified with the MinHash ESTIMATE (signature agreement ≥ 8/16,
+    * dd10's estimator) from sigs stored IN the index — the probe never
+    * touches the corpus text. Every batch doc reports its verified
+    * index-duplicate count, canonical representative, and dup/unique
+    * status (dd21's contract). */
+  private def servedBandIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    val batchSrc = "src19"
+    val hs    = hashedShingles(s, d)
+    val sigs  = hs.select(col("doc_id"), graft.functions.hashfns.minhashSig(col("hset")).as("sig"))
+    val bands = bandOfHs(hs).join(sigs, "doc_id")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .select(bandCell.as("cell"), col("doc_id"), col("band_id"), col("bsig"),
+        col("sig"), col("source"))
+
+    // build + commit the index table (the ingest-time job; probes below
+    // read ONLY this artifact)
+    val root  = "/root/repo/target/scratch/bandidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    val idxRows = bands.filter(col("source") =!= batchSrc).drop("source")
+    val loc = s"$root/band_index"
+    val w   = new IcebergFormat.Writer(s, loc, idxRows.schema)
+    w.commit(Sim.stageIndexCells(s, idxRows, s"$root/stage", loc, "b", sortCol = "doc_id"))
+
+    // probe: the batch's distinct cells — bounded by the FIXED cell space
+    // (bands × 64 ≤ 256 values), never by batch or corpus size
+    val batch  = bands.filter(col("source") === batchSrc).drop("source").persist()
+    val probed = batch.select(col("cell")).distinct().as[Long].collect().sorted
+    val (idx, kept, total) = IcebergFormat.scanPoints(
+      s, w.currentMetadataPath, "cell", probed.map(_.toString))
+    require(kept <= probed.length,
+      s"probe read $kept files for ${probed.length} cells — cell bounds failed to prune")
+    require(kept < total || probed.length >= total,
+      s"selective probe (${probed.length} cells) read ALL $total index files")
+
+    val cand = batch.as("x")
+      .join(idx.as("y"),
+        col("x.cell") === col("y.cell") && col("x.band_id") === col("y.band_id") &&
+          col("x.bsig") === col("y.bsig"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("idx_doc"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    val hits = cand
+      .withColumn("eq", expr("size(filter(zip_with(sa, sb, (a, b) -> a = b), x -> x))"))
+      .filter(col("eq") >= 8) // est_jaccard >= 0.5, dd10's estimator
+      .groupBy("doc_id")
+      .agg(countDistinct("idx_doc").as("n_index_dups"), min("idx_doc").as("rep_doc"))
+    Tables.documents(s, d).filter(col("source") === batchSrc).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+        coalesce(col("rep_doc"), lit(-1L)).as("rep_doc"),
+        when(col("n_index_dups").isNotNull, lit("dup")).otherwise(lit("unique")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle replays the LOGICAL result: band equality across batch/index
+    * sides + signature-agreement verify — the physical cell layout is
+    * invisible (equal bsig ⟹ same cell, so cell-pruned probing is exact). */
+  private lazy val servedBandIndexOracle = {
+    val shHash = Hashing.duckRollHash("sg", P, "c0")
+    s"""WITH $duckShingles,
+      hs AS (
+        SELECT doc_id, list_distinct(list_transform(shs, sg -> $shHash)) AS hset FROM sh),
+      eh AS (SELECT doc_id, unnest(hset) AS h FROM hs),
+      params(j, pa, pb) AS (VALUES ${Hashing.duckMinhashParams}),
+      sig AS (
+        SELECT doc_id, j, MIN((pa * h + pb) % $P) AS m
+        FROM eh CROSS JOIN params GROUP BY doc_id, j),
+      band AS (
+        SELECT doc_id, j // ${Hashing.bandRows} AS band_id,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bsig
+        FROM sig GROUP BY doc_id, j // ${Hashing.bandRows}),
+      srcs AS (SELECT doc_id, source FROM documents),
+      nb AS (SELECT b.* FROM band b JOIN srcs USING (doc_id) WHERE source = 'src19'),
+      ib AS (SELECT b.* FROM band b JOIN srcs USING (doc_id) WHERE source <> 'src19'),
+      xc AS (
+        SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS idx_doc
+        FROM nb x JOIN ib y ON x.band_id = y.band_id AND x.bsig = y.bsig),
+      mh AS (
+        SELECT c.doc_id, c.idx_doc,
+               CAST(SUM(CASE WHEN sx.m = sy.m THEN 1 ELSE 0 END) AS BIGINT) AS eq
+        FROM xc c
+        JOIN sig sx ON sx.doc_id = c.doc_id
+        JOIN sig sy ON sy.doc_id = c.idx_doc AND sy.j = sx.j
+        GROUP BY 1, 2),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_index_dups, MIN(idx_doc) AS rep_doc
+        FROM mh WHERE eq >= 8 GROUP BY 1)
+      SELECT dc.doc_id, COALESCE(h.n_index_dups, 0) AS n_index_dups,
+             COALESCE(h.rep_doc, -1) AS rep_doc,
+             CASE WHEN h.doc_id IS NULL THEN 'unique' ELSE 'dup' END AS status
+      FROM documents dc LEFT JOIN hits h ON dc.doc_id = h.doc_id
+      WHERE dc.source = 'src19' ORDER BY dc.doc_id"""
+  }
+
   /** dd22: CROSS-document span coverage — per doc, the share of its
     * 10-word chunks that appear verbatim in at least one OTHER document
     * (tx11's per-doc chunk dup ratio counts within-doc repeats; this is
@@ -1321,7 +1459,8 @@ object Dedup {
     Q("dd19_cluster_size_hist", clusterSizeHist, Some(clusterSizeHistOracle)),
     Q("dd20_edit_distance", editDistanceDup, Some(editDistanceDupOracle)),
     Q("dd21_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
-    Q("dd22_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageOracle))
+    Q("dd22_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageOracle)),
+    Q("dd23_served_band_index", servedBandIndex, Some(servedBandIndexOracle))
   )
 
   /** Duplicate-cluster size distribution: how many exact-duplicate

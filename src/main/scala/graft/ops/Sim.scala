@@ -1584,15 +1584,16 @@ object Sim {
     * probed-cell pruning of sm26/sm29/sm30 a manifest-bounds lookup. Row
     * counts come from parquet footers: O(cells) driver-side metadata
     * reads, no extra Spark job. */
-  private def stageIndexCells(
+  private[ops] def stageIndexCells(
       s: SparkSession, assigned: org.apache.spark.sql.DataFrame,
-      stage: String, loc: String, tag: String): Seq[graft.icelite.IcebergFormat.DataFileInfo] = {
+      stage: String, loc: String, tag: String,
+      sortCol: String = "vec_id"): Seq[graft.icelite.IcebergFormat.DataFileInfo] = {
     import graft.icelite.IcebergFormat
     import org.apache.hadoop.fs.Path
     val conf = s.sparkContext.hadoopConfiguration
     assigned.withColumn("cellp", col("cell")) // keep cell IN the data files too
       .repartition(col("cell"))
-      .sortWithinPartitions("cellp", "vec_id")
+      .sortWithinPartitions("cellp", sortCol)
       .write.partitionBy("cellp").mode("overwrite").parquet(stage)
     val fsL = new Path(loc).getFileSystem(conf)
     val enc0 = (cid: Long) =>
@@ -2109,7 +2110,8 @@ object Sim {
     Q("sm28_centroid_drift", centroidDrift, Some(centroidDriftOracle)),
     Q("sm29_filtered_ann", filteredAnnSearch, Some(filteredAnnSearchOracle)),
     Q("sm30_ivf_index_append", ivfIndexAppend, Some(ivfPersistedSearchOracle)),
-    Q("sm31_ivf_index_compact", ivfIndexCompact, Some(ivfPersistedSearchOracle))
+    Q("sm31_ivf_index_compact", ivfIndexCompact, Some(ivfPersistedSearchOracle)),
+    Q("sm32_ivfpq_index_search", ivfPqPersistedSearch, Some(ivfPqSearchOracle))
   )
 
   /** IVF-PQ with refine — the composed index as actually shipped (FAISS
@@ -2129,21 +2131,26 @@ object Sim {
     * DuckDB oracle replays routing, encoding, LUTs, shortlist and re-rank
     * exactly. Corpus pass is map-only; the re-rank touches 50 rows per
     * query. */
-  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val cents   = collectMatrix(s, d, idBound = ivfCells)
-    val centById = cents.map { case (cid, cv, _) => cid -> cv }.toMap
-    def resid(v: Array[Double]): (Long, Array[Double]) = {
-      val cell = assignCell(v, cents)
-      val cv   = centById(cell)
-      val r    = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
-      (cell, r)
+  /** Residual PQ codebook: residuals of the 8 lowest-id vectors (id
+    * order) against their assigned centroids — the deterministic
+    * "training" convention every oracle replays. Shared by the fresh
+    * pipeline (sm20) and the persisted-index build (sm32). */
+  private def pqBooks(s: SparkSession, d: String,
+      cents: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double])] = {
+    val byId = cents.map { case (cid, cv, _) => cid -> cv }.toMap
+    collectMatrix(s, d, idBound = 8).map { case (bid, v, _) =>
+      val cv = byId(assignCell(v, cents))
+      (bid, Array.tabulate(v.length)(i => v(i) - cv(i)))
     }
-    // residual codebook: residuals of the 8 lowest-id vectors (id order)
-    val books = collectMatrix(s, d, idBound = 8).map { case (cid, v, _) => (cid, resid(v)._2) }
-    def encode(r: Array[Double]): Array[Int] = Array.tabulate(4) { sub =>
+  }
+
+  /** 4-subspace/16-dim product-quantizer encode of a residual. Lives in a
+    * Serializable holder (not on Sim$) because executor-side closures call
+    * it — a bare module method would drag non-serializable Sim$ into every
+    * task closure. */
+  private[ops] object Pq extends Serializable {
+    def encode(books: Array[(Long, Array[Double])], r: Array[Double]): Array[Int] =
+    Array.tabulate(4) { sub =>
       val off = sub * 16
       var bestCode = 0; var bestD = Double.PositiveInfinity
       var c = 0
@@ -2156,11 +2163,20 @@ object Sim {
       }
       bestCode
     }
+  }
+
+  /** Per-(query, probed cell) 4×8 ADC lookup tables over the query's
+    * residual IN THAT CELL. */
+  private def pqQueryLuts(
+      cents: Array[(Long, Array[Double], Double)],
+      books: Array[(Long, Array[Double])],
+      queries: Array[(Long, Array[Double], Double)])
+      : Array[(Long, Map[Long, Array[Array[Double]]])] = {
+    val centById = cents.map { case (cid, cv, _) => cid -> cv }.toMap
     def probeCells(v: Array[Double]): Seq[Long] =
       cents.map { case (cid, cv, _) => (cid, dist2(v, cv)) }
         .sortBy(_._2).take(ivfProbes).map(_._1).toSeq
-    // per (query, probed cell): 4x8 LUT over the query's residual IN THAT CELL
-    val queries = collectMatrix(s, d, idBound = 10).map { case (qid, qv, _) =>
+    queries.map { case (qid, qv, _) =>
       val luts = probeCells(qv).map { cell =>
         val cv = centById(cell)
         val rq = Array.tabulate(qv.length)(i => qv(i) - cv(i))
@@ -2175,12 +2191,20 @@ object Sim {
       }.toMap
       (qid, luts)
     }
-    val bc  = s.sparkContext.broadcast((cents, queries))
+  }
+
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents   = collectMatrix(s, d, idBound = ivfCells)
+    val centById = cents.map { case (cid, cv, _) => cid -> cv }.toMap
+    val books = pqBooks(s, d, cents)
+    val queries = pqQueryLuts(cents, books, collectMatrix(s, d, idBound = 10))
+    val bc  = s.sparkContext.broadcast((cents, queries, books))
     val byQ = Window.partitionBy("qid").orderBy(asc("adist"), asc("nid"))
     val shortlist = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val (cs, qs) = bc.value
+        val (cs, qs, bks) = bc.value
         val byId = cs.map { case (cid, cv, _) => cid -> cv }.toMap
         it.flatMap { case (nid, vf) =>
           val v = vf.map(_.toDouble)
@@ -2189,7 +2213,7 @@ object Sim {
             val cv = byId(c)
             (c, Array.tabulate(v.length)(i => v(i) - cv(i)))
           }
-          val codes = encode(r)
+          val codes = Pq.encode(bks, r)
           qs.iterator
             .filter { case (qid, luts) => qid != nid && luts.contains(cell) }
             .map { case (qid, luts) =>
@@ -2323,6 +2347,152 @@ object Sim {
       .select(col("qid"), col("n_hits"),
         round(col("n_hits") / lit(5.0), 4).as("recall"))
       .orderBy("qid")
+  }
+
+  // --------------------------------------- persisted IVF-PQ index (sm32)
+
+  /** Build-and-COMMIT the composed IVF-PQ index (sm20's strongest config)
+    * as standard Iceberg tables, sm25's method: the INDEX table holds
+    * (cell, vec_id, codes, embedding) one-file-per-cell with manifest
+    * cell bounds (ADC probes file-skip), and two SIDECAR tables persist
+    * the model — the residual codebook (bid, resid) and the centroids
+    * (cid, vec) — so the served search rederives NOTHING from the raw
+    * corpus: routing, LUTs, ADC and the exact refine all read the
+    * persisted artifacts. Returns (index, codebook, centroids) metadata
+    * paths; memoized per (JVM, sfDir) like sm25. */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  private def ivfPqIndexMetadata(s: SparkSession, d: String): (String, String, String) =
+    ivfPqIndexCache.computeIfAbsent(d, _ => buildIvfPqIndex(s, d))
+
+  private[graft] def buildIvfPqIndex(s: SparkSession, d: String): (String, String, String) = {
+    import s.implicits._
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val root = "/root/repo/target/scratch/ivfpqidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    fs.mkdirs(rootP)
+    val cents = collectMatrix(s, d, idBound = ivfCells)
+    val books = pqBooks(s, d, cents)
+    val bc    = s.sparkContext.broadcast((cents, books))
+    // ONE corpus pass assigns cells and encodes residual codes map-side
+    val assigned = Tables.spread(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, bks) = bc.value
+        val byId = cs.map { case (cid, cv, _) => cid -> cv }.toMap
+        it.map { case (id, vf) =>
+          val v    = vf.map(_.toDouble)
+          val cell = assignCell(v, cs)
+          val cv   = byId(cell)
+          val r    = Array.tabulate(v.length)(i => v(i) - cv(i))
+          (cell, id, Pq.encode(bks, r), vf)
+        }
+      }
+      .toDF("cell", "vec_id", "codes", "embedding")
+    val idxLoc = s"$root/ivfpq_index"
+    val wIdx = new IcebergFormat.Writer(s, idxLoc, assigned.schema)
+    wIdx.commit(stageIndexCells(s, assigned, s"$root/stage", idxLoc, "f"))
+    def sidecar(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val loc = s"$root/$name"
+      val w   = new IcebergFormat.Writer(s, loc, df.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$root/stage", loc, name, df)))
+      w.currentMetadataPath
+    }
+    val cbMeta = sidecar("pq_codebook",
+      books.toSeq.toDF("bid", "resid").orderBy("bid"))
+    val ctMeta = sidecar("ivf_centroids",
+      cents.toSeq.map { case (cid, cv, _) => (cid, cv) }.toDF("cid", "vec").orderBy("cid"))
+    (wIdx.currentMetadataPath, cbMeta, ctMeta)
+  }
+
+  /** sm32: ADC search FROM the persisted IVF-PQ index ONLY — centroids
+    * and codebook load from their sidecar tables (bounded collects: 8
+    * cells / 8 codebook rows by construction), the ADC scan reads just
+    * the probed cells' files (manifest cell bounds prune the rest,
+    * require-gated like sm26), and the exact 50-per-query refine reads
+    * the index's own embedding column, never the raw corpus. Gated
+    * persisted == fresh (sm26's method, row-exact vs the sm20 pipeline),
+    * which pins its recall@5 to exactly sm21's fresh value. */
+  private def ivfPqPersistedSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.icelite.IcebergFormat
+    ivfPqIndexCache.remove(d) // this query IS the build+search lifecycle
+    val (idxMeta, cbMeta, ctMeta) = ivfPqIndexMetadata(s, d)
+    val cents = IcebergFormat.scan(s, ctMeta).select("cid", "vec")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (cid, v) => (cid, v, normv(v)) }
+    val books = IcebergFormat.scan(s, cbMeta).select("bid", "resid")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // query vectors are the search INPUT (10 rows); everything else is
+    // answered from the persisted artifacts
+    val queries = pqQueryLuts(cents, books, collectMatrix(s, d, idBound = 10))
+    // pruning PROOF on a single served lookup: one query probes ivfProbes
+    // cells, and planning that lookup must keep only those cells' files —
+    // the 10-query BATCH below may legitimately union every cell (8 cells,
+    // 20 probes), so the per-lookup plan is where pruning is provable
+    val q0 = queries.head._2.keySet
+    val (_, kept0, total0) = IcebergFormat.scanPoints(
+      s, idxMeta, "cell", q0.toSeq.sorted.map(_.toString))
+    require(kept0 <= q0.size && kept0 < total0,
+      s"single-lookup plan kept $kept0 of $total0 files for ${q0.size} probed cells — " +
+        "manifest cell bounds failed to prune")
+    val cellsToRead = queries.flatMap(_._2.keys).toSet
+    val (idx, keptB, _) = IcebergFormat.scanPoints(
+      s, idxMeta, "cell", cellsToRead.toSeq.sorted.map(_.toString))
+    require(keptB <= cellsToRead.size,
+      s"index scan planned $keptB files for ${cellsToRead.size} cells — " +
+        "manifest cell bounds failed to prune")
+    val bq  = s.sparkContext.broadcast(queries)
+    val byQ = Window.partitionBy("qid").orderBy(asc("adist"), asc("nid"))
+    val shortlist = idx.select(col("cell"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        it.flatMap { case (cell, nid, codes) =>
+          qs.iterator
+            .filter { case (qid, luts) => qid != nid && luts.contains(cell) }
+            .map { case (qid, luts) =>
+              val tbl = luts(cell)
+              var adist = 0.0; var sub = 0
+              while (sub < 4) { adist += tbl(sub)(codes(sub)); sub += 1 }
+              (qid, nid, adist)
+            }
+        }
+      }
+      .toDF("qid", "nid", "adist")
+      .withColumn("srank", row_number().over(byQ).cast("long"))
+      .filter(col("srank") <= 50)
+      .select("qid", "nid")
+    val qVecById = s.sparkContext.broadcast(
+      collectMatrix(s, d, idBound = 10).map { case (qid, v, _) => qid -> v }.toMap)
+    val byQexact = Window.partitionBy("qid").orderBy(asc("dist"), asc("nid"))
+    val out = broadcast(shortlist)
+      .join(IcebergFormat.scan(s, idxMeta)
+        .select(col("vec_id").as("nid"), col("embedding")), "nid")
+      .select(col("qid"), col("nid"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qv = qVecById.value
+        it.map { case (qid, nid, vf) => (qid, nid, dist2(qv(qid), vf.map(_.toDouble))) }
+      }
+      .toDF("qid", "nid", "dist")
+      .withColumn("rank", row_number().over(byQexact).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), round(col("dist"), 4).as("dist"))
+      .orderBy("qid", "rank")
+    // persisted == fresh, row-exact: the served path answers exactly what
+    // the in-query pipeline answers, so recall@5 equals sm21's value
+    val fresh = ivfPqSearch(s, d)
+    require(out.count() == fresh.count() &&
+      out.except(fresh).isEmpty && fresh.except(out).isEmpty,
+      "persisted IVF-PQ search diverged from the fresh sm20 pipeline")
+    out
   }
 
   private val ivfPqRecallOracle =

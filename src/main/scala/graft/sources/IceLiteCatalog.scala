@@ -118,7 +118,9 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     catalogName = name
     backend = Option(options.get("uri")) match {
       case Some(uri) =>
-        val rc = new RestCatalog(SparkSession.active, uri)
+        // `token` is Iceberg's standard REST-catalog credential property:
+        // spark.sql.catalog.<name>.token rides every request as a bearer
+        val rc = new RestCatalog(SparkSession.active, uri, Option(options.get("token")))
         rest = Some(rc)
         rc
       case None =>

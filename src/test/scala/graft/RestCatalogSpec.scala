@@ -187,6 +187,49 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("bearer-token auth: authorized CAS succeeds, wrong/missing token 401s") {
+    val secured = new RestCatalogServer(scratch("rest_secured"),
+      requiredToken = Some("s3cr3t-token")).start()
+    try {
+      // raw protocol: no token and a wrong token are both 401 on EVERY
+      // route, config included
+      val http = java.net.http.HttpClient.newHttpClient()
+      def getConfig(auth: Option[String]): Int = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${secured.uri}/v1/config"))
+        auth.foreach(a => b.header("Authorization", a))
+        http.send(b.GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      }
+      assert(getConfig(None) == 401, "unauthenticated config not rejected")
+      assert(getConfig(Some("Bearer wrong")) == 401, "wrong token not rejected")
+      assert(getConfig(Some("Bearer s3cr3t-token")) == 200)
+
+      // authorized client: full lifecycle (create -> CAS commits -> read)
+      val authed = new RestCatalog(spark, secured.uri, Some("s3cr3t-token"))
+      authed.createNamespace("sec")
+      authed.createOrReplaceTable("sec", "t", demo(7))
+      assert(authed.loadTable("sec", "t").scan().count() == 7)
+
+      // unauthorized CLIENT: catalog calls fail loudly, nothing mutates
+      val unauthed = new RestCatalog(spark, secured.uri)
+      intercept[Exception] { unauthed.warehouse }
+      assert(!unauthed.tableExists("sec", "t"), "HEAD leaked through the token gate")
+
+      // SQL binding with spark.sql.catalog.<name>.token
+      spark.conf.set("spark.sql.catalog.rsec", "graft.sources.IceLiteCatalog")
+      spark.conf.set("spark.sql.catalog.rsec.uri", secured.uri)
+      spark.conf.set("spark.sql.catalog.rsec.token", "s3cr3t-token")
+      try {
+        assert(spark.sql("SELECT count(*) AS n FROM rsec.sec.t").head().getLong(0) == 7L)
+      } finally {
+        spark.conf.unset("spark.sql.catalog.rsec")
+        spark.conf.unset("spark.sql.catalog.rsec.uri")
+        spark.conf.unset("spark.sql.catalog.rsec.token")
+      }
+    } finally secured.stop()
+  }
+
   test("dropping a non-empty namespace is rejected; empty namespace drops") {
     catalog.createNamespace("tmpns")
     catalog.createOrReplaceTable("tmpns", "t", demo(2))
