@@ -16,7 +16,8 @@ import org.apache.spark.sql.graft.bridge
   *
   * After either, SQL users can call `graft_roll_hash(s[, mod])`,
   * `graft_min_gram_hash(s, k[, mod])`, `graft_simhash32(arr)`,
-  * `graft_minhash_sig(arr)`, `graft_word_shingles(s[, n])`.
+  * `graft_minhash_sig(arr)`, `graft_word_shingles(s[, n])`,
+  * `graft_lev_bounded(a, b, threshold)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -60,7 +61,17 @@ object GraftExtensions {
         Hashing.minhashParams.map(_._3).toArray,
         Hashing.P)),
     ("graft_word_shingles", info("graft_word_shingles", "distinct word n-gram shingles"),
-      (es: Seq[Expression]) => WordShinglesExpr(es.head, es.lift(1).map(lit(_, "n").toInt).getOrElse(3)))
+      (es: Seq[Expression]) => WordShinglesExpr(es.head, es.lift(1).map(lit(_, "n").toInt).getOrElse(3))),
+    ("graft_lev_bounded", info("graft_lev_bounded",
+      "levenshtein(a, b) when <= threshold, else -1 (affix-trimmed banded DP)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        StaticInvoke(LevStatics.getClass, LongType, "levBounded",
+          Seq(es(0), es(1), es(2)),
+          inputTypes = Seq(StringType, StringType, IntegerType),
+          propagateNull = true, returnNullable = false)
+      })
   )
 
   /** Register into an already-built session. */

@@ -412,6 +412,72 @@ object BoundStatics {
       .map(UTF8String.fromString).orNull
 }
 
+/** Static target for the bounded edit-distance verify ([[hashfns.levBounded]]).
+  *
+  * Equivalent to `levenshtein(a, b) <= threshold ? levenshtein(a, b) : -1`
+  * but engineered for the near-duplicate shape the dedup verifies feed it:
+  *  - common prefix AND suffix are stripped first (edit distance is
+  *    invariant under shared-affix removal), so two 10 KB documents that
+  *    differ in a 5-char tail cost a 5×5 DP, not a 10k×10k one — the case
+  *    that made dd20's verify a 911 s wall at 100× on a suffix-mutated
+  *    duplicate corpus;
+  *  - the DP is BANDED at the threshold (O(threshold·len) cells) and
+  *    early-exits -1 as soon as a row's minimum exceeds it (row minima are
+  *    non-decreasing), so definite non-matches pay O(threshold²);
+  *  - char-level like the rest of this file (ASCII corpus: charAt ==
+  *    code point == the DuckDB oracle's character semantics). */
+object LevStatics {
+  private final val BIG = 1 << 29 // in-band sentinel; 1 + BIG cannot overflow
+
+  def levBounded(a: UTF8String, b: UTF8String, threshold: Int): Long = {
+    val s = a.toString; val t = b.toString
+    // strip common prefix, then common suffix of the remainder
+    val ls = s.length; val lt = t.length
+    var lo = 0
+    val minL = math.min(ls, lt)
+    while (lo < minL && s.charAt(lo) == t.charAt(lo)) lo += 1
+    var es = ls; var et = lt
+    while (es > lo && et > lo && s.charAt(es - 1) == t.charAt(et - 1)) { es -= 1; et -= 1 }
+    var n = es - lo; var m = et - lo
+    if (threshold < 0) return -1L
+    if (n == 0) return if (m <= threshold) m.toLong else -1L
+    if (m == 0) return if (n <= threshold) n.toLong else -1L
+    if (math.abs(n - m) > threshold) return -1L
+    // banded two-row DP over s[lo..es) x t[lo..et); keep n <= m
+    var x = s; var y = t; var xo = lo; var yo = lo
+    if (n > m) { x = t; y = s; xo = lo; yo = lo; val tmp = n; n = m; m = tmp }
+    var p = new Array[Int](n + 1)
+    var d = new Array[Int](n + 1)
+    val boundary = math.min(n, threshold) + 1
+    var i = 0
+    while (i < boundary) { p(i) = i; i += 1 }
+    java.util.Arrays.fill(p, boundary, n + 1, BIG)
+    java.util.Arrays.fill(d, BIG)
+    var j = 1
+    while (j <= m) {
+      val cj = y.charAt(yo + j - 1)
+      d(0) = j
+      val min = math.max(1, j - threshold)
+      val max = math.min(n, j + threshold)
+      if (min > max) return -1L
+      if (min > 1) d(min - 1) = BIG
+      var rowMin = d(0)
+      i = min
+      while (i <= max) {
+        d(i) =
+          if (x.charAt(xo + i - 1) == cj) p(i - 1)
+          else 1 + math.min(math.min(d(i - 1), p(i)), p(i - 1))
+        if (d(i) < rowMin) rowMin = d(i)
+        i += 1
+      }
+      if (rowMin > threshold) return -1L
+      val tmp = p; p = d; d = tmp
+      j += 1
+    }
+    if (p(n) <= threshold) p(n).toLong else -1L
+  }
+}
+
 /** Column wrappers for manifest string-bound truncation. */
 object boundfns {
   import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
@@ -448,4 +514,16 @@ object hashfns {
 
   def winnow(c: Column, k: Int, w: Int, m: Long = Hashing.P): Column =
     col(WinnowExpr(expr(c), k, w, m))
+
+  /** Bounded edit distance: `levenshtein(a, b)` when ≤ `threshold`, else
+    * -1 — affix-trimmed + banded ([[LevStatics.levBounded]]), a direct
+    * static call in generated code. */
+  def levBounded(a: Column, b: Column, threshold: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    bridge.column(StaticInvoke(
+      LevStatics.getClass, LongType, "levBounded",
+      Seq(expr(a), expr(b), expr(threshold)),
+      inputTypes = Seq(StringType, StringType, IntegerType),
+      propagateNull = true, returnNullable = false))
+  }
 }

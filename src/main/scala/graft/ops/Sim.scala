@@ -1598,29 +1598,41 @@ object Sim {
     val fsL = new Path(loc).getFileSystem(conf)
     val enc0 = (cid: Long) =>
       IcebergFormat.encodeBound(org.apache.spark.sql.types.LongType, cid.toString).get
-    val infos = fsL.listStatus(new Path(stage)).toSeq
+    // per-cell rename + footer row-count, parallelized across a bounded
+    // pool: still zero Spark jobs, but a 256-cell index (dd23's band
+    // buckets) stops paying 256 sequential footer opens on the driver
+    val cellDirs = fsL.listStatus(new Path(stage)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cellp="))
       .sortBy(_.getPath.getName)
-      .flatMap { st =>
-        val cid   = st.getPath.getName.stripPrefix("cellp=").toLong
-        val parts = fsL.listStatus(st.getPath).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        require(parts.length == 1,
-          s"cell $cid split across ${parts.length} files — hash repartition broken")
-        parts.zipWithIndex.map { case (part, i) =>
-          val dest = new Path(s"$loc/data/cell$cid-$tag$i.parquet")
-          fsL.mkdirs(dest.getParent)
-          require(fsL.rename(part, dest), s"stage rename failed for cell$cid")
-          // row count from the parquet footer: driver-side metadata read,
-          // no Spark job
-          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, conf))
-          val n   = try rdr.getRecordCount finally rdr.close()
-          val e   = enc0(cid)
-          IcebergFormat.DataFileInfo(dest.toString, n, fsL.getFileStatus(dest).getLen)
-            .copy(bounds = Map(1 -> (e, e))) // field 1 = cell: min = max = cid
-        }
-      }
+    fsL.mkdirs(new Path(s"$loc/data"))
+    val pool  = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, cellDirs.size)))
+    val infos =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        Await.result(Future.traverse(cellDirs) { st => Future {
+          val cid   = st.getPath.getName.stripPrefix("cellp=").toLong
+          val parts = fsL.listStatus(st.getPath).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          require(parts.length == 1,
+            s"cell $cid split across ${parts.length} files — hash repartition broken")
+          parts.zipWithIndex.map { case (part, i) =>
+            val dest = new Path(s"$loc/data/cell$cid-$tag$i.parquet")
+            require(fsL.rename(part, dest), s"stage rename failed for cell$cid")
+            // row count from the parquet footer: driver-side metadata read,
+            // no Spark job
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, conf))
+            val n   = try rdr.getRecordCount finally rdr.close()
+            val e   = enc0(cid)
+            IcebergFormat.DataFileInfo(dest.toString, n, fsL.getFileStatus(dest).getLen)
+              .copy(bounds = Map(1 -> (e, e))) // field 1 = cell: min = max = cid
+          }.toSeq
+        } }, Duration.Inf).flatten
+      } finally pool.shutdown()
     fsL.delete(new Path(stage), true)
     infos
   }

@@ -111,6 +111,30 @@ class IceLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException](tp.exportIceberg(scratch("icexp_p")))
   }
 
+  test("scanPoints plans one scan keeping only files matching ANY in-list value") {
+    val cat = new FsCatalog(spark, scratch("icpts"))
+    val lo  = nation.filter(col("n_nationkey") < 10).coalesce(1)
+    val hi  = nation.filter(col("n_nationkey") >= 10).coalesce(1)
+    val t   = cat.createOrReplaceTable("ns", "nations_pt", lo)
+    t.append(hi)
+    val mdPath = t.exportIceberg(scratch("icpts_dest") + "/t")
+    // values on both sides of the split keep both files
+    val (both, kBoth, total) =
+      IcebergFormat.scanPoints(spark, mdPath, "n_nationkey", Seq("3", "12"))
+    assert(total == 2 && kBoth == 2)
+    assert(both.filter(col("n_nationkey").isin(3, 12)).count() == 2)
+    // values on one side keep exactly one file, rows intact
+    val (one, kOne, _) =
+      IcebergFormat.scanPoints(spark, mdPath, "n_nationkey", Seq("3", "4"))
+    assert(kOne == 1, s"in-list pruning kept $kOne of $total files")
+    assert(one.inputFiles.length == 1)
+    assert(one.filter(col("n_nationkey").isin(3, 4)).count() == 2)
+    // an empty in-list keeps nothing
+    val (none, kNone, _) =
+      IcebergFormat.scanPoints(spark, mdPath, "n_nationkey", Nil)
+    assert(kNone == 0 && none.count() == 0)
+  }
+
   test("exported Iceberg manifests carry bounds; planFiles prunes on them") {
     val cat = new FsCatalog(spark, scratch("icbnd"))
     val lo  = nation.filter(col("n_nationkey") < 10).coalesce(1)

@@ -220,6 +220,13 @@ class OpsSpec extends SparkSpec {
     assert(r.getSeq[String](4) == Seq("a b c", "b c d"))
     val sig = r.getSeq[Long](5)
     assert(sig == graft.Hashing.minhashParams.map { case (_, a, b) => (a * 7 + b) % graft.Hashing.P })
+    val lv = spark.sql(
+      """SELECT graft_lev_bounded('kitten', 'sitting', 3) AS inb,
+                graft_lev_bounded('kitten', 'sitting', 2) AS outb,
+                graft_lev_bounded('prefix MID suffix', 'prefix Mude suffix', 9) AS trm""").collect()(0)
+    assert(lv.getAs[Long]("inb") == 3L)
+    assert(lv.getAs[Long]("outb") == -1L)
+    assert(lv.getAs[Long]("trm") == 3L)
   }
 
   test("language id picks the max-scoring language deterministically") {

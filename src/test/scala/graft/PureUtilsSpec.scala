@@ -138,4 +138,37 @@ class PureUtilsSpec extends AnyFunSuite {
       assert(w == graft.ops.Sim.planeWeight(j, d))
     }
   }
+
+  test("levBounded equals reference Levenshtein under the threshold, -1 above") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) =
+          if (a.charAt(i - 1) == b.charAt(j - 1)) d(i - 1)(j - 1)
+          else 1 + math.min(math.min(d(i - 1)(j), d(i)(j - 1)), d(i - 1)(j - 1))
+      d(a.length)(b.length)
+    }
+    def lb(a: String, b: String, t: Int): Long =
+      graft.functions.LevStatics.levBounded(
+        UTF8String.fromString(a), UTF8String.fromString(b), t)
+    val rnd = new scala.util.Random(20260815)
+    def word(n: Int): String = Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString
+    // the affix shape the dedup verify serves: shared body, short edits
+    val cases = Seq.tabulate(400) { _ =>
+      val body = word(5 + rnd.nextInt(60))
+      val a    = word(rnd.nextInt(4)) + body + word(rnd.nextInt(4))
+      val b    = word(rnd.nextInt(4)) + body + word(rnd.nextInt(4))
+      (a, b)
+    } ++ Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("kitten", "sitting"), ("flaw", "lawn"))
+    for ((a, b) <- cases; t <- Seq(0, 1, 2, 5, 100)) {
+      val r = ref(a, b)
+      val got = lb(a, b, t)
+      assert(got == (if (r <= t) r.toLong else -1L),
+        s"levBounded('$a','$b',$t) = $got, reference = $r")
+    }
+  }
 }
