@@ -402,8 +402,22 @@ object Dedup {
       lbl = next.select(col("id"), col("comp2").as("comp"))
       round += 1
     }
+    lastCcRounds.set(round)
+    log.info(s"ccLabels fixpoint in $round BSP rounds")
+    if (round > 8) log.warn(
+      s"ccLabels took $round BSP rounds — dedup graph has unusually deep chains; " +
+        "consider large-star/small-star if this grows with corpus size")
     lbl.select(col("id").as("doc_id"), col("comp").as("cluster"))
   }
+
+  /** BSP rounds the most recent [[ccLabels]] run took to reach fixpoint —
+    * the empirical check on the "min-label BSP is O(diameter) rounds"
+    * design: star edges bound overflow buckets at diameter ≤ 2, so round
+    * counts should stay flat as the corpus grows (measured via CcProbe:
+    * 2 at sf0.1, 2 at organic sf1, 6 at the dup-saturated 100× — 500k
+    * labeled docs). A sustained rise would be the signal to switch to
+    * large-star/small-star. */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def ccCluster(s: SparkSession, d: String): DataFrame = {
     val byComp = Window.partitionBy("cluster")

@@ -343,6 +343,10 @@ class OpsSpec extends SparkSpec {
       val clusters = lbl.select("cluster").distinct().count()
       assert(lbl.count() == 13 && clusters == 1,
         s"star edges broke the hot component: ${lbl.count()} members, $clusters clusters")
+      // star edges bound the overflow bucket at diameter <= 2, so the BSP
+      // fixpoint stays a handful of rounds even with the capped clique
+      assert(Dedup.lastCcRounds.get() <= 6,
+        s"ccLabels took ${Dedup.lastCcRounds.get()} BSP rounds on a star-edge graph")
     } finally spark.conf.unset("spark.graft.dedup.bucketCap")
   }
 
