@@ -385,7 +385,17 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     *    required, or it is a hive partition column with recorded stats
     *    (one uniform non-null value per file by construction).
     * At 100 TB this is Iceberg's partition-aligned DELETE: dropping a
-    * day's files is an O(manifests) metadata commit, zero data IO. */
+    * day's files is an O(manifests) metadata commit, zero data IO.
+    *
+    * Known trade: string bounds are truncate(16)-truncated (spec
+    * semantics), so a NON-partition string column uniform per file with
+    * values longer than 16 code points no longer presents lo == hi — its
+    * files classify MIXED and `DELETE WHERE c = v` falls back to
+    * copy-on-write. Partition columns are exempt from truncation exactly
+    * to keep this path (their stats are one uniform value by
+    * construction); the common metadata-DELETE keys — partitions,
+    * numerics, short ids — are unaffected. Accepted: the alternative is
+    * document-sized bound strings in every manifest entry. */
   private[graft] def metadataDeletePlan(
       filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Set[String]] = {
     import org.apache.spark.sql.sources._

@@ -469,15 +469,20 @@ object IcebergFormat {
       "min_data_file", "max_data_file")
   }
 
-  /** Source column names of the DEFAULT partition spec when EVERY field is
-    * an identity transform over a type the delta writer can stamp —
-    * otherwise Nil. Row-level DML uses this to route insert files through
-    * the partitioned rolling writer with REAL partition tuples (external
-    * engines then prune delta files like any other); transform specs
-    * (bucket/temporal/truncate) fall back to the auxiliary unpartitioned
-    * spec, which is conservative and correct. */
+  /** (spec field name, source column name) pairs of the DEFAULT partition
+    * spec when EVERY field is an identity transform over a type the delta
+    * writer can stamp — otherwise Nil. Row-level DML uses this to route
+    * insert files through the partitioned rolling writer with REAL
+    * partition tuples (external engines then prune delta files like any
+    * other); transform specs (bucket/temporal/truncate) fall back to the
+    * auxiliary unpartitioned spec, which is conservative and correct.
+    * BOTH names matter: values are read from rows by the SOURCE column,
+    * but manifests key partition tuples by the SPEC FIELD name — a spec
+    * field named differently from its source column (legal per spec)
+    * would otherwise commit null partition tuples and external engines
+    * would prune away the restated rows. */
   private[graft] def defaultSpecIdentityCols(
-      spark: SparkSession, metadataPath: String): Seq[String] = {
+      spark: SparkSession, metadataPath: String): Seq[(String, String)] = {
     implicit val fmts: Formats = DefaultFormats
     val mPath = new Path(metadataPath)
     val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -510,7 +515,8 @@ object IcebergFormat {
         case _ => false
       }
       if (!stampable) return Nil
-      sparkSchema.fieldNames(idx)
+      val fieldName = (f \ "name").extractOpt[String].getOrElse(sparkSchema.fieldNames(idx))
+      (fieldName, sparkSchema.fieldNames(idx))
     }
     cols
   }

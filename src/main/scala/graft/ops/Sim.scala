@@ -2210,7 +2210,8 @@ object Sim {
     val cents   = collectMatrix(s, d, idBound = ivfCells)
     val centById = cents.map { case (cid, cv, _) => cid -> cv }.toMap
     val books = pqBooks(s, d, cents)
-    val queries = pqQueryLuts(cents, books, collectMatrix(s, d, idBound = 10))
+    val qvecs   = collectMatrix(s, d, idBound = 10) // collected ONCE: LUTs + refine
+    val queries = pqQueryLuts(cents, books, qvecs)
     val bc  = s.sparkContext.broadcast((cents, queries, books))
     val byQ = Window.partitionBy("qid").orderBy(asc("adist"), asc("nid"))
     val shortlist = Tables.spread(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
@@ -2243,7 +2244,7 @@ object Sim {
     // refine: exact L2 re-rank of the 50-per-query ADC shortlist — the
     // shortlist side broadcasts, so this probes the corpus scan once
     val qVecById = s.sparkContext.broadcast(
-      collectMatrix(s, d, idBound = 10).map { case (qid, v, _) => qid -> v }.toMap)
+      qvecs.map { case (qid, v, _) => qid -> v }.toMap)
     val byQexact = Window.partitionBy("qid").orderBy(asc("dist"), asc("nid"))
     broadcast(shortlist)
       .join(Tables.embeddings(s, d).select(col("vec_id").as("nid"), col("embedding")), "nid")
@@ -2441,9 +2442,11 @@ object Sim {
       .map { case (cid, v) => (cid, v, normv(v)) }
     val books = IcebergFormat.scan(s, cbMeta).select("bid", "resid")
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    // query vectors are the search INPUT (10 rows); everything else is
-    // answered from the persisted artifacts
-    val queries = pqQueryLuts(cents, books, collectMatrix(s, d, idBound = 10))
+    // query vectors are the search INPUT (10 rows), collected ONCE and fed
+    // to both the LUT build and the exact-refine broadcast; everything
+    // else is answered from the persisted artifacts
+    val qvecs   = collectMatrix(s, d, idBound = 10)
+    val queries = pqQueryLuts(cents, books, qvecs)
     // pruning PROOF on a single served lookup: one query probes ivfProbes
     // cells, and planning that lookup must keep only those cells' files —
     // the 10-query BATCH below may legitimately union every cell (8 cells,
@@ -2482,11 +2485,13 @@ object Sim {
       .filter(col("srank") <= 50)
       .select("qid", "nid")
     val qVecById = s.sparkContext.broadcast(
-      collectMatrix(s, d, idBound = 10).map { case (qid, v, _) => qid -> v }.toMap)
+      qvecs.map { case (qid, v, _) => qid -> v }.toMap)
     val byQexact = Window.partitionBy("qid").orderBy(asc("dist"), asc("nid"))
+    // refine against the PRUNED idx frame — every shortlist nid came from
+    // the probed cells, so a fresh full scan of the index would re-read
+    // the very files the probe skipped
     val out = broadcast(shortlist)
-      .join(IcebergFormat.scan(s, idxMeta)
-        .select(col("vec_id").as("nid"), col("embedding")), "nid")
+      .join(idx.select(col("vec_id").as("nid"), col("embedding")), "nid")
       .select(col("qid"), col("nid"), col("embedding"))
       .as[(Long, Long, Array[Float])]
       .mapPartitions { it =>

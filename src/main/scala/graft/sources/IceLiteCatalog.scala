@@ -424,15 +424,35 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
         ("columnAliases" -> info.columnAliases().toList) ~
         ("properties" -> info.properties().asScala.toMap)))
     // tmp + rename: a reader never sees a half-written view definition. For
-    // replace, rename over the live file — the old definition stays readable
-    // until the instant the new one lands; a crash before the rename leaves
-    // the old view intact (no drop-then-create window).
+    // replace on a LOCAL filesystem, nio ATOMIC_MOVE renames OVER the live
+    // file — the old definition stays readable until the instant the new
+    // one lands and a crash leaves the old view intact (no drop-then-create
+    // window; Hadoop's FileSystem.rename refuses an existing destination,
+    // so it can't express this). Non-local filesystems fall back to
+    // delete+rename — their rename is non-atomic anyway, so the window is
+    // inherent to the store, not this code path.
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
     fs.mkdirs(p.getParent)
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    if (overwrite && fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"view publish rename failed: $p")
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (overwrite && fs.exists(p) && scheme == "file") {
+      // the nio move bypasses Hadoop's ChecksumFileSystem, so drop both
+      // crc sidecars first — the target's would be STALE after the move
+      // (every read then throws ChecksumException) and the tmp's would be
+      // orphaned; an absent crc just skips verification. Old view data
+      // stays readable throughout: only the sidecars go before the move.
+      val dir = java.nio.file.Paths.get(p.getParent.toUri.getPath)
+      java.nio.file.Files.deleteIfExists(dir.resolve("." + p.getName + ".crc"))
+      java.nio.file.Files.deleteIfExists(dir.resolve("." + tmp.getName + ".crc"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath), java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      if (overwrite && fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"view publish rename failed: $p")
+    }
     loadView(ident)
   }
 

@@ -771,7 +771,7 @@ final class IcebergMorDeltaWrite(
     tableSchema: StructType,
     p: IcebergFormat.TablePlan,
     command: RowLevelOperation.Command,
-    partCols: Seq[String])
+    partCols: Seq[(String, String)]) // (spec field name, source column)
     extends DeltaWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -785,12 +785,12 @@ final class IcebergMorDeltaWrite(
 
   override def requiredDistribution(): Distribution =
     if (!wantsClustering) Distributions.unspecified()
-    else Distributions.clustered(partCols.map(c => Expressions.identity(c)).toArray)
+    else Distributions.clustered(partCols.map(c => Expressions.identity(c._2)).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
     if (!wantsClustering) Array.empty
     else partCols.map(c => Expressions.sort(
-      Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+      Expressions.identity(c._2), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val conf =
@@ -870,7 +870,7 @@ final class IcebergMorDeltaWriterFactory(
     dataRel: String,
     schema: StructType,
     fieldIds: Seq[Int] = Nil,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[(String, String)] = Nil) // (spec field name, source column)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new IcebergMorDeltaWriter(conf, location, deleteRel, dataRel, schema, partitionId, taskId,
@@ -897,7 +897,7 @@ final class IcebergMorDeltaWriter(
     partitionId: Int,
     taskId: Long,
     fieldIds: Seq[Int] = Nil,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[(String, String)] = Nil) // (spec field name, source column)
     extends DeltaWriter[InternalRow] {
 
   private var delWriter: IceLiteDataWriter = _
@@ -905,7 +905,7 @@ final class IcebergMorDeltaWriter(
   private val delRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
 
-  private val partIdx: IndexedSeq[Int] = partCols.map(schema.fieldIndex).toIndexedSeq
+  private val partIdx: IndexedSeq[Int] = partCols.map(f => schema.fieldIndex(f._2)).toIndexedSeq
   private var curKey: IndexedSeq[Any] = null // boxed identity values (null = SQL NULL)
   private var rollSeq = 0
   private val rolled = scala.collection.mutable.ListBuffer.empty[IcebergWriteMessage]
@@ -926,8 +926,12 @@ final class IcebergMorDeltaWriter(
 
   private def rollInsert(): Unit = if (insWriter != null) {
     val m = insWriter.commit().asInstanceOf[IcebergWriteMessage]
+    // tuples key by the SPEC FIELD name — buildEntry/summarize look them
+    // up there; a field named differently from its source column would
+    // otherwise publish a null tuple and external engines would prune
+    // away the restated rows
     rolled += m.copy(partitionValues =
-      partCols.zip(curKey).filter(_._2 != null).toMap)
+      partCols.map(_._1).zip(curKey).filter(_._2 != null).toMap)
     insWriter = null
   }
 
@@ -973,6 +977,13 @@ final class IcebergMorDeltaWriter(
   override def abort(): Unit = {
     if (delWriter != null) delWriter.abort()
     if (insWriter != null) insWriter.abort()
+    // already-rolled per-partition files are committed to disk but not yet
+    // to the table — a retried task would otherwise leave them as orphans
+    // next to live data (the job-level abort never runs when the retry
+    // succeeds); same pattern as IceLitePartitionedWriter.abort
+    val fs = new Path(location).getFileSystem(conf.value)
+    rolled.foreach(m => fs.delete(new Path(m.absPath), false))
+    rolled.clear()
   }
   override def close(): Unit = ()
 }

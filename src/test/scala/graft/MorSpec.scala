@@ -1336,4 +1336,59 @@ class MorSpec extends SparkSpec {
         s"equality pruning broke: ${IceLiteSource.filesOpened.sum()} files opened")
     }
   }
+
+  test("renamed identity spec field: DML tuples key by SPEC FIELD name, not column") {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    // an EXTERNALLY-authored table may legally name a spec field
+    // differently from its source column; tuples stamped by column name
+    // would publish null partition tuples and a conforming engine would
+    // prune away the restated rows (silent data loss)
+    withMorCatalog("renamed") { (cat, wh) =>
+      val loc = s"$wh/graft/nat_renamed"
+      val nat = Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      val w = new IcebergFormat.Writer(spark, loc, nat.schema, Seq("n_regionkey"))
+      val regions = nat.select("n_regionkey").distinct().collect().map(_.getInt(0)).sorted
+      // data files KEEP the column (no projection) so reads stay correct
+      // even where pre-rename manifests decode conservatively
+      w.commit(regions.toSeq.map { r =>
+        IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, s"r$r",
+          nat.filter(col("n_regionkey") === r))
+          .copy(partitionValues = Map("n_regionkey" -> r))
+      })
+      // rename the spec field in the CURRENT metadata (source-id intact)
+      val mdPath = IcebergFormat.currentMetadataPath(spark, loc)
+      val fs     = new Path(mdPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mdText = {
+        val in = fs.open(new Path(mdPath))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      val renamed = mdText.replace(
+        "\"name\":\"n_regionkey\",\"transform\":\"identity\"",
+        "\"name\":\"rk_part\",\"transform\":\"identity\"")
+      assert(renamed != mdText, "metadata rewrite found no spec field to rename")
+      val out = fs.create(new Path(mdPath), true)
+      try out.write(renamed.getBytes("UTF-8")) finally out.close()
+      // the DML router must surface BOTH names
+      assert(IcebergFormat.defaultSpecIdentityCols(spark, mdPath) ==
+        Seq(("rk_part", "n_regionkey")), "field/column name pair wrong")
+      spark.sql(s"""UPDATE $cat.graft.nat_renamed
+                    SET n_name = concat(n_name, '_R') WHERE n_regionkey = 1""")
+      // insert files carry a REAL tuple for the renamed field (keyed by
+      // the source column's field id in the planner)
+      val plan2 = IcebergFormat.plan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      val deltaFiles = plan2.files.filter(_.path.toString.contains("/delta-"))
+      assert(deltaFiles.nonEmpty, "UPDATE left no delta insert files")
+      assert(deltaFiles.forall(_.partition.get(3).contains(1)),
+        s"renamed-field tuples missing: ${deltaFiles.map(_.partition)}")
+      // and the table still reads right
+      val want = nat.withColumn("n_name",
+        when(col("n_regionkey") === 1, concat(col("n_name"), lit("_R")))
+          .otherwise(col("n_name")))
+      val got = spark.sql(s"SELECT * FROM $cat.graft.nat_renamed")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        "renamed-spec-field table read wrong after DML")
+    }
+  }
 }
