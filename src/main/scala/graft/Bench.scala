@@ -107,17 +107,30 @@ object Bench {
           (if (v < 0) "null" else f"${math.max(0.0, v - streamOverheadSec)}%.3f")
       }
       .mkString("{", ",", "}")
-    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unstableJson = unstable.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableJson,"streaming_net":$streamingNet,"queries":$qs,"sf":"$sfDir"}"""
-    // The driver's stdout capture truncates long output from the FRONT
-    // (round 5 kept only the tail ~75 of 175 timings, leaving the JSON
-    // line unparseable). Persist the full record to a file in the repo so
-    // the machine-readable per-query map always survives, then print the
-    // contract line as the sole stdout line as before.
+    // The driver's stdout capture keeps only the LAST ~2000 chars of
+    // stdout, and the full 319-query map is ~12 KB — r13/r14's BENCH
+    // artifacts carried `parsed: null` because the capture window started
+    // mid-line. Split the record: the FULL per-query map goes to the
+    // repo-tracked bench_out.json, and stdout ends with a single COMPACT
+    // line (guaranteed < 2000 chars: per-family second totals + the
+    // slowest individual queries) so the driver's tail parse succeeds.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: $e") }
-    println(line)
+    System.err.println(line) // full map still visible in the stderr log
+    val famTotals = results.filter(_._2 >= 0)
+      .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, vs) => "\"" + f + "\":" + f"${vs.map(_._2).sum}%.2f" }
+      .mkString("{", ",", "}")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableJson,"families":$famTotals,"queries":$slowest,"queries_truncated":true,"full_map":"bench_out.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

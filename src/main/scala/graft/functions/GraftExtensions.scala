@@ -63,7 +63,8 @@ object GraftExtensions {
     ("graft_word_shingles", info("graft_word_shingles", "distinct word n-gram shingles"),
       (es: Seq[Expression]) => WordShinglesExpr(es.head, es.lift(1).map(lit(_, "n").toInt).getOrElse(3))),
     ("graft_lev_bounded", info("graft_lev_bounded",
-      "levenshtein(a, b) when <= threshold, else -1 (affix-trimmed banded DP)"),
+      "levenshtein(a, b) when <= threshold, else -1 " +
+        "(code-point semantics like builtin levenshtein; affix-trimmed banded DP)"),
       (es: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         import org.apache.spark.sql.types.{IntegerType, LongType, StringType}

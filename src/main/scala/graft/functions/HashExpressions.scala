@@ -424,20 +424,23 @@ object BoundStatics {
   *  - the DP is BANDED at the threshold (O(threshold·len) cells) and
   *    early-exits -1 as soon as a row's minimum exceeds it (row minima are
   *    non-decreasing), so definite non-matches pay O(threshold²);
-  *  - char-level like the rest of this file (ASCII corpus: charAt ==
-  *    code point == the DuckDB oracle's character semantics). */
+  *  - CODE-POINT level, matching Spark's builtin `levenshtein` and the
+  *    DuckDB oracle's character semantics: the strings decode to code-point
+  *    arrays up front (one pass each), so non-BMP input (emoji etc.)
+  *    counts one edit per character, not per UTF-16 surrogate half. */
 object LevStatics {
   private final val BIG = 1 << 29 // in-band sentinel; 1 + BIG cannot overflow
 
   def levBounded(a: UTF8String, b: UTF8String, threshold: Int): Long = {
-    val s = a.toString; val t = b.toString
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     // strip common prefix, then common suffix of the remainder
     val ls = s.length; val lt = t.length
     var lo = 0
     val minL = math.min(ls, lt)
-    while (lo < minL && s.charAt(lo) == t.charAt(lo)) lo += 1
+    while (lo < minL && s(lo) == t(lo)) lo += 1
     var es = ls; var et = lt
-    while (es > lo && et > lo && s.charAt(es - 1) == t.charAt(et - 1)) { es -= 1; et -= 1 }
+    while (es > lo && et > lo && s(es - 1) == t(et - 1)) { es -= 1; et -= 1 }
     var n = es - lo; var m = et - lo
     if (threshold < 0) return -1L
     if (n == 0) return if (m <= threshold) m.toLong else -1L
@@ -455,7 +458,7 @@ object LevStatics {
     java.util.Arrays.fill(d, BIG)
     var j = 1
     while (j <= m) {
-      val cj = y.charAt(yo + j - 1)
+      val cj = y(yo + j - 1)
       d(0) = j
       val min = math.max(1, j - threshold)
       val max = math.min(n, j + threshold)
@@ -465,7 +468,7 @@ object LevStatics {
       i = min
       while (i <= max) {
         d(i) =
-          if (x.charAt(xo + i - 1) == cj) p(i - 1)
+          if (x(xo + i - 1) == cj) p(i - 1)
           else 1 + math.min(math.min(d(i - 1), p(i)), p(i - 1))
         if (d(i) < rowMin) rowMin = d(i)
         i += 1

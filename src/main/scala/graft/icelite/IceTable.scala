@@ -1172,21 +1172,27 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     }.toDF("file", "manifest", "n_stat_cols", "stats")
   }
 
-  /** `t.position_deletes`-style metadata table: one row per live
-    * position-delete FILE of the current snapshot with its record count
-    * and the data-file path range it can touch — the visibility surface
-    * for MoR maintenance planning ("how much delete debt does compaction
-    * clear?"). Planning-sized: O(delete files) manifest reads, data never
-    * touched. */
+  /** `t.delete_files`-style metadata table: one row per live delete FILE
+    * of the current snapshot with its record count and the data-file path
+    * range it can touch — the visibility surface for MoR maintenance
+    * planning ("how much delete debt does compaction clear?"). Schema is
+    * shared with the standard-format twin
+    * ([[IcebergFormat.deletesTable]]) so `SELECT` text ports between the
+    * two: icelite carries position deletes only, so `content` is always
+    * 'position' and `equality_ids` empty. (Named after Iceberg's
+    * `delete_files` table — `position_deletes` there returns deleted
+    * POSITIONS, not files.) Planning-sized: O(delete files) manifest
+    * reads, data never touched. */
   def deletesTable(): DataFrame = {
     import spark.implicits._
     metadata.currentSnapshot.toSeq.flatMap { sn =>
       deleteEntriesOf(sn).map { e =>
         val fp = e.stats.flatMap(_.get("file_path"))
-        (e.file, e.rows.getOrElse(-1L),
+        (e.file, "position", e.rows.getOrElse(-1L), "",
           fp.flatMap(_.min).getOrElse(""), fp.flatMap(_.max).getOrElse(""))
       }
-    }.toDF("delete_file", "n_deletes", "min_data_file", "max_data_file")
+    }.toDF("delete_file", "content", "n_records", "equality_ids",
+      "min_data_file", "max_data_file")
   }
 
   /** `t.refs`-style metadata table: named branches/tags plus the implicit

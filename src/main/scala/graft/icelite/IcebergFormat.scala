@@ -448,7 +448,7 @@ object IcebergFormat {
     PlanHeader(sparkSchema, fieldIds, axes)
   }
 
-  /** `position_deletes`-style metadata table for a STANDARD-format table:
+  /** `delete_files`-style metadata table for a STANDARD-format table:
     * one row per LIVE delete file — position (content 1) AND equality
     * (content 2) — with its record count (the visible merge-on-read debt),
     * equality key ids, and the position deletes' data-file path bounds.
@@ -1042,9 +1042,36 @@ object IcebergFormat {
     * counter-gate the pruning. */
   def scanPoints(spark: SparkSession, metadataPath: String, colName: String,
       values: Seq[String]): (DataFrame, Int, Int) = {
-    val p    = plan(spark, metadataPath)
-    val keep = p.files.filter(f =>
-      values.exists(v => fileCanMatch(p, f, colName, Some(v), Some(v))))
+    val p   = plan(spark, metadataPath)
+    val idx = p.schema.fieldNames.indexOf(colName)
+    require(idx >= 0, s"no column $colName")
+    val fieldId = p.fieldIds(idx)
+    val dt      = p.schema.fields(idx).dataType
+    // O(1) membership fast path for integer columns when a file pins the
+    // column to a single value (identity partition value, or min == max
+    // bounds — the one-file-per-cell index layout): the generic fallback
+    // is O(|files| × |values|) fileCanMatch calls, which turned planning
+    // itself into the bottleneck on a 25k-file index probed with ~2k
+    // cells (49M bound decodes, measured ~8 s of a 12 s probe).
+    val vset: Option[Set[Long]] =
+      if (dt == LongType || dt == IntegerType)
+        scala.util.Try(values.map(_.toLong).toSet).toOption
+      else None
+    def pinned(f: PlannedFile): Option[Long] =
+      f.partition.get(fieldId) match {
+        case Some(v: java.lang.Number) => Some(v.longValue)
+        case _ => f.bounds.get(fieldId).flatMap { case (lo, hi) =>
+          (decodeBound(dt, lo), decodeBound(dt, hi)) match {
+            case (Some(mn: java.lang.Number), Some(mx: java.lang.Number))
+                if mn.longValue == mx.longValue => Some(mn.longValue)
+            case _ => None
+          }
+        }
+      }
+    val keep = p.files.filter { f =>
+      vset.flatMap(s => pinned(f).map(s.contains)).getOrElse(
+        values.exists(v => fileCanMatch(p, f, colName, Some(v), Some(v))))
+    }
     (scanFiles(spark, p, keep), keep.size, p.files.size)
   }
 

@@ -107,8 +107,8 @@ object Dedup {
     * whose single bucket would dominate the whole job (measured: dd03 ran
     * 89.8× at 100× rows on a dup-saturated corpus before the cap). Bucket
     * members are ranked by doc_id; only the first `bucketCap` take part in
-    * pairwise candidate generation, and the overflow is COUNTED into
-    * [[lastBucketDrop]] and logged — never silently truncated. The
+    * pairwise candidate generation, and the overflow is COUNTABLE on
+    * demand via [[bucketDropCount]] — never silently truncated. The
     * CLUSTERING path ([[ccLabels]]) drops nothing: overflow buckets emit
     * STAR edges (every member → the bucket-min doc, O(k) edges), which
     * keeps the same connected components for the everything-alike buckets
@@ -119,11 +119,27 @@ object Dedup {
   private[graft] def bucketCap(s: SparkSession): Int =
     s.conf.getOption("spark.graft.dedup.bucketCap").map(_.toInt).getOrElse(64)
 
-  /** Band-bucket members dropped from pairwise candidate generation by the
-    * most recent hot-bucket cap application (driver-side counter gate). */
-  private[graft] val lastBucketDrop = new java.util.concurrent.atomic.LongAdder()
-
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
+  /** Band-bucket members beyond the hot-bucket cap for dataset `d` — the
+    * audit counterpart of [[cappedCandidates]], a pure function of
+    * (corpus, cap) computed on demand from the memoized ranked frame (the
+    * frame is persisted, so after any dedup query has run this is a cached
+    * scan, not a recompute). Returned per invocation — no shared mutable
+    * counter, so concurrent dedup queries (or a spec gate racing a bench)
+    * cannot interleave each other's counts. The r14 version counted this
+    * EAGERLY inside cappedCandidates, which billed a full extra job to
+    * every dd03-family invocation (the round's only >2× sf0.1 mover,
+    * 0.57 → 1.31 s); the audit is now pull-based, paid only by callers
+    * that want it (spec gates, operators that log coverage). */
+  private[graft] def bucketDropCount(s: SparkSession, d: String): Long = {
+    val cap = bucketCap(s)
+    val dropped = rankedBandFor(s, d).filter(col("rk") > cap).count()
+    if (dropped > 0) log.warn(
+      s"LSH hot-bucket cap $cap excludes $dropped band-bucket members from pairwise mining " +
+        "(boilerplate-class buckets; clustering still covers them via star edges)")
+    dropped
+  }
 
   /** The banded-signature frame (doc_id, band_id, bsig) with per-bucket
     * rank/size/min columns, PERSISTED: it feeds both self-join sides and
@@ -139,50 +155,97 @@ object Dedup {
   }
 
   /** Capped pairwise candidates (doc_a < doc_b, distinct across bands)
-    * from a ranked band frame. The count() also materializes the ranked
-    * cache, so the join sides read it instead of recomputing signatures. */
+    * from a ranked band frame — generated in ONE pass: group each bucket's
+    * capped members (collect_list is BOUNDED by the cap, ≤64 ids, so no
+    * unbounded per-group array at 100 TB) and explode the C(k,2) pairs.
+    * The earlier bucket-key SELF-JOIN was the same logical result but
+    * computed the signature pipeline twice when the persisted input was
+    * cold (both join sides race to materialize it — dd03 measured 2.7×
+    * slower); the groupBy reuses the window's bucket-key partitioning, so
+    * this adds no shuffle. The overflow audit lives in [[bucketDropCount]],
+    * pull-based — building candidates costs no extra driver job. */
   private def cappedCandidates(s: SparkSession, ranked: DataFrame): DataFrame = {
     val cap = bucketCap(s)
-    val dropped = ranked.filter(col("rk") > cap).count()
-    lastBucketDrop.reset()
-    lastBucketDrop.add(dropped)
-    if (dropped > 0) log.warn(
-      s"LSH hot-bucket cap $cap dropped $dropped band-bucket members from pairwise mining " +
-        "(boilerplate-class buckets; clustering still covers them via star edges)")
-    val kept = ranked.filter(col("rk") <= cap)
-    kept.as("x")
-      .join(kept.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    ranked.filter(col("rk") <= cap)
+      .groupBy("band_id", "bsig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
+  /** Memoized persisted frames, keyed on (session UUID, dir) and VALIDATED
+    * per lookup rather than trusted for the JVM lifetime:
+    *  - a dir fingerprint (name ⊕ mtime ⊕ length folded over the
+    *    documents.parquet entries) enforces the immutability contract —
+    *    a spec that rewrites a scratch dir in the same JVM gets a rebuild,
+    *    not a stale frame (the old entry is unpersisted on replacement);
+    *  - the session UUID in the key means a stopped-and-recreated
+    *    SparkSession never sees a dead frame bound to the old session;
+    *  - a storage-level check re-arms persist() after an external
+    *    `spark.catalog.clearCache()` (the bench clears between queries),
+    *    so memoization survives instead of silently degrading to
+    *    recompute-per-read. */
+  private final case class Memo(fp: Long, df: DataFrame)
+  private final class FrameCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[(String, String), Memo]()
+    def get(s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+      val fp = dirFingerprint(d)
+      // session identity: applicationId changes when the underlying
+      // SparkContext is stopped/recreated; the identity hash separates
+      // sibling sessions sharing one context
+      val sid = s.sparkContext.applicationId + "#" + System.identityHashCode(s)
+      val e = m.compute((sid, d), (_, old) =>
+        if (old != null && old.fp == fp) old
+        else {
+          if (old != null)
+            try old.df.unpersist() catch { case _: Throwable => () }
+          Memo(fp, build)
+        })
+      if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.df.persist()
+      e.df
+    }
+  }
+
+  /** Driver-side local-FS fingerprint of `d`/documents.parquet (file or
+    * directory of part files) — one readdir, no Spark job. */
+  private def dirFingerprint(d: String): Long = {
+    val root = new java.io.File(d, "documents.parquet")
+    val files =
+      if (root.isDirectory) Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      else Array(root)
+    files.foldLeft(root.lastModified()) { (acc, f) =>
+      acc ^ (f.getName.hashCode * 1000003L + f.lastModified() * 31L + f.length())
+    }
+  }
+
   /** doc_id + distinct hashed shingle sets (codegen'd rolling hash),
-    * persisted ONCE per (JVM, dataset dir) — six dedup queries and the
-    * bench's min-of-two reruns all share one cached frame instead of
-    * stacking a fresh MEMORY_AND_DISK entry per invocation (the documents
-    * table at `d` is immutable for the JVM lifetime: testdata and
-    * scale-sim dirs never change; spec fixtures use one-shot scratch
-    * dirs). Feeds the signature path and the verify joins. */
-  private val hsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * persisted ONCE per (session, dataset dir, dir fingerprint) — six
+    * dedup queries and the bench's min-of-two reruns all share one cached
+    * frame instead of stacking a fresh MEMORY_AND_DISK entry per
+    * invocation. Feeds the signature path and the verify joins. */
+  private val hsCache = new FrameCache
 
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    hsCache.computeIfAbsent(d, _ => {
+    hsCache.get(s, d) {
       import graft.functions.hashfns
       shingles(s, d).select(
         col("doc_id"),
         array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
         .persist()
-    })
+    }
 
-  /** [[rankedBand]] over [[hashedShingles]], memoized per (JVM, dir) like
-    * its input (same immutability contract); the ranked frame is cap-
-    * independent — [[cappedCandidates]] applies the cap at read time. */
-  private val rankedCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** [[rankedBand]] over [[hashedShingles]], memoized like its input (same
+    * fingerprint-validated contract); the ranked frame is cap-independent —
+    * [[cappedCandidates]] applies the cap at read time. */
+  private val rankedCache = new FrameCache
 
   private def rankedBandFor(s: SparkSession, d: String): DataFrame =
-    rankedCache.computeIfAbsent(d, _ => rankedBand(bandOfHs(hashedShingles(s, d))))
+    rankedCache.get(s, d)(rankedBand(bandOfHs(hashedShingles(s, d))))
 
   /** Band the 16-value MinHash signature by slicing the array — the sliced
     * array itself is the equi-join key (no csv-string building). The whole
@@ -388,12 +451,7 @@ object Dedup {
     val hs     = hashedShingles(s, d)
     val ranked = rankedBandFor(s, d)
     val cap    = bucketCap(s)
-    val capped = ranked.filter(col("rk") <= cap)
-    val candPairs = capped.as("x")
-      .join(capped.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candPairs = cappedCandidates(s, ranked)
     val candStar = ranked.filter(col("rk") > cap)
       .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
     val cand = candPairs.unionByName(candStar).distinct()
@@ -1296,21 +1354,26 @@ object Dedup {
 
   // -------------------------- served band index (dd23): probe IO ∝ batch
 
-  /** Bucket count per band for the persisted index's file layout. The
-    * (band_id, bucket) space is FIXED at bands × 64 cells regardless of
-    * corpus size — files grow with data, file COUNT stays O(cells ×
-    * commits) and compaction owns the rest, the same contract as the IVF
-    * index (sm25). */
-  private val bandCellBuckets = 64L
+  /** Bucket count per band for the persisted index's file layout —
+    * `spark.graft.dedup.cellBuckets`, default 64. This knob is the serve
+    * path's SCALE LEVER: a probe reads the batch's (band, bucket) cells in
+    * full, and each cell holds ~corpusBands / (bands × cellBuckets) rows —
+    * so sizing cellBuckets ∝ corpus keeps rows-read-per-probed-bucket
+    * CONSTANT and probe IO ∝ batch alone (ServeProbe measures this flat
+    * across a 10× index growth; PERF.md round 15). At the registry's
+    * scales 64 keeps file count small; a 100 TB deployment raises it with
+    * the corpus the way an IVF index raises its cell count. */
+  private[graft] def cellBuckets(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.dedup.cellBuckets").map(_.toLong).getOrElse(64L)
 
   /** Physical cell of a band row: band-local bucket of the band signature.
     * Equal (band_id, bsig) pairs land in the SAME cell by construction
     * (equal arrays hash equally), so probing only the batch's cells loses
     * no candidate — the layout is a pure IO optimization, invisible to the
     * logical result (and to the oracle, which replays band equality only). */
-  private def bandCell: Column =
-    (col("band_id").cast("long") * bandCellBuckets +
-      pmod(xxhash64(col("bsig")), lit(bandCellBuckets))).cast("long")
+  private[graft] def bandCell(s: SparkSession): Column =
+    (col("band_id").cast("long") * cellBuckets(s) +
+      pmod(xxhash64(col("bsig")), lit(cellBuckets(s)))).cast("long")
 
   /** dd23: incremental dedup against a SERVED MinHash band index — the
     * missing half of dd21, which re-derives the index side per run. Here
@@ -1326,38 +1389,41 @@ object Dedup {
     * touches the corpus text. Every batch doc reports its verified
     * index-duplicate count, canonical representative, and dup/unique
     * status (dd21's contract). */
-  private def servedBandIndex(s: SparkSession, d: String): DataFrame = {
-    import graft.icelite.IcebergFormat
-    import org.apache.hadoop.fs.Path
-    import s.implicits._
-    val batchSrc = "src19"
-    val hs    = hashedShingles(s, d)
-    val sigs  = hs.select(col("doc_id"), graft.functions.hashfns.minhashSig(col("hset")).as("sig"))
-    val bands = bandOfHs(hs).join(sigs, "doc_id")
+  /** Batch source carved out of the corpus for the served-index family —
+    * its docs are the "today's shard" side, everything else is index. */
+  private val servedBatchSrc = "src19"
+
+  /** (cell, doc_id, band_id, bsig, sig, source) band rows for every doc —
+    * the shared input of the served-index family (dd23 build-and-probe,
+    * dd24 maintenance lifecycle). */
+  private def bandedDocs(s: SparkSession, d: String): DataFrame = {
+    val hs   = hashedShingles(s, d)
+    val sigs = hs.select(col("doc_id"), graft.functions.hashfns.minhashSig(col("hset")).as("sig"))
+    bandOfHs(hs).join(sigs, "doc_id")
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-      .select(bandCell.as("cell"), col("doc_id"), col("band_id"), col("bsig"),
+      .select(bandCell(s).as("cell"), col("doc_id"), col("band_id"), col("bsig"),
         col("sig"), col("source"))
+  }
 
-    // build + commit the index table (the ingest-time job; probes below
-    // read ONLY this artifact)
-    val root  = "/root/repo/target/scratch/bandidx_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    val rootP = new Path(root)
-    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(rootP)) fs.delete(rootP, true)
-    val idxRows = bands.filter(col("source") =!= batchSrc).drop("source")
-    val loc = s"$root/band_index"
-    val w   = new IcebergFormat.Writer(s, loc, idxRows.schema)
-    w.commit(Sim.stageIndexCells(s, idxRows, s"$root/stage", loc, "b", sortCol = "doc_id"))
-
+  /** Shared probe kernel of the served-index family: plan ONLY the batch's
+    * distinct cells out of the committed index (counter-gated — cell
+    * bounds must prune), verify candidates by signature agreement, and
+    * report each batch doc's dup status (dd21's contract).
+    * `maxFilesPerCell` is the layout gate: 1 after a fresh build or a
+    * compaction, 2 while a probed cell may carry base+delta files. */
+  private def probeBandIndex(
+      s: SparkSession, d: String, bands: DataFrame, meta: String,
+      maxFilesPerCell: Int): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import s.implicits._
     // probe: the batch's distinct cells — bounded by the FIXED cell space
     // (bands × 64 ≤ 256 values), never by batch or corpus size
-    val batch  = bands.filter(col("source") === batchSrc).drop("source").persist()
+    val batch  = bands.filter(col("source") === servedBatchSrc).drop("source").persist()
     val probed = batch.select(col("cell")).distinct().as[Long].collect().sorted
-    val (idx, kept, total) = IcebergFormat.scanPoints(
-      s, w.currentMetadataPath, "cell", probed.map(_.toString))
-    require(kept <= probed.length,
-      s"probe read $kept files for ${probed.length} cells — cell bounds failed to prune")
+    val (idx, kept, total) = IcebergFormat.scanPoints(s, meta, "cell", probed.map(_.toString))
+    require(kept <= maxFilesPerCell * probed.length,
+      s"probe read $kept files for ${probed.length} cells (max $maxFilesPerCell/cell) — " +
+        "cell bounds failed to prune")
     require(kept < total || probed.length >= total,
       s"selective probe (${probed.length} cells) read ALL $total index files")
 
@@ -1373,13 +1439,91 @@ object Dedup {
       .filter(col("eq") >= 8) // est_jaccard >= 0.5, dd10's estimator
       .groupBy("doc_id")
       .agg(countDistinct("idx_doc").as("n_index_dups"), min("idx_doc").as("rep_doc"))
-    Tables.documents(s, d).filter(col("source") === batchSrc).select("doc_id")
+    Tables.documents(s, d).filter(col("source") === servedBatchSrc).select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
         coalesce(col("rep_doc"), lit(-1L)).as("rep_doc"),
         when(col("n_index_dups").isNotNull, lit("dup")).otherwise(lit("unique")).as("status"))
       .orderBy("doc_id")
+  }
+
+  private def servedBandIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val bands = bandedDocs(s, d)
+
+    // build + commit the index table (the ingest-time job; probes below
+    // read ONLY this artifact)
+    val root  = "/root/repo/target/scratch/bandidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    val idxRows = bands.filter(col("source") =!= servedBatchSrc).drop("source")
+    val loc = s"$root/band_index"
+    val w   = new IcebergFormat.Writer(s, loc, idxRows.schema)
+    w.commit(Sim.stageIndexCells(s, idxRows, s"$root/stage", loc, "b", sortCol = "doc_id"))
+    probeBandIndex(s, d, bands, w.currentMetadataPath, maxFilesPerCell = 1)
+  }
+
+  /** dd24: band-index MAINTENANCE lifecycle — the dedup twin of the ANN
+    * side's sm25→sm30→sm31 arc, because a 100 TB pipeline doesn't rebuild
+    * its served dedup index per day, it APPENDS the day's shard and
+    * periodically compacts:
+    *   1. BUILD — the older index half commits as the base snapshot
+    *      (one file per band-bucket cell, manifest cell bounds);
+    *   2. APPEND — the newer half lands as a second snapshot whose
+    *      per-cell DELTA files carry the same min=max=cell bounds; the
+    *      index stays queryable throughout (probes at this point open at
+    *      most base+delta = 2 files per cell, require-gated), and the
+    *      append shuffles ONLY the new shard — index files are untouched;
+    *   3. COMPACT — one index-sized shuffle folds every cell back to a
+    *      single file, committed as a rewrite snapshot
+    *      ([[graft.icelite.IcebergFormat.Writer.rewriteDataFiles]]) —
+    *      pre-compaction snapshots stay readable (time travel intact);
+    *   4. PROBE — dd23's batch probe against the compacted index, gated
+    *      back to ONE file per probed cell.
+    * The logical result is dd23's exactly (same index membership, same
+    * verify), so the same oracle proves the lifecycle loses nothing. */
+  private def servedBandIndexMaintenance(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    val bands = bandedDocs(s, d)
+    val root  = "/root/repo/target/scratch/bandmnt_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    val idxRows = bands.filter(col("source") =!= servedBatchSrc).drop("source").persist()
+    // shard boundary: base = older half of the index docs, delta = newer
+    val mid = idxRows.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long"))
+      .head().getLong(0)
+    val loc = s"$root/band_index"
+    val w   = new IcebergFormat.Writer(s, loc, idxRows.schema)
+    w.commit(Sim.stageIndexCells(
+      s, idxRows.filter(col("doc_id") <= mid), s"$root/stage_b", loc, "b", sortCol = "doc_id"))
+    w.commit(Sim.stageIndexCells(
+      s, idxRows.filter(col("doc_id") > mid), s"$root/stage_d", loc, "d", sortCol = "doc_id"))
+    // mid-lifecycle plan audit: a probe between append and compaction must
+    // still prune to the probed cells, paying at most base+delta per cell
+    // (planning only — counts come from manifests, no data read)
+    val probedCells = bands.filter(col("source") === servedBatchSrc)
+      .select(col("cell")).distinct().as[Long].collect().sorted.map(_.toString)
+    val (_, keptFrag, _) =
+      IcebergFormat.scanPoints(s, w.currentMetadataPath, "cell", probedCells)
+    require(keptFrag <= 2 * probedCells.length,
+      s"fragmented probe planned $keptFrag files for ${probedCells.length} cells — " +
+        "append broke cell-bound pruning")
+    // COMPACT: fold base+delta back to one file per cell, rewrite snapshot
+    val fragmented = IcebergFormat.scan(s, w.currentMetadataPath)
+      .select(col("cell"), col("doc_id"), col("band_id"), col("bsig"), col("sig"))
+    w.rewriteDataFiles(Sim.stageIndexCells(
+      s, fragmented, s"$root/stage_c", loc, "c", sortCol = "doc_id"))
+    val out = probeBandIndex(s, d, bands, w.currentMetadataPath, maxFilesPerCell = 1)
+    idxRows.unpersist()
+    out
   }
 
   /** Oracle replays the LOGICAL result: band equality across batch/index
@@ -1499,7 +1643,11 @@ object Dedup {
     Q("dd20_edit_distance", editDistanceDup, Some(editDistanceDupOracle)),
     Q("dd21_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
     Q("dd22_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageOracle)),
-    Q("dd23_served_band_index", servedBandIndex, Some(servedBandIndexOracle))
+    Q("dd23_served_band_index", servedBandIndex, Some(servedBandIndexOracle)),
+    // same oracle as dd23: the maintenance lifecycle (append + compact)
+    // must be invisible to the logical result
+    Q("dd24_band_index_maintenance", servedBandIndexMaintenance,
+      Some(servedBandIndexOracle))
   )
 
   /** Duplicate-cluster size distribution: how many exact-duplicate

@@ -1584,7 +1584,7 @@ object Sim {
     * probed-cell pruning of sm26/sm29/sm30 a manifest-bounds lookup. Row
     * counts come from parquet footers: O(cells) driver-side metadata
     * reads, no extra Spark job. */
-  private[ops] def stageIndexCells(
+  private[graft] def stageIndexCells(
       s: SparkSession, assigned: org.apache.spark.sql.DataFrame,
       stage: String, loc: String, tag: String,
       sortCol: String = "vec_id"): Seq[graft.icelite.IcebergFormat.DataFileInfo] = {

@@ -210,19 +210,21 @@ object AnalyticsR6c {
     //      index (ic08's per-file stats) can prune on EITHER predicate
     //      column under z-order, but only on the sort column under linear.
     //      The emitted per-bucket min/max/area is exactly the skip-index
-    //      content. The interleave is codegen'd integer bit math
-    //      (aggregate over sequence — no UDF); at 100 TB the z-value is
-    //      the write-path repartitionByRange key and this audit is the
-    //      post-write layout check.
+    //      content. The interleave is a codegen'd shift/or CHAIN (an
+    //      `aggregate(sequence(...))` fold runs its lambda interpreted
+    //      per row — 3× the cost, measured on ic47); at 100 TB the
+    //      z-value is the write-path repartitionByRange key and this
+    //      audit is the post-write layout check.
     Q("an75_zorder_skipping",
       (s, d) => {
+        val zchain = (0 until 10).map { i =>
+          shiftleft(shiftright(col("xk"), i).bitwiseAND(lit(1L)), 2 * i)
+            .bitwiseOR(shiftleft(shiftright(col("yk"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
         val z = Tables.lineitem(s, d)
           .select((col("l_partkey") % 1024).cast("long").as("xk"),
             (col("l_orderkey") % 1024).cast("long").as("yk"))
-          .withColumn("zval", expr(
-            """aggregate(sequence(0, 9), 0L, (acc, i) ->
-              |  acc + shiftleft(shiftright(xk, i) & 1, 2 * i)
-              |      + shiftleft(shiftright(yk, i) & 1, 2 * i + 1))""".stripMargin))
+          .withColumn("zval", zchain)
         val zb = z.withColumn("scheme", lit("zorder"))
           .withColumn("bucket", expr("shiftright(zval, 15)"))
         val lb = z.withColumn("scheme", lit("linear"))

@@ -73,6 +73,109 @@ object IceQueries {
     new Engine(s, cat).table("graft.nation_csv").orderBy("n_nationkey")
   }
 
+  /** S2 end-to-end (ic86): REMOTE-URL ingest over loopback HTTP — the
+    * reference's `download_remote_csv` path with a real network hop. The
+    * CSV is served by an in-process JDK HttpServer on an ephemeral
+    * 127.0.0.1 port, classified Remote by [[SourceResolver.detect]],
+    * stream-downloaded (8 KiB chunks) into the ingest tmp dir, then
+    * type-normalized and committed exactly like a local ingest. Requires
+    * prove the bytes actually travelled HTTP: the server counted a
+    * request and the downloaded tmp file is byte-for-byte the served
+    * payload's length. Zero egress: loopback only. */
+  private def remoteUrlIngest(s: SparkSession, d: String): DataFrame = {
+    val wh     = freshDir(s, "rurl")
+    val csvDir = freshDir(s, "rurl_csv")
+    Tables.nation(s, d).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    val fs = new Path(csvDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val csvFile = fs.listStatus(new Path(csvDir)).map(_.getPath)
+      .find(_.getName.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException("no csv written"))
+    val bytes = {
+      val in  = fs.open(csvFile)
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      finally in.close()
+      buf.toByteArray
+    }
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/nation_remote.csv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        served.incrementAndGet()
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/nation_remote.csv"
+      require(SourceResolver.detect(url, None) == SourceResolver.Remote,
+        s"URL not classified Remote: $url")
+      val tmp = freshDir(s, "rurl_tmp")
+      val cat = new FsCatalog(s, wh)
+      val res = new IngestJob(s, cat, tmp).run(IngestConfig(
+        source = url, namespace = "graft", explicitTableName = Some("nation_remote")))
+      require(res.nonEmpty, "remote ingest produced no tables")
+      require(served.get() >= 1, "ingest never hit the HTTP server")
+      val downloaded = new java.io.File(tmp, "nation_remote.csv")
+      require(downloaded.isFile && downloaded.length == bytes.length.toLong,
+        s"downloaded tmp file missing or truncated: ${downloaded.length} of ${bytes.length}")
+      new Engine(s, cat).table("graft.nation_remote").orderBy("n_nationkey")
+    } finally server.stop(0)
+  }
+
+  /** S15 end-to-end (ic87): the warehouse-cleanup lifecycle with its
+    * double-gate protocol (`clean_r2_warehouse.py:52-107` semantics) —
+    * dry-run PREVIEW lists every file and deletes nothing; a destructive
+    * call without the confirm token (or with a wrong one) throws and
+    * deletes nothing; the confirmed call removes exactly the previewed
+    * set; the listing is empty afterwards. Each checkpoint lands as one
+    * row so the oracle pins the whole protocol. */
+  private def warehouseCleanup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh  = freshDir(s, "cleanwh")
+    val cat = new FsCatalog(s, wh)
+    cat.createOrReplaceTable("ns_a", "regions_c", Tables.region(s, d))
+    cat.createOrReplaceTable("ns_b", "nations_c", Tables.nation(s, d))
+    val eng    = new Engine(s, cat)
+    val before = eng.listing().count()
+    val preview = cat.cleanupWarehouse(dryRun = true)
+    val afterPreview = eng.listing().count()
+    val unconfirmedRejected =
+      try { cat.cleanupWarehouse(); false }
+      catch { case _: IllegalArgumentException => true }
+    val wrongTokenRejected =
+      try { cat.cleanupWarehouse(confirm = Some("not_this_warehouse")); false }
+      catch { case _: IllegalArgumentException => true }
+    val afterRejects = eng.listing().count()
+    val deleted = cat.cleanupWarehouse(confirm = Some(new Path(wh).getName))
+    val afterCleanup = eng.listing().count()
+    Seq(
+      ("t1_tables_before", before),
+      ("t2_preview_lists_files", if (preview.nonEmpty) 1L else 0L),
+      ("t3_tables_after_preview", afterPreview),
+      ("t4_unconfirmed_rejected", if (unconfirmedRejected) 1L else 0L),
+      ("t5_wrong_token_rejected", if (wrongTokenRejected) 1L else 0L),
+      ("t6_tables_after_rejects", afterRejects),
+      ("t7_delete_matches_preview", if (deleted == preview) 1L else 0L),
+      ("t8_tables_after_cleanup", afterCleanup)
+    ).toDF("step", "value").orderBy("step")
+  }
+
+  private val warehouseCleanupOracle =
+    """SELECT * FROM (VALUES
+         ('t1_tables_before', CAST(2 AS BIGINT)),
+         ('t2_preview_lists_files', 1),
+         ('t3_tables_after_preview', 2),
+         ('t4_unconfirmed_rejected', 1),
+         ('t5_wrong_token_rejected', 1),
+         ('t6_tables_after_rejects', 2),
+         ('t7_delete_matches_preview', 1),
+         ('t8_tables_after_cleanup', 0)) t(step, value)
+       ORDER BY step"""
+
   /** S8/M3: catalog listing after two creates (names only — locations are
     * UUID-suffixed by design). */
   private def listing(s: SparkSession, d: String): DataFrame = {
@@ -2092,7 +2195,7 @@ object IceQueries {
        ORDER BY c_custkey"""
 
   /** The MoR maintenance loop closed: accumulate delete debt with two MoR
-    * DELETEs, observe it in the `position_deletes`-style metadata table,
+    * DELETEs, observe it in the `delete_files`-style metadata table,
     * then COMPACT — the rewrite scans delete-applied, the new snapshot
     * starts with zero delete files, and the metadata-count shortcut
     * switches back on (asserted equal to the scan count). This is the
@@ -2506,7 +2609,7 @@ object IceQueries {
   /** The equality-delete MAINTENANCE loop closed (ic85) — ic79 reads the
     * debt, this clears it: an st07-shape CDC table (base append → content-2
     * equality delete keyed on c_custkey → restated newer rows) surfaces
-    * its delete debt in the `position_deletes` metadata table (equality
+    * its delete debt in the `delete_files` metadata table (equality
     * files included, with record counts and key ids), then
     * `CALL rewrite_data_files` stages the delete-applied state and
     * replaces every manifest — debt drops to zero, visible row counts are
@@ -2533,7 +2636,7 @@ object IceQueries {
 
       // 1. debt VISIBLE: the metadata table lists the live equality delete
       val debt = s.sql(
-        "SELECT content, n_records FROM ice_i85.graft.cust_i85.position_deletes").collect()
+        "SELECT content, n_records FROM ice_i85.graft.cust_i85.delete_files").collect()
       require(debt.length == 1 && debt(0).getString(0) == "equality" &&
         debt(0).getLong(1) == nDeleted,
         s"delete debt not visible: ${debt.mkString("; ")}")
@@ -2550,8 +2653,8 @@ object IceQueries {
       require(audit.getLong(2) == 1L && audit.getLong(3) == 0L,
         s"delete debt not cleared: $audit")
       require(s.sql(
-        "SELECT count(*) AS n FROM ice_i85.graft.cust_i85.position_deletes")
-        .head().getLong(0) == 0L, "position_deletes still lists debt after rewrite")
+        "SELECT count(*) AS n FROM ice_i85.graft.cust_i85.delete_files")
+        .head().getLong(0) == 0L, "delete_files still lists debt after rewrite")
       val planAfter = IcebergFormat.plan(s, IcebergFormat.currentMetadataPath(s, loc))
       require(planAfter.deletes.isEmpty && planAfter.files.size == 1,
         s"rewrite left ${planAfter.files.size} files / ${planAfter.deletes.size} deletes")
@@ -3110,7 +3213,9 @@ object IceQueries {
     Q("ic83_sql_temporal_prune", sqlTemporalPruneQ, Some(sqlTemporalPruneOracle)),
     Q("ic84_sql_iceberg_count", sqlIcebergCountQ, Some(sqlIcebergCountOracle)),
     Q("ic85_sql_eq_delete_maintenance", sqlEqDeleteMaintenanceQ,
-      Some(sqlEqDeleteMaintenanceOracle))
+      Some(sqlEqDeleteMaintenanceOracle)),
+    Q("ic86_remote_url_ingest", remoteUrlIngest, Some(nationOracle)),
+    Q("ic87_warehouse_cleanup", warehouseCleanup, Some(warehouseCleanupOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file
@@ -3170,14 +3275,21 @@ object IceQueries {
   private def zorderWriteQ(s: SparkSession, d: String): DataFrame = {
     val wh  = freshDir(s, "zo")
     val cat = new FsCatalog(s, wh)
+    // the interleave is a CODEGEN'D shift/or chain (compactZOrder's
+    // recipe), not an `aggregate(sequence(...))` fold — the higher-order
+    // function evaluates its lambda interpreted per row, and since
+    // repartitionByRange computes the key in BOTH its sample pass and the
+    // shuffle, the interpreted fold tripled the write cost (measured
+    // 2.8 s → 0.9 s for the raw z write at sf0.1)
+    val zval = (0 until 10).map { i =>
+      shiftleft(shiftright(col("xk"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(col("yk"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
     val base = Tables.lineitem(s, d)
       .select((col("l_partkey") % 1024).cast("long").as("xk"),
         (col("l_orderkey") % 1024).cast("long").as("yk"),
         (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
-      .withColumn("zval", expr(
-        """aggregate(sequence(0, 9), 0L, (acc, i) ->
-          |  acc + shiftleft(shiftright(xk, i) & 1, 2 * i)
-          |      + shiftleft(shiftright(yk, i) & 1, 2 * i + 1))""".stripMargin))
+      .withColumn("zval", zval)
     val tz = cat.createOrReplaceTable("graft", "li_zorder",
       base.repartitionByRange(8, col("zval")))
     val tl = cat.createOrReplaceTable("graft", "li_linear",

@@ -52,7 +52,7 @@ import scala.jdk.CollectionConverters._
 private[sources] object IceLiteMetaTable {
   val kinds: Set[String] =
     Set("snapshots", "history", "files", "manifests", "partitions", "refs",
-      "position_deletes")
+      "delete_files")
 }
 
 private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
@@ -66,8 +66,11 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
     case "manifests"  => ice.manifestsTable()
     case "partitions" => ice.partitionsTable()
     case "refs"       => ice.refsTable()
-    // live MoR delete-file debt (icelite carries position deletes only)
-    case "position_deletes" => ice.deletesTable()
+    // live MoR delete-file debt (icelite carries position deletes only).
+    // Named `delete_files` to match Iceberg's metadata-table semantics:
+    // one row per delete FILE — Iceberg's `position_deletes` returns the
+    // deleted POSITIONS (file_path, pos, row), a different surface.
+    case "delete_files" => ice.deletesTable()
   }
 
   override def name(): String =
@@ -174,13 +177,13 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     // single-level-namespace rule
     if (nsArr.length == 2 && IceLiteMetaTable.kinds.contains(ident.name().toLowerCase)) {
       // standard-format dirs take precedence like the base-table dispatch
-      // below: `t.position_deletes` over one surfaces the live MoR debt
+      // below: `t.delete_files` over one surfaces the live MoR debt
       // (position AND equality delete files) from its Avro manifests
       val stdLoc = s"$warehouseRoot/${nsArr(0)}/${nsArr(1)}"
-      if (rest.isEmpty && ident.name().equalsIgnoreCase("position_deletes") &&
+      if (rest.isEmpty && ident.name().equalsIgnoreCase("delete_files") &&
           IcebergMorV2Table.isIcebergDir(SparkSession.active, stdLoc)) {
         val spark = SparkSession.active
-        return new LocalDataFrameTable(s"iceberg.$stdLoc.position_deletes",
+        return new LocalDataFrameTable(s"iceberg.$stdLoc.delete_files",
           graft.icelite.IcebergFormat.deletesTable(spark,
             graft.icelite.IcebergFormat.currentMetadataPath(spark, stdLoc)))
       }

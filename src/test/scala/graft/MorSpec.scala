@@ -246,8 +246,11 @@ class MorSpec extends SparkSpec {
       spark.sql(s"DELETE FROM $cat.graft.dmeta WHERE k = 2")
       val t  = iceOf(wh, "dmeta")
       val dt = t.deletesTable().collect()
-      assert(dt.length == deleteFiles(t).size && dt.forall(_.getLong(1) > 0L))
-      assert(dt.forall(r => r.getString(2).startsWith("data/snap-")))
+      assert(dt.length == deleteFiles(t).size &&
+        dt.forall(r => r.getLong(r.fieldIndex("n_records")) > 0L))
+      assert(dt.forall(r => r.getString(r.fieldIndex("content")) == "position"))
+      assert(dt.forall(r =>
+        r.getString(r.fieldIndex("min_data_file")).startsWith("data/snap-")))
     }
   }
 

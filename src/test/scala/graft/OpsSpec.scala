@@ -227,6 +227,15 @@ class OpsSpec extends SparkSpec {
     assert(lv.getAs[Long]("inb") == 3L)
     assert(lv.getAs[Long]("outb") == -1L)
     assert(lv.getAs[Long]("trm") == 3L)
+    // code-point semantics on non-BMP input: each emoji is ONE character
+    // (a UTF-16 implementation would count two surrogate halves), matching
+    // Spark's builtin levenshtein
+    val emoji = spark.sql(
+      """SELECT graft_lev_bounded('a😀b', 'a😁b', 5) AS one,
+                levenshtein('a😀b', 'a😁b') AS builtin""").collect()(0)
+    assert(emoji.getAs[Long]("one") == emoji.getAs[Int]("builtin").toLong,
+      s"non-BMP divergence from builtin: $emoji")
+    assert(emoji.getAs[Long]("one") == 1L)
   }
 
   test("language id picks the max-scoring language deterministically") {
@@ -324,10 +333,10 @@ class OpsSpec extends SparkSpec {
       df.filter(col("doc_a") >= 9000000L && col("doc_b") >= 9000000L)
 
     // default cap (64) far above the group: NOTHING dropped, full clique
-    Dedup.lastBucketDrop.reset()
     val fullPairs = hotOnly(Dedup.minhashPairs(spark, dir)).count()
     assert(fullPairs == 13L * 12 / 2, s"expected full clique, got $fullPairs")
-    assert(Dedup.lastBucketDrop.sum() == 0, "default cap dropped members on a tiny group")
+    assert(Dedup.bucketDropCount(spark, dir) == 0,
+      "default cap dropped members on a tiny group")
 
     spark.conf.set("spark.graft.dedup.bucketCap", "4")
     try {
@@ -335,9 +344,9 @@ class OpsSpec extends SparkSpec {
       // and the identical signatures put the same 4 first in every band
       val capped = hotOnly(Dedup.minhashPairs(spark, dir)).count()
       assert(capped == 6, s"hot bucket not capped: $capped pairs")
-      // 9 overflow members x 4 bands, counted — never silent
-      assert(Dedup.lastBucketDrop.sum() == 36,
-        s"drop counter: ${Dedup.lastBucketDrop.sum()} (expected 36)")
+      // 9 overflow members x 4 bands, countable on demand — never silent
+      val dropped = Dedup.bucketDropCount(spark, dir)
+      assert(dropped == 36, s"drop count: $dropped (expected 36)")
       // clustering drops NOTHING: star edges keep all 13 in one component
       val lbl = Dedup.ccLabels(spark, dir).filter(col("doc_id") >= 9000000L)
       val clusters = lbl.select("cluster").distinct().count()
