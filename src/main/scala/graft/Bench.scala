@@ -107,7 +107,10 @@ object Bench {
           (if (v < 0) "null" else f"${math.max(0.0, v - streamOverheadSec)}%.3f")
       }
       .mkString("{", ",", "}")
-    val unstableJson = unstable.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // full list in the tracked file; the compact stdout line caps at 8
+    // names so a noisy run can't blow the driver's tail window
+    val unstableJson    = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unstableCompact = unstable.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableJson,"streaming_net":$streamingNet,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's stdout capture keeps only the LAST ~2000 chars of
@@ -129,7 +132,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableJson,"families":$famTotals,"queries":$slowest,"queries_truncated":true,"full_map":"bench_out.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableCompact,"families":$famTotals,"queries":$slowest,"queries_truncated":true,"full_map":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

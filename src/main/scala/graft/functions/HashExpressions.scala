@@ -432,6 +432,11 @@ object LevStatics {
   private final val BIG = 1 << 29 // in-band sentinel; 1 + BIG cannot overflow
 
   def levBounded(a: UTF8String, b: UTF8String, threshold: Int): Long = {
+    if (threshold < 0) return -1L
+    // allocation-free rejection first: numChars counts code points off the
+    // UTF-8 bytes, so a length gap beyond the threshold (the dominant
+    // non-match shape in dd20's verify) never decodes either string
+    if (math.abs(a.numChars() - b.numChars()) > threshold) return -1L
     val s = a.toString.codePoints().toArray
     val t = b.toString.codePoints().toArray
     // strip common prefix, then common suffix of the remainder
@@ -442,7 +447,6 @@ object LevStatics {
     var es = ls; var et = lt
     while (es > lo && et > lo && s(es - 1) == t(et - 1)) { es -= 1; et -= 1 }
     var n = es - lo; var m = et - lo
-    if (threshold < 0) return -1L
     if (n == 0) return if (m <= threshold) m.toLong else -1L
     if (m == 0) return if (n <= threshold) n.toLong else -1L
     if (math.abs(n - m) > threshold) return -1L

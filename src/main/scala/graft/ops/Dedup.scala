@@ -107,8 +107,12 @@ object Dedup {
     * whose single bucket would dominate the whole job (measured: dd03 ran
     * 89.8× at 100× rows on a dup-saturated corpus before the cap). Bucket
     * members are ranked by doc_id; only the first `bucketCap` take part in
-    * pairwise candidate generation, and the overflow is COUNTABLE on
-    * demand via [[bucketDropCount]] — never silently truncated. The
+    * pairwise candidate generation. The overflow is a deterministic,
+    * auditable quantity — [[bucketDropCount]] recomputes and logs it on
+    * demand (spec gates assert it; an operator suspecting cap pressure
+    * queries it without re-running the job) — but the mining itself no
+    * longer counts eagerly: that billed a full extra driver job to every
+    * query in the family (r14's only >2× regression). The
     * CLUSTERING path ([[ccLabels]]) drops nothing: overflow buckets emit
     * STAR edges (every member → the bucket-min doc, O(k) edges), which
     * keeps the same connected components for the everything-alike buckets
@@ -164,7 +168,13 @@ object Dedup {
     * slower); the groupBy reuses the window's bucket-key partitioning, so
     * this adds no shuffle. The overflow audit lives in [[bucketDropCount]],
     * pull-based — building candidates costs no extra driver job. */
-  private def cappedCandidates(s: SparkSession, ranked: DataFrame): DataFrame = {
+  private def cappedCandidates(s: SparkSession, ranked: DataFrame): DataFrame =
+    cappedPairs(s, ranked).distinct()
+
+  /** [[cappedCandidates]] WITHOUT the cross-band distinct — for callers
+    * like [[ccLabels]] that union more edges in and distinct once at the
+    * end (a second shuffle of the same pair set would be pure waste). */
+  private def cappedPairs(s: SparkSession, ranked: DataFrame): DataFrame = {
     val cap = bucketCap(s)
     ranked.filter(col("rk") <= cap)
       .groupBy("band_id", "bsig")
@@ -175,7 +185,6 @@ object Dedup {
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
   }
 
   /** Memoized persisted frames, keyed on (session UUID, dir) and VALIDATED
@@ -451,7 +460,7 @@ object Dedup {
     val hs     = hashedShingles(s, d)
     val ranked = rankedBandFor(s, d)
     val cap    = bucketCap(s)
-    val candPairs = cappedCandidates(s, ranked)
+    val candPairs = cappedPairs(s, ranked) // union's distinct below covers
     val candStar = ranked.filter(col("rk") > cap)
       .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
     val cand = candPairs.unionByName(candStar).distinct()
@@ -1405,6 +1414,15 @@ object Dedup {
         col("sig"), col("source"))
   }
 
+  /** The incoming batch's band rows, materialized once per query via an
+    * eager localCheckpoint: the frame feeds a driver collect AND the probe
+    * join, lineage back through the shingle pipeline is truncated, and
+    * the blocks release with the frame's reachability (a persist() here
+    * would pin storage until an unpersist no caller can sequence around
+    * the lazily-returned result). */
+  private def batchBands(s: SparkSession, bands: DataFrame): DataFrame =
+    bands.filter(col("source") === servedBatchSrc).drop("source").localCheckpoint()
+
   /** Shared probe kernel of the served-index family: plan ONLY the batch's
     * distinct cells out of the committed index (counter-gated — cell
     * bounds must prune), verify candidates by signature agreement, and
@@ -1412,13 +1430,14 @@ object Dedup {
     * `maxFilesPerCell` is the layout gate: 1 after a fresh build or a
     * compaction, 2 while a probed cell may carry base+delta files. */
   private def probeBandIndex(
-      s: SparkSession, d: String, bands: DataFrame, meta: String,
+      s: SparkSession, d: String, batch: DataFrame, meta: String,
       maxFilesPerCell: Int): DataFrame = {
     import graft.icelite.IcebergFormat
     import s.implicits._
-    // probe: the batch's distinct cells — bounded by the FIXED cell space
-    // (bands × 64 ≤ 256 values), never by batch or corpus size
-    val batch  = bands.filter(col("source") === servedBatchSrc).drop("source").persist()
+    // probe: the batch's distinct cells — bounded by the cell space
+    // (bands × cellBuckets: 256 at the default 64, and sized ∝ corpus at
+    // scale, when it is still dwarfed by the batch's own row count), and
+    // by the batch's bucket coverage — never by the corpus
     val probed = batch.select(col("cell")).distinct().as[Long].collect().sorted
     val (idx, kept, total) = IcebergFormat.scanPoints(s, meta, "cell", probed.map(_.toString))
     require(kept <= maxFilesPerCell * probed.length,
@@ -1464,7 +1483,7 @@ object Dedup {
     val loc = s"$root/band_index"
     val w   = new IcebergFormat.Writer(s, loc, idxRows.schema)
     w.commit(Sim.stageIndexCells(s, idxRows, s"$root/stage", loc, "b", sortCol = "doc_id"))
-    probeBandIndex(s, d, bands, w.currentMetadataPath, maxFilesPerCell = 1)
+    probeBandIndex(s, d, batchBands(s, bands), w.currentMetadataPath, maxFilesPerCell = 1)
   }
 
   /** dd24: band-index MAINTENANCE lifecycle — the dedup twin of the ANN
@@ -1498,8 +1517,11 @@ object Dedup {
     if (fs.exists(rootP)) fs.delete(rootP, true)
     val idxRows = bands.filter(col("source") =!= servedBatchSrc).drop("source").persist()
     // shard boundary: base = older half of the index docs, delta = newer
-    val mid = idxRows.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long"))
-      .head().getLong(0)
+    // (an all-batch corpus has no index side — commit two empty halves
+    // rather than NPE on the null aggregate)
+    val midRow = idxRows.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long"))
+      .head()
+    val mid = if (midRow.isNullAt(0)) 0L else midRow.getLong(0)
     val loc = s"$root/band_index"
     val w   = new IcebergFormat.Writer(s, loc, idxRows.schema)
     w.commit(Sim.stageIndexCells(
@@ -1508,9 +1530,12 @@ object Dedup {
       s, idxRows.filter(col("doc_id") > mid), s"$root/stage_d", loc, "d", sortCol = "doc_id"))
     // mid-lifecycle plan audit: a probe between append and compaction must
     // still prune to the probed cells, paying at most base+delta per cell
-    // (planning only — counts come from manifests, no data read)
-    val probedCells = bands.filter(col("source") === servedBatchSrc)
-      .select(col("cell")).distinct().as[Long].collect().sorted.map(_.toString)
+    // (planning only — counts come from manifests, no data read; the
+    // checkpointed batch is the SAME frame the final probe consumes, so
+    // the shingle pipeline runs once, not once per lifecycle stage)
+    val batch = batchBands(s, bands)
+    val probedCells = batch.select(col("cell")).distinct().as[Long].collect()
+      .sorted.map(_.toString)
     val (_, keptFrag, _) =
       IcebergFormat.scanPoints(s, w.currentMetadataPath, "cell", probedCells)
     require(keptFrag <= 2 * probedCells.length,
@@ -1521,7 +1546,7 @@ object Dedup {
       .select(col("cell"), col("doc_id"), col("band_id"), col("bsig"), col("sig"))
     w.rewriteDataFiles(Sim.stageIndexCells(
       s, fragmented, s"$root/stage_c", loc, "c", sortCol = "doc_id"))
-    val out = probeBandIndex(s, d, bands, w.currentMetadataPath, maxFilesPerCell = 1)
+    val out = probeBandIndex(s, d, batch, w.currentMetadataPath, maxFilesPerCell = 1)
     idxRows.unpersist()
     out
   }

@@ -52,8 +52,11 @@ object ServeProbe {
   }
 
   /** Index rows for doc ids [0, n): 10-copy dup groups, bsig/sig pure
-    * hashes of (group, band) — data-light, layout-exact. */
-  private def indexRows(s: SparkSession, n: Long, cb: Long): DataFrame = {
+    * hashes of (group, band) — data-light, layout-exact. The cell comes
+    * from the PRODUCTION formula (`Dedup.bandCell`, reading the
+    * cellBuckets conf the caller sets) so the experiment cannot drift
+    * from the layout dd23/dd24 actually serve with. */
+  private def indexRows(s: SparkSession, n: Long): DataFrame = {
     s.range(n).toDF("doc_id")
       .withColumn("grp", col("doc_id") % (lit(n) / 10))
       .select(col("doc_id"), col("grp"),
@@ -63,8 +66,7 @@ object ServeProbe {
         xxhash64(col("grp"), col("band_id"), lit(2))))
       .withColumn("sig", expr(
         "transform(sequence(0, 15), j -> xxhash64(grp, j))"))
-      .withColumn("cell",
-        (col("band_id").cast("long") * cb + pmod(xxhash64(col("bsig")), lit(cb))).cast("long"))
+      .withColumn("cell", graft.ops.Dedup.bandCell(s))
       .select("cell", "doc_id", "band_id", "bsig", "sig")
   }
 
@@ -78,8 +80,9 @@ object ServeProbe {
     val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(rootP)) fs.delete(rootP, true)
 
+    s.conf.set("spark.graft.dedup.cellBuckets", cellBuckets.toString)
     val t0  = System.nanoTime()
-    val idx = indexRows(s, n, cellBuckets)
+    val idx = indexRows(s, n)
     val loc = s"$root/band_index"
     val w   = new IcebergFormat.Writer(s, loc, idx.schema)
     w.commit(graft.ops.Sim.stageIndexCells(s, idx, s"$root/stage", loc, "b",
@@ -97,9 +100,7 @@ object ServeProbe {
         xxhash64(col("grp"), col("band_id"), lit(1)),
         xxhash64(col("grp"), col("band_id"), lit(2))))
       .withColumn("sig", expr("transform(sequence(0, 15), j -> xxhash64(grp, j))"))
-      .withColumn("cell",
-        (col("band_id").cast("long") * cellBuckets +
-          pmod(xxhash64(col("bsig")), lit(cellBuckets))).cast("long"))
+      .withColumn("cell", graft.ops.Dedup.bandCell(s))
       .persist()
 
     val t1     = System.nanoTime()
