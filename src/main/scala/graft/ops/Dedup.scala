@@ -1445,7 +1445,16 @@ object Dedup {
         "cell bounds failed to prune")
     require(kept < total || probed.length >= total,
       s"selective probe (${probed.length} cells) read ALL $total index files")
+    probeVerify(batch, idx,
+      Tables.documents(s, d).filter(col("source") === servedBatchSrc).select("doc_id"))
+  }
 
+  /** Signature-agreement verify + per-doc rollup shared by every serve
+    * surface (dd23/dd24 batch probes, st22's per-micro-batch probe):
+    * candidates from the (cell, band_id, bsig) equi-join, est-Jaccard ≥
+    * 0.5 via ≥8/16 matching signature positions, one row per `baseDocs`
+    * doc (left join keeps no-collision docs as 'unique'). */
+  private def probeVerify(batch: DataFrame, idx: DataFrame, baseDocs: DataFrame): DataFrame = {
     val cand = batch.as("x")
       .join(idx.as("y"),
         col("x.cell") === col("y.cell") && col("x.band_id") === col("y.band_id") &&
@@ -1458,13 +1467,69 @@ object Dedup {
       .filter(col("eq") >= 8) // est_jaccard >= 0.5, dd10's estimator
       .groupBy("doc_id")
       .agg(countDistinct("idx_doc").as("n_index_dups"), min("idx_doc").as("rep_doc"))
-    Tables.documents(s, d).filter(col("source") === servedBatchSrc).select("doc_id")
+    baseDocs
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
         coalesce(col("rep_doc"), lit(-1L)).as("rep_doc"),
         when(col("n_index_dups").isNotNull, lit("dup")).otherwise(lit("unique")).as("status"))
       .orderBy("doc_id")
+  }
+
+  /** Band rows (cell, doc_id, band_id, bsig, sig) of an ARBITRARY
+    * (doc_id, text) frame — the serve-time twin of [[bandedDocs]] for
+    * callers that don't read a dataset dir (st22 hands in each streaming
+    * micro-batch). Not memoized: serve batches are one-shot. */
+  private[graft] def bandRowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.hashfns
+    val hs = docs
+      .select(col("doc_id"), hashfns.wordShingles(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) >= 1)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shs"), sg => hashfns.rollHash(sg, P))).as("hset"))
+    val sigs = hs.select(col("doc_id"), hashfns.minhashSig(col("hset")).as("sig"))
+    bandOfHs(hs).join(sigs, "doc_id")
+      .select(bandCell(s).as("cell"), col("doc_id"), col("band_id"), col("bsig"), col("sig"))
+  }
+
+  /** Ingest-time half of the streaming serve path: band + commit every
+    * non-batch doc of dataset `d` as the one-file-per-cell index table
+    * under `root`, returning the committed metadata path. */
+  private[graft] def buildServedIndex(s: SparkSession, d: String, root: String): String = {
+    import graft.icelite.IcebergFormat
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    val idxRows = bandRowsOf(s,
+      Tables.documents(s, d).filter(col("source") =!= servedBatchSrc)
+        .select(col("doc_id"), col("text")))
+    val loc = s"$root/band_index"
+    val w   = new IcebergFormat.Writer(s, loc, idxRows.schema)
+    w.commit(Sim.stageIndexCells(s, idxRows, s"$root/stage", loc, "b", sortCol = "doc_id"))
+    w.currentMetadataPath
+  }
+
+  /** Serve-time half: probe the committed index at `meta` with one
+    * incoming (doc_id, text) frame. Reads ONLY the batch's cells
+    * (require-gated like dd23); every incoming doc gets a verdict row.
+    * Called once per micro-batch by st22 — probe cost ∝ the batch. */
+  private[graft] def probeServedIndexBatch(
+      s: SparkSession, meta: String, docs: DataFrame): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import s.implicits._
+    val batch  = bandRowsOf(s, docs).localCheckpoint()
+    val probed = batch.select(col("cell")).distinct().as[Long].collect().sorted
+    val base   = docs.select(col("doc_id"))
+    if (probed.isEmpty)
+      return base.select(col("doc_id"), lit(0L).as("n_index_dups"),
+        lit(-1L).as("rep_doc"), lit("unique").as("status"))
+    val (idx, kept, total) = IcebergFormat.scanPoints(s, meta, "cell", probed.map(_.toString))
+    require(kept <= probed.length,
+      s"micro-batch probe read $kept files for ${probed.length} cells — pruning failed")
+    require(kept < total || probed.length >= total,
+      s"selective micro-batch probe (${probed.length} cells) read ALL $total index files")
+    probeVerify(batch, idx, base)
   }
 
   private def servedBandIndex(s: SparkSession, d: String): DataFrame = {
@@ -1554,7 +1619,7 @@ object Dedup {
   /** Oracle replays the LOGICAL result: band equality across batch/index
     * sides + signature-agreement verify — the physical cell layout is
     * invisible (equal bsig ⟹ same cell, so cell-pruned probing is exact). */
-  private lazy val servedBandIndexOracle = {
+  private[graft] lazy val servedBandIndexOracle = {
     val shHash = Hashing.duckRollHash("sg", P, "c0")
     s"""WITH $duckShingles,
       hs AS (

@@ -998,6 +998,56 @@ object StreamQueries {
        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
        FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY user_id"""
 
+  // ----------------------------- streaming dedup serve (st22, dd23 live)
+
+  /** st22: the dedup index SERVED under Structured Streaming — the shape a
+    * daily-ingest pipeline actually runs: the corpus index is committed
+    * ONCE at ingest time (dd23's one-file-per-cell band index), and the
+    * incoming shard arrives as a STREAM whose every micro-batch is banded,
+    * probed against ONLY its own cells (require-gated inside
+    * [[graft.ops.Dedup.probeServedIndexBatch]] — per-batch IO ∝ the
+    * micro-batch, never the corpus), verified by signature agreement, and
+    * appended to the verdict sink. The incoming shard is split into four
+    * files with `maxFilesPerTrigger = 1`, so AvailableNow delivers four
+    * separate micro-batches — the oracle equality proves the BATCHING IS
+    * INVISIBLE: the unioned per-batch verdicts equal dd23's single-shot
+    * result row-for-row. At 100 TB this is the serve topology verbatim
+    * (kafka source instead of files, object-store sink instead of
+    * parquet-append); state is zero — the index table is the state. */
+  private def streamDedupProbe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root  = "/root/repo/target/scratch/st22"
+    val rootP = new Path(root)
+    val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    // ingest-time: commit the index (every non-src19 doc)
+    val meta = graft.ops.Dedup.buildServedIndex(s, d, s"$root/index")
+    // the incoming shard, staged as 4 files -> 4 micro-batches
+    val incoming = Tables.documents(s, d)
+      .filter(col("source") === "src19").select("doc_id", "text")
+    incoming.repartition(4).write.mode("overwrite").parquet(s"$root/incoming")
+    val outDir  = s"$root/verdicts"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    s.readStream
+      .schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/incoming")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        graft.ops.Dedup.probeServedIndexBatch(s, meta, batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    require(batches.get() >= 2,
+      s"expected multiple micro-batches, got ${batches.get()} — split invariance untested")
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
     Q("st02_stream_sessions", streamSessions, Some(streamSessionsOracle)),
@@ -1021,7 +1071,11 @@ object StreamQueries {
       Some(streamRateLimitedBackfillOracle)),
     Q("st20_stream_partitioned_source", streamPartitionedSource,
       Some(streamPartitionedSourceOracle)),
-    Q("st21_stream_mor_source", streamMorSource, Some(streamMorSourceOracle))
+    Q("st21_stream_mor_source", streamMorSource, Some(streamMorSourceOracle)),
+    // same oracle as dd23/dd24: micro-batched serving must be invisible
+    // to the logical result
+    Q("st22_stream_dedup_probe", streamDedupProbe,
+      Some(graft.ops.Dedup.servedBandIndexOracle))
   )
 
   /** Per-user running event count as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
