@@ -1195,6 +1195,30 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       "min_data_file", "max_data_file")
   }
 
+  /** Live position-delete file paths of the current snapshot (absolute) —
+    * the file set behind `t.position_deletes`. Planning-sized. */
+  def positionDeleteFilePaths(): Seq[String] =
+    metadata.currentSnapshot.toSeq.flatMap(deleteEntriesOf)
+      .map(e => new Path(location, e.file).toString).sorted
+
+  /** `t.position_deletes`-style metadata table: the deleted POSITIONS —
+    * one (file_path, pos) row per entry in the current snapshot's live
+    * position-delete files. Schema shared with the standard-format twin
+    * ([[IcebergFormat.positionDeletesTable]]); provenance via the parquet
+    * source's `_metadata.file_path`. O(delete rows) IO, DISTRIBUTED (a
+    * plain parquet scan — rows are data-proportional, so unlike the other
+    * metadata tables this one never materializes on the driver). */
+  def positionDeletesTable(): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = positionDeleteFilePaths()
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        IcebergFormat.positionDeletesSchema)
+    spark.read.schema(IcebergFormat.positionDeletesSchema).parquet(paths: _*)
+      .select(col("file_path"), col("pos"))
+  }
+
   /** `t.refs`-style metadata table: named branches/tags plus the implicit
     * main pointer. */
   def refsTable(): DataFrame = {

@@ -193,6 +193,52 @@ object IceQueries {
          ('t8_tables_after_cleanup', 0)) t(step, value)
        ORDER BY step"""
 
+  /** ic88: Iceberg's `position_deletes` metadata table — the deleted
+    * POSITIONS (the surface the round-14 `delete_files` rename
+    * distinguished it from). The fixture pins positions exactly: ONE
+    * sorted data file, so `pos` = rank-in-key-order − 1, and the oracle
+    * replays positions with a window function over the same predicate.
+    * The bounded key slice keeps the single-file sort fixture
+    * scale-constant; the served table itself is a DISTRIBUTED parquet
+    * scan of the content-1 files (no LocalScan — rows are
+    * data-proportional); the single-delete-file provenance is
+    * require-gated through the planning API. */
+  private def positionDeletesTableQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i88")
+    s.conf.set("spark.sql.catalog.ice_i88", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i88.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/orders_i88"
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 50000)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey") // bounded slice: the sort pins positions
+      val w = new IcebergFormat.Writer(s, loc, ord.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1", ord)))
+      require(s.sql("SELECT * FROM ice_i88.graft.orders_i88.position_deletes").count() == 0,
+        "position_deletes not empty before any DELETE")
+      s.sql("DELETE FROM ice_i88.graft.orders_i88 WHERE o_orderkey % 7 = 0")
+      // provenance: exactly one live content-1 file backs the table
+      val prov = IcebergFormat.positionDeleteFilePaths(s,
+        IcebergFormat.currentMetadataPath(s, loc))
+      require(prov.length == 1, s"expected one delete file, saw ${prov.length}")
+      s.sql("""SELECT regexp_extract(file_path, '([^/]+)$', 1) AS data_file, pos
+               FROM ice_i88.graft.orders_i88.position_deletes ORDER BY pos""")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i88")
+      s.conf.unset("spark.sql.catalog.ice_i88.warehouse")
+    }
+  }
+
+  private val positionDeletesTableOracle =
+    """WITH s AS (
+         SELECT o_orderkey,
+                CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS pos
+         FROM orders WHERE o_orderkey < 50000)
+       SELECT 'f1.parquet' AS data_file, pos FROM s
+       WHERE o_orderkey % 7 = 0 ORDER BY pos"""
+
   /** S8/M3: catalog listing after two creates (names only — locations are
     * UUID-suffixed by design). */
   private def listing(s: SparkSession, d: String): DataFrame = {
@@ -3246,7 +3292,9 @@ object IceQueries {
     Q("ic85_sql_eq_delete_maintenance", sqlEqDeleteMaintenanceQ,
       Some(sqlEqDeleteMaintenanceOracle)),
     Q("ic86_remote_url_ingest", remoteUrlIngest, Some(nationOracle)),
-    Q("ic87_warehouse_cleanup", warehouseCleanup, Some(warehouseCleanupOracle))
+    Q("ic87_warehouse_cleanup", warehouseCleanup, Some(warehouseCleanupOracle)),
+    Q("ic88_position_deletes_table", positionDeletesTableQ,
+      Some(positionDeletesTableOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -52,7 +52,7 @@ import scala.jdk.CollectionConverters._
 private[sources] object IceLiteMetaTable {
   val kinds: Set[String] =
     Set("snapshots", "history", "files", "manifests", "partitions", "refs",
-      "delete_files")
+      "delete_files", "position_deletes")
 }
 
 private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
@@ -68,8 +68,10 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
     case "refs"       => ice.refsTable()
     // live MoR delete-file debt (icelite carries position deletes only).
     // Named `delete_files` to match Iceberg's metadata-table semantics:
-    // one row per delete FILE — Iceberg's `position_deletes` returns the
-    // deleted POSITIONS (file_path, pos, row), a different surface.
+    // one row per delete FILE. (`position_deletes` — the deleted
+    // POSITIONS — is data-proportional and therefore served as a
+    // distributed parquet table in loadTable, never through this
+    // LocalScan path.)
     case "delete_files" => ice.deletesTable()
   }
 
@@ -91,6 +93,26 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
 
 /** A read-only V2 table over a driver-local DataFrame — the standard-
   * format twin of [[IceLiteMetaTable]] (metadata-sized rows, LocalScan). */
+/** Distributed serving of `position_deletes`: Spark's own V2 parquet
+  * table over the live content-1 delete files (schema pinned to
+  * (file_path, pos); delete-file provenance available as
+  * `_metadata.file_path`). An empty delete set degenerates to a zero-row
+  * LocalScan. */
+private[sources] object PositionDeletesTables {
+  def apply(name: String, paths: Seq[String]): Table = {
+    import graft.icelite.IcebergFormat
+    val spark = SparkSession.active
+    if (paths.isEmpty)
+      return new LocalDataFrameTable(name,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          IcebergFormat.positionDeletesSchema))
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name, spark, CaseInsensitiveStringMap.empty(), paths,
+      Some(IcebergFormat.positionDeletesSchema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+  }
+}
+
 private[sources] final class LocalDataFrameTable(
     tableName: String, df: org.apache.spark.sql.DataFrame)
     extends Table with SupportsRead {
@@ -187,9 +209,24 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
           graft.icelite.IcebergFormat.deletesTable(spark,
             graft.icelite.IcebergFormat.currentMetadataPath(spark, stdLoc)))
       }
-      if (backend.tableExists(nsArr(0), nsArr(1)))
+      // `t.position_deletes` — the deleted POSITIONS. Rows are
+      // data-proportional (one per deleted row), so this is a DISTRIBUTED
+      // parquet table over the live content-1 files, never a LocalScan.
+      if (rest.isEmpty && ident.name().equalsIgnoreCase("position_deletes") &&
+          IcebergMorV2Table.isIcebergDir(SparkSession.active, stdLoc)) {
+        val spark = SparkSession.active
+        return PositionDeletesTables(s"iceberg.$stdLoc.position_deletes",
+          graft.icelite.IcebergFormat.positionDeleteFilePaths(spark,
+            graft.icelite.IcebergFormat.currentMetadataPath(spark, stdLoc)))
+      }
+      if (backend.tableExists(nsArr(0), nsArr(1))) {
+        if (ident.name().equalsIgnoreCase("position_deletes"))
+          return PositionDeletesTables(
+            s"$catalogName.${nsArr(0)}.${nsArr(1)}.position_deletes",
+            backend.loadTable(nsArr(0), nsArr(1)).positionDeleteFilePaths())
         return new IceLiteMetaTable(backend.loadTable(nsArr(0), nsArr(1)),
           ident.name().toLowerCase)
+      }
     }
     val ns = ns1(nsArr)
     // a table directory holding STANDARD Iceberg v2 metadata
