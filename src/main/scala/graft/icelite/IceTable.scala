@@ -1208,16 +1208,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     * source's `_metadata.file_path`. O(delete rows) IO, DISTRIBUTED (a
     * plain parquet scan — rows are data-proportional, so unlike the other
     * metadata tables this one never materializes on the driver). */
-  def positionDeletesTable(): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val paths = positionDeleteFilePaths()
-    if (paths.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        IcebergFormat.positionDeletesSchema)
-    spark.read.schema(IcebergFormat.positionDeletesSchema).parquet(paths: _*)
-      .select(col("file_path"), col("pos"))
-  }
+  def positionDeletesTable(): DataFrame =
+    IcebergFormat.positionDeletesFrame(spark, positionDeleteFilePaths())
 
   /** `t.refs`-style metadata table: named branches/tags plus the implicit
     * main pointer. */

@@ -469,13 +469,13 @@ object IcebergFormat {
       "min_data_file", "max_data_file")
   }
 
-  /** The SQL-visible schema of the `position_deletes` metadata table:
-    * the deleted positions themselves. Delete-file provenance rides the
-    * parquet source's `_metadata.file_path` column rather than a
-    * materialized constant. */
-  val positionDeletesSchema: StructType = StructType(Seq(
-    StructField("file_path", StringType),
-    StructField("pos", org.apache.spark.sql.types.LongType)))
+  /** The SQL-visible schema of the `position_deletes` metadata table —
+    * the one position-delete row shape the codebase defines
+    * ([[IceTable.PositionDeleteSchema]]); both format twins and the
+    * catalog's distributed serving read through it. Delete-file
+    * provenance rides the parquet source's `_metadata.file_path` column
+    * rather than a materialized constant. */
+  def positionDeletesSchema: StructType = IceTable.PositionDeleteSchema
 
   /** Live content-1 (position) delete files of the current snapshot —
     * the file set behind Iceberg's `position_deletes` metadata table.
@@ -484,6 +484,19 @@ object IcebergFormat {
     plan(spark, metadataPath).deletes.filter(_.content == 1)
       .map(_.path.toString).sorted
 
+  /** Distributed (file_path, pos) frame over a set of position-delete
+    * parquet files — the ONE read both twins' `position_deletes` tables
+    * and the catalog serving share, so the surfaces cannot drift. */
+  private[graft] def positionDeletesFrame(
+      spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], positionDeletesSchema)
+    spark.read.schema(positionDeletesSchema).parquet(paths: _*)
+      .select(col("file_path"), col("pos"))
+  }
+
   /** Iceberg's `position_deletes` metadata table: the deleted POSITIONS
     * themselves — one row per (file_path, pos) entry across the current
     * snapshot's live position-delete files. [[deletesTable]]
@@ -491,15 +504,8 @@ object IcebergFormat {
     * distinct surfaces Iceberg defines. O(delete rows) IO and fully
     * DISTRIBUTED (a plain parquet scan of the content-1 files — rows are
     * data-proportional, so no LocalScan/driver materialization here). */
-  def positionDeletesTable(spark: SparkSession, metadataPath: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val paths = positionDeleteFilePaths(spark, metadataPath)
-    if (paths.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], positionDeletesSchema)
-    spark.read.schema(positionDeletesSchema).parquet(paths: _*)
-      .select(col("file_path"), col("pos"))
-  }
+  def positionDeletesTable(spark: SparkSession, metadataPath: String): DataFrame =
+    positionDeletesFrame(spark, positionDeleteFilePaths(spark, metadataPath))
 
   /** (spec field name, source column name) pairs of the DEFAULT partition
     * spec when EVERY field is an identity transform over a type the delta

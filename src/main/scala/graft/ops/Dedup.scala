@@ -1400,7 +1400,7 @@ object Dedup {
     * status (dd21's contract). */
   /** Batch source carved out of the corpus for the served-index family —
     * its docs are the "today's shard" side, everything else is index. */
-  private val servedBatchSrc = "src19"
+  private[graft] val servedBatchSrc = "src19"
 
   /** (cell, doc_id, band_id, bsig, sig, source) band rows for every doc —
     * the shared input of the served-index family (dd23 build-and-probe,
@@ -1431,14 +1431,17 @@ object Dedup {
     * compaction, 2 while a probed cell may carry base+delta files. */
   private def probeBandIndex(
       s: SparkSession, d: String, batch: DataFrame, meta: String,
-      maxFilesPerCell: Int): DataFrame = {
+      maxFilesPerCell: Int, knownCells: Option[Array[Long]] = None): DataFrame = {
     import graft.icelite.IcebergFormat
     import s.implicits._
     // probe: the batch's distinct cells — bounded by the cell space
     // (bands × cellBuckets: 256 at the default 64, and sized ∝ corpus at
     // scale, when it is still dwarfed by the batch's own row count), and
-    // by the batch's bucket coverage — never by the corpus
-    val probed = batch.select(col("cell")).distinct().as[Long].collect().sorted
+    // by the batch's bucket coverage — never by the corpus. A caller that
+    // already collected the cell list (dd24's mid-lifecycle audit) hands
+    // it in rather than paying the distinct+collect job twice.
+    val probed = knownCells.getOrElse(
+      batch.select(col("cell")).distinct().as[Long].collect().sorted)
     val (idx, kept, total) = IcebergFormat.scanPoints(s, meta, "cell", probed.map(_.toString))
     require(kept <= maxFilesPerCell * probed.length,
       s"probe read $kept files for ${probed.length} cells (max $maxFilesPerCell/cell) — " +
@@ -1599,10 +1602,9 @@ object Dedup {
     // checkpointed batch is the SAME frame the final probe consumes, so
     // the shingle pipeline runs once, not once per lifecycle stage)
     val batch = batchBands(s, bands)
-    val probedCells = batch.select(col("cell")).distinct().as[Long].collect()
-      .sorted.map(_.toString)
+    val probedCells = batch.select(col("cell")).distinct().as[Long].collect().sorted
     val (_, keptFrag, _) =
-      IcebergFormat.scanPoints(s, w.currentMetadataPath, "cell", probedCells)
+      IcebergFormat.scanPoints(s, w.currentMetadataPath, "cell", probedCells.map(_.toString))
     require(keptFrag <= 2 * probedCells.length,
       s"fragmented probe planned $keptFrag files for ${probedCells.length} cells — " +
         "append broke cell-bound pruning")
@@ -1611,7 +1613,8 @@ object Dedup {
       .select(col("cell"), col("doc_id"), col("band_id"), col("bsig"), col("sig"))
     w.rewriteDataFiles(Sim.stageIndexCells(
       s, fragmented, s"$root/stage_c", loc, "c", sortCol = "doc_id"))
-    val out = probeBandIndex(s, d, batch, w.currentMetadataPath, maxFilesPerCell = 1)
+    val out = probeBandIndex(s, d, batch, w.currentMetadataPath,
+      maxFilesPerCell = 1, knownCells = Some(probedCells))
     idxRows.unpersist()
     out
   }

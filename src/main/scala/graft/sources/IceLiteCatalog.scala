@@ -91,8 +91,6 @@ private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
     }
 }
 
-/** A read-only V2 table over a driver-local DataFrame — the standard-
-  * format twin of [[IceLiteMetaTable]] (metadata-sized rows, LocalScan). */
 /** Distributed serving of `position_deletes`: Spark's own V2 parquet
   * table over the live content-1 delete files (schema pinned to
   * (file_path, pos); delete-file provenance available as
@@ -113,6 +111,8 @@ private[sources] object PositionDeletesTables {
   }
 }
 
+/** A read-only V2 table over a driver-local DataFrame — the standard-
+  * format twin of [[IceLiteMetaTable]] (metadata-sized rows, LocalScan). */
 private[sources] final class LocalDataFrameTable(
     tableName: String, df: org.apache.spark.sql.DataFrame)
     extends Table with SupportsRead {

@@ -1022,9 +1022,12 @@ object StreamQueries {
     if (fs.exists(rootP)) fs.delete(rootP, true)
     // ingest-time: commit the index (every non-src19 doc)
     val meta = graft.ops.Dedup.buildServedIndex(s, d, s"$root/index")
-    // the incoming shard, staged as 4 files -> 4 micro-batches
+    // the incoming shard (the family's shared batch source, so index and
+    // probe sides can never drift apart), staged as 4 files -> 4
+    // micro-batches
     val incoming = Tables.documents(s, d)
-      .filter(col("source") === "src19").select("doc_id", "text")
+      .filter(col("source") === graft.ops.Dedup.servedBatchSrc)
+      .select("doc_id", "text")
     incoming.repartition(4).write.mode("overwrite").parquet(s"$root/incoming")
     val outDir  = s"$root/verdicts"
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -252,7 +252,8 @@ class MorSpec extends SparkSpec {
       assert(dt.forall(r =>
         r.getString(r.fieldIndex("min_data_file")).startsWith("data/snap-")))
       // position_deletes (the POSITIONS) agrees with delete_files (the
-      // FILES): one row per recorded n_records, and exactly the deleted key
+      // FILES): one row per recorded n_records, schema shared across the
+      // twins (ic88's oracle pins the exact (file, pos) values end-to-end)
       val pd = t.positionDeletesTable()
       assert(pd.count() == dt.map(_.getLong(dt.head.fieldIndex("n_records"))).sum,
         "position_deletes row count != sum of delete_files n_records")
