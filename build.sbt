@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as the bench contract JSON; sbt's own trailing
+// "[success] Total time ..." line was displacing it (BENCH_r13..r15
+// all have parsed:null). Suppress it so the JSON line stays last.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -131,8 +131,10 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // n_unstable carries the FULL count so a consumer of the capped
+    // compact list can detect truncation on a noisy run
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableCompact,"families":$famTotals,"queries":$slowest,"queries_truncated":true,"full_map":"bench_out.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableCompact,"n_unstable":${unstable.size},"families":$famTotals,"queries":$slowest,"queries_truncated":true,"full_map":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

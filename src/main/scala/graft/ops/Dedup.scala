@@ -198,12 +198,26 @@ object Dedup {
     *  - a storage-level check re-arms persist() after an external
     *    `spark.catalog.clearCache()` (the bench clears between queries),
     *    so memoization survives instead of silently degrading to
-    *    recompute-per-read. */
-  private final case class Memo(fp: Long, df: DataFrame)
+    *    recompute-per-read;
+    *  - each lookup sweeps entries whose owning session is gone (weakly
+    *    held and collected, or its SparkContext stopped), so a long-lived
+    *    JVM that cycles sessions can't grow the map without bound. */
+  private final case class Memo(
+      fp: Long, df: DataFrame,
+      owner: java.lang.ref.WeakReference[SparkSession])
   private final class FrameCache {
     private val m = new java.util.concurrent.ConcurrentHashMap[(String, String), Memo]()
+    private def sweepDead(): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val owner = it.next().getValue.owner.get()
+        // a frame of a stopped context is unreachable anyway; just drop it
+        if (owner == null || owner.sparkContext.isStopped) it.remove()
+      }
+    }
     def get(s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
-      val fp = dirFingerprint(d)
+      sweepDead()
+      val fp = dirFingerprint(s, d)
       // session identity: applicationId changes when the underlying
       // SparkContext is stopped/recreated; the identity hash separates
       // sibling sessions sharing one context
@@ -213,22 +227,30 @@ object Dedup {
         else {
           if (old != null)
             try old.df.unpersist() catch { case _: Throwable => () }
-          Memo(fp, build)
+          Memo(fp, build, new java.lang.ref.WeakReference(s))
         })
       if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.df.persist()
       e.df
     }
   }
 
-  /** Driver-side local-FS fingerprint of `d`/documents.parquet (file or
-    * directory of part files) — one readdir, no Spark job. */
-  private def dirFingerprint(d: String): Long = {
-    val root = new java.io.File(d, "documents.parquet")
-    val files =
-      if (root.isDirectory) Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      else Array(root)
-    files.foldLeft(root.lastModified()) { (acc, f) =>
-      acc ^ (f.getName.hashCode * 1000003L + f.lastModified() * 31L + f.length())
+  /** Driver-side fingerprint of `d`/documents.parquet (file or directory
+    * of part files) — one readdir through the path's own Hadoop
+    * FileSystem (so hdfs:// and s3a:// dataset dirs fingerprint their
+    * real listing instead of degenerating to a java.io.File constant),
+    * no Spark job. */
+  private def dirFingerprint(s: SparkSession, d: String): Long = {
+    val p  = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) fs.listStatus(p) else Array(st)
+      }
+    statuses.foldLeft(d.hashCode.toLong) { (acc, st) =>
+      acc ^ (st.getPath.getName.hashCode * 1000003L +
+        st.getModificationTime * 31L + st.getLen)
     }
   }
 

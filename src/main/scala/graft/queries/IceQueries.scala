@@ -35,12 +35,18 @@ object IceQueries {
     * two wide `except()` set differences this used to run, which cost
     * two extra full shuffles of the delete-applied scan per gate and
     * dominated the MoR DML queries at 100×. A diverging multiset slips
-    * through only on a 2^-64-scale hash-sum coincidence. */
+    * through only on a 2^-64-scale hash-sum coincidence. xxhash64
+    * SKIPS null inputs in its fold, so the per-row digest also feeds
+    * one never-null isnull flag per column — without them (5, null)
+    * and (null, 5) over two same-typed columns would hash alike. */
   private def requireSameRows(a: DataFrame, b: DataFrame, msg: String): Unit = {
-    def digest(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("h"))
-      .head()
+    def digest(df: DataFrame) = {
+      val ins = df.columns.map(col) ++
+        df.columns.map(c => isnull(col(c)).cast("long"))
+      df.agg(count(lit(1)).as("n"),
+          sum(xxhash64(ins: _*).cast("decimal(38,0)")).as("h"))
+        .head()
+    }
     val (da, db) = (digest(a), digest(b))
     require(da == db, s"$msg (digests $da vs $db)")
   }
