@@ -14,8 +14,13 @@ run / fork := true
 // The round driver parses the LAST stdout line of `sbt "runMain
 // graft.Bench"` as the bench contract JSON; sbt's own trailing
 // "[success] Total time ..." line was displacing it (BENCH_r13..r15
-// all have parsed:null). Suppress it so the JSON line stays last.
+// all have parsed:null). Suppress it so the JSON line stays last,
+// and pass the forked JVM's stdout through verbatim — the default
+// LoggedOutput strategy prefixes every line with "[info] ", which is
+// just as fatal to a strict JSON parse as the success banner.
 ThisBuild / showSuccess := false
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
