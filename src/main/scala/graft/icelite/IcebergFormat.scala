@@ -833,7 +833,12 @@ object IcebergFormat {
   def currentMetadataPath(spark: SparkSession, location: String): String = {
     val hint = new Path(location, "metadata/version-hint.text")
     val fs   = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v    = readText(fs, hint).trim.toInt
+    var v    = readText(fs, hint).trim.toInt
+    // the hint is advisory (written after the version-file CAS): walk
+    // forward past any newer committed versions so a reader racing a
+    // writer's hint flip still resolves the latest state — the same
+    // recovery Iceberg's HadoopTableOperations performs
+    while (fs.exists(new Path(location, f"metadata/v${v + 1}%05d.metadata.json"))) v += 1
     new Path(location, f"metadata/v$v%05d.metadata.json").toString
   }
 
@@ -1196,6 +1201,10 @@ object IcebergFormat {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
+
+  /** Test-only visibility for avro manifest reads (orphan audits). */
+  private[graft] def readAvroForTest(fs: FileSystem, p: Path): Seq[GenericRecord] =
+    readAvro(fs, p)
 
   private def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {
     val in  = new FsInput(p, fs.getConf)
@@ -1564,19 +1573,61 @@ object IcebergFormat {
             (a: Any, b: Any) => partCmp(sf.avroType, a, b) < 0))))
       })
 
+    // files successfully created by the current commit attempt — the
+    // rollback set a losing optimistic commit deletes (exclusively
+    // created via no-clobber, so every tracked file is this attempt's own)
+    private var attemptCreated: List[Path] = Nil
+
+    /** Run one optimistic commit attempt: on a lost race
+      * (ConcurrentModificationException from any no-clobber write), delete
+      * every file this attempt created, restore the writer's in-memory
+      * snapshot state, and rethrow — the caller resumes from the winner's
+      * metadata and retries (see [[IcebergFormat.appendWithRetry]]). */
+    private def withCommitRollback[T](body: => T): T = {
+      val (m0, c0, v0) = (manifests, committed, version)
+      attemptCreated = Nil
+      try body catch {
+        case e: java.util.ConcurrentModificationException =>
+          attemptCreated.foreach(p =>
+            try fs.delete(p, false) catch { case _: Throwable => () })
+          manifests = m0; committed = c0; version = v0
+          throw e
+      }
+    }
+
     private def writeAvroFile(p: Path, schema: Schema, records: Seq[GenericRecord],
-        meta: Map[String, String]): Long = {
-      // temp + rename so a failed write can't leave a truncated avro file
-      // at its final name; the writer (and its FS stream) always closes
-      val tmp = new Path(p.getParent, p.getName + ".tmp")
-      val w   = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        meta: Map[String, String], noClobber: Boolean = false): Long = {
+      // temp (uuid-named: concurrent writers may target the same final
+      // name) + rename so a failed write can't leave a truncated avro
+      // file at its final name; the writer (and its FS stream) always
+      // closes
+      val tmp = new Path(p.getParent,
+        p.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       try {
         meta.foreach { case (k, v) => w.setMeta(k, v) }
         w.create(schema, fs.create(tmp, true))
         records.foreach(w.append)
       } finally w.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      require(fs.rename(tmp, p), s"avro commit rename failed: $tmp -> $p")
+      if (noClobber) {
+        // rename-as-CAS: snapshot-scoped names (manifests, manifest
+        // lists) are claimed exactly once; a second writer racing the
+        // same snapshot id loses HERE, before any published metadata
+        // can point at overwritten files
+        val won = IceTable.commitLock(p.toString).synchronized {
+          !fs.exists(p) && fs.rename(tmp, p)
+        }
+        if (!won) {
+          fs.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit to $location: ${p.getName} already exists; " +
+              "resume the writer from current metadata and retry")
+        }
+      } else {
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"avro commit rename failed: $tmp -> $p")
+      }
+      attemptCreated = p :: attemptCreated
       fs.getFileStatus(p).getLen
     }
 
@@ -1662,13 +1713,15 @@ object IcebergFormat {
       val snapId = committed.size + 1L
       val seq    = snapId // one sequence number per commit
       fs.mkdirs(metadataDir)
-      val seenManifestNames = scala.collection.mutable.Set.empty[String]
-      groups.filter(_._1.nonEmpty).foreach { case (groupFiles, specId) =>
-        writeGroupManifests(groupFiles, specId, snapId, seq, seenManifestNames)
-      }
+      withCommitRollback {
+        val seenManifestNames = scala.collection.mutable.Set.empty[String]
+        groups.filter(_._1.nonEmpty).foreach { case (groupFiles, specId) =>
+          writeGroupManifests(groupFiles, specId, snapId, seq, seenManifestNames)
+        }
 
-      // 2+3. the snapshot's manifest list + metadata JSON
-      publishSnapshot(snapId, seq)
+        // 2+3. the snapshot's manifest list + metadata JSON
+        publishSnapshot(snapId, seq)
+      }
     }
 
     /** One ADDED manifest per content kind for `files` under `specId` —
@@ -1759,7 +1812,7 @@ object IcebergFormat {
             "partition-spec" -> s"[${specJson(specFields)}]",
             "partition-spec-id" -> specId.toString,
             "format-version" -> "2",
-            "content" -> (if (kind == 0) "data" else "deletes")))
+            "content" -> (if (kind == 0) "data" else "deletes")), noClobber = true)
         manifests = manifests :+ ManifestRec(manifestPath.toString, manifestLen, snapId, seq,
           kind, group.size, group.map(_.recordCount).sum, specId,
           summaries = summarize(specFields, group.map(f => f.partitionValues.get _)))
@@ -1791,7 +1844,7 @@ object IcebergFormat {
       * manifests afterward instead of O(commits) — at 100 TB with
       * streaming ingest the manifest list would otherwise grow without
       * bound. Delete manifests are carried as-is. */
-    def rewriteManifests(): Unit = {
+    def rewriteManifests(): Unit = withCommitRollback {
       val snapId = committed.size + 1L
       val seq    = snapId
       val (dataM, delM) = manifests.partition(_.content == 0)
@@ -1823,7 +1876,7 @@ object IcebergFormat {
           "partition-spec" -> s"[${specJson(specs(sid))}]",
           "partition-spec-id" -> sid.toString,
           "format-version" -> "2",
-          "content" -> "data"))
+          "content" -> "data"), noClobber = true)
         // list seq = the group's MIN so a null-seq entry can never be
         // treated as newer than it was (entries carry explicit seqs anyway)
         ManifestRec(path.toString, len, snapId, group.map(_.seq).min, 0,
@@ -1850,6 +1903,13 @@ object IcebergFormat {
       val keptManifests: Set[String] = kept.flatMap { case (_, lp) =>
         readAvro(fs, new Path(lp)).map(_.get("manifest_path").toString)
       }.toSet
+      // publish the trimmed metadata FIRST (CAS, rollback-protected): a
+      // lost commit race or a crash mid-expire must never have deleted
+      // files a still-current snapshot references
+      withCommitRollback {
+        committed = kept
+        writeMetadata()
+      }
       expired.foreach { case (_, lp) =>
         val p = new Path(lp)
         readAvro(fs, p).map(_.get("manifest_path").toString)
@@ -1857,8 +1917,6 @@ object IcebergFormat {
           .foreach(mp => fs.delete(new Path(mp), false))
         fs.delete(p, false)
       }
-      committed = kept
-      writeMetadata()
     }
 
     private def publishSnapshot(snapId: Long, seq: Long): Unit = {
@@ -1901,7 +1959,8 @@ object IcebergFormat {
         "format-version" -> "2",
         "snapshot-id" -> snapId.toString,
         "sequence-number" -> seq.toString,
-        "parent-snapshot-id" -> (if (snapId == 1) "null" else (snapId - 1).toString)))
+        "parent-snapshot-id" -> (if (snapId == 1) "null" else (snapId - 1).toString)),
+        noClobber = true)
       committed = committed :+ ((snapId, listPath.toString))
       writeMetadata()
     }
@@ -1934,8 +1993,25 @@ object IcebergFormat {
            "snapshots":[$snapshotsJson],
            "snapshot-log":[],"metadata-log":[]}""".replaceAll("\n\\s*", "")
       val mdPath = new Path(metadataDir, f"v$version%05d.metadata.json")
-      val out = fs.create(mdPath, true)
+      // version-file CAS (same protocol as IceTable.commitCasAt): whoever
+      // claims v{N}.metadata.json owns snapshot N; a loser rolls back via
+      // withCommitRollback and retries from the winner's state
+      val tmp = new Path(metadataDir,
+        mdPath.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(metadataJson.getBytes("UTF-8")) finally out.close()
+      val won = IceTable.commitLock(mdPath.toString).synchronized {
+        !fs.exists(mdPath) && fs.rename(tmp, mdPath)
+      }
+      if (!won) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to $location: ${mdPath.getName} already exists; " +
+            "resume the writer from current metadata and retry")
+      }
+      attemptCreated = mdPath :: attemptCreated
+      // the hint is advisory (readers walk forward from it) and only
+      // winners reach this line, so a plain overwrite is safe
       val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
       try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
     }
@@ -2005,6 +2081,33 @@ object IcebergFormat {
     * ids are refused. The current schema must be the LATEST of the
     * history (the writer always commits with the last). Format v2 only. */
   def resumeWriter(spark: SparkSession, location: String): Writer = {
+    resumeWriterImpl(spark, location)
+  }
+
+  /** Optimistic-concurrency append: commit `files` to the table at
+    * `location`, resuming from the CURRENT metadata and retrying on a
+    * lost commit race — the Iceberg commit protocol for parallel jobs
+    * appending to one table. The data files are already staged and
+    * immutable, so a retry re-publishes metadata only (O(manifest), no
+    * data IO); the losing attempt's partial metadata files were rolled
+    * back by the writer before the ConcurrentModificationException
+    * surfaced. Returns the winning writer (for follow-up reads). */
+  def appendWithRetry(spark: SparkSession, location: String,
+      files: Seq[DataFileInfo], maxAttempts: Int = 10): Writer = {
+    var attempt = 0
+    while (true) {
+      val w = resumeWriterImpl(spark, location)
+      try { w.commit(files); return w }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def resumeWriterImpl(spark: SparkSession, location: String): Writer = {
     implicit val fmts: Formats = DefaultFormats
     val metaPath = currentMetadataPath(spark, location)
     val mPath    = new Path(metaPath)
@@ -2052,9 +2155,16 @@ object IcebergFormat {
             (f \ "field-id").extract[Int], (f \ "transform").extract[String])
         }: Seq[(String, Int, Int, String)]
       }
-    val uuid    = (md \ "table-uuid").extract[String]
-    val version = readText(fs,
-      new Path(location, "metadata/version-hint.text")).trim.toInt
+    val uuid = (md \ "table-uuid").extract[String]
+    // version of the RESOLVED metadata file (currentMetadataPath walks
+    // forward past a stale hint), not the raw hint value
+    val version = {
+      val VPat = raw"v(\d+)\.metadata\.json".r
+      mPath.getName match {
+        case VPat(n) => n.toInt
+        case other   => throw new IllegalStateException(s"unversioned metadata file $other")
+      }
+    }
     val committed = (md \ "snapshots").extract[List[JObject]].map { s =>
       ((s \ "snapshot-id").extract[Long], (s \ "manifest-list").extract[String])
     }
