@@ -245,6 +245,80 @@ object IceQueries {
        SELECT 'f1.parquet' AS data_file, pos FROM s
        WHERE o_orderkey % 7 = 0 ORDER BY pos"""
 
+  /** ic91: MERGE … WHEN NOT MATCHED BY SOURCE (the Spark 4 DML clause the
+    * MoR matrix lacked) — the shape a training-data pipeline uses to
+    * retire rows that VANISHED upstream: the source is the current
+    * upstream state, matched rows refresh, unmatched source rows insert,
+    * and target rows absent from the source are deleted (low-balance) or
+    * flagged STALE (the rest), with clause order deciding which fires.
+    * Merge-on-read: the routing must land as position-delete debt —
+    * original data files untouched, retirement visible in
+    * `delete_files` — so the commit stays O(delta) at 100 TB. */
+  private def sqlMergeNotMatchedBySourceQ(s: SparkSession, d: String): DataFrame =
+    withMorCatalog(s, "morretire") { (cat, wh) =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      cust.createOrReplaceTempView("cust_retire_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.graft")
+      s.sql(s"CREATE TABLE $cat.graft.cust_retire AS SELECT * FROM cust_retire_src")
+      val fsCat  = new FsCatalog(s, wh)
+      def t()    = fsCat.loadTable("graft", "cust_retire")
+      val before = { val x = t(); x.filesOf(x.metadata.currentSnapshot.get).toSet }
+      // upstream today: key % 7 = 0 rows vanished, survivors re-balanced,
+      // a sprinkle of brand-new keys
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW retire_updates AS
+                SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+                       c_mktsegment
+                FROM cust_retire_src WHERE c_custkey % 7 != 0
+                UNION ALL
+                SELECT c_custkey + 3000000, c_nationkey, c_acctbal, 'UPNEW'
+                FROM cust_retire_src WHERE c_custkey % 97 = 0""")
+      s.sql(s"""MERGE INTO $cat.graft.cust_retire t
+                USING retire_updates s
+                ON t.c_custkey = s.c_custkey
+                WHEN MATCHED THEN UPDATE SET
+                  c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+                WHEN NOT MATCHED THEN INSERT *
+                WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 5000.0 THEN DELETE
+                WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'""")
+      val t2   = t()
+      val snap = t2.metadata.currentSnapshot.get
+      require(before.subsetOf(t2.filesOf(snap).toSet),
+        "NOT MATCHED BY SOURCE merge rewrote the original data files")
+      // retirement is visible as MoR delete debt
+      require(s.sql(s"SELECT count(*) AS n FROM $cat.graft.cust_retire.delete_files")
+        .head().getLong(0) > 0L, "retire merge committed no delete files")
+      s.sql(s"""SELECT c_custkey, c_nationkey,
+                       CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+                FROM $cat.graft.cust_retire ORDER BY c_custkey""")
+    }
+
+  private val sqlMergeNotMatchedBySourceOracle =
+    """WITH src AS (
+         SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 7 != 0
+         UNION ALL
+         SELECT c_custkey + 3000000, c_nationkey, c_acctbal, 'UPNEW'
+         FROM customer WHERE c_custkey % 97 = 0),
+       merged AS (
+         SELECT t.c_custkey, t.c_nationkey,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                     ELSE t.c_acctbal END AS c_acctbal,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                     WHEN t.c_acctbal >= 5000.0 THEN 'STALE'
+                     ELSE t.c_mktsegment END AS c_mktsegment,
+                (s.c_custkey IS NULL AND t.c_acctbal < 5000.0) AS deleted
+         FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey),
+       inserted AS (
+         SELECT s.c_custkey, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+         FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+         WHERE t.c_custkey IS NULL)
+       SELECT c_custkey, c_nationkey, CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+       FROM (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM merged WHERE NOT deleted
+             UNION ALL
+             SELECT * FROM inserted)
+       ORDER BY c_custkey"""
+
   /** S8/M3: catalog listing after two creates (names only — locations are
     * UUID-suffixed by design). */
   private def listing(s: SparkSession, d: String): DataFrame = {
@@ -3300,7 +3374,9 @@ object IceQueries {
     Q("ic86_remote_url_ingest", remoteUrlIngest, Some(nationOracle)),
     Q("ic87_warehouse_cleanup", warehouseCleanup, Some(warehouseCleanupOracle)),
     Q("ic88_position_deletes_table", positionDeletesTableQ,
-      Some(positionDeletesTableOracle))
+      Some(positionDeletesTableOracle)),
+    Q("ic91_sql_merge_not_matched_by_source", sqlMergeNotMatchedBySourceQ,
+      Some(sqlMergeNotMatchedBySourceOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file
