@@ -1019,6 +1019,24 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     this
   }
 
+  /** Partition-layout evolution (the standard-format twin of the Iceberg
+    * writer's `evolveSpec`): a metadata-only CAS commit switching the
+    * hive layout NEW snapshots are written with. Files already on disk
+    * keep their directory layout — every snapshot dir is read with its
+    * own `basePath`, so partition values resolve per-era (an
+    * unpartitioned-era file carries every column in the parquet, a
+    * partitioned-era file restores the k=v dir values) and scans span
+    * both. This is the "table grew, add partitioning now" path — zero
+    * data rewritten, exactly the evolution story the Iceberg spec sells. */
+  def evolvePartitioning(newCols: Seq[String]): IceTable = {
+    val md = metadata
+    newCols.foreach(c =>
+      require(md.schema.fieldNames.contains(c), s"partition column $c not in schema"))
+    commit(md.copy(
+      partition_columns = if (newCols.isEmpty) None else Some(newCols.toList)))
+    this
+  }
+
   def scan(): DataFrame = scanSnapshot(metadata.current_snapshot_id)
 
   /** Time travel: lazy DataFrame over snapshot `id`'s file list. */
@@ -1101,7 +1119,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     def leafDone(leaf: DataFrame): DataFrame =
       deleteDF.map(joinPositionDeletes(leaf, _, deleteJoin)).getOrElse(leaf)
     if (files.isEmpty) emptyFrame(md)
-    else if (md.partitionCols.nonEmpty) {
+    // the hive-restore branch also covers files written under a PRIOR
+    // partition layout (evolvePartitioning): their k=v dir segments need
+    // per-snapshot basePath discovery even if the table is unpartitioned
+    // NOW, and an unpartitioned-era dir under it degrades to a plain read
+    else if (md.partitionCols.nonEmpty || files.exists(_.contains("="))) {
       files
         .groupBy(snapDirOf)
         .toSeq.sortBy(_._1)

@@ -2337,6 +2337,123 @@ object IceQueries {
              SELECT * FROM inserted)
        ORDER BY c_custkey"""
 
+  /** ic89: PARTITION EVOLUTION on a LIVE table — the Iceberg behavior the
+    * reference's blog sells as core lakehouse value and ic33 only touched
+    * from the unpartitioned side. Era A commits under spec 0
+    * (identity(n_regionkey), one manifest per region); the spec then
+    * EVOLVES to spec 1 (identity(n_regionkey) + bucket(4, n_nationkey))
+    * and era B commits one manifest per (region, bucket) cell. Reads span
+    * both eras, and manifest-list pruning is counter-gated on each spec's
+    * OWN axes: a region filter prunes BOTH eras' manifests through the
+    * shared identity axis, while a key point-lookup bucket-prunes only
+    * era-B manifests — era-A manifests (no bucket axis) are kept
+    * conservatively, exactly the per-spec planning the Iceberg spec
+    * requires (files are pruned by the spec that wrote them). The
+    * standard-format twin evolves a hive layout the same way
+    * (unpartitioned era → n_regionkey-partitioned era) and its
+    * cross-layout scan must match the native result row-for-row. */
+  private def icebergPartitionEvolutionQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i89")
+    s.conf.set("spark.sql.catalog.ice_i89", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i89.warehouse", wh)
+    try {
+      val loc    = s"$wh/graft/nat_i89"
+      val nation = Tables.nation(s, d).orderBy("n_nationkey")
+      val nB     = 4
+      val eraA   = nation.filter(col("n_nationkey") < 12)
+      val eraB   = nation.filter(col("n_nationkey") >= 12)
+      // era A: spec 0 = identity(n_regionkey), one commit (=> manifest) per region
+      val w = new IcebergFormat.Writer(s, loc, nation.schema, Seq("n_regionkey"))
+      val regsA = eraA.select("n_regionkey").distinct()
+        .collect().map(_.getInt(0)).sorted
+      regsA.foreach { r =>
+        w.commit(Seq(
+          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"a_r$r",
+            eraA.filter(col("n_regionkey") === r))
+            .copy(partitionValues = Map("n_regionkey" -> Int.box(r)))))
+      }
+      // EVOLVE: keep the identity axis, add a bucket axis
+      w.evolveSpec(Seq("n_regionkey", s"bucket($nB, n_nationkey)"))
+      // era B: spec 1, one commit per (region, bucket) cell
+      val cells = eraB.select("n_nationkey", "n_regionkey").collect()
+        .map(row => (row.getInt(0), row.getInt(1)))
+        .groupBy { case (k, r) =>
+          (r, (IcebergFormat.specHashLong(k.toLong) & Int.MaxValue) % nB)
+        }.toSeq.sortBy(_._1)
+      cells.foreach { case ((r, b), ks) =>
+        w.commit(Seq(
+          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"b_r${r}_b$b",
+            eraB.filter(col("n_nationkey").isin(ks.map(_._1).toIndexedSeq: _*)))
+            .copy(partitionValues = Map(
+              "n_regionkey" -> Int.box(r), "n_nationkey_bucket" -> Int.box(b)))))
+      }
+      // the metadata carries BOTH specs, default = the evolved one
+      locally {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        implicit val fmts: Formats = DefaultFormats
+        val mdTxt = {
+          val p  = new Path(w.currentMetadataPath)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        }
+        val md = JsonMethods.parse(mdTxt)
+        require((md \ "default-spec-id").extract[Int] == 1 &&
+          (md \ "partition-specs").extract[List[JObject]].size == 2,
+          "evolved metadata must keep both specs with default-spec-id 1")
+      }
+      // gate 1 — SHARED identity axis: a region filter prunes both eras'
+      // manifests down to exactly the region-2 ones
+      val expShared = regsA.count(_ == 2) + cells.count(_._1._1 == 2)
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      val q1 = s.sql(
+        """SELECT * FROM ice_i89.graft.nat_i89
+           WHERE n_regionkey = 2 ORDER BY n_nationkey""")
+      val rows1 = q1.collect()
+      val reads1 = IcebergFormat.manifestReadsAtPlanning.sum()
+      require(reads1 == expShared,
+        s"region filter read $reads1 manifests across both specs, expected $expShared")
+      // gate 2 — era-B's OWN bucket axis: a key point-lookup bucket-prunes
+      // era-B manifests; era-A manifests (spec 0 has no n_nationkey axis)
+      // are conservatively kept
+      val kProbe = 24
+      val bProbe = (IcebergFormat.specHashLong(kProbe.toLong) & Int.MaxValue) % nB
+      val expPoint = regsA.length + cells.count(_._1._2 == bProbe)
+      IcebergFormat.manifestReadsAtPlanning.reset()
+      require(s.sql(
+        s"SELECT * FROM ice_i89.graft.nat_i89 WHERE n_nationkey = $kProbe")
+        .collect().length == 1, s"point lookup for key $kProbe lost the row")
+      val reads2 = IcebergFormat.manifestReadsAtPlanning.sum()
+      require(reads2 == expPoint,
+        s"point lookup read $reads2 manifests, expected $expPoint " +
+          s"(${regsA.length} spec-0 kept + era-B bucket $bProbe cells)")
+      // standard-format twin: unpartitioned era -> evolve -> hive era;
+      // the cross-layout scan must match the native result row-for-row
+      val fsCat = new FsCatalog(s, freshDir(s, "i89_std"))
+      val tStd = fsCat.createOrReplaceTable("graft", "nat_i89_std", eraA)
+      tStd.evolvePartitioning(Seq("n_regionkey"))
+      tStd.append(eraB)
+      val t2 = fsCat.loadTable("graft", "nat_i89_std")
+      val stdFiles = t2.filesOf(t2.metadata.currentSnapshot.get)
+      require(stdFiles.exists(_.contains("n_regionkey=")) &&
+        stdFiles.exists(!_.contains("n_regionkey=")),
+        "standard twin should hold files from both partition layouts")
+      val stdScan = t2.scan().filter(col("n_regionkey") === 2)
+      val native  = s.createDataFrame(java.util.Arrays.asList(rows1: _*), q1.schema)
+      requireSameRows(stdScan, native,
+        "standard-twin cross-layout scan diverged from the native spec-evolved scan")
+      native
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i89")
+      s.conf.unset("spark.sql.catalog.ice_i89.warehouse")
+    }
+  }
+
+  private val icebergPartitionEvolutionOracle =
+    "SELECT * FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey"
+
   /** The MoR maintenance loop closed: accumulate delete debt with two MoR
     * DELETEs, observe it in the `delete_files`-style metadata table,
     * then COMPACT — the rewrite scans delete-applied, the new snapshot
@@ -3375,6 +3492,8 @@ object IceQueries {
     Q("ic87_warehouse_cleanup", warehouseCleanup, Some(warehouseCleanupOracle)),
     Q("ic88_position_deletes_table", positionDeletesTableQ,
       Some(positionDeletesTableOracle)),
+    Q("ic89_partition_evolution", icebergPartitionEvolutionQ,
+      Some(icebergPartitionEvolutionOracle)),
     Q("ic91_sql_merge_not_matched_by_source", sqlMergeNotMatchedBySourceQ,
       Some(sqlMergeNotMatchedBySourceOracle))
   )
