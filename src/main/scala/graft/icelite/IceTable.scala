@@ -1019,6 +1019,46 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     this
   }
 
+  /** Type promotion (the other half of schema evolution without
+    * rewriting data): widen a column int→bigint or float→double in a
+    * metadata-only CAS commit, PRESERVING its field id. Old data files
+    * stay byte-identical — Spark's parquet readers (vectorized and
+    * row-based) natively widen int32/float chunks into a long/double
+    * read schema — and recorded per-file stats parse fine under the
+    * wider type. These two pairs are exactly the primitive promotions
+    * the Iceberg spec allows on a written table. */
+  def promoteColumnTypes(
+      promotions: Seq[(String, org.apache.spark.sql.types.DataType)]): IceTable = {
+    import org.apache.spark.sql.types._
+    val md  = metadata
+    val pm  = promotions.toMap
+    promotions.foreach { case (c, _) =>
+      require(md.schema.fieldNames.contains(c), s"no column $c to promote") }
+    val newFields = md.schema.fields.map { f =>
+      pm.get(f.name) match {
+        case Some(nt) =>
+          require((f.dataType, nt) match {
+            case (IntegerType, LongType) | (FloatType, DoubleType) => true
+            case _                                                 => false
+          }, s"unsupported type promotion ${f.dataType.catalogString} -> " +
+            s"${nt.catalogString} for ${f.name} (int->bigint, float->double only)")
+          f.copy(dataType = nt)
+        case None => f
+      }
+    }
+    // field ids are PRESERVED — only the declared type string changes
+    val newInfos = md.fields.map { fi =>
+      pm.get(fi.name) match {
+        case Some(nt) => fi.copy(`type` = nt.catalogString)
+        case None     => fi
+      }
+    }
+    commit(md.copy(
+      schemaJson = org.apache.spark.sql.types.StructType(newFields).json,
+      fields = newInfos))
+    this
+  }
+
   /** Partition-layout evolution (the standard-format twin of the Iceberg
     * writer's `evolveSpec`): a metadata-only CAS commit switching the
     * hive layout NEW snapshots are written with. Files already on disk

@@ -1179,8 +1179,14 @@ object IcebergFormat {
     dt match {
       case IntegerType if b.length == 4 => Some(bb.getInt)
       case LongType if b.length == 8    => Some(bb.getLong)
+      // 4-byte bounds under a widened schema: files written before an
+      // int->long / float->double type promotion keep their original
+      // serialization (the spec never rewrites bounds); widen on decode
+      // so promoted columns keep pruning instead of degrading to keep-all
+      case LongType if b.length == 4    => Some(bb.getInt.toLong)
       case FloatType if b.length == 4   => Some(bb.getFloat)
       case DoubleType if b.length == 8  => Some(bb.getDouble)
+      case DoubleType if b.length == 4  => Some(bb.getFloat.toDouble)
       case StringType                   => Some(new String(b, "UTF-8"))
       case BooleanType if b.length == 1 => Some(b(0) != 0)
       case DateType if b.length == 4    => Some(bb.getInt) // epoch days
@@ -1636,14 +1642,22 @@ object IcebergFormat {
       * bumps `current-schema-id`; appended columns take fresh (higher)
       * field ids, existing columns keep theirs, and readers project old
       * data files through the current schema, null-filling the columns
-      * those files predate. Only append-at-end evolution is supported —
-      * renames/drops/retypes would need id-mapped projection. */
+      * those files predate. Existing columns may also WIDEN int→long /
+      * float→double in place — the spec's primitive type promotions —
+      * keeping their field ids; readers widen old files' chunks (and
+      * their 4-byte bounds, see decodeBound) natively. Renames/drops/
+      * narrowing retypes would need id-mapped projection and are
+      * refused. */
     def evolveSchema(newSchema: StructType): Unit = {
       val cur = currentSchema
       require(newSchema.fields.take(cur.fields.length).zip(cur.fields).forall {
-        case (n, o) => n.name == o.name && n.dataType == o.dataType
+        case (n, o) => n.name == o.name && (n.dataType == o.dataType ||
+          ((o.dataType, n.dataType) match {
+            case (IntegerType, LongType) | (FloatType, DoubleType) => true
+            case _                                                 => false
+          }))
       } && newSchema.fields.length >= cur.fields.length,
-        "only additive (append-at-end) schema evolution is supported")
+        "only append-at-end or widening (int->long, float->double) schema evolution is supported")
       // appended columns take fresh ids past the MAX existing (sparse
       // histories keep their gaps; new ids never collide)
       val maxId = allFieldIds.flatten.maxOption.getOrElse(0)

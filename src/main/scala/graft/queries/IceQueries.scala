@@ -2454,6 +2454,107 @@ object IceQueries {
   private val icebergPartitionEvolutionOracle =
     "SELECT * FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey"
 
+  /** ic90: SCHEMA TYPE PROMOTION — the other half of "schema evolution
+    * without rewriting data" (ic30 covers add-column): widen int→bigint
+    * and float→double via ALTER TABLE through the V2 catalog, field ids
+    * PRESERVED and zero data files rewritten; rows appended after the
+    * promotion carry values only the wide types can hold, and the full
+    * read coerces the old narrow files through the widened schema
+    * (Spark's parquet readers widen int32/float chunks natively). The
+    * native-format twin runs the same promotion through the Writer's
+    * schema-evolution path — with explicit 4-byte bounds on the narrow
+    * file so planning proves promoted-column pruning still works
+    * (decodeBound widens the old serialization) — and its scan is
+    * digest-gated against the V2 table. */
+  private def sqlTypePromotionQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    import org.apache.spark.sql.types._
+    val wh = freshDir(s, "i90")
+    s.conf.set("spark.sql.catalog.ice_i90", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i90.warehouse", wh)
+    try {
+      val nation = Tables.nation(s, d)
+      nation.createOrReplaceTempView("nation_i90_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i90.graft")
+      s.sql("""CREATE TABLE ice_i90.graft.nat_i90 AS
+               SELECT CAST(n_nationkey AS INT) AS key_i, n_name,
+                      CAST(n_nationkey + 0.25 AS FLOAT) AS score
+               FROM nation_i90_src""")
+      val fsCat = new FsCatalog(s, wh)
+      def t()   = fsCat.loadTable("graft", "nat_i90")
+      val (idsBefore, filesBefore) = {
+        val x = t()
+        (x.metadata.fields.map(f => f.name -> f.id).toMap,
+          x.filesOf(x.metadata.currentSnapshot.get).toSet)
+      }
+      s.sql("ALTER TABLE ice_i90.graft.nat_i90 ALTER COLUMN key_i TYPE BIGINT")
+      s.sql("ALTER TABLE ice_i90.graft.nat_i90 ALTER COLUMN score TYPE DOUBLE")
+      locally {
+        val x  = t()
+        val md = x.metadata
+        require(md.fields.map(f => f.name -> f.id).toMap == idsBefore,
+          "type promotion must preserve field ids")
+        require(md.fields.find(_.name == "key_i").get.`type` == "bigint" &&
+          md.fields.find(_.name == "score").get.`type` == "double",
+          "promoted types not recorded")
+        require(filesBefore.subsetOf(x.filesOf(md.currentSnapshot.get).toSet),
+          "type promotion rewrote data files")
+      }
+      // rows only the WIDE types can hold
+      s.sql("""INSERT INTO ice_i90.graft.nat_i90
+               SELECT CAST(n_nationkey + 9000000000 AS BIGINT), n_name,
+                      CAST(n_nationkey + 0.1 AS DOUBLE)
+               FROM nation_i90_src WHERE n_nationkey < 5""")
+      val v2Out = s.sql(
+        "SELECT key_i, n_name, score FROM ice_i90.graft.nat_i90 ORDER BY key_i")
+
+      // native-format twin: same promotion through the Writer, plus a
+      // pruning proof over the narrow file's ORIGINAL 4-byte bounds
+      val loc = s"$wh/nat_i90_native"
+      val narrowDf = nation.select(
+        col("n_nationkey").cast("int").as("key_i"), col("n_name"),
+        (col("n_nationkey") + lit(0.25)).cast("float").as("score"))
+      val w = new IcebergFormat.Writer(s, loc, narrowDf.schema)
+      def le4(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      w.commit(Seq(
+        IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "narrow", narrowDf)
+          .copy(bounds = Map(1 -> (le4(0), le4(24)))))) // key_i in [0, 24], int-serialized
+      val widened = StructType(Seq(
+        StructField("key_i", LongType), StructField("n_name", StringType),
+        StructField("score", DoubleType)))
+      w.evolveSchema(widened)
+      val wideDf = nation.filter(col("n_nationkey") < 5).select(
+        (col("n_nationkey") + lit(9000000000L)).cast("long").as("key_i"), col("n_name"),
+        (col("n_nationkey") + lit(0.1)).cast("double").as("score"))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "wide", wideDf)))
+      // the narrow file's int-serialized bounds must still prune under
+      // the widened long schema: a wide-range probe keeps only the wide file
+      val planned = IcebergFormat.planFiles(
+        s, w.currentMetadataPath, "key_i", Some("9000000000"), Some("9999999999"))
+      require(planned.size == 1 && planned.head.endsWith("wide.parquet"),
+        s"widened-bound pruning kept $planned, expected just the wide file")
+      val nativeScan = IcebergFormat.scan(s, w.currentMetadataPath)
+      requireSameRows(nativeScan, s.sql("SELECT key_i, n_name, score FROM ice_i90.graft.nat_i90"),
+        "native-twin promoted scan diverged from the V2 table")
+      v2Out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i90")
+      s.conf.unset("spark.sql.catalog.ice_i90.warehouse")
+    }
+  }
+
+  private val sqlTypePromotionOracle =
+    """WITH narrow AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS key_i, n_name,
+                CAST(CAST(n_nationkey + 0.25 AS REAL) AS DOUBLE) AS score
+         FROM nation),
+       wide AS (
+         SELECT CAST(n_nationkey + 9000000000 AS BIGINT) AS key_i, n_name,
+                CAST(n_nationkey + 0.1 AS DOUBLE) AS score
+         FROM nation WHERE n_nationkey < 5)
+       SELECT * FROM narrow UNION ALL SELECT * FROM wide ORDER BY key_i"""
+
   /** The MoR maintenance loop closed: accumulate delete debt with two MoR
     * DELETEs, observe it in the `delete_files`-style metadata table,
     * then COMPACT — the rewrite scans delete-applied, the new snapshot
@@ -3494,6 +3595,7 @@ object IceQueries {
       Some(positionDeletesTableOracle)),
     Q("ic89_partition_evolution", icebergPartitionEvolutionQ,
       Some(icebergPartitionEvolutionOracle)),
+    Q("ic90_type_promotion", sqlTypePromotionQ, Some(sqlTypePromotionOracle)),
     Q("ic91_sql_merge_not_matched_by_source", sqlMergeNotMatchedBySourceQ,
       Some(sqlMergeNotMatchedBySourceOracle))
   )

@@ -297,23 +297,35 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
   }
 
-  /** ALTER TABLE ADD COLUMN(S): metadata-only additive evolution through
-    * [[IceTable.addColumns]] (fresh field ids, CAS commit, old files read
-    * as NULL). Every other change kind is rejected loudly. */
+  /** ALTER TABLE ADD COLUMN(S) / ALTER COLUMN … TYPE: metadata-only
+    * evolution through [[IceTable.addColumns]] (fresh field ids, CAS
+    * commit, old files read as NULL) and
+    * [[IceTable.promoteColumnTypes]] (int→bigint / float→double
+    * widening, field ids preserved, old files read back widened). Every
+    * other change kind is rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    val adds = changes.collect {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"icelite ADD COLUMN supports top-level columns, got ${a.fieldNames().mkString(".")}")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
-      case other =>
-        throw new UnsupportedOperationException(
-          s"icelite ALTER TABLE supports ADD COLUMN only, got $other")
+    }
+    val promotes = changes.collect {
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          s"icelite ALTER COLUMN TYPE supports top-level columns, got ${u.fieldNames().mkString(".")}")
+        (u.fieldNames().head, u.newDataType())
+    }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
+      case other => throw new UnsupportedOperationException(
+        s"icelite ALTER TABLE supports ADD COLUMN and ALTER COLUMN TYPE only, got $other")
     }
     val ns  = ns1(ident.namespace())
     val ice = backend.loadTable(ns, ident.name())
-    ice.addColumns(adds)
+    if (adds.nonEmpty) ice.addColumns(adds)
+    if (promotes.nonEmpty) ice.promoteColumnTypes(promotes)
     val reloaded = backend.loadTable(ns, ident.name())
     publishHook(ns, ident.name()).foreach(_(reloaded))
     new IceLiteV2Table(reloaded, reloaded.metadata.currentSnapshot,

@@ -91,6 +91,45 @@ class DataSourceV2Spec extends SparkSpec {
     assert(rows.filter(_._1 >= 100).forall(_._2.contains("x")))
   }
 
+  test("SQL ALTER COLUMN TYPE promotes int->bigint/float->double; old files read widened") {
+    val whW = scratch("v2widen")
+    spark.conf.set("spark.sql.catalog.ice_w", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_w.warehouse", whW)
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_widen_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_w.ns")
+    spark.sql("DROP TABLE IF EXISTS ice_w.ns.nation_w")
+    spark.sql("""CREATE TABLE ice_w.ns.nation_w AS
+                 SELECT CAST(n_nationkey AS INT) AS k,
+                        CAST(n_nationkey + 0.25 AS FLOAT) AS v
+                 FROM nation_widen_src""")
+    // narrowing must be refused; widening is metadata-only
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ice_w.ns.nation_w ALTER COLUMN k TYPE SMALLINT") }
+    spark.sql("ALTER TABLE ice_w.ns.nation_w ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE ice_w.ns.nation_w ALTER COLUMN v TYPE DOUBLE")
+    spark.sql("""INSERT INTO ice_w.ns.nation_w
+                 SELECT CAST(n_nationkey + 9000000000 AS BIGINT),
+                        CAST(n_nationkey + 0.1 AS DOUBLE)
+                 FROM nation_widen_src WHERE n_nationkey = 0""")
+    // the read coercion, on BOTH parquet readers: old int32/float chunks
+    // surface as long/double, new wide rows intact
+    Seq("true", "false").foreach { vec =>
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", vec)
+      try {
+        val out = spark.sql("SELECT k, v FROM ice_w.ns.nation_w ORDER BY k").collect()
+        assert(out.length == 26, s"row count wrong (vectorized=$vec)")
+        assert(out.head.getLong(0) == 0L && out.head.getDouble(1) == 0.25d,
+          s"narrow row not widened (vectorized=$vec)")
+        assert(out.last.getLong(0) == 9000000000L && out.last.getDouble(1) == 0.1d,
+          s"wide row lost (vectorized=$vec)")
+      } finally spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
+    }
+    // field ids preserved across the promotion
+    val cat = new FsCatalog(spark, whW)
+    val ids = cat.loadTable("ns", "nation_w").metadata.fields.map(f => f.name -> f.id)
+    assert(ids == Seq("k" -> 1, "v" -> 2), s"field ids changed: $ids")
+  }
+
   test("V2 write rejects a mismatched schema loudly") {
     val cat = new FsCatalog(spark, scratch("v2wbad"))
     val t   = cat.createOrReplaceTable("ns", "nation_w", Tables.nation(spark, sfDir))
