@@ -402,8 +402,15 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val md   = metadata
     val snap = md.currentSnapshot.getOrElse(return Some(Set.empty))
     val fieldOf  = md.schema.fields.map(f => f.name -> f).toMap
-    val partSet  = md.partitionCols.toSet
     val ALL = 1; val NONE = 0; val MIXED = -1
+
+    // partition-column evidence (one uniform non-null value per file "by
+    // construction") holds only for files WRITTEN under a layout where c
+    // was a partition column — after evolvePartitioning older files
+    // predate the layout and their stats are ordinary (possibly
+    // null-skipping) bounds. A file's own hive path is the era witness:
+    // partition-era files live under a c=value directory.
+    var partSet = Set.empty[String]
 
     def noNulls(c: String, stats: Map[String, ColRange]): Boolean =
       fieldOf.get(c).exists(!_.nullable) || (partSet(c) && stats.contains(c))
@@ -525,10 +532,14 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       case _ => MIXED
     }
 
+    val declaredParts = md.partitionCols.toSet
     val removable = Set.newBuilder[String]
     for (m <- snap.manifests; e <- readManifest(m)) {
       if (!e.rows.contains(0L)) { // a zero-row file has nothing to classify
         val stats = e.stats.getOrElse(Map.empty)
+        // era witness: only columns materialized as k=v dirs in THIS
+        // file's path carry partition-uniformity evidence
+        partSet = declaredParts.filter(c => e.file.contains(s"/$c="))
         // the conjunction of all pushed filters, evaluated per file
         val verdicts = filters.map(eval(_, stats))
         if (verdicts.contains(MIXED)) return None

@@ -489,4 +489,24 @@ class IceLiteSpec extends SparkSpec {
     eng.exportParquet(nation, s"$out/pq")
     assert(spark.read.parquet(s"$out/pq").count() == 25)
   }
+
+  test("partition evolution: metadata DELETE stays sound across layout eras") {
+    import spark.implicits._
+    val cat = new FsCatalog(spark, scratch("evolvedel"))
+    // era A (unpartitioned): c has nulls, and its non-null bounds are
+    // uniform (5) — the exact shape that would fake partition-uniformity
+    // evidence if the era weren't checked
+    val eraA = Seq((1, Option(5)), (2, Option.empty[Int]), (3, Option(5)))
+      .toDF("id", "c")
+    cat.createOrReplaceTable("ns", "t_ed", eraA)
+      .evolvePartitioning(Seq("c"))
+      .append(Seq((4, Option(5)), (5, Option(7))).toDF("id", "c"))
+    val t = cat.loadTable("ns", "t_ed")
+    t.deleteWhere(col("c") === 5)
+    // the era-A null row must survive: its file predates the c-layout, so
+    // lo == hi == 5 stats are null-skipping bounds, not a partition value
+    val rows = cat.loadTable("ns", "t_ed").scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(rows.toSeq == Seq((2, None), (5, Some(7))), rows.mkString(","))
+  }
 }
