@@ -833,11 +833,21 @@ object IcebergFormat {
   def currentMetadataPath(spark: SparkSession, location: String): String = {
     val hint = new Path(location, "metadata/version-hint.text")
     val fs   = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var v    = readText(fs, hint).trim.toInt
-    // the hint is advisory (written after the version-file CAS): walk
-    // forward past any newer committed versions so a reader racing a
-    // writer's hint flip still resolves the latest state — the same
-    // recovery Iceberg's HadoopTableOperations performs
+    // the hint is advisory: tolerate a missing/garbled one (a reader
+    // racing the flip, or an externally-written table without a hint) by
+    // falling back to the metadata-dir listing, then walk forward past
+    // any newer committed versions — the same recovery Iceberg's
+    // HadoopTableOperations performs
+    val VPat = raw"v(\d+)\.metadata\.json".r
+    var v = (try readText(fs, hint).trim.toInt
+    catch {
+      case _: NumberFormatException | _: java.io.IOException =>
+        fs.listStatus(new Path(location, "metadata")).toSeq
+          .map(_.getPath.getName)
+          .collect { case VPat(n) => n.toInt }
+          .maxOption.getOrElse(
+            throw new IllegalStateException(s"no metadata versions at $location"))
+    })
     while (fs.exists(new Path(location, f"metadata/v${v + 1}%05d.metadata.json"))) v += 1
     new Path(location, f"metadata/v$v%05d.metadata.json").toString
   }
@@ -2025,9 +2035,22 @@ object IcebergFormat {
       }
       attemptCreated = mdPath :: attemptCreated
       // the hint is advisory (readers walk forward from it) and only
-      // winners reach this line, so a plain overwrite is safe
-      val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
+      // winners reach this line — but it must flip ATOMICALLY (tmp +
+      // rename-replace): a plain overwriting create truncates first, and
+      // a concurrent reader would see an empty hint
+      val hintTmp = new Path(metadataDir,
+        "version-hint." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val hint = fs.create(hintTmp, true)
       try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+      val hintPath = new Path(metadataDir, "version-hint.text")
+      if (!fs.rename(hintTmp, hintPath)) {
+        // some FS contracts refuse rename-onto-existing: replace under the
+        // hint's own lock so no reader ever observes a missing hint window
+        IceTable.commitLock(hintPath.toString).synchronized {
+          fs.delete(hintPath, false)
+          require(fs.rename(hintTmp, hintPath), s"hint flip failed at $hintPath")
+        }
+      }
     }
 
     def currentMetadataPath: String =
