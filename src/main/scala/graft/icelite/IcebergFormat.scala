@@ -1530,6 +1530,12 @@ object IcebergFormat {
     }
 
     private var version = startVersion
+    // snapshot ids (= sequence numbers) are MONOTONE FOREVER, never
+    // recycled: `committed.size + 1` would re-issue the ids of expired
+    // snapshots, re-using their manifest/list names (a rename-as-CAS
+    // conflict with the tombstoned files) and rewinding sequence numbers
+    // the spec requires to only grow
+    private var lastSnapId = 0L
     // historical schemas, index = schema-id; commits use the last (current)
     private var allSchemas = List(schema)
     private def currentSchema: StructType = allSchemas.last
@@ -1600,13 +1606,13 @@ object IcebergFormat {
       * snapshot state, and rethrow — the caller resumes from the winner's
       * metadata and retries (see [[IcebergFormat.appendWithRetry]]). */
     private def withCommitRollback[T](body: => T): T = {
-      val (m0, c0, v0) = (manifests, committed, version)
+      val (m0, c0, v0, s0) = (manifests, committed, version, lastSnapId)
       attemptCreated = Nil
       try body catch {
         case e: java.util.ConcurrentModificationException =>
           attemptCreated.foreach(p =>
             try fs.delete(p, false) catch { case _: Throwable => () })
-          manifests = m0; committed = c0; version = v0
+          manifests = m0; committed = c0; version = v0; lastSnapId = s0
           throw e
       }
     }
@@ -1734,7 +1740,7 @@ object IcebergFormat {
           s"stats keyed by non-schema field ids ${bad.toSeq.sorted.mkString(",")} " +
             s"(schema ids: ${currentFieldIds.mkString(",")}) — pass fieldIds to the stage writer")
       }
-      val snapId = committed.size + 1L
+      val snapId = lastSnapId + 1L
       val seq    = snapId // one sequence number per commit
       fs.mkdirs(metadataDir)
       withCommitRollback {
@@ -1869,7 +1875,7 @@ object IcebergFormat {
       * streaming ingest the manifest list would otherwise grow without
       * bound. Delete manifests are carried as-is. */
     def rewriteManifests(): Unit = withCommitRollback {
-      val snapId = committed.size + 1L
+      val snapId = lastSnapId + 1L
       val seq    = snapId
       val (dataM, delM) = manifests.partition(_.content == 0)
       val merged = dataM.groupBy(_.specId).toSeq.sortBy(_._1).map { case (sid, group) =>
@@ -1979,13 +1985,17 @@ object IcebergFormat {
         r
       }
       val listPath = new Path(metadataDir, f"snap-$snapId%d-manifest-list$tagSuffix.avro")
+      // parent = the actual previous head (ids are monotone but can GAP
+      // past expired history, so snapId - 1 is not necessarily it)
+      val parent = committed.lastOption.map(_._1.toString).getOrElse("null")
       writeAvroFile(listPath, manifestFileSchema, listRecords, Map(
         "format-version" -> "2",
         "snapshot-id" -> snapId.toString,
         "sequence-number" -> seq.toString,
-        "parent-snapshot-id" -> (if (snapId == 1) "null" else (snapId - 1).toString)),
+        "parent-snapshot-id" -> parent),
         noClobber = true)
       committed = committed :+ ((snapId, listPath.toString))
+      lastSnapId = snapId
       writeMetadata()
     }
 
@@ -2073,6 +2083,10 @@ object IcebergFormat {
         defaultSpec0: Int,
         fieldIds0: List[Seq[Int]]): Unit = {
       committed = committed0
+      // resume the monotone id allocator past every snapshot the restored
+      // log has seen (expired history may have gone, so this is a floor —
+      // but the log keeps ids strictly growing, making max = latest)
+      lastSnapId = committed0.map(_._1).foldLeft(0L)(math.max)
       manifests = manifests0.map {
         case (p, len, addedBy, seq, content, nFiles, nRows, specId, ex, sums) =>
           ManifestRec(p, len, addedBy, seq, content, nFiles, nRows, specId, existing = ex,
