@@ -839,15 +839,19 @@ object IcebergFormat {
     // any newer committed versions — the same recovery Iceberg's
     // HadoopTableOperations performs
     val VPat = raw"v(\d+)\.metadata\.json".r
+    def latestListed(): Int = fs.listStatus(new Path(location, "metadata")).toSeq
+      .map(_.getPath.getName)
+      .collect { case VPat(n) => n.toInt }
+      .maxOption.getOrElse(
+        throw new IllegalStateException(s"no metadata versions at $location"))
     var v = (try readText(fs, hint).trim.toInt
     catch {
-      case _: NumberFormatException | _: java.io.IOException =>
-        fs.listStatus(new Path(location, "metadata")).toSeq
-          .map(_.getPath.getName)
-          .collect { case VPat(n) => n.toInt }
-          .maxOption.getOrElse(
-            throw new IllegalStateException(s"no metadata versions at $location"))
+      case _: NumberFormatException | _: java.io.IOException => latestListed()
     })
+    // a numerically-valid hint can still point past every real version
+    // (copied table, external tooling): validate it resolves, else list
+    if (!fs.exists(new Path(location, f"metadata/v$v%05d.metadata.json")))
+      v = latestListed()
     while (fs.exists(new Path(location, f"metadata/v${v + 1}%05d.metadata.json"))) v += 1
     new Path(location, f"metadata/v$v%05d.metadata.json").toString
   }
@@ -1632,25 +1636,49 @@ object IcebergFormat {
         records.foreach(w.append)
       } finally w.close()
       if (noClobber) {
-        // rename-as-CAS: snapshot-scoped names (manifests, manifest
+        // claim-as-CAS: snapshot-scoped names (manifests, manifest
         // lists) are claimed exactly once; a second writer racing the
         // same snapshot id loses HERE, before any published metadata
         // can point at overwritten files
-        val won = IceTable.commitLock(p.toString).synchronized {
-          !fs.exists(p) && fs.rename(tmp, p)
-        }
-        if (!won) {
+        if (!claimExactlyOnce(tmp, p)) {
           fs.delete(tmp, false)
           throw new java.util.ConcurrentModificationException(
             s"concurrent commit to $location: ${p.getName} already exists; " +
               "resume the writer from current metadata and retry")
         }
+        // only exclusively-claimed files may enter the rollback set: a
+        // path that pre-existed is someone else's committed artifact
+        attemptCreated = p :: attemptCreated
       } else {
         if (fs.exists(p)) fs.delete(p, false)
         require(fs.rename(tmp, p), s"avro commit rename failed: $tmp -> $p")
       }
-      attemptCreated = p :: attemptCreated
       fs.getFileStatus(p).getLen
+    }
+
+    /** Atomically promote `tmp` to `dst` iff `dst` does not exist.
+      * Local paths get a TRUE cross-process CAS: hard-link creation is
+      * O_EXCL-atomic on POSIX (EEXIST when another process got there
+      * first) — plain rename(2) would silently REPLACE the winner's
+      * file. Non-local filesystems fall back to exists+rename under a
+      * per-path JVM lock (exact within one driver; multi-driver safety
+      * there needs a conditional-put store, see IceTable's
+      * conditionalPutSchemes). */
+    private def claimExactlyOnce(tmp: Path, dst: Path): Boolean = {
+      val scheme = Option(dst.toUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+        try {
+          Files.createLink(Paths.get(dst.toUri.getPath), Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: FileAlreadyExistsException => false
+          case _: java.nio.file.FileSystemException if fs.exists(dst) => false
+        }
+      } else IceTable.commitLock(dst.toString).synchronized {
+        !fs.exists(dst) && fs.rename(tmp, dst)
+      }
     }
 
     /** Additive schema evolution for subsequent commits, the spec way:
@@ -1940,12 +1968,18 @@ object IcebergFormat {
         committed = kept
         writeMetadata()
       }
+      // reclamation is BEST-EFFORT per entry: the expiration committed
+      // above, so a missing/corrupt expired list (externally vacuumed)
+      // must not fail the operation or strand the remaining deletions —
+      // a skipped file is an orphan for the vacuum op, not an error
       expired.foreach { case (_, lp) =>
-        val p = new Path(lp)
-        readAvro(fs, p).map(_.get("manifest_path").toString)
-          .filterNot(keptManifests)
-          .foreach(mp => fs.delete(new Path(mp), false))
-        fs.delete(p, false)
+        try {
+          val p = new Path(lp)
+          readAvro(fs, p).map(_.get("manifest_path").toString)
+            .filterNot(keptManifests)
+            .foreach(mp => fs.delete(new Path(mp), false))
+          fs.delete(p, false)
+        } catch { case _: Exception => () }
       }
     }
 
@@ -2034,10 +2068,7 @@ object IcebergFormat {
         mdPath.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(metadataJson.getBytes("UTF-8")) finally out.close()
-      val won = IceTable.commitLock(mdPath.toString).synchronized {
-        !fs.exists(mdPath) && fs.rename(tmp, mdPath)
-      }
-      if (!won) {
+      if (!claimExactlyOnce(tmp, mdPath)) {
         fs.delete(tmp, false)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit to $location: ${mdPath.getName} already exists; " +

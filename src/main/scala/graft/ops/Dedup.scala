@@ -199,24 +199,38 @@ object Dedup {
     *    `spark.catalog.clearCache()` (the bench clears between queries),
     *    so memoization survives instead of silently degrading to
     *    recompute-per-read;
-    *  - each lookup sweeps entries whose owning session is gone (weakly
-    *    held and collected, or its SparkContext stopped), so a long-lived
-    *    JVM that cycles sessions can't grow the map without bound. */
+    *  - each lookup sweeps entries whose SparkContext has stopped, and an
+    *    LRU cap bounds the live-context population (a weak reference
+    *    would never fire here — the memoized Dataset itself strongly
+    *    references its owning session — so boundedness comes from the
+    *    cap, with the coldest frame unpersisted on eviction). A
+    *    long-lived JVM cycling sessions over one context holds at most
+    *    MaxEntries frames. */
   private final case class Memo(
-      fp: Long, df: DataFrame,
-      owner: java.lang.ref.WeakReference[SparkSession])
+      fp: Long, df: DataFrame, owner: SparkSession,
+      @volatile var lastUsed: Long)
   private final class FrameCache {
     private val m = new java.util.concurrent.ConcurrentHashMap[(String, String), Memo]()
-    private def sweepDead(): Unit = {
+    private val MaxEntries = 16
+    private def drop(k: (String, String), e: Memo): Unit = {
+      m.remove(k, e)
+      try e.df.unpersist() catch { case _: Throwable => () }
+    }
+    private def sweep(): Unit = {
       val it = m.entrySet().iterator()
       while (it.hasNext) {
-        val owner = it.next().getValue.owner.get()
         // a frame of a stopped context is unreachable anyway; just drop it
-        if (owner == null || owner.sparkContext.isStopped) it.remove()
+        if (it.next().getValue.owner.sparkContext.isStopped) it.remove()
+      }
+      if (m.size > MaxEntries) {
+        import scala.jdk.CollectionConverters._
+        m.entrySet().asScala.toSeq.sortBy(_.getValue.lastUsed)
+          .take(m.size - MaxEntries)
+          .foreach(e => drop(e.getKey, e.getValue))
       }
     }
     def get(s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
-      sweepDead()
+      sweep()
       val fp = dirFingerprint(s, d)
       // session identity: applicationId changes when the underlying
       // SparkContext is stopped/recreated; the identity hash separates
@@ -227,8 +241,9 @@ object Dedup {
         else {
           if (old != null)
             try old.df.unpersist() catch { case _: Throwable => () }
-          Memo(fp, build, new java.lang.ref.WeakReference(s))
+          Memo(fp, build, s, System.nanoTime())
         })
+      e.lastUsed = System.nanoTime()
       if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.df.persist()
       e.df
     }

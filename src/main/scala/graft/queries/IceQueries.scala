@@ -271,7 +271,7 @@ object IceQueries {
                        c_mktsegment
                 FROM cust_retire_src WHERE c_custkey % 7 != 0
                 UNION ALL
-                SELECT c_custkey + 3000000, c_nationkey, c_acctbal, 'UPNEW'
+                SELECT c_custkey + 100000000000, c_nationkey, c_acctbal, 'UPNEW'
                 FROM cust_retire_src WHERE c_custkey % 97 = 0""")
       s.sql(s"""MERGE INTO $cat.graft.cust_retire t
                 USING retire_updates s
@@ -298,7 +298,7 @@ object IceQueries {
          SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 7 != 0
          UNION ALL
-         SELECT c_custkey + 3000000, c_nationkey, c_acctbal, 'UPNEW'
+         SELECT c_custkey + 100000000000, c_nationkey, c_acctbal, 'UPNEW'
          FROM customer WHERE c_custkey % 97 = 0),
        merged AS (
          SELECT t.c_custkey, t.c_nationkey,

@@ -100,6 +100,7 @@ class IcebergConcurrencySpec extends SparkSpec {
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "a racing append hung past the join timeout")
     assert(errors.isEmpty, s"racing append failed: ${errors.peek()}")
 
     // final state: base + both deltas, regardless of commit order
