@@ -242,8 +242,21 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val dataRel = s"data/snap-$snapId0-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(location, dataRel)
     val parts   = md0.partitionCols
-    if (parts.isEmpty) df.write.parquet(dataDir.toString)
-    else df.write.partitionBy(parts: _*).parquet(dataDir.toString)
+    // stamp parquet field ids (from the metadata's FieldInfo table) so
+    // every data file is resolvable by id after a rename/drop evolution;
+    // purely additive for name-based readers
+    val idOf = md0.fields.map(fi => fi.name -> fi.id).toMap
+    val stamped = df.select(df.schema.fields.map { f =>
+      idOf.get(f.name) match {
+        case Some(id) =>
+          val m = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build()
+          org.apache.spark.sql.functions.col(f.name).as(f.name, m)
+        case None => org.apache.spark.sql.functions.col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    if (parts.isEmpty) stamped.write.parquet(dataDir.toString)
+    else stamped.write.partitionBy(parts: _*).parquet(dataDir.toString)
     val (files, fileSizes) = {
       val it  = fs.listFiles(dataDir, true) // recursive: partition subdirs
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -412,6 +425,10 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     // partition-era files live under a c=value directory.
     var partSet = Set.empty[String]
 
+    // stats under a RETIRED name (dropped/renamed-away column) must never
+    // serve as evidence for a same-named successor column
+    val retiredCols = md.retiredNames
+
     def noNulls(c: String, stats: Map[String, ColRange]): Boolean =
       fieldOf.get(c).exists(!_.nullable) || (partSet(c) && stats.contains(c))
 
@@ -432,6 +449,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     def range(c: String, stats: Map[String, ColRange]): Option[(String, String, (String, String) => Int)] =
       for {
         f  <- fieldOf.get(c)
+        if !retiredCols(c)
         r  <- stats.get(c)
         lo <- r.min
         hi <- r.max
@@ -998,7 +1016,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     if (newFs.nonEmpty) {
-      val nextId = md.fields.map(_.id).foldLeft(0)(math.max) + 1
+      val nextId = md.lastColumnId + 1 // never re-issues a dropped field's id
       val addedFields = newFs.zipWithIndex.map { case (f, i) =>
         FieldInfo(nextId + i, f.name, f.dataType.catalogString, required = !f.nullable)
       }
@@ -1022,11 +1040,65 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       require(f.nullable, s"evolved column ${f.name} must be nullable (old files lack it)")
     }
     val newSchema = org.apache.spark.sql.types.StructType(md.schema.fields ++ newFields)
-    val maxId     = md.fields.map(_.id).foldLeft(0)(math.max)
+    val maxId     = md.lastColumnId // never re-issues a dropped field's id
     val added = newFields.zipWithIndex.map { case (f, i) =>
       FieldInfo(maxId + i + 1, f.name, f.dataType.catalogString, required = false)
     }
     commit(md.copy(schemaJson = newSchema.json, fields = md.fields ++ added.toList))
+    this
+  }
+
+  /** RENAME COLUMN: metadata-only — the field keeps its id, only the
+    * display name changes; zero data IO. The table flips to read-by-id
+    * (`read_by_id` in the metadata) so readers bind old files' columns
+    * through the parquet field ids [[appendInternal]] always stamps —
+    * by-name resolution would null the column out of every pre-rename
+    * file. Partition columns are refused: the hive layout encodes their
+    * NAMES in directory paths. */
+  def renameColumns(renames: Seq[(String, String)]): IceTable = {
+    val md = metadata
+    renames.foreach { case (o, n) =>
+      require(md.schema.fieldNames.contains(o), s"no column $o to rename")
+      require(!md.schema.fieldNames.contains(n), s"column $n already exists")
+      require(!md.partitionCols.contains(o),
+        s"cannot rename hive partition column $o (directory paths encode the name)")
+    }
+    val rm = renames.toMap
+    val newSchema = org.apache.spark.sql.types.StructType(
+      md.schema.fields.map(f => rm.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+    val newInfos = md.fields.map(fi =>
+      rm.get(fi.name).map(n => fi.copy(name = n)).getOrElse(fi))
+    commit(md.copy(schemaJson = newSchema.json, fields = newInfos,
+      read_by_id = Some(true),
+      // old names retire: a later column reusing one must not consult
+      // its name-keyed stats in old files
+      retired_columns = Some(
+        (md.retiredNames ++ renames.map(_._1)).toList.sorted)))
+    this
+  }
+
+  /** DROP COLUMN: metadata-only — the field leaves the schema, its id is
+    * RETIRED (addColumns allocates past the max ever used, so a re-add of
+    * the same name gets a FRESH id and old files' values do NOT
+    * resurrect — the guarantee read-by-id exists for). Data files keep
+    * the physical column untouched; zero data IO. */
+  def dropColumns(names: Seq[String]): IceTable = {
+    val md = metadata
+    names.foreach { c =>
+      require(md.schema.fieldNames.contains(c), s"no column $c to drop")
+      require(!md.partitionCols.contains(c), s"cannot drop hive partition column $c")
+    }
+    require(md.schema.fields.length > names.length, "cannot drop every column")
+    val drop = names.toSet
+    commit(md.copy(
+      schemaJson = org.apache.spark.sql.types.StructType(
+        md.schema.fields.filterNot(f => drop(f.name))).json,
+      fields = md.fields.filterNot(fi => drop(fi.name)),
+      read_by_id = Some(true),
+      // pin the retired ids out of circulation forever, and retire the
+      // names so a re-added column never consults the old stats
+      last_column_id = Some(md.lastColumnId),
+      retired_columns = Some((md.retiredNames ++ names).toList.sorted)))
     this
   }
 
@@ -1169,6 +1241,23 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     }
     def leafDone(leaf: DataFrame): DataFrame =
       deleteDF.map(joinPositionDeletes(leaf, _, deleteJoin)).getOrElse(leaf)
+    // a rename/drop-evolved table binds file columns by the parquet field
+    // ids appendInternal stamps: the read schema carries the ids, the
+    // session flag turns id matching on (a no-op for every id-less read
+    // schema, so other scans are untouched). Hive partition columns keep
+    // resolving from directory paths — id matching only applies to
+    // columns physically read from files.
+    val readSchema =
+      if (!md.readById) md.schema
+      else {
+        val idOf = md.fields.map(fi => fi.name -> fi.id).toMap
+        org.apache.spark.sql.types.StructType(md.schema.fields.map { f =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", idOf(f.name).toLong).build())
+        })
+      }
+    if (md.readById) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     if (files.isEmpty) emptyFrame(md)
     // the hive-restore branch also covers files written under a PRIOR
     // partition layout (evolvePartitioning): their k=v dir segments need
@@ -1180,7 +1269,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         .toSeq.sortBy(_._1)
         .map { case (rel, fs) =>
           leafDone(spark.read
-            .schema(md.schema)
+            .schema(readSchema)
             .option("basePath", new Path(location, rel).toString)
             .parquet(fs.map(f => new Path(location, f).toString): _*))
         }
@@ -1190,7 +1279,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         // positional consumers (union/except/writers) need md.schema order
         .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     } else leafDone(
-      spark.read.schema(md.schema).parquet(files.map(f => new Path(location, f).toString): _*))
+      spark.read.schema(readSchema).parquet(files.map(f => new Path(location, f).toString): _*))
   }
 
   def snapshots(): Seq[Snapshot] = metadata.snapshots
@@ -1358,13 +1447,16 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       c -> cmpFor(md.schema.fields.find(_.name == c).map(_.dataType)
         .getOrElse(org.apache.spark.sql.types.StringType))
     }.toMap
+    // stats under a RETIRED name may belong to a dropped/renamed-away
+    // column; a same-named successor must never prune by them
+    val retired = md.retiredNames
     def hit(stats: Option[Map[String, ColRange]]): Boolean =
       bounds.forall { case (c, (lo, hi)) =>
-        stats.flatMap(_.get(c)) match {
+        stats.flatMap(s => if (retired(c)) None else s.get(c)) match {
           case Some(ColRange(Some(mn), Some(mx))) =>
             val cmp = cmps(c)
             lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
-          case _ => true // no recorded range for this column: can't skip
+          case _ => true // no (trustworthy) recorded range: can't skip
         }
       }
     snap.manifests.zipWithIndex.flatMap { case (m, i) =>
@@ -1405,7 +1497,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     require(md.partitionCols.isEmpty, "exportIceberg supports unpartitioned tables only")
     val files = md.currentSnapshot.map(filesOf).getOrElse(Nil)
       .map(f => new Path(location, f))
-    val w = new IcebergFormat.Writer(spark, destLocation, md.schema)
+    // adopt the source's REAL field ids (sparse after drops) and its
+    // read-by-id mode: the export re-points at the ORIGINAL parquet
+    // files, so a rename-evolved source's files still carry pre-rename
+    // column names and must keep binding by id
+    val w = new IcebergFormat.Writer(spark, destLocation, md.schema,
+      topLevelFieldIds = md.fields.map(_.id))
+    if (md.readById) w.setReadById()
     if (files.isEmpty) { w.commit(Nil); return w.currentMetadataPath }
     // record_count is a required manifest field, and per-file min/max feed
     // the manifests' lower/upper bounds (manifest-level pruning for any
@@ -1415,13 +1513,16 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val statCols = md.schema.fields.filter(f => rangeable(f.dataType)).map(_.name)
     val aggs = count(lit(1)).as("n") +: statCols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
-    val byFile = spark.read.schema(md.schema).parquet(files.map(_.toString): _*)
+    val statIdOf = md.fields.map(fi => fi.name -> fi.id).toMap
+    if (md.readById) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val statsReadSchema = if (md.readById) md.stampedSchema else md.schema
+    val byFile = spark.read.schema(statsReadSchema).parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .collect()
       .map { r =>
         val bounds = statCols.flatMap { c =>
-          val fieldId = md.schema.fieldNames.indexOf(c) + 1
+          val fieldId = statIdOf(c) // REAL id (sparse after drops), never positional
           val dt      = md.schema(c).dataType
           for {
             mn <- Option(r.getAs[String](s"min_$c"))

@@ -175,7 +175,11 @@ object IcebergFormat {
 
   private[graft] final case class TablePlan(
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
-      deletes: Seq[PlannedDelete])
+      deletes: Seq[PlannedDelete],
+      // table property `graft.read-by-id`: set by a rename/drop column
+      // evolution, after which file columns resolve by parquet field id
+      // (by-name would miss every pre-rename file's column)
+      readById: Boolean = false)
 
   /** One partition field's summary from a manifest-LIST entry (spec field
     * 507 `partitions`, ordered like the manifest's spec fields): whether
@@ -201,7 +205,8 @@ object IcebergFormat {
     * keep predicates before ANY manifest is read. */
   private[graft] final case class PlanHeader(
       schema: StructType, fieldIds: Seq[Int],
-      axes: Map[Int, Seq[(String, Int, String)]])
+      axes: Map[Int, Seq[(String, Int, String)]],
+      readById: Boolean = false)
 
   /** Manifest avro files read by [[plan]] — the planning-cost observable
     * manifest-list pruning is gated on (MorSpec). */
@@ -445,7 +450,8 @@ object IcebergFormat {
         }.toMap
       case _ => Map.empty
     }
-    PlanHeader(sparkSchema, fieldIds, axes)
+    PlanHeader(sparkSchema, fieldIds, axes,
+      (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"))
   }
 
   /** `delete_files`-style metadata table for a STANDARD-format table:
@@ -581,6 +587,8 @@ object IcebergFormat {
       case _ => md \ "schema"
     }
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
+    val readById =
+      (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true")
 
     val defaultSpecId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
     // per-spec field lookups, memoized — an evolved table's manifests name
@@ -592,7 +600,7 @@ object IcebergFormat {
     // time travel: an explicit snapshot id overrides the current pointer
     val currentId = snapshotId.getOrElse(
       (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L))
-    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil)
+    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil, readById)
     val snapshot = (md \ "snapshots").extract[List[JObject]]
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
@@ -732,7 +740,8 @@ object IcebergFormat {
       }
     }
     TablePlan(sparkSchema, fieldIds,
-      planned.collect { case Left(f) => f }, planned.collect { case Right(d) => d })
+      planned.collect { case Left(f) => f }, planned.collect { case Right(d) => d },
+      readById)
   }
 
   /** Parse a manifest-list entry's `partitions` summaries (spec field 507)
@@ -881,7 +890,16 @@ object IcebergFormat {
   private def scanFiles(spark: SparkSession, p: TablePlan, files: Seq[PlannedFile]): DataFrame = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty) return emptyFrame(spark, p.schema)
-    val base = spark.read.schema(p.schema).parquet(files.map(_.path.toString): _*)
+    // a rename/drop-evolved table resolves file columns by parquet field
+    // id: the read schema carries the ids and the session flag turns id
+    // matching on (it only activates for id-carrying read schemas, so
+    // every other scan in the session is untouched). A data file without
+    // stamped ids fails LOUDLY here — by-name fallback could resurrect a
+    // dropped-and-readded column's old values.
+    val readSchema =
+      if (p.readById) withParquetFieldIds(p.schema, p.fieldIds) else p.schema
+    if (p.readById) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val base = spark.read.schema(readSchema).parquet(files.map(_.path.toString): _*)
 
     // Identity partition columns recorded in the manifests' partition
     // records (spec "Column Projection"): an identity source column may be
@@ -950,7 +968,16 @@ object IcebergFormat {
         require(eqIds.nonEmpty, "equality delete file without equality_ids")
         val keyNames = eqIds.map(id => idToName.getOrElse(id,
           throw new NoSuchElementException(s"equality_id $id not in schema")))
-        val delKeys = spark.read.parquet(group.map(_.path.toString): _*)
+        // on a rename-evolved table the delete file may carry pre-rename
+        // names: bind its key columns by their equality ids
+        val delBase =
+          if (p.readById) {
+            val keySchema = StructType(keyNames.map(n =>
+              p.schema.fields(p.schema.fieldNames.indexOf(n)).copy(nullable = true)))
+            spark.read.schema(withParquetFieldIds(keySchema, eqIds))
+              .parquet(group.map(_.path.toString): _*)
+          } else spark.read.parquet(group.map(_.path.toString): _*)
+        val delKeys = delBase
           .select(keyNames.map(n => col(n).as(s"__eq_$n")): _*).distinct()
         val keyMatch = keyNames.map(n => col(n) <=> col(s"__eq_$n")).reduce(_ && _)
         data = data.join(broadcast(delKeys), keyMatch && col("__dataseq") < lit(seq), "left_anti")
@@ -1350,12 +1377,49 @@ object IcebergFormat {
     * manifest entry. The single-partition write preserves the caller's
     * sort order, which makes file positions deterministic — the property
     * position deletes address. */
+  /** `schema` with `parquet.field.id` metadata on every top-level field —
+    * the key Spark's parquet paths honor on BOTH sides: the writer stamps
+    * the ids into the file schema (`spark.sql.parquet.fieldId.write
+    * .enabled`, default on), and a reader with
+    * `spark.sql.parquet.fieldId.read.enabled` resolves file columns by id
+    * instead of name. Id resolution is what makes RENAME/DROP COLUMN
+    * readable across old files (spec "Column Projection": names are
+    * display only, identity is the field id). */
+  private[graft] def withParquetFieldIds(schema: StructType, ids: Seq[Int]): StructType = {
+    require(ids.length == schema.fields.length,
+      s"field id count ${ids.length} != column count ${schema.fields.length}")
+    StructType(schema.fields.zip(ids).map { case (f, id) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+    })
+  }
+
+  /** `df` with its top-level columns re-aliased to carry `parquet.field.id`
+    * metadata, so the parquet files this write produces are id-stamped.
+    * Purely additive: name-based readers are unaffected. */
+  private[graft] def stampFieldIds(df: DataFrame, ids: Seq[Int]): DataFrame = {
+    val stamped = withParquetFieldIds(df.schema, ids)
+    df.select(stamped.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+  }
+
   def writeSingleFile(spark: SparkSession, stagingDir: String, loc: String, name: String,
       df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil,
       fieldIds: Seq[Int] = Nil): DataFileInfo = {
     val fs  = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$stagingDir/stage_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // stamp parquet field ids (positional when the caller didn't pass a
+    // sparse layout; the spec-reserved pair for position-delete files) —
+    // costs nothing, and makes every file this path writes resolvable by
+    // id after a rename/drop evolution
+    val stampIds =
+      if (fieldIds.nonEmpty) fieldIds
+      else if (content == 1 && df.schema.fieldNames.sameElements(Array("file_path", "pos")))
+        Seq(PosDeletePathFieldId, PosDeletePosFieldId)
+      else if (content == 2 && equalityIds.length == df.schema.fields.length)
+        equalityIds // an equality-delete file's columns ARE the key fields
+      else 1 to df.schema.fields.length
+    stampFieldIds(df, stampIds).coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = fs.listStatus(new Path(tmp)).map(_.getPath)
       .find(_.getName.endsWith(".parquet")).get
     val dest = new Path(s"$loc/data/$name.parquet")
@@ -1543,6 +1607,9 @@ object IcebergFormat {
     // historical schemas, index = schema-id; commits use the last (current)
     private var allSchemas = List(schema)
     private def currentSchema: StructType = allSchemas.last
+    // flips on rename/drop evolution; published as the `graft.read-by-id`
+    // table property so readers resolve file columns by parquet field id
+    private var readById: Boolean = false
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
     private case class ManifestRec(path: String, len: Long, addedBy: Long, seq: Long,
         content: Int, nFiles: Int, nRows: Long, specId: Int, existing: Boolean = false,
@@ -1709,6 +1776,54 @@ object IcebergFormat {
       allFieldIds = allFieldIds :+ (currentFieldIds ++ fresh)
       allSchemas = allSchemas :+ newSchema
     }
+
+    /** RENAME COLUMN, the spec way: the field keeps its id (and with it
+      * every per-file stat, bound, and partition-source reference), only
+      * the display name changes in a new schema-history entry. Data files
+      * are untouched; the table flips to read-by-id so readers bind old
+      * files' columns through the parquet field ids this library always
+      * stamps (by-name would null out every pre-rename file). */
+    def renameColumn(oldName: String, newName: String): Unit = {
+      val cur = currentSchema
+      val idx = cur.fieldNames.indexOf(oldName)
+      require(idx >= 0, s"no column $oldName to rename")
+      require(!cur.fieldNames.contains(newName), s"column $newName already exists")
+      allFieldIds = allFieldIds :+ currentFieldIds
+      allSchemas = allSchemas :+
+        StructType(cur.fields.updated(idx, cur.fields(idx).copy(name = newName)))
+      readById = true
+    }
+
+    /** DROP COLUMN: the field leaves the current schema (its id is
+      * RETIRED, never reissued — evolveSchema allocates past the history's
+      * max), data files keep the physical column untouched. A later
+      * re-add of the same NAME gets a fresh id, so old files' values do
+      * not resurrect — that guarantee is exactly why the table flips to
+      * read-by-id here. Partition source columns can't be dropped (the
+      * spec keeps their ids live in every manifest's partition tuples). */
+    def dropColumn(name: String): Unit = {
+      val cur = currentSchema
+      val idx = cur.fieldNames.indexOf(name)
+      require(idx >= 0, s"no column $name to drop")
+      require(!specs.flatten.exists(_.sourceId == currentFieldIds(idx)),
+        s"cannot drop partition source column $name")
+      allFieldIds = allFieldIds :+ currentFieldIds.patch(idx, Nil, 1)
+      allSchemas = allSchemas :+ StructType(cur.fields.patch(idx, Nil, 1))
+      readById = true
+    }
+
+    /** Publish a pending schema change as a new metadata version WITHOUT
+      * a data commit (ALTER TABLE is metadata-only): same CAS-claimed
+      * vN.metadata.json protocol as a commit, current snapshot pointer
+      * unchanged. Requires at least one committed snapshot. */
+    def publishSchemaChange(): Unit = {
+      require(committed.nonEmpty, "publishSchemaChange needs a committed snapshot")
+      writeMetadata()
+    }
+
+    /** Mark the table read-by-id up front (exports of rename/drop-evolved
+      * standard tables, whose adopted files must bind by field id). */
+    private[icelite] def setReadById(): Unit = readById = true
 
     /** Commit `files` as snapshot N+1 (append semantics). Files with
       * `content` > 0 go into a separate DELETE manifest, listed with
@@ -2056,7 +2171,7 @@ object IcebergFormat {
            "partition-specs":[${specs.zipWithIndex.map { case (sf, i) => s"""{"spec-id":$i,"fields":[${specJson(sf)}]}""" }.mkString(",")}],
            "last-partition-id":${specs.flatten.map(_.fieldId).maxOption.getOrElse(999)},
            "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-           "properties":{},
+           "properties":{${if (readById) """"graft.read-by-id":"true"""" else ""}},
            "current-snapshot-id":$snapId,
            "snapshots":[$snapshotsJson],
            "snapshot-log":[],"metadata-log":[]}""".replaceAll("\n\\s*", "")
@@ -2112,7 +2227,9 @@ object IcebergFormat {
         schemas0: List[StructType],
         specs0: List[Seq[(String, Int, Int, String)]],
         defaultSpec0: Int,
-        fieldIds0: List[Seq[Int]]): Unit = {
+        fieldIds0: List[Seq[Int]],
+        readById: Boolean = false): Unit = {
+      this.readById = readById
       committed = committed0
       // resume the monotone id allocator past every snapshot the restored
       // log has seen (expired history may have gone, so this is a floor —
@@ -2268,7 +2385,8 @@ object IcebergFormat {
         parseSummaries(r)) // carried pruning evidence survives the resume
     }.toList
     val w = new Writer(spark, location, allSchemas.head, Nil, uuid, startVersion = version)
-    w.restore(committed, manifests, allSchemas, specTuples, defaultSpecId0, allFieldIds)
+    w.restore(committed, manifests, allSchemas, specTuples, defaultSpecId0, allFieldIds,
+      readById = (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"))
     w
   }
 }

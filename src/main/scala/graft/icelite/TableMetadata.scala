@@ -101,8 +101,47 @@ final case class TableMetadata(
     snapshots: List[Snapshot],
     partition_columns: Option[List[String]] = None, // hive-style layout when set
     refs: Option[Map[String, RefInfo]] = None, // named branches/tags beyond main
-    retired_tokens: Option[List[String]] = None // idempotency keys of expired snapshots
+    retired_tokens: Option[List[String]] = None, // idempotency keys of expired snapshots
+    // set by a rename/drop column evolution: readers must resolve file
+    // columns by the parquet field ids this library stamps on write
+    // (by-name would miss renamed columns in pre-rename files and could
+    // resurrect a dropped-then-readded column's old values)
+    read_by_id: Option[Boolean] = None,
+    // highest field id EVER allocated (Iceberg's last-column-id): a drop
+    // retires its id forever — allocating from max(live ids) alone would
+    // re-issue a dropped max-id and resurrect its old file values
+    last_column_id: Option[Int] = None,
+    // names ever RETIRED by a drop or rename: per-file stats are keyed by
+    // NAME in this format, so a later column reusing a retired name would
+    // otherwise consult the retired column's recorded bounds/null-counts
+    // and misprune — stats under a retired name are ignored instead
+    retired_columns: Option[List[String]] = None
 ) {
+  def retiredNames: Set[String] = retired_columns.getOrElse(Nil).toSet
+  def readById: Boolean = read_by_id.contains(true)
+
+  def lastColumnId: Int =
+    math.max(last_column_id.getOrElse(0), fields.map(_.id).foldLeft(0)(math.max))
+
+  /** The table schema a READER should bind file columns with: id-stamped
+    * on a rename/drop-evolved table (the reader resolves by field id),
+    * plain otherwise (by-name, the fast default). */
+  def scanSchema: StructType = if (readById) stampedSchema else schema
+
+  /** The schema with `parquet.field.id` metadata per field — what writer
+    * paths hand to parquet so data files stay resolvable by id after a
+    * rename/drop evolution (additive: name-based readers are unaffected). */
+  def stampedSchema: StructType = {
+    val idOf = fields.map(fi => fi.name -> fi.id).toMap
+    StructType(schema.fields.map { f =>
+      idOf.get(f.name) match {
+        case Some(id) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+        case None => f
+      }
+    })
+  }
   def partitionCols: List[String] = partition_columns.getOrElse(Nil)
 
   def refMap: Map[String, RefInfo] = refs.getOrElse(Map.empty)

@@ -1583,20 +1583,27 @@ object IceQueries {
     } finally server.stop()
   }
 
-  /** Register a throwaway `ice_dml` SQL catalog over a fresh warehouse,
-    * run `body`, then unset — shared plumbing for the row-level SQL
-    * gates (ic58/ic59/ic60). */
-  private def withDmlCatalog(s: SparkSession, tag: String)(body: String => DataFrame): DataFrame = {
-    val wh = freshDir(s, tag)
-    s.conf.set("spark.sql.catalog.ice_dml", "graft.sources.IceLiteCatalog")
-    s.conf.set("spark.sql.catalog.ice_dml.warehouse", wh)
+  /** Register a throwaway per-tag SQL catalog (`ice_dml_<tag>`) over a
+    * fresh warehouse, run `body`, then unset — shared plumbing for the
+    * row-level SQL gates (ic58/ic59/ic60). The catalog NAME must be
+    * tag-unique: Spark's CatalogManager caches plugin instances by name
+    * for the session's lifetime, so a shared name would pin whichever
+    * warehouse the FIRST of these queries registered — any later query
+    * reusing the name would silently write into the wrong warehouse
+    * (caught by a registry-subset run where map order put ic60 before
+    * ic58 and ic58's file-level gates missed their table). */
+  private def withDmlCatalog(s: SparkSession, tag: String)(body: (String, String) => DataFrame): DataFrame = {
+    val wh  = freshDir(s, tag)
+    val cat = s"ice_dml_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     try {
-      val out = body(wh)
+      val out = body(cat, wh)
       out.queryExecution.assertAnalyzed()
       out
     } finally {
-      s.conf.unset("spark.sql.catalog.ice_dml")
-      s.conf.unset("spark.sql.catalog.ice_dml.warehouse")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
 
@@ -1680,22 +1687,22 @@ object IceQueries {
     * rewritten (old path gone). At 100 TB a keyed delete rewrites its
     * blast radius, never the table. */
   private def sqlDeleteQ(s: SparkSession, d: String): DataFrame =
-    withDmlCatalog(s, "sqldel") { wh =>
+    withDmlCatalog(s, "sqldel") { (c, wh) =>
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .createOrReplaceTempView("orders_dml_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_dml.graft")
-      s.sql("""CREATE TABLE ice_dml.graft.orders_del AS
-               SELECT * FROM orders_dml_src WHERE o_orderkey < 7500""")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $c.graft")
+      s.sql(s"""CREATE TABLE $c.graft.orders_del AS
+                SELECT * FROM orders_dml_src WHERE o_orderkey < 7500""")
       val cat  = new FsCatalog(s, wh)
       def files() = { val t = cat.loadTable("graft", "orders_del")
                       t.filesOf(t.metadata.currentSnapshot.get).toSet }
       val fLow = files() // CTAS commit: every file's o_orderkey range starts < 500
-      s.sql("""INSERT INTO ice_dml.graft.orders_del
-               SELECT * FROM orders_dml_src WHERE o_orderkey >= 7500""")
+      s.sql(s"""INSERT INTO $c.graft.orders_del
+                SELECT * FROM orders_dml_src WHERE o_orderkey >= 7500""")
       val fHigh = files() -- fLow // INSERT commit: min o_orderkey >= 15000 everywhere
       require(fLow.nonEmpty && fHigh.nonEmpty, "expected files from both commits")
-      s.sql("DELETE FROM ice_dml.graft.orders_del WHERE o_orderkey < 500")
+      s.sql(s"DELETE FROM $c.graft.orders_del WHERE o_orderkey < 500")
       val t2    = cat.loadTable("graft", "orders_del")
       val after = t2.filesOf(t2.metadata.currentSnapshot.get).toSet
       require(t2.metadata.currentSnapshot.get.operation == "delete",
@@ -1706,8 +1713,8 @@ object IceQueries {
       // ...and every affected low-range file was rewritten out
       require((fLow & after).isEmpty,
         s"low-range files survived the copy-on-write rewrite: ${fLow & after}")
-      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-               FROM ice_dml.graft.orders_del ORDER BY o_orderkey""")
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM $c.graft.orders_del ORDER BY o_orderkey""")
     }
 
   private val sqlDeleteOracle =
@@ -1717,18 +1724,18 @@ object IceQueries {
   /** Plain-SQL `UPDATE` through the connector: same group-based rewrite,
     * with Spark's RewriteUpdateTable planning the assignment. */
   private def sqlUpdateQ(s: SparkSession, d: String): DataFrame =
-    withDmlCatalog(s, "sqlupd") { _ =>
+    withDmlCatalog(s, "sqlupd") { (c, _) =>
       Tables.customer(s, d)
         .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
         .createOrReplaceTempView("cust_upd_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_dml.graft")
-      s.sql("CREATE TABLE ice_dml.graft.cust_upd AS SELECT * FROM cust_upd_src")
-      s.sql("""UPDATE ice_dml.graft.cust_upd
-               SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'BOOSTED'
-               WHERE c_acctbal < 0""")
-      s.sql("""SELECT c_custkey, c_nationkey,
-                      CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
-               FROM ice_dml.graft.cust_upd ORDER BY c_custkey""")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $c.graft")
+      s.sql(s"CREATE TABLE $c.graft.cust_upd AS SELECT * FROM cust_upd_src")
+      s.sql(s"""UPDATE $c.graft.cust_upd
+                SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'BOOSTED'
+                WHERE c_acctbal < 0""")
+      s.sql(s"""SELECT c_custkey, c_nationkey,
+                       CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+                FROM $c.graft.cust_upd ORDER BY c_custkey""")
     }
 
   private val sqlUpdateOracle =
@@ -2561,6 +2568,146 @@ object IceQueries {
          FROM nation WHERE n_nationkey < 5)
        SELECT * FROM narrow UNION ALL SELECT * FROM wide ORDER BY key_i"""
 
+  /** ic92: RENAME/DROP/re-ADD COLUMN without rewriting data — the last
+    * piece of Iceberg schema evolution (ic30 adds, ic90 promotes): names
+    * are display-only, identity is the FIELD ID (spec "Column
+    * Projection"). The writers stamp `parquet.field.id` into every data
+    * file, and a rename/drop flips the table to read-by-id, so
+    *  - a renamed column's old files keep their values (a by-name read
+    *    would null them out),
+    *  - a dropped column's data stays in the files but leaves the schema
+    *    with its id retired forever, and
+    *  - re-adding the same NAME takes a fresh id, so the old values can
+    *    NEVER resurrect — the gate a name-resolved engine fails.
+    * Runs on the V2 catalog (ALTER TABLE RENAME/DROP COLUMN through
+    * [[graft.icelite.IceTable.renameColumns]]/[[graft.icelite.IceTable.dropColumns]])
+    * with a native-format twin through the Writer, including a
+    * planFiles proof that min/max pruning on the renamed column still
+    * fires (bounds are keyed by the unchanged field id). */
+  private def renameDropColumnQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i92")
+    s.conf.set("spark.sql.catalog.ice_i92", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i92.warehouse", wh)
+    try {
+      val nation = Tables.nation(s, d)
+      nation.createOrReplaceTempView("nation_i92_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i92.graft")
+      s.sql("""CREATE TABLE ice_i92.graft.nat_i92 AS
+               SELECT CAST(n_nationkey AS BIGINT) AS key_i, n_name,
+                      CAST(n_regionkey AS INT) AS region_code
+               FROM nation_i92_src""")
+      val fsCat = new FsCatalog(s, wh)
+      def t()   = fsCat.loadTable("graft", "nat_i92")
+      val (idsBefore, filesBefore) = {
+        val x = t()
+        (x.metadata.fields.map(f => f.name -> f.id).toMap,
+          x.filesOf(x.metadata.currentSnapshot.get).toSet)
+      }
+      // RENAME: field id preserved, zero files rewritten, read-by-id on
+      s.sql("ALTER TABLE ice_i92.graft.nat_i92 RENAME COLUMN region_code TO region_id")
+      locally {
+        val md = t().metadata
+        require(md.fields.find(_.name == "region_id").map(_.id) ==
+          idsBefore.get("region_code"), "rename must preserve the field id")
+        require(!md.schema.fieldNames.contains("region_code"), "old name still in schema")
+        require(md.readById, "rename must flip the table to read-by-id")
+        require(t().filesOf(md.currentSnapshot.get).toSet == filesBefore,
+          "rename rewrote data files")
+      }
+      // pre-rename files keep their values under the new name (id-bound
+      // read; by-name resolution would surface NULLs here), and a filter
+      // on the renamed column sees them
+      val nNation = nation.count()
+      require(s.sql(
+        "SELECT count(*) AS c FROM ice_i92.graft.nat_i92 WHERE region_id IS NOT NULL")
+        .head().getLong(0) == nNation, "renamed column lost pre-rename values")
+      val expR2 = nation.filter(col("n_regionkey") === 2).count()
+      require(s.sql(
+        "SELECT count(*) AS c FROM ice_i92.graft.nat_i92 WHERE region_id = 2")
+        .head().getLong(0) == expR2, "filter on the renamed column diverged")
+      // DROP: metadata-only, then re-ADD the same name -> FRESH id, and
+      // the old values must NOT resurrect
+      s.sql("ALTER TABLE ice_i92.graft.nat_i92 DROP COLUMN n_name")
+      locally {
+        val md = t().metadata
+        require(!md.schema.fieldNames.contains("n_name"), "dropped column still in schema")
+        require(t().filesOf(md.currentSnapshot.get).toSet == filesBefore,
+          "drop rewrote data files")
+      }
+      s.sql("ALTER TABLE ice_i92.graft.nat_i92 ADD COLUMN n_name STRING")
+      locally {
+        val md = t().metadata
+        require(md.fields.find(_.name == "n_name").exists(fi =>
+          fi.id != idsBefore("n_name") && fi.id > idsBefore.values.max),
+          "re-added column must take a fresh field id past every retired one")
+      }
+      require(s.sql(
+        "SELECT count(*) AS c FROM ice_i92.graft.nat_i92 WHERE n_name IS NOT NULL")
+        .head().getLong(0) == 0L,
+        "dropped column's old values resurrected through the re-added name")
+      // era-2 rows under the evolved schema carry real n_name values
+      s.sql("""INSERT INTO ice_i92.graft.nat_i92
+               SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey AS INT), n_name
+               FROM nation_i92_src WHERE n_nationkey < 5""")
+      val v2Out = s.sql(
+        "SELECT key_i, region_id, n_name FROM ice_i92.graft.nat_i92 ORDER BY key_i")
+
+      // native-format twin: the same evolution through the Writer, with a
+      // pruning proof — era-1 splits into two region-ranged files whose
+      // explicit int bounds must survive the rename (keyed by field id)
+      val loc = s"$wh/nat_i92_native"
+      val df0 = nation.select(col("n_nationkey").cast("bigint").as("key_i"), col("n_name"),
+        col("n_regionkey").cast("int").as("region_code"))
+      def le4(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      val w = new IcebergFormat.Writer(s, loc, df0.schema)
+      w.commit(Seq(
+        IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "era1lo",
+          df0.filter(col("region_code") <= 1)).copy(bounds = Map(3 -> (le4(0), le4(1)))),
+        IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "era1hi",
+          df0.filter(col("region_code") >= 2)).copy(bounds = Map(3 -> (le4(2), le4(4))))))
+      w.renameColumn("region_code", "region_id")
+      w.dropColumn("n_name")
+      w.publishSchemaChange()
+      // bounds pruning on the RENAMED column: a region_id = 0 probe must
+      // plan only the low file (ids key the bounds, names never did)
+      val planned = IcebergFormat.planFiles(
+        s, w.currentMetadataPath, "region_id", Some("0"), Some("0"))
+      require(planned.size == 1 && planned.head.endsWith("era1lo.parquet"),
+        s"renamed-column pruning kept $planned, expected just era1lo")
+      // re-add n_name (fresh id) + era-2 rows, mirroring the V2 twin
+      import org.apache.spark.sql.types._
+      w.evolveSchema(StructType(Seq(
+        StructField("key_i", LongType), StructField("region_id", IntegerType),
+        StructField("n_name", StringType))))
+      val era2 = nation.filter(col("n_nationkey") < 5).select(
+        (col("n_nationkey") + 100).cast("bigint").as("key_i"),
+        col("n_regionkey").cast("int").as("region_id"), col("n_name"))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "era2", era2,
+        fieldIds = Seq(1, 3, 4))))
+      val nativeScan = IcebergFormat.scan(s, w.currentMetadataPath)
+      requireSameRows(nativeScan,
+        s.sql("SELECT key_i, region_id, n_name FROM ice_i92.graft.nat_i92"),
+        "native-twin evolved scan diverged from the V2 table")
+      v2Out
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i92")
+      s.conf.unset("spark.sql.catalog.ice_i92.warehouse")
+    }
+  }
+
+  private val renameDropColumnOracle =
+    """SELECT key_i, region_id, n_name FROM (
+         SELECT CAST(n_nationkey AS BIGINT) AS key_i,
+                CAST(n_regionkey AS INT) AS region_id,
+                CAST(NULL AS VARCHAR) AS n_name
+         FROM nation
+         UNION ALL
+         SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey AS INT), n_name
+         FROM nation WHERE n_nationkey < 5
+       ) ORDER BY key_i"""
+
   /** The MoR maintenance loop closed: accumulate delete debt with two MoR
     * DELETEs, observe it in the `delete_files`-style metadata table,
     * then COMPACT — the rewrite scans delete-applied, the new snapshot
@@ -3322,12 +3469,12 @@ object IceQueries {
     * could touch. Clauses: conditional DELETE, catch-all UPDATE,
     * NOT MATCHED INSERT — the upsert SQL every lakehouse pipeline runs. */
   private def sqlMergeQ(s: SparkSession, d: String): DataFrame =
-    withDmlCatalog(s, "sqlmrg") { _ =>
+    withDmlCatalog(s, "sqlmrg") { (c, _) =>
       val cust = Tables.customer(s, d)
         .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
       cust.createOrReplaceTempView("cust_mrg_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_dml.graft")
-      s.sql("CREATE TABLE ice_dml.graft.cust_mrg AS SELECT * FROM cust_mrg_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $c.graft")
+      s.sql(s"CREATE TABLE $c.graft.cust_mrg AS SELECT * FROM cust_mrg_src")
       // source: every 7th key updated (negatives deleted), new keys inserted
       s.sql("""CREATE OR REPLACE TEMPORARY VIEW mrg_updates AS
                SELECT c_custkey, c_nationkey, c_acctbal - 1000.0 AS c_acctbal,
@@ -3336,16 +3483,16 @@ object IceQueries {
                UNION ALL
                SELECT c_custkey + 1000000, c_nationkey, c_acctbal, 'NEWROW'
                FROM cust_mrg_src WHERE c_custkey % 97 = 0""")
-      s.sql("""MERGE INTO ice_dml.graft.cust_mrg t
-               USING mrg_updates s
-               ON t.c_custkey = s.c_custkey
-               WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
-               WHEN MATCHED THEN UPDATE SET
-                 c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
-               WHEN NOT MATCHED THEN INSERT *""")
-      s.sql("""SELECT c_custkey, c_nationkey,
-                      CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
-               FROM ice_dml.graft.cust_mrg ORDER BY c_custkey""")
+      s.sql(s"""MERGE INTO $c.graft.cust_mrg t
+                USING mrg_updates s
+                ON t.c_custkey = s.c_custkey
+                WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET
+                  c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+                WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT c_custkey, c_nationkey,
+                       CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal, c_mktsegment
+                FROM $c.graft.cust_mrg ORDER BY c_custkey""")
     }
 
   private val sqlMergeOracle =
@@ -3603,7 +3750,8 @@ object IceQueries {
       Some(icebergPartitionEvolutionOracle)),
     Q("ic90_type_promotion", sqlTypePromotionQ, Some(sqlTypePromotionOracle)),
     Q("ic91_sql_merge_not_matched_by_source", sqlMergeNotMatchedBySourceQ,
-      Some(sqlMergeNotMatchedBySourceOracle))
+      Some(sqlMergeNotMatchedBySourceOracle)),
+    Q("ic92_rename_drop_column", renameDropColumnQ, Some(renameDropColumnOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -317,15 +317,31 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
           s"icelite ALTER COLUMN TYPE supports top-level columns, got ${u.fieldNames().mkString(".")}")
         (u.fieldNames().head, u.newDataType())
     }
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"icelite RENAME COLUMN supports top-level columns, got ${r.fieldNames().mkString(".")}")
+        (r.fieldNames().head, r.newName())
+    }
+    val drops = changes.collect {
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          s"icelite DROP COLUMN supports top-level columns, got ${dc.fieldNames().mkString(".")}")
+        dc.fieldNames().head
+    }
     changes.foreach {
-      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
+      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType |
+           _: TableChange.RenameColumn | _: TableChange.DeleteColumn => ()
       case other => throw new UnsupportedOperationException(
-        s"icelite ALTER TABLE supports ADD COLUMN and ALTER COLUMN TYPE only, got $other")
+        "icelite ALTER TABLE supports ADD COLUMN, ALTER COLUMN TYPE, " +
+          s"RENAME COLUMN and DROP COLUMN only, got $other")
     }
     val ns  = ns1(ident.namespace())
     val ice = backend.loadTable(ns, ident.name())
     if (adds.nonEmpty) ice.addColumns(adds)
     if (promotes.nonEmpty) ice.promoteColumnTypes(promotes)
+    if (renames.nonEmpty) ice.renameColumns(renames)
+    if (drops.nonEmpty) ice.dropColumns(drops)
     val reloaded = backend.loadTable(ns, ident.name())
     publishHook(ns, ident.name()).foreach(_(reloaded))
     new IceLiteV2Table(reloaded, reloaded.metadata.currentSnapshot,

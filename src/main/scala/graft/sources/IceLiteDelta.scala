@@ -89,7 +89,7 @@ final class IceLiteDeltaOperation(
         // table stage their insert files through the same rolling
         // partitioned writer SQL INSERT uses (ic66); position deletes are
         // layout-agnostic either way
-        new IceLiteDeltaWrite(ice.location.toString, md.schema, md.partitionCols,
+        new IceLiteDeltaWrite(ice.location.toString, md.stampedSchema, md.partitionCols,
           command(), onCommit)
       }
     }

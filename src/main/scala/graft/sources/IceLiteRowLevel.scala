@@ -72,7 +72,9 @@ final class IceLiteRowLevelOperation(
     require(md.partitionCols.isEmpty,
       "icelite row-level SQL operations support unpartitioned tables; " +
         "use the library deleteRange/merge for hive layouts")
-    val nullable = StructType(md.schema.fields.map(_.copy(nullable = true)))
+    // stampedSchema: rewritten data files keep the table's parquet field
+    // ids (rename/drop evolution reads resolve by id)
+    val nullable = StructType(md.stampedSchema.fields.map(_.copy(nullable = true)))
     require(
       StructType(writeInfo.schema().fields.map(_.copy(nullable = true))).catalogString ==
         nullable.catalogString,

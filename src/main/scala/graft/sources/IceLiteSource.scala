@@ -621,7 +621,7 @@ final class IceLiteScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteReaderFactory(
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      required, partCols.toArray, md.schema, limit, deleteFiles)
+      required, partCols.toArray, md.scanSchema, limit, deleteFiles)
 
   /** `spark.readStream.format("icelite")`: tail the snapshot log as a
     * Structured Streaming source — each micro-batch is exactly the files
@@ -664,7 +664,7 @@ final class IceLiteMicroBatchStream(
 
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private val tableSchema = ice.metadata.schema
+  private val tableSchema = ice.metadata.scanSchema
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def initialOffset(): Offset = IceLiteOffset(0L)
@@ -886,6 +886,39 @@ final class IceLitePartitionReader(
   private val partIdx: Map[String, Int] = partCols.zipWithIndex.toMap
   private var emitted = 0L
 
+  // Field-id resolution (rename/drop-evolved tables): the scan passes an
+  // id-stamped tableSchema (TableMetadata.scanSchema / PlanHeader
+  // readById), and file columns bind by parquet field id instead of name.
+  // A dropped-and-readded column's name maps to a FRESH id absent from
+  // old files, so their retired values can never resurrect through a
+  // name match.
+  private val fieldIdOf: Map[String, Int] = tableSchema.fields
+    .filter(_.metadata.contains("parquet.field.id"))
+    .map(f => f.name -> f.metadata.getLong("parquet.field.id").toInt).toMap
+  private val byId: Boolean = fieldIdOf.nonEmpty
+
+  /** The FILE's column type for table column `name`: by field id on an
+    * evolved table (loud failure if the file carries no ids at all — a
+    * silent name fallback could resurrect dropped data), by name
+    * otherwise. None = the file predates the column (reads as null). */
+  private def fileFieldOf(msg: MessageType, name: String)
+      : Option[org.apache.parquet.schema.Type] = {
+    import scala.jdk.CollectionConverters._
+    fieldIdOf.get(name) match {
+      case Some(id) if byId =>
+        val hit = msg.getFields.asScala.find(t => t.getId != null && t.getId.intValue == id)
+        if (hit.isEmpty && !msg.getFields.asScala.exists(_.getId != null) &&
+            msg.containsField(name))
+          throw new IllegalStateException(
+            s"table requires field-id resolution (rename/drop evolution) but a data " +
+              s"file carries no parquet field ids; refusing a by-name bind of '$name'")
+        hit
+      case _ =>
+        if (msg.containsField(name)) Some(msg.getType(msg.getFieldIndex(name)))
+        else None
+    }
+  }
+
   // metadata-column ordinals in the required schema (`_file`/`_pos` are
   // metadata only when the user schema doesn't declare them — Spark hides
   // the metadata column on conflict, so a physical column of that name
@@ -935,7 +968,8 @@ final class IceLitePartitionReader(
       val fr     = ParquetFileReader.open(inFile)
       val msg    = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
       val proj = new MessageType("spark_schema",
-        d.keyCols.map(c => msg.getType(msg.getFieldIndex(c))): _*)
+        d.keyCols.map(c => fileFieldOf(msg, c).getOrElse(throw new NoSuchElementException(
+          s"equality-delete file ${d.path} lacks key column $c"))): _*)
       val c2 = new Configuration(conf)
       c2.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
       val fns = d.keyCols.zipWithIndex.map { case (kc, i) =>
@@ -1051,17 +1085,21 @@ final class IceLitePartitionReader(
     // file when the file actually holds it (e.g. a delta insert file on a
     // partitioned iceberg-format table, committed with null partition
     // metadata); partConst fills it only for files that omit the column
-    // (hive layout / spec Column Projection).
-    val dataFields = required.fields.filter(f => fileMsg.containsField(f.name))
+    // (hive layout / spec Column Projection). Binding is by name, or by
+    // parquet field id on a rename/drop-evolved table (fileFieldOf).
+    val dataBinds: Array[(org.apache.spark.sql.types.StructField, org.apache.parquet.schema.Type)] =
+      required.fields.flatMap(f => fileFieldOf(fileMsg, f.name).map(t => (f, t)))
 
     // equality-delete key columns the file physically holds beyond the
     // required projection — decoded alongside (never emitted) so delete
     // keys compare against real row values
-    val eqExtraCols: Array[String] = eqApplicable.flatMap(_.keyCols).distinct
-      .filter(c => fileMsg.containsField(c) && !dataFields.exists(_.name == c)).toArray
+    val eqExtraBinds: Array[(String, org.apache.parquet.schema.Type)] =
+      eqApplicable.flatMap(_.keyCols).distinct
+        .filter(c => !dataBinds.exists(_._1.name == c))
+        .flatMap(c => fileFieldOf(fileMsg, c).map(t => (c, t))).toArray
 
     eqChecks = null
-    if (dataFields.isEmpty && eqExtraCols.isEmpty) {
+    if (dataBinds.isEmpty && eqExtraBinds.isEmpty) {
       // no column decodes at all: any applicable equality delete keys on
       // per-file CONSTANTS (partition value / evolved-in null) — one
       // membership test decides the whole file
@@ -1071,7 +1109,7 @@ final class IceLitePartitionReader(
       if (allDeleted) { reader = null; constRow = null; synthActive = false; return true }
     }
 
-    if (dataFields.isEmpty && eqExtraCols.isEmpty) {
+    if (dataBinds.isEmpty && eqExtraBinds.isEmpty) {
       // nothing to decode from the row groups: row count from the range
       // (or the footer for a whole file); plain constants when positions
       // are irrelevant, position iteration when metadata columns are
@@ -1093,9 +1131,12 @@ final class IceLitePartitionReader(
       }
       true
     } else {
-      val projNames = dataFields.map(_.name) ++ eqExtraCols
-      val projection = new MessageType("spark_schema",
-        projNames.map(n => fileMsg.getType(fileMsg.getFieldIndex(n))): _*)
+      // projection in FILE terms (an evolved table's file may carry a
+      // pre-rename name for a required column); posOf keys stay TABLE
+      // names, positions index the projection
+      val projFields = dataBinds.map { case (f, t) => (f.name, t) } ++ eqExtraBinds
+      val projNames = projFields.map(_._1)
+      val projection = new MessageType("spark_schema", projFields.map(_._2): _*)
       val c = new Configuration(conf)
       c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(c)

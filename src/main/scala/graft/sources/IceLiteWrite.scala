@@ -70,8 +70,10 @@ final class IceLiteWriteBuilder(
       "dynamic partition overwrite requires a partitioned table")
     require(info.schema().catalogString == md.schema.catalogString,
       s"write schema ${info.schema().catalogString} != table schema ${md.schema.catalogString}")
-    new IceLiteWrite(ice.location.toString, md.schema, md.partitionCols, replace, dynamic,
-      info.queryId(), onCommit, byFilter)
+    // stampedSchema: the data writers carry the table's field ids into
+    // every parquet file (rename/drop evolution reads resolve by id)
+    new IceLiteWrite(ice.location.toString, md.stampedSchema, md.partitionCols, replace,
+      dynamic, info.queryId(), onCommit, byFilter)
   }
 }
 
@@ -535,7 +537,14 @@ object IceLiteWriteSchema {
           s"icelite V2 write: unsupported type $other for column ${f.name} " +
             "(flat primitive surface only; decimals go through the catalog append)")
       }
-      b.addField(t.named(f.name))
+      // carry the table's field id into the parquet schema when the
+      // StructField is stamped (TableMetadata.stampedSchema) — what keeps
+      // these files resolvable by id after a rename/drop evolution
+      val named = t.named(f.name)
+      b.addField(
+        if (f.metadata.contains("parquet.field.id"))
+          named.withId(f.metadata.getLong("parquet.field.id").toInt)
+        else named)
     }
     b.named("spark_schema")
   }

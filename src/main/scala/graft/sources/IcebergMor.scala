@@ -69,9 +69,15 @@ final class IcebergMorV2Table(spark: SparkSession, location: String)
   private[sources] lazy val tablePlan = IcebergFormat.plan(spark, metaPath)
 
   override def name(): String = s"iceberg.$location"
-  // read-time nullable coercion, same reasoning as IceLiteV2Table
-  override def schema(): StructType =
-    StructType(header.schema.fields.map(_.copy(nullable = true)))
+  // read-time nullable coercion, same reasoning as IceLiteV2Table; a
+  // rename/drop-evolved table (graft.read-by-id) carries its field ids so
+  // the reader binds file columns by id rather than name
+  override def schema(): StructType = {
+    val base =
+      if (header.readById) IcebergFormat.withParquetFieldIds(header.schema, header.fieldIds)
+      else header.schema
+    StructType(base.fields.map(_.copy(nullable = true)))
+  }
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)

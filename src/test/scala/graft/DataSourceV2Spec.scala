@@ -346,4 +346,118 @@ class DataSourceV2Spec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.ice_vw.warehouse")
     }
   }
+
+  test("rename on a hive-partitioned table: data column by id, partition column refused") {
+    val cat = new FsCatalog(spark, scratch("v2ren_p"))
+    val nation = Tables.nation(spark, sfDir)
+    val t = cat.createOrReplaceTable("ns", "nat_rp",
+      nation.select("n_nationkey", "n_name", "n_regionkey"), Seq("n_regionkey"))
+    // partition column names live in directory paths — rename/drop refused
+    intercept[Exception] {
+      cat.loadTable("ns", "nat_rp").renameColumns(Seq("n_regionkey" -> "rk")) }
+    intercept[Exception] {
+      cat.loadTable("ns", "nat_rp").dropColumns(Seq("n_regionkey")) }
+    cat.loadTable("ns", "nat_rp").renameColumns(Seq("n_name" -> "nation_name"))
+    val t2 = cat.loadTable("ns", "nat_rp")
+    // post-rename append under the NEW name, so both eras coexist
+    t2.append(nation.filter(col("n_nationkey") < 3).select(
+      (col("n_nationkey") + 100).as("n_nationkey"),
+      col("n_name").as("nation_name"), col("n_regionkey")))
+    val expect = nation.count() + 3
+    // library scan (hive branch): pre-rename files keep their values
+    val lib = cat.loadTable("ns", "nat_rp").scan()
+    assert(lib.filter(col("nation_name").isNotNull).count() == expect,
+      "library hive scan lost values across the rename")
+    // V2 custom reader: same binding by parquet field id
+    val viaV2 = v2(t2.location.toString)
+    assert(viaV2.filter(col("nation_name").isNotNull).count() == expect,
+      "V2 reader lost values across the rename")
+    // partition pruning still fires on the (unrenamed) partition column
+    assert(viaV2.filter(col("n_regionkey") === 1).count() ==
+      nation.filter(col("n_regionkey") === 1).count() +
+        nation.filter(col("n_nationkey") < 3 && col("n_regionkey") === 1).count())
+  }
+
+  test("SQL UPDATE after RENAME COLUMN rewrites id-stamped files that still read by id") {
+    val wh = scratch("v2ren_dml")
+    spark.conf.set("spark.sql.catalog.ice_rd", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_rd.warehouse", wh)
+    try {
+      Tables.nation(spark, sfDir).createOrReplaceTempView("nation_rd_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_rd.ns")
+      spark.sql("""CREATE TABLE ice_rd.ns.nat_rd AS
+                   SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS label
+                   FROM nation_rd_src""")
+      spark.sql("ALTER TABLE ice_rd.ns.nat_rd RENAME COLUMN label TO title")
+      spark.sql("UPDATE ice_rd.ns.nat_rd SET title = 'X' WHERE k % 5 = 0")
+      val out = spark.sql("SELECT k, title FROM ice_rd.ns.nat_rd ORDER BY k").collect()
+      assert(out.length == 25)
+      assert(out.forall(r => if (r.getLong(0) % 5 == 0) r.getString(1) == "X"
+                             else r.getString(1) != null && r.getString(1) != "X"),
+        "UPDATE after rename corrupted values")
+      // the rewrite's fresh files must read by id too (table stays read-by-id)
+      val md = new FsCatalog(spark, wh).loadTable("ns", "nat_rd").metadata
+      assert(md.readById, "rewrite dropped the read-by-id flag")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ice_rd")
+      spark.conf.unset("spark.sql.catalog.ice_rd.warehouse")
+    }
+  }
+
+  test("native-format DML after RENAME COLUMN resumes with the evolved schema") {
+    import graft.icelite.IcebergFormat
+    val wh = scratch("v2ren_native")
+    spark.conf.set("spark.sql.catalog.ice_rn", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_rn.warehouse", wh)
+    try {
+      val loc = s"$wh/ns/nat_rn"
+      val df0 = Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").cast("bigint").as("k"), col("n_name").as("label"))
+      val w = new IcebergFormat.Writer(spark, loc, df0.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f1", df0)))
+      w.renameColumn("label", "title")
+      w.publishSchemaChange()
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_rn.ns")
+      // merge-on-read DELETE through the catalog: resumeWriter must carry
+      // the renamed schema + read-by-id property into the delta commit
+      spark.sql("DELETE FROM ice_rn.ns.nat_rn WHERE k % 2 = 0")
+      val out = spark.sql("SELECT k, title FROM ice_rn.ns.nat_rn ORDER BY k").collect()
+      assert(out.length == 12 && out.forall(r => r.getLong(0) % 2 == 1))
+      assert(out.forall(_.getString(1) != null),
+        "pre-rename values lost through the MoR read after DELETE")
+      // library scan agrees
+      val lib = IcebergFormat.scan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      assert(lib.count() == 12)
+      assert(lib.schema.fieldNames.toSeq == Seq("k", "title"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ice_rn")
+      spark.conf.unset("spark.sql.catalog.ice_rn.warehouse")
+    }
+  }
+
+  test("drop + re-add on the library path: retired id never reissued, values never resurrect") {
+    val cat = new FsCatalog(spark, scratch("v2dropadd"))
+    val nation = Tables.nation(spark, sfDir)
+    val t = cat.createOrReplaceTable("ns", "nat_da",
+      nation.select("n_nationkey", "n_regionkey", "n_name"))
+    val droppedId = t.metadata.fields.find(_.name == "n_name").get.id
+    cat.loadTable("ns", "nat_da").dropColumns(Seq("n_name"))
+    cat.loadTable("ns", "nat_da").addColumns(Seq(
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType)))
+    val md = cat.loadTable("ns", "nat_da").metadata
+    val readdedId = md.fields.find(_.name == "n_name").get.id
+    assert(readdedId > droppedId, s"re-added id $readdedId not past retired $droppedId")
+    val scanned = cat.loadTable("ns", "nat_da").scan()
+    assert(scanned.count() == nation.count())
+    assert(scanned.filter(col("n_name").isNotNull).count() == 0L,
+      "dropped column's values resurrected through the re-added name")
+    // a second drop/add cycle must keep climbing past both retired ids
+    cat.loadTable("ns", "nat_da").dropColumns(Seq("n_name"))
+    cat.loadTable("ns", "nat_da").addColumns(Seq(
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType)))
+    val third = cat.loadTable("ns", "nat_da").metadata.fields.find(_.name == "n_name").get.id
+    assert(third > readdedId, s"second re-add id $third not past $readdedId")
+  }
 }

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * claim. Running the 10× step with cellBuckets HELD at the small
   * scale's value shows the contrast (probe degrades ∝ corpus).
   *
-  * Usage: sbt "Test/runMain graft.ServeProbe [nSmall] [factor]"
-  * Prints one SERVEPROBE line per configuration.
+  * Usage: sbt "Test/runMain graft.ServeProbe [nSmall] [factor] [baseBuckets]"
+  * Prints one SERVEPROBE line per configuration. `baseBuckets` defaults
+  * to 640 (the 500 k-doc calibration); pass a larger value together with
+  * a larger nSmall to run the same three-leg experiment one decade up
+  * (e.g. `5000000 10 6400` probes a 200 M-row index).
   */
 object ServeProbe {
   private val bands = 4
@@ -31,6 +34,7 @@ object ServeProbe {
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toLong).getOrElse(500000L)
     val factor = args.lift(1).map(_.toLong).getOrElse(10L)
+    val baseBuckets = args.lift(2).map(_.toLong).getOrElse(640L)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
@@ -45,9 +49,9 @@ object ServeProbe {
     // determined rather than collision-determined)
     val batchDocs = 100L
 
-    run(spark, "base", nSmall, cellBuckets = 640L, batchDocs)
-    run(spark, "10x_scaled_buckets", nSmall * factor, cellBuckets = 640L * factor, batchDocs)
-    run(spark, "10x_held_buckets", nSmall * factor, cellBuckets = 640L, batchDocs)
+    run(spark, "base", nSmall, cellBuckets = baseBuckets, batchDocs)
+    run(spark, "10x_scaled_buckets", nSmall * factor, cellBuckets = baseBuckets * factor, batchDocs)
+    run(spark, "10x_held_buckets", nSmall * factor, cellBuckets = baseBuckets, batchDocs)
     spark.stop()
   }
 
