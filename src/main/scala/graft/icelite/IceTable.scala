@@ -1771,6 +1771,54 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     this
   }
 
+  /** CHERRY-PICK (Iceberg `cherrypick_snapshot`): apply ONE snapshot's
+    * changes onto the current main head when a plain fast-forward is
+    * impossible because main has diverged since the branch point. Only
+    * APPEND snapshots qualify (their delta is exactly the manifests they
+    * added over their parent — a pure file-set union; replace/delete
+    * snapshots rewrite history and cannot be replayed by reference). The
+    * pick is metadata-only: main's head manifests ++ the source's delta
+    * manifests become one new snapshot, zero data IO at any table size.
+    * The source snapshot itself stays where it is (its branch is
+    * untouched), exactly like a Git cherry-pick. */
+  def cherryPick(snapshotId: Long): IceTable = {
+    val md  = metadata
+    val src = md.snapshot(snapshotId).getOrElse(
+      throw new NoSuchElementException(s"no snapshot $snapshotId to cherry-pick"))
+    require(src.operation == "append",
+      s"cherry-pick supports append snapshots only, got '${src.operation}'")
+    require(!isAncestor(snapshotId, md.current_snapshot_id),
+      s"snapshot $snapshotId is already in main's history")
+    val parentId = src.parent_snapshot_id.getOrElse(0L)
+    val parentManifests: Set[String] =
+      if (parentId == 0L) Set.empty
+      else md.snapshot(parentId).getOrElse(throw new IllegalStateException(
+        s"cherry-pick needs the source's parent snapshot $parentId in the log " +
+          "(expired?)")).manifests.toSet
+    val delta = src.manifests.zipWithIndex.filterNot { case (m, _) => parentManifests(m) }
+    require(delta.nonEmpty, s"snapshot $snapshotId added no manifests — nothing to pick")
+    val head = md.currentSnapshot
+    val headManifests = head.toSeq.flatMap(_.manifests)
+    require(delta.forall { case (m, _) => !headManifests.contains(m) },
+      s"snapshot $snapshotId's delta is already applied to main")
+    val baseSums = head.toSeq.flatMap(sn =>
+      sn.manifests.indices.map(i => sn.summaryAt(i).getOrElse(Map.empty[String, ColRange])))
+    val newId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
+    val snap = Snapshot(
+      snapshot_id = newId,
+      timestamp_ms = System.currentTimeMillis(),
+      operation = "append", // the replayed change IS an append (incremental reads see it)
+      manifests = headManifests.toList ++ delta.map(_._1),
+      manifest_summaries = Some((baseSums ++ delta.map { case (_, i) =>
+        src.summaryAt(i).getOrElse(Map.empty[String, ColRange]) }).toList),
+      parent_snapshot_id = head.map(_.snapshot_id),
+      commit_token = None,
+      // an append snapshot introduces no deletes; main's live delete debt carries
+      delete_manifests = head.flatMap(_.delete_manifests))
+    commit(md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = newId))
+    this
+  }
+
   /** Delete a branch or tag ref (snapshots stay; expiration reclaims them
     * once unreferenced). */
   def dropRef(name: String): IceTable = {

@@ -1611,6 +1611,10 @@ object IcebergFormat {
     // table property so readers resolve file columns by parquet field id
     private var readById: Boolean = false
     private var committed = List.empty[(Long, String)] // (snapshotId, manifestListPath)
+    // summary.operation per snapshot id; absent = "append". Row-delta
+    // commits publish delete/overwrite, rewrites publish replace — the
+    // spec's summary contract, which changelog consumers key off.
+    private var snapOps = Map.empty[Long, String]
     private case class ManifestRec(path: String, len: Long, addedBy: Long, seq: Long,
         content: Int, nFiles: Int, nRows: Long, specId: Int, existing: Boolean = false,
         summaries: Option[Seq[FieldSummary]] = None)
@@ -1830,6 +1834,11 @@ object IcebergFormat {
       * content 1 in the manifest list, exactly as the spec splits them. */
     def commit(files: Seq[DataFileInfo]): Unit = commitWith(files, defaultSpec)
 
+    /** Operation label for a delta commit's summary: all-deletes =
+      * "delete", anything staging new rows = "overwrite". */
+    private def deltaOp(files: Seq[DataFileInfo]): String =
+      if (files.nonEmpty && files.forall(_.content > 0)) "delete" else "overwrite"
+
     /** Commit DELTA files (row-level DML output) that carry NO partition
       * values. On a partitioned table these must NOT land under the
       * partitioned spec — the spec requires a file's partition tuple to
@@ -1840,14 +1849,15 @@ object IcebergFormat {
       * treats as global/unpruned — conservative and correct. Unpartitioned
       * tables take the ordinary path. */
     def commitDelta(files: Seq[DataFileInfo]): Unit = {
-      if (currentSpecFields.isEmpty) return commitWith(files, defaultSpec)
+      if (currentSpecFields.isEmpty) return commitWith(files, defaultSpec, deltaOp(files))
       val existing = specs.indexWhere(_.isEmpty)
       val sid = if (existing >= 0) existing else { specs = specs :+ Seq.empty; specs.size - 1 }
-      commitWith(files, sid)
+      commitWith(files, sid, deltaOp(files))
     }
 
-    private def commitWith(files: Seq[DataFileInfo], specId: Int): Unit =
-      commitGroups(Seq(files -> specId))
+    private def commitWith(files: Seq[DataFileInfo], specId: Int,
+        op: String = "append"): Unit =
+      commitGroups(Seq(files -> specId), op)
 
     /** Row-delta commit in ONE snapshot with PER-GROUP partition specs:
       * insert files that carry real partition tuples land under the
@@ -1857,15 +1867,17 @@ object IcebergFormat {
       * all-unpartitioned routing ([[commitDelta]]) remains the fallback
       * for transform specs the delta writer can't stamp. */
     def commitRowDelta(inserts: Seq[DataFileInfo], deletes: Seq[DataFileInfo]): Unit = {
-      if (currentSpecFields.isEmpty) return commitWith(inserts ++ deletes, defaultSpec)
+      val op = deltaOp(inserts ++ deletes)
+      if (currentSpecFields.isEmpty) return commitWith(inserts ++ deletes, defaultSpec, op)
       val delSpec = {
         val existing = specs.indexWhere(_.isEmpty)
         if (existing >= 0) existing else { specs = specs :+ Seq.empty; specs.size - 1 }
       }
-      commitGroups(Seq(inserts -> defaultSpec, deletes -> delSpec))
+      commitGroups(Seq(inserts -> defaultSpec, deletes -> delSpec), op)
     }
 
-    private def commitGroups(groups: Seq[(Seq[DataFileInfo], Int)]): Unit = {
+    private def commitGroups(groups: Seq[(Seq[DataFileInfo], Int)],
+        op: String = "append"): Unit = {
       val files = groups.flatMap(_._1)
       // stats keys MUST be real field ids of the current schema: a sparse-id
       // table (dropped-column history) whose stats arrive keyed positionally
@@ -1885,6 +1897,7 @@ object IcebergFormat {
       }
       val snapId = lastSnapId + 1L
       val seq    = snapId // one sequence number per commit
+      if (op != "append") snapOps += snapId -> op
       fs.mkdirs(metadataDir)
       withCommitRollback {
         val seenManifestNames = scala.collection.mutable.Set.empty[String]
@@ -2004,7 +2017,7 @@ object IcebergFormat {
       * after the rewrite, scans are pure data-file reads again. */
     def rewriteDataFiles(files: Seq[DataFileInfo]): Unit = {
       manifests = List.empty // replaced wholesale; old snapshots keep theirs
-      commit(files)
+      commitWith(files, defaultSpec, "replace")
     }
 
     /** Manifest compaction (Iceberg `rewrite_manifests`): merge every
@@ -2057,6 +2070,7 @@ object IcebergFormat {
           summaries = summarize(specs(sid), entryValues))
       }
       manifests = merged.toList ++ delM
+      snapOps += snapId -> "replace"
       publishSnapshot(snapId, seq)
     }
 
@@ -2157,8 +2171,9 @@ object IcebergFormat {
       version += 1
       val snapshotsJson = committed.zipWithIndex.map { case ((id, lp), i) =>
         val parent = if (i == 0) "" else s""""parent-snapshot-id":${committed(i - 1)._1},"""
+        val op     = snapOps.getOrElse(id, "append")
         s"""{"snapshot-id":$id,$parent"timestamp-ms":${ts0 + id},"sequence-number":$id,
-           "summary":{"operation":"append"},"manifest-list":"$lp","schema-id":0}"""
+           "summary":{"operation":"$op"},"manifest-list":"$lp","schema-id":0}"""
           .replaceAll("\n\\s*", "")
       }.mkString(",")
       val metadataJson =
@@ -2228,8 +2243,10 @@ object IcebergFormat {
         specs0: List[Seq[(String, Int, Int, String)]],
         defaultSpec0: Int,
         fieldIds0: List[Seq[Int]],
-        readById: Boolean = false): Unit = {
+        readById: Boolean = false,
+        snapOps0: Map[Long, String] = Map.empty): Unit = {
       this.readById = readById
+      this.snapOps = snapOps0
       committed = committed0
       // resume the monotone id allocator past every snapshot the restored
       // log has seen (expired history may have gone, so this is a floor —
@@ -2367,6 +2384,11 @@ object IcebergFormat {
     val committed = (md \ "snapshots").extract[List[JObject]].map { s =>
       ((s \ "snapshot-id").extract[Long], (s \ "manifest-list").extract[String])
     }
+    // summary operations survive the resume (absent/legacy = append)
+    val snapOps0 = (md \ "snapshots").extract[List[JObject]].flatMap { s =>
+      (s \ "summary" \ "operation").extractOpt[String].filter(_ != "append")
+        .map((s \ "snapshot-id").extract[Long] -> _)
+    }.toMap
     val curList = committed.lastOption.map(_._2).getOrElse(
       throw new IllegalStateException(s"no snapshots to resume at $location"))
     val manifests = readAvro(fs, new Path(curList)).map { r =>
@@ -2386,7 +2408,8 @@ object IcebergFormat {
     }.toList
     val w = new Writer(spark, location, allSchemas.head, Nil, uuid, startVersion = version)
     w.restore(committed, manifests, allSchemas, specTuples, defaultSpecId0, allFieldIds,
-      readById = (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"))
+      readById = (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"),
+      snapOps0 = snapOps0)
     w
   }
 }

@@ -2708,6 +2708,60 @@ object IceQueries {
          FROM nation WHERE n_nationkey < 5
        ) ORDER BY key_i"""
 
+  /** ic93: CHERRY-PICK a branch snapshot onto a DIVERGED main (Iceberg's
+    * `cherrypick_snapshot`). ic38's WAP flow publishes with fast-forward,
+    * which requires main to have stood still; the real multi-writer
+    * warehouse shape is main advancing WHILE an audit branch holds a
+    * staged append. Cherry-pick replays just that snapshot's delta
+    * manifests onto main's head as a new append snapshot — metadata-only,
+    * zero data IO at any table size. Gates: diverged fast-forward is
+    * refused, the pick is the exact file-set union, double-apply is
+    * refused, and the branch pointer never moves. */
+  private def cherryPickQ(s: SparkSession, d: String): DataFrame = {
+    val wh  = freshDir(s, "i93")
+    val cat = new FsCatalog(s, wh)
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = cat.createOrReplaceTable("graft", "orders_i93",
+      ord.filter(col("o_orderkey") < 1000).coalesce(1))
+    t.createBranch("ingest")
+    // staged ingest on the branch...
+    t.appendToBranch("ingest",
+      ord.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000).coalesce(1))
+    val branchHead = t.refs()("ingest").snapshot_id
+    // ...while main advances independently — the diverged shape
+    cat.loadTable("graft", "orders_i93").append(
+      ord.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000).coalesce(1))
+    val t2 = cat.loadTable("graft", "orders_i93")
+    require(scala.util.Try(t2.fastForward("ingest")).isFailure,
+      "diverged fast-forward must be refused")
+    val filesBefore = t2.filesOf(t2.metadata.currentSnapshot.get).toSet
+    val branchSnap  = t2.metadata.snapshot(branchHead).get
+    val deltaFiles  = t2.filesOf(branchSnap).toSet --
+      branchSnap.parent_snapshot_id.flatMap(t2.metadata.snapshot)
+        .map(p => t2.filesOf(p).toSet).getOrElse(Set.empty)
+    t2.cherryPick(branchHead)
+    val t3    = cat.loadTable("graft", "orders_i93")
+    val after = t3.filesOf(t3.metadata.currentSnapshot.get).toSet
+    require(after == filesBefore ++ deltaFiles,
+      s"cherry-pick must be the exact file-set union (got ${after.size}, " +
+        s"expected ${(filesBefore ++ deltaFiles).size})")
+    require(t3.metadata.currentSnapshot.get.operation == "append",
+      "a cherry-picked append must land as an append snapshot")
+    require(t3.refs()("ingest").snapshot_id == branchHead,
+      "cherry-pick moved the branch pointer")
+    require(scala.util.Try(
+      cat.loadTable("graft", "orders_i93").cherryPick(branchHead)).isFailure,
+      "double cherry-pick must be refused")
+    t3.scan().select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  private val cherryPickOracle =
+    """SELECT o_orderkey, o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+       FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"""
+
   /** The MoR maintenance loop closed: accumulate delete debt with two MoR
     * DELETEs, observe it in the `delete_files`-style metadata table,
     * then COMPACT — the rewrite scans delete-applied, the new snapshot
@@ -3751,7 +3805,8 @@ object IceQueries {
     Q("ic90_type_promotion", sqlTypePromotionQ, Some(sqlTypePromotionOracle)),
     Q("ic91_sql_merge_not_matched_by_source", sqlMergeNotMatchedBySourceQ,
       Some(sqlMergeNotMatchedBySourceOracle)),
-    Q("ic92_rename_drop_column", renameDropColumnQ, Some(renameDropColumnOracle))
+    Q("ic92_rename_drop_column", renameDropColumnQ, Some(renameDropColumnOracle)),
+    Q("ic93_cherrypick_snapshot", cherryPickQ, Some(cherryPickOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

@@ -435,6 +435,70 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("native snapshot summaries record delete/overwrite operations, not blanket appends") {
+    import graft.icelite.IcebergFormat
+    val wh = scratch("v2ops")
+    spark.conf.set("spark.sql.catalog.ice_ops", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ops.warehouse", wh)
+    try {
+      val loc = s"$wh/ns/nat_ops"
+      val df0 = Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").cast("bigint").as("k"), col("n_name").as("v"))
+      val w = new IcebergFormat.Writer(spark, loc, df0.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f1", df0)))
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_ops.ns")
+      spark.sql("DELETE FROM ice_ops.ns.nat_ops WHERE k % 2 = 0") // MoR position deletes
+      spark.sql("UPDATE ice_ops.ns.nat_ops SET v = 'X' WHERE k = 1") // deletes + inserts
+      def opsOf(metaPath: String): Seq[String] = {
+        val p  = new org.apache.hadoop.fs.Path(metaPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        """"operation":"([a-z]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+      }
+      val ops = opsOf(IcebergFormat.currentMetadataPath(spark, loc))
+      assert(ops == Seq("append", "delete", "overwrite"),
+        s"snapshot operations wrong: $ops")
+      // the operations survive a resume + further commit
+      IcebergFormat.appendWithRetry(spark, loc,
+        Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f2",
+          df0.filter(col("k") < 2))))
+      val ops2 = opsOf(IcebergFormat.currentMetadataPath(spark, loc))
+      assert(ops2 == Seq("append", "delete", "overwrite", "append"),
+        s"operations lost through resume: $ops2")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ice_ops")
+      spark.conf.unset("spark.sql.catalog.ice_ops.warehouse")
+    }
+  }
+
+  test("cherry-pick onto a diverged main: exact union, branch fixed, non-append refused") {
+    val cat = new FsCatalog(spark, scratch("v2pick"))
+    val nation = Tables.nation(spark, sfDir)
+    val t = cat.createOrReplaceTable("ns", "nat_cp",
+      nation.filter(col("n_nationkey") < 10).coalesce(1))
+    t.createBranch("stage")
+    t.appendToBranch("stage",
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20).coalesce(1))
+    val branchHead = t.refs()("stage").snapshot_id
+    cat.loadTable("ns", "nat_cp").append(
+      nation.filter(col("n_nationkey") >= 20).coalesce(1))
+    val t2 = cat.loadTable("ns", "nat_cp")
+    t2.cherryPick(branchHead)
+    val t3 = cat.loadTable("ns", "nat_cp")
+    assert(t3.scan().count() == nation.count(), "cherry-pick lost rows")
+    assert(t3.refs()("stage").snapshot_id == branchHead)
+    // a replace-style snapshot must be refused on the OPERATION check:
+    // compact main, roll back past it (so the compact snapshot is off
+    // main's ancestry), then try to pick it
+    val preCompact = t3.metadata.current_snapshot_id
+    cat.loadTable("ns", "nat_cp").compact(1)
+    val compactId = cat.loadTable("ns", "nat_cp").metadata.current_snapshot_id
+    cat.loadTable("ns", "nat_cp").rollback(preCompact)
+    val ex = intercept[Exception] { cat.loadTable("ns", "nat_cp").cherryPick(compactId) }
+    assert(ex.getMessage.contains("append snapshots only"), ex.getMessage)
+  }
+
   test("drop + re-add on the library path: retired id never reissued, values never resurrect") {
     val cat = new FsCatalog(spark, scratch("v2dropadd"))
     val nation = Tables.nation(spark, sfDir)
