@@ -242,18 +242,15 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val dataRel = s"data/snap-$snapId0-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(location, dataRel)
     val parts   = md0.partitionCols
-    // stamp parquet field ids (from the metadata's FieldInfo table) so
-    // every data file is resolvable by id after a rename/drop evolution;
-    // purely additive for name-based readers
-    val idOf = md0.fields.map(fi => fi.name -> fi.id).toMap
+    // stamp parquet field ids (TableMetadata.stampedSchema is the single
+    // id rule) so every data file is resolvable by id after a rename/drop
+    // evolution; purely additive for name-based readers. The df's own
+    // column ORDER is preserved — only metadata is attached.
+    val stampedOf = md0.stampedSchema.fields.map(f => f.name -> f.metadata).toMap
     val stamped = df.select(df.schema.fields.map { f =>
-      idOf.get(f.name) match {
-        case Some(id) =>
-          val m = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build()
-          org.apache.spark.sql.functions.col(f.name).as(f.name, m)
-        case None => org.apache.spark.sql.functions.col(f.name)
-      }
+      stampedOf.get(f.name)
+        .map(m => org.apache.spark.sql.functions.col(f.name).as(f.name, m))
+        .getOrElse(org.apache.spark.sql.functions.col(f.name))
     }.toIndexedSeq: _*)
     if (parts.isEmpty) stamped.write.parquet(dataDir.toString)
     else stamped.write.partitionBy(parts: _*).parquet(dataDir.toString)
@@ -426,8 +423,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     var partSet = Set.empty[String]
 
     // stats under a RETIRED name (dropped/renamed-away column) must never
-    // serve as evidence for a same-named successor column
-    val retiredCols = md.retiredNames
+    // serve as evidence for a same-named successor column — unless the
+    // file postdates the retirement watermark (era-scoped trust, same
+    // rule as planFilesBounds)
+    val retiredW = md.retiredWatermarks
+    var entrySnap: Option[Long] = None // set per file in the walk below
+    def trusted(c: String): Boolean =
+      retiredW.get(c).forall(w => entrySnap.exists(_ > w))
 
     def noNulls(c: String, stats: Map[String, ColRange]): Boolean =
       fieldOf.get(c).exists(!_.nullable) || (partSet(c) && stats.contains(c))
@@ -449,7 +451,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     def range(c: String, stats: Map[String, ColRange]): Option[(String, String, (String, String) => Int)] =
       for {
         f  <- fieldOf.get(c)
-        if !retiredCols(c)
+        if trusted(c)
         r  <- stats.get(c)
         lo <- r.min
         hi <- r.max
@@ -558,6 +560,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         // era witness: only columns materialized as k=v dirs in THIS
         // file's path carry partition-uniformity evidence
         partSet = declaredParts.filter(c => e.file.contains(s"/$c="))
+        entrySnap = IceTable.fileSnapId(e.file)
         // the conjunction of all pushed filters, evaluated per file
         val verdicts = filters.map(eval(_, stats))
         if (verdicts.contains(MIXED)) return None
@@ -1070,10 +1073,10 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       rm.get(fi.name).map(n => fi.copy(name = n)).getOrElse(fi))
     commit(md.copy(schemaJson = newSchema.json, fields = newInfos,
       read_by_id = Some(true),
-      // old names retire: a later column reusing one must not consult
-      // its name-keyed stats in old files
-      retired_columns = Some(
-        (md.retiredNames ++ renames.map(_._1)).toList.sorted)))
+      // old names retire AT THIS SNAPSHOT: a later column reusing one must
+      // not consult its name-keyed stats in files from at-or-before here
+      retired_columns = Some(md.retiredWatermarks ++
+        renames.map(_._1 -> md.current_snapshot_id))))
     this
   }
 
@@ -1096,9 +1099,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       fields = md.fields.filterNot(fi => drop(fi.name)),
       read_by_id = Some(true),
       // pin the retired ids out of circulation forever, and retire the
-      // names so a re-added column never consults the old stats
+      // names at this snapshot so a re-added column never consults the
+      // old files' stats (later files' stats describe the successor)
       last_column_id = Some(md.lastColumnId),
-      retired_columns = Some((md.retiredNames ++ names).toList.sorted)))
+      retired_columns = Some(md.retiredWatermarks ++
+        names.map(_ -> md.current_snapshot_id))))
     this
   }
 
@@ -1242,21 +1247,12 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     def leafDone(leaf: DataFrame): DataFrame =
       deleteDF.map(joinPositionDeletes(leaf, _, deleteJoin)).getOrElse(leaf)
     // a rename/drop-evolved table binds file columns by the parquet field
-    // ids appendInternal stamps: the read schema carries the ids, the
-    // session flag turns id matching on (a no-op for every id-less read
-    // schema, so other scans are untouched). Hive partition columns keep
-    // resolving from directory paths — id matching only applies to
-    // columns physically read from files.
-    val readSchema =
-      if (!md.readById) md.schema
-      else {
-        val idOf = md.fields.map(fi => fi.name -> fi.id).toMap
-        org.apache.spark.sql.types.StructType(md.schema.fields.map { f =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("parquet.field.id", idOf(f.name).toLong).build())
-        })
-      }
+    // ids appendInternal stamps: the read schema carries the ids
+    // (TableMetadata.scanSchema), the session flag turns id matching on
+    // (a no-op for every id-less read schema, so other scans are
+    // untouched). Hive partition columns keep resolving from directory
+    // paths — id matching only applies to columns physically read.
+    val readSchema = md.scanSchema
     if (md.readById) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     if (files.isEmpty) emptyFrame(md)
     // the hive-restore branch also covers files written under a PRIOR
@@ -1448,11 +1444,15 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         .getOrElse(org.apache.spark.sql.types.StringType))
     }.toMap
     // stats under a RETIRED name may belong to a dropped/renamed-away
-    // column; a same-named successor must never prune by them
-    val retired = md.retiredNames
-    def hit(stats: Option[Map[String, ColRange]]): Boolean =
+    // column: a same-named successor must never prune by them — UNLESS
+    // the file postdates the retirement watermark (then the stats
+    // describe the successor). Manifest summaries mix eras, so they go
+    // untrusted for retired names; per-file entries re-prune by era.
+    val retired = md.retiredWatermarks
+    def hit(stats: Option[Map[String, ColRange]], fileSnap: Option[Long]): Boolean =
       bounds.forall { case (c, (lo, hi)) =>
-        stats.flatMap(s => if (retired(c)) None else s.get(c)) match {
+        val trusted = retired.get(c).forall(w => fileSnap.exists(_ > w))
+        stats.flatMap(s => if (trusted) s.get(c) else None) match {
           case Some(ColRange(Some(mn), Some(mx))) =>
             val cmp = cmps(c)
             lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
@@ -1460,8 +1460,9 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         }
       }
     snap.manifests.zipWithIndex.flatMap { case (m, i) =>
-      if (!hit(snap.summaryAt(i))) Nil // whole manifest skipped, never opened
-      else readManifest(m).collect { case e if hit(e.stats) => e.file }
+      if (!hit(snap.summaryAt(i), None)) Nil // whole manifest skipped, never opened
+      else readManifest(m).collect {
+        case e if hit(e.stats, IceTable.fileSnapId(e.file)) => e.file }
     }
   }
 
@@ -2212,6 +2213,16 @@ object IceTable {
   /** Load an existing table from its location. */
   def load(spark: SparkSession, location: String): IceTable =
     new IceTable(spark, new Path(location))
+
+  private val FileSnapPat = raw"(?:^|/)snap-(\d+)-".r.unanchored
+
+  /** Snapshot id a data file was committed under, parsed from its
+    * `data/snap-<id>-<uuid>` path segment (None for foreign layouts) —
+    * the per-file era witness the retired-name stats rule keys off. */
+  private[icelite] def fileSnapId(rel: String): Option[Long] = rel match {
+    case FileSnapPat(id) => scala.util.Try(id.toLong).toOption
+    case _               => None
+  }
 
   /** Scan straight from a metadata file path (reference `iceberg_scan`
     * entry, SURVEY.md §2.1 S11). The scan is pinned to the *given* metadata

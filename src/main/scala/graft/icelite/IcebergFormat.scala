@@ -1615,6 +1615,10 @@ object IcebergFormat {
     // commits publish delete/overwrite, rewrites publish replace — the
     // spec's summary contract, which changelog consumers key off.
     private var snapOps = Map.empty[Long, String]
+    // schema-id each snapshot committed under; absent = 0. A snapshot
+    // after an evolveSchema/rename/drop must not claim the original
+    // schema id.
+    private var snapSchemaIds = Map.empty[Long, Int]
     private case class ManifestRec(path: String, len: Long, addedBy: Long, seq: Long,
         content: Int, nFiles: Int, nRows: Long, specId: Int, existing: Boolean = false,
         summaries: Option[Seq[FieldSummary]] = None)
@@ -1809,8 +1813,21 @@ object IcebergFormat {
       val cur = currentSchema
       val idx = cur.fieldNames.indexOf(name)
       require(idx >= 0, s"no column $name to drop")
-      require(!specs.flatten.exists(_.sourceId == currentFieldIds(idx)),
+      val id = currentFieldIds(idx)
+      require(!specs.flatten.exists(_.sourceId == id),
         s"cannot drop partition source column $name")
+      // a LIVE equality-delete file keying on this column would make every
+      // subsequent scan throw (equality_ids resolve through the current
+      // schema) — and retired ids are never reissued, so the table would
+      // be bricked by a metadata-only op. Refuse instead; compact the
+      // delete debt away first (rewrite_data_files), then drop.
+      if (committed.nonEmpty) {
+        val liveEqIds = plan(spark, currentMetadataPath).deletes
+          .filter(_.content == 2).flatMap(_.equalityIds).toSet
+        require(!liveEqIds.contains(id),
+          s"cannot drop column $name: live equality-delete files key on it " +
+            "(materialize the deletes with rewrite_data_files first)")
+      }
       allFieldIds = allFieldIds :+ currentFieldIds.patch(idx, Nil, 1)
       allSchemas = allSchemas :+ StructType(cur.fields.patch(idx, Nil, 1))
       readById = true
@@ -1898,6 +1915,7 @@ object IcebergFormat {
       val snapId = lastSnapId + 1L
       val seq    = snapId // one sequence number per commit
       if (op != "append") snapOps += snapId -> op
+      if (allSchemas.size > 1) snapSchemaIds += snapId -> (allSchemas.size - 1)
       fs.mkdirs(metadataDir)
       withCommitRollback {
         val seenManifestNames = scala.collection.mutable.Set.empty[String]
@@ -2071,6 +2089,7 @@ object IcebergFormat {
       }
       manifests = merged.toList ++ delM
       snapOps += snapId -> "replace"
+      if (allSchemas.size > 1) snapSchemaIds += snapId -> (allSchemas.size - 1)
       publishSnapshot(snapId, seq)
     }
 
@@ -2172,8 +2191,9 @@ object IcebergFormat {
       val snapshotsJson = committed.zipWithIndex.map { case ((id, lp), i) =>
         val parent = if (i == 0) "" else s""""parent-snapshot-id":${committed(i - 1)._1},"""
         val op     = snapOps.getOrElse(id, "append")
+        val schId  = snapSchemaIds.getOrElse(id, 0)
         s"""{"snapshot-id":$id,$parent"timestamp-ms":${ts0 + id},"sequence-number":$id,
-           "summary":{"operation":"$op"},"manifest-list":"$lp","schema-id":0}"""
+           "summary":{"operation":"$op"},"manifest-list":"$lp","schema-id":$schId}"""
           .replaceAll("\n\\s*", "")
       }.mkString(",")
       val metadataJson =
@@ -2244,9 +2264,11 @@ object IcebergFormat {
         defaultSpec0: Int,
         fieldIds0: List[Seq[Int]],
         readById: Boolean = false,
-        snapOps0: Map[Long, String] = Map.empty): Unit = {
+        snapOps0: Map[Long, String] = Map.empty,
+        snapSchemaIds0: Map[Long, Int] = Map.empty): Unit = {
       this.readById = readById
       this.snapOps = snapOps0
+      this.snapSchemaIds = snapSchemaIds0
       committed = committed0
       // resume the monotone id allocator past every snapshot the restored
       // log has seen (expired history may have gone, so this is a floor —
@@ -2381,12 +2403,21 @@ object IcebergFormat {
         case other   => throw new IllegalStateException(s"unversioned metadata file $other")
       }
     }
-    val committed = (md \ "snapshots").extract[List[JObject]].map { s =>
+    // one walk over the snapshots array feeds all three restored maps —
+    // resumeWriter runs per DML commit, so the extraction cost matters
+    // on long snapshot logs
+    val snapsJ = (md \ "snapshots").extract[List[JObject]]
+    val committed = snapsJ.map { s =>
       ((s \ "snapshot-id").extract[Long], (s \ "manifest-list").extract[String])
     }
-    // summary operations survive the resume (absent/legacy = append)
-    val snapOps0 = (md \ "snapshots").extract[List[JObject]].flatMap { s =>
+    // summary operations and schema ids survive the resume
+    // (absent/legacy = append / schema 0)
+    val snapOps0 = snapsJ.flatMap { s =>
       (s \ "summary" \ "operation").extractOpt[String].filter(_ != "append")
+        .map((s \ "snapshot-id").extract[Long] -> _)
+    }.toMap
+    val snapSchemaIds0 = snapsJ.flatMap { s =>
+      (s \ "schema-id").extractOpt[Int].filter(_ != 0)
         .map((s \ "snapshot-id").extract[Long] -> _)
     }.toMap
     val curList = committed.lastOption.map(_._2).getOrElse(
@@ -2409,7 +2440,7 @@ object IcebergFormat {
     val w = new Writer(spark, location, allSchemas.head, Nil, uuid, startVersion = version)
     w.restore(committed, manifests, allSchemas, specTuples, defaultSpecId0, allFieldIds,
       readById = (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"),
-      snapOps0 = snapOps0)
+      snapOps0 = snapOps0, snapSchemaIds0 = snapSchemaIds0)
     w
   }
 }

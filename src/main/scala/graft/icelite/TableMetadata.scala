@@ -111,13 +111,17 @@ final case class TableMetadata(
     // retires its id forever — allocating from max(live ids) alone would
     // re-issue a dropped max-id and resurrect its old file values
     last_column_id: Option[Int] = None,
-    // names ever RETIRED by a drop or rename: per-file stats are keyed by
-    // NAME in this format, so a later column reusing a retired name would
+    // names RETIRED by a drop or rename, with the snapshot id current at
+    // retirement (the era watermark). Per-file stats are keyed by NAME in
+    // this format, so a later column reusing a retired name would
     // otherwise consult the retired column's recorded bounds/null-counts
-    // and misprune — stats under a retired name are ignored instead
-    retired_columns: Option[List[String]] = None
+    // and misprune. Stats recorded in files of snapshots AFTER the
+    // watermark describe the successor column and stay trustworthy —
+    // without the watermark, a re-added column would lose min/max pruning
+    // forever, on every file ever written afterwards.
+    retired_columns: Option[Map[String, Long]] = None
 ) {
-  def retiredNames: Set[String] = retired_columns.getOrElse(Nil).toSet
+  def retiredWatermarks: Map[String, Long] = retired_columns.getOrElse(Map.empty)
   def readById: Boolean = read_by_id.contains(true)
 
   def lastColumnId: Int =

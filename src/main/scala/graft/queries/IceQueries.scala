@@ -1592,16 +1592,29 @@ object IceQueries {
     * reusing the name would silently write into the wrong warehouse
     * (caught by a registry-subset run where map order put ic60 before
     * ic58 and ic58's file-level gates missed their table). */
-  private def withDmlCatalog(s: SparkSession, tag: String)(body: (String, String) => DataFrame): DataFrame = {
+  private def withDmlCatalog(s: SparkSession, tag: String)(body: (String, String) => DataFrame): DataFrame =
+    withTagCatalog(s, tag)(body)
+
+  /** The shared per-tag catalog plumbing behind [[withDmlCatalog]] and
+    * [[withMorCatalog]]: register, run, assert analyzed, unset — with
+    * optional extra session confs scoped the same way. The catalog NAME
+    * is tag-unique because Spark's CatalogManager caches plugin
+    * instances by name for the session's lifetime. */
+  private def withTagCatalog(s: SparkSession, tag: String,
+      extraConfs: Map[String, String] = Map.empty,
+      catPrefix: String = "ice_dml_")(
+      body: (String, String) => DataFrame): DataFrame = {
     val wh  = freshDir(s, tag)
-    val cat = s"ice_dml_$tag"
+    val cat = s"$catPrefix$tag"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    extraConfs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val out = body(cat, wh)
       out.queryExecution.assertAnalyzed()
       out
     } finally {
+      extraConfs.keys.foreach(s.conf.unset)
       s.conf.unset(s"spark.sql.catalog.$cat")
       s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
@@ -2185,22 +2198,10 @@ object IceQueries {
     * plugin instances BY NAME, so reusing a name across queries would
     * silently pin the first query's warehouse. */
   private def withMorCatalog(s: SparkSession, tag: String)(body: (String, String) => DataFrame)
-      : DataFrame = {
-    val wh  = freshDir(s, tag)
-    val cat = s"ice_$tag"
-    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.IceLiteCatalog")
-    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    s.conf.set("graft.delete.mode", "merge-on-read")
-    try {
-      val out = body(cat, wh)
-      out.queryExecution.assertAnalyzed()
-      out
-    } finally {
-      s.conf.unset("graft.delete.mode")
-      s.conf.unset(s"spark.sql.catalog.$cat")
-      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
-    }
-  }
+      : DataFrame =
+    withTagCatalog(s, tag,
+      extraConfs = Map("graft.delete.mode" -> "merge-on-read"),
+      catPrefix = "ice_")(body)
 
   /** MERGE-ON-READ SQL DELETE (`SupportsDelta` + position-delete files —
     * Iceberg v2's `write.delete.mode = merge-on-read`): the delete commits

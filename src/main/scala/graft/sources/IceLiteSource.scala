@@ -907,11 +907,15 @@ final class IceLitePartitionReader(
     fieldIdOf.get(name) match {
       case Some(id) if byId =>
         val hit = msg.getFields.asScala.find(t => t.getId != null && t.getId.intValue == id)
-        if (hit.isEmpty && !msg.getFields.asScala.exists(_.getId != null) &&
-            msg.containsField(name))
+        // a file with NO ids at all cannot be bound soundly on an evolved
+        // table — its columns may carry pre-rename names (so containsField
+        // is exactly the check that CANNOT see the problem). Same loud
+        // contract as the Spark-read paths (fieldId.read.ignoreMissing
+        // defaults false).
+        if (hit.isEmpty && !msg.getFields.asScala.exists(_.getId != null))
           throw new IllegalStateException(
             s"table requires field-id resolution (rename/drop evolution) but a data " +
-              s"file carries no parquet field ids; refusing a by-name bind of '$name'")
+              s"file carries no parquet field ids; refusing to bind '$name'")
         hit
       case _ =>
         if (msg.containsField(name)) Some(msg.getType(msg.getFieldIndex(name)))

@@ -516,6 +516,18 @@ class DataSourceV2Spec extends SparkSpec {
     assert(scanned.count() == nation.count())
     assert(scanned.filter(col("n_name").isNotNull).count() == 0L,
       "dropped column's values resurrected through the re-added name")
+    // era-scoped stats trust: a file appended AFTER the re-add regains
+    // min/max pruning under the reused name, while pre-drop files' stats
+    // stay untrusted (kept conservatively) — the watermark rule
+    cat.loadTable("ns", "nat_da").append(nation.limit(5).select(
+      col("n_nationkey"), col("n_regionkey"), lit("zzz").as("n_name")).coalesce(1))
+    val t5   = cat.loadTable("ns", "nat_da")
+    val snap = t5.metadata.currentSnapshot.get
+    val all  = t5.filesOf(snap)
+    val kept = t5.planFilesBounds(snap, Map("n_name" -> (Some("aaa"), Some("bbb"))))
+    assert(kept.size == all.size - 1,
+      s"expected exactly the post-readd file pruned (trusted stats), " +
+        s"old files kept (untrusted): ${all.size} -> ${kept.size}")
     // a second drop/add cycle must keep climbing past both retired ids
     cat.loadTable("ns", "nat_da").dropColumns(Seq("n_name"))
     cat.loadTable("ns", "nat_da").addColumns(Seq(
