@@ -50,7 +50,7 @@ class MaintenanceSpec extends SparkSpec {
           }
         })
       }
-      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS)) // generous: a loaded box must not flake the race
     } finally pool.shutdown()
     // both snapshots visible in the log, all rows present, linear history
     val snaps = t.snapshots()

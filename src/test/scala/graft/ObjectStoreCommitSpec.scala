@@ -61,7 +61,7 @@ class ObjectStoreCommitSpec extends SparkSpec {
           }
         })
       }
-      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS)) // generous: a loaded box must not flake the race
     } finally pool.shutdown()
     val snaps = t.snapshots()
     assert(snaps.size == 3, s"expected 3 snapshots (create + 2 appends), got ${snaps.size}")
