@@ -1846,6 +1846,10 @@ object IcebergFormat {
       * standard tables, whose adopted files must bind by field id). */
     private[icelite] def setReadById(): Unit = readById = true
 
+    /** The current (possibly evolved-but-unpublished) schema — what an
+      * ALTER TABLE driver composes further changes against. */
+    def schemaNow: StructType = currentSchema
+
     /** Commit `files` as snapshot N+1 (append semantics). Files with
       * `content` > 0 go into a separate DELETE manifest, listed with
       * content 1 in the manifest list, exactly as the spec splits them. */

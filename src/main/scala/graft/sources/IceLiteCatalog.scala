@@ -336,7 +336,28 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
         "icelite ALTER TABLE supports ADD COLUMN, ALTER COLUMN TYPE, " +
           s"RENAME COLUMN and DROP COLUMN only, got $other")
     }
-    val ns  = ns1(ident.namespace())
+    val ns = ns1(ident.namespace())
+    // a NATIVE Iceberg v2 dir evolves through the resumed Writer (same
+    // dispatch rule as loadTable): renames/drops keep their field ids and
+    // flip read-by-id, adds take fresh ids, promotions widen in place —
+    // all published as one new metadata version, zero data IO
+    if (rest.isEmpty) {
+      val loc = s"$warehouseRoot/$ns/${ident.name()}"
+      if (IcebergMorV2Table.isIcebergDir(SparkSession.active, loc)) {
+        val spark = SparkSession.active
+        val w = graft.icelite.IcebergFormat.resumeWriter(spark, loc)
+        renames.foreach { case (o, n) => w.renameColumn(o, n) }
+        drops.foreach(w.dropColumn)
+        if (promotes.nonEmpty || adds.nonEmpty) {
+          val pm = promotes.toMap
+          w.evolveSchema(org.apache.spark.sql.types.StructType(
+            w.schemaNow.fields.map(f =>
+              pm.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)) ++ adds))
+        }
+        w.publishSchemaChange()
+        return new IcebergMorV2Table(spark, loc)
+      }
+    }
     val ice = backend.loadTable(ns, ident.name())
     if (adds.nonEmpty) ice.addColumns(adds)
     if (promotes.nonEmpty) ice.promoteColumnTypes(promotes)

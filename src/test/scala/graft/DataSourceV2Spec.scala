@@ -472,6 +472,38 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("SQL ALTER TABLE evolves a NATIVE Iceberg v2 table through the resumed Writer") {
+    import graft.icelite.IcebergFormat
+    val wh = scratch("v2natalter")
+    spark.conf.set("spark.sql.catalog.ice_na", "graft.sources.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_na.warehouse", wh)
+    try {
+      val loc = s"$wh/ns/nat_na"
+      val df0 = Tables.nation(spark, sfDir).select(
+        col("n_nationkey").cast("int").as("k"), col("n_name").as("label"))
+      val w = new IcebergFormat.Writer(spark, loc, df0.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(spark, s"$wh/stage", loc, "f1", df0)))
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_na.ns")
+      spark.sql("ALTER TABLE ice_na.ns.nat_na ALTER COLUMN k TYPE BIGINT")
+      spark.sql("ALTER TABLE ice_na.ns.nat_na RENAME COLUMN label TO title")
+      spark.sql("ALTER TABLE ice_na.ns.nat_na ADD COLUMN score DOUBLE")
+      val out = spark.sql(
+        "SELECT k, title, score FROM ice_na.ns.nat_na ORDER BY k").collect()
+      assert(out.length == 25)
+      assert(out.head.getLong(0) == 0L, "int->bigint promotion lost on the SQL read")
+      assert(out.forall(_.getString(1) != null), "pre-rename values lost")
+      assert(out.forall(_.isNullAt(2)), "added column must read NULL for old files")
+      spark.sql("ALTER TABLE ice_na.ns.nat_na DROP COLUMN title")
+      assert(spark.sql("SELECT * FROM ice_na.ns.nat_na").columns.toSeq == Seq("k", "score"))
+      // the library scan agrees with the evolved state
+      val lib = IcebergFormat.scan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+      assert(lib.schema.fieldNames.toSeq == Seq("k", "score") && lib.count() == 25)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ice_na")
+      spark.conf.unset("spark.sql.catalog.ice_na.warehouse")
+    }
+  }
+
   test("cherry-pick onto a diverged main: exact union, branch fixed, non-append refused") {
     val cat = new FsCatalog(spark, scratch("v2pick"))
     val nation = Tables.nation(spark, sfDir)
