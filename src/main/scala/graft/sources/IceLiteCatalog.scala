@@ -192,6 +192,18 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
           Seq(catalogName) ++ ident.namespace() :+ ident.name())
     }
 
+  /** The on-disk location of `(ns, name)` IF it is a NATIVE Iceberg v2
+    * dir on an FS warehouse (vNNNNN.metadata.json + Avro manifests) —
+    * the single dispatch rule shared by loadTable (base + metadata
+    * tables) and alterTable. REST tables resolve through the catalog's
+    * metadata pointer instead. */
+  private def nativeDir(ns: String, name: String): Option[String] = {
+    val loc = s"$warehouseRoot/$ns/$name"
+    if (rest.isEmpty && IcebergMorV2Table.isIcebergDir(SparkSession.active, loc))
+      Some(loc)
+    else None
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val nsArr = ident.namespace()
     // Iceberg-style SQL metadata tables: `cat.ns.t.snapshots` resolves as
@@ -201,10 +213,10 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
       // standard-format dirs take precedence like the base-table dispatch
       // below: `t.delete_files` over one surfaces the live MoR debt
       // (position AND equality delete files) from its Avro manifests
-      val stdLoc = s"$warehouseRoot/${nsArr(0)}/${nsArr(1)}"
-      if (rest.isEmpty && ident.name().equalsIgnoreCase("delete_files") &&
-          IcebergMorV2Table.isIcebergDir(SparkSession.active, stdLoc)) {
-        val spark = SparkSession.active
+      val natLoc = nativeDir(nsArr(0), nsArr(1))
+      if (ident.name().equalsIgnoreCase("delete_files") && natLoc.isDefined) {
+        val spark  = SparkSession.active
+        val stdLoc = natLoc.get
         return new LocalDataFrameTable(s"iceberg.$stdLoc.delete_files",
           graft.icelite.IcebergFormat.deletesTable(spark,
             graft.icelite.IcebergFormat.currentMetadataPath(spark, stdLoc)))
@@ -212,9 +224,9 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
       // `t.position_deletes` — the deleted POSITIONS. Rows are
       // data-proportional (one per deleted row), so this is a DISTRIBUTED
       // parquet table over the live content-1 files, never a LocalScan.
-      if (rest.isEmpty && ident.name().equalsIgnoreCase("position_deletes") &&
-          IcebergMorV2Table.isIcebergDir(SparkSession.active, stdLoc)) {
-        val spark = SparkSession.active
+      if (ident.name().equalsIgnoreCase("position_deletes") && natLoc.isDefined) {
+        val spark  = SparkSession.active
+        val stdLoc = natLoc.get
         return PositionDeletesTables(s"iceberg.$stdLoc.position_deletes",
           graft.icelite.IcebergFormat.positionDeleteFilePaths(spark,
             graft.icelite.IcebergFormat.currentMetadataPath(spark, stdLoc)))
@@ -232,12 +244,9 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     // a table directory holding STANDARD Iceberg v2 metadata
     // (vNNNNN.metadata.json, Avro manifests) loads as the
     // standard-format table: batch reads + merge-on-read SQL DELETE
-    // through spec-shaped position deletes (ic76). FS warehouses only —
-    // REST tables resolve through the catalog's metadata pointer.
-    if (rest.isEmpty) {
-      val loc = s"$warehouseRoot/$ns/${ident.name()}"
-      if (IcebergMorV2Table.isIcebergDir(SparkSession.active, loc))
-        return new IcebergMorV2Table(SparkSession.active, loc)
+    // through spec-shaped position deletes (ic76).
+    nativeDir(ns, ident.name()).foreach { loc =>
+      return new IcebergMorV2Table(SparkSession.active, loc)
     }
     val ice = loadIce(ns, ident)
     new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
@@ -308,6 +317,14 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"icelite ADD COLUMN supports top-level columns, got ${a.fieldNames().mkString(".")}")
+        // silent coercion would lie to the user: evolved columns append
+        // at the END (old files lack them) and MUST be nullable (old
+        // rows read NULL) — reject what we can't honor
+        require(a.position() == null,
+          s"icelite ADD COLUMN appends at the end; FIRST/AFTER not supported")
+        require(a.isNullable,
+          s"icelite ADD COLUMN ${a.fieldNames().head} must be nullable " +
+            "(pre-evolution files read it as NULL)")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
     }
@@ -340,22 +357,35 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     // a NATIVE Iceberg v2 dir evolves through the resumed Writer (same
     // dispatch rule as loadTable): renames/drops keep their field ids and
     // flip read-by-id, adds take fresh ids, promotions widen in place —
-    // all published as one new metadata version, zero data IO
-    if (rest.isEmpty) {
-      val loc = s"$warehouseRoot/$ns/${ident.name()}"
-      if (IcebergMorV2Table.isIcebergDir(SparkSession.active, loc)) {
-        val spark = SparkSession.active
-        val w = graft.icelite.IcebergFormat.resumeWriter(spark, loc)
-        renames.foreach { case (o, n) => w.renameColumn(o, n) }
-        drops.foreach(w.dropColumn)
-        if (promotes.nonEmpty || adds.nonEmpty) {
-          val pm = promotes.toMap
+    // all published as one new metadata version, zero data IO. Change
+    // order matches the legacy backend below (adds, promotes, renames,
+    // drops), and every promoted name must resolve — a rename in the
+    // same batch must not silently swallow a promotion. The publish can
+    // lose a race to a concurrent data commit; the change is metadata-only
+    // and idempotent to re-derive, so re-resume and retry like
+    // appendWithRetry does for appends.
+    nativeDir(ns, ident.name()).foreach { loc =>
+      val spark   = SparkSession.active
+      var attempt = 0
+      while (true) {
+        val w  = graft.icelite.IcebergFormat.resumeWriter(spark, loc)
+        val pm = promotes.toMap
+        pm.keys.foreach(c => require(w.schemaNow.fieldNames.contains(c),
+          s"no column $c to promote"))
+        if (promotes.nonEmpty || adds.nonEmpty)
           w.evolveSchema(org.apache.spark.sql.types.StructType(
             w.schemaNow.fields.map(f =>
               pm.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)) ++ adds))
+        renames.foreach { case (o, n) => w.renameColumn(o, n) }
+        drops.foreach(w.dropColumn)
+        try {
+          w.publishSchemaChange()
+          return new IcebergMorV2Table(spark, loc)
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 10) throw e
         }
-        w.publishSchemaChange()
-        return new IcebergMorV2Table(spark, loc)
       }
     }
     val ice = backend.loadTable(ns, ident.name())
