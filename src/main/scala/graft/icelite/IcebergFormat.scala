@@ -475,6 +475,91 @@ object IcebergFormat {
       "min_data_file", "max_data_file")
   }
 
+  /** `snapshots` metadata table for a NATIVE table: one row per snapshot
+    * from the metadata JSON — id, parent, sequence number, commit
+    * timestamp, summary operation, schema id, manifest list, currency.
+    * ONE metadata read, zero manifests touched — planning-sized at any
+    * table size. */
+  def snapshotsTable(spark: SparkSession, metadataPath: String): DataFrame = {
+    import spark.implicits._
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fsys  = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fsys, mPath))
+    val cur   = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
+    val rows = ((md \ "snapshots") match {
+      case JArray(ss) => ss
+      case _          => Nil
+    }).map { s =>
+      val id = (s \ "snapshot-id").extract[Long]
+      (id,
+        (s \ "parent-snapshot-id").extractOpt[Long],
+        (s \ "sequence-number").extractOpt[Long].getOrElse(0L),
+        (s \ "timestamp-ms").extractOpt[Long].getOrElse(0L),
+        (s \ "summary" \ "operation").extractOpt[String].getOrElse("append"),
+        (s \ "schema-id").extractOpt[Int].getOrElse(0),
+        (s \ "manifest-list").extractOpt[String].getOrElse(""),
+        id == cur)
+    }
+    rows.toDF("snapshot_id", "parent_id", "sequence_number", "committed_at_ms",
+      "operation", "schema_id", "manifest_list", "is_current")
+  }
+
+  /** `history` metadata table for a NATIVE table: the snapshot log in
+    * commit order. The native writer's log is linear (no rollback ref
+    * surgery), so every logged snapshot is a current-state ancestor. */
+  def historyTable(spark: SparkSession, metadataPath: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    snapshotsTable(spark, metadataPath)
+      .select(col("committed_at_ms").as("made_current_at_ms"),
+        col("snapshot_id"), col("parent_id"),
+        lit(true).as("is_current_ancestor"))
+  }
+
+  /** `files` metadata table for a NATIVE table: one row per DATA file of
+    * the current snapshot, from its manifests (record counts and sizes
+    * ride the manifest entries — no data file is opened). Planning-sized:
+    * O(live files) driver rows, the same granularity Iceberg's own
+    * `files` table serves. */
+  def filesTable(spark: SparkSession, metadataPath: String): DataFrame = {
+    import spark.implicits._
+    val p = plan(spark, metadataPath)
+    p.files.sortBy(_.path.toString)
+      .map(f => (f.path.toString, f.rowCount, f.sizeBytes, f.seq))
+      .toDF("file_path", "record_count", "file_size_in_bytes", "data_sequence_number")
+  }
+
+  /** `manifests` metadata table for a NATIVE table: the CURRENT
+    * snapshot's manifest-list entries (path, length, spec, content,
+    * sequence number, provenance, file counts) — what rewrite_manifests
+    * planning reads. One metadata read + one manifest-LIST avro read. */
+  def manifestsTable(spark: SparkSession, metadataPath: String): DataFrame = {
+    import spark.implicits._
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fsys  = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fsys, mPath))
+    val cur   = (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L)
+    val listPath = ((md \ "snapshots") match {
+      case JArray(ss) => ss
+      case _          => Nil
+    }).find(s => (s \ "snapshot-id").extract[Long] == cur)
+      .flatMap(s => (s \ "manifest-list").extractOpt[String])
+    val rows = listPath.toSeq.flatMap(lp => readAvro(fsys, new Path(lp))).map { r =>
+      (r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        r.get("partition_spec_id").asInstanceOf[Int],
+        r.get("content").asInstanceOf[Int],
+        r.get("sequence_number").asInstanceOf[Long],
+        r.get("added_snapshot_id").asInstanceOf[Long],
+        r.get("added_files_count").asInstanceOf[Int],
+        r.get("existing_files_count").asInstanceOf[Int])
+    }
+    rows.toDF("path", "length", "partition_spec_id", "content",
+      "sequence_number", "added_snapshot_id", "added_files_count",
+      "existing_files_count")
+  }
+
   /** The SQL-visible schema of the `position_deletes` metadata table —
     * the one position-delete row shape the codebase defines
     * ([[IceTable.PositionDeleteSchema]]); both format twins and the

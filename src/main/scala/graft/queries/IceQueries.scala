@@ -2763,6 +2763,66 @@ object IceQueries {
               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
        FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"""
 
+  /** ic94: SQL metadata tables over a NATIVE Iceberg v2 table —
+    * `t.snapshots` / `t.history` (one metadata-JSON read), `t.files`
+    * (manifest entries) and `t.manifests` (manifest-list entries), the
+    * same surface icelite tables already serve (ic64). The lifecycle
+    * leaves three snapshots with HONEST summary operations (append,
+    * append, delete — this round's fidelity fix is the thing under
+    * test), and every row is planning-sized: zero data files opened at
+    * any table size. */
+  private def nativeMetaTablesQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i94")
+    s.conf.set("spark.sql.catalog.ice_i94", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i94.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/nat_i94"
+      val nat = Tables.nation(s, d).select(
+        col("n_nationkey").cast("bigint").as("k"), col("n_name"))
+      val w = new IcebergFormat.Writer(s, loc, nat.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1",
+        nat.filter(col("k") < 15))))
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f2",
+        nat.filter(col("k") >= 15))))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i94.graft")
+      s.sql("DELETE FROM ice_i94.graft.nat_i94 WHERE k % 5 = 0") // MoR -> op "delete"
+      // files: exactly the two data files, record counts from manifests
+      val files = s.sql(
+        """SELECT file_path, record_count FROM ice_i94.graft.nat_i94.files
+           ORDER BY file_path""").collect()
+      require(files.length == 2 &&
+        files.map(_.getLong(1)).sum == 25 &&
+        files(0).getString(0).endsWith("f1.parquet"),
+        s"files metadata table wrong: ${files.mkString(";")}")
+      // manifests: two data manifests + at least one delete manifest
+      val mans = s.sql(
+        """SELECT content, count(*) AS n FROM ice_i94.graft.nat_i94.manifests
+           GROUP BY content ORDER BY content""").collect()
+      require(mans.map(r => r.getInt(0) -> r.getLong(1)).toSeq == Seq(0 -> 2L, 1 -> 1L),
+        s"manifests metadata table wrong: ${mans.mkString(";")}")
+      // history: the linear log, every snapshot a current ancestor
+      require(s.sql(
+        """SELECT count(*) FROM ice_i94.graft.nat_i94.history
+           WHERE is_current_ancestor""").head().getLong(0) == 3,
+        "history metadata table wrong")
+      s.sql("""SELECT snapshot_id, operation, sequence_number,
+                      CAST(is_current AS INT) AS is_current
+               FROM ice_i94.graft.nat_i94.snapshots ORDER BY snapshot_id""")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i94")
+      s.conf.unset("spark.sql.catalog.ice_i94.warehouse")
+    }
+  }
+
+  private val nativeMetaTablesOracle =
+    """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+              CAST(sequence_number AS BIGINT) AS sequence_number, is_current
+       FROM (VALUES (1, 'append', 1, 0), (2, 'append', 2, 0),
+                    (3, 'delete', 3, 1))
+       AS t(snapshot_id, operation, sequence_number, is_current)
+       ORDER BY snapshot_id"""
+
   /** The MoR maintenance loop closed: accumulate delete debt with two MoR
     * DELETEs, observe it in the `delete_files`-style metadata table,
     * then COMPACT — the rewrite scans delete-applied, the new snapshot
@@ -3807,7 +3867,8 @@ object IceQueries {
     Q("ic91_sql_merge_not_matched_by_source", sqlMergeNotMatchedBySourceQ,
       Some(sqlMergeNotMatchedBySourceOracle)),
     Q("ic92_rename_drop_column", renameDropColumnQ, Some(renameDropColumnOracle)),
-    Q("ic93_cherrypick_snapshot", cherryPickQ, Some(cherryPickOracle))
+    Q("ic93_cherrypick_snapshot", cherryPickQ, Some(cherryPickOracle)),
+    Q("ic94_native_meta_tables", nativeMetaTablesQ, Some(nativeMetaTablesOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

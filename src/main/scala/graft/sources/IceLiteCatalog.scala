@@ -231,6 +231,27 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
           graft.icelite.IcebergFormat.positionDeleteFilePaths(spark,
             graft.icelite.IcebergFormat.currentMetadataPath(spark, stdLoc)))
       }
+      // the planning-sized metadata tables for NATIVE dirs: snapshots /
+      // history from one metadata read, files from the manifests,
+      // manifests from the manifest list — the same SQL surface icelite
+      // tables get below (refs/partitions are icelite-only: the native
+      // writer models no refs, and its partitions live in spec-typed
+      // manifest summaries rather than a flat table)
+      if (natLoc.isDefined) {
+        val kind = ident.name().toLowerCase
+        if (Set("snapshots", "history", "files", "manifests")(kind)) {
+          val spark = SparkSession.active
+          import graft.icelite.IcebergFormat
+          val mp = IcebergFormat.currentMetadataPath(spark, natLoc.get)
+          val df = kind match {
+            case "snapshots" => IcebergFormat.snapshotsTable(spark, mp)
+            case "history"   => IcebergFormat.historyTable(spark, mp)
+            case "files"     => IcebergFormat.filesTable(spark, mp)
+            case "manifests" => IcebergFormat.manifestsTable(spark, mp)
+          }
+          return new LocalDataFrameTable(s"iceberg.${natLoc.get}.$kind", df)
+        }
+      }
       if (backend.tableExists(nsArr(0), nsArr(1))) {
         if (ident.name().equalsIgnoreCase("position_deletes"))
           return PositionDeletesTables(
