@@ -32,7 +32,14 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
+          case e: Throwable =>
+            // full trace, not just toString: a campaign-only failure (r16's
+            // ic94 at 100x) is undiagnosable from the exception class alone
+            System.err.println(s"[bench] $name failed: $e")
+            e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
+            var c = e.getCause
+            while (c != null) { System.err.println(s"[bench]   caused by: $c"); c = c.getCause }
+            -1.0
         }
       // outside the timed window: release per-query persist()s so caches
       // don't accumulate, without billing teardown to the measured query
@@ -120,8 +127,11 @@ object Bench {
     // repo-tracked bench_out.json, and stdout ends with a single COMPACT
     // line (guaranteed < 2000 chars: per-family second totals + the
     // slowest individual queries) so the driver's tail parse succeeds.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: $e") }
+    // env-settable so an ad-hoc single-query run can't stomp the round's
+    // tracked artifact (this bit the r16 judge reproducing ic94)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] $outPath write failed: $e") }
     System.err.println(line) // full map still visible in the stderr log
     val famTotals = results.filter(_._2 >= 0)
       .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
@@ -134,7 +144,7 @@ object Bench {
     // n_unstable carries the FULL count so a consumer of the capped
     // compact list can detect truncation on a noisy run
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableCompact,"n_unstable":${unstable.size},"families":$famTotals,"queries":$slowest,"queries_truncated":true,"full_map":"bench_out.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"streaming_overhead":$streamOverheadSec%.3f,"unstable":$unstableCompact,"n_unstable":${unstable.size},"families":$famTotals,"queries":$slowest,"queries_truncated":true,"full_map":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

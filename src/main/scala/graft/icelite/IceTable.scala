@@ -233,7 +233,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       operation: String = "",
       carry: Seq[(String, Map[String, ColRange])] = Nil, // (manifest, summary)
       ref: Option[String] = None,
-      token: Option[String] = None): IceTable = {
+      token: Option[String] = None,
+      // declared when the caller WROTE df under a sort order (sorted/
+      // z-order compaction): the order registers in table metadata, the
+      // files' manifest entries claim its id, and it becomes the default
+      sortOrder: Option[List[SortFieldInfo]] = None): IceTable = {
     val md0 = metadata
     // the data + manifest write happens ONCE, off any commit race: the
     // files are immutable and addressed by a UUID-suffixed dir, so a
@@ -265,8 +269,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       val sorted = buf.sortBy(_._1).toIndexedSeq
       (sorted.map(_._1), sorted.toMap)
     }
-    val newManifest =
-      writeManifest(md0.schema, dataDir, dataRel, files, snapId0, fileSizes, parts.toSet)
+    // sort-order id resolved against the pre-write metadata; the CAS loop
+    // re-resolves on rebase and rewrites the (O(delta), driver-cached)
+    // manifest in the rare case a racing commit claimed the id first
+    var stampId = sortOrder.map(f => resolveSortOrder(md0, f)._1)
+    var newManifest =
+      writeManifest(md0.schema, dataDir, dataRel, files, snapId0, fileSizes, parts.toSet,
+        sortOrderId = stampId)
     // the new manifest's summary folds its per-file stats (the delta was
     // just written, so this driver read is O(delta) and warms the cache)
     val newSummary = summarize(md0.schema, readManifest(newManifest))
@@ -301,6 +310,24 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
           sn.manifests.zipWithIndex.map { case (m, i) =>
             m -> sn.summaryAt(i).getOrElse(Map.empty)
           })
+      // register the sort order on the REBASED metadata; if a racing
+      // commit allocated our stamped id to a DIFFERENT order, rewrite the
+      // delta manifest (O(delta) JSON, immutable new dir) with the true id
+      val (mdOrdered, orderId) = sortOrder match {
+        case Some(f) =>
+          val (oid, m) = resolveSortOrder(md, f)
+          (m, Some(oid))
+        case None => (md, None)
+      }
+      if (orderId != stampId && orderId.isDefined) {
+        val fixed = readManifest(newManifest).map(_.copy(sortOrderId = orderId))
+        val rel   = s"metadata/manifests/m-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
+        fs.mkdirs(new Path(location, rel))
+        writeFileAtomic(new Path(location, s"$rel/part-0.json"),
+          fixed.map(_.toJson).mkString("\n"))
+        newManifest = rel
+        stampId = orderId
+      }
       val snap = Snapshot(
         snapshot_id = snapId,
         timestamp_ms = System.currentTimeMillis(),
@@ -311,7 +338,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         commit_token = token,
         delete_manifests = carriedDeletes(baseSnap, base.nonEmpty)
       )
-      val withSnap = md.copy(snapshots = md.snapshots :+ snap)
+      val withSnap = mdOrdered.copy(snapshots = mdOrdered.snapshots :+ snap)
       val newMd = ref match {
         case Some(r) => withSnap.copy(refs = Some(md.refMap + (r -> RefInfo(snapId, "branch"))))
         case None    => withSnap.copy(current_snapshot_id = snapId)
@@ -331,7 +358,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
   private[graft] def commitStagedEntries(
       entries: Seq[ManifestEntry],
       replace: Boolean,
-      token: Option[String] = None): IceTable = {
+      token: Option[String] = None,
+      // write-audit-publish: commit onto a BRANCH head instead of main
+      // (the `graft.wap.branch` SQL surface); plain appends only
+      ref: Option[String] = None): IceTable = {
+    require(ref.isEmpty || !replace, "branch (WAP) writes support appends only")
     val md0 = metadata
     // idempotency (streaming epochs): a replayed commit is a no-op
     if (token.exists(md0.knownTokens.contains)) return this
@@ -345,7 +376,16 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       val v  = currentVersion
       val md = metadataAt(v)
       if (token.exists(md.knownTokens.contains)) return this // raced replay
-      val baseSnap = md.currentSnapshot
+      // WAP: base on the branch head and advance the branch pointer —
+      // main is untouched until fast_forward publishes
+      val baseSnap = ref match {
+        case Some(r) =>
+          val info = md.refMap.getOrElse(r, throw new NoSuchElementException(
+            s"no branch $r (graft.wap.branch must name an existing branch)"))
+          require(info.ref_type == "branch", s"ref $r is a tag — tags are immutable")
+          md.snapshot(info.snapshot_id)
+        case None => md.currentSnapshot
+      }
       val snapId = md.snapshots.map(_.snapshot_id).foldLeft(0L)(math.max) + 1
       val base: Seq[(String, Map[String, ColRange])] =
         if (replace) Nil
@@ -362,7 +402,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         parent_snapshot_id = baseSnap.map(_.snapshot_id),
         commit_token = token,
         delete_manifests = carriedDeletes(baseSnap, base.nonEmpty))
-      val newMd = md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = snapId)
+      val withSnap = md.copy(snapshots = md.snapshots :+ snap)
+      val newMd = ref match {
+        case Some(r) => withSnap.copy(refs = Some(md.refMap + (r -> RefInfo(snapId, "branch"))))
+        case None    => withSnap.copy(current_snapshot_id = snapId)
+      }
       if (commitCasAt(v + 1, newMd)) return this
       attempt += 1
     }
@@ -660,7 +704,10 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       // and a position-delete manifest's file_path (delete-applies-to-file
       // pruning is useless on truncated paths; Iceberg keeps full metrics
       // there too)
-      exactCols: Set[String] = Set.empty): String = {
+      exactCols: Set[String] = Set.empty,
+      // registered sort-order id the files were written under (None =
+      // unsorted); rides each manifest entry as `sortOrderId`
+      sortOrderId: Option[Int] = None): String = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rel  = s"metadata/manifests/m-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -720,7 +767,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         filesDF.join(statsDF, Seq("file"), "left")
           .withColumn("rows", coalesce(col("rows"), lit(0L)))
       }
-    entries.coalesce(1).write.json(dir.toString)
+    val stamped = sortOrderId match {
+      case Some(id) => entries.withColumn("sortOrderId", lit(id))
+      case None     => entries
+    }
+    stamped.coalesce(1).write.json(dir.toString)
     rel
   }
 
@@ -928,6 +979,31 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     }.toMap
   }
 
+  /** Find `fields` among the registered sort orders or allocate the next
+    * id (sequential from 1, never reused); either way the order becomes
+    * the table default. Pure metadata transform — the caller commits. */
+  private def resolveSortOrder(
+      md: TableMetadata, fields: List[SortFieldInfo]): (Int, TableMetadata) =
+    md.sortOrderList.find(_.fields == fields) match {
+      case Some(o) => (o.order_id, md.copy(default_sort_order_id = Some(o.order_id)))
+      case None =>
+        val id = md.sortOrderList.map(_.order_id).foldLeft(0)(math.max) + 1
+        (id, md.copy(
+          sort_orders = Some(md.sortOrderList :+ SortOrderInfo(id, fields)),
+          default_sort_order_id = Some(id)))
+    }
+
+  /** Identity/asc/nulls-first sort fields for `cols` (Spark's
+    * `sortWithinPartitions` default collation) by registered field id. */
+  private def identityOrderFields(
+      md: TableMetadata, cols: Seq[String], transform: String = "identity")
+      : List[SortFieldInfo] = {
+    val idOf = md.fields.map(fi => fi.name -> fi.id).toMap
+    cols.map(c => SortFieldInfo(
+      idOf.getOrElse(c, throw new NoSuchElementException(s"no column $c to sort by")),
+      transform, "asc", "nulls-first")).toList
+  }
+
   /** Bin-pack the current snapshot into `numFiles` files as a new
     * "compact" snapshot (Iceberg rewrite-data-files maintenance). Readers
     * of older snapshots are unaffected; time travel still works. */
@@ -945,7 +1021,12 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val cols = clusterCols.map(col)
     appendInternal(
       scan().repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
-      replace = true, operation = "compact")
+      replace = true, operation = "compact",
+      // publish the clustering: the identity order registers in metadata,
+      // becomes the default, and every rewritten file claims its id — so
+      // the layout this rewrite paid for is discoverable (and exportable
+      // to the Iceberg spec JSON), not silently declared "unsorted"
+      sortOrder = Some(identityOrderFields(metadata, clusterCols)))
   }
 
   /** Z-order clustered compaction: bin-pack into `numFiles` files laid out
@@ -1002,7 +1083,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         .repartitionByRange(numFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z"),
-      replace = true, operation = "compact")
+      replace = true, operation = "compact",
+      // record the Morton layout under the engine's own `zorder[bits]`
+      // transform — honest in THIS format's metadata; exportIceberg maps
+      // it to a table property because the spec's sort orders can't
+      // express multi-column interleaving (claiming identity would assert
+      // a lexicographic order the files don't have)
+      sortOrder = Some(identityOrderFields(md, cols, transform = s"zorder[$bits]")))
   }
 
   /** Append with schema evolution: new columns get fresh field ids, missing
@@ -1066,6 +1153,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       require(!md.partitionCols.contains(o),
         s"cannot rename hive partition column $o (directory paths encode the name)")
     }
+    requireFieldIdStamps(md, "rename column")
     val rm = renames.toMap
     val newSchema = org.apache.spark.sql.types.StructType(
       md.schema.fields.map(f => rm.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
@@ -1092,6 +1180,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       require(!md.partitionCols.contains(c), s"cannot drop hive partition column $c")
     }
     require(md.schema.fields.length > names.length, "cannot drop every column")
+    requireFieldIdStamps(md, "drop column")
     val drop = names.toSet
     commit(md.copy(
       schemaJson = org.apache.spark.sql.types.StructType(
@@ -1248,12 +1337,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       deleteDF.map(joinPositionDeletes(leaf, _, deleteJoin)).getOrElse(leaf)
     // a rename/drop-evolved table binds file columns by the parquet field
     // ids appendInternal stamps: the read schema carries the ids
-    // (TableMetadata.scanSchema), the session flag turns id matching on
-    // (a no-op for every id-less read schema, so other scans are
-    // untouched). Hive partition columns keep resolving from directory
-    // paths — id matching only applies to columns physically read.
+    // (TableMetadata.scanSchema), and the relations are built under the
+    // idReadSession twin so the id-matching flag is live at execution
+    // without leaking into the caller's session conf. Hive partition
+    // columns keep resolving from directory paths — id matching only
+    // applies to columns physically read.
     val readSchema = md.scanSchema
-    if (md.readById) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val readSpark  = if (md.readById) IcebergFormat.idReadSession(spark) else spark
     if (files.isEmpty) emptyFrame(md)
     // the hive-restore branch also covers files written under a PRIOR
     // partition layout (evolvePartitioning): their k=v dir segments need
@@ -1264,7 +1354,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         .groupBy(snapDirOf)
         .toSeq.sortBy(_._1)
         .map { case (rel, fs) =>
-          leafDone(spark.read
+          leafDone(readSpark.read
             .schema(readSchema)
             .option("basePath", new Path(location, rel).toString)
             .parquet(fs.map(f => new Path(location, f).toString): _*))
@@ -1275,7 +1365,7 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         // positional consumers (union/except/writers) need md.schema order
         .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     } else leafDone(
-      spark.read.schema(readSchema).parquet(files.map(f => new Path(location, f).toString): _*))
+      readSpark.read.schema(readSchema).parquet(files.map(f => new Path(location, f).toString): _*))
   }
 
   def snapshots(): Seq[Snapshot] = metadata.snapshots
@@ -1324,10 +1414,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
           (e.file, m, stats.size,
             stats.toSeq.sortBy(_._1).map { case (c, r) =>
               s"$c:[${r.min.getOrElse("")},${r.max.getOrElse("")}]"
-            }.mkString(";"))
+            }.mkString(";"),
+            // Iceberg data_file field 140: 0 = unsorted, else the
+            // registered order the file was written under
+            e.sortOrderId.getOrElse(0))
         }
       }
-    }.toDF("file", "manifest", "n_stat_cols", "stats")
+    }.toDF("file", "manifest", "n_stat_cols", "stats", "sort_order_id")
   }
 
   /** `t.delete_files`-style metadata table: one row per live delete FILE
@@ -1496,8 +1589,8 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val md = metadata
     require(md.partitionCols.isEmpty, "exportIceberg supports unpartitioned tables only")
-    val files = md.currentSnapshot.map(filesOf).getOrElse(Nil)
-      .map(f => new Path(location, f))
+    val entries = md.currentSnapshot.map(entriesOf).getOrElse(Nil)
+    val files   = entries.map(e => new Path(location, e.file))
     // adopt the source's REAL field ids (sparse after drops) and its
     // read-by-id mode: the export re-points at the ORIGINAL parquet
     // files, so a rename-evolved source's files still carry pre-rename
@@ -1505,6 +1598,26 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val w = new IcebergFormat.Writer(spark, destLocation, md.schema,
       topLevelFieldIds = md.fields.map(_.id))
     if (md.readById) w.setReadById()
+    // publish the source's clustering record: identity orders are
+    // spec-expressible and export as real sort-orders (files keep their
+    // claims through the id map below); the engine's z-order transform is
+    // not — claiming identity would assert a lexicographic order the
+    // files don't have — so it exports as a `graft.clustering` property
+    val nameOfId  = md.fields.map(fi => fi.id -> fi.name).toMap
+    val defaultId = md.default_sort_order_id.getOrElse(0)
+    val orderIdMap: Map[Int, Int] = md.sortOrderList
+      .filter(_.fields.forall(_.transform == "identity"))
+      .sortBy(_.order_id == defaultId) // declare the default LAST (declare sets it)
+      .map(o => o.order_id ->
+        w.declareSortOrder(o.fields.map(f => nameOfId(f.source_id)))).toMap
+    if (!orderIdMap.contains(defaultId)) w.clearDefaultSortOrder()
+    md.sortOrderList.find(o =>
+        o.order_id == defaultId && o.fields.exists(_.transform != "identity"))
+      .foreach { o =>
+        w.setProperty("graft.clustering",
+          s"${o.fields.head.transform}(${o.fields.map(f => nameOfId(f.source_id)).mkString(",")})")
+      }
+    val soIdOf: Seq[Option[Int]] = entries.map(_.sortOrderId.flatMap(orderIdMap.get))
     if (files.isEmpty) { w.commit(Nil); return w.currentMetadataPath }
     // record_count is a required manifest field, and per-file min/max feed
     // the manifests' lower/upper bounds (manifest-level pruning for any
@@ -1515,9 +1628,9 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
     val aggs = count(lit(1)).as("n") +: statCols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
     val statIdOf = md.fields.map(fi => fi.name -> fi.id).toMap
-    if (md.readById) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val statsReadSchema = if (md.readById) md.stampedSchema else md.schema
-    val byFile = spark.read.schema(statsReadSchema).parquet(files.map(_.toString): _*)
+    val statsSpark = if (md.readById) IcebergFormat.idReadSession(spark) else spark
+    val byFile = statsSpark.read.schema(statsReadSchema).parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .collect()
@@ -1537,10 +1650,11 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
         new java.net.URI(r.getString(0)).getPath -> (r.getAs[Long]("n"), bounds)
       }
       .toMap
-    val infos = files.map { p =>
+    val infos = files.zip(soIdOf).map { case (p, soId) =>
       val (n, bounds) = byFile.getOrElse(p.toUri.getPath,
         (0L, Map.empty[Int, (Array[Byte], Array[Byte])]))
-      IcebergFormat.DataFileInfo(p.toString, n, fs.getFileStatus(p).getLen, bounds)
+      IcebergFormat.DataFileInfo(p.toString, n, fs.getFileStatus(p).getLen, bounds,
+        sortOrderId = soId)
     }
     w.commit(infos)
     w.currentMetadataPath
@@ -1790,6 +1904,13 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       s"cherry-pick supports append snapshots only, got '${src.operation}'")
     require(!isAncestor(snapshotId, md.current_snapshot_id),
       s"snapshot $snapshotId is already in main's history")
+    // durable double-apply guard: every pick RECORDS its source id, and a
+    // re-pick is refused if that id appears anywhere in main's ancestry.
+    // The manifest-path check below is insufficient alone — a compact()
+    // after the first pick rewrites main's manifests, the paths no longer
+    // match, and a path-only guard would silently duplicate every row.
+    require(!pickedSources(md).contains(snapshotId),
+      s"snapshot $snapshotId was already cherry-picked onto main")
     val parentId = src.parent_snapshot_id.getOrElse(0L)
     val parentManifests: Set[String] =
       if (parentId == 0L) Set.empty
@@ -1815,9 +1936,49 @@ final class IceTable private (val spark: SparkSession, val location: Path) {
       parent_snapshot_id = head.map(_.snapshot_id),
       commit_token = None,
       // an append snapshot introduces no deletes; main's live delete debt carries
-      delete_manifests = head.flatMap(_.delete_manifests))
+      delete_manifests = head.flatMap(_.delete_manifests),
+      source_snapshot_id = Some(snapshotId))
     commit(md.copy(snapshots = md.snapshots :+ snap, current_snapshot_id = newId))
     this
+  }
+
+  /** Guard for the read-by-id flip (rename/drop column): those operations
+    * commit metadata that makes every subsequent scan bind file columns by
+    * parquet field id — on a table whose data files carry NO id stamps
+    * (written by a pre-stamping build, or foreign parquet adopted as-is) a
+    * successful-looking ALTER would brick every scan. Probe ONE file per
+    * manifest (a manifest is one commit, written by one build, so stamping
+    * is homogeneous within it — O(commits) footer reads, each a few KB,
+    * never O(files)) and refuse with a remediation message when unstamped. */
+  private def requireFieldIdStamps(md: TableMetadata, op: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    md.currentSnapshot.toSeq.flatMap(_.manifests).foreach { m =>
+      readManifest(m).headOption.foreach { e =>
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(location, e.file), conf))
+        val msg = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+        val unstamped = msg.getFields.asScala.filter(_.getId == null).map(_.getName)
+        require(unstamped.isEmpty,
+          s"cannot $op: data file ${e.file} lacks parquet field ids on " +
+            s"[${unstamped.mkString(", ")}] — flipping to read-by-id would make " +
+            "every scan of this file fail; rewrite data files first (compact())")
+      }
+    }
+  }
+
+  /** Source-snapshot ids of every cherry-pick in main's ancestry (walked
+    * over parent edges from the current head — O(commits), metadata only). */
+  private def pickedSources(md: TableMetadata): Set[Long] = {
+    val out = scala.collection.mutable.Set.empty[Long]
+    var cur = md.currentSnapshot
+    while (cur.isDefined) {
+      cur.get.source_snapshot_id.foreach(out += _)
+      val p = cur.get.parent_snapshot_id.getOrElse(0L)
+      cur = if (p == 0L) None else md.snapshot(p)
+    }
+    out.toSet
   }
 
   /** Delete a branch or tag ref (snapshots stay; expiration reclaims them

@@ -92,6 +92,75 @@ object IcebergFormat {
     }
   }
 
+  /** Path → field id for every NON-top-level position of `schema`, under
+    * the legacy positional rule (nested ids continue after the max top
+    * id, pre-order; list element id before its element's nested ids; map
+    * key id then value id before either side's). Paths use the column
+    * names joined with '.', with `element`/`key`/`value` as the pseudo
+    * segments for list/map positions — e.g. `info.status`,
+    * `prio_parts.element`, `attrs.key`.
+    *
+    * This map is the SOURCE OF TRUTH for nested ids on evolved tables:
+    * deriving ids positionally at every emission (the pre-r17 behavior)
+    * silently RENUMBERS nested fields whenever the schema changes shape —
+    * exactly the id instability the spec's rename/drop-by-id contract
+    * forbids. Fresh tables derive this map once; every evolution carries
+    * it forward, only extending with fresh ids past the historical max. */
+  private[graft] def deriveNestedIds(schema: StructType, topIds: Seq[Int]): Map[String, Int] = {
+    var last = (topIds ++ Seq(0)).max
+    def next() = { last += 1; last }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def walk(prefix: String, dt: DataType): Unit = dt match {
+      case st: StructType =>
+        st.fields.foreach { f =>
+          out(prefix + f.name) = next()
+          walk(s"$prefix${f.name}.", f.dataType)
+        }
+      case at: ArrayType =>
+        out(prefix + "element") = next()
+        walk(prefix + "element.", at.elementType)
+      case mt: MapType =>
+        out(prefix + "key") = next()
+        out(prefix + "value") = next()
+        walk(prefix + "key.", mt.keyType)
+        walk(prefix + "value.", mt.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => walk(s"${f.name}.", f.dataType))
+    out.toMap
+  }
+
+  /** The inverse extraction: path → id from a committed Iceberg schema
+    * JSON (ids are explicit there) — what resumeWriter restores so later
+    * evolutions never renumber a field another snapshot's files stamp. */
+  private[graft] def parseNestedIds(schemaObj: JValue): Map[String, Int] = {
+    implicit val fmts: Formats = DefaultFormats
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    def walkType(prefix: String, t: JValue): Unit = t match {
+      case o: JObject =>
+        (o \ "type") match {
+          case JString("struct") =>
+            (o \ "fields").extract[List[JObject]].foreach { f =>
+              val name = (f \ "name").extract[String]
+              if (prefix.nonEmpty) out(prefix + name) = (f \ "id").extract[Int]
+              walkType(s"$prefix$name.", f \ "type")
+            }
+          case JString("list") =>
+            out(prefix + "element") = (o \ "element-id").extract[Int]
+            walkType(prefix + "element.", o \ "element")
+          case JString("map") =>
+            out(prefix + "key") = (o \ "key-id").extract[Int]
+            out(prefix + "value") = (o \ "value-id").extract[Int]
+            walkType(prefix + "key.", o \ "key")
+            walkType(prefix + "value.", o \ "value")
+          case _ => ()
+        }
+      case _ => ()
+    }
+    walkType("", schemaObj)
+    out.toMap
+  }
+
   private def fromSparkType(dt: DataType): String = dt match {
     case BooleanType        => "boolean"
     case IntegerType        => "int"
@@ -110,24 +179,20 @@ object IcebergFormat {
 
   /** Spark type → Iceberg type JSON (inverse of [[jsonToSparkType]]):
     * primitives serialize as quoted strings, struct/list/map as spec
-    * objects. Nested field/element/key/value ids are drawn from `nextId`
-    * so they stay unique across the whole schema (the spec requires
-    * schema-global id uniqueness; top-level fields keep their historical
-    * 1..n ids, nested ids continue after them). */
-  private def typeJson(dt: DataType, nextId: () => Int): String = dt match {
+    * objects. Nested field/element/key/value ids resolve through the
+    * tracked path map (see [[deriveNestedIds]]) so they stay STABLE
+    * across schema evolution — a missing path is a bug in the caller's
+    * map maintenance and fails loudly rather than inventing an id. */
+  private def typeJson(dt: DataType, prefix: String, idOf: String => Int): String = dt match {
     case st: StructType =>
       val fs = st.fields.map { f =>
-        val id = nextId()
-        s"""{"id":$id,"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, nextId)}}"""
+        s"""{"id":${idOf(prefix + f.name)},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, s"$prefix${f.name}.", idOf)}}"""
       }
       s"""{"type":"struct","fields":[${fs.mkString(",")}]}"""
     case at: ArrayType =>
-      val id = nextId()
-      s"""{"type":"list","element-id":$id,"element":${typeJson(at.elementType, nextId)},"element-required":${!at.containsNull}}"""
+      s"""{"type":"list","element-id":${idOf(prefix + "element")},"element":${typeJson(at.elementType, prefix + "element.", idOf)},"element-required":${!at.containsNull}}"""
     case mt: MapType =>
-      val kid = nextId()
-      val vid = nextId()
-      s"""{"type":"map","key-id":$kid,"key":${typeJson(mt.keyType, nextId)},"value-id":$vid,"value":${typeJson(mt.valueType, nextId)},"value-required":${!mt.valueContainsNull}}"""
+      s"""{"type":"map","key-id":${idOf(prefix + "key")},"key":${typeJson(mt.keyType, prefix + "key.", idOf)},"value-id":${idOf(prefix + "value")},"value":${typeJson(mt.valueType, prefix + "value.", idOf)},"value-required":${!mt.valueContainsNull}}"""
     case p => "\"" + fromSparkType(p) + "\""
   }
 
@@ -161,7 +226,8 @@ object IcebergFormat {
       sizeBytes: Long = 0L, // manifest file_size_in_bytes (0 when absent)
       rowCount: Long = 0L, // manifest record_count (0 when absent)
       splitOffsets: Seq[Long] = Nil, // manifest split_offsets (row-group starts; may be absent)
-      nullCounts: Map[Int, Long] = Map.empty) // manifest null_value_counts by field id
+      nullCounts: Map[Int, Long] = Map.empty, // manifest null_value_counts by field id
+      sortOrderId: Option[Int] = None) // manifest sort_order_id (field 140; None = unsorted)
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
@@ -179,7 +245,8 @@ object IcebergFormat {
       // table property `graft.read-by-id`: set by a rename/drop column
       // evolution, after which file columns resolve by parquet field id
       // (by-name would miss every pre-rename file's column)
-      readById: Boolean = false)
+      readById: Boolean = false,
+      nestedIds: Map[String, Int] = Map.empty) // path -> id (nested levels)
 
   /** One partition field's summary from a manifest-LIST entry (spec field
     * 507 `partitions`, ordered like the manifest's spec fields): whether
@@ -206,7 +273,8 @@ object IcebergFormat {
   private[graft] final case class PlanHeader(
       schema: StructType, fieldIds: Seq[Int],
       axes: Map[Int, Seq[(String, Int, String)]],
-      readById: Boolean = false)
+      readById: Boolean = false,
+      nestedIds: Map[String, Int] = Map.empty) // path -> id (nested levels)
 
   /** Manifest avro files read by [[plan]] — the planning-cost observable
     * manifest-list pruning is gated on (MorSpec). */
@@ -451,7 +519,8 @@ object IcebergFormat {
       case _ => Map.empty
     }
     PlanHeader(sparkSchema, fieldIds, axes,
-      (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"))
+      (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"),
+      parseNestedIds(schemaObj))
   }
 
   /** `delete_files`-style metadata table for a STANDARD-format table:
@@ -525,8 +594,9 @@ object IcebergFormat {
     import spark.implicits._
     val p = plan(spark, metadataPath)
     p.files.sortBy(_.path.toString)
-      .map(f => (f.path.toString, f.rowCount, f.sizeBytes, f.seq))
-      .toDF("file_path", "record_count", "file_size_in_bytes", "data_sequence_number")
+      .map(f => (f.path.toString, f.rowCount, f.sizeBytes, f.seq, f.sortOrderId.getOrElse(0)))
+      .toDF("file_path", "record_count", "file_size_in_bytes", "data_sequence_number",
+        "sort_order_id")
   }
 
   /** `manifests` metadata table for a NATIVE table: the CURRENT
@@ -672,6 +742,7 @@ object IcebergFormat {
       case _ => md \ "schema"
     }
     val (sparkSchema, fieldIds) = schemaFields(schemaObj)
+    val nestedIds = parseNestedIds(schemaObj)
     val readById =
       (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true")
 
@@ -685,7 +756,7 @@ object IcebergFormat {
     // time travel: an explicit snapshot id overrides the current pointer
     val currentId = snapshotId.getOrElse(
       (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L))
-    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil, readById)
+    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil, readById, nestedIds)
     val snapshot = (md \ "snapshots").extract[List[JObject]]
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
@@ -797,7 +868,13 @@ object IcebergFormat {
                   case _ => Map.empty
                 }
               }
-              Some(Left(PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows, so, nc)))
+              // spec field 140 (absent on pre-sort-order manifests = null)
+              val soId: Option[Int] = df.getSchema.getField("sort_order_id") match {
+                case null => None
+                case _    => Option(df.get("sort_order_id")).map(_.asInstanceOf[Int])
+              }
+              Some(Left(
+                PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows, so, nc, soId)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -826,7 +903,7 @@ object IcebergFormat {
     }
     TablePlan(sparkSchema, fieldIds,
       planned.collect { case Left(f) => f }, planned.collect { case Right(d) => d },
-      readById)
+      readById, nestedIds)
   }
 
   /** Parse a manifest-list entry's `partitions` summaries (spec field 507)
@@ -976,15 +1053,15 @@ object IcebergFormat {
     import org.apache.spark.sql.functions._
     if (files.isEmpty) return emptyFrame(spark, p.schema)
     // a rename/drop-evolved table resolves file columns by parquet field
-    // id: the read schema carries the ids and the session flag turns id
-    // matching on (it only activates for id-carrying read schemas, so
-    // every other scan in the session is untouched). A data file without
-    // stamped ids fails LOUDLY here — by-name fallback could resurrect a
-    // dropped-and-readded column's old values.
+    // id: the read schema carries the ids, and the relation is built under
+    // the [[idReadSession]] twin so the id-matching flag is live at
+    // execution WITHOUT mutating the caller's session conf. A data file
+    // without stamped ids fails LOUDLY here — by-name fallback could
+    // resurrect a dropped-and-readded column's old values.
     val readSchema =
-      if (p.readById) withParquetFieldIds(p.schema, p.fieldIds) else p.schema
-    if (p.readById) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val base = spark.read.schema(readSchema).parquet(files.map(_.path.toString): _*)
+      if (p.readById) withParquetFieldIds(p.schema, p.fieldIds, p.nestedIds) else p.schema
+    val readSpark = if (p.readById) idReadSession(spark) else spark
+    val base = readSpark.read.schema(readSchema).parquet(files.map(_.path.toString): _*)
 
     // Identity partition columns recorded in the manifests' partition
     // records (spec "Column Projection"): an identity source column may be
@@ -1059,7 +1136,7 @@ object IcebergFormat {
           if (p.readById) {
             val keySchema = StructType(keyNames.map(n =>
               p.schema.fields(p.schema.fieldNames.indexOf(n)).copy(nullable = true)))
-            spark.read.schema(withParquetFieldIds(keySchema, eqIds))
+            idReadSession(spark).read.schema(withParquetFieldIds(keySchema, eqIds))
               .parquet(group.map(_.path.toString): _*)
           } else spark.read.parquet(group.map(_.path.toString): _*)
         val delKeys = delBase
@@ -1363,7 +1440,8 @@ object IcebergFormat {
       equalityIds: Seq[Int] = Nil,
       partitionValues: Map[String, Any] = Map.empty, // by partition field name
       splitOffsets: Seq[Long] = Nil, // spec field 132: row-group start offsets, ascending
-      nullCounts: Map[Int, Long] = Map.empty) // spec field 110: null counts by field id
+      nullCounts: Map[Int, Long] = Map.empty, // spec field 110: null counts by field id
+      sortOrderId: Option[Int] = None) // spec field 140: order the file was written under
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
@@ -1406,7 +1484,8 @@ object IcebergFormat {
         {"name":"split_offsets","field-id":132,"default":null,"type":["null",
           {"type":"array","items":"long","element-id":133}]},
         {"name":"equality_ids","field-id":135,"default":null,"type":["null",
-          {"type":"array","items":"int","element-id":136}]}
+          {"type":"array","items":"int","element-id":136}]},
+        {"name":"sort_order_id","field-id":140,"default":null,"type":["null","int"]}
       ]}}]}""".replaceAll("\n\\s*", "")
 
   /** Avro schema of a manifest-list entry (spec "Manifest Lists" table). */
@@ -1440,14 +1519,19 @@ object IcebergFormat {
     * dropped-column history) ids and they re-emit verbatim. Nested ids
     * continue after the max top-level id. */
   private def icebergSchemaJson(
-      schema: StructType, schemaId: Int = 0, topIds: Seq[Int] = Nil): String = {
+      schema: StructType, schemaId: Int = 0, topIds: Seq[Int] = Nil,
+      nestedIds: Map[String, Int] = Map.empty): String = {
     val ids = if (topIds.nonEmpty) topIds else 1 to schema.fields.length
     require(ids.length == schema.fields.length,
       s"field id count ${ids.length} != column count ${schema.fields.length}")
-    var lastId = ids.maxOption.getOrElse(0)
-    val nextId = () => { lastId += 1; lastId }
+    // nested ids come from the tracked map (stable across evolution); a
+    // caller without one gets the legacy positional derivation — which is
+    // IDENTICAL for the fresh-table case the default serves
+    val nested = if (nestedIds.nonEmpty) nestedIds else deriveNestedIds(schema, ids)
+    val idOf = (p: String) => nested.getOrElse(p,
+      throw new IllegalStateException(s"no tracked field id for nested path $p"))
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${ids(i)},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, nextId)}}"""
+      s"""{"id":${ids(i)},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, s"${f.name}.", idOf)}}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
@@ -1470,27 +1554,91 @@ object IcebergFormat {
     * instead of name. Id resolution is what makes RENAME/DROP COLUMN
     * readable across old files (spec "Column Projection": names are
     * display only, identity is the field id). */
-  private[graft] def withParquetFieldIds(schema: StructType, ids: Seq[Int]): StructType = {
+  private[graft] def withParquetFieldIds(
+      schema: StructType, ids: Seq[Int],
+      nestedIds: Map[String, Int] = Map.empty): StructType = {
     require(ids.length == schema.fields.length,
       s"field id count ${ids.length} != column count ${schema.fields.length}")
+    // nested STRUCT fields carry their tracked ids too (Spark's parquet
+    // reader and writer both honor `parquet.field.id` metadata at any
+    // struct depth — that's what makes a nested rename bind old files'
+    // subfields by id). List/map positions can't carry StructField
+    // metadata; their ids live only in the schema JSON and manifests.
+    def deep(dt: DataType, prefix: String): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map { f =>
+          val path = prefix + f.name
+          val withId = nestedIds.get(path) match {
+            case Some(id) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+            case None => f
+          }
+          withId.copy(dataType = deep(f.dataType, s"$path."))
+        })
+      case at: ArrayType => at.copy(elementType = deep(at.elementType, prefix + "element."))
+      case mt: MapType => mt.copy(
+        keyType = deep(mt.keyType, prefix + "key."),
+        valueType = deep(mt.valueType, prefix + "value."))
+      case p => p
+    }
     StructType(schema.fields.zip(ids).map { case (f, id) =>
-      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+      f.copy(
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build(),
+        dataType = if (nestedIds.isEmpty) f.dataType else deep(f.dataType, s"${f.name}."))
     })
   }
+
+  /** Companion session for read-by-id scans, cached one per parent session.
+    *
+    * `spark.sql.parquet.fieldId.read.enabled` must be live when the scan
+    * EXECUTES (ParquetFileFormat re-reads it from the session conf at
+    * reader-build time, clobbering per-read options), and the DataFrames
+    * these paths return are lazy — so a save/restore around construction
+    * can't scope it, and setting it on the caller's session leaks: it
+    * silently changes column-binding semantics for any other id-carrying
+    * schema read in the same session. Instead, build the scan relation
+    * under a `newSession()` twin with the flag on: a file relation captures
+    * its creating session (`HadoopFsRelation.sparkSession` is what
+    * FileSourceScanExec hands to `buildReaderWithPartitionValues`), so the
+    * flag applies to exactly these scans — composing them into plans driven
+    * by the parent session works, and the parent's conf is never touched.
+    * The parent's live conf is mirrored at creation so plan shape
+    * (shuffle partitions, AQE, parquet reader knobs) is identical. */
+  private val idReadSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[graft] def idReadSession(parent: SparkSession): SparkSession =
+    idReadSessions.computeIfAbsent(parent, p => {
+      val ns = p.newSession()
+      p.conf.getAll.foreach { case (k, v) =>
+        try ns.conf.set(k, v) catch { case _: Throwable => () } // static confs refuse
+      }
+      ns.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      ns
+    })
 
   /** `df` with its top-level columns re-aliased to carry `parquet.field.id`
     * metadata, so the parquet files this write produces are id-stamped.
     * Purely additive: name-based readers are unaffected. */
-  private[graft] def stampFieldIds(df: DataFrame, ids: Seq[Int]): DataFrame = {
-    val stamped = withParquetFieldIds(df.schema, ids)
-    df.select(stamped.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+  private[graft] def stampFieldIds(
+      df: DataFrame, ids: Seq[Int], nestedIds: Map[String, Int] = Map.empty): DataFrame = {
+    // nested struct ids ride the CAST's target type metadata (Spark's
+    // parquet writer reads parquet.field.id off nested StructFields);
+    // default = the same positional assignment the schema JSON gets
+    val nested  = if (nestedIds.nonEmpty) nestedIds else deriveNestedIds(df.schema, ids)
+    val stamped = withParquetFieldIds(df.schema, ids, nested)
+    df.select(stamped.fields.map { f =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      // cast is a no-op for flat columns (identical type) and a metadata-
+      // carrying rebuild for nested ones — the writer sees the stamped type
+      val typed = if (f.dataType == df.schema(f.name).dataType) c else c.cast(f.dataType)
+      typed.as(f.name, f.metadata)
+    }.toIndexedSeq: _*)
   }
 
   def writeSingleFile(spark: SparkSession, stagingDir: String, loc: String, name: String,
       df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil,
-      fieldIds: Seq[Int] = Nil): DataFileInfo = {
+      fieldIds: Seq[Int] = Nil, nestedIds: Map[String, Int] = Map.empty): DataFileInfo = {
     val fs  = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$stagingDir/stage_$name"
     // stamp parquet field ids (positional when the caller didn't pass a
@@ -1504,7 +1652,7 @@ object IcebergFormat {
       else if (content == 2 && equalityIds.length == df.schema.fields.length)
         equalityIds // an equality-delete file's columns ARE the key fields
       else 1 to df.schema.fields.length
-    stampFieldIds(df, stampIds).coalesce(1).write.mode("overwrite").parquet(tmp)
+    stampFieldIds(df, stampIds, nestedIds).coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = fs.listStatus(new Path(tmp)).map(_.getPath)
       .find(_.getName.endsWith(".parquet")).get
     val dest = new Path(s"$loc/data/$name.parquet")
@@ -1648,6 +1796,18 @@ object IcebergFormat {
     private var allFieldIds: List[Seq[Int]] = List(
       if (topLevelFieldIds.nonEmpty) topLevelFieldIds else 1 to schema.fields.length)
     private def currentFieldIds: Seq[Int] = allFieldIds.last
+    // per-schema NESTED field ids (path -> id, index = schema-id): the
+    // source of truth keeping nested ids STABLE across evolution — the
+    // positional re-derivation this replaces renumbered every nested
+    // field whenever the schema changed shape (see deriveNestedIds).
+    private var allNestedIds: List[Map[String, Int]] =
+      List(deriveNestedIds(schema, allFieldIds.head))
+    private def currentNestedIds: Map[String, Int] = allNestedIds.last
+    // highest field id EVER allocated, at any nesting level — dropped ids
+    // retire forever (allocating from the live max would re-issue them
+    // and resurrect dropped values through read-by-id)
+    private def maxFieldIdEver: Int =
+      (allFieldIds.flatten ++ allNestedIds.flatMap(_.values) ++ Seq(0)).max
     // all partition specs ever active, index = spec-id; commits use the
     // DEFAULT spec (tracked separately — commitDelta may append an
     // auxiliary unpartitioned spec past it without changing the default)
@@ -1708,6 +1868,56 @@ object IcebergFormat {
         content: Int, nFiles: Int, nRows: Long, specId: Int, existing: Boolean = false,
         summaries: Option[Seq[FieldSummary]] = None)
     private var manifests = List.empty[ManifestRec]
+    // registered sort orders (spec §Sort Orders): order-id -> identity
+    // sort fields as (source-id, direction, null-order). Order 0
+    // (unsorted) is implicit; declared orders publish in every metadata
+    // JSON and the current default is what sorted rewrites' files claim.
+    private var sortOrders = List.empty[(Int, Seq[(Int, String, String)])]
+    private var defaultSortOrderId = 0
+
+    /** Register (or find) the identity sort order over `cols` asc/
+      * nulls-first and make it the table default — what a sorted
+      * rewrite_data_files declares so external readers can DISCOVER the
+      * clustering instead of every metadata JSON claiming "unsorted".
+      * Returns the order id to stamp into the rewritten files'
+      * `sort_order_id` (DataFileInfo). */
+    def declareSortOrder(cols: Seq[String]): Int = {
+      require(cols.nonEmpty, "need at least one sort column")
+      val idx = currentSchema.fieldNames
+      val fields = cols.map { c =>
+        val i = idx.indexOf(c)
+        require(i >= 0, s"no column $c to sort by")
+        (currentFieldIds(i), "asc", "nulls-first")
+      }
+      val id = sortOrders.find(_._2 == fields).map(_._1).getOrElse {
+        val next = sortOrders.map(_._1).foldLeft(0)(math.max) + 1
+        sortOrders = sortOrders :+ (next -> fields)
+        next
+      }
+      defaultSortOrderId = id
+      id
+    }
+
+    /** Restore declared sort orders (resumeWriter path) so the next
+      * writeMetadata re-emits them instead of silently dropping the
+      * table's clustering record. */
+    private[icelite] def setSortOrders(
+        orders: List[(Int, Seq[(Int, String, String)])], defaultId: Int): Unit = {
+      sortOrders = orders
+      defaultSortOrderId = defaultId
+    }
+
+    /** Re-point the default at order 0 (unsorted) — an export whose
+      * source default is not spec-expressible keeps its declared orders
+      * discoverable without claiming one as the table default. */
+    private[icelite] def clearDefaultSortOrder(): Unit = defaultSortOrderId = 0
+
+    // free-form table properties (spec `properties` map) — e.g.
+    // `graft.clustering` records a z-order layout the spec's sort orders
+    // can't express (claiming identity would assert an order the files
+    // don't have; a property is honest AND discoverable)
+    private var extraProps = Map.empty[String, String]
+    def setProperty(k: String, v: String): Unit = extraProps += (k -> v)
 
     // -------- partition summaries (manifest-list field 507): fold a
     // manifest's per-file partition values into per-spec-field
@@ -1862,11 +2072,18 @@ object IcebergFormat {
           }))
       } && newSchema.fields.length >= cur.fields.length,
         "only append-at-end or widening (int->long, float->double) schema evolution is supported")
-      // appended columns take fresh ids past the MAX existing (sparse
-      // histories keep their gaps; new ids never collide)
-      val maxId = allFieldIds.flatten.maxOption.getOrElse(0)
+      // appended columns take fresh ids past the MAX EVER allocated at
+      // any nesting level (sparse histories keep their gaps; new top ids
+      // never collide with a live nested id — the positional scheme this
+      // replaces could hand an appended column a nested field's id)
+      val maxId = maxFieldIdEver
       val fresh = (1 to (newSchema.fields.length - cur.fields.length)).map(_ + maxId)
       allFieldIds = allFieldIds :+ (currentFieldIds ++ fresh)
+      // existing nested ids carry UNCHANGED; appended columns' nested
+      // trees (if any) take fresh ids past the new max
+      val appended = StructType(newSchema.fields.drop(cur.fields.length))
+      val newNested = deriveNestedIds(appended, Seq(maxId + fresh.length))
+      allNestedIds = allNestedIds :+ (currentNestedIds ++ newNested)
       allSchemas = allSchemas :+ newSchema
     }
 
@@ -1881,7 +2098,14 @@ object IcebergFormat {
       val idx = cur.fieldNames.indexOf(oldName)
       require(idx >= 0, s"no column $oldName to rename")
       require(!cur.fieldNames.contains(newName), s"column $newName already exists")
+      requireFieldIdStamps("rename column")
       allFieldIds = allFieldIds :+ currentFieldIds
+      // nested paths move with the renamed column; their ids don't change
+      allNestedIds = allNestedIds :+ currentNestedIds.map {
+        case (p, id) if p.startsWith(s"$oldName.") =>
+          s"$newName.${p.stripPrefix(s"$oldName.")}" -> id
+        case other => other
+      }
       allSchemas = allSchemas :+
         StructType(cur.fields.updated(idx, cur.fields(idx).copy(name = newName)))
       readById = true
@@ -1913,9 +2137,159 @@ object IcebergFormat {
           s"cannot drop column $name: live equality-delete files key on it " +
             "(materialize the deletes with rewrite_data_files first)")
       }
+      requireFieldIdStamps("drop column")
       allFieldIds = allFieldIds :+ currentFieldIds.patch(idx, Nil, 1)
+      // the subtree's nested ids retire with the column (historical maps
+      // keep them, so maxFieldIdEver never re-issues one)
+      allNestedIds = allNestedIds :+
+        currentNestedIds.filterNot(_._1.startsWith(s"$name."))
       allSchemas = allSchemas :+ StructType(cur.fields.patch(idx, Nil, 1))
       readById = true
+    }
+
+    // -------------------------------------------- nested (struct) evolution
+    // The spec evolves fields BY ID at any depth; these are the one-level-
+    // down twins of add/rename/dropColumn. `path` navigates top-level
+    // column -> struct subfield(s), e.g. Seq("info","status"); navigation
+    // through list/map positions is refused (the spec evolves those
+    // element types, but parquet field-id binding for them is not
+    // expressible through Spark's reader — an honest refusal beats a
+    // silently name-bound read).
+
+    /** The struct at `path` (which must name struct columns all the way
+      * down) and a rebuilder producing the full schema with that struct
+      * replaced. */
+    private def structAt(path: Seq[String]): (StructType, StructType => StructType) = {
+      def descend(st: StructType, p: Seq[String]): (StructType, StructType => StructType) =
+        p match {
+          case Seq() => (st, identity)
+          case head +: rest =>
+            val idx = st.fieldNames.indexOf(head)
+            require(idx >= 0, s"no column $head in ${st.fieldNames.mkString(",")}")
+            st.fields(idx).dataType match {
+              case inner: StructType =>
+                val (target, rebuildInner) = descend(inner, rest)
+                (target, replaced => StructType(st.fields.updated(idx,
+                  st.fields(idx).copy(dataType = rebuildInner(replaced)))))
+              case other => throw new IllegalArgumentException(
+                s"$head is ${other.catalogString}, not a struct — nested evolution " +
+                  "navigates struct fields only")
+            }
+        }
+      descend(currentSchema, path)
+    }
+
+    /** ADD a nullable field at the END of the struct at `path` — fresh id
+      * past everything ever allocated, metadata-only, old files read the
+      * field as NULL (Spark null-fills absent nested fields exactly like
+      * absent top-level ones). */
+    def addNestedColumn(path: Seq[String], field: StructField): Unit = {
+      require(path.nonEmpty, "addNestedColumn needs the parent struct path")
+      require(field.nullable, s"evolved nested field ${field.name} must be nullable")
+      val (parent, rebuild) = structAt(path)
+      require(!parent.fieldNames.contains(field.name),
+        s"field ${field.name} already exists at ${path.mkString(".")}")
+      val prefix  = path.mkString("", ".", ".")
+      val newPath = prefix + field.name
+      val baseId  = maxFieldIdEver
+      // the new field's own id, then its subtree's (if it is itself nested)
+      val subtree = deriveNestedIds(StructType(Seq(field)), Seq(baseId + 1))
+        .map { case (p, id) => (prefix + p, id) }
+      allFieldIds = allFieldIds :+ currentFieldIds
+      allNestedIds = allNestedIds :+
+        (currentNestedIds + (newPath -> (baseId + 1)) ++ subtree)
+      allSchemas = allSchemas :+
+        rebuild(StructType(parent.fields :+ field.copy(nullable = true)))
+    }
+
+    /** RENAME the struct field at `path`: id (and whole subtree's ids)
+      * unchanged, display name only; flips read-by-id so old files bind
+      * the field through its parquet id one level down. */
+    def renameNestedColumn(path: Seq[String], newName: String): Unit = {
+      require(path.length >= 2, "renameNestedColumn needs column.field path")
+      val (parent, rebuild) = structAt(path.init)
+      val idx = parent.fieldNames.indexOf(path.last)
+      require(idx >= 0, s"no field ${path.last} at ${path.init.mkString(".")}")
+      require(!parent.fieldNames.contains(newName),
+        s"field $newName already exists at ${path.init.mkString(".")}")
+      requireFieldIdStamps("rename nested column", nested = true)
+      val oldPrefix = path.mkString(".")
+      val newPrefix = (path.init :+ newName).mkString(".")
+      allFieldIds = allFieldIds :+ currentFieldIds
+      allNestedIds = allNestedIds :+ currentNestedIds.map {
+        case (p, id) if p == oldPrefix => newPrefix -> id
+        case (p, id) if p.startsWith(oldPrefix + ".") =>
+          (newPrefix + p.stripPrefix(oldPrefix)) -> id
+        case other => other
+      }
+      allSchemas = allSchemas :+ rebuild(StructType(
+        parent.fields.updated(idx, parent.fields(idx).copy(name = newName))))
+      readById = true
+    }
+
+    /** DROP the struct field at `path`: its id retires forever (a re-add
+      * of the same name gets a fresh id — old files' values never
+      * resurrect, the no-resurrection gate one level down). */
+    def dropNestedColumn(path: Seq[String]): Unit = {
+      require(path.length >= 2, "dropNestedColumn needs column.field path")
+      val (parent, rebuild) = structAt(path.init)
+      val idx = parent.fieldNames.indexOf(path.last)
+      require(idx >= 0, s"no field ${path.last} at ${path.init.mkString(".")}")
+      require(parent.fields.length > 1,
+        s"cannot drop the last field of struct ${path.init.mkString(".")}")
+      requireFieldIdStamps("drop nested column", nested = true)
+      val dead = path.mkString(".")
+      allFieldIds = allFieldIds :+ currentFieldIds
+      allNestedIds = allNestedIds :+ currentNestedIds
+        .filterNot { case (p, _) => p == dead || p.startsWith(dead + ".") }
+      allSchemas = allSchemas :+ rebuild(StructType(parent.fields.patch(idx, Nil, 1)))
+      readById = true
+    }
+
+    /** Guard for the read-by-id flip: a rename/drop makes every later scan
+      * bind file columns by parquet field id, so data files with NO id
+      * stamps (foreign parquet adopted by an export, or a pre-stamping
+      * build) would brick on the very next read. This writer's own paths
+      * always stamp, so probing a bounded sample of live files (≤16,
+      * evenly spaced — a few KB of footer each) catches the adopted-file
+      * case without an O(files) metadata-op cost. */
+    private def requireFieldIdStamps(op: String, nested: Boolean = false): Unit = {
+      if (committed.isEmpty) return
+      import scala.jdk.CollectionConverters._
+      // any read-by-id flip on a schema WITH struct columns makes readers
+      // attach nested id metadata too — so the probe must go deep even
+      // for a top-level rename when structs are present
+      val needDeep = nested ||
+        currentSchema.fields.exists(_.dataType.isInstanceOf[StructType])
+      val conf  = spark.sparkContext.hadoopConfiguration
+      val files = plan(spark, currentMetadataPath).files
+      val probe =
+        if (files.size <= 16) files
+        else (0 until 16).map(i => files(i * files.size / 16))
+      probe.foreach { f =>
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.path, conf))
+        val msg = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+        // a NESTED rename/drop binds struct subfields by id, so the probe
+        // must descend into group types too (list/map repetition groups
+        // are structural, not fields — they legitimately carry no id)
+        def unstampedIn(t: org.apache.parquet.schema.Type, path: String): Seq[String] =
+          t match {
+            case g: org.apache.parquet.schema.GroupType
+                if needDeep && t.getLogicalTypeAnnotation == null && path.nonEmpty =>
+              g.getFields.asScala.toSeq.flatMap(c => check(c, path))
+            case _ => Nil
+          }
+        def check(t: org.apache.parquet.schema.Type, parent: String): Seq[String] = {
+          val path = if (parent.isEmpty) t.getName else s"$parent.${t.getName}"
+          (if (t.getId == null) Seq(path) else Nil) ++ unstampedIn(t, path)
+        }
+        val unstamped = msg.getFields.asScala.toSeq.flatMap(c => check(c, ""))
+        require(unstamped.isEmpty,
+          s"cannot $op: data file ${f.path} lacks parquet field ids on " +
+            s"[${unstamped.mkString(", ")}] — read-by-id would make every scan " +
+            "of this file fail; rewrite data files first")
+      }
     }
 
     /** Publish a pending schema change as a new metadata version WITHOUT
@@ -1934,6 +2308,15 @@ object IcebergFormat {
     /** The current (possibly evolved-but-unpublished) schema — what an
       * ALTER TABLE driver composes further changes against. */
     def schemaNow: StructType = currentSchema
+
+    /** Current top-level field ids (sparse after drops) — what a staged
+      * file write must stamp to stay id-consistent with the schema. */
+    def fieldIdsNow: Seq[Int] = currentFieldIds
+
+    /** Current nested (path -> id) assignment — the tracked map staged
+      * writes stamp after a NESTED evolution (positional re-derivation
+      * diverges as soon as a nested field was dropped or reordered). */
+    def nestedIdsNow: Map[String, Int] = currentNestedIds
 
     /** Commit `files` as snapshot N+1 (append semantics). Files with
       * `content` > 0 go into a separate DELETE manifest, listed with
@@ -2082,6 +2465,9 @@ object IcebergFormat {
           f.equalityIds.foreach(id => l.add(id))
           dataFile.put("equality_ids", new GenericData.Array[Integer](arraySchema, l))
         }
+        // spec field 140: claim the registered sort order the file was
+        // actually written under; absent = unsorted (the honest default)
+        f.sortOrderId.foreach(id => dataFile.put("sort_order_id", Int.box(id)))
         val entry = new GenericData.Record(commitEntrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", snapId)
@@ -2288,14 +2674,22 @@ object IcebergFormat {
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$tableUuid","location":"$location",
            "last-sequence-number":$seq,"last-updated-ms":${ts0 + snapId},
-           "last-column-id":${allFieldIds.flatten.maxOption.getOrElse(0)},
+           "last-column-id":$maxFieldIdEver,
            "current-schema-id":${allSchemas.size - 1},
-           "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i, allFieldIds(i)) }.mkString(",")}],
+           "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i, allFieldIds(i), allNestedIds(i)) }.mkString(",")}],
            "default-spec-id":$defaultSpecId,
            "partition-specs":[${specs.zipWithIndex.map { case (sf, i) => s"""{"spec-id":$i,"fields":[${specJson(sf)}]}""" }.mkString(",")}],
            "last-partition-id":${specs.flatten.map(_.fieldId).maxOption.getOrElse(999)},
-           "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-           "properties":{${if (readById) """"graft.read-by-id":"true"""" else ""}},
+           "default-sort-order-id":$defaultSortOrderId,"sort-orders":[${
+             (s"""{"order-id":0,"fields":[]}""" :: sortOrders.map { case (oid, fs) =>
+               s"""{"order-id":$oid,"fields":[${fs.map { case (sid, dir, no) =>
+                 s"""{"transform":"identity","source-id":$sid,"direction":"$dir","null-order":"$no"}"""
+               }.mkString(",")}]}"""
+             }).mkString(",")}],
+           "properties":{${
+             ((if (readById) List(""""graft.read-by-id":"true"""") else Nil) ++
+               extraProps.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" })
+               .mkString(",")}},
            "current-snapshot-id":$snapId,
            "snapshots":[$snapshotsJson],
            "snapshot-log":[],"metadata-log":[]}""".replaceAll("\n\\s*", "")
@@ -2354,10 +2748,18 @@ object IcebergFormat {
         fieldIds0: List[Seq[Int]],
         readById: Boolean = false,
         snapOps0: Map[Long, String] = Map.empty,
-        snapSchemaIds0: Map[Long, Int] = Map.empty): Unit = {
+        snapSchemaIds0: Map[Long, Int] = Map.empty,
+        nestedIds0: List[Map[String, Int]] = Nil): Unit = {
       this.readById = readById
       this.snapOps = snapOps0
       this.snapSchemaIds = snapSchemaIds0
+      // nested ids restore from the committed JSONs (explicit there);
+      // a caller without them re-derives positionally — correct exactly
+      // when no nested evolution ever happened, which is the only state
+      // a pre-tracking JSON can be in
+      allNestedIds =
+        if (nestedIds0.nonEmpty) nestedIds0
+        else schemas0.zip(fieldIds0).map { case (sc, ids) => deriveNestedIds(sc, ids) }
       committed = committed0
       // resume the monotone id allocator past every snapshot the restored
       // log has seen (expired history may have gone, so this is a floor —
@@ -2463,6 +2865,9 @@ object IcebergFormat {
     }
     val allSchemas  = parsedSchemas.map(_._1)
     val allFieldIds = parsedSchemas.map(_._2)
+    // nested ids restore from the JSON verbatim — the committed record is
+    // the truth a nested rename/drop must never renumber
+    val allNestedIds = schemasJ.map(parseNestedIds)
     // spec history, same shape rules
     val specsJ = (md \ "partition-specs").extract[List[JObject]]
       .sortBy(sp => (sp \ "spec-id").extractOpt[Int].getOrElse(0))
@@ -2529,7 +2934,24 @@ object IcebergFormat {
     val w = new Writer(spark, location, allSchemas.head, Nil, uuid, startVersion = version)
     w.restore(committed, manifests, allSchemas, specTuples, defaultSpecId0, allFieldIds,
       readById = (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"),
-      snapOps0 = snapOps0, snapSchemaIds0 = snapSchemaIds0)
+      snapOps0 = snapOps0, snapSchemaIds0 = snapSchemaIds0, nestedIds0 = allNestedIds)
+    // declared sort orders survive the resume (identity fields are all
+    // this writer emits); order 0 is implicit and skipped
+    val orders = (md \ "sort-orders").extractOpt[List[JObject]].getOrElse(Nil).flatMap { o =>
+      val oid = (o \ "order-id").extract[Int]
+      if (oid == 0) None
+      else Some(oid -> ((o \ "fields").extract[List[JObject]].map { f =>
+        ((f \ "source-id").extract[Int],
+          (f \ "direction").extractOpt[String].getOrElse("asc"),
+          (f \ "null-order").extractOpt[String].getOrElse("nulls-first"))
+      }: Seq[(Int, String, String)]))
+    }
+    if (orders.nonEmpty)
+      w.setSortOrders(orders, (md \ "default-sort-order-id").extractOpt[Int].getOrElse(0))
+    // free-form properties survive too (read-by-id is restored above)
+    (md \ "properties").extractOpt[Map[String, String]].getOrElse(Map.empty)
+      .filter(_._1 != "graft.read-by-id")
+      .foreach { case (k, v) => w.setProperty(k, v) }
     w
   }
 }

@@ -32,6 +32,19 @@ final case class RefInfo(snapshot_id: Long, ref_type: String) // "branch" | "tag
   * The planner skips files whose range can't satisfy a predicate. */
 final case class ColRange(min: Option[String], max: Option[String])
 
+/** One field of a sort order (Iceberg spec §Sort Orders): the source
+  * column's field id, a transform (`identity` for plain lexicographic
+  * clustering; `zorder[bits]` for the engine's Morton-curve layout, which
+  * the spec cannot express — exports map it to a table property instead),
+  * and direction/null placement. */
+final case class SortFieldInfo(
+    source_id: Int, transform: String, direction: String, null_order: String)
+
+/** A registered sort order. Order 0 (unsorted) is implicit and never
+  * stored; ids are allocated sequentially from 1 and never reused, so a
+  * file's recorded `sortOrderId` stays meaningful across later orders. */
+final case class SortOrderInfo(order_id: Int, fields: List[SortFieldInfo])
+
 /** One data file of a manifest: its path (relative to the table location)
   * plus optional per-column min/max stats and its row count (Iceberg's
   * required `record_count` — lets COUNT(*) answer from metadata alone).
@@ -42,7 +55,12 @@ final case class ManifestEntry(
     stats: Option[Map[String, ColRange]] = None,
     rows: Option[Long] = None,
     sizeBytes: Option[Long] = None, // file length (split gating; absent pre-r13)
-    splitOffsets: Option[List[Long]] = None) { // row-group starts (zero-IO ranged splits)
+    splitOffsets: Option[List[Long]] = None, // row-group starts (zero-IO ranged splits)
+    // id of the registered sort order the file was WRITTEN under (Iceberg
+    // data_file field 140); absent/None = unsorted. Honest clustering
+    // metadata: a reader can trust per-file ranges are disjoint only when
+    // the file actually claims the order.
+    sortOrderId: Option[Int] = None) {
   def toJson: String = {
     implicit val fmts: Formats = TableMetadata.formats
     Serialization.write(this)
@@ -76,7 +94,13 @@ final case class Snapshot(
     manifest_summaries: Option[List[Map[String, ColRange]]] = None, // per-manifest col ranges
     parent_snapshot_id: Option[Long] = None, // commit DAG edge; None/0 = table root
     commit_token: Option[String] = None, // idempotency key (streaming batch id)
-    delete_manifests: Option[List[String]] = None // merge-on-read position-delete manifests
+    delete_manifests: Option[List[String]] = None, // merge-on-read position-delete manifests
+    // set on a snapshot produced by cherryPick: the id of the snapshot whose
+    // delta was replayed (Iceberg's `source-snapshot-id` summary field). The
+    // double-apply guard walks ancestry over THIS, not manifest paths — after
+    // a compaction rewrites main's manifests, path comparison can no longer
+    // see that a pick was already applied and would silently duplicate rows.
+    source_snapshot_id: Option[Long] = None
 ) {
   /** Summary for manifest index `i`, or None when unrecorded (conservative). */
   def summaryAt(i: Int): Option[Map[String, ColRange]] =
@@ -119,8 +143,16 @@ final case class TableMetadata(
     // watermark describe the successor column and stay trustworthy —
     // without the watermark, a re-added column would lose min/max pruning
     // forever, on every file ever written afterwards.
-    retired_columns: Option[Map[String, Long]] = None
+    retired_columns: Option[Map[String, Long]] = None,
+    // registered sort orders (order 0 = unsorted is implicit) and the
+    // table's default — set by sorted compactions so the clustering a
+    // maintenance job paid for is DISCOVERABLE, not tribal knowledge.
+    // exportIceberg publishes spec-expressible (identity) orders into the
+    // Iceberg metadata JSON verbatim.
+    sort_orders: Option[List[SortOrderInfo]] = None,
+    default_sort_order_id: Option[Int] = None
 ) {
+  def sortOrderList: List[SortOrderInfo] = sort_orders.getOrElse(Nil)
   def retiredWatermarks: Map[String, Long] = retired_columns.getOrElse(Map.empty)
   def readById: Boolean = read_by_id.contains(true)
 

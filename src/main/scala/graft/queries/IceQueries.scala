@@ -2828,6 +2828,180 @@ object IceQueries {
        AS t(snapshot_id, operation, sequence_number, is_current)
        ORDER BY snapshot_id"""
 
+  /** ic95: the WRITE-AUDIT-PUBLISH workflow entirely from SQL — the
+    * production shape of the reference's Nessie-branch isolation
+    * (`bot_iceberg_loader.py:245-281` loads on a branch, validates, then
+    * publishes): `CALL system.create_branch`, a plain `INSERT INTO`
+    * staged onto the branch via the `graft.wap.branch` session conf
+    * (Iceberg's `spark.wap.branch` idiom), the audit gate as `VERSION AS
+    * OF 'branch'`, `CALL system.fast_forward` to publish, a release tag
+    * pin, and `CALL system.cherrypick_snapshot` replaying a diverged
+    * branch's commit onto main. Every step is metadata-only except the
+    * staged writes themselves — at 100 TB the publish costs one metadata
+    * CAS regardless of staged volume. */
+  private def sqlWapQ(s: SparkSession, d: String): DataFrame = {
+    val wh = freshDir(s, "sqlwap")
+    s.conf.set("spark.sql.catalog.ice_wap", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_wap.warehouse", wh)
+    try {
+      Tables.nation(s, d).coalesce(1).createOrReplaceTempView("nation_wap_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_wap.graft")
+      s.sql("CREATE TABLE ice_wap.graft.nation_wap AS SELECT * FROM nation_wap_src")
+      // ---- write (staged): the branch exists, the INSERT lands on it
+      s.sql("CALL ice_wap.system.create_branch('graft','nation_wap','audit',0L)")
+      s.conf.set("graft.wap.branch", "audit")
+      s.sql("""INSERT INTO ice_wap.graft.nation_wap
+               SELECT * FROM nation_wap_src WHERE n_regionkey < 2""")
+      s.conf.unset("graft.wap.branch")
+      // ---- audit: staged rows visible on the branch, invisible on main
+      val mainN = s.sql("SELECT COUNT(*) FROM ice_wap.graft.nation_wap").head().getLong(0)
+      val stagedN = s.sql(
+        "SELECT COUNT(*) FROM ice_wap.graft.nation_wap VERSION AS OF 'audit'")
+        .head().getLong(0)
+      require(stagedN > mainN, s"WAP isolation broken: staged $stagedN <= main $mainN")
+      // ---- publish, pin a release tag, retire the work branch
+      s.sql("CALL ice_wap.system.fast_forward('graft','nation_wap','audit')")
+      s.sql("CALL ice_wap.system.create_tag('graft','nation_wap','release-1',0L)")
+      s.sql("CALL ice_wap.system.drop_ref('graft','nation_wap','audit')")
+      // ---- cherry-pick: stage on a new branch, DIVERGE main, replay
+      s.sql("CALL ice_wap.system.create_branch('graft','nation_wap','side',0L)")
+      s.conf.set("graft.wap.branch", "side")
+      s.sql("""INSERT INTO ice_wap.graft.nation_wap
+               SELECT * FROM nation_wap_src WHERE n_regionkey = 3""")
+      s.conf.unset("graft.wap.branch")
+      s.sql("""INSERT INTO ice_wap.graft.nation_wap
+               SELECT * FROM nation_wap_src WHERE n_regionkey = 4""") // main diverges
+      val sideHead = s.sql(
+        "SELECT snapshot_id FROM ice_wap.graft.nation_wap.refs WHERE ref = 'side'")
+        .head().getLong(0)
+      s.sql(s"CALL ice_wap.system.cherrypick_snapshot('graft','nation_wap',${sideHead}L)")
+      // the tag still pins the published state across both later commits
+      val taggedN = s.sql(
+        "SELECT COUNT(*) FROM ice_wap.graft.nation_wap VERSION AS OF 'release-1'")
+        .head().getLong(0)
+      require(taggedN == stagedN, s"release tag drifted: $taggedN != $stagedN")
+      s.sql("""SELECT n_regionkey, COUNT(*) AS n
+               FROM ice_wap.graft.nation_wap GROUP BY 1 ORDER BY 1""")
+    } finally {
+      s.conf.unset("graft.wap.branch")
+      s.conf.unset("spark.sql.catalog.ice_wap")
+      s.conf.unset("spark.sql.catalog.ice_wap.warehouse")
+    }
+  }
+
+  private val sqlWapOracle =
+    """SELECT n_regionkey, COUNT(*) AS n FROM (
+         SELECT * FROM nation
+         UNION ALL SELECT * FROM nation WHERE n_regionkey < 2
+         UNION ALL SELECT * FROM nation WHERE n_regionkey = 3
+         UNION ALL SELECT * FROM nation WHERE n_regionkey = 4
+       ) GROUP BY 1 ORDER BY 1"""
+
+  /** ic96: NESTED-column schema evolution through SQL ALTER TABLE on a
+    * native Iceberg v2 table — the spec evolves struct subfields BY ID
+    * exactly like top-level ones (spec §Schemas), and this lifecycle
+    * applies ic92's gates one level down: (1) RENAME info.status →
+    * info.state is metadata-only and pre-rename files bind the field by
+    * its parquet id (values survive under the new name); (2) ADD
+    * info.tag reads NULL from pre-evolution files; (3) DROP + re-ADD
+    * info.state allocates a FRESH id, so the dropped values do NOT
+    * resurrect through the reused name (no-resurrection one level down).
+    * Every ALTER is one metadata CAS, zero data IO at any table size;
+    * the final scan reads via the library/spec path (the same reader
+    * DuckDB-style external engines model, ic51/ic61). */
+  private def nestedAlterQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i96")
+    s.conf.set("spark.sql.catalog.ice_i96", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i96.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/ord_i96"
+      val base = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total")).as("info"))
+      base.write.format("icelite").option("iceberg", "true")
+        .option("location", loc).mode("overwrite").save()
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i96.graft")
+      val n = base.count()
+      def lib() = IcebergFormat.scan(s, IcebergFormat.currentMetadataPath(s, loc))
+      // (1) nested RENAME: id kept, read-by-id flip, values survive
+      s.sql("ALTER TABLE ice_i96.graft.ord_i96 RENAME COLUMN info.status TO state")
+      require(lib().filter(col("info.state").isNotNull).count() == n,
+        "pre-rename files must bind the renamed nested field by id")
+      // (2) nested ADD: fresh id, old files read NULL
+      s.sql("ALTER TABLE ice_i96.graft.ord_i96 ADD COLUMN info.tag STRING")
+      require(lib().filter(col("info.tag").isNull).count() == n,
+        "pre-evolution files must read the added nested field as NULL")
+      // (3) no-resurrection: DROP then re-ADD the same nested name
+      s.sql("ALTER TABLE ice_i96.graft.ord_i96 DROP COLUMN info.state")
+      s.sql("ALTER TABLE ice_i96.graft.ord_i96 ADD COLUMN info.state STRING")
+      val out = lib()
+      require(out.filter(col("info.state").isNotNull).count() == 0,
+        "dropped nested field's values resurrected through the re-added name")
+      out.select(col("o_orderkey"),
+          col("info.total").as("total"),
+          col("info.tag").as("tag"),
+          col("info.state").as("state"))
+        .orderBy("o_orderkey")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i96")
+      s.conf.unset("spark.sql.catalog.ice_i96.warehouse")
+    }
+  }
+
+  private val nestedAlterOracle =
+    """SELECT o_orderkey, o_totalprice AS total,
+              CAST(NULL AS VARCHAR) AS tag, CAST(NULL AS VARCHAR) AS state
+       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
+
+  /** ic97: the native SQL ALTER dispatch path as a full lifecycle —
+    * promote + rename + add through `ALTER TABLE` on a NATIVE Iceberg v2
+    * dir (the resumed-Writer route, previously spec-gated only), then
+    * row-level DML THROUGH the renamed column (MoR DELETE + UPDATE on
+    * the evolved table), read back over both file eras via SQL. Every
+    * ALTER is one metadata CAS; the DML writes delete/insert deltas
+    * proportional to matched rows — the rename changed ZERO data bytes
+    * and the post-rename scan binds pre-rename files' columns by
+    * parquet field id. */
+  private def nativeSqlAlterQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.IcebergFormat
+    val wh = freshDir(s, "i97")
+    s.conf.set("spark.sql.catalog.ice_i97", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i97.warehouse", wh)
+    try {
+      val loc = s"$wh/graft/ord_i97"
+      val base = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("total"))
+      val w = new IcebergFormat.Writer(s, loc, base.schema)
+      w.commit(Seq(IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, "f1", base)))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i97.graft")
+      s.sql("ALTER TABLE ice_i97.graft.ord_i97 ALTER COLUMN k TYPE BIGINT")
+      s.sql("ALTER TABLE ice_i97.graft.ord_i97 RENAME COLUMN prio TO priority")
+      s.sql("ALTER TABLE ice_i97.graft.ord_i97 ADD COLUMN flag STRING")
+      s.sql("DELETE FROM ice_i97.graft.ord_i97 WHERE priority = '1-URGENT'")
+      s.sql("UPDATE ice_i97.graft.ord_i97 SET flag = 'hi' WHERE total > 200000.0")
+      s.sql("""SELECT priority, COUNT(*) AS n, COUNT(flag) AS n_flagged,
+                      CAST(SUM(CAST(CAST(total AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+                      CAST(MIN(k) AS BIGINT) AS min_k
+               FROM ice_i97.graft.ord_i97 GROUP BY 1 ORDER BY 1""")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i97")
+      s.conf.unset("spark.sql.catalog.ice_i97.warehouse")
+    }
+  }
+
+  private val nativeSqlAlterOracle =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+              COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS n_flagged,
+              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+              CAST(MIN(o_orderkey) AS BIGINT) AS min_k
+       FROM orders
+       WHERE o_orderkey < 2000 AND o_orderpriority <> '1-URGENT'
+       GROUP BY 1 ORDER BY 1"""
+
   /** The MoR maintenance loop closed: accumulate delete debt with two MoR
     * DELETEs, observe it in the `delete_files`-style metadata table,
     * then COMPACT — the rewrite scans delete-applied, the new snapshot
@@ -3873,7 +4047,10 @@ object IceQueries {
       Some(sqlMergeNotMatchedBySourceOracle)),
     Q("ic92_rename_drop_column", renameDropColumnQ, Some(renameDropColumnOracle)),
     Q("ic93_cherrypick_snapshot", cherryPickQ, Some(cherryPickOracle)),
-    Q("ic94_native_meta_tables", nativeMetaTablesQ, Some(nativeMetaTablesOracle))
+    Q("ic94_native_meta_tables", nativeMetaTablesQ, Some(nativeMetaTablesOracle)),
+    Q("ic95_sql_wap", sqlWapQ, Some(sqlWapOracle)),
+    Q("ic96_nested_alter", nestedAlterQ, Some(nestedAlterOracle)),
+    Q("ic97_native_sql_alter", nativeSqlAlterQ, Some(nativeSqlAlterOracle))
   )
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file

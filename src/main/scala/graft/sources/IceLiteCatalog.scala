@@ -273,19 +273,26 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     new IceLiteV2Table(ice, ice.metadata.currentSnapshot, publishHook(ns, ident.name()))
   }
 
-  /** SQL time travel by snapshot id: `SELECT ... FROM cat.ns.t VERSION AS
-    * OF <id>`. Pins the V2 table to one immutable snapshot; no publish
-    * hook — Spark routes only reads through time-travel relations. */
+  /** SQL time travel by snapshot id or ref name: `SELECT ... FROM
+    * cat.ns.t VERSION AS OF <id | 'branch' | 'tag'>` (Iceberg's surface —
+    * a non-numeric version resolves through the refs map, which is what
+    * makes a WAP audit gate expressible in plain SQL). Pins the V2 table
+    * to one immutable snapshot; no publish hook — Spark routes only reads
+    * through time-travel relations. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ns  = ns1(ident.namespace())
     val ice = loadIce(ns, ident)
-    val id = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"icelite VERSION AS OF takes a numeric snapshot id, got '$version'")
+    val snap = version.toLongOption match {
+      case Some(id) => Some(ice.metadata.snapshot(id).getOrElse(
+        throw new NoSuchElementException(s"snapshot $id of ${ident.name()}")))
+      case None =>
+        val info = ice.metadata.refMap.getOrElse(version,
+          throw new NoSuchElementException(
+            s"no snapshot id or ref '$version' of ${ident.name()}"))
+        // a ref at snapshot 0 is an empty branch: scan as the empty table
+        ice.metadata.snapshot(info.snapshot_id)
     }
-    val snap = ice.metadata.snapshot(id).getOrElse(
-      throw new NoSuchElementException(s"snapshot $id of ${ident.name()}"))
-    new IceLiteV2Table(ice, Some(snap))
+    new IceLiteV2Table(ice, snap)
   }
 
   /** SQL time travel by wall clock: `TIMESTAMP AS OF <ts>`. Spark hands
@@ -335,9 +342,7 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     * other change kind is rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.collect {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"icelite ADD COLUMN supports top-level columns, got ${a.fieldNames().mkString(".")}")
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         // silent coercion would lie to the user: evolved columns append
         // at the END (old files lack them) and MUST be nullable (old
         // rows read NULL) — reject what we can't honor
@@ -356,16 +361,32 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
         (u.fieldNames().head, u.newDataType())
     }
     val renames = changes.collect {
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1,
-          s"icelite RENAME COLUMN supports top-level columns, got ${r.fieldNames().mkString(".")}")
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
         (r.fieldNames().head, r.newName())
     }
     val drops = changes.collect {
-      case dc: TableChange.DeleteColumn =>
-        require(dc.fieldNames().length == 1,
-          s"icelite DROP COLUMN supports top-level columns, got ${dc.fieldNames().mkString(".")}")
+      case dc: TableChange.DeleteColumn if dc.fieldNames().length == 1 =>
         dc.fieldNames().head
+    }
+    // NESTED (struct-field) evolution — native Iceberg v2 dirs only: the
+    // resumed Writer evolves struct subfields BY ID (spec §Schemas), with
+    // the same no-resurrection/read-by-id contract one level down
+    val nestedAdds = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames().length > 1 =>
+        require(a.position() == null,
+          "nested ADD COLUMN appends at the end of its struct; FIRST/AFTER not supported")
+        require(a.isNullable,
+          s"nested ADD COLUMN ${a.fieldNames().mkString(".")} must be nullable")
+        (a.fieldNames().init.toSeq, org.apache.spark.sql.types.StructField(
+          a.fieldNames().last, a.dataType(), nullable = true))
+    }
+    val nestedRenames = changes.collect {
+      case r: TableChange.RenameColumn if r.fieldNames().length > 1 =>
+        (r.fieldNames().toSeq, r.newName())
+    }
+    val nestedDrops = changes.collect {
+      case dc: TableChange.DeleteColumn if dc.fieldNames().length > 1 =>
+        dc.fieldNames().toSeq
     }
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.UpdateColumnType |
@@ -399,6 +420,9 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
               pm.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)) ++ adds))
         renames.foreach { case (o, n) => w.renameColumn(o, n) }
         drops.foreach(w.dropColumn)
+        nestedAdds.foreach { case (path, f) => w.addNestedColumn(path, f) }
+        nestedRenames.foreach { case (path, n) => w.renameNestedColumn(path, n) }
+        nestedDrops.foreach(w.dropNestedColumn)
         try {
           w.publishSchemaChange()
           return new IcebergMorV2Table(spark, loc)
@@ -409,6 +433,9 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
         }
       }
     }
+    require(nestedAdds.isEmpty && nestedRenames.isEmpty && nestedDrops.isEmpty,
+      "nested-column ALTER is supported on native Iceberg v2 tables only " +
+        "(icelite tables have no nested columns)")
     val ice = backend.loadTable(ns, ident.name())
     if (adds.nonEmpty) ice.addColumns(adds)
     if (promotes.nonEmpty) ice.promoteColumnTypes(promotes)

@@ -30,7 +30,12 @@ private[graft] object IceLiteProcedures {
 
   val names: Set[String] =
     Set("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
-      "rollback_to_snapshot", "rewrite_position_deletes")
+      "rollback_to_snapshot", "rewrite_position_deletes",
+      // snapshot management (the SQL half of the WAP workflow: stage on a
+      // branch with graft.wap.branch, audit via VERSION AS OF 'branch',
+      // publish with fast_forward — plus git-style history surgery)
+      "create_branch", "create_tag", "drop_ref", "fast_forward",
+      "cherrypick_snapshot")
 
   private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -66,6 +71,14 @@ private[graft] object IceLiteProcedures {
             Array(p("ns", StringType), p("table", StringType), p("snapshot_id", LongType))
           case "rewrite_position_deletes" =>
             Array(p("ns", StringType), p("table", StringType))
+          case "create_branch" | "create_tag" =>
+            // snapshot_id 0 = the current main head (the common WAP shape)
+            Array(p("ns", StringType), p("table", StringType),
+              p("name", StringType), p("snapshot_id", LongType))
+          case "drop_ref" | "fast_forward" =>
+            Array(p("ns", StringType), p("table", StringType), p("name", StringType))
+          case "cherrypick_snapshot" =>
+            Array(p("ns", StringType), p("table", StringType), p("snapshot_id", LongType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -136,6 +149,40 @@ private[graft] object IceLiteProcedures {
                 StructType(Seq(StructField("previous_snapshot_id", LongType),
                   StructField("current_snapshot_id", LongType))),
                 Seq(new GenericInternalRow(Array[Any](prev, cur))))
+            case "create_branch" | "create_tag" =>
+              val name = input.getUTF8String(2).toString
+              val at   = Some(input.getLong(3)).filter(_ != 0L)
+              if (proc == "create_branch") t.createBranch(name, at)
+              else t.createTag(name, at)
+              val pinned = reload().refs()(name).snapshot_id
+              resultScan(
+                StructType(Seq(StructField("ref", StringType),
+                  StructField("snapshot_id", LongType))),
+                Seq(new GenericInternalRow(
+                  Array[Any](UTF8String.fromString(name), pinned))))
+            case "drop_ref" =>
+              val name = input.getUTF8String(2).toString
+              t.dropRef(name)
+              reload()
+              resultScan(
+                StructType(Seq(StructField("dropped_ref", StringType))),
+                Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(name)))))
+            case "fast_forward" =>
+              val prev = t.metadata.current_snapshot_id
+              t.fastForward(input.getUTF8String(2).toString)
+              val cur = reload().metadata.current_snapshot_id
+              resultScan(
+                StructType(Seq(StructField("previous_snapshot_id", LongType),
+                  StructField("current_snapshot_id", LongType))),
+                Seq(new GenericInternalRow(Array[Any](prev, cur))))
+            case "cherrypick_snapshot" =>
+              t.cherryPick(input.getLong(2))
+              val cur = reload().metadata.currentSnapshot.get
+              resultScan(
+                StructType(Seq(StructField("source_snapshot_id", LongType),
+                  StructField("current_snapshot_id", LongType))),
+                Seq(new GenericInternalRow(Array[Any](
+                  cur.source_snapshot_id.getOrElse(0L), cur.snapshot_id))))
           }
         }
       }

@@ -183,6 +183,15 @@ final class IceLiteBatchWrite(
     else new IceLitePartitionedWriterFactory(conf, location, dataRel, schema, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // write-audit-publish (Iceberg's `spark.wap.branch` idiom): with
+    // `graft.wap.branch` set, a plain INSERT INTO lands on that branch —
+    // invisible on main until CALL system.fast_forward publishes it.
+    // Overwrites are refused UP FRONT: silently sending one to main while
+    // the user believes it's staged would defeat the audit gate.
+    val wap = Option(SparkSession.active.conf.get("graft.wap.branch", null))
+      .filter(_.nonEmpty)
+    require(wap.isEmpty || (byFilter.isEmpty && !dynamic && !replace),
+      "graft.wap.branch supports plain INSERT INTO appends only")
     // zero-row task outputs add no files (see streaming commit note)
     val entries = messages.toSeq.flatMap {
       case p: IceLitePartitionedWriteMessage => p.entries
@@ -208,7 +217,7 @@ final class IceLiteBatchWrite(
       val victims = t.metadata.currentSnapshot.toSeq.flatMap(t.filesOf)
         .filter(f => touched.contains(partPath(f))).toSet
       t.commitReplaceScanned(victims, entries, "overwrite")
-    } else t.commitStagedEntries(entries, replace)
+    } else t.commitStagedEntries(entries, replace, ref = wap)
     onCommit.foreach(_(t))
   }
 

@@ -74,7 +74,8 @@ final class IcebergMorV2Table(spark: SparkSession, location: String)
   // the reader binds file columns by id rather than name
   override def schema(): StructType = {
     val base =
-      if (header.readById) IcebergFormat.withParquetFieldIds(header.schema, header.fieldIds)
+      if (header.readById)
+        IcebergFormat.withParquetFieldIds(header.schema, header.fieldIds, header.nestedIds)
       else header.schema
     StructType(base.fields.map(_.copy(nullable = true)))
   }
@@ -808,7 +809,8 @@ final class IcebergMorDeltaWrite(
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
       new IcebergMorDeltaWriterFactory(conf, location, deleteRel, dataRel, tableSchema,
         p.fieldIds, // insert files stamp the table's REAL field ids
-        if (wantsClustering) partCols else Nil)
+        if (wantsClustering) partCols else Nil,
+        p.nestedIds) // tracked nested ids (stable across nested evolution)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val msgs = messages.toSeq.map(_.asInstanceOf[IcebergMorDeltaMessage])
@@ -876,11 +878,12 @@ final class IcebergMorDeltaWriterFactory(
     dataRel: String,
     schema: StructType,
     fieldIds: Seq[Int] = Nil,
-    partCols: Seq[(String, String)] = Nil) // (spec field name, source column)
+    partCols: Seq[(String, String)] = Nil, // (spec field name, source column)
+    nestedIds: Map[String, Int] = Map.empty)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new IcebergMorDeltaWriter(conf, location, deleteRel, dataRel, schema, partitionId, taskId,
-      fieldIds, partCols)
+      fieldIds, partCols, nestedIds)
 }
 
 /** Executor-side delta writer: streams `(_file, _pos)` row ids into one
@@ -903,7 +906,8 @@ final class IcebergMorDeltaWriter(
     partitionId: Int,
     taskId: Long,
     fieldIds: Seq[Int] = Nil,
-    partCols: Seq[(String, String)] = Nil) // (spec field name, source column)
+    partCols: Seq[(String, String)] = Nil, // (spec field name, source column)
+    nestedIds: Map[String, Int] = Map.empty)
     extends DeltaWriter[InternalRow] {
 
   private var delWriter: IceLiteDataWriter = _
@@ -957,12 +961,13 @@ final class IcebergMorDeltaWriter(
         rollInsert()
         curKey = key
         insWriter = new IcebergNestedDataWriter(conf, location, dataRel, schema,
-          partitionId, taskId, fieldIds, nameSuffix = f"-p$rollSeq%04d")
+          partitionId, taskId, fieldIds, nameSuffix = f"-p$rollSeq%04d",
+          nestedIds = nestedIds)
         rollSeq += 1
       }
     } else if (insWriter == null)
       insWriter = new IcebergNestedDataWriter(conf, location, dataRel, schema,
-        partitionId, taskId, fieldIds)
+        partitionId, taskId, fieldIds, nestedIds = nestedIds)
     insWriter.write(row)
   }
 

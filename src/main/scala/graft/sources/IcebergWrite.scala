@@ -235,12 +235,13 @@ final class IcebergNestedDataWriter(
     partitionId: Int,
     taskId: Long,
     fieldIds: Seq[Int] = Nil, // real top-level ids (sparse tables); Nil = 1..n
-    nameSuffix: String = "") // rolling partitioned writes: one file per value
+    nameSuffix: String = "", // rolling partitioned writes: one file per value
+    nestedIds: Map[String, Int] = Map.empty) // tracked nested ids (evolved tables)
     extends DataWriter[InternalRow] {
 
   private val relPath = f"$dataRel/part-$partitionId%05d-$taskId$nameSuffix.parquet"
   private val path    = new Path(location, relPath)
-  private val msgType = IcebergWriteSchema.messageTypeFor(schema, fieldIds)
+  private val msgType = IcebergWriteSchema.messageTypeFor(schema, fieldIds, nestedIds)
   private val factory = new SimpleGroupFactory(msgType)
   private val writer  = ExampleParquetWriter
     .builder(HadoopOutputFile.fromPath(path, conf.value))
@@ -371,14 +372,21 @@ object IcebergWriteSchema {
     * nested ids; map key-id then value-id before either side's nested
     * ids), so parquet metadata and table schema agree on column
     * identity. */
-  def messageTypeFor(schema: StructType, topIds: Seq[Int] = Nil): MessageType = {
+  def messageTypeFor(schema: StructType, topIds: Seq[Int] = Nil,
+      nestedIds: Map[String, Int] = Map.empty): MessageType = {
     val ids = if (topIds.nonEmpty) topIds else 1 to schema.fields.length
     require(ids.length == schema.fields.length, "field id count != column count")
-    var lastId = ids.maxOption.getOrElse(0)
-    val nextId = () => { lastId += 1; lastId }
+    // nested ids come from the table's TRACKED map when given (an evolved
+    // table's nested ids are sparse and must re-emit verbatim); the
+    // positional derivation below is byte-identical for fresh tables
+    val nested =
+      if (nestedIds.nonEmpty) nestedIds
+      else graft.icelite.IcebergFormat.deriveNestedIds(schema, ids)
+    val idOf = (p: String) => nested.getOrElse(p,
+      throw new IllegalStateException(s"no tracked field id for nested path $p"))
     val b = Types.buildMessage()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      b.addField(typeFor(f.name, f.dataType, ids(i), Repetition.OPTIONAL, nextId))
+      b.addField(typeFor(f.name, f.dataType, ids(i), Repetition.OPTIONAL, s"${f.name}.", idOf))
     }
     b.named("spark_schema")
   }
@@ -388,26 +396,27 @@ object IcebergWriteSchema {
       dt: DataType,
       id: Int,
       rep: Repetition,
-      nextId: () => Int): PType = dt match {
+      prefix: String,
+      idOf: String => Int): PType = dt match {
     case st: StructType =>
-      // mirror typeJson: each child takes its id, then its nested ids
+      // mirror typeJson: each child resolves its id by path
       val children = st.fields.map { f =>
-        val cid = nextId()
-        typeFor(f.name, f.dataType, cid, Repetition.OPTIONAL, nextId)
+        typeFor(f.name, f.dataType, idOf(prefix + f.name), Repetition.OPTIONAL,
+          s"$prefix${f.name}.", idOf)
       }
       children.foldLeft(Types.buildGroup(rep))(_.addField(_))
         .id(id).named(name)
     case at: ArrayType =>
-      val elemId = nextId()
-      val elem   = typeFor("element", at.elementType, elemId, Repetition.OPTIONAL, nextId)
+      val elem = typeFor("element", at.elementType, idOf(prefix + "element"),
+        Repetition.OPTIONAL, prefix + "element.", idOf)
       Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
         .addField(Types.repeatedGroup().addField(elem).named("list"))
         .id(id).named(name)
     case mt: MapType =>
-      val keyId = nextId()
-      val valId = nextId()
-      val k     = typeFor("key", mt.keyType, keyId, Repetition.REQUIRED, nextId)
-      val v     = typeFor("value", mt.valueType, valId, Repetition.OPTIONAL, nextId)
+      val k = typeFor("key", mt.keyType, idOf(prefix + "key"),
+        Repetition.REQUIRED, prefix + "key.", idOf)
+      val v = typeFor("value", mt.valueType, idOf(prefix + "value"),
+        Repetition.OPTIONAL, prefix + "value.", idOf)
       Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
         .addField(Types.repeatedGroup().addField(k).addField(v).named("key_value"))
         .id(id).named(name)

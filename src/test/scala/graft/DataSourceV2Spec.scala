@@ -529,6 +529,15 @@ class DataSourceV2Spec extends SparkSpec {
     cat.loadTable("ns", "nat_cp").rollback(preCompact)
     val ex = intercept[Exception] { cat.loadTable("ns", "nat_cp").cherryPick(compactId) }
     assert(ex.getMessage.contains("append snapshots only"), ex.getMessage)
+    // double-apply guard must survive manifest rewrites: move main to the
+    // COMPACTED snapshot (its manifests no longer contain the picked
+    // delta's paths, so a path-only guard would happily duplicate every
+    // row) — the recorded source-snapshot-id still refuses the re-pick
+    cat.loadTable("ns", "nat_cp").rollback(compactId)
+    val ex2 = intercept[Exception] { cat.loadTable("ns", "nat_cp").cherryPick(branchHead) }
+    assert(ex2.getMessage.contains("already cherry-picked"), ex2.getMessage)
+    assert(cat.loadTable("ns", "nat_cp").scan().count() == nation.count(),
+      "row count drifted across the refused re-pick")
   }
 
   test("drop + re-add on the library path: retired id never reissued, values never resurrect") {
@@ -567,5 +576,110 @@ class DataSourceV2Spec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))
     val third = cat.loadTable("ns", "nat_da").metadata.fields.find(_.name == "n_name").get.id
     assert(third > readdedId, s"second re-add id $third not past $readdedId")
+  }
+
+  test("read-by-id flip refused when live data files lack parquet field-id stamps") {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val cat    = new FsCatalog(spark, scratch("v2unstamped"))
+    val nation = Tables.nation(spark, sfDir)
+    val t = cat.createOrReplaceTable("ns", "nat_us",
+      nation.select("n_nationkey", "n_name").coalesce(1))
+    // strip the id stamps from the table's one data file: rewrite it at the
+    // same path through a metadata-free schema (simulating foreign parquet
+    // adopted as-is, or a pre-stamping build's output)
+    val rel  = t.filesOf(t.metadata.currentSnapshot.get).head
+    val abs  = new org.apache.hadoop.fs.Path(t.location, rel)
+    val rows = spark.read.parquet(abs.toString).collect().toSeq
+    val clean = StructType(t.metadata.schema.fields.map(f =>
+      StructField(f.name, f.dataType, f.nullable)))
+    val tmp = scratch("v2unstamped_tmp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), clean)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(abs, false)
+    assert(fs.rename(part, abs), "could not swap in the unstamped data file")
+    val ex = intercept[Exception] {
+      cat.loadTable("ns", "nat_us").renameColumns(Seq("n_name" -> "nm")) }
+    assert(ex.getMessage.contains("field ids"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      cat.loadTable("ns", "nat_us").dropColumns(Seq("n_name")) }
+    assert(ex2.getMessage.contains("field ids"), ex2.getMessage)
+    // the table never flipped: plain by-name scans still work
+    assert(cat.loadTable("ns", "nat_us").scan().count() == nation.count())
+  }
+
+  test("nested field ids: stable across evolution, tracked stamps on later writes") {
+    import graft.icelite.IcebergFormat
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val root = scratch("v2nested_ev")
+    val loc  = s"$root/t"
+    val base = Tables.orders(spark, sfDir).filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total")).as("info"))
+    base.write.format("icelite").option("iceberg", "true")
+      .option("location", loc).mode("overwrite").save()
+    def metaJson(): String = {
+      val p  = new org.apache.hadoop.fs.Path(
+        IcebergFormat.currentMetadataPath(spark, loc))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    // top-level evolution must NOT renumber nested ids: pre-tracking, the
+    // appended column took id 3 (top max + 1) — COLLIDING with
+    // info.status's nested id 3 — and every nested id shifted by one in
+    // the new schema-history entry
+    val w = IcebergFormat.resumeWriter(spark, loc)
+    w.evolveSchema(StructType(w.schemaNow.fields :+ StructField("note", StringType)))
+    w.publishSchemaChange()
+    val json = metaJson()
+    assert(json.contains("""{"id":3,"name":"status""""), json.take(600))
+    assert(json.contains("""{"id":5,"name":"note""""),
+      "appended top-level column must take an id past the nested ids")
+    // drop a nested field, then APPEND data: the staged file must stamp
+    // the TRACKED ids (info.total keeps 4), not a positional re-derive
+    val w2 = IcebergFormat.resumeWriter(spark, loc)
+    w2.dropNestedColumn(Seq("info", "status"))
+    w2.publishSchemaChange()
+    val w3 = IcebergFormat.resumeWriter(spark, loc)
+    assert(w3.nestedIdsNow == Map("info.total" -> 4),
+      s"resume lost the tracked nested ids: ${w3.nestedIdsNow}")
+    val df2 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") < 150)
+      .select(col("o_orderkey"),
+        struct(col("o_totalprice").as("total")).as("info"),
+        col("o_orderpriority").as("note"))
+    val f = IcebergFormat.writeSingleFile(spark, root, loc, "f2", df2,
+      fieldIds = w3.fieldIdsNow, nestedIds = w3.nestedIdsNow)
+    w3.commit(Seq(f))
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$loc/data/f2.parquet"),
+        spark.sparkContext.hadoopConfiguration))
+    val msg = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val info = msg.getFields.get(msg.getFieldIndex("info")).asGroupType
+    assert(Option(info.getFields.get(info.getFieldIndex("total")).getId)
+      .map(_.intValue).contains(4),
+      s"post-drop write stamped positional nested ids, not tracked: $msg")
+    // both eras read under the final schema; dropped values never surface
+    val out = IcebergFormat.scan(spark, w3.currentMetadataPath)
+    assert(out.count() == base.count() + df2.count())
+    assert(out.schema.catalogString.contains("info:struct<total"))
+  }
+
+  test("read-by-id scans do not leak fieldId.read.enabled into the session conf") {
+    val cat    = new FsCatalog(spark, scratch("v2noleak"))
+    val nation = Tables.nation(spark, sfDir)
+    cat.createOrReplaceTable("ns", "nat_nl",
+      nation.select("n_nationkey", "n_name").coalesce(1))
+    cat.loadTable("ns", "nat_nl").renameColumns(Seq("n_name" -> "nm"))
+    val out = cat.loadTable("ns", "nat_nl").scan()
+    assert(out.filter(col("nm").isNotNull).count() == nation.count(),
+      "rename-evolved scan must bind pre-rename files by field id")
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled") == "false",
+      "read-by-id scan leaked fieldId.read.enabled into the caller's session")
   }
 }

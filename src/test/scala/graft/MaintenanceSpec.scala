@@ -160,6 +160,87 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.planFiles("o_orderkey", Some("0"), Some("300")).size <= 2)
   }
 
+  test("sorted compaction publishes an honest sort order: metadata, files, export, resume") {
+    val cat = new FsCatalog(spark, scratch("sortord"))
+    val t = cat.createOrReplaceTable("ns", "orders_so",
+      orders.select("o_orderkey", "o_orderpriority", "o_totalprice").repartition(4))
+    // pre-compaction: nothing claims an order
+    assert(t.metadata.sortOrderList.isEmpty &&
+      t.metadata.default_sort_order_id.isEmpty)
+    assert(t.filesTable().filter(col("sort_order_id") =!= 0).count() == 0)
+
+    t.compactSorted(4, Seq("o_orderkey"))
+    val md  = cat.loadTable("ns", "orders_so").metadata
+    val kid = md.fields.find(_.name == "o_orderkey").get.id
+    assert(md.sortOrderList ==
+      List(SortOrderInfo(1, List(SortFieldInfo(kid, "identity", "asc", "nulls-first")))))
+    assert(md.default_sort_order_id.contains(1))
+    // every rewritten file claims the order
+    val ft = cat.loadTable("ns", "orders_so").filesTable()
+    assert(ft.count() == 4 && ft.filter(col("sort_order_id") === 1).count() == 4)
+    // re-compacting under the SAME order reuses id 1 (no duplicate entry)
+    cat.loadTable("ns", "orders_so").compactSorted(2, Seq("o_orderkey"))
+    assert(cat.loadTable("ns", "orders_so").metadata.sortOrderList.map(_.order_id) == List(1))
+    // an UNSORTED append stays truthful: its files claim no order
+    cat.loadTable("ns", "orders_so").append(
+      orders.select("o_orderkey", "o_orderpriority", "o_totalprice").limit(10).coalesce(1))
+    val ft2 = cat.loadTable("ns", "orders_so").filesTable()
+    assert(ft2.filter(col("sort_order_id") === 0).count() == 1 &&
+      ft2.filter(col("sort_order_id") === 1).count() == 2)
+
+    // export: the spec JSON carries the REAL order (not the hardcoded
+    // unsorted claim), and every adopted sorted file keeps its claim
+    val dest   = scratch("sortord_dest") + "/t"
+    val mdPath = cat.loadTable("ns", "orders_so").exportIceberg(dest)
+    val json = {
+      val src = scala.io.Source.fromFile(new java.net.URI(
+        new org.apache.hadoop.fs.Path(mdPath).toUri.toString).getPath)
+      try src.mkString finally src.close()
+    }
+    assert(json.contains(""""default-sort-order-id":1"""), json.take(400))
+    assert(json.contains(
+      s""""transform":"identity","source-id":$kid,"direction":"asc","null-order":"nulls-first""""))
+    val nft = IcebergFormat.filesTable(spark, mdPath)
+    assert(nft.filter(col("sort_order_id") === 1).count() == 2 &&
+      nft.filter(col("sort_order_id") === 0).count() == 1)
+    // resume + commit: the declared order survives the round-trip
+    val w = IcebergFormat.resumeWriter(spark, dest)
+    w.commit(Seq(IcebergFormat.writeSingleFile(spark, scratch("sortord_stage"), dest, "fx",
+      orders.select("o_orderkey", "o_orderpriority", "o_totalprice").limit(5))))
+    val json2 = {
+      val src = scala.io.Source.fromFile(new java.net.URI(
+        new org.apache.hadoop.fs.Path(w.currentMetadataPath).toUri.toString).getPath)
+      try src.mkString finally src.close()
+    }
+    assert(json2.contains(""""default-sort-order-id":1""") &&
+      json2.contains(""""order-id":1"""), "resume dropped the declared sort order")
+  }
+
+  test("z-order records its own transform; export maps it to a property, not a fake order") {
+    val cat = new FsCatalog(spark, scratch("zsortord"))
+    val t = cat.createOrReplaceTable("ns", "orders_zso",
+      orders.select("o_orderkey", "o_custkey", "o_totalprice").repartition(4))
+    t.compactZOrder(4, Seq("o_custkey", "o_orderkey"))
+    val md = cat.loadTable("ns", "orders_zso").metadata
+    assert(md.sortOrderList.head.fields.forall(_.transform == "zorder[8]"))
+    assert(md.default_sort_order_id.contains(1))
+    assert(cat.loadTable("ns", "orders_zso").filesTable()
+      .filter(col("sort_order_id") === 1).count() == 4)
+    val dest   = scratch("zsortord_dest") + "/t"
+    val mdPath = cat.loadTable("ns", "orders_zso").exportIceberg(dest)
+    val json = {
+      val src = scala.io.Source.fromFile(new java.net.URI(
+        new org.apache.hadoop.fs.Path(mdPath).toUri.toString).getPath)
+      try src.mkString finally src.close()
+    }
+    // spec-honest: no identity order is claimed, the layout rides a property
+    assert(json.contains(""""default-sort-order-id":0"""), json.take(400))
+    assert(json.contains(""""graft.clustering":"zorder[8](o_custkey,o_orderkey)""""), json)
+    // adopted files claim NO spec order (their layout is not expressible)
+    assert(IcebergFormat.filesTable(spark, mdPath)
+      .filter(col("sort_order_id") =!= 0).count() == 0)
+  }
+
   test("append records per-file min/max stats; planFiles skips files") {
     val cat = new FsCatalog(spark, scratch("skip"))
     val lo  = orders.filter(col("o_orderkey") < 500).coalesce(1)
