@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, AnalyticsExt, AnalyticsR6, AnalyticsR6b, AnalyticsR6c, AnalyticsR7, IceQueries, Ref}
+import graft.queries.{Analytics, AnalyticsExt, AnalyticsR6, AnalyticsR6b, AnalyticsR6c, AnalyticsR7, IceQueries, MvQueries, Ref}
 import graft.ops.{Dedup, Multimodal, Pipeline, Sim, Text}
 import graft.streaming.StreamQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,7 +17,7 @@ object SparkEntry {
 
   val registry: Seq[Q] =
     Ref.all ++ Analytics.all ++ AnalyticsExt.all ++ AnalyticsR6.all ++ AnalyticsR6b.all ++
-      AnalyticsR6c.all ++ AnalyticsR7.all ++ IceQueries.all ++
+      AnalyticsR6c.all ++ AnalyticsR7.all ++ IceQueries.all ++ MvQueries.all ++
       Text.all ++ Dedup.all ++ Sim.all ++ Multimodal.all ++ Pipeline.all ++
       StreamQueries.all
 

@@ -978,6 +978,27 @@ object IcebergFormat {
     }
   }
 
+  /** Free-form table properties of the metadata file (spec `properties`
+    * map) — how derived artifacts (materialized views, clustering
+    * declarations) record their provenance on the table itself. */
+  def tableProperties(spark: SparkSession, metadataPath: String): Map[String, String] = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    (md \ "properties").extractOpt[Map[String, String]].getOrElse(Map.empty)
+  }
+
+  /** The metadata file's `current-snapshot-id` pointer (None before the
+    * first commit). */
+  def currentSnapshotId(spark: SparkSession, metadataPath: String): Option[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    (md \ "current-snapshot-id").extractOpt[Long].filter(_ >= 0)
+  }
+
   /** Absolute paths of data files ADDED between two snapshots of the log
     * (`fromId` None = table genesis) — the Iceberg streaming-read window.
     * Computed as the file-set difference of the two snapshots' plans, so

@@ -35,7 +35,11 @@ private[graft] object IceLiteProcedures {
       // branch with graft.wap.branch, audit via VERSION AS OF 'branch',
       // publish with fast_forward — plus git-style history surgery)
       "create_branch", "create_tag", "drop_ref", "fast_forward",
-      "cherrypick_snapshot")
+      "cherrypick_snapshot",
+      // incremental materialized views over native Iceberg v2 dirs
+      // (graft.ops.MatView): the SQL lifecycle for delta-proportional
+      // refresh of a persisted aggregate
+      "create_mv", "refresh_mv")
 
   private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -79,6 +83,14 @@ private[graft] object IceLiteProcedures {
             Array(p("ns", StringType), p("table", StringType), p("name", StringType))
           case "cherrypick_snapshot" =>
             Array(p("ns", StringType), p("table", StringType), p("snapshot_id", LongType))
+          case "create_mv" =>
+            // aggs: "fn:input:as" specs joined with ';' (input may be any
+            // scalar SQL over the base — fn is before the FIRST ':', the
+            // output alias after the LAST, so casts parse unambiguously)
+            Array(p("ns", StringType), p("table", StringType), p("mv_name", StringType),
+              p("group_cols", StringType), p("aggs", StringType))
+          case "refresh_mv" =>
+            Array(p("ns", StringType), p("table", StringType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -94,6 +106,14 @@ private[graft] object IceLiteProcedures {
           }
           if (proc == "rewrite_data_files" && stdLoc.isDefined)
             return rewriteStandardFormat(stdLoc.get, input.getInt(2))
+          if (proc == "create_mv" || proc == "refresh_mv") {
+            val wh = backend match {
+              case f: graft.icelite.FsCatalog => f.warehouse
+              case _ => throw new UnsupportedOperationException(
+                "materialized-view procedures need an FS-warehouse catalog")
+            }
+            return mvProcedure(proc, wh, ns, tbl, input)
+          }
           val t   = backend.loadTable(ns, tbl)
           def reload(): IceTable = {
             val r = backend.loadTable(ns, tbl)
@@ -187,6 +207,52 @@ private[graft] object IceLiteProcedures {
         }
       }
     })
+  }
+
+  /** Materialized-view lifecycle from SQL (`CALL cat.system.create_mv` /
+    * `refresh_mv`) over NATIVE Iceberg v2 dirs — the production shape of
+    * [[graft.ops.MatView]]: a scheduler issues one CALL per cadence and
+    * reads back the refresh mode + file-IO audit row, which is how a
+    * 100 TB deployment proves each refresh stayed delta-proportional. */
+  private def mvProcedure(proc: String, wh: String, ns: String, tbl: String,
+      input: InternalRow): java.util.Iterator[Scan] = {
+    import graft.icelite.IcebergFormat
+    import graft.ops.{MatView, MvAgg}
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (proc == "create_mv") {
+      val mvName    = input.getUTF8String(2).toString
+      val groupCols = input.getUTF8String(3).toString.split(",").map(_.trim).toSeq
+      val aggs = input.getUTF8String(4).toString.split(";").toSeq.map { r =>
+        val i = r.indexOf(':'); val j = r.lastIndexOf(':')
+        require(i > 0 && j > i, s"agg spec '$r' must be fn:input:as")
+        MvAgg(r.substring(0, i).trim, r.substring(i + 1, j), r.substring(j + 1).trim)
+      }
+      val baseLoc = s"$wh/$ns/$tbl"
+      val mvLoc   = s"$wh/$ns/$mvName"
+      require(IcebergMorV2Table.isIcebergDir(spark, baseLoc),
+        s"create_mv supports native Iceberg v2 base tables only ($baseLoc is not one)")
+      MatView.create(spark, baseLoc, mvLoc, groupCols, aggs)
+      val snap = IcebergFormat.currentSnapshotId(
+        spark, IcebergFormat.currentMetadataPath(spark, baseLoc)).getOrElse(0L)
+      resultScan(
+        StructType(Seq(StructField("mv_location", StringType),
+          StructField("base_snapshot_id", LongType))),
+        Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(mvLoc), snap))))
+    } else {
+      val mvLoc = s"$wh/$ns/$tbl"
+      require(IcebergMorV2Table.isIcebergDir(spark, mvLoc),
+        s"refresh_mv expects a materialized-view table dir ($mvLoc is not a native table)")
+      val st = MatView.refresh(spark, mvLoc)
+      resultScan(
+        StructType(Seq(StructField("mode", StringType),
+          StructField("from_snapshot", LongType), StructField("to_snapshot", LongType),
+          StructField("added_files_read", LongType),
+          StructField("delete_files_read", LongType),
+          StructField("data_files_reopened", LongType))),
+        Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(st.mode),
+          st.fromSnapshot, st.toSnapshot, st.addedFilesRead.toLong,
+          st.deleteFilesRead.toLong, st.dataFilesReopened.toLong))))
+    }
   }
 
   /** Standard-format `rewrite_data_files` — the maintenance op that CLEARS
