@@ -978,6 +978,44 @@ object IcebergFormat {
     }
   }
 
+  /** One blob's metadata as the TABLE metadata records it (spec
+    * `statistics[].blob-metadata`): type + addressed field ids +
+    * snapshot/sequence provenance + free properties (`ndv` for theta
+    * sketches). Offsets live in the Puffin footer, not here. */
+  final case class StatsBlobMeta(blobType: String, snapshotId: Long,
+      sequenceNumber: Long, fields: Seq[Int], properties: Map[String, String])
+
+  /** One `statistics` list entry: a Puffin statistics file registered for
+    * a snapshot (spec Table Statistics: at most one per snapshot;
+    * re-analysis replaces, expiration drops the entry with its
+    * snapshot). */
+  final case class StatsEntry(snapshotId: Long, path: String, fileSizeInBytes: Long,
+      footerSizeInBytes: Long, blobs: Seq[StatsBlobMeta])
+
+  /** Parsed `statistics` entries of the metadata file (empty when the
+    * table was never analyzed). */
+  def statisticsEntries(spark: SparkSession, metadataPath: String): Seq[StatsEntry] = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    (md \ "statistics").extractOpt[List[JObject]].getOrElse(Nil).map { e =>
+      StatsEntry(
+        (e \ "snapshot-id").extract[Long],
+        (e \ "statistics-path").extract[String],
+        (e \ "file-size-in-bytes").extract[Long],
+        (e \ "file-footer-size-in-bytes").extract[Long],
+        (e \ "blob-metadata").extractOpt[List[JObject]].getOrElse(Nil).map { b =>
+          StatsBlobMeta(
+            (b \ "type").extract[String],
+            (b \ "snapshot-id").extract[Long],
+            (b \ "sequence-number").extract[Long],
+            (b \ "fields").extract[List[Int]],
+            (b \ "properties").extractOpt[Map[String, String]].getOrElse(Map.empty))
+        })
+    }
+  }
+
   /** Free-form table properties of the metadata file (spec `properties`
     * map) — how derived artifacts (materialized views, clustering
     * declarations) record their provenance on the table itself. */
@@ -1940,6 +1978,23 @@ object IcebergFormat {
     private var extraProps = Map.empty[String, String]
     def setProperty(k: String, v: String): Unit = extraProps += (k -> v)
 
+    // registered table-statistics files (spec `statistics`): Puffin NDV
+    // sketches per analyzed snapshot (TableStats.analyze). At most one
+    // entry per snapshot; emission drops entries whose snapshot has
+    // expired (the spec's GC contract for statistics).
+    private var statsRecs = List.empty[StatsEntry]
+
+    /** Register (or replace) the statistics file for a snapshot and
+      * publish a new metadata version — one metadata CAS. */
+    def recordStatistics(e: StatsEntry): Unit = {
+      require(committed.exists(_._1 == e.snapshotId),
+        s"statistics target snapshot ${e.snapshotId} is not in the log")
+      statsRecs = statsRecs.filterNot(_.snapshotId == e.snapshotId) :+ e
+      writeMetadata()
+    }
+
+    private[icelite] def setStatistics(rs: List[StatsEntry]): Unit = statsRecs = rs
+
     // -------- partition summaries (manifest-list field 507): fold a
     // manifest's per-file partition values into per-spec-field
     // (contains_null, lower, upper) so planners skip whole manifests
@@ -2701,6 +2756,12 @@ object IcebergFormat {
            "default-spec-id":$defaultSpecId,
            "partition-specs":[${specs.zipWithIndex.map { case (sf, i) => s"""{"spec-id":$i,"fields":[${specJson(sf)}]}""" }.mkString(",")}],
            "last-partition-id":${specs.flatten.map(_.fieldId).maxOption.getOrElse(999)},
+           "statistics":[${statsRecs.filter(r => committed.exists(_._1 == r.snapshotId))
+             .map { r =>
+               val bm = r.blobs.map(b =>
+                 s"""{"type":"${b.blobType}","snapshot-id":${b.snapshotId},"sequence-number":${b.sequenceNumber},"fields":[${b.fields.mkString(",")}],"properties":{${b.properties.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}}""").mkString(",")
+               s"""{"snapshot-id":${r.snapshotId},"statistics-path":"${r.path}","file-size-in-bytes":${r.fileSizeInBytes},"file-footer-size-in-bytes":${r.footerSizeInBytes},"blob-metadata":[$bm]}"""
+             }.mkString(",")}],
            "default-sort-order-id":$defaultSortOrderId,"sort-orders":[${
              (s"""{"order-id":0,"fields":[]}""" :: sortOrders.map { case (oid, fs) =>
                s"""{"order-id":$oid,"fields":[${fs.map { case (sid, dir, no) =>
@@ -2973,6 +3034,9 @@ object IcebergFormat {
     (md \ "properties").extractOpt[Map[String, String]].getOrElse(Map.empty)
       .filter(_._1 != "graft.read-by-id")
       .foreach { case (k, v) => w.setProperty(k, v) }
+    // registered statistics files survive the resume (dropped only when
+    // their snapshot expires)
+    w.setStatistics(statisticsEntries(spark, metaPath).toList)
     w
   }
 }

@@ -4050,8 +4050,79 @@ object IceQueries {
     Q("ic94_native_meta_tables", nativeMetaTablesQ, Some(nativeMetaTablesOracle)),
     Q("ic95_sql_wap", sqlWapQ, Some(sqlWapOracle)),
     Q("ic96_nested_alter", nestedAlterQ, Some(nestedAlterOracle)),
-    Q("ic97_native_sql_alter", nativeSqlAlterQ, Some(nativeSqlAlterOracle))
+    Q("ic97_native_sql_alter", nativeSqlAlterQ, Some(nativeSqlAlterOracle)),
+    Q("ic98_table_statistics", tableStatisticsQ, Some(tableStatisticsOracle))
   )
+
+  /** ic98: ANALYZE → Puffin statistics files (spec `statistics` +
+    * `apache-datasketches-theta-v1` blobs, [[graft.icelite.TableStats]]).
+    * Lifecycle: analyze the seed snapshot, append, analyze again — the
+    * metadata must then register BOTH snapshots' statistics files, the
+    * `t.statistics` SQL surface must list every blob, and each NDV
+    * estimated from the PERSISTED sketch bytes (full Puffin round trip)
+    * must land within 5% of exact — theta at default nominal entries is
+    * ~1.6% RSE, so the gate has slack without being vacuous. The emitted
+    * rows are the EXACT per-column NDVs (an39's gating pattern), so the
+    * DuckDB hash-compare stays bit-exact while the sketch machinery is
+    * what the in-query requires prove. At 100 TB: ANALYZE is one scan
+    * with fixed per-partition sketch state; consumers read a footer and
+    * one blob, never the table. */
+  private def tableStatisticsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.TableStats
+    val root = freshDir(s, "i98")
+    val loc  = s"$root/graft/cust_i98"
+    val cust = Tables.customer(s, d)
+    val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+    val w    = new IcebergFormat.Writer(s, loc, cust.schema)
+    w.commit(Seq(stageIcebergFile(s, root, loc, "seed",
+      cust.filter(col("c_custkey") % 4 =!= 0))))
+    TableStats.analyze(s, loc, cols)
+    IcebergFormat.resumeWriter(s, loc).commit(Seq(stageIcebergFile(s, root, loc, "delta",
+      cust.filter(col("c_custkey") % 4 === 0))))
+    TableStats.analyze(s, loc, cols)
+    val mp = IcebergFormat.currentMetadataPath(s, loc)
+    require(IcebergFormat.statisticsEntries(s, mp).size == 2,
+      "both analyzed snapshots must keep their statistics registration")
+    // SQL surface: one row per blob across both entries
+    s.conf.set("spark.sql.catalog.ice_i98", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i98.warehouse", root)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i98.graft")
+      val n = s.sql("SELECT COUNT(*) FROM ice_i98.graft.cust_i98.statistics")
+        .head().getLong(0)
+      require(n == 6, s"t.statistics must list 3 blobs x 2 snapshots, got $n")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i98")
+      s.conf.unset("spark.sql.catalog.ice_i98.warehouse")
+    }
+    // accuracy gate: sketch round-tripped through the Puffin file
+    val scan  = IcebergFormat.scan(s, mp)
+    val exact = scan.select(cols.map(c => countDistinct(col(c)).as(c)): _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val est = TableStats.ndv(s, loc, c).getOrElse(
+        sys.error(s"no persisted sketch for $c"))
+      val ex = exact.getLong(i).toDouble
+      require(math.abs(est - ex) / ex <= 0.05,
+        s"$c: sketch ndv $est vs exact $ex exceeds 5%")
+    }
+    // exact output (the oracle-facing rows)
+    val frames = cols.map(c => scan.agg(
+      count(lit(1)).as("n_rows"), countDistinct(col(c)).as("ndv_exact"))
+      .select(lit(c).as("column_name"), col("n_rows"), col("ndv_exact")))
+    frames.reduce(_ unionAll _).orderBy("column_name")
+  }
+
+  private val tableStatisticsOracle =
+    """SELECT * FROM (
+         SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+                CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv_exact FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', COUNT(*),
+                CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', COUNT(*),
+                CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) FROM customer)
+       ORDER BY column_name"""
 
   /** Metadata-only COUNT(*): every commit's manifest now carries per-file
     * row counts (Iceberg's required `record_count`), so the row count of

@@ -52,7 +52,9 @@ import scala.jdk.CollectionConverters._
 private[sources] object IceLiteMetaTable {
   val kinds: Set[String] =
     Set("snapshots", "history", "files", "manifests", "partitions", "refs",
-      "delete_files", "position_deletes")
+      "delete_files", "position_deletes",
+      // native-dir only: registered Puffin statistics files (TableStats)
+      "statistics")
 }
 
 private[sources] final class IceLiteMetaTable(ice: IceTable, kind: String)
@@ -239,15 +241,16 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
       // manifest summaries rather than a flat table)
       if (natLoc.isDefined) {
         val kind = ident.name().toLowerCase
-        if (Set("snapshots", "history", "files", "manifests")(kind)) {
+        if (Set("snapshots", "history", "files", "manifests", "statistics")(kind)) {
           val spark = SparkSession.active
           import graft.icelite.IcebergFormat
           val mp = IcebergFormat.currentMetadataPath(spark, natLoc.get)
           val df = kind match {
-            case "snapshots" => IcebergFormat.snapshotsTable(spark, mp)
-            case "history"   => IcebergFormat.historyTable(spark, mp)
-            case "files"     => IcebergFormat.filesTable(spark, mp)
-            case "manifests" => IcebergFormat.manifestsTable(spark, mp)
+            case "snapshots"  => IcebergFormat.snapshotsTable(spark, mp)
+            case "history"    => IcebergFormat.historyTable(spark, mp)
+            case "files"      => IcebergFormat.filesTable(spark, mp)
+            case "manifests"  => IcebergFormat.manifestsTable(spark, mp)
+            case "statistics" => graft.icelite.TableStats.statisticsTable(spark, mp)
           }
           return new LocalDataFrameTable(s"iceberg.${natLoc.get}.$kind", df)
         }
