@@ -237,7 +237,11 @@ object IcebergFormat {
     * delete file only for data files inside the range. */
   final case class PlannedDelete(path: Path, seq: Long, content: Int, equalityIds: Seq[Int],
       pathBounds: Option[(String, String)] = None,
-      rows: Long = 0L) // manifest record_count: the visible delete debt
+      rows: Long = 0L, // manifest record_count: the visible delete debt
+      // v3 deletion vector (fields 143-145): when set, `path` is a Puffin
+      // file and the delete is a roaring bitmap at [dvOffset, dvOffset +
+      // dvSize) applying to exactly `dvRef.get`
+      dvRef: Option[String] = None, dvOffset: Long = 0L, dvSize: Long = 0L)
 
   private[graft] final case class TablePlan(
       schema: StructType, fieldIds: Seq[Int], files: Seq[PlannedFile],
@@ -533,13 +537,15 @@ object IcebergFormat {
   def deletesTable(spark: SparkSession, metadataPath: String): DataFrame = {
     import spark.implicits._
     val p = plan(spark, metadataPath)
-    p.deletes.sortBy(_.path.toString).map { d =>
+    p.deletes.sortBy(d => (d.path.toString, d.dvRef.getOrElse(""))).map { d =>
       (d.path.toString,
-        if (d.content == 1) "position" else "equality",
+        if (d.dvRef.isDefined) "deletion-vector"
+        else if (d.content == 1) "position" else "equality",
         d.rows,
         d.equalityIds.mkString(","),
-        d.pathBounds.map(_._1).orNull,
-        d.pathBounds.map(_._2).orNull)
+        // a DV applies to exactly its referenced file — that IS its range
+        d.dvRef.orElse(d.pathBounds.map(_._1)).orNull,
+        d.dvRef.orElse(d.pathBounds.map(_._2)).orNull)
     }.toDF("delete_file", "content", "n_records", "equality_ids",
       "min_data_file", "max_data_file")
   }
@@ -642,7 +648,8 @@ object IcebergFormat {
     * the file set behind Iceberg's `position_deletes` metadata table.
     * Planning-sized (manifest read). */
   def positionDeleteFilePaths(spark: SparkSession, metadataPath: String): Seq[String] =
-    plan(spark, metadataPath).deletes.filter(_.content == 1)
+    plan(spark, metadataPath).deletes
+      .filter(d => d.content == 1 && d.dvRef.isEmpty) // DVs are Puffin, not parquet
       .map(_.path.toString).sorted
 
   /** Distributed (file_path, pos) frame over a set of position-delete
@@ -794,7 +801,9 @@ object IcebergFormat {
         else {
           val df     = entry.get("data_file").asInstanceOf[GenericRecord]
           val format = df.get("file_format").toString
-          require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
+          // PUFFIN entries are v3 deletion vectors (fields 143-145 below)
+          require(format.equalsIgnoreCase("PARQUET") || format.equalsIgnoreCase("PUFFIN"),
+            s"unsupported file format $format")
           // entry seq may be null for ADDED entries — inherit the manifest's
           val seq = Option(entry.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(listSeq)
           val path = resolve(location, df.get("file_path").toString)
@@ -893,7 +902,21 @@ object IcebergFormat {
                   h <- hi.get(PosDeletePathFieldId)
                 } yield (new String(l, "UTF-8"), new String(h, "UTF-8"))
               }
-              Some(Right(PlannedDelete(path, seq, c, eqIds, pb, fRows)))
+              // v3 deletion-vector fields (143-145) — absent on pre-DV
+              // manifests, so read null-safely like the other extensions
+              val dvRef = df.getSchema.getField("referenced_data_file") match {
+                case null => None
+                case _    => Option(df.get("referenced_data_file")).map(_.toString)
+              }
+              val dvOff = df.getSchema.getField("content_offset") match {
+                case null => 0L
+                case _ => Option(df.get("content_offset")).map(_.asInstanceOf[Long]).getOrElse(0L)
+              }
+              val dvSz = df.getSchema.getField("content_size_in_bytes") match {
+                case null => 0L
+                case _ => Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long]).getOrElse(0L)
+              }
+              Some(Right(PlannedDelete(path, seq, c, eqIds, pb, fRows, dvRef, dvOff, dvSz)))
             case other =>
               throw new UnsupportedOperationException(s"unknown data_file content $other")
           }
@@ -1170,7 +1193,40 @@ object IcebergFormat {
     val seqDf   = spark.createDataFrame(seqRows).toDF("__path", "__dataseq")
     data = data.join(broadcast(seqDf), "__path")
 
-    val posDeletes = p.deletes.filter(_.content == 1)
+    // v3 deletion vectors: ONE effective DV per data file (the max-seq
+    // vector supersedes — its writer merged every prior delete for the
+    // file, the v3 contract). Blob fetch + bitmap expansion run on
+    // EXECUTORS (one task per vector, ranged read of exactly the blob),
+    // so driver work is O(#vectors) metadata only. Older parquet
+    // position deletes the vector absorbed may still apply below — the
+    // anti-join is idempotent, so that costs IO, never correctness.
+    val dvDeletes = p.deletes.filter(d => d.content == 1 && d.dvRef.isDefined)
+    if (dvDeletes.nonEmpty) {
+      val dvByFile = dvDeletes.groupBy(d => normStr(d.dvRef.get))
+        .map { case (f, ds) => f -> ds.maxBy(_.seq) }
+      val metas = dvByFile.toSeq.map { case (f, d) =>
+        (f, d.seq, d.path.toString, d.dvOffset, d.dvSize)
+      }
+      val dvRows = spark.sparkContext
+        .parallelize(metas, math.max(1, math.min(metas.size, 64)))
+        .flatMap { case (f, dseq, blobPath, off, sz) =>
+          val bm = DeletionVectors.readBitmap(blobPath, off, sz)
+          val it = bm.getLongIterator
+          // NOTE: Iterator inherits a legacy `seq: this.type` member, so
+          // the captured sequence number must not be named `seq` here
+          new Iterator[(String, Long, Long)] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): (String, Long, Long) = (f, it.next(), dseq)
+          }
+        }
+      val dvDf = spark.createDataFrame(dvRows).toDF("__dp", "__dpos", "__delseq")
+      data = data.join(broadcast(dvDf),
+        col("__path") === col("__dp") && col("__pos") === col("__dpos") &&
+          col("__dataseq") <= col("__delseq"),
+        "left_anti")
+    }
+
+    val posDeletes = p.deletes.filter(d => d.content == 1 && d.dvRef.isEmpty)
     if (posDeletes.nonEmpty) {
       val dels = posDeletes.groupBy(_.seq).map { case (seq, group) =>
         spark.read.parquet(group.map(_.path.toString): _*)
@@ -1500,7 +1556,11 @@ object IcebergFormat {
       partitionValues: Map[String, Any] = Map.empty, // by partition field name
       splitOffsets: Seq[Long] = Nil, // spec field 132: row-group start offsets, ascending
       nullCounts: Map[Int, Long] = Map.empty, // spec field 110: null counts by field id
-      sortOrderId: Option[Int] = None) // spec field 140: order the file was written under
+      sortOrderId: Option[Int] = None, // spec field 140: order the file was written under
+      // v3 deletion vector (spec fields 143-145): the data file this DV
+      // applies to, and the blob's [offset, size) inside the Puffin file
+      // at `path`. Set => content must be 1 and the entry is a DV.
+      dvRef: Option[(String, Long, Long)] = None)
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
@@ -1544,7 +1604,10 @@ object IcebergFormat {
           {"type":"array","items":"long","element-id":133}]},
         {"name":"equality_ids","field-id":135,"default":null,"type":["null",
           {"type":"array","items":"int","element-id":136}]},
-        {"name":"sort_order_id","field-id":140,"default":null,"type":["null","int"]}
+        {"name":"sort_order_id","field-id":140,"default":null,"type":["null","int"]},
+        {"name":"referenced_data_file","field-id":143,"default":null,"type":["null","string"]},
+        {"name":"content_offset","field-id":144,"default":null,"type":["null","long"]},
+        {"name":"content_size_in_bytes","field-id":145,"default":null,"type":["null","long"]}
       ]}}]}""".replaceAll("\n\\s*", "")
 
   /** Avro schema of a manifest-list entry (spec "Manifest Lists" table). */
@@ -2491,7 +2554,13 @@ object IcebergFormat {
         val dataFile = new GenericData.Record(commitEntrySchema.getField("data_file").schema())
         dataFile.put("content", f.content)
         dataFile.put("file_path", f.path)
-        dataFile.put("file_format", "PARQUET")
+        dataFile.put("file_format", if (f.dvRef.isDefined) "PUFFIN" else "PARQUET")
+        // v3 deletion vector provenance (spec fields 143-145)
+        f.dvRef.foreach { case (ref, off, sz) =>
+          dataFile.put("referenced_data_file", ref)
+          dataFile.put("content_offset", Long.box(off))
+          dataFile.put("content_size_in_bytes", Long.box(sz))
+        }
         val partRec = new GenericData.Record(dataFile.getSchema.getField("partition").schema())
         specFields.foreach { sf =>
           f.partitionValues.get(sf.name).foreach(v => partRec.put(sf.name, v))

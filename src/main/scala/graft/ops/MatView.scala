@@ -293,6 +293,8 @@ object MatView {
           fp.deletes.exists(o => normStr(o.path.toString) == normStr(d.path.toString)))
         if (removed.nonEmpty) "full" // rewrite/compaction window: not attributable
         else if (newDel.exists(_.content == 2)) "full" // equality deletes: rows need a base scan
+        else if (newDel.exists(_.dvRef.isDefined))
+          "full" // a new deletion vector is a MERGED superset, not a delta
         else if (newDel.nonEmpty && aggs.exists(a => a.fn == "min" || a.fn == "max"))
           "full" // min/max are not subtractable
         else if (newDel.nonEmpty) "retract"
@@ -345,22 +347,47 @@ object MatView {
             .join(broadcast(newPairs), Seq("__path", "__pos"))
             .filter(col("__dataseq") <= col("__delseq"))
           // prior deletes on the same files: those rows were never in the
-          // view state at `from` — suppress them from the retraction
-          val oldPos = fp.deletes.filter(_.content == 1)
+          // view state at `from` — suppress them from the retraction.
+          // Both shapes count: parquet position deletes AND deletion
+          // vectors live at `from` (a DV applies to its referenced file
+          // unconditionally — the file always predates its vector).
+          val oldPos = fp.deletes.filter(d => d.content == 1 && d.dvRef.isEmpty)
+          val oldDvs = fp.deletes.filter(d => d.content == 1 && d.dvRef.isDefined)
+          val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          if (oldPos.nonEmpty) {
+            frames += oldPos.groupBy(_.seq).map { case (seq, group) =>
+              spark.read.parquet(group.map(_.path.toString): _*)
+                .select(normCol(col("file_path")).as("__op"), col("pos").as("__opos"),
+                  lit(seq).as("__odelseq"))
+            }.reduce(_ unionAll _)
+            delFilesRead += oldPos.size
+          }
+          if (oldDvs.nonEmpty) {
+            val newest = oldDvs.groupBy(d => normStr(d.dvRef.get))
+              .map { case (_, ds) => ds.maxBy(_.seq) }.toSeq
+            val metas = newest.map(d =>
+              (normStr(d.dvRef.get), d.seq, d.path.toString, d.dvOffset, d.dvSize))
+            val rdd = spark.sparkContext
+              .parallelize(metas, math.max(1, math.min(metas.size, 64)))
+              .flatMap { case (f, dseq, blobPath, off, sz) =>
+                val it = graft.icelite.DeletionVectors.readBitmap(blobPath, off, sz)
+                  .getLongIterator
+                // Iterator has a legacy `seq: this.type` member — don't
+                // name the captured sequence number `seq` in this scope
+                new Iterator[(String, Long, Long)] {
+                  override def hasNext: Boolean = it.hasNext
+                  override def next(): (String, Long, Long) = (f, it.next(), dseq)
+                }
+              }
+            frames += spark.createDataFrame(rdd).toDF("__op", "__opos", "__odelseq")
+            delFilesRead += newest.size
+          }
           val suppressed =
-            if (oldPos.isEmpty) rows
-            else {
-              val oldPairs = oldPos.groupBy(_.seq).map { case (seq, group) =>
-                spark.read.parquet(group.map(_.path.toString): _*)
-                  .select(normCol(col("file_path")).as("__op"), col("pos").as("__opos"),
-                    lit(seq).as("__odelseq"))
-              }.reduce(_ unionAll _)
-              delFilesRead += oldPos.size
-              rows.join(broadcast(oldPairs),
-                col("__path") === col("__op") && col("__pos") === col("__opos") &&
-                  col("__dataseq") <= col("__odelseq"),
-                "left_anti")
-            }
+            if (frames.isEmpty) rows
+            else rows.join(broadcast(frames.reduce(_ unionAll _)),
+              col("__path") === col("__op") && col("__pos") === col("__opos") &&
+                col("__dataseq") <= col("__odelseq"),
+              "left_anti")
           Some(suppressed.withColumn("__sign", lit(-1)))
         }
       }

@@ -4051,8 +4051,66 @@ object IceQueries {
     Q("ic95_sql_wap", sqlWapQ, Some(sqlWapOracle)),
     Q("ic96_nested_alter", nestedAlterQ, Some(nestedAlterOracle)),
     Q("ic97_native_sql_alter", nativeSqlAlterQ, Some(nativeSqlAlterOracle)),
-    Q("ic98_table_statistics", tableStatisticsQ, Some(tableStatisticsOracle))
+    Q("ic98_table_statistics", tableStatisticsQ, Some(tableStatisticsOracle)),
+    Q("ic99_deletion_vectors", deletionVectorsQ, Some(deletionVectorsOracle))
   )
+
+  /** ic99: Iceberg v3 DELETION VECTORS end-to-end
+    * ([[graft.icelite.DeletionVectors]]): per-file roaring bitmaps in
+    * Puffin blobs referenced by spec fields 143-145, interleaved with the
+    * v2 shapes they must compose with — (1) a vector DELETE, (2) a SQL
+    * MoR DELETE writing parquet position deletes, (3) a second vector
+    * DELETE that MERGES each touched file's prior vector and absorbed
+    * parquet pairs (the v3 superset contract), then (4) the
+    * parquet→vector maintenance fold. The read path applies the newest
+    * vector per file (ranged blob read, executor-side bitmap expansion)
+    * — at 100 TB a delete of N rows costs KB-scale bitmaps instead of
+    * N-row parquet files, and re-applied superseded debt is an
+    * idempotent no-op. */
+  private def deletionVectorsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.DeletionVectors
+    val root   = freshDir(s, "i99")
+    val loc    = s"$root/graft/ord_i99"
+    val orders = Tables.orders(s, d)
+    val w      = new IcebergFormat.Writer(s, loc, orders.schema)
+    w.commit(Seq(
+      stageIcebergFile(s, root, loc, "even", orders.filter(col("o_orderkey") % 2 === 0)),
+      stageIcebergFile(s, root, loc, "odd", orders.filter(col("o_orderkey") % 2 === 1))))
+    // (1) vector delete: %10==3 rows are all odd -> exactly one vector
+    val n1 = DeletionVectors.deleteWhere(s, loc, col("o_orderkey") % 10 === 3)
+    require(n1 == 1, s"one touched file must mean one vector, got $n1")
+    // (2) the v2 shape, via SQL: parquet position deletes on the even file
+    s.conf.set("spark.sql.catalog.ice_i99", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i99.warehouse", root)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i99.graft")
+      s.sql("DELETE FROM ice_i99.graft.ord_i99 WHERE o_orderkey % 10 = 6")
+      // (3) vector delete across BOTH files: merges the odd file's prior
+      // vector and the even file's parquet pairs into new supersets
+      DeletionVectors.deleteWhere(s, loc, col("o_orderpriority") === lit("1-URGENT"))
+      // (4) maintenance: fold remaining parquet debt into vectors
+      DeletionVectors.convertPositionDeletes(s, loc)
+      val dvRows = s.sql(
+        """SELECT COUNT(*) FROM ice_i99.graft.ord_i99.delete_files
+           WHERE content = 'deletion-vector'""").head().getLong(0)
+      require(dvRows >= 3, s"expected vector entries across the lifecycle, got $dvRows")
+      // the SQL read path must agree with the library scan below
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+               FROM ice_i99.graft.ord_i99 GROUP BY 1 ORDER BY 1""")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i99")
+      s.conf.unset("spark.sql.catalog.ice_i99.warehouse")
+    }
+  }
+
+  private val deletionVectorsOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM orders
+       WHERE o_orderkey % 10 <> 3 AND o_orderkey % 10 <> 6
+         AND o_orderpriority <> '1-URGENT'
+       GROUP BY 1 ORDER BY 1"""
 
   /** ic98: ANALYZE → Puffin statistics files (spec `statistics` +
     * `apache-datasketches-theta-v1` blobs, [[graft.icelite.TableStats]]).
@@ -4079,15 +4137,16 @@ object IceQueries {
     TableStats.analyze(s, loc, cols)
     IcebergFormat.resumeWriter(s, loc).commit(Seq(stageIcebergFile(s, root, loc, "delta",
       cust.filter(col("c_custkey") % 4 === 0))))
-    TableStats.analyze(s, loc, cols)
-    val mp = IcebergFormat.currentMetadataPath(s, loc)
-    require(IcebergFormat.statisticsEntries(s, mp).size == 2,
-      "both analyzed snapshots must keep their statistics registration")
-    // SQL surface: one row per blob across both entries
+    // second ANALYZE through the SQL procedure surface, and the
+    // t.statistics listing must then cover both snapshots' blobs
     s.conf.set("spark.sql.catalog.ice_i98", "graft.sources.IceLiteCatalog")
     s.conf.set("spark.sql.catalog.ice_i98.warehouse", root)
     try {
       s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i98.graft")
+      val blobs = s.sql(
+        s"CALL ice_i98.system.analyze_table('graft', 'cust_i98', '${cols.mkString(",")}')")
+        .head().getLong(1)
+      require(blobs == 3, s"analyze_table must register one blob per column, got $blobs")
       val n = s.sql("SELECT COUNT(*) FROM ice_i98.graft.cust_i98.statistics")
         .head().getLong(0)
       require(n == 6, s"t.statistics must list 3 blobs x 2 snapshots, got $n")
@@ -4095,6 +4154,9 @@ object IceQueries {
       s.conf.unset("spark.sql.catalog.ice_i98")
       s.conf.unset("spark.sql.catalog.ice_i98.warehouse")
     }
+    val mp = IcebergFormat.currentMetadataPath(s, loc)
+    require(IcebergFormat.statisticsEntries(s, mp).size == 2,
+      "both analyzed snapshots must keep their statistics registration")
     // accuracy gate: sketch round-tripped through the Puffin file
     val scan  = IcebergFormat.scan(s, mp)
     val exact = scan.select(cols.map(c => countDistinct(col(c)).as(c)): _*).head()

@@ -39,7 +39,9 @@ private[graft] object IceLiteProcedures {
       // incremental materialized views over native Iceberg v2 dirs
       // (graft.ops.MatView): the SQL lifecycle for delta-proportional
       // refresh of a persisted aggregate
-      "create_mv", "refresh_mv")
+      "create_mv", "refresh_mv",
+      // Puffin theta-sketch column statistics (graft.icelite.TableStats)
+      "analyze_table")
 
   private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -91,6 +93,9 @@ private[graft] object IceLiteProcedures {
               p("group_cols", StringType), p("aggs", StringType))
           case "refresh_mv" =>
             Array(p("ns", StringType), p("table", StringType))
+          case "analyze_table" =>
+            // columns: comma-separated subset ('' = every supported column)
+            Array(p("ns", StringType), p("table", StringType), p("columns", StringType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -106,6 +111,29 @@ private[graft] object IceLiteProcedures {
           }
           if (proc == "rewrite_data_files" && stdLoc.isDefined)
             return rewriteStandardFormat(stdLoc.get, input.getInt(2))
+          if (proc == "analyze_table") {
+            val wh = backend match {
+              case f: graft.icelite.FsCatalog => f.warehouse
+              case _ => throw new UnsupportedOperationException(
+                "analyze_table needs an FS-warehouse catalog")
+            }
+            val loc = s"$wh/$ns/$tbl"
+            require(IcebergMorV2Table.isIcebergDir(
+              org.apache.spark.sql.SparkSession.active, loc),
+              s"analyze_table supports native Iceberg v2 tables only ($loc is not one)")
+            val cols = input.getUTF8String(2).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            val spark = org.apache.spark.sql.SparkSession.active
+            val path  = graft.icelite.TableStats.analyze(spark, loc, cols)
+            val entries = graft.icelite.IcebergFormat.statisticsEntries(spark,
+              graft.icelite.IcebergFormat.currentMetadataPath(spark, loc))
+            val blobs = entries.find(_.path == path.toString).map(_.blobs.size).getOrElse(0)
+            return resultScan(
+              StructType(Seq(StructField("statistics_path", StringType),
+                StructField("blobs", LongType))),
+              Seq(new GenericInternalRow(Array[Any](
+                UTF8String.fromString(path.toString), blobs.toLong))))
+          }
           if (proc == "create_mv" || proc == "refresh_mv") {
             val wh = backend match {
               case f: graft.icelite.FsCatalog => f.warehouse

@@ -859,7 +859,11 @@ final class IceLiteReaderFactory(
 final case class PositionDeleteFile(
     path: String,
     minFp: Option[String],
-    maxFp: Option[String])
+    maxFp: Option[String],
+    // v3 deletion vector: (blob offset, blob size, referenced data file).
+    // Set => `path` is a Puffin file and the vector applies to exactly
+    // the referenced file (no range semantics).
+    dv: Option[(Long, Long, String)] = None)
 
 /** One live merge-on-read EQUALITY-delete file (spec content 2): its rows
   * are delete KEYS over `keyCols`, applied to data files whose data
@@ -1015,25 +1019,49 @@ final class IceLitePartitionReader(
     * this file's deleted positions — the per-task "delete index" shape
     * Iceberg MoR readers use. */
   private def loadDeletes(rel: String): java.util.BitSet = {
-    val covering = deletes.filter(d =>
-      d.minFp.forall(_.compareTo(rel) <= 0) && d.maxFp.forall(rel.compareTo(_) <= 0))
+    def strip(s: String) = s.replaceFirst("^[a-z][a-z0-9+.-]*:/+", "/")
+    val relN = strip(rel)
+    // v3 deletion vectors match their referenced file EXACTLY (fields
+    // 143-145); parquet delete files match by their recorded path range.
+    // When multiple vectors name the file, older ones are subsets of the
+    // newest (the v3 superset contract), so OR-ing all of them equals
+    // applying the newest.
+    val covering = deletes.filter { d =>
+      d.dv match {
+        case Some((_, _, ref)) => strip(ref) == relN
+        case None =>
+          d.minFp.forall(_.compareTo(rel) <= 0) && d.maxFp.forall(rel.compareTo(_) <= 0)
+      }
+    }
     if (covering.isEmpty) return null
     val bs = new java.util.BitSet()
     covering.foreach { d =>
-      IceLiteSource.deleteFilesOpened.increment()
-      val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
-        .withConf(conf).build()
-      try {
-        var g = rdr.read()
-        while (g != null) {
-          if (g.getString("file_path", 0) == rel) {
-            val p = g.getLong("pos", 0)
-            require(p >= 0 && p <= Int.MaxValue.toLong, s"delete position $p out of bitmap range")
+      d.dv match {
+        case Some((off, sz, _)) =>
+          IceLiteSource.deleteFilesOpened.increment()
+          val it = graft.icelite.DeletionVectors.readBitmap(d.path, off, sz).getLongIterator
+          while (it.hasNext) {
+            val p = it.next()
+            require(p >= 0 && p <= Int.MaxValue.toLong,
+              s"deletion-vector position $p out of bitmap range")
             bs.set(p.toInt)
           }
-          g = rdr.read()
-        }
-      } finally rdr.close()
+        case None =>
+          IceLiteSource.deleteFilesOpened.increment()
+          val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
+            .withConf(conf).build()
+          try {
+            var g = rdr.read()
+            while (g != null) {
+              if (g.getString("file_path", 0) == rel) {
+                val p = g.getLong("pos", 0)
+                require(p >= 0 && p <= Int.MaxValue.toLong, s"delete position $p out of bitmap range")
+                bs.set(p.toInt)
+              }
+              g = rdr.read()
+            }
+          } finally rdr.close()
+      }
     }
     if (bs.isEmpty) null else bs
   }

@@ -560,8 +560,15 @@ final class IcebergMorScan(
   // manifest's file_path [min, max] rides along so the reader opens a
   // delete file only for data files inside its range.
   private val deleteFiles: Seq[PositionDeleteFile] =
-    p.deletes.filter(_.content == 1).map(d =>
-      PositionDeleteFile(d.path.toString, d.pathBounds.map(_._1), d.pathBounds.map(_._2)))
+    p.deletes.filter(_.content == 1).map { d =>
+      d.dvRef match {
+        // v3 deletion vector: exact-file application via the blob range
+        case Some(ref) => PositionDeleteFile(d.path.toString, None, None,
+          Some((d.dvOffset, d.dvSize, ref)))
+        case None =>
+          PositionDeleteFile(d.path.toString, d.pathBounds.map(_._1), d.pathBounds.map(_._2))
+      }
+    }
 
   // equality deletes (content 2 — the shape CDC writers like Flink emit)
   // apply reader-side per data file, gated by the spec's strictly-older
