@@ -161,6 +161,21 @@ object IcebergFormat {
     out.toMap
   }
 
+  /** Top-level `initial-default` literals of a committed schema JSON:
+    * field id -> raw JSON value (absent fields omitted). */
+  private[graft] def parseDefaultsJson(schemaObj: JValue): Map[Int, JValue] = {
+    implicit val fmts: Formats = DefaultFormats
+    (schemaObj \ "fields") match {
+      case JArray(fs) => fs.flatMap { f =>
+        (f \ "initial-default") match {
+          case JNothing => None
+          case v        => Some((f \ "id").extract[Int] -> v)
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
   private def fromSparkType(dt: DataType): String = dt match {
     case BooleanType        => "boolean"
     case IntegerType        => "int"
@@ -250,7 +265,12 @@ object IcebergFormat {
       // evolution, after which file columns resolve by parquet field id
       // (by-name would miss every pre-rename file's column)
       readById: Boolean = false,
-      nestedIds: Map[String, Int] = Map.empty) // path -> id (nested levels)
+      nestedIds: Map[String, Int] = Map.empty, // path -> id (nested levels)
+      // v3 default values: field id -> decoded initial-default, and the
+      // schema-era map (file seq -> defaulted fields ABSENT in that era)
+      // deciding which files read the default instead of null
+      fieldDefaults: Map[Int, Any] = Map.empty,
+      absentBySeq: Map[Long, Set[Int]] = Map.empty)
 
   /** One partition field's summary from a manifest-LIST entry (spec field
     * 507 `partitions`, ordered like the manifest's spec fields): whether
@@ -278,7 +298,8 @@ object IcebergFormat {
       schema: StructType, fieldIds: Seq[Int],
       axes: Map[Int, Seq[(String, Int, String)]],
       readById: Boolean = false,
-      nestedIds: Map[String, Int] = Map.empty) // path -> id (nested levels)
+      nestedIds: Map[String, Int] = Map.empty, // path -> id (nested levels)
+      defaults: Map[Int, String] = Map.empty) // field id -> initial-default JSON
 
   /** Manifest avro files read by [[plan]] — the planning-cost observable
     * manifest-list pruning is gated on (MorSpec). */
@@ -524,7 +545,10 @@ object IcebergFormat {
     }
     PlanHeader(sparkSchema, fieldIds, axes,
       (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true"),
-      parseNestedIds(schemaObj))
+      parseNestedIds(schemaObj),
+      parseDefaultsJson(schemaObj).map { case (id, v) =>
+        id -> JsonMethods.compact(JsonMethods.render(v))
+      })
   }
 
   /** `delete_files`-style metadata table for a STANDARD-format table:
@@ -753,6 +777,31 @@ object IcebergFormat {
     val readById =
       (md \ "properties" \ "graft.read-by-id").extractOpt[String].contains("true")
 
+    // v3 default values: decode each defaulted field's initial-default,
+    // and compute which SCHEMA ERAS lack the field — a file reads the
+    // default iff the schema its commit wrote under didn't have the
+    // column yet (presence in later files decides null-vs-default)
+    val defaultsJ = parseDefaultsJson(schemaObj)
+    val fieldDefaults: Map[Int, Any] = defaultsJ.map { case (id, j) =>
+      id -> decodeDefault(sparkSchema.fields(fieldIds.indexOf(id)).dataType, j)
+    }
+    val absentBySeq: Map[Long, Set[Int]] =
+      if (fieldDefaults.isEmpty) Map.empty
+      else {
+        val schemaTopIds: Map[Int, Set[Int]] = (md \ "schemas") match {
+          case JArray(ss) => ss.map(s => (
+            (s \ "schema-id").extractOpt[Int].getOrElse(0),
+            (s \ "fields").extract[List[JObject]].map(f => (f \ "id").extract[Int]).toSet)).toMap
+          case _ => Map.empty
+        }
+        (md \ "snapshots").extract[List[JObject]].map { s =>
+          val seqN    = (s \ "sequence-number").extractOpt[Long].getOrElse(0L)
+          val schId   = (s \ "schema-id").extractOpt[Int].getOrElse(0)
+          val present = schemaTopIds.getOrElse(schId, Set.empty[Int])
+          seqN -> fieldDefaults.keySet.filterNot(present)
+        }.filter(_._2.nonEmpty).toMap
+      }
+
     val defaultSpecId = (md \ "default-spec-id").extractOpt[Int].getOrElse(0)
     // per-spec field lookups, memoized — an evolved table's manifests name
     // several specs, and each manifest prunes by its own
@@ -763,7 +812,9 @@ object IcebergFormat {
     // time travel: an explicit snapshot id overrides the current pointer
     val currentId = snapshotId.getOrElse(
       (md \ "current-snapshot-id").extractOpt[Long].getOrElse(-1L))
-    if (currentId < 0) return TablePlan(sparkSchema, fieldIds, Nil, Nil, readById, nestedIds)
+    if (currentId < 0)
+      return TablePlan(sparkSchema, fieldIds, Nil, Nil, readById, nestedIds,
+        fieldDefaults, absentBySeq)
     val snapshot = (md \ "snapshots").extract[List[JObject]]
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new NoSuchElementException(s"snapshot $currentId not in metadata"))
@@ -926,7 +977,7 @@ object IcebergFormat {
     }
     TablePlan(sparkSchema, fieldIds,
       planned.collect { case Left(f) => f }, planned.collect { case Right(d) => d },
-      readById, nestedIds)
+      readById, nestedIds, fieldDefaults, absentBySeq)
   }
 
   /** Parse a manifest-list entry's `partitions` summaries (spec field 507)
@@ -1158,7 +1209,7 @@ object IcebergFormat {
         case _ => false
       })
     }
-    if (p.deletes.isEmpty && overlayIds.isEmpty) return base
+    if (p.deletes.isEmpty && overlayIds.isEmpty && p.fieldDefaults.isEmpty) return base
 
     // URI-scheme normalization so manifest paths (`file:/x`, `/x`) and
     // Spark's `_metadata.file_path` (`file:///x`) compare equal. Local and
@@ -1183,6 +1234,33 @@ object IcebergFormat {
         val fld = idToField(id)
         data = data.withColumn(fld.name,
           coalesce(col(fld.name), col(s"__pv_$id").cast(fld.dataType)))
+      }
+    }
+
+    // v3 default values: a file whose schema era predates a defaulted
+    // column reads `initial-default` for it; files that physically carry
+    // the column keep their values INCLUDING explicit nulls (presence
+    // decides, not coalesce). Same broadcast path->flag overlay as the
+    // partition reconstruction above.
+    val defNeeds: Seq[(Int, Set[String])] = p.fieldDefaults.keys.toSeq.sorted.map { id =>
+      id -> files.filter(f => p.absentBySeq.getOrElse(f.seq, Set.empty[Int]).contains(id))
+        .map(f => normStr(f.path.toString)).toSet
+    }.filter(_._2.nonEmpty)
+    if (defNeeds.nonEmpty) {
+      val dSchema = StructType(StructField("__path", StringType) +:
+        defNeeds.map { case (id, _) => StructField(s"__df_$id", BooleanType) })
+      val dRows = files.map { f =>
+        val n = normStr(f.path.toString)
+        org.apache.spark.sql.Row.fromSeq(
+          n +: defNeeds.map { case (_, set) => Boolean.box(set(n)) })
+      }
+      val ddf = spark.createDataFrame(spark.sparkContext.parallelize(dRows, 1), dSchema)
+      data = data.join(broadcast(ddf), Seq("__path"), "left")
+      defNeeds.foreach { case (id, _) =>
+        val fld = idToField(id)
+        data = data.withColumn(fld.name,
+          when(col(s"__df_$id"), lit(p.fieldDefaults(id)).cast(fld.dataType))
+            .otherwise(col(fld.name)))
       }
     }
 
@@ -1642,7 +1720,8 @@ object IcebergFormat {
     * continue after the max top-level id. */
   private def icebergSchemaJson(
       schema: StructType, schemaId: Int = 0, topIds: Seq[Int] = Nil,
-      nestedIds: Map[String, Int] = Map.empty): String = {
+      nestedIds: Map[String, Int] = Map.empty,
+      defaults: Map[Int, String] = Map.empty): String = {
     val ids = if (topIds.nonEmpty) topIds else 1 to schema.fields.length
     require(ids.length == schema.fields.length,
       s"field id count ${ids.length} != column count ${schema.fields.length}")
@@ -1653,9 +1732,53 @@ object IcebergFormat {
     val idOf = (p: String) => nested.getOrElse(p,
       throw new IllegalStateException(s"no tracked field id for nested path $p"))
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${ids(i)},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, s"${f.name}.", idOf)}}"""
+      // v3 default values: pre-evolution files read `initial-default`
+      // instead of null; `write-default` documents the insert-side value
+      val dflt = defaults.get(ids(i))
+        .map(j => s""","initial-default":$j,"write-default":$j""").getOrElse("")
+      s"""{"id":${ids(i)},"name":"${f.name}","required":${!f.nullable},"type":${typeJson(f.dataType, s"${f.name}.", idOf)}$dflt}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Iceberg JSON single-value literal for a default (spec Appendix D
+    * JSON serialization): numbers plain, strings quoted, date as its ISO
+    * string. Primitives only — what ADD COLUMN ... DEFAULT supports. */
+  private[icelite] def defaultJson(dt: DataType, v: Any): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    (dt, v) match {
+      case (BooleanType, b: Boolean)            => b.toString
+      case (IntegerType, n: Int)                => n.toString
+      case (LongType, n: Long)                  => n.toString
+      case (LongType, n: Int)                   => n.toString
+      case (FloatType, n: Float)                => n.toString
+      case (DoubleType, n: Double)              => n.toString
+      case (StringType, s: String)              => "\"" + esc(s) + "\""
+      case (DateType, d: java.sql.Date)         => "\"" + d.toLocalDate.toString + "\""
+      case (DateType, d: java.time.LocalDate)   => "\"" + d.toString + "\""
+      case (t, x) => throw new IllegalArgumentException(
+        s"unsupported DEFAULT ${Option(x).map(_.getClass.getSimpleName).getOrElse("null")} " +
+          s"for ${t.catalogString} (primitive defaults only)")
+    }
+  }
+
+  /** Decode a field's `initial-default` JSON back to the Scala value a
+    * `lit()` can carry. */
+  private[graft] def decodeDefault(dt: DataType, j: JValue): Any = (dt, j) match {
+    case (BooleanType, JBool(b))   => b
+    case (IntegerType, JInt(n))    => n.toInt
+    case (LongType, JInt(n))       => n.toLong
+    case (FloatType, JDouble(n))   => n.toFloat
+    case (FloatType, JInt(n))      => n.toFloat
+    case (DoubleType, JDouble(n))  => n.toDouble
+    case (DoubleType, JInt(n))     => n.toDouble
+    case (StringType, JString(s))  => s
+    case (DateType, JString(s))    => java.sql.Date.valueOf(s)
+    case (t, other) => throw new IllegalArgumentException(
+      s"cannot decode default $other as ${t.catalogString}")
   }
 
   /** A writer session for committing genuine Iceberg v2 metadata over
@@ -2057,6 +2180,27 @@ object IcebergFormat {
     }
 
     private[icelite] def setStatistics(rs: List[StatsEntry]): Unit = statsRecs = rs
+
+    // v3 DEFAULT VALUES: field id -> Iceberg JSON single-value literal,
+    // emitted as `initial-default` + `write-default` on the field in
+    // every schema version that carries it. `initial-default` is what
+    // pre-evolution files read for the column INSTEAD of null — the
+    // metadata-only backfill the v3 spec added; an explicit null written
+    // after the evolution stays null (presence in the file decides).
+    private var fieldDefaults = Map.empty[Int, String]
+
+    /** Declare the initial/write default of (existing, top-level) column
+      * `colName`. Callers evolve the schema first (ADD COLUMN), then
+      * attach the default before publishing. */
+    def setInitialDefault(colName: String, value: Any): Unit = {
+      val idx = currentSchema.fieldNames.indexOf(colName)
+      require(idx >= 0, s"no column $colName to default")
+      fieldDefaults += (currentFieldIds(idx) ->
+        defaultJson(currentSchema.fields(idx).dataType, value))
+    }
+
+    private[icelite] def setDefaults(ds: Map[Int, String]): Unit = fieldDefaults = ds
+    private[icelite] def defaultsNow: Map[Int, String] = fieldDefaults
 
     // -------- partition summaries (manifest-list field 507): fold a
     // manifest's per-file partition values into per-spec-field
@@ -2821,7 +2965,7 @@ object IcebergFormat {
            "last-sequence-number":$seq,"last-updated-ms":${ts0 + snapId},
            "last-column-id":$maxFieldIdEver,
            "current-schema-id":${allSchemas.size - 1},
-           "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i, allFieldIds(i), allNestedIds(i)) }.mkString(",")}],
+           "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i, allFieldIds(i), allNestedIds(i), fieldDefaults) }.mkString(",")}],
            "default-spec-id":$defaultSpecId,
            "partition-specs":[${specs.zipWithIndex.map { case (sf, i) => s"""{"spec-id":$i,"fields":[${specJson(sf)}]}""" }.mkString(",")}],
            "last-partition-id":${specs.flatten.map(_.fieldId).maxOption.getOrElse(999)},
@@ -3106,6 +3250,10 @@ object IcebergFormat {
     // registered statistics files survive the resume (dropped only when
     // their snapshot expires)
     w.setStatistics(statisticsEntries(spark, metaPath).toList)
+    // column defaults (v3 initial-default) re-emit verbatim
+    w.setDefaults(parseDefaultsJson(schemasJ.last).map { case (id, v) =>
+      id -> JsonMethods.compact(JsonMethods.render(v))
+    })
     w
   }
 }

@@ -4052,8 +4052,69 @@ object IceQueries {
     Q("ic96_nested_alter", nestedAlterQ, Some(nestedAlterOracle)),
     Q("ic97_native_sql_alter", nativeSqlAlterQ, Some(nativeSqlAlterOracle)),
     Q("ic98_table_statistics", tableStatisticsQ, Some(tableStatisticsOracle)),
-    Q("ic99_deletion_vectors", deletionVectorsQ, Some(deletionVectorsOracle))
+    Q("ic99_deletion_vectors", deletionVectorsQ, Some(deletionVectorsOracle)),
+    Q("ic100_default_values", defaultValuesQ, Some(defaultValuesOracle))
   )
+
+  /** ic100: v3 DEFAULT VALUES — `ALTER TABLE ... ADD COLUMN ... DEFAULT`
+    * records the spec's `initial-default`/`write-default` on the field,
+    * and every PRE-evolution file reads the default instead of null while
+    * post-evolution files keep their explicit values INCLUDING nulls
+    * (physical presence decides, never a coalesce). The lifecycle also
+    * drives MoR DELETE through a predicate on the defaulted column (the
+    * DSv2 reader substitutes per file) and gates that the library scan
+    * and the SQL path agree. Metadata-only at any scale: the ALTER is one
+    * CAS, the backfill costs zero data IO — exactly why the spec added
+    * it. */
+  private def defaultValuesQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "i100")
+    val loc    = s"$root/graft/ord_i100"
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val w = new IcebergFormat.Writer(s, loc, orders.schema)
+    w.commit(Seq(stageIcebergFile(s, root, loc, "seed",
+      orders.filter(col("o_orderkey") % 3 =!= 0))))
+    s.conf.set("spark.sql.catalog.ice_i100", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i100.warehouse", root)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i100.graft")
+      s.sql("ALTER TABLE ice_i100.graft.ord_i100 ADD COLUMN channel STRING DEFAULT 'legacy'")
+      // post-evolution rows carry explicit channels, some NULL — those
+      // nulls must NOT read back as 'legacy'
+      IcebergFormat.resumeWriter(s, loc).commit(Seq(stageIcebergFile(s, root, loc, "delta",
+        orders.filter(col("o_orderkey") % 3 === 0).withColumn("channel",
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("string")).otherwise(lit("web"))))))
+      // MoR DELETE keyed on the defaulted column: only pre-evolution rows
+      // match 'legacy' (NULL-channel rows never match, SQL semantics)
+      s.sql("DELETE FROM ice_i100.graft.ord_i100 WHERE channel = 'legacy' AND o_orderkey % 7 = 0")
+      // both read paths agree on the default-vs-null split
+      val sqlN = s.sql(
+        "SELECT COUNT(*) FROM ice_i100.graft.ord_i100 WHERE channel IS NULL").head().getLong(0)
+      val libN = IcebergFormat.scan(s, IcebergFormat.currentMetadataPath(s, loc))
+        .filter(col("channel").isNull).count()
+      require(sqlN == libN && sqlN > 0,
+        s"SQL ($sqlN) and library ($libN) must agree on explicit nulls")
+      s.sql("""SELECT COALESCE(channel, '(null)') AS channel, COUNT(*) AS n,
+                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+               FROM ice_i100.graft.ord_i100 GROUP BY 1 ORDER BY 1""")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i100")
+      s.conf.unset("spark.sql.catalog.ice_i100.warehouse")
+    }
+  }
+
+  private val defaultValuesOracle =
+    """SELECT COALESCE(channel, '(null)') AS channel, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       FROM (
+         SELECT o_orderkey, o_totalprice, 'legacy' AS channel
+         FROM orders WHERE o_orderkey % 3 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE 'web' END
+         FROM orders WHERE o_orderkey % 3 = 0)
+       WHERE (channel = 'legacy' AND o_orderkey % 7 = 0) IS DISTINCT FROM TRUE
+       GROUP BY 1 ORDER BY 1"""
 
   /** ic99: Iceberg v3 DELETION VECTORS end-to-end
     * ([[graft.icelite.DeletionVectors]]): per-file roaring bitmaps in

@@ -141,6 +141,14 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
   private var backend: IceCatalog = _
   private var rest: Option[RestCatalog] = None
 
+  // lets the analyzer accept `ADD COLUMN ... DEFAULT <literal>` — the v3
+  // initial-default surface, honored on NATIVE dirs (alterTable threads
+  // the literal through; pre-evolution files then read the default)
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     backend = Option(options.get("uri")) match {
@@ -318,6 +326,13 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     val ns = ns1(ident.namespace())
+    // CREATE TABLE ... DEFAULT would be silently dropped (defaults are an
+    // ALTER-time evolution feature here — a fresh table has no
+    // pre-evolution files for initial-default to serve); refuse loudly
+    schema.fields.foreach(f => require(
+      !f.metadata.contains("CURRENT_DEFAULT") && !f.metadata.contains("EXISTS_DEFAULT"),
+      s"column ${f.name}: DEFAULT at CREATE TABLE is not supported — add the " +
+        "column with a DEFAULT via ALTER TABLE on a native Iceberg v2 table"))
     if (backend.tableExists(ns, ident.name()))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName, ns, ident.name()))
@@ -356,6 +371,22 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
             "(pre-evolution files read it as NULL)")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
+    }
+    // v3 default values: `ADD COLUMN c t DEFAULT <literal>` — the literal
+    // arrives Catalyst-typed; DEFAULT NULL means "no default" (what a
+    // defaultless add already reads)
+    val addDefaults: Seq[(String, Any)] = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
+          a.defaultValue() != null && a.defaultValue().getValue() != null &&
+          a.defaultValue().getValue().value() != null =>
+        val raw = a.defaultValue().getValue().value()
+        val v = (a.dataType(), raw) match {
+          case (org.apache.spark.sql.types.StringType, u) => u.toString
+          case (org.apache.spark.sql.types.DateType, days: Integer) =>
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+          case (_, other) => other
+        }
+        a.fieldNames().head -> v
     }
     val promotes = changes.collect {
       case u: TableChange.UpdateColumnType =>
@@ -421,6 +452,7 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
           w.evolveSchema(org.apache.spark.sql.types.StructType(
             w.schemaNow.fields.map(f =>
               pm.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)) ++ adds))
+        addDefaults.foreach { case (n, v) => w.setInitialDefault(n, v) }
         renames.foreach { case (o, n) => w.renameColumn(o, n) }
         drops.foreach(w.dropColumn)
         nestedAdds.foreach { case (path, f) => w.addNestedColumn(path, f) }
@@ -439,6 +471,9 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
     require(nestedAdds.isEmpty && nestedRenames.isEmpty && nestedDrops.isEmpty,
       "nested-column ALTER is supported on native Iceberg v2 tables only " +
         "(icelite tables have no nested columns)")
+    require(addDefaults.isEmpty,
+      "ADD COLUMN ... DEFAULT is supported on native Iceberg v2 tables only " +
+        "(v3 initial-default metadata)")
     val ice = backend.loadTable(ns, ident.name())
     if (adds.nonEmpty) ice.addColumns(adds)
     if (promotes.nonEmpty) ice.promoteColumnTypes(promotes)

@@ -1005,6 +1005,31 @@ final class IceLitePartitionReader(
       case _ => null
     }
 
+  // v3 `initial-default` literals riding the scan schema's field metadata
+  // (set by IcebergMorV2Table.schema()), Catalyst-typed for InternalRow
+  private lazy val initDefaults: Map[String, Any] = tableSchema.fields.flatMap { f =>
+    if (!f.metadata.contains("graft.initial-default")) None
+    else {
+      val v = graft.icelite.IcebergFormat.decodeDefault(f.dataType,
+        org.json4s.jackson.JsonMethods.parse(f.metadata.getString("graft.initial-default")))
+      Some(f.name -> (v match {
+        case s: String        => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case other            => other
+      }))
+    }
+  }.toMap
+
+  /** Constant for a required field this FILE does not physically hold:
+    * its partition value, else its v3 `initial-default` (pre-evolution
+    * files read the default INSTEAD of null; files that carry the column
+    * keep explicit nulls — presence decides, which is why this fallback
+    * only runs when the file lacks the field). */
+  private def fillConst(name: String): Any = {
+    val p = partConst(name)
+    if (p != null) p else initDefaults.getOrElse(name, null)
+  }
+
   /** Manifest-relative path of an absolute data-file path (anchored at the
     * `data/snap-` segment every committed file lives under) — the `_file`
     * value, and the key position-delete files match on. */
@@ -1136,7 +1161,7 @@ final class IceLitePartitionReader(
       // per-file CONSTANTS (partition value / evolved-in null) — one
       // membership test decides the whole file
       val allDeleted = eqApplicable.exists { d =>
-        loadEqKeys(d).contains(d.keyCols.map(partConst).toList)
+        loadEqKeys(d).contains(d.keyCols.map(fillConst).toList)
       }
       if (allDeleted) { reader = null; constRow = null; synthActive = false; return true }
     }
@@ -1152,14 +1177,14 @@ final class IceLitePartitionReader(
       }
       reader = null
       if (!hasMeta && delSet == null) {
-        constRow = new GenericInternalRow(required.fields.map(f => partConst(f.name)): Array[Any])
+        constRow = new GenericInternalRow(required.fields.map(f => fillConst(f.name)): Array[Any])
         constRemaining = n
         synthActive = false
       } else {
         constRow = null
         synthActive = true
         synthTotal = curPos + n
-        synthBase = required.fields.map(f => partConst(f.name): Any)
+        synthBase = required.fields.map(f => fillConst(f.name): Any)
       }
       true
     } else {
@@ -1183,7 +1208,7 @@ final class IceLitePartitionReader(
                 val dt = tableSchema.fields.find(_.name == kc).get.dataType
                 IceLiteConverters.fieldReader(projection.getType(i).asPrimitiveType(), dt, i)
               case None =>
-                val const = partConst(kc)
+                val const = fillConst(kc)
                 (_: Group) => const
             }
           }
@@ -1202,7 +1227,7 @@ final class IceLitePartitionReader(
           case None if f.name == "_pos" && isMetaName("_pos") =>
             null // filled per-row from the position counter
           case None =>
-            val const = partConst(f.name) // partition col, or evolved-in column absent from this file
+            val const = fillConst(f.name) // partition/default, or evolved-in null
             (_: Group) => const
         }
       }

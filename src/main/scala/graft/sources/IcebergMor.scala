@@ -77,7 +77,20 @@ final class IcebergMorV2Table(spark: SparkSession, location: String)
       if (header.readById)
         IcebergFormat.withParquetFieldIds(header.schema, header.fieldIds, header.nestedIds)
       else header.schema
-    StructType(base.fields.map(_.copy(nullable = true)))
+    // v3 default values ride StructField metadata so the partition reader
+    // can substitute `initial-default` when a file physically lacks the
+    // column (presence decides null-vs-default)
+    val withDefaults =
+      if (header.defaults.isEmpty) base.fields
+      else base.fields.zipWithIndex.map { case (f, i) =>
+        header.defaults.get(header.fieldIds(i)) match {
+          case Some(json) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+              .putString("graft.initial-default", json).build())
+          case None => f
+        }
+      }
+    StructType(withDefaults.map(_.copy(nullable = true)))
   }
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
