@@ -574,6 +574,47 @@ object IcebergFormat {
       "min_data_file", "max_data_file")
   }
 
+  /** `partitions` metadata table for a NATIVE table: per-partition file
+    * and record counts from the CURRENT snapshot's manifest entries —
+    * identity values, bucket ids and transform values all render into
+    * the partition label. Planning-sized: manifests only, zero data
+    * files opened, at any table size. */
+  def partitionsTable(spark: SparkSession, metadataPath: String): DataFrame = {
+    import spark.implicits._
+    val p = plan(spark, metadataPath)
+    val idToName = p.fieldIds.zip(p.schema.fieldNames).toMap
+    def nameOf(id: Int) = idToName.getOrElse(id, s"#$id")
+    p.files.groupBy { f =>
+      val segs =
+        f.partition.toSeq.sortBy(_._1).map { case (id, v) => s"${nameOf(id)}=$v" } ++
+        f.buckets.toSeq.sortBy(_._1).map { case (id, (b, m)) => s"bucket[$m](${nameOf(id)})=$b" } ++
+        f.transforms.toSeq.sortBy(_._1).map { case (id, (t, v)) => s"$t(${nameOf(id)})=$v" }
+      if (segs.isEmpty) "<unpartitioned>" else segs.mkString("/")
+    }.toSeq
+      .map { case (part, fs) => (part, fs.size.toLong, fs.map(_.rowCount).sum) }
+      .toDF("partition", "n_files", "record_count")
+      .orderBy("partition")
+  }
+
+  /** One `partition-statistics` list entry (spec Partition Statistics):
+    * a per-partition stats parquet registered for a snapshot. */
+  final case class PartitionStatsEntry(snapshotId: Long, path: String, fileSizeInBytes: Long)
+
+  /** Parsed `partition-statistics` entries of the metadata file. */
+  def partitionStatisticsEntries(
+      spark: SparkSession, metadataPath: String): Seq[PartitionStatsEntry] = {
+    implicit val fmts: Formats = DefaultFormats
+    val mPath = new Path(metadataPath)
+    val fs    = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md    = JsonMethods.parse(readText(fs, mPath))
+    (md \ "partition-statistics").extractOpt[List[JObject]].getOrElse(Nil).map { e =>
+      PartitionStatsEntry(
+        (e \ "snapshot-id").extract[Long],
+        (e \ "statistics-path").extract[String],
+        (e \ "file-size-in-bytes").extract[Long])
+    }
+  }
+
   /** `snapshots` metadata table for a NATIVE table: one row per snapshot
     * from the metadata JSON — id, parent, sequence number, commit
     * timestamp, summary operation, schema id, manifest list, currency.
@@ -2181,6 +2222,21 @@ object IcebergFormat {
 
     private[icelite] def setStatistics(rs: List[StatsEntry]): Unit = statsRecs = rs
 
+    // registered PARTITION-statistics files (spec `partition-statistics`):
+    // one per computed snapshot, replace-on-recompute, dropped with an
+    // expired snapshot — same lifecycle as `statistics` above.
+    private var partStatsRecs = List.empty[PartitionStatsEntry]
+
+    def recordPartitionStatistics(e: PartitionStatsEntry): Unit = {
+      require(committed.exists(_._1 == e.snapshotId),
+        s"partition-statistics target snapshot ${e.snapshotId} is not in the log")
+      partStatsRecs = partStatsRecs.filterNot(_.snapshotId == e.snapshotId) :+ e
+      writeMetadata()
+    }
+
+    private[icelite] def setPartitionStatistics(rs: List[PartitionStatsEntry]): Unit =
+      partStatsRecs = rs
+
     // v3 DEFAULT VALUES: field id -> Iceberg JSON single-value literal,
     // emitted as `initial-default` + `write-default` on the field in
     // every schema version that carries it. `initial-default` is what
@@ -2975,6 +3031,10 @@ object IcebergFormat {
                  s"""{"type":"${b.blobType}","snapshot-id":${b.snapshotId},"sequence-number":${b.sequenceNumber},"fields":[${b.fields.mkString(",")}],"properties":{${b.properties.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}}""").mkString(",")
                s"""{"snapshot-id":${r.snapshotId},"statistics-path":"${r.path}","file-size-in-bytes":${r.fileSizeInBytes},"file-footer-size-in-bytes":${r.footerSizeInBytes},"blob-metadata":[$bm]}"""
              }.mkString(",")}],
+           "partition-statistics":[${partStatsRecs
+             .filter(r => committed.exists(_._1 == r.snapshotId))
+             .map(r => s"""{"snapshot-id":${r.snapshotId},"statistics-path":"${r.path}","file-size-in-bytes":${r.fileSizeInBytes}}""")
+             .mkString(",")}],
            "default-sort-order-id":$defaultSortOrderId,"sort-orders":[${
              (s"""{"order-id":0,"fields":[]}""" :: sortOrders.map { case (oid, fs) =>
                s"""{"order-id":$oid,"fields":[${fs.map { case (sid, dir, no) =>
@@ -3254,6 +3314,7 @@ object IcebergFormat {
     w.setDefaults(parseDefaultsJson(schemasJ.last).map { case (id, v) =>
       id -> JsonMethods.compact(JsonMethods.render(v))
     })
+    w.setPartitionStatistics(partitionStatisticsEntries(spark, metaPath).toList)
     w
   }
 }

@@ -155,6 +155,55 @@ object TableStats {
     path
   }
 
+  /** PARTITION statistics (spec Partition Statistics file): one row per
+    * partition of the CURRENT snapshot — typed partition tuple, spec id,
+    * record/file counts and total bytes — written as a parquet under
+    * `metadata/` and registered in the table metadata's
+    * `partition-statistics` list. Planning-sized to COMPUTE (manifest
+    * entries only, no data IO) and O(partitions) to consume — the
+    * input a planner or capacity dashboard wants without touching
+    * manifests at all. Identity default specs only (transform specs
+    * refused loudly — a dishonest tuple would misprune downstream). */
+  def computePartitionStats(spark: SparkSession, location: String): Path = {
+    import org.apache.spark.sql.Row
+    val mp = IcebergFormat.currentMetadataPath(spark, location)
+    val snapId = IcebergFormat.currentSnapshotId(spark, mp).getOrElse(
+      throw new IllegalStateException(s"nothing to compute: no snapshot at $location"))
+    val p = IcebergFormat.plan(spark, mp)
+    require(p.files.forall(f => f.buckets.isEmpty && f.transforms.isEmpty),
+      "partition statistics support identity-partitioned tables only")
+    val identIds = p.files.flatMap(_.partition.keys).toSeq.distinct.sorted
+    require(identIds.nonEmpty, s"table at $location is unpartitioned")
+    val idToField = p.fieldIds.zip(p.schema.fields).toMap
+    val partSchema = StructType(identIds.map(id =>
+      idToField(id).copy(nullable = true)))
+    val schema = StructType(Seq(
+      StructField("partition", partSchema, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("data_file_count", IntegerType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false)))
+    val rows = p.files.groupBy(f => identIds.map(id => f.partition.get(id).orNull))
+      .toSeq.sortBy(_._1.map(v => Option(v).map(_.toString).getOrElse("")).mkString("/"))
+      .map { case (vals, fs) =>
+        Row(Row.fromSeq(vals), 0,
+          fs.map(_.rowCount).sum, fs.size, fs.map(_.sizeBytes).sum)
+      }
+    val df  = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val path = new Path(location, f"metadata/partition-stats-$snapId%05d-$tag.parquet")
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp  = new Path(location, s"metadata/_tmp-pstats-$tag")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    require(fs.rename(part, path), s"partition-stats rename failed for $path")
+    fs.delete(tmp, true)
+    val w = IcebergFormat.resumeWriter(spark, location)
+    w.recordPartitionStatistics(IcebergFormat.PartitionStatsEntry(
+      snapId, path.toString, fs.getFileStatus(path).getLen))
+    path
+  }
+
   /** `statistics` metadata table: one row per registered blob — the
     * discoverable record an engine consults before planning. */
   def statisticsTable(spark: SparkSession, metadataPath: String): DataFrame = {

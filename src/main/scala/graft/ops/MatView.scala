@@ -293,11 +293,9 @@ object MatView {
           fp.deletes.exists(o => normStr(o.path.toString) == normStr(d.path.toString)))
         if (removed.nonEmpty) "full" // rewrite/compaction window: not attributable
         else if (newDel.exists(_.content == 2)) "full" // equality deletes: rows need a base scan
-        else if (newDel.exists(_.dvRef.isDefined))
-          "full" // a new deletion vector is a MERGED superset, not a delta
         else if (newDel.nonEmpty && aggs.exists(a => a.fn == "min" || a.fn == "max"))
           "full" // min/max are not subtractable
-        else if (newDel.nonEmpty) "retract"
+        else if (newDel.nonEmpty) "retract" // parquet deletes AND deletion vectors
         else "append"
     }
 
@@ -316,20 +314,47 @@ object MatView {
       if (added.isEmpty) None
       else Some(readRaw(spark, toPlan, added).withColumn("__sign", lit(1)))
 
-    // ---- retraction partials: rows the NEW position-delete files target,
-    // minus rows an ALREADY-APPLIED delete had removed before the window
-    // (subtracting those twice would corrupt the groups).
+    // ---- retraction partials: rows the NEW deletes target — parquet
+    // position-delete rows AND deletion-vector bitmaps both contribute
+    // (path, pos, delseq) pairs — minus rows an ALREADY-APPLIED delete
+    // had removed before the window (a new DV is a MERGED SUPERSET of
+    // the file's prior debt by the v3 contract, so the suppression
+    // anti-join below is exactly what turns it back into a delta).
     var reopened    = 0
     var delFilesRead = 0
     val negatives: Option[DataFrame] =
       if (newDel.isEmpty) None
       else {
-        val newPairsRaw = newDel.groupBy(_.seq).map { case (seq, group) =>
-          spark.read.parquet(group.map(_.path.toString): _*)
-            .select(normCol(col("file_path")).as("__path"), col("pos").as("__pos"),
-              lit(seq).as("__delseq"))
-        }.reduce(_ unionAll _)
-        delFilesRead += newDel.size
+        val newParquet = newDel.filter(_.dvRef.isEmpty)
+        val newDvs     = newDel.filter(_.dvRef.isDefined)
+        val pairFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (newParquet.nonEmpty) {
+          pairFrames += newParquet.groupBy(_.seq).map { case (seq, group) =>
+            spark.read.parquet(group.map(_.path.toString): _*)
+              .select(normCol(col("file_path")).as("__path"), col("pos").as("__pos"),
+                lit(seq).as("__delseq"))
+          }.reduce(_ unionAll _)
+          delFilesRead += newParquet.size
+        }
+        if (newDvs.nonEmpty) {
+          val newest = newDvs.groupBy(d => normStr(d.dvRef.get))
+            .map { case (_, ds) => ds.maxBy(_.seq) }.toSeq
+          val metas = newest.map(d =>
+            (normStr(d.dvRef.get), d.seq, d.path.toString, d.dvOffset, d.dvSize))
+          val rdd = spark.sparkContext
+            .parallelize(metas, math.max(1, math.min(metas.size, 64)))
+            .flatMap { case (f, dseq, blobPath, off, sz) =>
+              val it = graft.icelite.DeletionVectors.readBitmap(blobPath, off, sz)
+                .getLongIterator
+              new Iterator[(String, Long, Long)] {
+                override def hasNext: Boolean = it.hasNext
+                override def next(): (String, Long, Long) = (f, it.next(), dseq)
+              }
+            }
+          pairFrames += spark.createDataFrame(rdd).toDF("__path", "__pos", "__delseq")
+          delFilesRead += newest.size
+        }
+        val newPairsRaw = pairFrames.reduce(_ unionAll _)
         val newPairs = newPairsRaw.groupBy("__path", "__pos")
           .agg(max("__delseq").as("__delseq"))
         // data files the new deletes reference (bounded by the delete

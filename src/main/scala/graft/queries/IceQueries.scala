@@ -4053,8 +4053,76 @@ object IceQueries {
     Q("ic97_native_sql_alter", nativeSqlAlterQ, Some(nativeSqlAlterOracle)),
     Q("ic98_table_statistics", tableStatisticsQ, Some(tableStatisticsOracle)),
     Q("ic99_deletion_vectors", deletionVectorsQ, Some(deletionVectorsOracle)),
-    Q("ic100_default_values", defaultValuesQ, Some(defaultValuesOracle))
+    Q("ic100_default_values", defaultValuesQ, Some(defaultValuesOracle)),
+    Q("ic101_partition_stats", partitionStatsQ, Some(partitionStatsOracle))
   )
+
+  /** ic101: PARTITION STATISTICS — the spec's per-partition stats file
+    * (`CALL system.compute_partition_stats` writes a typed-tuple parquet
+    * under `metadata/`, registered in the table metadata's
+    * `partition-statistics` list) plus the native `t.partitions` SQL
+    * metadata table, over an identity-partitioned v2 dir across two
+    * commits. Gates: the procedure reports all 5 partitions, the
+    * PERSISTED file's counts equal the live manifest-derived table
+    * row-for-row, and multi-file partitions report their real file
+    * counts. Compute is planning-sized (manifest entries only);
+    * consumption is O(partitions) — what a capacity dashboard reads
+    * instead of walking manifests at 100 TB. */
+  private def partitionStatsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.icelite.TableStats
+    val root   = freshDir(s, "i101")
+    val loc    = s"$root/graft/ord_i101"
+    val orders = Tables.orders(s, d)
+    val prios  = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val w = new IcebergFormat.Writer(s, loc, orders.schema,
+      partitionBy = Seq("o_orderpriority"))
+    w.commit(prios.map { pr =>
+      stageIcebergFile(s, root, loc, s"seed-${pr.take(1)}",
+        orders.filter(col("o_orderpriority") === pr && col("o_orderkey") % 2 === 1))
+        .copy(partitionValues = Map("o_orderpriority" -> pr))
+    })
+    // second commit: two partitions grow a second file each
+    IcebergFormat.resumeWriter(s, loc).commit(prios.take(2).map { pr =>
+      stageIcebergFile(s, root, loc, s"delta-${pr.take(1)}",
+        orders.filter(col("o_orderpriority") === pr && col("o_orderkey") % 2 === 0))
+        .copy(partitionValues = Map("o_orderpriority" -> pr))
+    })
+    s.conf.set("spark.sql.catalog.ice_i101", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i101.warehouse", root)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i101.graft")
+      val r = s.sql("CALL ice_i101.system.compute_partition_stats('graft', 'ord_i101')").head()
+      require(r.getLong(1) == 5, s"expected 5 partitions in the stats file, got $r")
+      // the persisted spec file must agree with the live metadata table
+      val persisted = s.read.parquet(r.getString(0))
+        .select(col("partition.o_orderpriority").as("p"),
+          col("data_record_count"), col("data_file_count"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2).toLong)).toSet
+      val live = s.sql(
+        """SELECT substring_index(partition, '=', -1) AS p, record_count, n_files
+           FROM ice_i101.graft.ord_i101.partitions""")
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      require(persisted == live,
+        s"persisted partition stats drifted from the manifests: $persisted vs $live")
+      require(IcebergFormat.partitionStatisticsEntries(
+        s, IcebergFormat.currentMetadataPath(s, loc)).size == 1,
+        "exactly one partition-statistics registration for the computed snapshot")
+      s.sql("""SELECT substring_index(partition, '=', -1) AS priority,
+                      n_files, record_count
+               FROM ice_i101.graft.ord_i101.partitions ORDER BY priority""")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i101")
+      s.conf.unset("spark.sql.catalog.ice_i101.warehouse")
+    }
+  }
+
+  private val partitionStatsOracle =
+    """SELECT o_orderpriority AS priority,
+              CAST(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 2 ELSE 1 END AS BIGINT) AS n_files,
+              COUNT(*) AS record_count
+       FROM orders
+       WHERE o_orderkey % 2 = 1 OR o_orderpriority IN ('1-URGENT','2-HIGH')
+       GROUP BY o_orderpriority ORDER BY priority"""
 
   /** ic100: v3 DEFAULT VALUES — `ALTER TABLE ... ADD COLUMN ... DEFAULT`
     * records the spec's `initial-default`/`write-default` on the field,

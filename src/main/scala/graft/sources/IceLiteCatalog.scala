@@ -249,7 +249,8 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
       // manifest summaries rather than a flat table)
       if (natLoc.isDefined) {
         val kind = ident.name().toLowerCase
-        if (Set("snapshots", "history", "files", "manifests", "statistics")(kind)) {
+        if (Set("snapshots", "history", "files", "manifests", "statistics",
+            "partitions")(kind)) {
           val spark = SparkSession.active
           import graft.icelite.IcebergFormat
           val mp = IcebergFormat.currentMetadataPath(spark, natLoc.get)
@@ -259,6 +260,7 @@ final class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Pro
             case "files"      => IcebergFormat.filesTable(spark, mp)
             case "manifests"  => IcebergFormat.manifestsTable(spark, mp)
             case "statistics" => graft.icelite.TableStats.statisticsTable(spark, mp)
+            case "partitions" => IcebergFormat.partitionsTable(spark, mp)
           }
           return new LocalDataFrameTable(s"iceberg.${natLoc.get}.$kind", df)
         }

@@ -41,7 +41,9 @@ private[graft] object IceLiteProcedures {
       // refresh of a persisted aggregate
       "create_mv", "refresh_mv",
       // Puffin theta-sketch column statistics (graft.icelite.TableStats)
-      "analyze_table")
+      "analyze_table",
+      // spec partition-statistics file over an identity-partitioned dir
+      "compute_partition_stats")
 
   private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -96,6 +98,8 @@ private[graft] object IceLiteProcedures {
           case "analyze_table" =>
             // columns: comma-separated subset ('' = every supported column)
             Array(p("ns", StringType), p("table", StringType), p("columns", StringType))
+          case "compute_partition_stats" =>
+            Array(p("ns", StringType), p("table", StringType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -133,6 +137,24 @@ private[graft] object IceLiteProcedures {
                 StructField("blobs", LongType))),
               Seq(new GenericInternalRow(Array[Any](
                 UTF8String.fromString(path.toString), blobs.toLong))))
+          }
+          if (proc == "compute_partition_stats") {
+            val wh = backend match {
+              case f: graft.icelite.FsCatalog => f.warehouse
+              case _ => throw new UnsupportedOperationException(
+                "compute_partition_stats needs an FS-warehouse catalog")
+            }
+            val loc   = s"$wh/$ns/$tbl"
+            val spark = org.apache.spark.sql.SparkSession.active
+            require(IcebergMorV2Table.isIcebergDir(spark, loc),
+              s"compute_partition_stats supports native Iceberg v2 tables only")
+            val path = graft.icelite.TableStats.computePartitionStats(spark, loc)
+            val n = spark.read.parquet(path.toString).count()
+            return resultScan(
+              StructType(Seq(StructField("statistics_path", StringType),
+                StructField("partitions", LongType))),
+              Seq(new GenericInternalRow(Array[Any](
+                UTF8String.fromString(path.toString), n))))
           }
           if (proc == "create_mv" || proc == "refresh_mv") {
             val wh = backend match {

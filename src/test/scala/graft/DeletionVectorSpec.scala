@@ -162,19 +162,41 @@ class DeletionVectorSpec extends SparkSpec {
     assert(after.deletes.isEmpty && scanVals(loc) == (0L until 25L).toSet -- Set(1L, 2L, 3L))
   }
 
-  test("MV refresh goes loudly full across a deletion-vector window") {
+  test("MV refresh stays INCREMENTAL across deletion-vector windows (superset → delta)") {
     import graft.ops.{MatView, MvAgg}
     val root = scratch("dv_mv")
     val loc  = s"$root/t"
     val mv   = s"$root/mv"
-    val df   = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    val df   = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("k", "v")
     val w    = new IcebergFormat.Writer(spark, loc, df.schema)
     w.commit(Seq(stage(root, loc, "f1", df)))
-    MatView.create(spark, loc, mv, Seq("k"), Seq(MvAgg("count", "*", "cnt")))
+    MatView.create(spark, loc, mv, Seq("k"),
+      Seq(MvAgg("count", "*", "cnt"), MvAgg("sum", "v", "sv")))
     DeletionVectors.deleteWhere(spark, loc, col("v") === 2)
-    val st = MatView.refresh(spark, mv)
-    assert(st.mode == "full", st)
-    assert(MatView.read(spark, mv).collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      == Set(("a", 1L), ("b", 1L)))
+    val st1 = MatView.refresh(spark, mv)
+    assert(st1.mode == "retract", st1)
+    assert(MatView.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == Set(("a", 1L, 1L), ("b", 2L, 7L)))
+    // second vector is a MERGED SUPERSET (contains v=2's position too) —
+    // the at-`from` DV suppression must reduce it to the v=4 delta only
+    DeletionVectors.deleteWhere(spark, loc, col("v") === 4)
+    val st2 = MatView.refresh(spark, mv)
+    assert(st2.mode == "retract", st2)
+    assert(MatView.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == Set(("a", 1L, 1L), ("b", 1L, 3L)),
+      "superset vector must not double-subtract the already-retracted row")
+    // mixed window: a parquet position delete AND a merging vector
+    val p  = IcebergFormat.plan(spark, IcebergFormat.currentMetadataPath(spark, loc))
+    val fp = p.files.head.path.toString
+    IcebergFormat.resumeWriter(spark, loc).commitDelta(Seq(
+      stage(root, loc, "pd", Seq((fp, 0L)).toDF("file_path", "pos"), content = 1)))
+    DeletionVectors.deleteWhere(spark, loc, col("v") === 3)
+    val st3 = MatView.refresh(spark, mv)
+    assert(st3.mode == "retract", st3)
+    assert(MatView.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set.empty,
+      "all rows deleted -> every group vanishes")
   }
 }

@@ -122,6 +122,45 @@ class PuffinSpec extends SparkSpec {
     }
   }
 
+  test("partition statistics: typed file agrees with manifests; lifecycle replace/expire; refusals") {
+    val root = scratch("pstats")
+    val loc  = s"$root/t"
+    val df   = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("v", "p")
+    val w    = new IcebergFormat.Writer(spark, loc, df.schema, partitionBy = Seq("p"))
+    def slice(tag: String, pv: String, rows: Seq[(Long, String)]) =
+      IcebergFormat.writeSingleFile(spark, root, loc, tag, rows.toDF("v", "p"))
+        .copy(partitionValues = Map("p" -> pv))
+    w.commit(Seq(slice("x1", "x", Seq((1L, "x"), (2L, "x"))), slice("y1", "y", Seq((3L, "y")))))
+    graft.icelite.TableStats.computePartitionStats(spark, loc)
+    def entries = IcebergFormat.partitionStatisticsEntries(spark,
+      IcebergFormat.currentMetadataPath(spark, loc))
+    assert(entries.size == 1)
+    val rows = spark.read.parquet(entries.head.path)
+      .select("partition.p", "data_record_count", "data_file_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows == Set(("x", 2L, 1), ("y", 1L, 1)), rows)
+    // recompute for the SAME snapshot replaces; a new snapshot accumulates
+    graft.icelite.TableStats.computePartitionStats(spark, loc)
+    assert(entries.size == 1)
+    IcebergFormat.resumeWriter(spark, loc).commit(Seq(slice("x2", "x", Seq((4L, "x")))))
+    graft.icelite.TableStats.computePartitionStats(spark, loc)
+    assert(entries.size == 2)
+    // native t.partitions agrees with the fresh file
+    val live = IcebergFormat.partitionsTable(spark,
+      IcebergFormat.currentMetadataPath(spark, loc))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live == Set(("p=x", 2L, 3L), ("p=y", 1L, 1L)), live)
+    // expiration drops the expired snapshot's registration
+    IcebergFormat.resumeWriter(spark, loc).expireSnapshots(1)
+    assert(entries.size == 1, s"expired snapshot's entry must drop: $entries")
+    // unpartitioned table: loud refusal
+    val loc2 = s"$root/u"
+    val w2   = new IcebergFormat.Writer(spark, loc2, Seq(1L).toDF("v").schema)
+    w2.commit(Seq(IcebergFormat.writeSingleFile(spark, root, loc2, "f", Seq(1L).toDF("v"))))
+    intercept[IllegalArgumentException](
+      graft.icelite.TableStats.computePartitionStats(spark, loc2))
+  }
+
   test("sketches are mergeable: union of snapshot sketches ≈ sketch of union") {
     import org.apache.datasketches.theta.{SetOperation, Sketches}
     import org.apache.datasketches.memory.Memory
