@@ -242,7 +242,8 @@ object IcebergFormat {
       rowCount: Long = 0L, // manifest record_count (0 when absent)
       splitOffsets: Seq[Long] = Nil, // manifest split_offsets (row-group starts; may be absent)
       nullCounts: Map[Int, Long] = Map.empty, // manifest null_value_counts by field id
-      sortOrderId: Option[Int] = None) // manifest sort_order_id (field 140; None = unsorted)
+      sortOrderId: Option[Int] = None, // manifest sort_order_id (field 140; None = unsorted)
+      firstRowId: Option[Long] = None) // v3 row lineage (field 142; None = unassigned)
 
   /** A planned row-level delete file (v2): position deletes (content 1,
     * `file_path`/`pos` columns) or equality deletes (content 2, rows of the
@@ -974,8 +975,13 @@ object IcebergFormat {
                 case null => None
                 case _    => Option(df.get("sort_order_id")).map(_.asInstanceOf[Int])
               }
-              Some(Left(
-                PlannedFile(path, merged, seq, pvals, bvals, tvals, fSize, fRows, so, nc, soId)))
+              // spec field 142 (v3 row lineage; absent = unassigned)
+              val frId: Option[Long] = df.getSchema.getField("first_row_id") match {
+                case null => None
+                case _    => Option(df.get("first_row_id")).map(_.asInstanceOf[Long])
+              }
+              Some(Left(PlannedFile(
+                path, merged, seq, pvals, bvals, tvals, fSize, fRows, so, nc, soId, frId)))
             case c @ (1 | 2) =>
               val eqIds = df.getSchema.getField("equality_ids") match {
                 case null => Seq.empty[Int]
@@ -1223,17 +1229,30 @@ object IcebergFormat {
     * Both are anti-joins keyed by `_metadata` columns — delete files are
     * per-partition-sized in a real table, so at scale these broadcast and
     * the data side streams map-side; no extra shuffle of the fact scan. */
-  private def scanFiles(spark: SparkSession, p: TablePlan, files: Seq[PlannedFile]): DataFrame = {
+  private def scanFiles(spark: SparkSession, p: TablePlan, files: Seq[PlannedFile],
+      lineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (files.isEmpty) return emptyFrame(spark, p.schema)
+    val outNames =
+      if (lineage) p.schema.fieldNames.toSeq ++ Seq("_row_id", "_last_updated_sequence_number")
+      else p.schema.fieldNames.toSeq
+    val lineageFields = Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_last_updated_sequence_number", LongType, nullable = true))
+    if (files.isEmpty)
+      return emptyFrame(spark,
+        if (lineage) StructType(p.schema.fields ++ lineageFields) else p.schema)
     // a rename/drop-evolved table resolves file columns by parquet field
     // id: the read schema carries the ids, and the relation is built under
     // the [[idReadSession]] twin so the id-matching flag is live at
     // execution WITHOUT mutating the caller's session conf. A data file
     // without stamped ids fails LOUDLY here — by-name fallback could
     // resurrect a dropped-and-readded column's old values.
-    val readSchema =
+    val readSchema0 =
       if (p.readById) withParquetFieldIds(p.schema, p.fieldIds, p.nestedIds) else p.schema
+    // lineage columns read as PHYSICAL columns where a rewrite
+    // materialized them (Spark null-fills the files that lack them)
+    val readSchema =
+      if (lineage) StructType(readSchema0.fields ++ lineageFields) else readSchema0
     val readSpark = if (p.readById) idReadSession(spark) else spark
     val base = readSpark.read.schema(readSchema).parquet(files.map(_.path.toString): _*)
 
@@ -1250,7 +1269,8 @@ object IcebergFormat {
         case _ => false
       })
     }
-    if (p.deletes.isEmpty && overlayIds.isEmpty && p.fieldDefaults.isEmpty) return base
+    if (p.deletes.isEmpty && overlayIds.isEmpty && p.fieldDefaults.isEmpty && !lineage)
+      return base
 
     // URI-scheme normalization so manifest paths (`file:/x`, `/x`) and
     // Spark's `_metadata.file_path` (`file:///x`) compare equal. Local and
@@ -1305,8 +1325,23 @@ object IcebergFormat {
       }
     }
 
+    // v3 row lineage: implicit values derive per file (first_row_id +
+    // position; last-updated = the file's data sequence number) unless a
+    // rewrite materialized them physically — physical wins via coalesce
+    if (lineage) {
+      val ldf = spark.createDataFrame(files.map(f =>
+        (normStr(f.path.toString), f.firstRowId.getOrElse(-1L),
+          f.firstRowId.isDefined, f.seq)))
+        .toDF("__path", "__frbase", "__frset", "__fseq")
+      data = data.join(broadcast(ldf), Seq("__path"), "left")
+        .withColumn("_row_id", coalesce(col("_row_id"),
+          when(col("__frset"), col("__frbase") + col("__pos"))))
+        .withColumn("_last_updated_sequence_number",
+          coalesce(col("_last_updated_sequence_number"), col("__fseq")))
+    }
+
     if (p.deletes.isEmpty)
-      return data.select(p.schema.fieldNames.map(col).toIndexedSeq: _*)
+      return data.select(outNames.map(col).toIndexedSeq: _*)
 
     val seqRows = files.map(f => (normStr(f.path.toString), f.seq))
     val seqDf   = spark.createDataFrame(seqRows).toDF("__path", "__dataseq")
@@ -1379,7 +1414,17 @@ object IcebergFormat {
         data = data.join(broadcast(delKeys), keyMatch && col("__dataseq") < lit(seq), "left_anti")
     }
 
-    data.select(p.schema.fieldNames.map(col).toIndexedSeq: _*)
+    data.select(outNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Scan with the v3 ROW-LINEAGE metadata columns appended: `_row_id`
+    * (file `first_row_id` + position, or the physically-materialized
+    * column a rewrite wrote) and `_last_updated_sequence_number`. Null
+    * for files committed before lineage tracking — the spec's
+    * unassigned state. */
+  def scanWithLineage(spark: SparkSession, metadataPath: String): DataFrame = {
+    val p = plan(spark, metadataPath)
+    scanFiles(spark, p, p.files, lineage = true)
   }
 
   /** Files of the current snapshot whose recorded [lower, upper] bounds for
@@ -1679,7 +1724,13 @@ object IcebergFormat {
       // v3 deletion vector (spec fields 143-145): the data file this DV
       // applies to, and the blob's [offset, size) inside the Puffin file
       // at `path`. Set => content must be 1 and the entry is a DV.
-      dvRef: Option[(String, Long, Long)] = None)
+      dvRef: Option[(String, Long, Long)] = None,
+      // v3 row lineage: the file's implicit-id base (spec field 142).
+      // None = "assign at commit"; a rewrite that MATERIALIZED the
+      // lineage columns into the data sets lineageMaterialized instead
+      // (ids travel in the rows, no fresh span consumed).
+      firstRowId: Option[Long] = None,
+      lineageMaterialized: Boolean = false)
 
   /** Avro schema of a v2 manifest entry for an unpartitioned table, with
     * the spec's field-ids attached so spec-compliant readers can project
@@ -1726,7 +1777,8 @@ object IcebergFormat {
         {"name":"sort_order_id","field-id":140,"default":null,"type":["null","int"]},
         {"name":"referenced_data_file","field-id":143,"default":null,"type":["null","string"]},
         {"name":"content_offset","field-id":144,"default":null,"type":["null","long"]},
-        {"name":"content_size_in_bytes","field-id":145,"default":null,"type":["null","long"]}
+        {"name":"content_size_in_bytes","field-id":145,"default":null,"type":["null","long"]},
+        {"name":"first_row_id","field-id":142,"default":null,"type":["null","long"]}
       ]}}]}""".replaceAll("\n\\s*", "")
 
   /** Avro schema of a manifest-list entry (spec "Manifest Lists" table). */
@@ -2222,6 +2274,14 @@ object IcebergFormat {
 
     private[icelite] def setStatistics(rs: List[StatsEntry]): Unit = statsRecs = rs
 
+    // v3 ROW LINEAGE allocator: the next unassigned implicit row id
+    // (spec `next-row-id`); per-snapshot bases for the metadata record
+    private var nextRowId: Long = 0L
+    private var snapFirstRow = Map.empty[Long, Long]
+    private[icelite] def setRowLineage(next: Long, bases: Map[Long, Long]): Unit = {
+      nextRowId = next; snapFirstRow = bases
+    }
+
     // registered PARTITION-statistics files (spec `partition-statistics`):
     // one per computed snapshot, replace-on-recompute, dropped with an
     // expired snapshot — same lifecycle as `statistics` above.
@@ -2704,8 +2764,20 @@ object IcebergFormat {
       commitGroups(Seq(inserts -> defaultSpec, deletes -> delSpec), op)
     }
 
-    private def commitGroups(groups: Seq[(Seq[DataFileInfo], Int)],
+    private def commitGroups(groups0: Seq[(Seq[DataFileInfo], Int)],
         op: String = "append"): Unit = {
+      // v3 ROW LINEAGE: newly-added data files take contiguous implicit
+      // row ids — file `first_row_id` (manifest field 142) + position.
+      // Files that MATERIALIZED their lineage columns (rewrites) carry
+      // ids in the data itself and consume no id space.
+      var rowCursor = nextRowId
+      val groups = groups0.map { case (fs, sid) =>
+        (fs.map { f =>
+          if (f.content == 0 && !f.lineageMaterialized && f.firstRowId.isEmpty) {
+            val g = f.copy(firstRowId = Some(rowCursor)); rowCursor += f.recordCount; g
+          } else f
+        }, sid)
+      }
       val files = groups.flatMap(_._1)
       // stats keys MUST be real field ids of the current schema: a sparse-id
       // table (dropped-column history) whose stats arrive keyed positionally
@@ -2727,6 +2799,9 @@ object IcebergFormat {
       val seq    = snapId // one sequence number per commit
       if (op != "append") snapOps += snapId -> op
       if (allSchemas.size > 1) snapSchemaIds += snapId -> (allSchemas.size - 1)
+      // the snapshot's first-row-id (spec v3) + advance the allocator
+      snapFirstRow += snapId -> nextRowId
+      nextRowId = rowCursor
       fs.mkdirs(metadataDir)
       withCommitRollback {
         val seenManifestNames = scala.collection.mutable.Set.empty[String]
@@ -2813,6 +2888,8 @@ object IcebergFormat {
         // spec field 140: claim the registered sort order the file was
         // actually written under; absent = unsorted (the honest default)
         f.sortOrderId.foreach(id => dataFile.put("sort_order_id", Int.box(id)))
+        // spec field 142 (v3 row lineage): the file's implicit-id base
+        f.firstRowId.foreach(v => dataFile.put("first_row_id", Long.box(v)))
         val entry = new GenericData.Record(commitEntrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", snapId)
@@ -2877,8 +2954,29 @@ object IcebergFormat {
           specs(sid).map(f => (f.name, f.avroType, f.fieldId)))
         val entries = group.flatMap { m =>
           readAvro(fs, new Path(m.path)).map { e =>
-            e.put("status", 0) // EXISTING — carried, not added, by this snapshot
-            e
+            // rebind BY NAME into the current entry schema: carried
+            // records may predate later optional data_file fields
+            // (sort_order_id 140, first_row_id 142, DV 143-145), and
+            // Avro's datum writer resolves fields POSITIONALLY against
+            // the writing schema — a shorter source record would
+            // misalign or crash. Absent fields stay null (their spec
+            // defaults).
+            val out = new GenericData.Record(schema)
+            schema.getFields.forEach { f =>
+              if (f.name == "data_file") {
+                val dfT = schema.getField("data_file").schema()
+                val src = e.get("data_file").asInstanceOf[GenericRecord]
+                val d   = new GenericData.Record(dfT)
+                dfT.getFields.forEach { g =>
+                  if (src.getSchema.getField(g.name) != null) d.put(g.name, src.get(g.name))
+                }
+                out.put("data_file", d)
+              } else if (e.getSchema.getField(f.name) != null) {
+                out.put(f.name, e.get(f.name))
+              }
+            }
+            out.put("status", 0) // EXISTING — carried, not added, by this snapshot
+            out
           }
         }
         // merged summaries recomputed from the carried entries' partition
@@ -3012,14 +3110,17 @@ object IcebergFormat {
         val parent = if (i == 0) "" else s""""parent-snapshot-id":${committed(i - 1)._1},"""
         val op     = snapOps.getOrElse(id, "append")
         val schId  = snapSchemaIds.getOrElse(id, 0)
+        val firstRow = snapFirstRow.get(id)
+          .map(v => s""""first-row-id":$v,""").getOrElse("")
         s"""{"snapshot-id":$id,$parent"timestamp-ms":${ts0 + id},"sequence-number":$id,
-           "summary":{"operation":"$op"},"manifest-list":"$lp","schema-id":$schId}"""
+           $firstRow"summary":{"operation":"$op"},"manifest-list":"$lp","schema-id":$schId}"""
           .replaceAll("\n\\s*", "")
       }.mkString(",")
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$tableUuid","location":"$location",
            "last-sequence-number":$seq,"last-updated-ms":${ts0 + snapId},
            "last-column-id":$maxFieldIdEver,
+           "next-row-id":$nextRowId,
            "current-schema-id":${allSchemas.size - 1},
            "schemas":[${allSchemas.zipWithIndex.map { case (sc, i) => icebergSchemaJson(sc, i, allFieldIds(i), allNestedIds(i), fieldDefaults) }.mkString(",")}],
            "default-spec-id":$defaultSpecId,
@@ -3315,6 +3416,17 @@ object IcebergFormat {
       id -> JsonMethods.compact(JsonMethods.render(v))
     })
     w.setPartitionStatistics(partitionStatisticsEntries(spark, metaPath).toList)
+    // v3 row-lineage allocator + per-snapshot bases re-emit verbatim
+    // (pre-lineage tables restore 0/empty: their files carry no field
+    // 142 and read null lineage, the spec's unassigned state)
+    w.setRowLineage(
+      (md \ "next-row-id").extractOpt[Long].getOrElse(0L),
+      (md \ "snapshots") match {
+        case JArray(ss) => ss.flatMap(s =>
+          (s \ "first-row-id").extractOpt[Long].map(v =>
+            (s \ "snapshot-id").extract[Long] -> v)).toMap
+        case _ => Map.empty[Long, Long]
+      })
     w
   }
 }

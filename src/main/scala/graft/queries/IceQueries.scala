@@ -4054,8 +4054,74 @@ object IceQueries {
     Q("ic98_table_statistics", tableStatisticsQ, Some(tableStatisticsOracle)),
     Q("ic99_deletion_vectors", deletionVectorsQ, Some(deletionVectorsOracle)),
     Q("ic100_default_values", defaultValuesQ, Some(defaultValuesOracle)),
-    Q("ic101_partition_stats", partitionStatsQ, Some(partitionStatsOracle))
+    Q("ic101_partition_stats", partitionStatsQ, Some(partitionStatsOracle)),
+    Q("ic102_row_lineage", rowLineageQ, Some(rowLineageOracle))
   )
+
+  /** ic102: v3 ROW LINEAGE — every row carries a stable `_row_id`
+    * (file `first_row_id` from manifest field 142 + position; the
+    * `next-row-id` allocator in the metadata) and a
+    * `_last_updated_sequence_number`, SURVIVING merge-on-read DELETE
+    * (files untouched) and COMPACTION (the rewrite MATERIALIZES both
+    * columns into the new files, physical presence winning on every
+    * reader — the spec's mechanism for identity across rewrites).
+    * Require-gates pin the id stability with order-independent hash
+    * digests at each lifecycle step; ids themselves are engine-assigned,
+    * so the oracle-facing output proves id UNIQUENESS (count distinct ==
+    * count) per group over DuckDB-replayable content. Metadata-only
+    * bookkeeping at any scale: assignment is one allocator bump per
+    * commit, reads derive ids arithmetically. */
+  private def rowLineageQ(s: SparkSession, d: String): DataFrame = {
+    val root   = freshDir(s, "i102")
+    val loc    = s"$root/graft/ord_i102"
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val w = new IcebergFormat.Writer(s, loc, orders.schema)
+    w.commit(Seq(stageIcebergFile(s, root, loc, "seed",
+      orders.filter(col("o_orderkey") % 3 =!= 0))))
+    IcebergFormat.resumeWriter(s, loc).commit(Seq(stageIcebergFile(s, root, loc, "delta",
+      orders.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0))))
+    s.conf.set("spark.sql.catalog.ice_i102", "graft.sources.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.ice_i102.warehouse", root)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ice_i102.graft")
+      def digest(where: String): java.math.BigDecimal = s.sql(
+        s"""SELECT COALESCE(SUM(CAST(XXHASH64(o_orderkey, _row_id) AS DECIMAL(38,0))), 0)
+            FROM ice_i102.graft.ord_i102 $where""").head().getDecimal(0)
+      val nAll = s.sql("SELECT COUNT(*) FROM ice_i102.graft.ord_i102").head().getLong(0)
+      val nIds = s.sql("SELECT COUNT(DISTINCT _row_id) FROM ice_i102.graft.ord_i102")
+        .head().getLong(0)
+      require(nAll == nIds, s"row ids must be unique: $nAll rows, $nIds ids")
+      val survivorsBefore = digest("WHERE o_orderkey % 10 <> 7")
+      s.sql("DELETE FROM ice_i102.graft.ord_i102 WHERE o_orderkey % 10 = 7")
+      require(digest("") == survivorsBefore,
+        "MoR DELETE must not move the survivors' row ids")
+      s.sql("CALL ice_i102.system.rewrite_data_files('graft', 'ord_i102', 1)")
+      require(digest("") == survivorsBefore,
+        "compaction must MATERIALIZE row ids, not renumber them")
+      // post-compaction append: fresh span, no collisions with kept ids
+      IcebergFormat.resumeWriter(s, loc).commit(Seq(stageIcebergFile(s, root, loc, "late",
+        orders.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 1))))
+      val nAll2 = s.sql("SELECT COUNT(*) FROM ice_i102.graft.ord_i102").head().getLong(0)
+      val nIds2 = s.sql("SELECT COUNT(DISTINCT _row_id) FROM ice_i102.graft.ord_i102")
+        .head().getLong(0)
+      require(nAll2 == nIds2, s"post-append ids must stay unique: $nAll2 vs $nIds2")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n, COUNT(DISTINCT _row_id) AS n_ids
+               FROM ice_i102.graft.ord_i102 GROUP BY 1 ORDER BY 1""")
+    } finally {
+      s.conf.unset("spark.sql.catalog.ice_i102")
+      s.conf.unset("spark.sql.catalog.ice_i102.warehouse")
+    }
+  }
+
+  private val rowLineageOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n, COUNT(*) AS n_ids FROM (
+         SELECT o_orderpriority FROM orders
+         WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0) AND o_orderkey % 10 <> 7
+         UNION ALL
+         SELECT o_orderpriority FROM orders
+         WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1)
+       GROUP BY 1 ORDER BY 1"""
 
   /** ic101: PARTITION STATISTICS — the spec's per-partition stats file
     * (`CALL system.compute_partition_stats` writes a typed-tuple parquet

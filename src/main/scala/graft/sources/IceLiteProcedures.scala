@@ -328,7 +328,15 @@ private[graft] object IceLiteProcedures {
       "standard-format rewrite_data_files supports unpartitioned default specs " +
         "(staged files carry no partition tuples)")
     val n   = math.max(1, targetFiles)
-    val cur = IcebergFormat.scan(spark, metaPath) // deletes applied here
+    // v3 ROW LINEAGE: a rewrite changes positions, so implicit
+    // (first_row_id + pos) ids would be destroyed — the spec's answer is
+    // to MATERIALIZE _row_id/_last_updated_sequence_number into the
+    // rewritten files (physical presence wins on every reader), which is
+    // what keeps ids stable across compaction
+    val lineageActive = plan0.files.exists(_.firstRowId.isDefined)
+    val cur =
+      if (lineageActive) IcebergFormat.scanWithLineage(spark, metaPath)
+      else IcebergFormat.scan(spark, metaPath) // deletes applied here
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val fs  = new org.apache.hadoop.fs.Path(loc)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -338,11 +346,20 @@ private[graft] object IceLiteProcedures {
     cur.repartition(n).write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    // materialized lineage columns take engine-assigned ids from the
+    // reserved range (they are never table-schema fields); their stats
+    // are stripped before commit so the schema-id gate stays honest
+    val lineageIds  = Seq(2147483540, 2147483539)
+    val stageIds    = if (lineageActive) plan0.fieldIds ++ lineageIds else plan0.fieldIds
     val staged = parts.zipWithIndex.map { case (p, i) =>
       val dest = new org.apache.hadoop.fs.Path(s"$loc/data/compact-$tag-$i.parquet")
       fs.mkdirs(dest.getParent)
       require(fs.rename(p, dest), s"compaction stage rename failed: $p")
-      IcebergFormat.fileInfoFromFooter(spark, dest, cur.schema, fieldIds = plan0.fieldIds)
+      val info = IcebergFormat.fileInfoFromFooter(spark, dest, cur.schema, fieldIds = stageIds)
+      if (!lineageActive) info
+      else info.copy(
+        bounds = info.bounds -- lineageIds, nullCounts = info.nullCounts -- lineageIds,
+        lineageMaterialized = true)
     }.filter(_.recordCount > 0L)
     fs.delete(tmp, true)
     w.rewriteDataFiles(staged)

@@ -807,7 +807,8 @@ final case class IceLitePartition(
     key: InternalRow,
     deletes: Seq[PositionDeleteFile] = Nil,
     ranges: Seq[IceLiteFileRange] = Nil, // aligned with `files` when non-empty
-    seqs: Seq[Long] = Nil) // per-file data sequence numbers (equality-delete ordering)
+    seqs: Seq[Long] = Nil, // per-file data sequence numbers (equality-delete ordering)
+    firstRowIds: Seq[Option[Long]] = Nil) // v3 row lineage: per-file implicit-id base
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -932,14 +933,20 @@ final class IceLitePartitionReader(
   // the metadata column on conflict, so a physical column of that name
   // must decode normally)
   private def isMetaName(n: String): Boolean =
-    (n == "_file" || n == "_pos") && !tableSchema.fieldNames.contains(n)
-  private val fileOrds: Array[Int] =
+    (n == "_file" || n == "_pos" || n == "_row_id" ||
+      n == "_last_updated_sequence_number") && !tableSchema.fieldNames.contains(n)
+  private def ordsOf(n: String): Array[Int] =
     required.fields.indices.filter(i =>
-      required.fields(i).name == "_file" && isMetaName("_file")).toArray
-  private val posOrds: Array[Int] =
-    required.fields.indices.filter(i =>
-      required.fields(i).name == "_pos" && isMetaName("_pos")).toArray
-  private val hasMeta = fileOrds.nonEmpty || posOrds.nonEmpty
+      required.fields(i).name == n && isMetaName(n)).toArray
+  private val fileOrds: Array[Int] = ordsOf("_file")
+  private val posOrds: Array[Int]  = ordsOf("_pos")
+  // v3 row lineage (filled per-row unless the file physically carries
+  // the column — a rewrite materialized it — in which case it decodes
+  // like any data column and the per-file fill list below goes empty)
+  private val rowIdOrds: Array[Int]   = ordsOf("_row_id")
+  private val lastSeqOrds: Array[Int] = ordsOf("_last_updated_sequence_number")
+  private val hasMeta =
+    fileOrds.nonEmpty || posOrds.nonEmpty || rowIdOrds.nonEmpty || lastSeqOrds.nonEmpty
 
   private var fileIdx: Int = 0
   private var reader: ParquetReader[Group] = _
@@ -954,6 +961,10 @@ final class IceLitePartitionReader(
   private var curPos: Long = 0L
   private var curRange: IceLiteFileRange = _ // active byte-range split, or null
   private var curRelUtf8: UTF8String = _
+  private var curFirstRowId: java.lang.Long = _ // null = lineage unassigned for this file
+  private var curFileSeqBox: java.lang.Long = _ // null = no sequence known (non-MoR path)
+  private var rowIdFill: Array[Int] = Array.empty   // rowIdOrds unless physically present
+  private var lastSeqFill: Array[Int] = Array.empty // lastSeqOrds unless physically present
   private var delSet: java.util.BitSet = _ // null = no deletes touch this file
   // per-group row predicates of the equality deletes applicable to the
   // current file (strictly-newer deletes only); null = none apply
@@ -1110,6 +1121,10 @@ final class IceLitePartitionReader(
     val fileSeq = if (partition.seqs.nonEmpty) partition.seqs(fileIdx) else Long.MaxValue
     val eqApplicable = eqDeletes.filter(_.seq > fileSeq)
     curRange = range
+    curFirstRowId = partition.firstRowIds.lift(fileIdx).flatten
+      .map(Long.box).orNull
+    curFileSeqBox =
+      if (partition.seqs.nonEmpty) Long.box(partition.seqs(fileIdx)) else null
     fileIdx += 1
     IceLiteSource.filesOpened.increment()
 
@@ -1146,6 +1161,14 @@ final class IceLitePartitionReader(
     // parquet field id on a rename/drop-evolved table (fileFieldOf).
     val dataBinds: Array[(org.apache.spark.sql.types.StructField, org.apache.parquet.schema.Type)] =
       required.fields.flatMap(f => fileFieldOf(fileMsg, f.name).map(t => (f, t)))
+    // v3 lineage fill lists for THIS file: physical presence wins (a
+    // rewrite materialized the column into the data); otherwise the
+    // implicit value fills per-row below
+    rowIdFill =
+      if (fileFieldOf(fileMsg, "_row_id").isDefined) Array.empty else rowIdOrds
+    lastSeqFill =
+      if (fileFieldOf(fileMsg, "_last_updated_sequence_number").isDefined) Array.empty
+      else lastSeqOrds
 
     // equality-delete key columns the file physically holds beyond the
     // required projection — decoded alongside (never emitted) so delete
@@ -1226,6 +1249,11 @@ final class IceLitePartitionReader(
             (_: Group) => relU
           case None if f.name == "_pos" && isMetaName("_pos") =>
             null // filled per-row from the position counter
+          case None if f.name == "_row_id" && isMetaName("_row_id") =>
+            null // filled per-row: curFirstRowId + pos (null when unassigned)
+          case None if f.name == "_last_updated_sequence_number" &&
+              isMetaName("_last_updated_sequence_number") =>
+            null // filled per-row from the file's data sequence number
           case None =>
             val const = fillConst(f.name) // partition/default, or evolved-in null
             (_: Group) => const
@@ -1252,6 +1280,9 @@ final class IceLitePartitionReader(
             val vals = synthBase.clone()
             fileOrds.foreach(i => vals(i) = curRelUtf8)
             posOrds.foreach(i => vals(i) = p)
+            rowIdFill.foreach(i => vals(i) =
+              if (curFirstRowId == null) null else curFirstRowId.longValue() + p)
+            lastSeqFill.foreach(i => vals(i) = curFileSeqBox)
             current = new GenericInternalRow(vals); emitted += 1; return true
           }
         }
@@ -1265,6 +1296,9 @@ final class IceLitePartitionReader(
               !eqDeleted(g)) {
             val vals: Array[Any] = rowFns.map(fn => if (fn == null) null else fn(g))
             posOrds.foreach(i => vals(i) = p)
+            rowIdFill.foreach(i => vals(i) =
+              if (curFirstRowId == null) null else curFirstRowId.longValue() + p)
+            lastSeqFill.foreach(i => vals(i) = curFileSeqBox)
             current = new GenericInternalRow(vals)
             emitted += 1
             emittedOne = true

@@ -97,7 +97,11 @@ final class IcebergMorV2Table(spark: SparkSession, location: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(IceLiteMetaColumn("_file", StringType), IceLiteMetaColumn("_pos", LongType))
+    Array(IceLiteMetaColumn("_file", StringType), IceLiteMetaColumn("_pos", LongType),
+      // v3 row lineage: implicit (first_row_id + pos / file seq) unless a
+      // rewrite materialized the columns physically — physical wins
+      IceLiteMetaColumn("_row_id", LongType),
+      IceLiteMetaColumn("_last_updated_sequence_number", LongType))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergMorScanBuilder(schema(), header,
@@ -481,7 +485,8 @@ object IcebergMorScan {
     * chunks. */
   private[graft] def rangedFromOffsets(
       path: String, sizeBytes: Long, offs: Seq[Long],
-      target: Long, key: InternalRow, seq: Long): Option[Seq[InputPartition]] = {
+      target: Long, key: InternalRow, seq: Long,
+      firstRowId: Option[Long] = None): Option[Seq[InputPartition]] = {
     if (offs.size < 2) return None
     val sizes = offs.indices.map(i =>
       (if (i == offs.size - 1) sizeBytes else offs(i + 1)) - offs(i))
@@ -498,7 +503,7 @@ object IcebergMorScan {
                   else offs(chunkStarts(i + 1))
       IceLitePartition(Array(path), key,
         ranges = Seq(IceLiteFileRange(start, end, -1L, -1L)),
-        seqs = Seq(seq)): InputPartition
+        seqs = Seq(seq), firstRowIds = Seq(firstRowId)): InputPartition
     })
   }
 
@@ -521,11 +526,12 @@ object IcebergMorScan {
       f: IcebergFormat.PlannedFile, conf: Configuration, target: Long,
       key: InternalRow = null): Seq[InputPartition] = {
     val path = f.path.toString
-    def whole = Seq(IceLitePartition(Array(path), key, seqs = Seq(f.seq)): InputPartition)
+    def whole = Seq(IceLitePartition(Array(path), key, seqs = Seq(f.seq),
+      firstRowIds = Seq(f.firstRowId)): InputPartition)
     if (target <= 0 || f.sizeBytes < 2 * target) return whole
     if (f.splitOffsets.size >= 2)
-      return rangedFromOffsets(path, f.sizeBytes, f.splitOffsets, target, key, f.seq)
-        .getOrElse(whole)
+      return rangedFromOffsets(path, f.sizeBytes, f.splitOffsets, target, key, f.seq,
+        f.firstRowId).getOrElse(whole)
     IceLiteSource.planningFootersOpened.increment()
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(f.path, conf))
     val blocks = try fr.getFooter.getBlocks.asScala.toVector finally fr.close()
@@ -551,7 +557,7 @@ object IcebergMorScan {
       val rows  = c.map(_.getRowCount).sum
       val part  = IceLitePartition(Array(path), key,
         ranges = Seq(IceLiteFileRange(start, end, startRow, rows)),
-        seqs = Seq(f.seq)): InputPartition
+        seqs = Seq(f.seq), firstRowIds = Seq(f.firstRowId)): InputPartition
       startRow += rows
       part
     }.toSeq
