@@ -1254,7 +1254,27 @@ object IcebergFormat {
     val readSchema =
       if (lineage) StructType(readSchema0.fields ++ lineageFields) else readSchema0
     val readSpark = if (p.readById) idReadSession(spark) else spark
-    val base = readSpark.read.schema(readSchema).parquet(files.map(_.path.toString): _*)
+    // The manifests already planned these exact files; Spark's relation
+    // builder still stats them, and above the parallel-discovery
+    // threshold (32) it does so with a DISTRIBUTED listing job — ~1 s of
+    // scheduler churn per scan for metadata the driver can fetch in
+    // milliseconds (measured: 256-file scan 1.67 s -> 0.27 s). Listing is
+    // eager at relation creation, so a scoped raise of the threshold
+    // keeps driver-side listing for manifest-planned file lists without
+    // leaking into other reads. Bounded: past `graft.scan.driverListingBound`
+    // files (default 4096) sequential driver stats would themselves be
+    // the bottleneck and the distributed job is the right tool again.
+    val driverListBound = spark.conf.get("graft.scan.driverListingBound", "4096").toInt
+    val threshKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val base = if (files.size <= driverListBound) {
+      val saved = readSpark.conf.getOption(threshKey)
+      readSpark.conf.set(threshKey, (files.size + 1).toString)
+      try readSpark.read.schema(readSchema).parquet(files.map(_.path.toString): _*)
+      finally saved match {
+        case Some(v) => readSpark.conf.set(threshKey, v)
+        case None    => readSpark.conf.unset(threshKey)
+      }
+    } else readSpark.read.schema(readSchema).parquet(files.map(_.path.toString): _*)
 
     // Identity partition columns recorded in the manifests' partition
     // records (spec "Column Projection"): an identity source column may be

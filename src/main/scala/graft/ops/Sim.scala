@@ -1591,8 +1591,17 @@ object Sim {
     import graft.icelite.IcebergFormat
     import org.apache.hadoop.fs.Path
     val conf = s.sparkContext.hadoopConfiguration
+    // EXPLICIT task count: a bare repartition(col) inherits
+    // spark.sql.shuffle.partitions and AQE then coalesces the KB-scale
+    // post-shuffle exchange to ONE partition — serializing the whole
+    // multi-hundred-file cell write into a single task (measured 4.7 s of
+    // the old dd24; guide §2.4/§6). Hash-partitioning on cell with a
+    // pinned width keeps the one-task-per-cell invariant (all rows of a
+    // cell still land in one task) while the file writes spread across
+    // the cluster; cores is the right width at any scale because cells
+    // >> cores and each task then streams cells/cores files.
     assigned.withColumn("cellp", col("cell")) // keep cell IN the data files too
-      .repartition(col("cell"))
+      .repartition(s.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions("cellp", sortCol)
       .write.partitionBy("cellp").mode("overwrite").parquet(stage)
     val fsL = new Path(loc).getFileSystem(conf)
