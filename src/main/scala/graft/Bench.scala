@@ -59,10 +59,15 @@ object Bench {
       Seq((1L, "a")).toDF("id", "k").write.mode("overwrite").parquet(dir)
       val t0 = System.nanoTime()
       spark.catalog.dropTempView("so_sink")
-      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
-        .groupBy("k").count()
-        .writeStream.format("memory").queryName("so_sink").outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      // same checkpoint manager the st* lifecycles run under (round 17):
+      // the overhead is the floor under THEIR numbers, so it must pay the
+      // same checkpoint IO path they do
+      graft.streaming.StreamQueries.withLocalCkptManager(spark) {
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+          .groupBy("k").count()
+          .writeStream.format("memory").queryName("so_sink").outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val soA = streamingOverhead()

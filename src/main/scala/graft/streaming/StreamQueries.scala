@@ -1068,26 +1068,25 @@ object StreamQueries {
     * manager's atomic overwrite-rename and the checksum layer's
     * corruption detection earn their cost. Conf is saved/restored around
     * each lifecycle; results are unaffected (checkpoint IO only). */
-  private def withLocalCkptManager(
-      run: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, d) => {
-      val key = "spark.sql.streaming.checkpointFileManagerClass"
-      val chosen = s.conf.get("graft.streaming.checkpointFileManager",
-        "org.apache.spark.sql.execution.streaming.checkpointing." +
-          "FileSystemBasedCheckpointFileManager")
-      if (chosen == "default") run(s, d)
-      else {
-        val saved = s.conf.getOption(key)
-        s.conf.set(key, chosen)
-        try run(s, d)
-        finally saved match {
-          case Some(v) => s.conf.set(key, v)
-          case None    => s.conf.unset(key)
-        }
+  private[graft] def withLocalCkptManager[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.checkpointFileManagerClass"
+    val chosen = s.conf.get("graft.streaming.checkpointFileManager",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager")
+    if (chosen == "default") body
+    else {
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, chosen)
+      try body
+      finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
       }
     }
+  }
 
-  def all: Seq[Q] = baseAll.map(q => q.copy(run = withLocalCkptManager(q.run)))
+  def all: Seq[Q] =
+    baseAll.map(q => q.copy(run = (s, d) => withLocalCkptManager(s)(q.run(s, d))))
 
   private def baseAll: Seq[Q] = Seq(
     Q("st01_stream_hourly", streamHourly, Some(streamHourlyOracle)),
