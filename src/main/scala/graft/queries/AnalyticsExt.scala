@@ -84,39 +84,63 @@ object AnalyticsExt {
     // ---- ANALYZE-style column statistics: per-column row count, null
     //      count, NDV, min and max (as strings) for four lineitem
     //      columns — the stats a cost-based optimizer or a data-quality
-    //      monitor collects. ONE scan computes all 14 aggregates; the melt
-    //      to one row per column is a constant-size projection. NDV is
-    //      SCALE-GATED: exact countDistinct under the row bound (the
-    //      4-way multi-distinct plans as one Expand — a 4x row blow-up
-    //      through the shuffle that is fine at oracle scale and ruinous at
-    //      100 TB), approx_count_distinct (HLL sketch, one pass, fixed
-    //      state) above it. The bound rides a conf key so PlanAuditSpec
-    //      can assert BOTH plan shapes; the row count that drives the gate
-    //      is a footer-stats parquet count — milliseconds at any scale.
+    //      monitor collects. NDV is SCALE-GATED on a conf-keyed row bound
+    //      (footer-stats count, milliseconds at any scale): exact
+    //      countDistinct under it, approx_count_distinct (HLL sketch, one
+    //      pass, fixed state) above. The two paths have deliberately
+    //      different shapes — per-column single-distinct branches for
+    //      exact (no Expand, 1-column ReadSchema each), one wide scan for
+    //      approx — and PlanAuditSpec asserts both.
     Q("an39_column_stats",
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .withColumn("l_shipday", col("l_shipdate").cast("date"))
         val bound = s.conf.get("graft.an39.exactNdvRowBound", "1000000").toLong
         val exact = Tables.lineitem(s, d).count() <= bound
-        def ndv(c: String): Column =
-          if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-        def stats(c: String): Seq[Column] = Seq(
-          ndv(c).as(s"ndv_$c"),
-          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
-          min(col(c)).cast("string").as(s"min_$c"),
-          max(col(c)).cast("string").as(s"max_$c"))
         val cols  = Seq("l_orderkey", "l_returnflag", "l_shipday", "l_linenumber")
-        val aggs  = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
-        val wide  = li.agg(aggs.head, aggs.tail: _*)
-        // melt via explode(array(struct...)): identical field aliases per
-        // struct (stack would carry the source column names and mismatch)
-        val rows = cols.map(c => struct(
-          lit(c).as("column_name"), col("n_rows").as("n_rows"),
-          col(s"ndv_$c").as("ndv"), col(s"nulls_$c").as("n_nulls"),
-          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s")))
-        wide.select(explode(array(rows: _*)).as("r")).select("r.*")
-          .orderBy("column_name")
+        if (exact) {
+          // EXACT path, one branch per column (r17): a single wide agg
+          // with 4 countDistinct plans an Expand — a 4-5x row blow-up
+          // through the partial aggregate that also defeats per-column
+          // pruning (every branch pays the full-width scan). Four
+          // independent single-distinct aggregates read ONLY their own
+          // column (ReadSchema is 1 column per branch), plan no Expand,
+          // dedup map-side, and union 4 one-row frames — the oracle's own
+          // shape. Measured 4.3 s CPU -> sub-second at sf0.1; the same
+          // restructure is what a 100 TB exact pass would want (narrow
+          // scans, no multiplied shuffle). n_rows rides along in every
+          // branch (count(1) is free in a scan-agg) instead of a 5th scan.
+          val rows = cols.map { c =>
+            li.agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col(c)).as("ndv"),
+              sum(col(c).isNull.cast("long")).as("n_nulls"),
+              min(col(c)).cast("string").as("min_s"),
+              max(col(c)).cast("string").as("max_s"))
+              .select(lit(c).as("column_name"), col("n_rows"), col("ndv"),
+                col("n_nulls"), col("min_s"), col("max_s"))
+          }
+          rows.reduce(_.union(_)).orderBy("column_name")
+        } else {
+          // approx path (100 TB shape): ONE scan computes all 17
+          // aggregates — HLL sketches are plain aggregates, no Expand —
+          // then a constant-size melt.
+          def stats(c: String): Seq[Column] = Seq(
+            approx_count_distinct(col(c)).as(s"ndv_$c"),
+            sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
+          val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
+          val wide = li.agg(aggs.head, aggs.tail: _*)
+          // melt via explode(array(struct...)): identical field aliases per
+          // struct (stack would carry the source column names and mismatch)
+          val rows = cols.map(c => struct(
+            lit(c).as("column_name"), col("n_rows").as("n_rows"),
+            col(s"ndv_$c").as("ndv"), col(s"nulls_$c").as("n_nulls"),
+            col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s")))
+          wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+            .orderBy("column_name")
+        }
       },
       Some("""WITH li AS (SELECT *, CAST(l_shipdate AS DATE) AS l_shipday FROM lineitem)
         SELECT * FROM (

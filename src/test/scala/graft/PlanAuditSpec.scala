@@ -129,25 +129,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("an39 NDV is scale-gated: above the row bound the plan drops the multi-distinct Expand") {
-    // under the bound (oracle scale): exact countDistinct, whose 4-way
-    // multi-distinct plans as an Expand (4x rows through the shuffle).
-    // Above it (sf1sim and beyond): approx_count_distinct — HLL sketch,
-    // no Expand anywhere in the plan. The conf key stands in for data
-    // volume so both shapes are assertable at test scale.
+  test("an39 NDV is scale-gated: neither path plans a multi-distinct Expand") {
+    // under the bound (oracle scale): exact countDistinct, restructured
+    // in round 17 as one single-distinct aggregate per column — no
+    // Expand (a wide 4-way multi-distinct would blow rows 4-5x through
+    // the partial aggregate), and each branch's scan reads ONLY its own
+    // column. Above it (sf1sim and beyond): approx_count_distinct — HLL
+    // sketch, one wide scan, no Expand either. The conf key stands in
+    // for data volume so both shapes are assertable at test scale.
     def planOf(): String = {
       val df = SparkEntry.queries("an39_column_stats")(spark, sfDir)
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     }
     val exactPlan = planOf()
-    assert(exactPlan.contains("Expand"), "exact multi-distinct should plan an Expand:\n" +
-      exactPlan.take(600))
+    assert(!exactPlan.contains("Expand"),
+      "exact per-column branches must not plan an Expand:\n" + exactPlan.take(900))
+    assert(exactPlan.contains("count(distinct"), exactPlan.take(600))
+    // per-branch column pruning: the l_linenumber branch's scan must not
+    // drag the full lineitem width through the aggregate
+    assert(exactPlan.contains("ReadSchema: struct<l_linenumber"),
+      "exact branch scans should read only their own column:\n" + exactPlan.take(1200))
     spark.conf.set("graft.an39.exactNdvRowBound", "1")
     try {
       val approxPlan = planOf()
       assert(!approxPlan.contains("Expand"),
-        "scale-gated NDV still plans the 4-way-distinct Expand:\n" + approxPlan.take(900))
+        "scale-gated NDV still plans a distinct Expand:\n" + approxPlan.take(900))
       assert(approxPlan.contains("approx_count_distinct"), approxPlan.take(600))
     } finally spark.conf.unset("graft.an39.exactNdvRowBound")
   }
