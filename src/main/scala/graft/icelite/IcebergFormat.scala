@@ -1994,6 +1994,49 @@ object IcebergFormat {
     }.toIndexedSeq: _*)
   }
 
+  /** Batched twin of [[writeSingleFile]] for lifecycle fixtures that
+    * commit one file per group value: ONE staged Spark job writes every
+    * group's parquet file (hash-partitioned on the group expression so a
+    * group lands wholly in one task; dynamic-partition write emits one
+    * file per group per task), each file is renamed to
+    * `loc/data/<nameOf(group)>.parquet`, and manifest entries come from
+    * the same footer read [[writeSingleFile]] uses. A loop of N
+    * writeSingleFile calls costs N full job round-trips (~40-80 ms each
+    * of scheduler/plan fixed cost at any data size — ic89's 24-commit
+    * evolution lifecycle spent more time BETWEEN jobs than in them);
+    * this pays one. Group values must stringify safely as partition
+    * directory names (ints/short tokens — fixture keys, not user data).
+    * Commit granularity is untouched: callers still commit the returned
+    * files one (or few) at a time, so snapshot history is identical. */
+  def writeGroupedFiles(spark: SparkSession, stagingDir: String, loc: String,
+      df: DataFrame, groupExpr: org.apache.spark.sql.Column,
+      nameOf: String => String, fieldIds: Seq[Int] = Nil): Map[String, DataFileInfo] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs   = new Path(loc).getFileSystem(conf)
+    val stampIds = if (fieldIds.nonEmpty) fieldIds else 1 to df.schema.fields.length
+    val stage = s"$stagingDir/stage_grouped"
+    stampFieldIds(df, stampIds)
+      .withColumn("__grp", groupExpr.cast("string"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col("__grp"))
+      .write.partitionBy("__grp").mode("overwrite").parquet(stage)
+    val dirs = fs.listStatus(new Path(stage)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__grp="))
+    fs.mkdirs(new Path(s"$loc/data"))
+    val out = dirs.map { st =>
+      val g     = st.getPath.getName.stripPrefix("__grp=")
+      val parts = fs.listStatus(st.getPath).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"group $g split across ${parts.length} files — hash repartition broken")
+      val dest = new Path(s"$loc/data/${nameOf(g)}.parquet")
+      require(fs.rename(parts.head, dest), s"stage rename failed for group $g")
+      g -> fileInfoFromFooter(spark, dest, df.schema, fieldIds = fieldIds)
+    }.toMap
+    fs.delete(new Path(stage), true)
+    out
+  }
+
   def writeSingleFile(spark: SparkSession, stagingDir: String, loc: String, name: String,
       df: DataFrame, content: Int = 0, equalityIds: Seq[Int] = Nil,
       fieldIds: Seq[Int] = Nil, nestedIds: Map[String, Int] = Map.empty): DataFileInfo = {

@@ -2376,30 +2376,40 @@ object IceQueries {
       val nB   = 4
       val eraA = nation.filter(col("n_nationkey") < 12)
       val eraB = nation.filter(col("n_nationkey") >= 12)
-      // era A: spec 0 = identity(n_regionkey), one commit (=> manifest) per region
+      // era A: spec 0 = identity(n_regionkey), one commit (=> manifest) per
+      // region. The files for ALL regions stage in ONE job (r17 — a
+      // writeSingleFile loop paid a full job round-trip per commit for
+      // scale-constant 25-row fixtures); the commits stay one per region,
+      // so the snapshot/manifest history is byte-equivalent.
       val w = new IcebergFormat.Writer(s, loc, nation.schema, Seq("n_regionkey"))
       val regsA = eraA.select("n_regionkey").distinct()
         .collect().map(_.getInt(0)).sorted
+      val filesA = IcebergFormat.writeGroupedFiles(
+        s, s"$wh/stage", loc, eraA, col("n_regionkey"), g => s"a_r$g")
       regsA.foreach { r =>
-        w.commit(Seq(
-          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"a_r$r",
-            eraA.filter(col("n_regionkey") === r))
-            .copy(partitionValues = Map("n_regionkey" -> Int.box(r)))))
+        w.commit(Seq(filesA(r.toString)
+          .copy(partitionValues = Map("n_regionkey" -> Int.box(r)))))
       }
       // EVOLVE: keep the identity axis, add a bucket axis
       w.evolveSpec(Seq("n_regionkey", s"bucket($nB, n_nationkey)"))
-      // era B: spec 1, one commit per (region, bucket) cell
+      // era B: spec 1, one commit per (region, bucket) cell — cell
+      // membership is driver-computed (bounded key slice) and injected as
+      // a literal lookup map so the per-cell files also stage in one job
       val cells = eraB.select("n_nationkey", "n_regionkey").collect()
         .map(row => (row.getInt(0), row.getInt(1)))
         .groupBy { case (k, r) =>
           (r, (IcebergFormat.specHashLong(k.toLong) & Int.MaxValue) % nB)
         }.toSeq.sortBy(_._1)
-      cells.foreach { case ((r, b), ks) =>
-        w.commit(Seq(
-          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"b_r${r}_b$b",
-            eraB.filter(col("n_nationkey").isin(ks.map(_._1).toIndexedSeq: _*)))
-            .copy(partitionValues = Map(
-              "n_regionkey" -> Int.box(r), "n_nationkey_bucket" -> Int.box(b)))))
+      val keyToCell = cells.flatMap { case ((r, b), ks) =>
+        ks.map { case (k, _) => k -> s"r${r}_b$b" }
+      }.toMap
+      val filesB = IcebergFormat.writeGroupedFiles(
+        s, s"$wh/stage", loc, eraB,
+        element_at(typedLit(keyToCell), col("n_nationkey")), g => s"b_$g")
+      cells.foreach { case ((r, b), _) =>
+        w.commit(Seq(filesB(s"r${r}_b$b")
+          .copy(partitionValues = Map(
+            "n_regionkey" -> Int.box(r), "n_nationkey_bucket" -> Int.box(b)))))
       }
       // the metadata carries BOTH specs, default = the evolved one
       locally {
@@ -3530,12 +3540,14 @@ object IceQueries {
       val prios = ord.select("o_orderpriority").distinct()
         .collect().map(_.getString(0)).sorted
       // one commit per priority -> one data manifest per priority, each
-      // with a single-value partition summary in the manifest list
+      // with a single-value partition summary in the manifest list. The
+      // per-priority files stage in ONE job/scan (r17 — the old loop
+      // re-scanned the full orders slice once per priority); commit
+      // granularity and manifest history are unchanged.
+      val files = IcebergFormat.writeGroupedFiles(
+        s, s"$wh/stage", loc, ord, col("o_orderpriority"), g => s"p${g.take(1)}")
       prios.foreach { p =>
-        w.commit(Seq(
-          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"p${p.take(1)}",
-            ord.filter(col("o_orderpriority") === p))
-            .copy(partitionValues = Map("o_orderpriority" -> p))))
+        w.commit(Seq(files(p).copy(partitionValues = Map("o_orderpriority" -> p))))
       }
       IcebergFormat.manifestReadsAtPlanning.reset()
       val out = s.sql(
@@ -3579,11 +3591,13 @@ object IceQueries {
       val w = new IcebergFormat.Writer(s, loc, ord.schema, Seq("years(o_odate)"))
       val years = ord.select(year(col("o_odate")).as("y")).distinct()
         .collect().map(_.getInt(0)).sorted
+      // per-year files stage in ONE job/scan (r17, as ic82); one commit
+      // per year keeps the manifest-per-year layout under test
+      val files = IcebergFormat.writeGroupedFiles(
+        s, s"$wh/stage", loc, ord, year(col("o_odate")), g => s"y$g")
       years.foreach { y =>
-        w.commit(Seq(
-          IcebergFormat.writeSingleFile(s, s"$wh/stage", loc, s"y$y",
-            ord.filter(year(col("o_odate")) === y))
-            .copy(partitionValues = Map("o_odate_year" -> (y - 1970)))))
+        w.commit(Seq(files(y.toString)
+          .copy(partitionValues = Map("o_odate_year" -> (y - 1970)))))
       }
       IcebergFormat.manifestReadsAtPlanning.reset()
       val out = s.sql(
