@@ -1575,7 +1575,14 @@ object Dedup {
   private def servedBandIndex(s: SparkSession, d: String): DataFrame = {
     import graft.icelite.IcebergFormat
     import org.apache.hadoop.fs.Path
-    val bands = bandedDocs(s, d)
+    // eager localCheckpoint: the band rows feed the index write AND the
+    // batch probe; without it each consumer re-runs the whole shingle +
+    // minhash pipeline (stage metrics showed the ~7 s-CPU band compute
+    // repeated per consumer — a persist() here was observed NOT to absorb
+    // it because each consumer materializes through different pruned
+    // projections). Checkpoint blocks release with the frame (see
+    // [[batchBands]]).
+    val bands = bandedDocs(s, d).localCheckpoint()
 
     // build + commit the index table (the ingest-time job; probes below
     // read ONLY this artifact)
@@ -1614,13 +1621,15 @@ object Dedup {
     import graft.icelite.IcebergFormat
     import org.apache.hadoop.fs.Path
     import s.implicits._
-    val bands = bandedDocs(s, d)
+    // eager localCheckpoint, same rationale as [[servedBandIndex]]: the
+    // band pipeline must run ONCE for the two index halves AND the batch
+    val bands = bandedDocs(s, d).localCheckpoint()
     val root  = "/root/repo/target/scratch/bandmnt_" +
       java.lang.Integer.toHexString(d.hashCode)
     val rootP = new Path(root)
     val fs    = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(rootP)) fs.delete(rootP, true)
-    val idxRows = bands.filter(col("source") =!= servedBatchSrc).drop("source").persist()
+    val idxRows = bands.filter(col("source") =!= servedBatchSrc).drop("source")
     // shard boundary: base = older half of the index docs, delta = newer
     // (an all-batch corpus has no index side — commit two empty halves
     // rather than NPE on the null aggregate)
@@ -1650,10 +1659,8 @@ object Dedup {
       .select(col("cell"), col("doc_id"), col("band_id"), col("bsig"), col("sig"))
     w.rewriteDataFiles(Sim.stageIndexCells(
       s, fragmented, s"$root/stage_c", loc, "c", sortCol = "doc_id"))
-    val out = probeBandIndex(s, d, batch, w.currentMetadataPath,
+    probeBandIndex(s, d, batch, w.currentMetadataPath,
       maxFilesPerCell = 1, knownCells = Some(probedCells))
-    idxRows.unpersist()
-    out
   }
 
   /** Oracle replays the LOGICAL result: band equality across batch/index
